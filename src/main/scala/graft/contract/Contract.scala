@@ -1,0 +1,567 @@
+package graft.contract
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
+
+import graft.core.Tables
+import graft.operators.{AsOfJoin, Sessionize, Similarity, Transitions}
+
+/** One declared engine capability: the Spark form and (when SQL-expressible)
+  * the equivalent ANSI SQL the driver runs in DuckDB on the same tables.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** SURVEY.md §2.8 query contract (Q01–Q25) + north-star extensions.
+  *
+  * Cross-engine numeric parity rules used throughout (the driver hash-compares
+  * cell values):
+  *  - every SUM over doubles goes through DECIMAL(18,2) (exact, order-free)
+  *    and is cast back to double — both engines produce the identical double;
+  *  - AVG = decimal-sum-as-double / count (one IEEE division, deterministic);
+  *  - per-row double arithmetic is fine (same IEEE ops in both engines);
+  *  - array folds are in-order left folds in both engines (same FP result);
+  *  - window orderings over `events` use `event_id`, never the raw ns
+  *    timestamp (Spark truncates ns→µs; DuckDB keeps ns);
+  *  - epoch seconds derive from int64 ns via integer division (exact).
+  */
+object Contract {
+
+  private val Dec = DataTypes.createDecimalType(18, 2)
+
+  /** Exact, order-independent double sum (see parity rules above). */
+  private def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  private def li(s: SparkSession, d: String)   = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String)  = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def ev(s: SparkSession, d: String)   = Tables.events(s, d)
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------- scans
+    Q(
+      "q01_filter_project",
+      (s, d) =>
+        li(s, d)
+          .filter(
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            col("l_quantity")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       l_extendedprice * (1.0 - l_discount) AS revenue, l_quantity
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin)
+    ),
+    // ------------------------------------------------------------------ aggs
+    Q(
+      "q02_tpch_q1",
+      (s, d) =>
+        li(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(col("l_extendedprice").cast(Dec) * (lit(1).cast(Dec) - col("l_discount").cast(Dec)))
+              .cast("double")
+              .as("sum_disc_price"),
+            (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+            count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  SUM(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,
+             |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_base_price,
+             |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))))::DOUBLE AS sum_disc_price,
+             |  SUM(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE / COUNT(*) AS avg_qty,
+             |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE / COUNT(*) AS avg_price,
+             |  COUNT(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+    // ----------------------------------------------------------------- joins
+    Q(
+      "q03_join_multi",
+      (s, d) => {
+        val o = ord(s, d); val c = cust(s, d)
+        val n = Tables.nation(s, d); val r = Tables.region(s, d)
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("order_cnt"), dsum(col("o_totalprice")).as("total_price"))
+      },
+      Some("""SELECT n_name, COUNT(*) AS order_cnt,
+             |  SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total_price
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name""".stripMargin)
+    ),
+    Q(
+      "q04_broadcast_join",
+      (s, d) =>
+        li(s, d)
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("line_cnt"), dsum(col("l_quantity")).as("sum_qty")),
+      Some("""SELECT p_brand, COUNT(*) AS line_cnt,
+             |  SUM(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand""".stripMargin)
+    ),
+    Q(
+      "q05_outer_join",
+      (s, d) =>
+        cust(s, d)
+          .join(ord(s, d), col("o_custkey") === col("c_custkey"), "left")
+          .groupBy(col("c_custkey"), col("c_mktsegment"))
+          .agg(
+            count(col("o_orderkey")).as("order_cnt"),
+            coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent")),
+      Some("""SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS order_cnt,
+             |  COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE, 0.0) AS total_spent
+             |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+             |GROUP BY c_custkey, c_mktsegment""".stripMargin)
+    ),
+    Q(
+      "q06_semi_join",
+      (s, d) =>
+        cust(s, d)
+          .join(ord(s, d).select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)
+    ),
+    Q(
+      "q07_anti_join",
+      (s, d) =>
+        cust(s, d)
+          .join(ord(s, d).select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)
+    ),
+    Q(
+      "q08_distinct_agg",
+      (s, d) =>
+        li(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("distinct_parts"),
+            countDistinct(col("l_suppkey")).as("distinct_supps"),
+            count(lit(1)).as("cnt")),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts,
+             |  COUNT(DISTINCT l_suppkey) AS distinct_supps, COUNT(*) AS cnt
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    ),
+    Q(
+      "q09_rollup",
+      (s, d) =>
+        ord(s, d)
+          .rollup(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            dsum(col("o_totalprice")).as("total"),
+            grouping(col("o_orderpriority")).cast("int").as("g_pri"),
+            grouping(col("o_orderstatus")).cast("int").as("g_st")),
+      Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+             |  SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total,
+             |  GROUPING(o_orderpriority)::INTEGER AS g_pri,
+             |  GROUPING(o_orderstatus)::INTEGER AS g_st
+             |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin)
+    ),
+    Q(
+      "q09_cube",
+      (s, d) =>
+        ord(s, d)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            dsum(col("o_totalprice")).as("total"),
+            grouping(col("o_orderstatus")).cast("int").as("g_st"),
+            grouping(col("o_orderpriority")).cast("int").as("g_pri")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+             |  SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total,
+             |  GROUPING(o_orderstatus)::INTEGER AS g_st,
+             |  GROUPING(o_orderpriority)::INTEGER AS g_pri
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)
+    ),
+    // --------------------------------------------------------------- windows
+    Q(
+      "q10_topk_per_group",
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        ord(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn::INTEGER AS rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t WHERE rn <= 3""".stripMargin)
+    ),
+    Q(
+      "q11_lag_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        ev(s, d)
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull && col("prev_type") =!= col("event_type"))
+          .select(col("event_id"), col("user_id"), col("prev_type"), col("event_type"))
+      },
+      Some("""SELECT event_id, user_id, prev_type, event_type FROM (
+             |  SELECT event_id, user_id, event_type,
+             |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+             |  FROM events) t
+             |WHERE prev_type IS NOT NULL AND prev_type <> event_type""".stripMargin)
+    ),
+    Q(
+      "q12_window_frame",
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("event_id"))
+          .rowsBetween(-2, Window.currentRow)
+        ev(s, d)
+          .withColumn("mv_sum", sum(col("value").cast(Dec)).over(w).cast("double"))
+          .withColumn("mv_min", min(col("value")).over(w))
+          .select(col("event_id"), col("user_id"), col("value"), col("mv_sum"), col("mv_min"))
+      },
+      Some("""SELECT event_id, user_id, value,
+             |  (SUM(CAST(value AS DECIMAL(18,2))) OVER w)::DOUBLE AS mv_sum,
+             |  MIN(value) OVER w AS mv_min
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin)
+    ),
+    Q(
+      "q13_sort_limit",
+      (s, d) =>
+        ord(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+    ),
+    // ---------------------------------------------------------------- setops
+    Q(
+      "q14_union",
+      (s, d) =>
+        ord(s, d)
+          .select(col("o_custkey").as("custkey"))
+          .union(
+            cust(s, d)
+              .filter(col("c_mktsegment") === "BUILDING")
+              .select(col("c_custkey").as("custkey")))
+          .distinct(),
+      Some("""SELECT o_custkey AS custkey FROM orders
+             |UNION
+             |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+    ),
+    Q(
+      "q14_intersect",
+      (s, d) =>
+        ord(s, d)
+          .select(col("o_custkey").as("custkey"))
+          .intersect(
+            cust(s, d)
+              .filter(col("c_mktsegment") === "BUILDING")
+              .select(col("c_custkey").as("custkey"))),
+      Some("""SELECT o_custkey AS custkey FROM orders
+             |INTERSECT
+             |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+    ),
+    Q(
+      "q14_except",
+      (s, d) =>
+        cust(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"))
+          .except(ord(s, d).select(col("o_custkey").as("custkey"))),
+      Some("""SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |EXCEPT
+             |SELECT o_custkey AS custkey FROM orders""".stripMargin)
+    ),
+    // --------------------------------------------------------------- scalars
+    Q(
+      "q15_strings",
+      (s, d) =>
+        Tables
+          .part(s, d)
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("name_upper"),
+            substring(col("p_type"), 1, 4).as("type_prefix"),
+            split_part(col("p_name"), lit(" "), lit(1)).as("first_word"),
+            concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+            regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+            length(col("p_name")).as("name_len"),
+            lpad(col("p_brand"), 10, "*").as("brand_pad")),
+      Some("""SELECT p_partkey, upper(p_name) AS name_upper,
+             |  substring(p_type, 1, 4) AS type_prefix,
+             |  split_part(p_name, ' ', 1) AS first_word,
+             |  concat_ws('|', p_brand, p_type) AS brand_type,
+             |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+             |  length(p_name)::INTEGER AS name_len,
+             |  lpad(p_brand, 10, '*') AS brand_pad
+             |FROM part""".stripMargin)
+    ),
+    Q(
+      "q16_datetime",
+      (s, d) =>
+        ev(s, d)
+          .select(
+            col("event_id"),
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_str"),
+            month(col("ts")).as("mon"),
+            dayofmonth(col("ts")).as("dom"),
+            hour(col("ts")).as("hr"),
+            expr("ts_ns div 1000000000").as("epoch_sec"),
+            date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm").as("minute_str")),
+      Some("""SELECT event_id,
+             |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
+             |  month(ts)::INTEGER AS mon, day(ts)::INTEGER AS dom, hour(ts)::INTEGER AS hr,
+             |  epoch_ns(ts) // 1000000000 AS epoch_sec,
+             |  strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute_str
+             |FROM events""".stripMargin)
+    ),
+    Q(
+      "q17_math_bits",
+      (s, d) =>
+        li(s, d)
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            col("l_partkey").bitwiseAND(lit(255)).as("low_byte"),
+            shiftright(col("l_partkey"), 4).as("shifted"),
+            when(col("l_partkey").bitwiseAND(lit(255)) >= 128,
+              col("l_partkey").bitwiseAND(lit(255)) - 256)
+              .otherwise(col("l_partkey").bitwiseAND(lit(255)))
+              .as("signed8"),
+            floor(col("l_extendedprice") * 0.08).as("scaled"),
+            abs(col("l_discount") - 0.05).as("disc_off"),
+            (col("l_orderkey") % 7).as("mod7"),
+            (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+            sqrt(col("l_extendedprice")).as("price_sqrt")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  (l_partkey & 255) AS low_byte,
+             |  (l_partkey >> 4) AS shifted,
+             |  CASE WHEN (l_partkey & 255) >= 128 THEN (l_partkey & 255) - 256
+             |       ELSE (l_partkey & 255) END AS signed8,
+             |  floor(l_extendedprice * 0.08) AS scaled,
+             |  abs(l_discount - 0.05) AS disc_off,
+             |  (l_orderkey % 7) AS mod7,
+             |  (l_quantity * l_quantity) AS qty_sq,
+             |  sqrt(l_extendedprice) AS price_sqrt
+             |FROM lineitem""".stripMargin)
+    ),
+    Q(
+      "q18_arrays",
+      (s, d) =>
+        Tables
+          .embeddings(s, d)
+          .select(
+            col("vec_id"),
+            size(col("embedding")).as("dim"),
+            element_at(col("embedding"), 1).cast("double").as("first_val"),
+            Similarity.norm2(col("embedding")).as("norm2"),
+            array_max(col("embedding")).cast("double").as("max_val"),
+            array_min(col("embedding")).cast("double").as("min_val")),
+      Some("""SELECT vec_id, len(embedding)::INTEGER AS dim,
+             |  CAST(embedding[1] AS DOUBLE) AS first_val,
+             |  list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             |              (a, b) -> a + b) AS norm2,
+             |  CAST(list_max(embedding) AS DOUBLE) AS max_val,
+             |  CAST(list_min(embedding) AS DOUBLE) AS min_val
+             |FROM embeddings""".stripMargin)
+    ),
+    Q(
+      "q18_collect",
+      (s, d) =>
+        ev(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            array_join(array_sort(collect_set(col("event_type"))), ",").as("types_str"),
+            countDistinct(col("event_type")).as("n_types")),
+      Some("""SELECT user_id,
+             |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_str,
+             |  COUNT(DISTINCT event_type) AS n_types
+             |FROM events GROUP BY user_id""".stripMargin)
+    ),
+    Q(
+      "q19_json",
+      (s, d) =>
+        ev(s, d)
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").as("k_str"),
+            get_json_object(col("props"), "$.k").cast("long").as("k_int"),
+            to_json(struct(col("event_id"), col("user_id"))).as("js")),
+      Some("""SELECT event_id,
+             |  json_extract_string(props, '$.k') AS k_str,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+             |  to_json(struct_pack(event_id := event_id, user_id := user_id))::VARCHAR AS js
+             |FROM events""".stripMargin)
+    ),
+    Q(
+      "q20_window_hourly",
+      (s, d) =>
+        ev(s, d)
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_val"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+            col("cnt"),
+            col("sum_val"),
+            (col("sum_val") / col("cnt")).as("avg_val")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             |  COUNT(*) AS cnt,
+             |  SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_val,
+             |  SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE / COUNT(*) AS avg_val
+             |FROM events GROUP BY 1""".stripMargin)
+    ),
+    // ----------------------------------------------------- domain analytics
+    Q(
+      "q21_sessionize",
+      (s, d) => {
+        val base = ev(s, d)
+          .withColumn("es", expr("ts_ns div 1000000000"))
+        Sessionize
+          .runs(base, Seq(col("user_id")), col("event_id"), col("value") < 30)
+          .filter(col("__flag"))
+          .groupBy(col("user_id"), col("run_id"))
+          .agg(
+            min(col("event_id")).as("start_event_id"),
+            max(col("event_id")).as("end_event_id"),
+            count(lit(1)).as("run_len"),
+            (min(col("es")) + 3).as("start_sec"),
+            (max(col("es")) - 3).as("end_sec"))
+          .filter(col("run_len") >= 3)
+          .drop("run_id")
+      },
+      Some("""WITH flagged AS (
+             |  SELECT event_id, user_id, (value < 30) AS low,
+             |    CASE WHEN (value < 30) IS DISTINCT FROM
+             |         LAG(value < 30) OVER (PARTITION BY user_id ORDER BY event_id)
+             |         THEN 1 ELSE 0 END AS chg,
+             |    epoch_ns(ts) // 1000000000 AS es
+             |  FROM events),
+             |runs AS (
+             |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS run_id
+             |  FROM flagged)
+             |SELECT user_id, MIN(event_id) AS start_event_id, MAX(event_id) AS end_event_id,
+             |  COUNT(*) AS run_len, MIN(es) + 3 AS start_sec, MAX(es) - 3 AS end_sec
+             |FROM runs WHERE low GROUP BY user_id, run_id HAVING COUNT(*) >= 3""".stripMargin)
+    ),
+    Q(
+      "q22_transition_detect",
+      (s, d) => {
+        val coded = ev(s, d).withColumn(
+          "state_code",
+          when(col("event_type") === "signup", 0)
+            .when(col("event_type") === "view", 1)
+            .when(col("event_type") === "click", 2)
+            .when(col("event_type") === "purchase", 3)
+            .otherwise(4))
+        Transitions
+          .detect(coded, Seq(col("user_id")), col("event_id"), col("state_code"))
+          .select(col("event_id"), col("user_id"), col("prev_code"), col("code"), col("transition"))
+      },
+      Some("""WITH coded AS (
+             |  SELECT event_id, user_id,
+             |    CASE event_type WHEN 'signup' THEN 0 WHEN 'view' THEN 1
+             |      WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 ELSE 4 END AS code
+             |  FROM events),
+             |lagged AS (
+             |  SELECT event_id, user_id, code,
+             |    LAG(code) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_code
+             |  FROM coded)
+             |SELECT event_id, user_id, prev_code, code,
+             |  CASE WHEN prev_code <= 2 AND code = 3 THEN 'engagement'
+             |       WHEN prev_code = 3 AND code <= 2 THEN 'disengagement' END AS transition
+             |FROM lagged
+             |WHERE (prev_code <= 2 AND code = 3) OR (prev_code = 3 AND code <= 2)""".stripMargin)
+    ),
+    Q(
+      "q23_asof_join",
+      (s, d) => {
+        val e = ev(s, d).select(col("event_id"), col("user_id"), col("ts"))
+        val o = ord(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        AsOfJoin
+          .asof(e, o, col("user_id"), col("o_custkey"), col("ts"), col("o_orderdate"),
+            col("event_id"), Seq(col("o_orderkey")))
+          .select(
+            col("event_id"),
+            col("user_id"),
+            col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("order_date_str"))
+      },
+      Some("""SELECT event_id, user_id, o_orderkey,
+             |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date_str
+             |FROM (
+             |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+             |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+             |  FROM events e JOIN orders o
+             |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+             |WHERE rn = 1""".stripMargin)
+    ),
+    // ------------------------------------------------------------ north-star
+    Q(
+      "q24_dedup_exact",
+      (s, d) =>
+        Tables
+          .documents(s, d)
+          .withColumn("h", sha2(col("text"), 256))
+          .groupBy(col("lang"))
+          .agg(
+            countDistinct(col("h")).as("n_unique"),
+            count(lit(1)).as("n_docs"),
+            min(col("h")).as("min_hash")),
+      Some("""SELECT lang, COUNT(DISTINCT sha256(text)) AS n_unique,
+             |  COUNT(*) AS n_docs, MIN(sha256(text)) AS min_hash
+             |FROM documents GROUP BY lang""".stripMargin)
+    ),
+    Q(
+      "q25_cosine_topk",
+      (s, d) =>
+        Similarity
+          .bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5)
+          .select(col("probe_id"), col("rnk"), col("neighbor_id")),
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             |                (a, b) -> a + b) AS n2
+             |  FROM embeddings),
+             |pairs AS (
+             |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             |    list_reduce(list_transform(range(1, len(p.embedding) + 1),
+             |                  i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+             |                (a, b) -> a + b) / (sqrt(p.n2) * sqrt(c.n2)) AS cos
+             |  FROM n p, n c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+             |ranked AS (
+             |  SELECT probe_id, neighbor_id,
+             |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+             |  FROM pairs)
+             |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin)
+    )
+  )
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

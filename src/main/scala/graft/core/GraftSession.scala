@@ -1,0 +1,36 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's canonical configuration.
+  *
+  * The reference pins TZ=UTC in every Lambda (reference serverless.yml:77,95,113) —
+  * all time math here is session-TZ UTC. AQE is on for runtime re-planning
+  * (shuffle coalescing, skew splitting) which is what makes the same plans hold
+  * from local[32] test scale up to a real cluster.
+  */
+object GraftSession {
+
+  /** Apply engine defaults to an externally-created session (e.g. the driver's). */
+  def tune(spark: SparkSession): SparkSession = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's TimestampType (µs)
+    // cannot represent; read as raw Long ns and convert explicitly (Tables.events).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  def local(cores: String = "*", shufflePartitions: Int = 32): SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    tune(s)
+  }
+}

@@ -1,0 +1,37 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated test tables (TESTDATA.md / FIXTURES.md §4).
+  *
+  * All schemas are fixed by the parquet footers; no inference. `events.ts` is
+  * TIMESTAMP(NANOS) in the file — Spark's TimestampType is µs, so we read it as
+  * a raw Long (nanosAsLong) and expose BOTH:
+  *   - `ts_ns`: the exact int64 epoch nanoseconds (lossless), and
+  *   - `ts`:    TimestampType truncated to µs (for window/date functions).
+  * Queries that need cross-engine-exact values derive from `ts_ns`.
+  */
+object Tables {
+
+  def parquet(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = parquet(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = parquet(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = parquet(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = parquet(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = parquet(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = parquet(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = parquet(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame  = parquet(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = parquet(spark, dir, "embeddings")
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(spark)
+    parquet(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      // integer div — a double division would lose precision at 1.7e18 ns
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+}

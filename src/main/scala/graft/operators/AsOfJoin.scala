@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the single latest right row with
+  * rightTime <= leftTime within the same key.
+  *
+  * Composition of built-ins (SURVEY.md §4.3 preference (a)): equi-join on the
+  * key + inequality condition, then row_number()==1 per left row. Catalyst
+  * plans the equi-part as a hash join (broadcast if the right side is small),
+  * so the inequality never degrades to a nested-loop over the whole right
+  * table. `tieBreak` makes the pick deterministic when right times collide.
+  */
+object AsOfJoin {
+
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      leftTime: Column,
+      rightTime: Column,
+      leftId: Column,
+      tieBreak: Seq[Column]): DataFrame = {
+    val joined = left.join(right, leftKey === rightKey && rightTime <= leftTime, "inner")
+    val w      = Window.partitionBy(leftId).orderBy((rightTime.desc +: tieBreak.map(_.desc)): _*)
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

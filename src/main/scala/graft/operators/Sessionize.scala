@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gaps-and-islands sessionization.
+  *
+  * Spark-first re-expression of the reference's zero-speed run detector
+  * (reference infer_stationary_states.py:81-106, an imperative prev/cur/next
+  * scan): a run is a maximal streak of rows with equal `flag` value per
+  * partition in `order` order. Implemented as one window pass — lag-compare to
+  * mark run starts, running sum to assign run ids — then a hash aggregation per
+  * run. Scales: the only shuffle is the window partition-by; state per row is
+  * O(1); no driver-side iteration.
+  */
+object Sessionize {
+
+  /** Add `run_id` (Long, increasing per partition) over maximal runs of equal
+    * `flag`. Null-safe: flag transitions use null-safe equality.
+    */
+  def runs(df: DataFrame, partCols: Seq[Column], order: Column, flag: Column): DataFrame = {
+    val w = Window.partitionBy(partCols: _*).orderBy(order)
+    df.withColumn("__flag", flag)
+      .withColumn(
+        "__chg",
+        when(!(col("__flag") <=> lag(col("__flag"), 1).over(w)), lit(1L)).otherwise(lit(0L)))
+      .withColumn("run_id", sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__chg")
+  }
+}

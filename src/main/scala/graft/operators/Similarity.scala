@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over an `Array[Float]` embedding column.
+  *
+  * Brute-force cosine top-k is the exact baseline: broadcast the (small) probe
+  * set against the full corpus — one broadcast join, zero shuffles on the big
+  * side except the final per-probe top-k (TakeOrdered per group via
+  * row_number over a probe-partitioned window; probe count is small so the
+  * window shuffle is tiny).
+  *
+  * All dot products / norms are computed as an in-order left fold over the
+  * array (`aggregate`), entirely in codegen'd built-ins — deterministic FP,
+  * no UDFs.
+  *
+  * The scale path (`ivfTopK`) is inverted-file ANN: k-means-free IVF with
+  * deterministic centroids (a fixed sample of the corpus), each vector
+  * assigned to its nearest centroid at index time; probes search only
+  * `nprobe` nearest cells. At 100 TB the centroid assignment is a broadcast
+  * join + argmin (no shuffle) and the candidate set per probe shrinks by
+  * ~ncells/nprobe.
+  */
+object Similarity {
+
+  /** Sum of elementwise products as an in-order fold — deterministic FP. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** cosine = dot / (sqrt(norm_a) * sqrt(norm_b)) — fixed association. */
+  def cosine(dotCol: Column, n2a: Column, n2b: Column): Column =
+    dotCol / (sqrt(n2a) * sqrt(n2b))
+
+  /** Exact top-k cosine neighbors for each probe row.
+    * Output: probe_id, rnk (1..k), neighbor_id, cos.
+    */
+  def bruteForceTopK(emb: DataFrame, probePred: Column, k: Int): DataFrame = {
+    val withN2 = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    val probes = withN2
+      .filter(probePred)
+      .select(
+        col("vec_id").as("probe_id"),
+        col("embedding").as("p_emb"),
+        col("n2").as("p_n2"))
+    val pairs = withN2
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"),
+        col("vec_id").as("neighbor_id"),
+        cosine(dot(col("p_emb"), col("embedding")), col("p_n2"), col("n2")).as("cos"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    pairs
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("cos"))
+  }
+
+  /** IVF-bucketed approximate top-k.
+    *
+    * Centroids = the `ncells` vectors with the smallest vec_id (deterministic,
+    * cheap; a k-means refinement can swap in without changing the plan shape).
+    * Every vector is assigned to its nearest centroid (broadcast + in-row
+    * argmin — no shuffle); probes scan only their `nprobe` closest cells.
+    */
+  def ivfTopK(emb: DataFrame, probePred: Column, k: Int, ncells: Int, nprobe: Int): DataFrame = {
+    val cent = emb
+      .orderBy(col("vec_id"))
+      .limit(ncells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    val centN = cent.withColumn("c_n2", norm2(col("c_emb")))
+
+    val withN2 = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    // nearest cell per vector: broadcast centroids, rank, keep argmin
+    def assign(df: DataFrame, keep: Int): DataFrame = {
+      val scored = df
+        .join(broadcast(centN))
+        .withColumn("cell_cos", cosine(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2")))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("cell_cos").desc, col("cell_id"))
+      scored
+        .withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= keep)
+        .drop("__cr", "c_emb", "c_n2", "cell_cos")
+    }
+
+    val indexed = assign(withN2, 1) // corpus: single nearest cell
+    val probes = assign(withN2.filter(probePred), nprobe)
+      .select(
+        col("vec_id").as("probe_id"),
+        col("embedding").as("p_emb"),
+        col("n2").as("p_n2"),
+        col("cell_id"))
+    val pairs = indexed
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"),
+        col("vec_id").as("neighbor_id"),
+        cosine(dot(col("p_emb"), col("embedding")), col("p_n2"), col("n2")).as("cos"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    pairs
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("cos"))
+  }
+}

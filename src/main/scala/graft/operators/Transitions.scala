@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence state-transition detection (lag/lead edge detect).
+  *
+  * Spark-first form of the reference's autopilot engagement/disengagement
+  * detector (reference infer_autopilot_states.py:78-88): engagement when the
+  * current code enters the active state from an idle one, disengagement on the
+  * reverse edge. The reference ignores active-variant codes (4/5) by design —
+  * `activeCode`/`maxIdleCode` parameterize that exact rule. One window shuffle,
+  * no state beyond lag(1).
+  */
+object Transitions {
+
+  val Engagement    = "engagement"
+  val Disengagement = "disengagement"
+
+  /** Adds `prev_code` and `transition` (engagement/disengagement/null). */
+  def label(
+      df: DataFrame,
+      partCols: Seq[Column],
+      order: Column,
+      code: Column,
+      activeCode: Int = 3,
+      maxIdleCode: Int = 2): DataFrame = {
+    val w    = Window.partitionBy(partCols: _*).orderBy(order)
+    val prev = lag(code, 1).over(w)
+    df.withColumn("code", code)
+      .withColumn("prev_code", prev)
+      .withColumn(
+        "transition",
+        when(col("prev_code") <= maxIdleCode && col("code") === activeCode, Engagement)
+          .when(col("prev_code") === activeCode && col("code") <= maxIdleCode, Disengagement))
+  }
+
+  /** Only the edge rows. */
+  def detect(
+      df: DataFrame,
+      partCols: Seq[Column],
+      order: Column,
+      code: Column,
+      activeCode: Int = 3,
+      maxIdleCode: Int = 2): DataFrame =
+    label(df, partCols, order, code, activeCode, maxIdleCode)
+      .filter(col("transition").isNotNull)
+}

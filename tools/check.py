@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs each oracle SQL from <outDir>/oracle_sql.json in DuckDB over the
+parquet tables in <sfDir>, reads the Spark result parquet from
+<outDir>/<name>/, canonicalizes both (columns sorted by name, rows sorted),
+and compares cell-by-cell. Exact equality required (the driver hashes).
+
+Usage: check.py <sfDir> <outDir> [query ...]
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    return sorted(cols), sorted(out, key=lambda t: tuple((v is None, str(type(v)), str(v)) for v in t))
+
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)) and not isinstance(a, bool) and not isinstance(b, bool):
+        return float(a) == float(b)
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            want = con.execute(sql)
+            wcols = [d[0] for d in want.description]
+            wrows = want.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            gcols = [d[0] for d in got.description]
+            grows = got.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {e}")
+            n_fail += 1
+            continue
+        wc, wr = canon(wrows, wcols)
+        gc, gr = canon(grows, gcols)
+        if wc != gc:
+            print(f"FAIL {name}: columns differ: oracle={wc} spark={gc}")
+            n_fail += 1
+            continue
+        if len(wr) != len(gr):
+            print(f"FAIL {name}: row count differs: oracle={len(wr)} spark={len(gr)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(wr, gr)):
+            for j, (x, y) in enumerate(zip(a, b)):
+                if not cells_equal(x, y):
+                    bad = (i, wc[j], x, y)
+                    break
+            if bad:
+                break
+        if bad:
+            i, cname, x, y = bad
+            print(f"FAIL {name}: row {i} col {cname}: oracle={x!r} spark={y!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(wr)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
