@@ -363,7 +363,7 @@ object Contract {
              |  (l_partkey >> 4) AS shifted,
              |  CASE WHEN (l_partkey & 255) >= 128 THEN (l_partkey & 255) - 256
              |       ELSE (l_partkey & 255) END AS signed8,
-             |  floor(l_extendedprice * 0.08) AS scaled,
+             |  floor(l_extendedprice * 0.08)::BIGINT AS scaled,
              |  abs(l_discount - 0.05) AS disc_off,
              |  (l_orderkey % 7) AS mod7,
              |  (l_quantity * l_quantity) AS qty_sq,
@@ -399,7 +399,7 @@ object Contract {
             array_join(array_sort(collect_set(col("event_type"))), ",").as("types_str"),
             countDistinct(col("event_type")).as("n_types")),
       Some("""SELECT user_id,
-             |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_str,
+             |  array_to_string(list_sort(list(DISTINCT event_type) FILTER (WHERE event_type IS NOT NULL)), ',') AS types_str,
              |  COUNT(DISTINCT event_type) AS n_types
              |FROM events GROUP BY user_id""".stripMargin)
     ),
@@ -501,11 +501,17 @@ object Contract {
     Q(
       "q23_asof_join",
       (s, d) => {
-        val e = ev(s, d).select(col("event_id"), col("user_id"), col("ts"))
-        val o = ord(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        // Exact int64 ns on both sides (events.ts is ns-precision in the file;
+        // o_orderdate is ms so its ns value is exact from µs*1000).
+        val e = ev(s, d).select(col("event_id"), col("user_id"), col("ts_ns"))
+        val o = ord(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+          // o_orderdate is TIMESTAMP_NTZ in the file; session TZ is UTC so the
+          // cast to (UTC-adjusted) TIMESTAMP is exact, then µs*1000 = exact ns.
+          .withColumn("o_ns", unix_micros(col("o_orderdate").cast("timestamp")) * 1000)
         AsOfJoin
-          .asof(e, o, col("user_id"), col("o_custkey"), col("ts"), col("o_orderdate"),
-            col("event_id"), Seq(col("o_orderkey")))
+          .asof(e, o, col("user_id"), col("o_custkey"), col("ts_ns"), col("o_ns"),
+            col("o_orderkey"))
           .select(
             col("event_id"),
             col("user_id"),
@@ -519,7 +525,7 @@ object Contract {
              |    ROW_NUMBER() OVER (PARTITION BY e.event_id
              |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
              |  FROM events e JOIN orders o
-             |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+             |    ON o.o_custkey = e.user_id AND epoch_ns(o.o_orderdate) <= epoch_ns(e.ts)) t
              |WHERE rn = 1""".stripMargin)
     ),
     // ------------------------------------------------------------ north-star

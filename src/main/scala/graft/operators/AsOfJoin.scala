@@ -7,14 +7,31 @@ import org.apache.spark.sql.functions._
 /** As-of join: for each left row, the single latest right row with
   * rightTime <= leftTime within the same key.
   *
-  * Composition of built-ins (SURVEY.md §4.3 preference (a)): equi-join on the
-  * key + inequality condition, then row_number()==1 per left row. Catalyst
-  * plans the equi-part as a hash join (broadcast if the right side is small),
-  * so the inequality never degrades to a nested-loop over the whole right
-  * table. `tieBreak` makes the pick deterministic when right times collide.
+  * Scale-safe formulation (no join fanout): tag both sides, union them,
+  * sort-by-time within each key, and carry the most recent right row with a
+  * running `last(..., ignoreNulls)` window. Cost is one shuffle of
+  * |left| + |right| rows and O(1) state per row — versus the naive
+  * equi-join + `row_number` plan whose intermediate is
+  * |events per key| x |prior right rows per key| (quadratic on hot keys).
+  * Skewed keys are split by AQE since the window state is a plain running
+  * aggregate over a single partition-by column.
+  *
+  * Times are compared as int64 (caller passes epoch-ns/µs longs), so
+  * cross-engine comparisons stay exact regardless of timestamp precision.
+  *
+  * Ties: right rows at the same (key, time) as a left row ARE eligible
+  * (inclusive <=); among right rows sharing (key, time) the one with the
+  * greatest `tieBreak` wins (matches `ORDER BY time DESC, tieBreak DESC`
+  * `row_number()=1` semantics of the naive form).
   */
 object AsOfJoin {
 
+  /** @param leftTime  int64-comparable time on the left (e.g. epoch ns)
+    * @param rightTime int64-comparable time on the right
+    * @param tieBreak  right-side column deciding ties at equal rightTime
+    * @param inner     drop left rows with no matching right row (true
+    *                  mirrors inner-join + rn=1; false keeps them with nulls)
+    */
   def asof(
       left: DataFrame,
       right: DataFrame,
@@ -22,13 +39,43 @@ object AsOfJoin {
       rightKey: Column,
       leftTime: Column,
       rightTime: Column,
-      leftId: Column,
-      tieBreak: Seq[Column]): DataFrame = {
-    val joined = left.join(right, leftKey === rightKey && rightTime <= leftTime, "inner")
-    val w      = Window.partitionBy(leftId).orderBy((rightTime.desc +: tieBreak.map(_.desc)): _*)
-    joined
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      tieBreak: Column,
+      inner: Boolean = true): DataFrame = {
+    val lStruct = struct(left.columns.map(col): _*)
+    val rStruct = struct(right.columns.map(col): _*)
+    val lType   = left.select(lStruct.as("s")).schema("s").dataType
+    val rType   = right.select(rStruct.as("s")).schema("s").dataType
+
+    val l2 = left.select(
+      leftKey.as("__k"),
+      leftTime.cast("long").as("__t"),
+      lit(1).as("__side"),
+      lit(null).cast("long").as("__tb"),
+      lStruct.as("__lrow"),
+      lit(null).cast(rType).as("__rrow"))
+    val r2 = right.select(
+      rightKey.as("__k"),
+      rightTime.cast("long").as("__t"),
+      lit(0).as("__side"),
+      tieBreak.cast("long").as("__tb"),
+      lit(null).cast(lType).as("__lrow"),
+      rStruct.as("__rrow"))
+
+    // Right rows sort before left rows at equal time (inclusive <=); among
+    // right rows the largest tieBreak is carried last, so it wins.
+    val w = Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"), col("__tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val merged = l2
+      .unionByName(r2)
+      .withColumn("__match", last(col("__rrow"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val kept = if (inner) merged.filter(col("__match").isNotNull) else merged
+    val leftOut  = left.columns.map(c => col(s"__lrow.$c").as(c))
+    val rightOut = right.columns.map(c => col(s"__match.$c").as(c))
+    kept.select(leftOut ++ rightOut: _*)
   }
 }

@@ -17,23 +17,46 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def sort_key(v):
+    # Type-stable key: ints and floats sort by exact numeric value within
+    # their own type class; repr() distinguishes 1 from 1.0 and -0.0 from 0.0
+    # so rows can't misalign across engines the way str(v) allowed.
+    if v is None:
+        return (0, "", "")
+    if isinstance(v, bool):
+        return (1, "", repr(v))
+    if isinstance(v, int):
+        return (2, "int", repr(v).rjust(24))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return (3, "float", "nan")
+        return (3, "float", repr(v))
+    return (4, type(v).__name__, str(v))
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(r[i] for i in order))
-    return sorted(cols), sorted(out, key=lambda t: tuple((v is None, str(type(v)), str(v)) for v in t))
+    return sorted(cols), sorted(out, key=lambda t: tuple(sort_key(v) for v in t))
 
 
 def cells_equal(a, b):
+    # Strict: int vs float is a FAIL (the driver hash-compares exact cell
+    # representations, so type mismatches must surface here too).
     if a is None and b is None:
         return True
+    if isinstance(a, bool) or isinstance(b, bool):
+        return a is b
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
-    if isinstance(a, (int, float)) and isinstance(b, (int, float)) and not isinstance(a, bool) and not isinstance(b, bool):
-        return float(a) == float(b)
+    if isinstance(a, int) and isinstance(b, int):
+        return a == b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return False  # int-vs-float type mismatch: driver would hash-fail
     return a == b
 
 
