@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataTypes
 
 import graft.core.Tables
+import graft.decode.CanExpressions
 import graft.operators.{AsOfJoin, Sessionize, Similarity, Transitions}
 
 /** One declared engine capability: the Spark form and (when SQL-expressible)
@@ -527,6 +528,78 @@ object Contract {
              |  FROM events e JOIN orders o
              |    ON o.o_custkey = e.user_id AND epoch_ns(o.o_orderdate) <= epoch_ns(e.ts)) t
              |WHERE rn = 1""".stripMargin)
+    ),
+    // ------------------------------------------------- CANServer bit decode
+    Q(
+      "q26_can_decode",
+      (s, d) => {
+        import CanExpressions._
+        // Deterministic synthetic payload word (little-endian packed u64,
+        // bytes 0..6 populated) built identically in both engines, then the
+        // full bit-exact signal decode (reference
+        // parse_canserver_filtered_log.py:150-184) as integer shift/mask
+        // arithmetic — certifies every field layout cross-engine.
+        val pay = (col("l_partkey") % 65536) +
+          (col("l_orderkey") % 65536) * lit(65536L) +
+          ((col("l_partkey") * 31 + col("l_linenumber") * 7) % 65536) * lit(4294967296L) +
+          (col("l_suppkey") % 256) * lit(281474976710656L)
+        li(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), pay.as("pay"))
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            col("pay"),
+            accelLong(col("pay")).as("accel_long"),
+            accelLat(col("pay")).as("accel_lat"),
+            accelVert(col("pay")).as("accel_vert"),
+            gyroYaw(col("pay")).as("gyro_yaw"),
+            gyroPitch(col("pay")).as("gyro_pitch"),
+            gyroRoll(col("pay")).as("gyro_roll"),
+            speedKph(col("pay")).as("speed_kph"),
+            gpsLat(col("pay")).as("gps_lat"),
+            gpsLong(col("pay")).as("gps_lon"),
+            apCode(col("pay")).as("ap_code"),
+            apStateName(col("pay")).as("ap_state"))
+      },
+      Some("""WITH p AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    (l_partkey % 65536)
+             |    + (l_orderkey % 65536) * 65536
+             |    + ((l_partkey * 31 + l_linenumber * 7) % 65536) * 4294967296
+             |    + (l_suppkey % 256) * 281474976710656 AS pay
+             |  FROM lineitem),
+             |b AS (
+             |  SELECT l_orderkey, l_linenumber, pay,
+             |    (pay >> 8)  & 255 AS b1, (pay >> 16) & 255 AS b2,
+             |    (pay >> 24) & 255 AS b3, (pay >> 32) & 255 AS b4,
+             |    (pay >> 40) & 255 AS b5, (pay >> 48) & 255 AS b6
+             |  FROM p),
+             |f AS (
+             |  SELECT *,
+             |    pay & 65535 AS a0, (pay >> 16) & 65535 AS a1, (pay >> 32) & 65535 AS a2,
+             |    ((b3 & 127) << 8) + b2 AS pitch_u,
+             |    ((b5 & 63) << 9) + (b4 << 1) + (b3 >> 7) AS roll_u,
+             |    (b2 << 4) + (b1 >> 4) AS speed_u,
+             |    ((b3 & 15) << 24) + (b2 << 16) + (b1 << 8) + (pay & 255) AS lat_u,
+             |    (b6 << 20) + (b5 << 12) + (b4 << 4) + (b3 >> 4) AS lon_u
+             |  FROM b)
+             |SELECT l_orderkey, l_linenumber, pay,
+             |  0.00125::DOUBLE * (CASE WHEN a0 >= 32768 THEN a0 - 65536 ELSE a0 END) AS accel_long,
+             |  0.00125::DOUBLE * (CASE WHEN a1 >= 32768 THEN a1 - 65536 ELSE a1 END) AS accel_lat,
+             |  0.00125::DOUBLE * (CASE WHEN a2 >= 32768 THEN a2 - 65536 ELSE a2 END) AS accel_vert,
+             |  0.0001::DOUBLE  * (CASE WHEN a0 >= 32768 THEN a0 - 65536 ELSE a0 END) AS gyro_yaw,
+             |  0.00025::DOUBLE * (CASE WHEN pitch_u >= 16384 THEN pitch_u - 32768 ELSE pitch_u END) AS gyro_pitch,
+             |  0.00025::DOUBLE * (CASE WHEN roll_u  >= 16384 THEN roll_u  - 32768 ELSE roll_u  END) AS gyro_roll,
+             |  0.08::DOUBLE * speed_u + (-40.0::DOUBLE) AS speed_kph,
+             |  0.000001::DOUBLE * (CASE WHEN lat_u >= 134217728 THEN lat_u - 268435456 ELSE lat_u END) AS gps_lat,
+             |  0.000001::DOUBLE * (CASE WHEN lon_u >= 134217728 THEN lon_u - 268435456 ELSE lon_u END) AS gps_lon,
+             |  (pay & 15)::INTEGER AS ap_code,
+             |  CASE (pay & 15) WHEN 0 THEN 'DISABLED' WHEN 1 THEN 'UNAVAILABLE'
+             |    WHEN 2 THEN 'AVAILABLE' WHEN 3 THEN 'ACTIVE_NOMINAL'
+             |    WHEN 4 THEN 'ACTIVE_RESTRICTED' WHEN 5 THEN 'ACTIVE_NAV'
+             |    WHEN 8 THEN 'ABORTING' WHEN 9 THEN 'ABORTED'
+             |    WHEN 14 THEN 'FAULT' WHEN 15 THEN 'SNA' END AS ap_state
+             |FROM f""".stripMargin)
     ),
     // ------------------------------------------------------------ north-star
     Q(

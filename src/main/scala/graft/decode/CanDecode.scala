@@ -1,0 +1,62 @@
+package graft.decode
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark read path for CANServer-v2 logs: binaryFile scan -> per-file
+  * tokenizer flatMap -> columnar decode.
+  *
+  * The object boundary is contained to the single tokenizer `flatMap`
+  * (SURVEY §4.4): downstream of `records` everything is DataFrame columns in
+  * whole-stage codegen. Files parallelize across executors; within a file the
+  * scan is sequential by construction (running sync-time state), matching the
+  * reference's one-Lambda-per-object model (reference serverless.yml:79-83)
+  * with Spark tasks as the unit of parallelism.
+  */
+object CanDecode {
+
+  /** Tokenized frame records from every `.log`-like binary file under `path`. */
+  def records(spark: SparkSession, path: String): Dataset[CanRecord] = {
+    import spark.implicits._
+    spark.read
+      .format("binaryFile")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) => CanserverTokenizer.tokenize(bytes, p) }
+  }
+
+  /** Wide per-frame decode: one row per decoded frame with its channel's
+    * signal columns populated and the rest null (the pivot stage then merges
+    * frames sharing a timestamp — reference parse_canserver_filtered_log.py:268-289).
+    *
+    * Column set mirrors the reference's 14-column wide row (:141-142) minus
+    * the constant unit strings, which are attached at the JSON edge.
+    */
+  def decode(records: Dataset[CanRecord]): DataFrame = {
+    import CanExpressions._
+    val pay = col("payloadLong")
+    records
+      .filter(col("frameId").isin(CanCodec.DecodedFrameIds.toSeq: _*))
+      .select(
+        col("path"),
+        col("frameId").as("frame_id"),
+        col("busId").as("bus_id"),
+        timestamp_micros(col("frameTimeMicros")).as("ts"),
+        (col("frameTimeMicros").cast("double") / 1e6).as("epoch_sec"),
+        when(col("frameId") === CanCodec.FrameAccel, accelLong(pay)).as("long_acc"),
+        when(col("frameId") === CanCodec.FrameAccel, accelLat(pay)).as("lat_acc"),
+        when(col("frameId") === CanCodec.FrameAccel, accelVert(pay)).as("vert_acc"),
+        when(col("frameId") === CanCodec.FrameGyro, gyroYaw(pay)).as("yaw_rate"),
+        when(col("frameId") === CanCodec.FrameGyro, gyroPitch(pay)).as("pitch_rate"),
+        when(col("frameId") === CanCodec.FrameGyro, gyroRoll(pay)).as("roll_rate"),
+        when(col("frameId") === CanCodec.FrameGps, gpsLat(pay)).as("lat"),
+        when(col("frameId") === CanCodec.FrameGps, gpsLong(pay)).as("long"),
+        when(col("frameId") === CanCodec.FrameSpeed, speedKph(pay)).as("speed"),
+        when(col("frameId") === CanCodec.FrameAp, apStateName(pay)).as("ap_status"))
+  }
+
+  /** records + decode in one call. */
+  def decodeFiles(spark: SparkSession, path: String): DataFrame =
+    decode(records(spark, path))
+}

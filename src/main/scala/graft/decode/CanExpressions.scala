@@ -1,0 +1,97 @@
+package graft.decode
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Bit-exact CANServer signal decode as Catalyst Column expressions.
+  *
+  * Same integer shift/mask arithmetic as CanCodec (the single spec:
+  * reference parse_canserver_filtered_log.py:146-184), over a payload packed
+  * little-endian into a LongType column. Everything composes from built-in
+  * expressions (shiftright / bitwiseAND / when / arithmetic), so the whole
+  * decode stays inside whole-stage codegen — no UDFs, and the identical
+  * arithmetic is expressible in ANSI SQL for the DuckDB oracle.
+  */
+object CanExpressions {
+  import CanCodec._
+
+  /** Byte i (0-based, little-endian) of the packed payload as a Long. */
+  def byteAt(pay: Column, i: Int): Column =
+    shiftright(pay, 8 * i).bitwiseAND(lit(0xffL))
+
+  /** Two's-complement reinterpretation of the low `bits` bits. */
+  def signExtend(v: Column, bits: Int): Column =
+    when(v >= lit(1L << (bits - 1)), v - lit(1L << bits)).otherwise(v)
+
+  /** Pack a BinaryType payload column (length <= 8) little-endian into a
+    * Long — the Column twin of CanCodec.packLE. Bytes beyond the payload
+    * length count as 0.
+    */
+  def packLE(bin: Column): Column =
+    (0 to 7)
+      .map { i =>
+        // shiftleft (not *2^8i): bit-wrapping, so byte 7 >= 0x80 can't trip
+        // ANSI overflow; byte fields are disjoint so summing never carries.
+        val b = coalesce(conv(hex(substring(bin, i + 1, 1)), 16, 10).cast("long"), lit(0L))
+        shiftleft(b, 8 * i)
+      }
+      .reduce(_ + _)
+
+  // --- frame 273 -------------------------------------------------------------
+  def accelLong(pay: Column): Column =
+    lit(AccelScale) * signExtend(pay.bitwiseAND(lit(0xffffL)), 16)
+  def accelLat(pay: Column): Column =
+    lit(AccelScale) * signExtend(shiftright(pay, 16).bitwiseAND(lit(0xffffL)), 16)
+  def accelVert(pay: Column): Column =
+    lit(AccelScale) * signExtend(shiftright(pay, 32).bitwiseAND(lit(0xffffL)), 16)
+
+  // --- frame 257 -------------------------------------------------------------
+  def gyroYaw(pay: Column): Column =
+    lit(YawScale) * signExtend(pay.bitwiseAND(lit(0xffffL)), 16)
+  def gyroPitch(pay: Column): Column =
+    lit(PitchRollScale) * signExtend(
+      shiftleft(byteAt(pay, 3).bitwiseAND(lit(0x7fL)), 8) + byteAt(pay, 2),
+      15)
+  def gyroRoll(pay: Column): Column =
+    lit(PitchRollScale) * signExtend(
+      shiftleft(byteAt(pay, 5).bitwiseAND(lit(0x3fL)), 9) +
+        shiftleft(byteAt(pay, 4), 1) +
+        shiftright(byteAt(pay, 3), 7),
+      15)
+
+  // --- frame 599 -------------------------------------------------------------
+  def speedKph(pay: Column): Column =
+    lit(SpeedScale) * (shiftleft(byteAt(pay, 2), 4) + shiftright(byteAt(pay, 1), 4)) +
+      lit(SpeedOffset)
+
+  // --- frame 79 --------------------------------------------------------------
+  def gpsLat(pay: Column): Column =
+    lit(GnssFactor) * signExtend(
+      shiftleft(byteAt(pay, 3).bitwiseAND(lit(0x0fL)), 24) +
+        shiftleft(byteAt(pay, 2), 16) +
+        shiftleft(byteAt(pay, 1), 8) +
+        byteAt(pay, 0),
+      28)
+  def gpsLong(pay: Column): Column =
+    lit(GnssFactor) * signExtend(
+      shiftleft(byteAt(pay, 6), 20) +
+        shiftleft(byteAt(pay, 5), 12) +
+        shiftleft(byteAt(pay, 4), 4) +
+        shiftright(byteAt(pay, 3), 4),
+      28)
+
+  // --- frame 921 -------------------------------------------------------------
+  def apCode(pay: Column): Column = pay.bitwiseAND(lit(0x0fL)).cast("int")
+
+  /** 4-bit code -> state name via a literal map (no UDF, no join); unknown
+    * codes yield null (total, unlike the reference's KeyError — SURVEY §2.7-7).
+    */
+  def apStateName(pay: Column): Column = {
+    val m = typedlit(ApStates)
+    element_at(m, apCode(pay))
+  }
+
+  /** name -> code (reverse map, total). */
+  def apCodeOfName(name: Column): Column =
+    element_at(typedlit(ApCodes), name)
+}

@@ -1,0 +1,122 @@
+package graft.decode
+
+/** One tokenized CANServer-v2 record (a 0xCF frame with its assembled time).
+  *
+  * @param frameTimeMicros lastSyncTime (µs, from the preceding 0xCE record)
+  *                        + offset_ms * 1000
+  * @param payloadLong     payload bytes packed little-endian into a Long
+  *                        (lossless: CAN payloads are <= 8 bytes)
+  */
+final case class CanRecord(
+    path: String,
+    frameId: Int,
+    busId: Int,
+    length: Int,
+    payloadLong: Long,
+    frameTimeMicros: Long)
+
+/** Stateful byte-stream framing of a CANServer-v2 log
+  * (reference parse_canserver_filtered_log.py:186-293).
+  *
+  * This is the one genuinely imperative piece of the pipeline (running sync
+  * time + magic resync are not relational), kept as a pure
+  * `Array[Byte] => Iterator[CanRecord]` so it runs inside a `flatMap` over
+  * `binaryFile` rows — per-file sequential semantics exactly match the
+  * reference's single-pass scan, and files parallelize across executors.
+  *
+  * Grammar (FIXTURES.md §1):
+  *   - offset 0: 22-byte magic `CANSERVER_v2_CANSERVER` (mandatory);
+  *   - the same magic may recur mid-stream (concatenated logs) and is skipped
+  *     (resync: a 'C' that does NOT start the magic is treated as noise);
+  *   - 0xCD markSize:u8 mark:bytes — free-text mark, no output;
+  *   - 0xCE syncTime:u64le — microseconds; updates the running lastSyncTime;
+  *   - 0xCF offsetMs:u16le frameId:u16le lenBus:u8 payload:bytes — one frame;
+  *     low nibble of lenBus = payload length (clamped to 0..8), high nibble =
+  *     bus id; frametime = lastSyncTime + offsetMs*1000 µs.
+  *   - any other byte: noise, skipped (the reference's scan loop does the
+  *     same);
+  *   - truncated record at EOF: stop (reference breaks on short reads).
+  */
+object CanserverTokenizer {
+
+  val Magic: Array[Byte] = "CANSERVER_v2_CANSERVER".getBytes("ASCII")
+
+  /** Does the stream start with the mandatory 22-byte magic? */
+  def hasValidHeader(bytes: Array[Byte]): Boolean =
+    bytes.length >= Magic.length && {
+      var i = 0
+      while (i < Magic.length && bytes(i) == Magic(i)) i += 1
+      i == Magic.length
+    }
+
+  /** Tokenize one log file. Invalid header => empty (the reference aborts the
+    * whole job; we reject just the file — the bad-file channel).
+    */
+  def tokenize(bytes: Array[Byte], path: String = ""): Iterator[CanRecord] = {
+    if (!hasValidHeader(bytes)) return Iterator.empty
+    new Iterator[CanRecord] {
+      private var pos          = Magic.length
+      private var lastSyncTime = 0L
+      private var nextRec: CanRecord = null
+
+      @inline private def u8(i: Int): Int = bytes(i) & 0xff
+
+      private def advance(): Unit = {
+        nextRec = null
+        while (nextRec == null && pos < bytes.length) {
+          val b = u8(pos)
+          if (b == 'C'.toInt && matchesMagicAt(pos)) {
+            pos += Magic.length // embedded header from file concatenation
+          } else if (b == 0xcd) {
+            // mark record: size byte + that many ASCII bytes; truncated => stop
+            if (pos + 1 >= bytes.length) { pos = bytes.length; return }
+            val size = u8(pos + 1)
+            if (pos + 2 + size > bytes.length) { pos = bytes.length; return }
+            pos += 2 + size
+          } else if (b == 0xce) {
+            if (pos + 9 > bytes.length) { pos = bytes.length; return }
+            var t = 0L
+            var i = 0
+            while (i < 8) { t |= (bytes(pos + 1 + i) & 0xffL) << (8 * i); i += 1 }
+            lastSyncTime = t
+            pos += 9
+          } else if (b == 0xcf) {
+            if (pos + 6 > bytes.length) { pos = bytes.length; return }
+            val offsetMs = u8(pos + 1) | (u8(pos + 2) << 8)
+            val frameId  = u8(pos + 3) | (u8(pos + 4) << 8)
+            val lenBus   = u8(pos + 5)
+            val len      = math.min(lenBus & 0x0f, 8)
+            val busId    = (lenBus & 0xf0) >> 4
+            if (pos + 6 + len > bytes.length) { pos = bytes.length; return }
+            val payload = java.util.Arrays.copyOfRange(bytes, pos + 6, pos + 6 + len)
+            nextRec = CanRecord(
+              path = path,
+              frameId = frameId,
+              busId = busId,
+              length = len,
+              payloadLong = CanCodec.packLE(payload),
+              frameTimeMicros = lastSyncTime + offsetMs.toLong * 1000L)
+            pos += 6 + len
+          } else {
+            pos += 1 // noise byte
+          }
+        }
+      }
+
+      private def matchesMagicAt(i: Int): Boolean =
+        i + Magic.length <= bytes.length && {
+          var j = 0
+          while (j < Magic.length && bytes(i + j) == Magic(j)) j += 1
+          j == Magic.length
+        }
+
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): CanRecord = {
+        val r = nextRec
+        advance()
+        r
+      }
+    }
+  }
+}

@@ -1,0 +1,11 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.core.GraftSession
+
+/** One shared local session for the whole test run (Spark startup is ~5 s;
+  * per-suite sessions would dominate test time).
+  */
+object SparkTestSession {
+  lazy val spark: SparkSession = GraftSession.local(cores = "4", shufflePartitions = 4)
+}

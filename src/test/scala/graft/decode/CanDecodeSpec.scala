@@ -1,0 +1,111 @@
+package graft.decode
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import CanFixture._
+
+/** End-to-end Spark decode: binaryFile scan -> tokenizer flatMap -> columnar
+  * decode, checked against the independent bit-string decode; plus the
+  * Column-expression twins (CanExpressions) against CanCodec on a DataFrame.
+  */
+class CanDecodeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("decodeFiles: full pipeline over a written fixture file") {
+    val t0 = 1700000000000000L
+    val accelP = Array[Byte](0x00, 0x80.toByte, 0xff.toByte, 0x7f, 0x34, 0x12)
+    val gyroP  = Array[Byte](0x10, 0x32, 0x54, 0xc6.toByte, 0x98.toByte, 0x2a)
+    val speedP = Array[Byte](0x00, 0xf0.toByte, 0xff.toByte)
+    val gpsP   = Array[Byte](0x15, 0x26, 0x37, 0x84.toByte, 0x59, 0x6a, 0xfb.toByte)
+    val apP    = Array[Byte](0x73)
+    val bytes = file(
+      timesync(t0),
+      frame(10, 273, 0, accelP),
+      frame(20, 257, 0, gyroP),
+      frame(30, 599, 0, speedP),
+      frame(40, 79, 0, gpsP),
+      frame(50, 921, 0, apP),
+      frame(60, 1234, 0, Array[Byte](1, 2))) // unknown id: filtered
+
+    val dir = Files.createTempDirectory("canfix").toString
+    Files.write(Paths.get(dir, "test.log"), bytes)
+
+    val rows = CanDecode
+      .decodeFiles(spark, dir)
+      .orderBy("ts")
+      .collect()
+
+    assert(rows.length === 5) // unknown frame id dropped
+    val byId = rows.map(r => r.getAs[Int]("frame_id") -> r).toMap
+
+    val (al, aa, av) = RefStyleDecode.accel(accelP)
+    assert(byId(273).getAs[Double]("long_acc") === al)
+    assert(byId(273).getAs[Double]("lat_acc") === aa)
+    assert(byId(273).getAs[Double]("vert_acc") === av)
+    assert(byId(273).getAs[Any]("speed") === null)
+
+    val (gy, gp, gr) = RefStyleDecode.gyro(gyroP)
+    assert(byId(257).getAs[Double]("yaw_rate") === gy)
+    assert(byId(257).getAs[Double]("pitch_rate") === gp)
+    assert(byId(257).getAs[Double]("roll_rate") === gr)
+
+    assert(byId(599).getAs[Double]("speed") === RefStyleDecode.speed(speedP))
+
+    val (lat, lon) = RefStyleDecode.gps(gpsP)
+    assert(byId(79).getAs[Double]("lat") === lat)
+    assert(byId(79).getAs[Double]("long") === lon)
+
+    assert(byId(921).getAs[String]("ap_status") === CanCodec.ApStates(0x73 & 0x0f))
+
+    // time assembly: lastSyncTime + offset*1000 µs, as TimestampType µs
+    assert(byId(273).getAs[java.sql.Timestamp]("ts").getTime === (t0 + 10000L) / 1000)
+    assert(byId(273).getAs[Double]("epoch_sec") === (t0 + 10000L).toDouble / 1e6)
+  }
+
+  test("CanExpressions equal CanCodec for random payload longs") {
+    import spark.implicits._
+    val rnd  = new scala.util.Random(7)
+    val pays = Seq.fill(256)(rnd.nextLong())
+    val df = pays
+      .toDF("pay")
+      .select(
+        col("pay"),
+        CanExpressions.accelLong(col("pay")).as("a_long"),
+        CanExpressions.accelLat(col("pay")).as("a_lat"),
+        CanExpressions.accelVert(col("pay")).as("a_vert"),
+        CanExpressions.gyroYaw(col("pay")).as("g_yaw"),
+        CanExpressions.gyroPitch(col("pay")).as("g_pitch"),
+        CanExpressions.gyroRoll(col("pay")).as("g_roll"),
+        CanExpressions.speedKph(col("pay")).as("spd"),
+        CanExpressions.gpsLat(col("pay")).as("lat"),
+        CanExpressions.gpsLong(col("pay")).as("lon"),
+        CanExpressions.apCode(col("pay")).as("ap"))
+    df.collect().foreach { r =>
+      val p = r.getAs[Long]("pay")
+      assert(r.getAs[Double]("a_long") === CanCodec.accelLong(p))
+      assert(r.getAs[Double]("a_lat") === CanCodec.accelLat(p))
+      assert(r.getAs[Double]("a_vert") === CanCodec.accelVert(p))
+      assert(r.getAs[Double]("g_yaw") === CanCodec.gyroYaw(p))
+      assert(r.getAs[Double]("g_pitch") === CanCodec.gyroPitch(p))
+      assert(r.getAs[Double]("g_roll") === CanCodec.gyroRoll(p))
+      assert(r.getAs[Double]("spd") === CanCodec.speedKph(p))
+      assert(r.getAs[Double]("lat") === CanCodec.gpsLat(p))
+      assert(r.getAs[Double]("lon") === CanCodec.gpsLong(p))
+      assert(r.getAs[Int]("ap") === CanCodec.apCode(p))
+    }
+  }
+
+  test("packLE Column expression equals CanCodec.packLE on binary payloads") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val payloads = (0 to 8).map(n => Array.fill(n)(rnd.nextInt(256).toByte))
+    val df = payloads
+      .toDF("bin")
+      .select(col("bin"), CanExpressions.packLE(col("bin")).as("packed"))
+    val got = df.collect().map(r => (r.getAs[Array[Byte]]("bin"), r.getAs[Long]("packed")))
+    got.foreach { case (bin, packed) => assert(packed === CanCodec.packLE(bin)) }
+  }
+}

@@ -1,0 +1,107 @@
+package graft.decode
+
+import org.scalatest.funsuite.AnyFunSuite
+import CanFixture._
+
+/** Framing semantics: header validation, resync on concatenated files, mark /
+  * timesync records, running sync time, length-nibble clamp, truncated tails,
+  * noise skipping (reference parse_canserver_filtered_log.py:186-293).
+  */
+class CanserverTokenizerSpec extends AnyFunSuite {
+
+  private def toks(bytes: Array[Byte]) = CanserverTokenizer.tokenize(bytes).toList
+
+  test("minimal valid file: header + sync + one frame per decoded id") {
+    val t0 = 1700000000000000L // µs
+    val f = file(
+      timesync(t0),
+      frame(10, 273, 0, Array.fill[Byte](6)(0x01)),
+      frame(20, 257, 1, Array.fill[Byte](6)(0x02)),
+      frame(30, 599, 0, Array.fill[Byte](3)(0x03)),
+      frame(40, 79, 2, Array.fill[Byte](7)(0x04)),
+      frame(50, 921, 0, Array[Byte](0x03)))
+    val rs = toks(f)
+    assert(rs.map(_.frameId) === List(273, 257, 599, 79, 921))
+    assert(rs.map(_.frameTimeMicros) === List(t0 + 10000, t0 + 20000, t0 + 30000, t0 + 40000, t0 + 50000))
+    assert(rs.map(_.busId) === List(0, 1, 0, 2, 0))
+    assert(rs.map(_.length) === List(6, 6, 3, 7, 1))
+  }
+
+  test("no/invalid header -> zero records") {
+    assert(toks(Array[Byte](1, 2, 3)) === Nil)
+    assert(toks("CANSERVER_v1_SOMETHING".getBytes ++ frame(1, 273, 0, Array.fill[Byte](6)(0))) === Nil)
+    assert(toks(Array.empty[Byte]) === Nil)
+  }
+
+  test("sync time updates mid-stream and applies to subsequent frames") {
+    val f = file(
+      timesync(1000000L),
+      frame(1, 599, 0, Array.fill[Byte](3)(0)),
+      timesync(9000000L),
+      frame(2, 599, 0, Array.fill[Byte](3)(0)))
+    assert(toks(f).map(_.frameTimeMicros) === List(1001000L, 9002000L))
+  }
+
+  test("frames before any sync use lastSyncTime=0 (reference :143)") {
+    val f = file(frame(7, 599, 0, Array.fill[Byte](3)(0)))
+    assert(toks(f).map(_.frameTimeMicros) === List(7000L))
+  }
+
+  test("embedded header mid-stream (concatenated logs) is skipped; sync state continues") {
+    val f = file(
+      timesync(5000000L),
+      frame(1, 273, 0, Array.fill[Byte](6)(0x11))) ++
+      file(frame(2, 273, 0, Array.fill[Byte](6)(0x22)))
+    val rs = toks(f)
+    assert(rs.size === 2)
+    // second file had no sync record: reference keeps the RUNNING lastSyncTime
+    assert(rs(1).frameTimeMicros === 5002000L)
+  }
+
+  test("a lone 'C' that is not a header is noise, not a desync") {
+    val f = file(
+      timesync(1000L),
+      Array[Byte]('C'.toByte, 'X'.toByte),
+      frame(3, 921, 0, Array[Byte](0x02)))
+    assert(toks(f).map(_.frameId) === List(921))
+  }
+
+  test("mark records are consumed without emitting output") {
+    val f = file(mark("trip-42"), timesync(0L), frame(1, 599, 0, Array.fill[Byte](3)(0)))
+    assert(toks(f).size === 1)
+  }
+
+  test("length nibble > 8 reads 8 payload bytes (reference clamp :256-261)") {
+    // craft lenBus byte with low nibble 0xF but only supply 8 payload bytes
+    val rec = Array[Byte](0xcf.toByte, 1, 0, 87, 2, 0x0f) ++ Array.fill[Byte](8)(0x55)
+    val f   = header ++ rec
+    val rs  = toks(f)
+    assert(rs.size === 1)
+    assert(rs.head.length === 8)
+    assert(rs.head.frameId === 599)
+  }
+
+  test("truncated frame / sync / mark at EOF stop cleanly") {
+    assert(toks(header ++ Array[Byte](0xcf.toByte, 1, 0)).isEmpty)
+    assert(toks(header ++ Array[Byte](0xce.toByte, 1, 2, 3)).isEmpty)
+    assert(toks(header ++ Array[Byte](0xcd.toByte, 10, 'a'.toByte)).isEmpty)
+    val good = file(timesync(0), frame(1, 599, 0, Array.fill[Byte](3)(0)))
+    val rs   = toks(good ++ Array[Byte](0xcf.toByte, 9, 9)) // good record then truncated one
+    assert(rs.size === 1)
+  }
+
+  test("noise bytes between records are skipped") {
+    val f = file(
+      Array[Byte](0x00, 0x7f, 0x42),
+      timesync(100L),
+      Array[Byte](0x13),
+      frame(1, 273, 0, Array.fill[Byte](6)(1)))
+    assert(toks(f).size === 1)
+  }
+
+  test("payloadLong packs the payload little-endian") {
+    val f  = file(timesync(0), frame(1, 273, 0, Array[Byte](0x01, 0x02, 0x03, 0x04, 0x05, 0x06)))
+    val r  = toks(f).head
+    assert(r.payloadLong === 0x060504030201L)
+  }
+}
