@@ -529,6 +529,75 @@ object Contract {
              |    ON o.o_custkey = e.user_id AND epoch_ns(o.o_orderdate) <= epoch_ns(e.ts)) t
              |WHERE rn = 1""".stripMargin)
     ),
+    // ------------------------------------------------- domain pipeline forms
+    Q(
+      "q27_pivot_first",
+      (s, d) => {
+        // The landing pivot's shape (CanPipelines.pivot / reference
+        // parse_canserver_filtered_log.py:268-289): signals keyed by time
+        // merge into one wide row; `first non-null by deterministic order`
+        // realized as min(struct(order, value)) so both engines agree.
+        def firstBy(cond: Column, value: Column, ord: Column): Column =
+          min(when(cond, struct(ord.as("o"), value.as("v")))).getField("v")
+        ev(s, d)
+          .withColumn("hour_str", date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss"))
+          .groupBy(col("user_id"), col("hour_str"))
+          .agg(
+            firstBy(col("event_type") === "click", col("value"), col("event_id")).as("first_click"),
+            firstBy(col("event_type") === "view", col("value"), col("event_id")).as("first_view"),
+            firstBy(col("event_type") === "purchase", col("value"), col("event_id")).as("first_purchase"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""SELECT user_id,
+             |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
+             |  arg_min(value, event_id) FILTER (WHERE event_type = 'click') AS first_click,
+             |  arg_min(value, event_id) FILTER (WHERE event_type = 'view') AS first_view,
+             |  arg_min(value, event_id) FILTER (WHERE event_type = 'purchase') AS first_purchase,
+             |  COUNT(*) AS n_events
+             |FROM events GROUP BY user_id, hour_str""".stripMargin)
+    ),
+    Q(
+      "q28_stationary_ref",
+      (s, d) => {
+        // The reference's exact stationary semantics (>=13 s run, ±3 s trim,
+        // <=12 s ignored — infer_stationary_states.py:81-106) driven through
+        // the REAL pipeline function, with events.value<30 as the zero-speed
+        // analog and integer epoch seconds as the clock.
+        // one sample per (user, second): series order is unique, so the
+        // gaps-and-islands lag is deterministic in both engines
+        val series = ev(s, d)
+          .select(
+            col("user_id"),
+            expr("ts_ns div 1000000000").cast("double").as("ts_sec"),
+            when(col("value") < 30, 0.0).otherwise(col("value")).as("speed"))
+          .groupBy(col("user_id"), col("ts_sec"))
+          .agg(min(col("speed")).as("speed"))
+        graft.pipelines.CanPipelines
+          .stationaryIntervals(series, partCols = Seq("user_id"))
+      },
+      Some("""WITH s0 AS (
+             |  SELECT user_id, (epoch_ns(ts) // 1000000000)::DOUBLE AS ts_sec,
+             |    CASE WHEN value < 30 THEN 0.0 ELSE value END AS speed
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, ts_sec, MIN(speed) AS speed
+             |  FROM s0 GROUP BY user_id, ts_sec),
+             |flagged AS (
+             |  SELECT *, (speed = 0.0) AS z,
+             |    CASE WHEN (speed = 0.0) IS DISTINCT FROM
+             |      LAG(speed = 0.0) OVER (PARTITION BY user_id ORDER BY ts_sec)
+             |      THEN 1 ELSE 0 END AS chg
+             |  FROM s),
+             |runs AS (
+             |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_sec
+             |                           ROWS UNBOUNDED PRECEDING) AS run_id
+             |  FROM flagged),
+             |iv AS (
+             |  SELECT user_id, MIN(ts_sec) AS run_start, MAX(ts_sec) AS run_end
+             |  FROM runs WHERE z GROUP BY user_id, run_id)
+             |SELECT user_id, run_start + 3 AS "start", run_end - 3 AS "end"
+             |FROM iv WHERE run_end - run_start >= 13""".stripMargin)
+    ),
     // ------------------------------------------------- CANServer bit decode
     Q(
       "q26_can_decode",
