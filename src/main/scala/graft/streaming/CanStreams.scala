@@ -1,0 +1,190 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.decode.{CanDecode, CanRecord, CanserverTokenizer}
+
+// Dataset/state case classes must be TOP-LEVEL: nested ones capture an outer
+// pointer and break whole-stage codegen ("no applicable constructor").
+final case class ApSample(key: String, tsSec: Double, code: Int)
+final case class ApState(lastCode: Int)
+final case class SpeedSample(key: String, tsSec: Double, speed: Double)
+final case class RunState(runStart: Double, lastZero: Double)
+
+/** Structured Streaming twins of the batch pipelines (SURVEY §2.6): file
+  * sources replace the SNS/SQS hops, the 1.2 s watermark replaces MAX_SR's
+  * hand-rolled out-of-order buffer (reference
+  * parse_canserver_filtered_log.py:117,272-282), flatMapGroupsWithState
+  * carries prev-value state ACROSS files (fixing the reference's lost
+  * cross-file edges, SURVEY §2.7-9), and every sink is an idempotent
+  * partitioned merge (MergeSink).
+  *
+  * `Trigger.AvailableNow` is the serverless-style scheduling analogue: each
+  * invocation drains whatever objects have landed and exits; checkpoints
+  * carry source offsets and operator state between invocations.
+  */
+object CanStreams {
+
+  /** binaryFile's fixed schema (streaming file sources need it up front). */
+  val BinaryFileSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
+  /** Streaming tokenized records from a watched directory of CANServer logs. */
+  def recordStream(spark: SparkSession, rawDir: String): Dataset[CanRecord] = {
+    import spark.implicits._
+    spark.readStream
+      .format("binaryFile")
+      .schema(BinaryFileSchema)
+      .load(rawDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) => CanserverTokenizer.tokenize(bytes, p) }
+  }
+
+  /** Decoded signal stream (same columns as the batch CanDecode.decode). */
+  def decodedStream(spark: SparkSession, rawDir: String): DataFrame =
+    CanDecode.decode(recordStream(spark, rawDir))
+
+  /** Watermarked per-epoch pivot: the streaming form of CanPipelines.pivot.
+    * State is one wide row per live epoch, evicted 1.2 s (event time) after
+    * the epoch — exactly the reference's bounded out-of-order buffer.
+    */
+  def pivotStream(decoded: DataFrame): DataFrame = {
+    val signals = Seq(
+      "long_acc", "lat_acc", "vert_acc",
+      "yaw_rate", "pitch_rate", "roll_rate",
+      "lat", "long", "speed", "ap_status")
+    decoded
+      .withWatermark("ts", "1.2 seconds")
+      .groupBy(col("ts"), col("epoch_sec"))
+      .agg(
+        first(col(signals.head), ignoreNulls = true).as(signals.head),
+        signals.tail.map(s => first(col(s), ignoreNulls = true).as(s)): _*)
+  }
+
+  /** Parse stage as a runnable job: raw logs -> pivoted landing table
+    * (parquet, partitioned by date/hour, merged idempotently on epoch).
+    * The channelized hourly JSON view is derived from this table in batch
+    * (CanPipelines.channelize) — same split the reference has between the
+    * landing rows and the serialized document.
+    */
+  def runParse(
+      spark: SparkSession,
+      rawDir: String,
+      landingDir: String,
+      checkpointDir: String): StreamingQuery =
+    pivotStream(decodedStream(spark, rawDir))
+      .withColumn("date", to_date(col("ts")))
+      .withColumn("hour", hour(col("ts")))
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        MergeSink.upsert(
+          batch.sparkSession, batch, landingDir,
+          keyCols = Seq("epoch_sec"),
+          partitionCols = Seq("date", "hour"))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  // ------------------------------------------------- stateful inference ----
+
+  /** Cross-batch autopilot transition stream: keyed prev-code state survives
+    * file boundaries (the reference re-reads one document per invocation and
+    * loses edges that span two files — SURVEY §2.7-9).
+    *
+    * Input: (key, tsSec, code) — within a micro-batch rows are sorted per
+    * key (bounded by batch size); across batches the carried state provides
+    * the `prev`.
+    */
+  def transitionsStream(samples: Dataset[(String, Double, Int)]): DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples
+      .map { case (k, t, c) => ApSample(k, t, c) }
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[ApSample], state: GroupState[ApState]) =>
+          val sorted = rows.toSeq.sortBy(_.tsSec)
+          var prev   = state.getOption.map(_.lastCode)
+          val out = sorted.flatMap { s =>
+            val t = prev match {
+              case Some(p) if p <= 2 && s.code == 3 => Some((key, s.tsSec, s.code, "engagement"))
+              case Some(p) if p == 3 && s.code <= 2 => Some((key, s.tsSec, s.code, "disengagement"))
+              case _                                 => None
+            }
+            prev = Some(s.code)
+            t
+          }
+          prev.foreach(c => state.update(ApState(c)))
+          out.iterator
+      }
+      .toDF("key", "ts_sec", "canbus_state", "status")
+  }
+
+  /** Cross-batch stationary-run stream with the reference thresholds: a run
+    * closes when a nonzero sample arrives (possibly in a later file) and is
+    * emitted iff its zero-span >= 13 s, trimmed ±3 s. Open runs persist in
+    * state until closed — end-of-stream is unknowable online, so the
+    * run-at-end-of-data case remains the batch function's job.
+    */
+  def stationaryStream(
+      samples: Dataset[(String, Double, Double)]): DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples
+      .map { case (k, t, v) => SpeedSample(k, t, v) }
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[SpeedSample], state: GroupState[RunState]) =>
+          val sorted = rows.toSeq.sortBy(_.tsSec)
+          var open   = state.getOption
+          val out = sorted.flatMap { s =>
+            if (s.speed == 0.0) {
+              open = Some(open.fold(RunState(s.tsSec, s.tsSec))(r => r.copy(lastZero = s.tsSec)))
+              None
+            } else {
+              val emit = open.collect {
+                case RunState(st, en) if en - st >= 13.0 => (key, st + 3.0, en - 3.0)
+              }
+              open = None
+              emit
+            }
+          }
+          open match {
+            case Some(r) => state.update(r)
+            case None    => state.remove()
+          }
+          out.iterator
+      }
+      .toDF("key", "start", "end")
+  }
+
+  /** Inference stage runner: landing speed/ap series stream -> daily event
+    * tables via the idempotent merge sink.
+    */
+  def runTransitions(
+      samples: Dataset[(String, Double, Int)],
+      outDir: String,
+      checkpointDir: String): StreamingQuery =
+    transitionsStream(samples)
+      .withColumn("date", to_date(timestamp_seconds(col("ts_sec"))))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        MergeSink.upsert(
+          batch.sparkSession, batch, outDir,
+          keyCols = Seq("key", "ts_sec", "status"),
+          partitionCols = Seq("date"))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Idempotent partitioned upsert — the foreachBatch replacement for the
+  * reference's whole-object read-modify-write merges
+  * (reference parse_canserver_filtered_log.py:327-346,
+  * infer_stationary_states.py:117-133, infer_autopilot_states.py:108-114).
+  *
+  * Strictly stronger semantics than the reference: overlapping batches MERGE
+  * (batch rows win on key collision) instead of being silently dropped
+  * (SURVEY §2.7-4), and re-processing the same input is a no-op — which is
+  * what makes checkpoint-recovery replays safe (exactly-once effect).
+  *
+  * Scale posture: only partitions present in the batch are read back
+  * (left-semi against the batch's distinct partition values, which prunes on
+  * the partition columns) and only those are rewritten (dynamic partition
+  * overwrite). Untouched partitions are never scanned or written.
+  */
+object MergeSink {
+
+  def upsert(
+      spark: SparkSession,
+      batch: DataFrame,
+      targetDir: String,
+      keyCols: Seq[String],
+      partitionCols: Seq[String]): Unit = {
+    if (batch.isEmpty) return
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    val existing: Option[DataFrame] =
+      try Some(spark.read.parquet(targetDir)) catch { case _: AnalysisException => None }
+
+    val merged = existing match {
+      case None => batch
+      case Some(old) =>
+        val dirty = batch.select(partitionCols.map(col): _*).distinct()
+        val oldDirty = old
+          .join(broadcast(dirty), partitionCols, "left_semi")
+          .select(batch.columns.map(col): _*) // align column order
+        // batch rows win on key collision
+        val w = Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(col("__pri"))
+        batch
+          .withColumn("__pri", lit(0))
+          .unionByName(oldDirty.withColumn("__pri", lit(1)))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__pri", "__rn")
+    }
+
+    merged.write
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(targetDir)
+  }
+}

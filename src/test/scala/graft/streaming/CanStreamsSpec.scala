@@ -1,0 +1,146 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.decode.{CanDecode, CanFixture}
+import graft.pipelines.CanPipelines
+
+/** Batch ≡ stream equivalence (SURVEY §5.4) + the cross-file state fix:
+  * streaming results over split inputs must equal the batch pipeline over
+  * the concatenated input, including edges/runs that SPAN file boundaries
+  * (which the reference's per-object Lambda model loses, SURVEY §2.7-9),
+  * and re-processing must be idempotent (MergeSink).
+  */
+class CanStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import CanFixture._
+
+  private def speedPayload(v: Double): Array[Byte] = {
+    val u = math.round((v + 40.0) / 0.08).toInt
+    Array[Byte](0x00, ((u & 0x0f) << 4).toByte, (u >> 4).toByte)
+  }
+
+  test("streaming pivot over split files == batch pivot over all; re-run is idempotent") {
+    val t0 = 1700000000L * 1000000L
+    val fileA = file(
+      timesync(t0),
+      frame(1000, 273, 0, Array[Byte](1, 0, 2, 0, 3, 0)),
+      frame(1000, 599, 0, speedPayload(32.0)),
+      frame(2000, 599, 0, speedPayload(0.0)))
+    val fileB = file(
+      timesync(t0),
+      frame(2000, 921, 0, Array[Byte](3)), // merges into fileA's epoch t0+2s
+      frame(3000, 599, 0, speedPayload(16.0)))
+
+    val raw  = Files.createTempDirectory("canraw").toString
+    val land = Files.createTempDirectory("canland").toString
+    val ckpt = Files.createTempDirectory("canckpt").toString
+
+    // invocation 1: only file A has landed
+    Files.write(Paths.get(raw, "a.log"), fileA)
+    CanStreams.runParse(spark, raw, land, ckpt).awaitTermination()
+    // invocation 2: file B lands; checkpoint carries source offsets
+    Files.write(Paths.get(raw, "b.log"), fileB)
+    CanStreams.runParse(spark, raw, land, ckpt).awaitTermination()
+
+    val sigCols = Seq(
+      "epoch_sec", "long_acc", "lat_acc", "vert_acc", "yaw_rate", "pitch_rate",
+      "roll_rate", "lat", "long", "speed", "ap_status")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(sigCols.map(col): _*).orderBy("epoch_sec").collect().toSeq
+
+    val streamed = canon(spark.read.parquet(land))
+    val batch    = canon(CanPipelines.pivot(CanDecode.decodeFiles(spark, raw)))
+    assert(streamed === batch)
+    // the epoch shared across files merged into ONE row with both signals
+    val merged = spark.read.parquet(land).filter(col("ap_status").isNotNull).collect()
+    assert(merged.length === 1 && merged.head.getAs[Double]("speed") === 0.0)
+
+    // idempotence: fresh checkpoint reprocesses everything; upsert must not dup
+    val ckpt2 = Files.createTempDirectory("canckpt2").toString
+    CanStreams.runParse(spark, raw, land, ckpt2).awaitTermination()
+    assert(canon(spark.read.parquet(land)) === batch)
+  }
+
+  test("transitionsStream detects edges ACROSS micro-batches (cross-file fix)") {
+    import spark.implicits._
+    val ms = MemoryStream[(String, Double, Int)](spark)
+    val q = CanStreams
+      .transitionsStream(ms.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("trans_out")
+      .outputMode("append")
+      .start()
+    try {
+      ms.addData(("dev1", 1.0, 2), ("dev1", 2.0, 2)) // file 1 ends idle
+      q.processAllAvailable()
+      assert(spark.table("trans_out").count() === 0)
+      ms.addData(("dev1", 3.0, 3), ("dev1", 4.0, 1)) // file 2 opens ACTIVE
+      q.processAllAvailable()
+      val got = spark
+        .table("trans_out")
+        .orderBy("ts_sec")
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getInt(2), r.getString(3)))
+      // 2->3 edge spans the batch boundary; reference loses it
+      assert(got === Array(
+        ("dev1", 3.0, 3, "engagement"),
+        ("dev1", 4.0, 1, "disengagement")))
+    } finally q.stop()
+  }
+
+  test("transitionsStream matches the batch pipeline on a one-batch series") {
+    import spark.implicits._
+    val series = Seq(
+      ("d", 1.0, "AVAILABLE"), ("d", 2.0, "ACTIVE_NOMINAL"), ("d", 3.0, "ACTIVE_RESTRICTED"),
+      ("d", 4.0, "ACTIVE_NOMINAL"), ("d", 5.0, "DISABLED"))
+    val batch = CanPipelines
+      .autopilotTransitions(series.toDF("key", "ts_sec", "state").drop("key"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getInt(1), r.getString(2)))
+
+    val codes = series.map { case (k, t, s) => (k, t, graft.decode.CanCodec.ApCodes(s)) }
+    val ms = MemoryStream[(String, Double, Int)](spark)
+    val q = CanStreams
+      .transitionsStream(ms.toDS())
+      .writeStream.format("memory").queryName("trans_eq").outputMode("append").start()
+    try {
+      ms.addData(codes: _*)
+      q.processAllAvailable()
+      val streamed = spark
+        .table("trans_eq")
+        .orderBy("ts_sec")
+        .collect()
+        .map(r => (r.getDouble(1), r.getInt(2), r.getString(3)))
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("stationaryStream: run split across batches emits once closed; 12 s run never emits") {
+    import spark.implicits._
+    val ms = MemoryStream[(String, Double, Double)](spark)
+    val q = CanStreams
+      .stationaryStream(ms.toDS())
+      .writeStream.format("memory").queryName("stat_out").outputMode("append").start()
+    try {
+      // batch 1: zeros t=100..107 (open run, still open at batch end)
+      ms.addData((100 to 107).map(t => ("d", t.toDouble, 0.0)): _*)
+      q.processAllAvailable()
+      assert(spark.table("stat_out").count() === 0) // not closed yet
+      // batch 2: zeros t=108..114 then moving -> 14 s run closes
+      ms.addData(((108 to 114).map(t => ("d", t.toDouble, 0.0)) :+ ("d", 115.0, 22.0)): _*)
+      q.processAllAvailable()
+      val got = spark.table("stat_out").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+      assert(got === Array((103.0, 111.0)))
+      // batch 3: a 12 s run fully inside one batch -> ignored
+      ms.addData(((200 to 212).map(t => ("d", t.toDouble, 0.0)) :+ ("d", 213.0, 9.0)): _*)
+      q.processAllAvailable()
+      assert(spark.table("stat_out").count() === 1)
+    } finally q.stop()
+  }
+}
