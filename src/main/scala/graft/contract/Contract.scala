@@ -670,6 +670,138 @@ object Contract {
              |    WHEN 14 THEN 'FAULT' WHEN 15 THEN 'SNA' END AS ap_state
              |FROM f""".stripMargin)
     ),
+    // ------------------------------------------- text analysis / dedup / LSH
+    Q(
+      "q29_text_stats",
+      (s, d) => {
+        import graft.functions.TextAnalysis._
+        val t = col("text")
+        Tables
+          .documents(s, d)
+          .select(
+            col("doc_id"),
+            tokenCount(t).as("n_tokens"),
+            bpeishCount(t).as("n_bpeish"),
+            punctRatio(t).as("punct_ratio"),
+            stopwordRatio(tokens(t)).as("stop_ratio"),
+            avgTokenLen(tokens(t)).as("avg_tok_len"),
+            qualityScore(t).as("quality"),
+            langGuess(t).as("lang_guess"))
+      },
+      Some(OracleSql.q29)
+    ),
+    Q(
+      "q30_fingerprint",
+      (s, d) => {
+        import graft.operators.Dedup
+        val sig = Tables.documents(s, d).select(col("doc_id") +: Dedup.minHashSig(col("text"), 8): _*)
+        val sim = Dedup
+          .simHash16(Tables.documents(s, d), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+        sig.join(sim, Seq("doc_id"))
+      },
+      Some(OracleSql.q30)
+    ),
+    Q(
+      "q31_lsh_neardup",
+      (s, d) =>
+        graft.operators.Dedup
+          .lshNearDupPairs(Tables.documents(s, d), "doc_id", "text", k = 8, rowsPerBand = 2, threshold = 0.8),
+      Some(OracleSql.q31)
+    ),
+    Q(
+      "q32_ngram_jaccard",
+      (s, d) =>
+        graft.operators.Dedup
+          .jaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.8),
+      Some(OracleSql.q32)
+    ),
+    Q(
+      "q33_embed_neardup",
+      (s, d) => {
+        val withN2 = Tables
+          .embeddings(s, d)
+          .select(col("vec_id"), col("embedding"), Similarity.norm2(col("embedding")).as("n2"))
+        val a = withN2.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("n2").as("n2_a"))
+        val b = withN2.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("n2").as("n2_b"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("cos", Similarity.cosine(Similarity.dot(col("e_a"), col("e_b")), col("n2_a"), col("n2_b")))
+          .filter(col("cos") >= 0.45)
+          .select(col("id_a"), col("id_b"), col("cos"))
+      },
+      Some(OracleSql.q33)
+    ),
+    Q(
+      "q34_multimodal_binary",
+      (s, d) => {
+        import graft.functions.Multimodal
+        val media = Tables
+          .documents(s, d)
+          .withColumn("payload", encode(col("text"), "UTF-8"))
+        Multimodal
+          .sampleWindows(Multimodal.withMeta(media, "payload"), "payload", stride = 256, window = 16, nSamples = 2)
+          .select(
+            col("doc_id"),
+            col("media_meta.n_bytes").as("n_bytes"),
+            col("media_meta.digest").as("digest"),
+            col("media_meta.sniffed").as("sniffed"),
+            element_at(col("samples"), 1).as("w0"),
+            element_at(col("samples"), 2).as("w1"))
+      },
+      Some(OracleSql.q34)
+    ),
+    Q(
+      "q35_approx_distinct",
+      (s, d) =>
+        li(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("exact_cnt"),
+            approx_count_distinct(col("l_partkey")).as("approx"))
+          .select(
+            col("l_returnflag"),
+            col("exact_cnt"),
+            (abs(col("approx") - col("exact_cnt")).cast("double") / col("exact_cnt") <= 0.05)
+              .as("within_5pct")),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_cnt,
+             |  TRUE AS within_5pct
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    ),
+    Q(
+      "q36_ivf_topk",
+      // nprobe == ncells searches every cell, so the IVF plumbing must
+      // reproduce the exact brute-force result (same oracle as q25);
+      // the recall-vs-nprobe tradeoff is covered by SimilaritySpec.
+      (s, d) =>
+        Similarity
+          .ivfTopK(Tables.embeddings(s, d), col("vec_id") < 10, k = 5, ncells = 8, nprobe = 8)
+          .select(col("probe_id"), col("rnk"), col("neighbor_id")),
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             |                (a, b) -> a + b) AS n2
+             |  FROM embeddings),
+             |pairs AS (
+             |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             |    list_reduce(list_transform(range(1, len(p.embedding) + 1),
+             |                  i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+             |                (a, b) -> a + b) / (sqrt(p.n2) * sqrt(c.n2)) AS cos
+             |  FROM n p, n c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+             |ranked AS (
+             |  SELECT probe_id, neighbor_id,
+             |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+             |  FROM pairs)
+             |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin)
+    ),
+    Q(
+      "q37_dedup_rows",
+      (s, d) =>
+        graft.operators.Dedup
+          .exactDedupRows(Tables.documents(s, d), sha2(col("text"), 256), col("doc_id"))
+          .select(col("doc_id"), col("lang"), col("source")),
+      Some("""SELECT doc_id, lang, source FROM documents
+             |QUALIFY ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1""".stripMargin)
+    ),
     // ------------------------------------------------------------ north-star
     Q(
       "q24_dedup_exact",

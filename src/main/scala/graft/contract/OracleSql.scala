@@ -1,0 +1,141 @@
+package graft.contract
+
+/** DuckDB oracle SQL for the text/dedup/LSH contract entries.
+  *
+  * These mirror the Spark pipelines EXACTLY — same polynomial char hash
+  * (in-order left fold, mod 1e9+7), same shingling, same minhash
+  * permutations and banding — so the driver's hash compare certifies the
+  * whole MinHash/SimHash/Jaccard machinery cross-engine, not just row
+  * counts. Fragments are composed programmatically to keep the permutation
+  * constants in one place (Dedup.perm).
+  */
+object OracleSql {
+
+  private val P = graft.functions.TextAnalysis.P
+
+  /** fold chars: (acc*31 + ord(c)) mod P — the twin of TextAnalysis.polyHash. */
+  private def polyHash(s: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length($s)+1), " +
+      s"i -> ord($s[i])::BIGINT)), (acc, c) -> (acc * 31 + c) % $P)"
+
+  /** CTEs: toks (tk), sh (distinct 3-token shingles ss), hs (hash set hh). */
+  private def shingleCtes(table: String = "documents"): String =
+    s"""toks AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM $table),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(tk) >= 3
+       |    THEN list_distinct(list_transform(range(1, len(tk)-1),
+       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+       |    ELSE CAST([] AS VARCHAR[]) END AS ss
+       |  FROM toks),
+       |hs AS (SELECT doc_id, list_distinct(list_transform(ss, s -> ${polyHash("s")})) AS hh FROM sh)""".stripMargin
+
+  /** minhash slot j over the hash set column hh. */
+  private def mh(j: Int): String = {
+    val (a, b) = graft.operators.Dedup.perm(j)
+    s"list_min(list_transform(hh, h -> ($a*h + $b) % $P)) AS mh$j"
+  }
+
+  private val mhCte: String =
+    s"mh AS (SELECT doc_id, ${(0 until 8).map(mh).mkString(", ")} FROM hs)"
+
+  val q29: String =
+    s"""WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents)
+       |SELECT doc_id,
+       |  len(tk)::INTEGER AS n_tokens,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::INTEGER AS n_bpeish,
+       |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / length(text) AS punct_ratio,
+       |  len(list_filter(tk, t -> list_contains(['the','a'], t)))::DOUBLE / len(tk) AS stop_ratio,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(tk, t -> length(t)::BIGINT)),
+       |              (x, y) -> x + y)::DOUBLE / len(tk) AS avg_tok_len,
+       |  least(length(text)::DOUBLE / 400.0, 1.0) * 0.5
+       |    + least((len(list_filter(tk, t -> list_contains(['the','a'], t)))::DOUBLE / len(tk)) * 5.0, 1.0) * 0.3
+       |    + (1.0 - least((len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / length(text)) * 10.0, 1.0)) * 0.2
+       |    AS quality,
+       |  CASE WHEN len(list_filter(tk, t -> list_contains(['the','a','of'], t)))
+       |         >= len(list_filter(tk, t -> list_contains(['el','la','de'], t)))
+       |        AND len(list_filter(tk, t -> list_contains(['the','a','of'], t))) > 0 THEN 'en'
+       |       WHEN len(list_filter(tk, t -> list_contains(['el','la','de'], t)))
+       |         > len(list_filter(tk, t -> list_contains(['the','a','of'], t))) THEN 'es'
+       |       ELSE 'unk' END AS lang_guess
+       |FROM toks""".stripMargin
+
+  val q30: String = {
+    val bitSums = (0 until 16).map(k => s"SUM(((h >> $k) & 1)*2 - 1) AS s$k").mkString(", ")
+    val simExpr = (0 until 16)
+      .map(k => s"(CASE WHEN s$k >= 0 THEN (1::BIGINT << $k) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""WITH ${shingleCtes()},
+       |$mhCte,
+       |toku AS (SELECT doc_id, unnest(list_distinct(tk)) AS t FROM toks),
+       |tokh AS (SELECT doc_id, ${polyHash("t")} AS h FROM toku),
+       |bits AS (SELECT doc_id, $bitSums FROM tokh GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $simExpr AS simhash FROM bits)
+       |SELECT mh.doc_id, ${(0 until 8).map(j => s"mh$j").mkString(", ")}, sim.simhash
+       |FROM mh JOIN sim USING (doc_id)""".stripMargin
+  }
+
+  /** Banded candidates (any of 4 bands of 2 slots equal) -> exact verify. */
+  val q31: String = {
+    val bandCond = (0 until 4)
+      .map(b => s"(a.mh${2 * b} = b.mh${2 * b} AND a.mh${2 * b + 1} = b.mh${2 * b + 1})")
+      .mkString(" OR ")
+    s"""WITH ${shingleCtes()},
+       |$mhCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND ($bandCond)),
+       |v AS (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_intersect(sa.ss, sb.ss)) AS inter, len(sa.ss) AS na, len(sb.ss) AS nb
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b)
+       |SELECT id_a, id_b, inter::DOUBLE / (na + nb - inter) AS jaccard
+       |FROM v WHERE inter::DOUBLE / (na + nb - inter) >= 0.8""".stripMargin
+  }
+
+  /** Exact all-pairs Jaccard >= 0.8 (the brute-force twin of the inverted-
+    * index mining — any qualifying pair shares a shingle, so results match).
+    */
+  val q32: String =
+    s"""WITH ${shingleCtes()}
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  len(list_intersect(a.ss, b.ss))::DOUBLE
+       |    / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) AS jaccard
+       |FROM sh a, sh b
+       |WHERE a.doc_id < b.doc_id
+       |  AND len(list_intersect(a.ss, b.ss))::DOUBLE
+       |    / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) >= 0.8""".stripMargin
+
+  val q33: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |                (a, b) -> a + b) AS n2
+      |  FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_reduce(list_transform(range(1, len(a.embedding) + 1),
+      |                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+      |              (x, y) -> x + y) / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+      |FROM n a, n b
+      |WHERE a.vec_id < b.vec_id
+      |  AND list_reduce(list_transform(range(1, len(a.embedding) + 1),
+      |                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+      |              (x, y) -> x + y) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.45""".stripMargin
+
+  /** DuckDB has no BLOB substring; the text is ASCII so a VARCHAR slice cast
+    * to BLOB yields the same bytes. upper(hex(...)) matches Spark's
+    * uppercase hex().
+    */
+  val q34: String =
+    """SELECT doc_id,
+      |  octet_length(text::BLOB)::INTEGER AS n_bytes,
+      |  sha256(text) AS digest,
+      |  CASE WHEN upper(hex(substring(text, 1, 4)::BLOB)) = '89504E47' THEN 'png'
+      |       WHEN upper(hex(substring(text, 1, 2)::BLOB)) = 'FFD8' THEN 'jpeg'
+      |       WHEN upper(hex(substring(text, 1, 4)::BLOB)) = '52494646' THEN 'riff'
+      |       ELSE 'unknown' END AS sniffed,
+      |  upper(hex(substring(text, 1, 16)::BLOB)) AS w0,
+      |  upper(hex(substring(text, 257, 16)::BLOB)) AS w1
+      |FROM documents""".stripMargin
+}

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline: tokenization,
+  * quality scoring, language heuristic, and a deterministic polynomial
+  * string hash.
+  *
+  * Everything is built from higher-order Column functions with IN-ORDER left
+  * folds and integer arithmetic, so the identical computation is expressible
+  * in ANSI SQL (DuckDB list_transform/list_reduce) — that's what lets the
+  * oracle hash-compare these ops instead of eyeballing them.
+  */
+object TextAnalysis {
+
+  /** Modulus for all string/minhash arithmetic: fits products in int64. */
+  val P = 1000000007L
+
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: letter runs, digit runs, single punctuation. */
+  def bpeishCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Punctuation characters / total characters. */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / length(text)
+
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => t.isInCollection(Stopwords)))
+
+  def stopwordRatio(toks: Column): Column =
+    stopwordCount(toks).cast("double") / size(toks)
+
+  /** Mean token length — integer sum then one division (exact cross-engine). */
+  def avgTokenLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
+
+  /** Composite quality score in [0,1]-ish: length-normalized, stopword-aware,
+    * punctuation-penalized. Deterministic arithmetic, no model.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    least(length(text).cast("double") / 400.0, lit(1.0)) * 0.5 +
+      least(stopwordRatio(toks) * 5.0, lit(1.0)) * 0.3 +
+      (lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0))) * 0.2
+  }
+
+  /** n-gram-heuristic language guess. The marker sets are tiny on purpose —
+    * the engine capability is the machinery (per-language marker counts +
+    * argmax), not the lexicon.
+    */
+  def langGuess(text: Column): Column = {
+    val toks = tokens(text)
+    def cnt(words: Seq[String]) = size(filter(toks, t => t.isInCollection(words)))
+    val en = cnt(Seq("the", "a", "of"))
+    val es = cnt(Seq("el", "la", "de"))
+    when(en >= es && en > 0, "en").when(es > en, "es").otherwise("unk")
+  }
+
+  /** Deterministic polynomial rolling hash of a string:
+    * fold chars c: acc = (acc * 31 + ascii(c)) mod P. In-order left fold —
+    * bit-identical in Spark (`aggregate`) and DuckDB (`list_reduce` with a
+    * prepended 0 seed).
+    */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(s)), i => ascii(substr(s, i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % P)
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.functions.TextAnalysis.P
+
+/** Document deduplication operators for the training-data pipeline:
+  * exact, n-gram-Jaccard (exact pair mining), MinHash+LSH (banded, bucketed
+  * — never all-pairs), and SimHash fingerprints.
+  *
+  * Scale posture (the 100 TB contract):
+  *  - exact dedup = one hash shuffle on the digest;
+  *  - Jaccard pair mining = inverted index on shingles (only pairs sharing a
+  *    shingle are materialized, via a shuffle keyed by shingle) — no
+  *    cross-join; pathological stop-shingles can be dropped with `maxDf`;
+  *  - LSH = signatures computed per-row (no shuffle), candidates from
+  *    band-bucket equality joins (shuffle keyed by bucket), exact verify
+  *    only on candidates. Cost scales with bucket collision counts, not
+  *    corpus².
+  */
+object Dedup {
+
+  // ----------------------------------------------------------- exact dedup
+
+  /** Surviving rows after exact dedup on `keyExpr` (e.g. sha2(text, 256)):
+    * the row with the smallest `pick` value wins. One shuffle on the digest.
+    */
+  def exactDedupRows(df: DataFrame, keyExpr: Column, pick: Column): DataFrame = {
+    val w = Window.partitionBy(keyExpr).orderBy(pick)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ------------------------------------------------------------- shingling
+
+  /** n-token shingles of a token array, space-joined. Guarded: Spark's
+    * sequence(1, 0) counts DOWN ([1,0]) instead of yielding [], so short
+    * docs need the explicit empty branch.
+    */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(
+      size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct shingle set of a text column. */
+  def shingleSet(text: Column, n: Int = 3): Column =
+    array_distinct(shingles(TextAnalysis.tokens(text), n))
+
+  /** Distinct shingle hashes (polynomial hash; collisions negligible at P≈1e9
+    * for per-document set sizes).
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    array_distinct(transform(shingleSet(text, n), s => TextAnalysis.polyHash(s)))
+
+  // ---------------------------------------------------------- exact Jaccard
+
+  /** All pairs with shingle-set Jaccard >= threshold, mined EXACTLY via an
+    * inverted index: explode shingles, self-join on the shingle (any
+    * qualifying pair shares >= 1 shingle since threshold > 0), count shared
+    * shingles per pair, compute |A∩B| / (|A|+|B|-|A∩B|).
+    *
+    * Output: id_a < id_b, jaccard.
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sets = docs
+      .select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+    val inv = sets.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
+    val pairs = inv
+      .as("a")
+      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.nsh").as("na"), col("b.nsh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // --------------------------------------------------------------- MinHash
+
+  /** One minhash permutation: min over the shingle-hash set of (a*h+b) mod P. */
+  def minHash(hashes: Column, a: Long, b: Long): Column =
+    array_min(transform(hashes, h => (lit(a) * h + lit(b)) % P))
+
+  /** Deterministic permutation constants for signature slot j. */
+  def perm(j: Int): (Long, Long) = (2L * j + 1, 101L * j + 7)
+
+  /** k-slot minhash signature columns mh0..mh{k-1} for a text column. */
+  def minHashSig(text: Column, k: Int = 8, n: Int = 3): Seq[Column] = {
+    val hashes = shingleHashes(text, n)
+    (0 until k).map { j =>
+      val (a, b) = perm(j)
+      minHash(hashes, a, b).as(s"mh$j")
+    }
+  }
+
+  /** Banded LSH near-dup: signatures -> band buckets -> candidate pairs
+    * sharing any band -> exact Jaccard verify on candidates only.
+    *
+    * k minhash slots in bands of `rowsPerBand`; a pair is a candidate iff
+    * one full band matches (standard banding: P(candidate) = 1-(1-j^r)^b).
+    *
+    * Output: id_a < id_b, jaccard (exact, verified).
+    */
+  def lshNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      rowsPerBand: Int = 2,
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(k % rowsPerBand == 0, "k must divide into bands")
+    val nBands = k / rowsPerBand
+    val sigs = docs.select(
+      Seq(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh")) ++ minHashSig(col(textCol), k, n): _*)
+    // band bucket key: the band's minhash slots joined into one string
+    val bands = sigs.select(
+      col("id"),
+      explode(array((0 until nBands).map { b =>
+        struct(
+          lit(b).as("band"),
+          concat_ws(":", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = bands
+      .as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // exact verify on candidates only
+    val sets = sigs.select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("nsh").as("na")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("nsh").as("nb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // --------------------------------------------------------------- SimHash
+
+  /** 16-bit SimHash fingerprint per document from distinct-token hashes:
+    * bit k set iff sum over tokens of (2*bit_k(h)-1) >= 0.
+    */
+  def simHash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("id"), explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("t"))
+      .withColumn("h", TextAnalysis.polyHash(col("t")))
+    val bitSums = (0 until 16).map { k =>
+      sum(shiftright(col("h"), k).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$k")
+    }
+    tok
+      .groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col("id"),
+        (0 until 16)
+          .map(k => when(col(s"s$k") >= 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce(_ + _)
+          .as("simhash"))
+  }
+}

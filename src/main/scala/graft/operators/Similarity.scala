@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   * The scale path (`ivfTopK`) is inverted-file ANN: k-means-free IVF with
   * deterministic centroids (a fixed sample of the corpus), each vector
   * assigned to its nearest centroid at index time; probes search only
-  * `nprobe` nearest cells. At 100 TB the centroid assignment is a broadcast
-  * join + argmin (no shuffle) and the candidate set per probe shrinks by
-  * ~ncells/nprobe.
+  * `nprobe` nearest cells. At 100 TB the centroid assignment is an in-row
+  * fold over a broadcast array of centroids (zero shuffle, zero inflation)
+  * and the candidate set per probe shrinks by ~ncells/nprobe.
   */
 object Similarity {
 
@@ -66,28 +66,41 @@ object Similarity {
     *
     * Centroids = the `ncells` vectors with the smallest vec_id (deterministic,
     * cheap; a k-means refinement can swap in without changing the plan shape).
-    * Every vector is assigned to its nearest centroid (broadcast + in-row
-    * argmin — no shuffle); probes scan only their `nprobe` closest cells.
+    *
+    * Cell assignment is a PER-ROW fold: the centroid table is collapsed to a
+    * single array-of-structs row and cross-joined in (a broadcast of ONE
+    * row), then each vector sorts that array by its own cosine in-row and
+    * keeps the top `keep` cells. Zero shuffle and zero data inflation for
+    * the corpus — versus the naive broadcast-join + window-argmin plan whose
+    * intermediate is corpus x ncells pushed through a full shuffle+sort.
     */
   def ivfTopK(emb: DataFrame, probePred: Column, k: Int, ncells: Int, nprobe: Int): DataFrame = {
-    val cent = emb
+    val centArr = emb
       .orderBy(col("vec_id"))
       .limit(ncells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
-    val centN = cent.withColumn("c_n2", norm2(col("c_emb")))
+      .withColumn("c_n2", norm2(col("c_emb")))
+      .agg(collect_list(struct(col("cell_id"), col("c_emb"), col("c_n2"))).as("cents"))
 
     val withN2 = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
-    // nearest cell per vector: broadcast centroids, rank, keep argmin
-    def assign(df: DataFrame, keep: Int): DataFrame = {
-      val scored = df
-        .join(broadcast(centN))
-        .withColumn("cell_cos", cosine(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2")))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("cell_cos").desc, col("cell_id"))
-      scored
-        .withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") <= keep)
-        .drop("__cr", "c_emb", "c_n2", "cell_cos")
-    }
+
+    // nearest `keep` cells per vector, computed inside the row
+    def assign(df: DataFrame, keep: Int): DataFrame =
+      df.crossJoin(broadcast(centArr))
+        .withColumn(
+          "__ranked",
+          array_sort(transform(
+            col("cents"),
+            c =>
+              struct(
+                (lit(-1.0) * cosine(dot(col("embedding"), c.getField("c_emb")), col("n2"), c.getField("c_n2")))
+                  .as("negcos"),
+                c.getField("cell_id").as("cell_id")))))
+        .select(
+          df.columns.map(col) :+
+            explode(slice(col("__ranked"), 1, keep)).as("__cell"): _*)
+        .withColumn("cell_id", col("__cell.cell_id"))
+        .drop("__cell")
 
     val indexed = assign(withN2, 1) // corpus: single nearest cell
     val probes = assign(withN2.filter(probePred), nprobe)

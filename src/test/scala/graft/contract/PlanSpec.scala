@@ -1,0 +1,48 @@
+package graft.contract
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Physical-plan shape assertions (SURVEY §4.2): the optimizations the
+  * engine relies on must actually appear in the executed plans — broadcast
+  * for small dims, pushdown into the parquet scan, TopK instead of global
+  * sort, the linear as-of merge instead of join fanout.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir      = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Contract.byName(name).run(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q04: dim join is a BroadcastHashJoin") {
+    assert(plan("q04_broadcast_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q01: filter is pushed into the parquet scan") {
+    val p = plan("q01_filter_project")
+    assert(p.contains("PushedFilters: [") && p.contains("l_shipdate"))
+  }
+
+  test("q13: sort+limit plans as TakeOrderedAndProject (no global sort)") {
+    assert(plan("q13_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("q23: as-of join is one shuffle, no join operator, no fanout") {
+    val p = plan("q23_asof_join")
+    assert(!p.toLowerCase.contains("join"), s"unexpected join in:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected exactly 1 shuffle, plan:\n$p")
+  }
+
+  test("q31: LSH candidate join is a hash join on buckets, not cartesian") {
+    val p = plan("q31_lsh_neardup")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q02: aggregation splits into partial + final (map-side combine)") {
+    val p = plan("q02_tpch_q1")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.core.Tables
+
+/** Dedup operator semantics: exact-dedup survivor choice, shingle guards,
+  * LSH recall vs the exact inverted-index miner on the real documents table.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir      = "/root/testdata/sf0.001"
+
+  test("exactDedupRows keeps the row with the smallest pick per digest") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "other text"))
+      .toDF("id", "text")
+    val got = Dedup
+      .exactDedupRows(df, sha2(col("text"), 256), col("id"))
+      .select("id")
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    assert(got === Array(1L, 3L))
+  }
+
+  test("shingles: docs shorter than n yield an EMPTY set (not bogus shingles)") {
+    import spark.implicits._
+    val df = Seq("only two").toDF("text")
+    val got = df.select(Dedup.shingleSet(col("text")).as("s")).head().getAs[scala.collection.Seq[String]]("s")
+    assert(got.isEmpty)
+  }
+
+  test("jaccardPairs finds identical and near-identical docs, not disjoint ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),        // identical -> jaccard 1.0
+      (3L, "a b c d e f g x"),        // near: shares 5 of 7 shingles
+      (4L, "p q r s t u v w"))        // disjoint
+      .toDF("doc_id", "text")
+    val pairs = Dedup
+      .jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.head._3 === 1.0)
+  }
+
+  test("LSH near-dup == exact miner on the documents table (full recall at j>=0.8)") {
+    val docs  = Tables.documents(spark, sfDir)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.lshNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))          // verify step guarantees no false positives
+    assert(exact.nonEmpty)               // the fixture plants near-dups
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
+  }
+
+  test("simHash16: identical docs get identical fingerprints; near-dups are close") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simHash16(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(fp(1L) === fp(2L))
+    assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.core.Tables
+
+/** IVF ANN: exactness when every cell is probed, recall tradeoff when not,
+  * and the no-inflation plan shape of the in-row centroid assignment.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir      = "/root/testdata/sf0.001"
+
+  private def topk(df: org.apache.spark.sql.DataFrame) =
+    df.select("probe_id", "rnk", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+
+  test("ivfTopK with nprobe == ncells reproduces brute force exactly") {
+    val emb   = Tables.embeddings(spark, sfDir)
+    val brute = topk(Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5))
+    val ivf   = topk(Similarity.ivfTopK(emb, col("vec_id") < 10, 5, ncells = 8, nprobe = 8))
+    assert(ivf === brute)
+  }
+
+  test("ivfTopK recall degrades gracefully with fewer probes") {
+    val emb   = Tables.embeddings(spark, sfDir)
+    val brute = topk(Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5))
+    val ivf   = topk(Similarity.ivfTopK(emb, col("vec_id") < 10, 5, ncells = 8, nprobe = 3))
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall@5 with 3/8 cells = $recall")
+    assert(recall < 1.0 || ivf === brute)
+  }
+
+  test("ivfTopK plan: corpus is never inflated — broadcast joins only, no cartesian") {
+    val plan = Similarity
+      .ivfTopK(Tables.embeddings(spark, sfDir), col("vec_id") < 10, 5, 8, 8)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    // shuffles: only the final per-probe top-k window (+ AQE reads); the
+    // centroid-assignment stage must contribute none for the corpus
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"unexpected shuffles in plan:\n$plan")
+  }
+}
