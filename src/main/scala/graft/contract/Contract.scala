@@ -694,7 +694,9 @@ object Contract {
       "q30_fingerprint",
       (s, d) => {
         import graft.operators.Dedup
-        val sig = Tables.documents(s, d).select(col("doc_id") +: Dedup.minHashSig(col("text"), 8): _*)
+        val sig = Dedup
+          .minHashSigTable(Tables.documents(s, d), "doc_id", "text", 8)
+          .withColumnRenamed("id", "doc_id")
         val sim = Dedup
           .simHash16(Tables.documents(s, d), "doc_id", "text")
           .withColumnRenamed("id", "doc_id")
@@ -719,10 +721,19 @@ object Contract {
     Q(
       "q33_embed_neardup",
       (s, d) => {
+        // Fold-based dot on purpose: the filter pushdown duplicates the cos
+        // expression, and two 64-term static trees per pair overflow the JIT
+        // method limit (interpreted generated code loses to the compact
+        // lambda fold on this all-pairs shape). Static dot stays in
+        // q25/q36 where the pair count is small.
         val withN2 = Tables
           .embeddings(s, d)
           .select(col("vec_id"), col("embedding"), Similarity.norm2(col("embedding")).as("n2"))
-        val a = withN2.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("n2").as("n2_a"))
+        // left side repartitioned: one-file corpus would otherwise run the
+        // whole pair scan in a single task
+        val a = withN2
+          .repartition(32)
+          .select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("n2").as("n2_a"))
         val b = withN2.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("n2").as("n2_b"))
         a.join(b, col("id_a") < col("id_b"))
           .withColumn("cos", Similarity.cosine(Similarity.dot(col("e_a"), col("e_b")), col("n2_a"), col("n2_b")))
@@ -774,7 +785,7 @@ object Contract {
       // the recall-vs-nprobe tradeoff is covered by SimilaritySpec.
       (s, d) =>
         Similarity
-          .ivfTopK(Tables.embeddings(s, d), col("vec_id") < 10, k = 5, ncells = 8, nprobe = 8)
+          .ivfTopK(Tables.embeddings(s, d), col("vec_id") < 10, k = 5, ncells = 8, nprobe = 8, dim = 64)
           .select(col("probe_id"), col("rnk"), col("neighbor_id")),
       Some("""WITH n AS (
              |  SELECT vec_id, embedding,
@@ -822,7 +833,7 @@ object Contract {
       "q25_cosine_topk",
       (s, d) =>
         Similarity
-          .bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5)
+          .bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5, dim = 64)
           .select(col("probe_id"), col("rnk"), col("neighbor_id")),
       Some("""WITH n AS (
              |  SELECT vec_id, embedding,

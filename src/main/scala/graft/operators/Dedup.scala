@@ -23,6 +23,15 @@ import graft.functions.TextAnalysis.P
   */
 object Dedup {
 
+  /** Spread a (possibly single-partition) input across the cluster before
+    * CPU-heavy interpreted projections (char-hash folds). At real scale the
+    * scan already has many partitions and AQE coalesces the extra exchange;
+    * on a one-file corpus this is the difference between 1 core and all of
+    * them doing the hashing.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   // ----------------------------------------------------------- exact dedup
 
   /** Surviving rows after exact dedup on `keyExpr` (e.g. sha2(text, 256)):
@@ -70,7 +79,7 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val sets = docs
+    val sets = spread(docs)
       .select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
       .withColumn("nsh", size(col("sh")))
     val inv = sets.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
@@ -94,13 +103,40 @@ object Dedup {
   /** Deterministic permutation constants for signature slot j. */
   def perm(j: Int): (Long, Long) = (2L * j + 1, 101L * j + 7)
 
-  /** k-slot minhash signature columns mh0..mh{k-1} for a text column. */
+  /** k-slot minhash signature columns mh0..mh{k-1} for a text column.
+    * NB: each slot re-evaluates the (interpreted) char-hash fold — fine for
+    * a handful of rows; for corpus-scale signatures use minHashSigTable.
+    */
   def minHashSig(text: Column, k: Int = 8, n: Int = 3): Seq[Column] = {
     val hashes = shingleHashes(text, n)
     (0 until k).map { j =>
       val (a, b) = perm(j)
       minHash(hashes, a, b).as(s"mh$j")
     }
+  }
+
+  /** Corpus-scale minhash: hash every shingle ONCE (explode), then compute
+    * the k permutation minima as plain codegen'd aggregates. Higher-order
+    * lambdas (`transform`/`aggregate`) are interpreted row-at-a-time in
+    * Spark, so the column form above pays the char-fold k times per doc —
+    * this form pays it once and the k mins are cheap integer arithmetic.
+    * One shuffle on the doc id (partial min makes it map-side combined).
+    *
+    * Docs with no shingles (< n tokens) drop out (explode of empty).
+    */
+  def minHashSigTable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      n: Int = 3): DataFrame = {
+    val exploded = spread(docs)
+      .select(col(idCol).as("id"), explode(shingleHashes(col(textCol), n)).as("h"))
+    val mins = (0 until k).map { j =>
+      val (a, b) = perm(j)
+      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$j")
+    }
+    exploded.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
   /** Banded LSH near-dup: signatures -> band buckets -> candidate pairs
@@ -121,8 +157,9 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(k % rowsPerBand == 0, "k must divide into bands")
     val nBands = k / rowsPerBand
-    val sigs = docs.select(
-      Seq(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh")) ++ minHashSig(col(textCol), k, n): _*)
+    val sigs = spread(docs)
+      .select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+      .join(minHashSigTable(docs, idCol, textCol, k, n), Seq("id"))
     // band bucket key: the band's minhash slots joined into one string
     val bands = sigs.select(
       col("id"),
@@ -156,7 +193,7 @@ object Dedup {
     * bit k set iff sum over tokens of (2*bit_k(h)-1) >= 0.
     */
   def simHash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs
+    val tok = spread(docs)
       .select(col(idCol).as("id"), explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("t"))
       .withColumn("h", TextAnalysis.polyHash(col("t")))
     val bitSums = (0 until 16).map { k =>

@@ -32,7 +32,21 @@ object Similarity {
       lit(0.0),
       (acc, x) => acc + x)
 
+  /** Same sum, same left-to-right FP association, but as a STATIC dim-term
+    * expression tree: higher-order lambdas (`aggregate`/`zip_with`) run
+    * interpreted row-at-a-time, while a flat add/multiply tree is whole-stage
+    * codegen'd — ~10x on brute-force scans. Use when the embedding width is
+    * known (it is, per dataset). Results are bit-identical to `dot` except
+    * when every product is -0.0 (the fold's 0.0 seed normalizes the sign).
+    */
+  def dotStatic(a: Column, b: Column, dim: Int): Column =
+    (1 to dim)
+      .map(i => element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
   def norm2(a: Column): Column = dot(a, a)
+
+  def norm2Static(a: Column, dim: Int): Column = dotStatic(a, a, dim)
 
   /** cosine = dot / (sqrt(norm_a) * sqrt(norm_b)) — fixed association. */
   def cosine(dotCol: Column, n2a: Column, n2b: Column): Column =
@@ -40,9 +54,12 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each probe row.
     * Output: probe_id, rnk (1..k), neighbor_id, cos.
+    * @param dim embedding width; > 0 switches the hot inner product to the
+    *            codegen'd static form (same FP association)
     */
-  def bruteForceTopK(emb: DataFrame, probePred: Column, k: Int): DataFrame = {
-    val withN2 = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+  def bruteForceTopK(emb: DataFrame, probePred: Column, k: Int, dim: Int = 0): DataFrame = {
+    def d2(a: Column, b: Column) = if (dim > 0) dotStatic(a, b, dim) else dot(a, b)
+    val withN2 = emb.select(col("vec_id"), col("embedding"), d2(col("embedding"), col("embedding")).as("n2"))
     val probes = withN2
       .filter(probePred)
       .select(
@@ -54,7 +71,7 @@ object Similarity {
       .select(
         col("probe_id"),
         col("vec_id").as("neighbor_id"),
-        cosine(dot(col("p_emb"), col("embedding")), col("p_n2"), col("n2")).as("cos"))
+        cosine(d2(col("p_emb"), col("embedding")), col("p_n2"), col("n2")).as("cos"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id"))
     pairs
       .withColumn("rnk", row_number().over(w))
@@ -74,7 +91,14 @@ object Similarity {
     * the corpus — versus the naive broadcast-join + window-argmin plan whose
     * intermediate is corpus x ncells pushed through a full shuffle+sort.
     */
-  def ivfTopK(emb: DataFrame, probePred: Column, k: Int, ncells: Int, nprobe: Int): DataFrame = {
+  def ivfTopK(
+      emb: DataFrame,
+      probePred: Column,
+      k: Int,
+      ncells: Int,
+      nprobe: Int,
+      dim: Int = 0): DataFrame = {
+    def d2(a: Column, b: Column) = if (dim > 0) dotStatic(a, b, dim) else dot(a, b)
     val centArr = emb
       .orderBy(col("vec_id"))
       .limit(ncells)
@@ -82,7 +106,7 @@ object Similarity {
       .withColumn("c_n2", norm2(col("c_emb")))
       .agg(collect_list(struct(col("cell_id"), col("c_emb"), col("c_n2"))).as("cents"))
 
-    val withN2 = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    val withN2 = emb.select(col("vec_id"), col("embedding"), d2(col("embedding"), col("embedding")).as("n2"))
 
     // nearest `keep` cells per vector, computed inside the row
     def assign(df: DataFrame, keep: Int): DataFrame =
@@ -115,7 +139,7 @@ object Similarity {
       .select(
         col("probe_id"),
         col("vec_id").as("neighbor_id"),
-        cosine(dot(col("p_emb"), col("embedding")), col("p_n2"), col("n2")).as("cos"))
+        cosine(d2(col("p_emb"), col("embedding")), col("p_n2"), col("n2")).as("cos"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id"))
     pairs
       .withColumn("rnk", row_number().over(w))
