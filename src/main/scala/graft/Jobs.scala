@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftSession
+import graft.pipelines.CanPipelines
+import graft.sources.LandingIO
+import graft.streaming.CanStreams
+
+/** Serverless-style stage driver (SURVEY §7.6): each invocation drains
+  * whatever has landed and exits, stages chained by directory convention —
+  * the Spark analogue of the reference's SNS fan-out + bucket-name gates
+  * (reference serverless.yml:143-177; gates parse_canserver_filtered_log.py:128,
+  * infer_stationary_states.py:50, infer_autopilot_states.py:53).
+  *
+  * Layout under <workDir>:
+  *   landing/   pivoted signal table (parquet, date/hour partitions)
+  *   landing_json/  hourly channelized documents (JSON-compat view)
+  *   events/Stationary/  day documents of stationary intervals
+  *   events/Autopilot/   day documents of autopilot transitions
+  *   ckpt/      streaming checkpoints (source offsets + pivot state)
+  *
+  * Usage: Jobs (parse|infer|all) <rawDir> <workDir>
+  */
+object Jobs {
+
+  def parse(spark: org.apache.spark.sql.SparkSession, rawDir: String, workDir: String): Unit = {
+    CanStreams.runParse(spark, rawDir, s"$workDir/landing", s"$workDir/ckpt/parse").awaitTermination()
+    // JSON-compat hourly documents, derived from the landing table in batch
+    val pivoted = spark.read.parquet(s"$workDir/landing")
+    LandingIO.writeLandingDocs(CanPipelines.channelize(pivoted), s"$workDir/landing_json")
+  }
+
+  def infer(spark: org.apache.spark.sql.SparkSession, workDir: String): Unit = {
+    val landing = LandingIO.readLanding(spark, s"$workDir/landing_json")
+    if (!landing.isEmpty) {
+      LandingIO.writeStationaryDocs(
+        CanPipelines.stationaryIntervals(CanPipelines.speedSeries(landing)),
+        s"$workDir/events/Stationary")
+      LandingIO.writeAutopilotDocs(
+        CanPipelines.autopilotDaily(
+          CanPipelines.autopilotTransitions(CanPipelines.apSeries(landing))),
+        s"$workDir/events/Autopilot")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Jobs (parse|infer|all) <rawDir> <workDir>  (infer: <workDir> only)")
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "*"))
+    args(0) match {
+      case "parse" => parse(spark, args(1), args(2))
+      case "infer" => infer(spark, args(1))
+      case "all"   => parse(spark, args(1), args(2)); infer(spark, args(2))
+      case other   => sys.error(s"unknown stage: $other")
+    }
+    spark.stop()
+  }
+}

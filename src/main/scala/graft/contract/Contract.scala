@@ -813,6 +813,39 @@ object Contract {
       Some("""SELECT doc_id, lang, source FROM documents
              |QUALIFY ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1""".stripMargin)
     ),
+    Q(
+      "q38_key_surgery",
+      (s, d) => {
+        // The reference's S3-key handling: URL-decode (unquote_plus:
+        // parse_canserver_filtered_log.py:124) + path splitting (:133,302-304).
+        // Keys synthesized from part columns with a controlled escape set so
+        // the DuckDB mirror (replace-based decode) is exact.
+        val key = concat(
+          lit("org%2Ddata/"), col("p_brand"), lit("/trip+log%20"),
+          col("p_partkey").cast("string"), lit(".log"))
+        Tables
+          .part(s, d)
+          .select(col("p_partkey"), key.as("raw_key"))
+          .select(
+            col("p_partkey"),
+            col("raw_key"),
+            url_decode(col("raw_key")).as("decoded"),
+            substring_index(url_decode(col("raw_key")), "/", -1).as("filename"),
+            substring_index(url_decode(col("raw_key")), "/", 2).as("dir"))
+      },
+      Some("""WITH k AS (
+             |  SELECT p_partkey,
+             |    'org%2Ddata/' || p_brand || '/trip+log%20' || p_partkey || '.log' AS raw_key
+             |  FROM part),
+             |dec AS (
+             |  SELECT p_partkey, raw_key,
+             |    replace(replace(replace(raw_key, '%2D', '-'), '+', ' '), '%20', ' ') AS decoded
+             |  FROM k)
+             |SELECT p_partkey, raw_key, decoded,
+             |  split_part(decoded, '/', 3) AS filename,
+             |  split_part(decoded, '/', 1) || '/' || split_part(decoded, '/', 2) AS dir
+             |FROM dec""".stripMargin)
+    ),
     // ------------------------------------------------------------ north-star
     Q(
       "q24_dedup_exact",

@@ -38,6 +38,11 @@ object CanPipelines {
       .agg(
         min(col("ts")).as("ts"),
         signals.map(s => first(col(s), ignoreNulls = true).as(s)): _*)
+      // unit annotations, present iff the signal is (reference wide row
+      // parse_canserver_filtered_log.py:154,165,169)
+      .withColumn("acc_unit", when(col("long_acc").isNotNull, "m/s^2"))
+      .withColumn("gyro_unit", when(col("yaw_rate").isNotNull, "rad/s"))
+      .withColumn("speed_unit", when(col("speed").isNotNull, "KPH"))
   }
 
   // ------------------------------------------------------- hourly landing

@@ -1,0 +1,103 @@
+package graft.sources
+
+import java.net.URI
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Landing / event JSON document I/O — the reference's whole-object S3
+  * PUT/GET contract re-expressed (reference
+  * parse_canserver_filtered_log.py:350-356, infer_stationary_states.py:135-141,
+  * infer_autopilot_states.py:116-122).
+  *
+  * One JSON document per hour (`canserver_YYYY-MM-DD_HH-00-00.json`, HH =
+  * bucket END hour) and per day (`canserver-events_YYYY-MM-DD.json`, ISO —
+  * the reference's day/month/year swap in the autopilot name is a bug we do
+  * not replicate, SURVEY §2.7-8). Documents are written compact (not
+  * indent=2) — content-equivalent, byte-layout divergence documented.
+  *
+  * Reads are SCHEMA'D (`spark.read.schema(...)`): the reference's
+  * `json.loads` is schema-less and fails late; fixed StructTypes fail fast
+  * and enable nested-column pruning.
+  *
+  * Writes go through the Hadoop FileSystem API from executors, so the same
+  * code addresses file://, hdfs:// or s3a:// targets; empty inputs are
+  * guarded (the reference's non-empty checks, infer_stationary_states.py:73).
+  */
+object LandingIO {
+
+  private def chanType(valueType: DataType): ArrayType =
+    ArrayType(StructType(Seq(
+      StructField("timestamp", DoubleType),
+      StructField("value", valueType))))
+
+  /** FIXTURES.md §2 — the hourly channelized document. */
+  val landingSchema: StructType = StructType(Seq(
+    StructField("accel", chanType(ArrayType(DoubleType))),
+    StructField("gyro", chanType(ArrayType(DoubleType))),
+    StructField("location", chanType(ArrayType(DoubleType))),
+    StructField("speed", chanType(DoubleType)),
+    StructField("ap_status", chanType(StringType))))
+
+  /** Write one named single-object JSON file per row: (nameCol, jsonCol). */
+  private def writeDocs(docs: DataFrame, nameCol: String, jsonCol: String, outDir: String): Unit = {
+    if (docs.isEmpty) return // non-empty guard
+    docs
+      .select(col(nameCol), col(jsonCol))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        if (rows.nonEmpty) {
+          val fs = FileSystem.get(new URI(outDir), new Configuration())
+          fs.setWriteChecksum(false) // no .crc sidecars next to documents
+          fs.mkdirs(new Path(outDir))
+          rows.foreach { r =>
+            val out = fs.create(new Path(outDir, r.getString(0) + ".json"), true)
+            try out.write((r.getString(1) + "\n").getBytes("UTF-8"))
+            finally out.close()
+          }
+        }
+      }
+  }
+
+  /** Hourly landing documents from CanPipelines.channelize output. */
+  def writeLandingDocs(landing: DataFrame, outDir: String): Unit =
+    writeDocs(
+      landing.withColumn(
+        "doc",
+        to_json(struct(col("accel"), col("gyro"), col("location"), col("speed"), col("ap_status")))),
+      "filename",
+      "doc",
+      outDir)
+
+  /** Schema'd read of a directory of landing documents. */
+  def readLanding(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(landingSchema).json(s"$dir/*.json")
+
+  /** Day documents for stationary intervals: (start, end) epoch-sec rows ->
+    * {"IMU-telematics": {"stationary-state": [{start,end}...]}} per day.
+    */
+  def writeStationaryDocs(intervals: DataFrame, outDir: String): Unit = {
+    val daily = intervals
+      .withColumn("date", to_date(timestamp_seconds(col("start"))))
+      .groupBy(col("date"))
+      .agg(sort_array(collect_list(struct(col("start"), col("end")))).as("iv"))
+      .select(
+        concat(lit("canserver-events_"), date_format(col("date"), "yyyy-MM-dd")).as("name"),
+        to_json(struct(struct(col("iv").as("stationary-state")).as("IMU-telematics"))).as("doc"))
+    writeDocs(daily, "name", "doc", outDir)
+  }
+
+  /** Day documents for autopilot transitions, from CanPipelines.autopilotDaily:
+    * {"auditory": {"engagement": [...], "disengagement": [...]}} — ALL
+    * transitions kept (reference keeps only the last per status, §2.7-6).
+    */
+  def writeAutopilotDocs(daily: DataFrame, outDir: String): Unit =
+    writeDocs(
+      daily.select(
+        concat(lit("canserver-events_"), date_format(col("date"), "yyyy-MM-dd")).as("name"),
+        to_json(struct(col("auditory"))).as("doc")),
+      "name",
+      "doc",
+      outDir)
+}

@@ -66,6 +66,10 @@ object CanStreams {
       .agg(
         first(col(signals.head), ignoreNulls = true).as(signals.head),
         signals.tail.map(s => first(col(s), ignoreNulls = true).as(s)): _*)
+      // same unit annotations as the batch pivot (landing schema parity)
+      .withColumn("acc_unit", when(col("long_acc").isNotNull, "m/s^2"))
+      .withColumn("gyro_unit", when(col("yaw_rate").isNotNull, "rad/s"))
+      .withColumn("speed_unit", when(col("speed").isNotNull, "KPH"))
   }
 
   /** Parse stage as a runnable job: raw logs -> pivoted landing table

@@ -1,0 +1,97 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.{Jobs, SparkTestSession}
+import graft.decode.CanFixture._
+import graft.pipelines.CanPipelines
+
+/** Landing/event JSON document contract: exact file naming, schema'd
+  * round-trip, and the full raw -> landing -> events chain through the Jobs
+  * driver (the reference DAG end-to-end).
+  */
+class LandingIOSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def speedPayload(v: Double): Array[Byte] = {
+    val u = math.round((v + 40.0) / 0.08).toInt
+    Array[Byte](0x00, ((u & 0x0f) << 4).toByte, (u >> 4).toByte)
+  }
+
+  test("Jobs: raw binary -> landing parquet+JSON -> event documents, exact names") {
+    val t0 = 1700000000L * 1000000L // 2023-11-14 22:13:20 UTC
+    val raw  = Files.createTempDirectory("jobs_raw").toString
+    val work = Files.createTempDirectory("jobs_work").toString
+    val log =
+      file(
+        timesync(t0),
+        // 20 s stationary run then movement
+        (0 to 20).flatMap(i => frame(i * 1000, 599, 0, speedPayload(0.0))).toArray,
+        frame(21000, 599, 0, speedPayload(60.0)),
+        // AP engagement + disengagement
+        frame(22000, 921, 0, Array[Byte](2)),
+        frame(23000, 921, 0, Array[Byte](3)),
+        frame(24000, 921, 0, Array[Byte](0)))
+    Files.write(Paths.get(raw, "trip.log"), log)
+
+    Jobs.parse(spark, raw, work)
+    Jobs.infer(spark, work)
+
+    // landing JSON: exact end-hour filename, schema'd read round-trips
+    val landingFiles = new java.io.File(s"$work/landing_json").list().filter(_.endsWith(".json")).sorted
+    assert(landingFiles.toSeq === Seq("canserver_2023-11-14_23-00-00.json"))
+    val landing = LandingIO.readLanding(spark, s"$work/landing_json")
+    assert(landing.count() === 1)
+    val speeds = landing.select(explode(col("speed")).as("s")).select("s.value")
+      .collect().map(_.getDouble(0))
+    assert(speeds.length === 22 && speeds.count(_ == 0.0) === 21)
+
+    // stationary day document: ISO name + trimmed interval content
+    val stDir = s"$work/events/Stationary"
+    assert(new java.io.File(stDir).list().toSeq === Seq("canserver-events_2023-11-14.json"))
+    val st = new String(Files.readAllBytes(Paths.get(stDir, "canserver-events_2023-11-14.json")), "UTF-8")
+    assert(st.contains("\"IMU-telematics\""))
+    assert(st.contains("\"stationary-state\""))
+    assert(st.contains("1.700000003E9")) // start = t0 + 3 s trim
+    assert(st.contains("1.700000017E9")) // end   = t0 + 20 - 3 s trim
+
+    // autopilot day document: both transitions kept
+    val apDir = s"$work/events/Autopilot"
+    assert(new java.io.File(apDir).list().toSeq === Seq("canserver-events_2023-11-14.json"))
+    val ap = new String(Files.readAllBytes(Paths.get(apDir, "canserver-events_2023-11-14.json")), "UTF-8")
+    assert(ap.contains("\"engagement\"") && ap.contains("\"disengagement\""))
+    assert(ap.contains("\"canbus_state\":3") && ap.contains("\"canbus_state\":0"))
+  }
+
+  test("landing write -> schema'd read preserves channel structure") {
+    import spark.implicits._
+    val t0 = 1700000000L * 1000000L
+    val dir = Files.createTempDirectory("landrt").toString
+    Files.write(
+      Paths.get(dir, "in.log"),
+      file(
+        timesync(t0),
+        frame(100, 273, 0, Array[Byte](1, 0, 2, 0, 3, 0)),
+        frame(200, 79, 0, Array[Byte](0x15, 0x26, 0x37, 0x04, 0x59, 0x6a, 0x0b))))
+    val landing = CanPipelines.parseToLanding(graft.decode.CanDecode.decodeFiles(spark, dir))
+    val out = Files.createTempDirectory("landout").toString
+    LandingIO.writeLandingDocs(landing, out)
+    val back = LandingIO.readLanding(spark, out)
+    val row  = back.head()
+    val accel = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("accel")
+    val loc   = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("location")
+    assert(accel.length === 1 && loc.length === 1)
+    assert(accel.head.getAs[scala.collection.Seq[Double]]("value") === Seq(0.00125, 0.0025, 0.00375))
+    assert(row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("speed").isEmpty)
+  }
+
+  test("empty inputs are guarded: no files written") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("emptyout").toString
+    LandingIO.writeStationaryDocs(
+      Seq.empty[(Double, Double)].toDF("start", "end"), out)
+    assert(new java.io.File(out).list() === null || new java.io.File(out).list().isEmpty)
+  }
+}
