@@ -2,6 +2,44 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
+/** Deterministic synthetic CANServer log for the domain-pipeline bench:
+  * one hour of 10 Hz frames across all 5 channels (~180k frames, ~1.6 MB)
+  * — the parse-class workload BASELINE.md's envelope is defined against.
+  */
+object BenchLog {
+  def write(dir: String): String = {
+    val t0  = 1700000000L * 1000000L
+    val out = new java.io.ByteArrayOutputStream(2 << 20)
+    out.write("CANSERVER_v2_CANSERVER".getBytes("ASCII"))
+    def sync(m: Long): Unit = { out.write(0xce); (0 until 8).foreach(i => out.write(((m >>> (8 * i)) & 0xff).toInt)) }
+    def frame(off: Int, id: Int, p: Array[Byte]): Unit = {
+      out.write(0xcf); out.write(off & 0xff); out.write((off >> 8) & 0xff)
+      out.write(id & 0xff); out.write((id >> 8) & 0xff); out.write(p.length); out.write(p)
+    }
+    var sec = 0
+    while (sec < 3600) {
+      sync(t0 + sec.toLong * 1000000L) // new sync each second (offset is u16 ms)
+      var tick = 0
+      while (tick < 10) {
+        val off = tick * 100
+        val v   = sec % 120 // alternating 60 s stationary / 60 s moving
+        val spd = if (v < 60) 0.0 else 50.0
+        val u   = math.round((spd + 40.0) / 0.08).toInt
+        frame(off, 599, Array[Byte](0, ((u & 0xf) << 4).toByte, (u >> 4).toByte))
+        frame(off, 273, Array[Byte]((sec % 251).toByte, 1, (tick * 17).toByte, 2, 3, 4))
+        frame(off, 257, Array[Byte](5, 6, (sec % 13).toByte, 7, 8, 9))
+        frame(off, 79, Array[Byte](1, 2, 3, 4, 5, 6, 7))
+        if (tick == 0) frame(off, 921, Array[Byte](if (v < 60) 2 else 3))
+        tick += 1
+      }
+      sec += 1
+    }
+    val p = Paths.get(dir, "bench.log")
+    Files.write(p, out.toByteArray)
+    dir
+  }
+}
+
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * emits ONE JSON line with per-query seconds.
   *
@@ -26,10 +64,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timed(name: String)(body: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try { body; true }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -38,6 +76,35 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+
+    val queryResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    }
+
+    // The 3 domain pipelines over a synthetic 1-hour 10 Hz log (~180k
+    // frames) — the parse-class / inference-class workloads of BASELINE.md.
+    import org.apache.spark.sql.functions.col
+    val logDir  = BenchLog.write(Files.createTempDirectory("benchlog").toString)
+    val landing = graft.pipelines.CanPipelines
+      .parseToLanding(graft.decode.CanDecode.decodeFiles(spark, logDir))
+      .cache()
+    val pipelineResults = Seq(
+      timed("pipeline_parse_1h_log") {
+        landing.write.format("noop").mode("overwrite").save()
+      },
+      timed("pipeline_stationary") {
+        graft.pipelines.CanPipelines
+          .stationaryIntervals(graft.pipelines.CanPipelines.speedSeries(landing))
+          .write.format("noop").mode("overwrite").save()
+      },
+      timed("pipeline_autopilot") {
+        graft.pipelines.CanPipelines
+          .autopilotDaily(graft.pipelines.CanPipelines
+            .autopilotTransitions(graft.pipelines.CanPipelines.apSeries(landing)))
+          .write.format("noop").mode("overwrite").save()
+      })
+    landing.unpersist()
+    val results = queryResults ++ pipelineResults
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the engine's polynomial string hash:
+  * fold codepoints c of the input: acc = (acc * 31 + c) mod 1e9+7.
+  *
+  * Semantically identical to the composed built-in form
+  * (aggregate(transform(sequence...substr...ascii...))) and to the DuckDB
+  * oracle's list_reduce over ord() — but evaluated as one tight loop:
+  * the composed form materializes two intermediate arrays and walks an
+  * interpreted expression tree per character; this is a single pass over
+  * the string's bytes (with a codepoint fallback for non-ASCII), both in
+  * `eval` (for use inside higher-order lambdas, which Spark interprets) and
+  * in whole-stage codegen via `doGenCode`.
+  */
+case class PolyHashExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType      = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"poly_hash requires STRING, got ${child.dataType}")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHashExpr.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHashExpr.hash($c)")
+}
+
+object PolyHashExpr {
+  val P = 1000000007L
+
+  /** ASCII fast path over raw bytes; codepoint loop otherwise (matches
+    * ascii()/ord() semantics for any input).
+    */
+  def hash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var ascii = true
+    var i     = 0
+    while (ascii && i < bytes.length) { ascii = (bytes(i) & 0x80) == 0; i += 1 }
+    var acc = 0L
+    if (ascii) {
+      i = 0
+      while (i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xffL)) % P; i += 1 }
+    } else {
+      val str = s.toString
+      i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        acc = (acc * 31 + cp) % P
+        i += Character.charCount(cp)
+      }
+    }
+    acc
+  }
+}

@@ -65,11 +65,20 @@ object TextAnalysis {
   }
 
   /** Deterministic polynomial rolling hash of a string:
-    * fold chars c: acc = (acc * 31 + ascii(c)) mod P. In-order left fold —
-    * bit-identical in Spark (`aggregate`) and DuckDB (`list_reduce` with a
-    * prepended 0 seed).
+    * fold codepoints c: acc = (acc * 31 + c) mod P — bit-identical to the
+    * DuckDB oracle's `list_reduce(... ord ...)`. Backed by the native
+    * PolyHashExpr (single-pass loop, codegen'd); `polyHashComposed` keeps
+    * the built-ins-only formulation as the cross-checkable reference.
     */
-  def polyHash(s: Column): Column =
+  def polyHash(s: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(PolyHashExpr(ColumnBridge.expression(s)))
+  }
+
+  /** Same hash from composed built-ins (two intermediate arrays + an
+    * interpreted fold per row — slow; exists to cross-check PolyHashExpr).
+    */
+  def polyHashComposed(s: Column): Column =
     aggregate(
       transform(sequence(lit(1), length(s)), i => ascii(substr(s, i, lit(1))).cast("long")),
       lit(0L),

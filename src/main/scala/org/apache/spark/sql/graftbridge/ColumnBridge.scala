@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> catalyst Expression bridge. Spark 4 hides these conversions
+  * behind private[sql] (the Connect refactor split Column from catalyst), so
+  * libraries shipping native expressions use a package-located shim — the
+  * standard pattern for Catalyst extensions.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column     = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
