@@ -33,30 +33,48 @@ object CanDecode {
     * Column set mirrors the reference's 14-column wide row (:141-142) minus
     * the constant unit strings, which are attached at the JSON edge.
     */
-  def decode(records: Dataset[CanRecord]): DataFrame = {
+  def decode(records: Dataset[CanRecord]): DataFrame =
+    decodeRaw(records.select(
+      col("path"),
+      col("frameId").as("frame_id"),
+      col("busId").as("bus_id"),
+      col("payloadLong").as("payload_long"),
+      col("frameTimeMicros").as("frame_time_micros")))
+
+  /** Decode over the snake-case record surface (what the DSv2 `canserver`
+    * format scans). The frame-id filter sits directly above the scan so the
+    * DSv2 path pushes it into the tokenize loop.
+    */
+  def decodeRaw(recs: DataFrame): DataFrame = {
     import CanExpressions._
-    val pay = col("payloadLong")
-    records
-      .filter(col("frameId").isin(CanCodec.DecodedFrameIds.toSeq: _*))
+    val pay = col("payload_long")
+    recs
+      .filter(col("frame_id").isin(CanCodec.DecodedFrameIds.toSeq: _*))
       .select(
         col("path"),
-        col("frameId").as("frame_id"),
-        col("busId").as("bus_id"),
-        timestamp_micros(col("frameTimeMicros")).as("ts"),
-        (col("frameTimeMicros").cast("double") / 1e6).as("epoch_sec"),
-        when(col("frameId") === CanCodec.FrameAccel, accelLong(pay)).as("long_acc"),
-        when(col("frameId") === CanCodec.FrameAccel, accelLat(pay)).as("lat_acc"),
-        when(col("frameId") === CanCodec.FrameAccel, accelVert(pay)).as("vert_acc"),
-        when(col("frameId") === CanCodec.FrameGyro, gyroYaw(pay)).as("yaw_rate"),
-        when(col("frameId") === CanCodec.FrameGyro, gyroPitch(pay)).as("pitch_rate"),
-        when(col("frameId") === CanCodec.FrameGyro, gyroRoll(pay)).as("roll_rate"),
-        when(col("frameId") === CanCodec.FrameGps, gpsLat(pay)).as("lat"),
-        when(col("frameId") === CanCodec.FrameGps, gpsLong(pay)).as("long"),
-        when(col("frameId") === CanCodec.FrameSpeed, speedKph(pay)).as("speed"),
-        when(col("frameId") === CanCodec.FrameAp, apStateName(pay)).as("ap_status"))
+        col("frame_id"),
+        col("bus_id"),
+        timestamp_micros(col("frame_time_micros")).as("ts"),
+        (col("frame_time_micros").cast("double") / 1e6).as("epoch_sec"),
+        when(col("frame_id") === CanCodec.FrameAccel, accelLong(pay)).as("long_acc"),
+        when(col("frame_id") === CanCodec.FrameAccel, accelLat(pay)).as("lat_acc"),
+        when(col("frame_id") === CanCodec.FrameAccel, accelVert(pay)).as("vert_acc"),
+        when(col("frame_id") === CanCodec.FrameGyro, gyroYaw(pay)).as("yaw_rate"),
+        when(col("frame_id") === CanCodec.FrameGyro, gyroPitch(pay)).as("pitch_rate"),
+        when(col("frame_id") === CanCodec.FrameGyro, gyroRoll(pay)).as("roll_rate"),
+        when(col("frame_id") === CanCodec.FrameGps, gpsLat(pay)).as("lat"),
+        when(col("frame_id") === CanCodec.FrameGps, gpsLong(pay)).as("long"),
+        when(col("frame_id") === CanCodec.FrameSpeed, speedKph(pay)).as("speed"),
+        when(col("frame_id") === CanCodec.FrameAp, apStateName(pay)).as("ap_status"))
   }
 
-  /** records + decode in one call. */
+  /** records + decode in one call (binaryFile + flatMap path). */
   def decodeFiles(spark: SparkSession, path: String): DataFrame =
     decode(records(spark, path))
+
+  /** DSv2 path: format("canserver") scan with the frame-id filter pushed
+    * into the tokenizer — preferred for batch reads over many files.
+    */
+  def decodeFilesV2(spark: SparkSession, path: String): DataFrame =
+    decodeRaw(spark.read.format("canserver").load(path))
 }

@@ -1,0 +1,145 @@
+package graft.sources.canserver
+
+import java.net.URI
+import java.util
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.decode.CanserverTokenizer
+
+/** DataSource V2 `canserver` format (SURVEY §4.3 v2 path): one Spark scan
+  * partition per log file, the tokenizer as the PartitionReader, and the
+  * frame-id predicate PUSHED INTO THE SCAN — filtered frames are dropped
+  * inside the tokenize loop before any row materializes (the reference does
+  * the same thing by hand at parse_canserver_filtered_log.py:264).
+  *
+  *   spark.read.format("canserver").load("/path/to/logs")
+  *
+  * Schema: path, frame_id, bus_id, length, payload_long, frame_time_micros
+  * (the tokenized-record surface; signal decode stays a projection via
+  * CanExpressions, where Catalyst prunes/pushes as usual).
+  */
+class CanserverDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "canserver"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CanserverDataSource.Schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new CanserverTable(properties.get("path"))
+}
+
+object CanserverDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("frame_id", IntegerType, nullable = false),
+    StructField("bus_id", IntegerType, nullable = false),
+    StructField("length", IntegerType, nullable = false),
+    StructField("payload_long", LongType, nullable = false),
+    StructField("frame_time_micros", LongType, nullable = false)))
+}
+
+class CanserverTable(path: String) extends Table with SupportsRead {
+  require(path != null, "canserver source requires a path: .load(dir)")
+  override def name(): String                 = s"canserver($path)"
+  override def schema(): StructType           = CanserverDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CanserverScanBuilder(path)
+}
+
+class CanserverScanBuilder(path: String)
+    extends ScanBuilder
+    with SupportsPushDownFilters {
+
+  private var frameIds: Option[Set[Int]] = None
+  private var pushed: Array[Filter]      = Array.empty
+
+  /** Accept frame_id = k and frame_id IN (...); everything else stays above. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("frame_id", _: Integer) => true
+      case In("frame_id", vs)              => vs.forall(_.isInstanceOf[Integer])
+      case _                               => false
+    }
+    val ids = accepted.flatMap {
+      case EqualTo(_, v: Integer) => Seq(v.intValue)
+      case In(_, vs)              => vs.map(_.asInstanceOf[Integer].intValue).toSeq
+      case _                      => Seq.empty
+    }.toSet
+    if (accepted.nonEmpty) frameIds = Some(ids)
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new CanserverScan(path, frameIds)
+}
+
+class CanserverScan(path: String, frameIds: Option[Set[Int]]) extends Scan with Batch {
+  override def readSchema(): StructType = CanserverDataSource.Schema
+  override def toBatch: Batch           = this
+  override def description(): String =
+    s"canserver($path, pushedFrameIds=${frameIds.map(_.mkString(",")).getOrElse("*")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs    = FileSystem.get(new URI(path), new Configuration())
+    val files = ArrayBuffer.empty[CanserverFilePartition]
+    val it    = fs.listFiles(new Path(path), true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+        files += CanserverFilePartition(st.getPath.toString)
+    }
+    files.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CanserverReaderFactory(frameIds)
+}
+
+case class CanserverFilePartition(file: String) extends InputPartition
+
+class CanserverReaderFactory(frameIds: Option[Set[Int]]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[CanserverFilePartition].file
+    new PartitionReader[InternalRow] {
+      private val fs    = FileSystem.get(new URI(file), new Configuration())
+      private val in    = fs.open(new Path(file))
+      private val bytes =
+        try {
+          val len = fs.getFileStatus(new Path(file)).getLen.toInt
+          val buf = new Array[Byte](len)
+          in.readFully(0, buf)
+          buf
+        } finally in.close()
+      // pushdown happens HERE: non-matching frames never become rows
+      private val it = frameIds match {
+        case Some(ids) => CanserverTokenizer.tokenize(bytes, file).filter(r => ids(r.frameId))
+        case None      => CanserverTokenizer.tokenize(bytes, file)
+      }
+      private val pathUtf = UTF8String.fromString(file)
+
+      override def next(): Boolean = it.hasNext
+      override def get(): InternalRow = {
+        val r = it.next()
+        InternalRow(pathUtf, r.frameId, r.busId, r.length, r.payloadLong, r.frameTimeMicros)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft.sources.canserver
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.decode.{CanDecode, CanFixture}
+
+/** DSv2 `canserver` format: equivalence with the flatMap read path, frame-id
+  * pushdown reaching the tokenize loop, multi-file partitioning.
+  */
+class CanserverDataSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import CanFixture._
+
+  private def writeLogs(): String = {
+    val dir = Files.createTempDirectory("dsv2").toString
+    val t0  = 1700000000L * 1000000L
+    Files.write(
+      Paths.get(dir, "a.log"),
+      file(
+        timesync(t0),
+        frame(1, 599, 0, Array[Byte](0, 0x50, 0x30)),
+        frame(2, 273, 0, Array[Byte](1, 2, 3, 4, 5, 6)),
+        frame(3, 1234, 0, Array[Byte](1))))
+    Files.write(
+      Paths.get(dir, "b.log"),
+      file(timesync(t0 + 5000000L), frame(1, 921, 0, Array[Byte](3))))
+    dir
+  }
+
+  test("format(canserver) == binaryFile+flatMap read path") {
+    val dir = writeLogs()
+    val dsv2 = spark.read
+      .format("canserver")
+      .load(dir)
+      .select("frame_id", "bus_id", "length", "payload_long", "frame_time_micros")
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    val flatMapPath = CanDecode
+      .records(spark, dir)
+      .select(
+        col("frameId").as("frame_id"),
+        col("busId").as("bus_id"),
+        col("length"),
+        col("payloadLong").as("payload_long"),
+        col("frameTimeMicros").as("frame_time_micros"))
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(dsv2 === flatMapPath)
+    assert(dsv2.size === 4)
+  }
+
+  test("frame_id filter is pushed into the scan") {
+    val dir = writeLogs()
+    val df  = spark.read.format("canserver").load(dir).filter(col("frame_id").isin(599, 921))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedFrameIds=") && (plan.contains("599") || plan.contains("921")),
+      s"pushdown missing from plan:\n$plan")
+    assert(df.collect().map(_.getAs[Int]("frame_id")).sorted.toSeq === Seq(599, 921))
+  }
+
+  test("each file is its own partition") {
+    val dir = writeLogs()
+    val df  = spark.read.format("canserver").load(dir)
+    assert(df.rdd.getNumPartitions === 2)
+    // path column distinguishes source files
+    assert(df.select("path").distinct().count() === 2)
+  }
+}
