@@ -814,6 +814,24 @@ object Contract {
              |QUALIFY ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1""".stripMargin)
     ),
     Q(
+      "q39_salted_join",
+      // Skew-salted join must produce EXACTLY the plain join's result —
+      // the oracle is the unsalted SQL; what salting changes is the shuffle
+      // layout (hot keys split across `buckets` partitions), not the rows.
+      (s, d) => {
+        val e = ev(s, d).select(col("event_id"), col("user_id"))
+        val o = ord(s, d).select(col("o_custkey"), col("o_totalprice"))
+        graft.operators.Skew
+          .saltedJoin(e, o, col("user_id"), col("o_custkey"), buckets = 8)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"), dsum(col("o_totalprice")).as("sum_price"))
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_pairs,
+             |  SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS sum_price
+             |FROM events JOIN orders ON o_custkey = user_id
+             |GROUP BY user_id""".stripMargin)
+    ),
+    Q(
       "q38_key_surgery",
       (s, d) => {
         // The reference's S3-key handling: URL-decode (unquote_plus:

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for the 100 TB posture: salted joins and two-phase
+  * distinct — the hand tools for when AQE's skew-join split isn't available
+  * (non-shuffle-join plans, or aggregation skew).
+  *
+  * Results are provably identical to the unsalted forms (each left row gets
+  * exactly one salt; the right side is replicated across ALL salts, so the
+  * match set per row is unchanged) — certified by the q39 oracle entry.
+  */
+object Skew {
+
+  /** Equi-join where `left` has hot keys: left rows get a per-row salt in
+    * [0, buckets); `right` is replicated once per salt; the join key becomes
+    * (key, salt), splitting each hot key's shuffle partition into `buckets`
+    * parallel ones. Right-side replication costs |right| * buckets rows —
+    * use for small-to-medium right sides that are still above the broadcast
+    * threshold.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      buckets: Int = 8): DataFrame = {
+    // xxhash64 of key + a per-row component: deterministic, well-spread
+    val salted = left.withColumn(
+      "__lsalt",
+      pmod(xxhash64(leftKey, monotonically_increasing_id()), lit(buckets.toLong)))
+    val replicated = right.withColumn(
+      "__rsalt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    salted
+      .join(replicated, leftKey === rightKey && col("__lsalt") === col("__rsalt"))
+      .drop("__lsalt", "__rsalt")
+  }
+
+  /** Skew-safe count-distinct: pre-aggregate (key, value) pairs — spreading
+    * a hot key's values across the cluster — then count per key. The same
+    * two-phase shape Spark plans for COUNT(DISTINCT) internally; exposed for
+    * composing with other skew handling.
+    */
+  def distinctCountTwoPhase(df: DataFrame, key: Column, value: Column): DataFrame =
+    df.select(key.as("k"), value.as("v"))
+      .groupBy(col("k"), col("v"))
+      .agg(lit(1))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_distinct"))
+}

@@ -171,6 +171,37 @@ object CanStreams {
       .toDF("key", "start", "end")
   }
 
+  /** `session_window` form of the stationary detector (SURVEY §2.6): filter
+    * to zero-speed samples, group into gap-separated event-time sessions,
+    * keep sessions spanning >= minDur. Built-in session state + watermark
+    * eviction — the declarative alternative to stationaryStream's explicit
+    * state machine (which stays the reference-exact form: a session here
+    * closes on a GAP in zero samples, not on a nonzero sample, so
+    * back-to-back zero readings across a brief nonzero blip can merge if the
+    * blip is shorter than `gap`).
+    *
+    * Input columns: key (string), ts (TimestampType), speed (double).
+    * Output: key, start, end (trimmed epoch seconds), emitted once the
+    * watermark passes the session.
+    */
+  def stationarySessionStream(
+      samples: DataFrame,
+      gap: String = "5 seconds",
+      minDurSec: Double = 13.0,
+      trimSec: Double = 3.0): DataFrame =
+    samples
+      .filter(col("speed") === 0.0)
+      .withWatermark("ts", "10 seconds")
+      .groupBy(col("key"), session_window(col("ts"), gap))
+      .agg(
+        (min(unix_micros(col("ts"))).cast("double") / 1e6).as("first_zero"),
+        (max(unix_micros(col("ts"))).cast("double") / 1e6).as("last_zero"))
+      .filter(col("last_zero") - col("first_zero") >= minDurSec)
+      .select(
+        col("key"),
+        (col("first_zero") + trimSec).as("start"),
+        (col("last_zero") - trimSec).as("end"))
+
   /** Inference stage runner: landing speed/ap series stream -> daily event
     * tables via the idempotent merge sink.
     */

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.core.Tables
+
+/** Salting must not change results, only shuffle layout. */
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir      = "/root/testdata/sf0.001"
+
+  test("saltedJoin == plain join (row multiset)") {
+    val e = Tables.events(spark, sfDir).select(col("event_id"), col("user_id"))
+    val o = Tables.orders(spark, sfDir).select(col("o_custkey"), col("o_orderkey"))
+    val plain = e.join(o, col("user_id") === col("o_custkey"))
+      .select("event_id", "o_orderkey").collect().map(_.toSeq).toSeq.sorted(
+        Ordering.by((s: Seq[Any]) => (s.head.asInstanceOf[Long], s(1).asInstanceOf[Long])))
+    val salted = Skew.saltedJoin(e, o, col("user_id"), col("o_custkey"), buckets = 4)
+      .select("event_id", "o_orderkey").collect().map(_.toSeq).toSeq.sorted(
+        Ordering.by((s: Seq[Any]) => (s.head.asInstanceOf[Long], s(1).asInstanceOf[Long])))
+    assert(salted === plain)
+  }
+
+  test("distinctCountTwoPhase == countDistinct") {
+    val e = Tables.events(spark, sfDir)
+    val direct = e.groupBy(col("user_id")).agg(countDistinct(col("event_type")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twoPhase = Skew.distinctCountTwoPhase(e, col("user_id"), col("event_type"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(twoPhase === direct)
+  }
+
+  test("salted join splits a hot key across buckets in the shuffle") {
+    import spark.implicits._
+    // one pathological key
+    val hot   = (1 to 1000).map(i => (i.toLong, 7L)).toDF("event_id", "user_id")
+    val right = Seq((7L, 100L)).toDF("o_custkey", "o_orderkey")
+    val joined = Skew.saltedJoin(hot, right, col("user_id"), col("o_custkey"), buckets = 4)
+    assert(joined.count() === 1000)
+    // the salted key space actually uses multiple buckets
+    val salts = hot
+      .withColumn("__lsalt", pmod(xxhash64(col("user_id"), monotonically_increasing_id()), lit(4L)))
+      .select("__lsalt").distinct().count()
+    assert(salts > 1)
+  }
+}

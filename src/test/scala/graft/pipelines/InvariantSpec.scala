@@ -1,0 +1,91 @@
+package graft.pipelines
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Property-based domain laws (SURVEY §5.5) over seeded random speed/state
+  * series: interval disjointness/ordering/trim bounds, edge alternation,
+  * and idempotence of re-processing.
+  */
+class InvariantSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Random walk with zero-speed stretches, 1 Hz, n seconds. */
+  private def speedSeries(seed: Long, n: Int): Seq[(Double, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    var moving = true
+    (0 until n).map { t =>
+      if (rnd.nextDouble() < 0.05) moving = !moving
+      (t.toDouble, if (moving) 10.0 + rnd.nextInt(90) else 0.0)
+    }
+  }
+
+  test("stationary intervals: disjoint, ordered, trimmed, inside the data span") {
+    import spark.implicits._
+    (1L to 10L).foreach { seed =>
+      val series = speedSeries(seed, 600)
+      val got = CanPipelines
+        .stationaryIntervals(series.toDF("ts_sec", "speed"))
+        .orderBy("start")
+        .collect()
+        .map(r => (r.getDouble(0), r.getDouble(1)))
+      got.foreach { case (s, e) =>
+        assert(e - s >= 13.0 - 6.0, s"seed $seed: trimmed interval shorter than minDur-2*trim")
+        assert(s >= 0.0 && e <= 599.0, s"seed $seed: interval outside data span")
+      }
+      got.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(e1 < s2, s"seed $seed: overlapping intervals")
+        case _                       =>
+      }
+      // every emitted interval corresponds to an actual all-zero stretch
+      val bySec = series.toMap
+      got.foreach { case (s, e) =>
+        ((s - 3).toInt to (e + 3).toInt).foreach { t =>
+          assert(bySec(t.toDouble) === 0.0, s"seed $seed: nonzero speed inside run at $t")
+        }
+      }
+    }
+  }
+
+  test("transitions: every emitted edge satisfies the exact rule; none are missed") {
+    // NB alternation is NOT an invariant of the reference semantics: passing
+    // through the ignored active variants (4/5) legally produces consecutive
+    // same-type edges (e.g. 3->1 dis, 1->4, 4->3 no-edge, 3->2 dis).
+    import spark.implicits._
+    (1L to 10L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val codes = (0 until 500).map(t => (t.toDouble, rnd.nextInt(6)))
+      val series = codes.map { case (t, c) => (t, graft.decode.CanCodec.ApStates.getOrElse(c, "DISABLED")) }
+      val got = CanPipelines
+        .autopilotTransitions(series.toDF("ts_sec", "state"))
+        .orderBy("ts_sec")
+        .collect()
+        .map(r => (r.getDouble(0), r.getInt(1), r.getString(2)))
+      val codeAt = codes.toMap
+      // soundness: each edge matches the rule against the raw series
+      got.foreach { case (t, c, status) =>
+        val prev = codeAt(t - 1)
+        assert(c === codeAt(t), s"seed $seed: emitted code differs from series at $t")
+        status match {
+          case "engagement"    => assert(prev <= 2 && c == 3, s"seed $seed: bad engagement at $t ($prev->$c)")
+          case "disengagement" => assert(prev == 3 && c <= 2, s"seed $seed: bad disengagement at $t ($prev->$c)")
+        }
+      }
+      // completeness: every rule-matching adjacent pair was emitted
+      val expected = codes.sliding(2).collect {
+        case Seq((_, p), (t, c)) if (p <= 2 && c == 3) || (p == 3 && c <= 2) => t
+      }.toSet
+      assert(got.map(_._1).toSet === expected, s"seed $seed: missed or extra edges")
+    }
+  }
+
+  test("re-processing the same series is deterministic (idempotent pipeline)") {
+    import spark.implicits._
+    val series = speedSeries(42L, 400).toDF("ts_sec", "speed")
+    def run() = CanPipelines.stationaryIntervals(series).orderBy("start")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(run() === run())
+  }
+}

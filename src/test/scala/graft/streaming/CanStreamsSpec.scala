@@ -121,6 +121,25 @@ class CanStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stationarySessionStream: session_window form emits gap-closed sessions >= 13 s") {
+    import spark.implicits._
+    val ms = MemoryStream[(String, Long, Double)](spark)
+    val df = ms.toDS().toDF("key", "sec", "speed")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val q = CanStreams
+      .stationarySessionStream(df)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // 20 s of zeros, then silence; a far-future event advances the watermark
+      ms.addData((100L to 120L).map(t => ("d", t, 0.0)): _*)
+      q.processAllAvailable()
+      ms.addData(("d", 1000L, 0.0)) // watermark -> 990 s, closes the session
+      q.processAllAvailable()
+      val got = spark.table("sess_out").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+      assert(got === Array((103.0, 117.0)))
+    } finally q.stop()
+  }
+
   test("stationaryStream: run split across batches emits once closed; 12 s run never emits") {
     import spark.implicits._
     val ms = MemoryStream[(String, Double, Double)](spark)
