@@ -26,9 +26,14 @@ object Jobs {
 
   def parse(spark: org.apache.spark.sql.SparkSession, rawDir: String, workDir: String): Unit = {
     CanStreams.runParse(spark, rawDir, s"$workDir/landing", s"$workDir/ckpt/parse").awaitTermination()
-    // JSON-compat hourly documents, derived from the landing table in batch
-    val pivoted = spark.read.parquet(s"$workDir/landing")
-    LandingIO.writeLandingDocs(CanPipelines.channelize(pivoted), s"$workDir/landing_json")
+    // JSON-compat hourly documents, derived from the landing table in batch.
+    // An invocation before any raw file has landed leaves no landing dir —
+    // a no-op, not an error (each invocation drains whatever is there).
+    val landingPath = new java.io.File(s"$workDir/landing")
+    if (landingPath.exists()) {
+      val pivoted = spark.read.parquet(s"$workDir/landing")
+      LandingIO.writeLandingDocs(CanPipelines.channelize(pivoted), s"$workDir/landing_json")
+    }
   }
 
   def infer(spark: org.apache.spark.sql.SparkSession, workDir: String): Unit = {
@@ -44,14 +49,20 @@ object Jobs {
     }
   }
 
+  private val Usage = "usage: Jobs parse <rawDir> <workDir> | Jobs infer <workDir> | Jobs all <rawDir> <workDir>"
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Jobs (parse|infer|all) <rawDir> <workDir>  (infer: <workDir> only)")
+    val ok = args.headOption match {
+      case Some("parse") | Some("all") => args.length == 3
+      case Some("infer")               => args.length == 2
+      case _                           => false
+    }
+    require(ok, Usage)
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "*"))
     args(0) match {
       case "parse" => parse(spark, args(1), args(2))
       case "infer" => infer(spark, args(1))
       case "all"   => parse(spark, args(1), args(2)); infer(spark, args(2))
-      case other   => sys.error(s"unknown stage: $other")
     }
     spark.stop()
   }

@@ -700,7 +700,13 @@ object Contract {
         val sim = Dedup
           .simHash16(Tables.documents(s, d), "doc_id", "text")
           .withColumnRenamed("id", "doc_id")
-        sig.join(sim, Seq("doc_id"))
+        // left joins from the full doc set: a doc with < 3 tokens has no
+        // shingles (NULL minhash slots) but must still appear, as in the
+        // oracle's CTE chain
+        Tables.documents(s, d)
+          .select(col("doc_id"))
+          .join(sig, Seq("doc_id"), "left")
+          .join(sim, Seq("doc_id"), "left")
       },
       Some(OracleSql.q30)
     ),

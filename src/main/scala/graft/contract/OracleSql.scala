@@ -86,10 +86,10 @@ object OracleSql {
        |  FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND ($bandCond)),
        |v AS (
        |  SELECT c.id_a, c.id_b,
-       |    len(list_intersect(sa.ss, sb.ss)) AS inter, len(sa.ss) AS na, len(sb.ss) AS nb
+       |    len(list_intersect(ha.hh, hb.hh)) AS inter, len(ha.hh) AS na, len(hb.hh) AS nb
        |  FROM cand c
-       |  JOIN sh sa ON sa.doc_id = c.id_a
-       |  JOIN sh sb ON sb.doc_id = c.id_b)
+       |  JOIN hs ha ON ha.doc_id = c.id_a
+       |  JOIN hs hb ON hb.doc_id = c.id_b)
        |SELECT id_a, id_b, inter::DOUBLE / (na + nb - inter) AS jaccard
        |FROM v WHERE inter::DOUBLE / (na + nb - inter) >= 0.8""".stripMargin
   }

@@ -53,13 +53,18 @@ object AsOfJoin {
       lit(null).cast("long").as("__tb"),
       lStruct.as("__lrow"),
       lit(null).cast(rType).as("__rrow"))
-    val r2 = right.select(
-      rightKey.as("__k"),
-      rightTime.cast("long").as("__t"),
-      lit(0).as("__side"),
-      tieBreak.cast("long").as("__tb"),
-      lit(null).cast(lType).as("__lrow"),
-      rStruct.as("__rrow"))
+    // Equi-join NULL semantics: a NULL right key or NULL right time can
+    // never match (the window groups NULL keys together and a NULL time
+    // sorts first — both would fabricate matches the join form rejects).
+    val r2 = right
+      .filter(rightKey.isNotNull && rightTime.isNotNull)
+      .select(
+        rightKey.as("__k"),
+        rightTime.cast("long").as("__t"),
+        lit(0).as("__side"),
+        tieBreak.cast("long").as("__tb"),
+        lit(null).cast(lType).as("__lrow"),
+        rStruct.as("__rrow"))
 
     // Right rows sort before left rows at equal time (inclusive <=); among
     // right rows the largest tieBreak is carried last, so it wins.

@@ -157,9 +157,19 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(k % rowsPerBand == 0, "k must divide into bands")
     val nBands = k / rowsPerBand
-    val sigs = spread(docs)
-      .select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
-      .join(minHashSigTable(docs, idCol, textCol, k, n), Seq("id"))
+    // ONE pass: shingle+hash each doc once (explode), then one aggregation
+    // yields the k minima AND the doc's hash set (for the exact verify) —
+    // no second shingling scan, no stitch-join. Jaccard runs on hash sets;
+    // at P≈1e9 a colliding shingle pair per doc-pair is ~1e-9 noise.
+    val exploded = spread(docs)
+      .select(col(idCol).as("id"), explode(shingleHashes(col(textCol), n)).as("h"))
+    val mins = (0 until k).map { j =>
+      val (a, b) = perm(j)
+      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$j")
+    }
+    val sigs = exploded
+      .groupBy(col("id"))
+      .agg(collect_list(col("h")).as("sh"), mins: _*)
     // band bucket key: the band's minhash slots joined into one string
     val bands = sigs.select(
       col("id"),

@@ -45,6 +45,7 @@ object Skew {
     */
   def distinctCountTwoPhase(df: DataFrame, key: Column, value: Column): DataFrame =
     df.select(key.as("k"), value.as("v"))
+      .filter(col("v").isNotNull) // COUNT(DISTINCT) ignores NULL
       .groupBy(col("k"), col("v"))
       .agg(lit(1))
       .groupBy(col("k"))

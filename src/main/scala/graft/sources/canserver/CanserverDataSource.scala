@@ -69,19 +69,22 @@ class CanserverScanBuilder(path: String)
   private var frameIds: Option[Set[Int]] = None
   private var pushed: Array[Filter]      = Array.empty
 
-  /** Accept frame_id = k and frame_id IN (...); everything else stays above. */
+  /** Accept frame_id = k and frame_id IN (...); everything else stays above.
+    * Filters arriving here are CONJUNCTIVE, so accepted sets INTERSECT
+    * (frame_id = 273 AND frame_id IN (599, 921) must scan nothing).
+    */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
       case EqualTo("frame_id", _: Integer) => true
       case In("frame_id", vs)              => vs.forall(_.isInstanceOf[Integer])
       case _                               => false
     }
-    val ids = accepted.flatMap {
-      case EqualTo(_, v: Integer) => Seq(v.intValue)
-      case In(_, vs)              => vs.map(_.asInstanceOf[Integer].intValue).toSeq
-      case _                      => Seq.empty
-    }.toSet
-    if (accepted.nonEmpty) frameIds = Some(ids)
+    val sets = accepted.map {
+      case EqualTo(_, v: Integer) => Set(v.intValue)
+      case In(_, vs)              => vs.map(_.asInstanceOf[Integer].intValue).toSet
+      case f                      => sys.error(s"unreachable: $f")
+    }
+    if (sets.nonEmpty) frameIds = Some(sets.reduce(_ intersect _))
     pushed = accepted
     rejected
   }
@@ -96,8 +99,17 @@ class CanserverScan(path: String, frameIds: Option[Set[Int]]) extends Scan with 
   override def description(): String =
     s"canserver($path, pushedFrameIds=${frameIds.map(_.mkString(",")).getOrElse("*")})"
 
+  // Session Hadoop conf (spark.hadoop.* — s3a credentials etc.) serialized
+  // as entries for the executor-side readers; `new Configuration()` would
+  // only see classpath XML.
+  private val hadoopConfEntries: Array[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    org.apache.spark.sql.SparkSession.active.sessionState
+      .newHadoopConf().iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val fs    = FileSystem.get(new URI(path), new Configuration())
+    val fs    = FileSystem.get(new URI(path), CanserverReaderFactory.toConf(hadoopConfEntries))
     val files = ArrayBuffer.empty[CanserverFilePartition]
     val it    = fs.listFiles(new Path(path), true)
     while (it.hasNext) {
@@ -109,21 +121,34 @@ class CanserverScan(path: String, frameIds: Option[Set[Int]]) extends Scan with 
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CanserverReaderFactory(frameIds)
+    new CanserverReaderFactory(frameIds, hadoopConfEntries)
 }
 
 case class CanserverFilePartition(file: String) extends InputPartition
 
-class CanserverReaderFactory(frameIds: Option[Set[Int]]) extends PartitionReaderFactory {
+object CanserverReaderFactory {
+  def toConf(entries: Array[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+}
+
+class CanserverReaderFactory(
+    frameIds: Option[Set[Int]],
+    hadoopConfEntries: Array[(String, String)])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[CanserverFilePartition].file
     new PartitionReader[InternalRow] {
-      private val fs    = FileSystem.get(new URI(file), new Configuration())
+      private val fs    = FileSystem.get(new URI(file), CanserverReaderFactory.toConf(hadoopConfEntries))
       private val in    = fs.open(new Path(file))
       private val bytes =
         try {
-          val len = fs.getFileStatus(new Path(file)).getLen.toInt
-          val buf = new Array[Byte](len)
+          val len = fs.getFileStatus(new Path(file)).getLen
+          // whole-file tokenization; a chunked reader is the >2 GiB path
+          require(len < Int.MaxValue, s"canserver file too large for whole-file read ($len bytes): $file")
+          val buf = new Array[Byte](len.toInt)
           in.readFully(0, buf)
           buf
         } finally in.close()

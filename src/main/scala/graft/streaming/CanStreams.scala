@@ -190,8 +190,11 @@ object CanStreams {
       minDurSec: Double = 13.0,
       trimSec: Double = 3.0): DataFrame =
     samples
-      .filter(col("speed") === 0.0)
+      // watermark BEFORE the zero filter: nonzero samples must keep
+      // advancing event time, else a finished session is withheld for as
+      // long as the vehicle keeps moving
       .withWatermark("ts", "10 seconds")
+      .filter(col("speed") === 0.0)
       .groupBy(col("key"), session_window(col("ts"), gap))
       .agg(
         (min(unix_micros(col("ts"))).cast("double") / 1e6).as("first_zero"),

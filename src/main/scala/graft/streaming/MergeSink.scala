@@ -28,7 +28,6 @@ object MergeSink {
       keyCols: Seq[String],
       partitionCols: Seq[String]): Unit = {
     if (batch.isEmpty) return
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     val existing: Option[DataFrame] =
       try Some(spark.read.parquet(targetDir)) catch { case _: AnalysisException => None }
@@ -54,6 +53,9 @@ object MergeSink {
 
     merged.write
       .mode("overwrite")
+      // per-write option, NOT a session-wide conf mutation: an unrelated
+      // overwrite elsewhere in the session must keep static semantics
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(targetDir)
   }

@@ -63,6 +63,20 @@ class CanserverDataSourceSpec extends AnyFunSuite {
     assert(df.collect().map(_.getAs[Int]("frame_id")).sorted.toSeq === Seq(599, 921))
   }
 
+  test("conjunctive frame_id filters INTERSECT (not union)") {
+    val dir = writeLogs()
+    val df = spark.read
+      .format("canserver")
+      .load(dir)
+      .filter(col("frame_id") === 273 && col("frame_id").isin(599, 921))
+    assert(df.count() === 0) // contradiction scans nothing
+    val df2 = spark.read
+      .format("canserver")
+      .load(dir)
+      .filter(col("frame_id").isin(273, 599) && col("frame_id").isin(599, 921))
+    assert(df2.collect().map(_.getAs[Int]("frame_id")).toSeq === Seq(599))
+  }
+
   test("each file is its own partition") {
     val dir = writeLogs()
     val df  = spark.read.format("canserver").load(dir)
