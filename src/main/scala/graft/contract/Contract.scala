@@ -197,6 +197,22 @@ object Contract {
              |  GROUPING(o_orderpriority)::INTEGER AS g_pri
              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)
     ),
+    Q(
+      "q09_grouping_sets",
+      // Explicit GROUPING SETS (beyond rollup/cube): only via SQL text —
+      // exercised through spark.sql over a temp view.
+      (s, d) => {
+        ord(s, d).createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+                |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+                |FROM orders_gs
+                |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+             |  SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin)
+    ),
     // --------------------------------------------------------------- windows
     Q(
       "q10_topk_per_group",
@@ -248,6 +264,51 @@ object Contract {
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
              |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin)
+    ),
+    Q(
+      "q12_range_frame",
+      (s, d) => {
+        // RANGE frame over an integer order key: all events of the same user
+        // within value-distance 100 of the current event_id
+        val w = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("event_id"))
+          .rangeBetween(-100L, Window.currentRow)
+        ev(s, d)
+          .withColumn("rng_cnt", count(lit(1)).over(w))
+          .withColumn("rng_sum", sum(col("value").cast(Dec)).over(w).cast("double"))
+          .select(col("event_id"), col("user_id"), col("rng_cnt"), col("rng_sum"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  COUNT(*) OVER w AS rng_cnt,
+             |  (SUM(CAST(value AS DECIMAL(18,2))) OVER w)::DOUBLE AS rng_sum
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             |             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""".stripMargin)
+    ),
+    Q(
+      "q10_ranking_family",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        ord(s, d)
+          .select(
+            col("o_orderkey"),
+            col("o_orderpriority"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"),
+            lead(col("o_orderkey"), 1).over(w).as("next_key"),
+            floor(percent_rank().over(w) * 1000000).as("pct_rank_ppm"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  rank() OVER w AS rnk,
+             |  dense_rank() OVER w AS drnk,
+             |  ntile(4) OVER w AS quartile,
+             |  lead(o_orderkey, 1) OVER w AS next_key,
+             |  floor(percent_rank() OVER w * 1000000)::BIGINT AS pct_rank_ppm
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin)
     ),
     Q(
       "q13_sort_limit",

@@ -205,6 +205,19 @@ object CanStreams {
         (col("first_zero") + trimSec).as("start"),
         (col("last_zero") - trimSec).as("end"))
 
+  /** Streaming exact dedup — the stream-side twin of Dedup.exactDedupRows:
+    * keeps the first arrival per key, with state bounded by the event-time
+    * watermark (duplicates later than `lateness` can reappear; that is the
+    * documented contract of watermarked dedup, not a bug).
+    *
+    * @param df       stream with an event-time column `ts`
+    * @param keyCols  identity columns (e.g. a content digest)
+    * @param lateness watermark delay bounding the dedup state
+    */
+  def streamingDedup(df: DataFrame, keyCols: Seq[String], lateness: String): DataFrame =
+    df.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Inference stage runner: landing speed/ap series stream -> daily event
     * tables via the idempotent merge sink.
     */

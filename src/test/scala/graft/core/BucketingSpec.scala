@@ -1,0 +1,54 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Bucketed co-located join (SURVEY §0 scale posture): pre-bucketing both
+  * sides on the join key lets the join run with NO exchange on either side —
+  * the layout a 100 TB fact-fact join needs, demonstrated at test scale.
+  */
+class BucketingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir      = "/root/testdata/sf0.001"
+
+  /** DROP TABLE clears the (in-memory) catalog but not a location left by a
+    * previous JVM — remove both.
+    */
+  private def dropHard(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh  = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = new java.io.File(wh, name)
+    if (dir.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(dir).deleteRecursively()
+    }
+  }
+
+  test("join of two tables bucketed on the key plans without any Exchange") {
+    dropHard("ev_bucketed")
+    dropHard("ord_bucketed")
+    Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "value")
+      .write.bucketBy(8, "user_id").sortBy("user_id")
+      .mode("overwrite").saveAsTable("ev_bucketed")
+    Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("ord_bucketed")
+
+    // disable broadcast so the co-located sort-merge path is what's planned
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("ev_bucketed")
+        .join(spark.table("ord_bucketed"), col("user_id") === col("o_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

@@ -121,6 +121,23 @@ class CanStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingDedup drops same-key duplicates across micro-batches") {
+    import spark.implicits._
+    val ms = MemoryStream[(String, Long)](spark)
+    val df = ms.toDS().toDF("digest", "sec").withColumn("ts", timestamp_seconds(col("sec")))
+    val q = CanStreams
+      .streamingDedup(df, Seq("digest"), "10 seconds")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      ms.addData(("a", 100L), ("b", 101L), ("a", 102L)) // in-batch dup
+      q.processAllAvailable()
+      ms.addData(("a", 103L), ("c", 104L))              // cross-batch dup
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("digest").collect().map(_.getString(0)).sorted
+      assert(got.toSeq === Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
   test("stationarySessionStream: session_window form emits gap-closed sessions >= 13 s") {
     import spark.implicits._
     val ms = MemoryStream[(String, Long, Double)](spark)
