@@ -94,18 +94,19 @@ object OracleSql {
        |FROM v WHERE inter::DOUBLE / (na + nb - inter) >= 0.8""".stripMargin
   }
 
-  /** Exact all-pairs Jaccard >= 0.8 (the brute-force twin of the inverted-
-    * index mining — any qualifying pair shares a shingle, so results match).
+  /** Exact all-pairs Jaccard >= 0.8 over shingle HASH sets (the brute-force
+    * twin of the inverted-index mining — any qualifying pair shares a
+    * shingle hash, so results match).
     */
   val q32: String =
     s"""WITH ${shingleCtes()}
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  len(list_intersect(a.ss, b.ss))::DOUBLE
-       |    / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) AS jaccard
-       |FROM sh a, sh b
+       |  len(list_intersect(a.hh, b.hh))::DOUBLE
+       |    / (len(a.hh) + len(b.hh) - len(list_intersect(a.hh, b.hh))) AS jaccard
+       |FROM hs a, hs b
        |WHERE a.doc_id < b.doc_id
-       |  AND len(list_intersect(a.ss, b.ss))::DOUBLE
-       |    / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) >= 0.8""".stripMargin
+       |  AND len(list_intersect(a.hh, b.hh))::DOUBLE
+       |    / (len(a.hh) + len(b.hh) - len(list_intersect(a.hh, b.hh))) >= 0.8""".stripMargin
 
   val q33: String =
     """WITH n AS (

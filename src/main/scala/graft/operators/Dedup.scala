@@ -79,8 +79,11 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.8): DataFrame = {
+    // inverted index on shingle HASHES: an 8-byte join key shuffles a
+    // fraction of the ~n-word shingle strings (collision noise ~1e-9 at
+    // P≈1e9 per doc pair)
     val sets = spread(docs)
-      .select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
       .withColumn("nsh", size(col("sh")))
     val inv = sets.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
     val pairs = inv
