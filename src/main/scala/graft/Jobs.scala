@@ -24,17 +24,15 @@ import graft.streaming.CanStreams
   */
 object Jobs {
 
-  def parse(spark: org.apache.spark.sql.SparkSession, rawDir: String, workDir: String): Unit = {
-    CanStreams.runParse(spark, rawDir, s"$workDir/landing", s"$workDir/ckpt/parse").awaitTermination()
-    // JSON-compat hourly documents, derived from the landing table in batch.
-    // An invocation before any raw file has landed leaves no landing dir —
-    // a no-op, not an error (each invocation drains whatever is there).
-    val landingPath = new java.io.File(s"$workDir/landing")
-    if (landingPath.exists()) {
-      val pivoted = spark.read.parquet(s"$workDir/landing")
-      LandingIO.writeLandingDocs(CanPipelines.channelize(pivoted), s"$workDir/landing_json")
-    }
-  }
+  def parse(spark: org.apache.spark.sql.SparkSession, rawDir: String, workDir: String): Unit =
+    CanStreams
+      .runParse(
+        spark,
+        rawDir,
+        s"$workDir/landing",
+        s"$workDir/ckpt/parse",
+        landingJsonDir = Some(s"$workDir/landing_json"))
+      .awaitTermination()
 
   def infer(spark: org.apache.spark.sql.SparkSession, workDir: String): Unit = {
     val landing = LandingIO.readLanding(spark, s"$workDir/landing_json")

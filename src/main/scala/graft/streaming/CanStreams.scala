@@ -74,25 +74,44 @@ object CanStreams {
 
   /** Parse stage as a runnable job: raw logs -> pivoted landing table
     * (parquet, partitioned by date/hour, merged idempotently on epoch).
-    * The channelized hourly JSON view is derived from this table in batch
-    * (CanPipelines.channelize) — same split the reference has between the
-    * landing rows and the serialized document.
+    *
+    * With `landingJsonDir` set, the hourly channelized JSON documents are
+    * maintained INCREMENTALLY: after each upsert, only the (date, hour)
+    * partitions touched by the batch are read back (partition-pruned scan)
+    * and re-channelized — a full-history rescan per invocation would grow
+    * with table age, not batch size.
     */
   def runParse(
       spark: SparkSession,
       rawDir: String,
       landingDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      landingJsonDir: Option[String] = None): StreamingQuery =
     pivotStream(decodedStream(spark, rawDir))
       .withColumn("date", to_date(col("ts")))
       .withColumn("hour", hour(col("ts")))
       .writeStream
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        MergeSink.upsert(
-          batch.sparkSession, batch, landingDir,
-          keyCols = Seq("epoch_sec"),
-          partitionCols = Seq("date", "hour"))
+        val ss = batch.sparkSession
+        val cached = batch.cache()
+        try {
+          MergeSink.upsert(
+            ss, cached, landingDir,
+            keyCols = Seq("epoch_sec"),
+            partitionCols = Seq("date", "hour"))
+          landingJsonDir.foreach { jsonDir =>
+            val dirty = cached.select(col("date"), col("hour")).distinct().collect()
+            if (dirty.nonEmpty) {
+              val pred = dirty
+                .map(r => col("date") === lit(r.getDate(0)) && col("hour") === lit(r.getInt(1)))
+                .reduce(_ || _)
+              val touched = ss.read.parquet(landingDir).filter(pred) // pruned
+              graft.sources.LandingIO.writeLandingDocs(
+                graft.pipelines.CanPipelines.channelize(touched), jsonDir)
+            }
+          }
+        } finally cached.unpersist()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

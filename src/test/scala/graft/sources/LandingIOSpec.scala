@@ -57,6 +57,16 @@ class LandingIOSpec extends AnyFunSuite {
     assert(st.contains("1.700000003E9")) // start = t0 + 3 s trim
     assert(st.contains("1.700000017E9")) // end   = t0 + 20 - 3 s trim
 
+    // incremental invocation: a later file in a NEW hour must add its doc
+    // and leave the old hour's doc intact (only dirty hours re-channelized)
+    val t1 = 1700003600L * 1000000L // 23:13:20 -> doc canserver_2023-11-15_00-00-00
+    Files.write(Paths.get(raw, "trip2.log"), file(timesync(t1), frame(0, 599, 0, speedPayload(25.0))))
+    Jobs.parse(spark, raw, work)
+    val after2 = new java.io.File(s"$work/landing_json").list().filter(_.endsWith(".json")).sorted
+    assert(after2.toSeq === Seq("canserver_2023-11-14_23-00-00.json", "canserver_2023-11-15_00-00-00.json"))
+    val oldDoc = LandingIO.readLanding(spark, s"$work/landing_json")
+    assert(oldDoc.count() === 2)
+
     // autopilot day document: both transitions kept
     val apDir = s"$work/events/Autopilot"
     assert(new java.io.File(apDir).list().toSeq === Seq("canserver-events_2023-11-14.json"))
