@@ -1,0 +1,27 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.PolyHashExpr
+
+/** SparkSessionExtensions hook: registers the engine's native expressions
+  * with the SQL function registry, so `spark.sql("... poly_hash(col) ...")`
+  * resolves to the codegen'd Catalyst expression — the (c) integration path
+  * of SURVEY §4.3 for operators Spark lacks.
+  *
+  * Activate with `.withExtensions(new GraftExtensions)` (GraftSession does)
+  * or `spark.sql.extensions=graft.core.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHashExpr].getName, "poly_hash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "poly_hash takes exactly one argument")
+        PolyHashExpr(children.head)
+      }))
+  }
+}

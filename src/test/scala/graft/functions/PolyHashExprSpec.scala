@@ -36,6 +36,12 @@ class PolyHashExprSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("registered as a SQL function via SparkSessionExtensions") {
+    val got = spark.sql("SELECT poly_hash('ab') AS h").head().getLong(0)
+    val expect = "ab".foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % TextAnalysis.P)
+    assert(got === expect)
+  }
+
   test("null propagates") {
     import spark.implicits._
     val r = Seq[(java.lang.Long, String)]((1L, null))
