@@ -20,6 +20,7 @@ object CanDecode {
     import spark.implicits._
     spark.read
       .format("binaryFile")
+      .option("recursiveFileLookup", "true") // logs live under per-org dirs
       .load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
@@ -52,6 +53,10 @@ object CanDecode {
       .filter(col("frame_id").isin(CanCodec.DecodedFrameIds.toSeq: _*))
       .select(
         col("path"),
+        // device = parent directory of the log (the reference's org dir:
+        // one S3 prefix per vehicle). Keeps multi-tenant scans from merging
+        // different devices' epochs downstream.
+        regexp_extract(col("path"), "([^/]+)/[^/]+$", 1).as("device"),
         col("frame_id"),
         col("bus_id"),
         timestamp_micros(col("frame_time_micros")).as("ts"),

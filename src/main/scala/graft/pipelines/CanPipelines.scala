@@ -34,7 +34,7 @@ object CanPipelines {
       "yaw_rate", "pitch_rate", "roll_rate",
       "lat", "long", "speed", "ap_status")
     decoded
-      .groupBy(col("epoch_sec"))
+      .groupBy(col("device"), col("epoch_sec"))
       .agg(
         min(col("ts")).as("ts"),
         signals.map(s => first(col(s), ignoreNulls = true).as(s)): _*)
@@ -64,7 +64,7 @@ object CanPipelines {
     */
   def channelize(pivoted: DataFrame): DataFrame =
     pivoted
-      .groupBy(window(col("ts"), "1 hour"))
+      .groupBy(col("device"), window(col("ts"), "1 hour"))
       .agg(
         chan(col("epoch_sec"), array(col("long_acc"), col("lat_acc"), col("vert_acc")), col("long_acc")).as("accel"),
         chan(col("epoch_sec"), array(col("yaw_rate"), col("pitch_rate"), col("roll_rate")), col("yaw_rate")).as("gyro"),
@@ -72,6 +72,7 @@ object CanPipelines {
         chan(col("epoch_sec"), col("speed"), col("speed")).as("speed"),
         chan(col("epoch_sec"), col("ap_status"), col("ap_status")).as("ap_status"))
       .select(
+        col("device"),
         col("window.start").as("hour_start"),
         col("window.end").as("hour_end"),
         concat(lit("canserver_"), date_format(col("window.end"), "yyyy-MM-dd_HH"), lit("-00-00"))

@@ -60,19 +60,31 @@ object LandingIO {
       }
   }
 
-  /** Hourly landing documents from CanPipelines.channelize output. */
+  /** Hourly landing documents from CanPipelines.channelize output, laid out
+    * under a per-device subdirectory (the reference writes each document
+    * under its org's land_dir — one S3 prefix per vehicle).
+    */
   def writeLandingDocs(landing: DataFrame, outDir: String): Unit =
     writeDocs(
-      landing.withColumn(
-        "doc",
-        to_json(struct(col("accel"), col("gyro"), col("location"), col("speed"), col("ap_status")))),
-      "filename",
+      landing
+        .withColumn(
+          "doc",
+          to_json(struct(col("accel"), col("gyro"), col("location"), col("speed"), col("ap_status"))))
+        .withColumn(
+          "__name",
+          when(col("device").isNull || col("device") === "", col("filename"))
+            .otherwise(concat_ws("/", col("device"), col("filename")))),
+      "__name",
       "doc",
       outDir)
 
-  /** Schema'd read of a directory of landing documents. */
+  /** Schema'd recursive read of a landing-document tree. */
   def readLanding(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(landingSchema).json(s"$dir/*.json")
+    spark.read
+      .schema(landingSchema)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.json")
+      .json(dir)
 
   /** Day documents for stationary intervals: (start, end) epoch-sec rows ->
     * {"IMU-telematics": {"stationary-state": [{start,end}...]}} per day.

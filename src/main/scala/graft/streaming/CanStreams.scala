@@ -41,6 +41,7 @@ object CanStreams {
     spark.readStream
       .format("binaryFile")
       .schema(BinaryFileSchema)
+      .option("recursiveFileLookup", "true")
       .load(rawDir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
@@ -62,7 +63,7 @@ object CanStreams {
       "lat", "long", "speed", "ap_status")
     decoded
       .withWatermark("ts", "1.2 seconds")
-      .groupBy(col("ts"), col("epoch_sec"))
+      .groupBy(col("device"), col("ts"), col("epoch_sec"))
       .agg(
         first(col(signals.head), ignoreNulls = true).as(signals.head),
         signals.tail.map(s => first(col(s), ignoreNulls = true).as(s)): _*)
@@ -98,7 +99,7 @@ object CanStreams {
         try {
           MergeSink.upsert(
             ss, cached, landingDir,
-            keyCols = Seq("epoch_sec"),
+            keyCols = Seq("device", "epoch_sec"),
             partitionCols = Seq("date", "hour"))
           landingJsonDir.foreach { jsonDir =>
             val dirty = cached.select(col("date"), col("hour")).distinct().collect()

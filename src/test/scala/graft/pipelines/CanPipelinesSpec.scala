@@ -93,6 +93,26 @@ class CanPipelinesSpec extends AnyFunSuite {
     assert(m("disengagement").map(_.getDouble(0)) === Seq(200.0))
   }
 
+  test("two devices sharing an epoch do NOT merge (multi-tenant pivot)") {
+    val t0 = 1700000000L * 1000000L
+    val dir = Files.createTempDirectory("multidev")
+    Files.createDirectory(dir.resolve("car-a"))
+    Files.createDirectory(dir.resolve("car-b"))
+    // same epoch, different devices, different speeds
+    Files.write(dir.resolve("car-a/x.log"), file(timesync(t0), frame(0, 599, 0, speedPayload(0.0))))
+    Files.write(dir.resolve("car-b/y.log"), file(timesync(t0), frame(0, 599, 0, speedPayload(80.0))))
+    val pivoted = CanPipelines.pivot(graft.decode.CanDecode.decodeFiles(spark, dir.toString))
+    val rows = pivoted
+      .select("device", "epoch_sec", "speed")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(rows === Array(("car-a", 0.0), ("car-b", 80.0))) // 2 rows, not 1 merged
+    // and the hourly documents land under distinct device prefixes
+    val landing = CanPipelines.channelize(pivoted)
+    assert(landing.select("device").distinct().count() === 2)
+  }
+
   test("end-to-end: binary log -> landing documents -> both inferences") {
     val t0 = 1700000000L * 1000000L // 2023-11-14 22:13:20 UTC, µs
     val t1 = 1700003000L * 1000000L // 23:03:20 UTC (next hour bucket)

@@ -39,9 +39,18 @@ class LandingIOSpec extends AnyFunSuite {
     Jobs.parse(spark, raw, work)
     Jobs.infer(spark, work)
 
-    // landing JSON: exact end-hour filename, schema'd read round-trips
-    val landingFiles = new java.io.File(s"$work/landing_json").list().filter(_.endsWith(".json")).sorted
-    assert(landingFiles.toSeq === Seq("canserver_2023-11-14_23-00-00.json"))
+    // landing JSON: exact end-hour filename under the device (= parent dir
+    // of the log, the reference's org prefix), schema'd read round-trips
+    def jsonNames(dir: String): Seq[String] = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      java.nio.file.Files.walk(Paths.get(dir)).forEach { p =>
+        if (p.toString.endsWith(".json")) b += p.getFileName.toString
+      }
+      b.toSeq.sorted
+    }
+    assert(jsonNames(s"$work/landing_json") === Seq("canserver_2023-11-14_23-00-00.json"))
+    val deviceDir = new java.io.File(s"$work/landing_json").list().toSeq
+    assert(deviceDir === Seq(new java.io.File(raw).getName)) // per-device subdir
     val landing = LandingIO.readLanding(spark, s"$work/landing_json")
     assert(landing.count() === 1)
     val speeds = landing.select(explode(col("speed")).as("s")).select("s.value")
@@ -62,8 +71,8 @@ class LandingIOSpec extends AnyFunSuite {
     val t1 = 1700003600L * 1000000L // 23:13:20 -> doc canserver_2023-11-15_00-00-00
     Files.write(Paths.get(raw, "trip2.log"), file(timesync(t1), frame(0, 599, 0, speedPayload(25.0))))
     Jobs.parse(spark, raw, work)
-    val after2 = new java.io.File(s"$work/landing_json").list().filter(_.endsWith(".json")).sorted
-    assert(after2.toSeq === Seq("canserver_2023-11-14_23-00-00.json", "canserver_2023-11-15_00-00-00.json"))
+    assert(jsonNames(s"$work/landing_json") ===
+      Seq("canserver_2023-11-14_23-00-00.json", "canserver_2023-11-15_00-00-00.json"))
     val oldDoc = LandingIO.readLanding(spark, s"$work/landing_json")
     assert(oldDoc.count() === 2)
 
