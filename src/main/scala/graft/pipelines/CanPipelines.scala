@@ -88,19 +88,23 @@ object CanPipelines {
 
   // ----------------------------------------------------- landing projections
 
+  /** Carry the device through the channel explode when the doc has one. */
+  private def devCols(landing: DataFrame): Seq[Column] =
+    if (landing.columns.contains("device")) Seq(col("device")) else Seq.empty
+
   /** speed channel of a landing document -> flat (ts_sec, speed) series
     * (what infer_stationary_states.py:70-71 projects).
     */
   def speedSeries(landing: DataFrame): DataFrame =
     landing
-      .select(explode(col("speed")).as("s"))
-      .select(col("s.timestamp").as("ts_sec"), col("s.value").as("speed"))
+      .select(devCols(landing) :+ explode(col("speed")).as("s"): _*)
+      .select(devCols(landing) ++ Seq(col("s.timestamp").as("ts_sec"), col("s.value").as("speed")): _*)
 
   /** ap_status channel -> flat (ts_sec, state) series (infer_autopilot_states.py:71). */
   def apSeries(landing: DataFrame): DataFrame =
     landing
-      .select(explode(col("ap_status")).as("s"))
-      .select(col("s.timestamp").as("ts_sec"), col("s.value").as("state"))
+      .select(devCols(landing) :+ explode(col("ap_status")).as("s"): _*)
+      .select(devCols(landing) ++ Seq(col("s.timestamp").as("ts_sec"), col("s.value").as("state")): _*)
 
   // ------------------------------------------------------------- stationary
 
@@ -123,7 +127,10 @@ object CanPipelines {
       partCols: Seq[String] = Nil,
       minDurSec: Double = 13.0,
       trimSec: Double = 3.0): DataFrame = {
-    val parts = if (partCols.isEmpty) Seq(lit(1)) else partCols.map(col)
+    // default to per-device runs when the series carries a device column
+    val keys =
+      if (partCols.isEmpty && series.columns.contains("device")) Seq("device") else partCols
+    val parts = if (keys.isEmpty) Seq(lit(1)) else keys.map(col)
     Sessionize
       .runs(series, parts, col("ts_sec"), col("speed") === 0.0)
       .filter(col("__flag"))
@@ -131,7 +138,7 @@ object CanPipelines {
       .agg(min(col("ts_sec")).as("run_start"), max(col("ts_sec")).as("run_end"))
       .filter(col("run_end") - col("run_start") >= minDurSec)
       .select(
-        partCols.map(col) ++ Seq(
+        keys.map(col) ++ Seq(
           (col("run_start") + trimSec).as("start"),
           (col("run_end") - trimSec).as("end")): _*)
   }
@@ -146,27 +153,36 @@ object CanPipelines {
     *
     * Output: ts_sec, canbus_state (code of the CURRENT row), status.
     */
-  def autopilotTransitions(series: DataFrame, partCols: Seq[Column] = Seq(lit(1))): DataFrame =
+  def autopilotTransitions(series: DataFrame, partCols: Seq[Column] = Seq(lit(1))): DataFrame = {
+    // default to per-device sequences when the series carries a device
+    val parts =
+      if (partCols == Seq(lit(1)) && series.columns.contains("device")) Seq(col("device"))
+      else partCols
+    val out = devCols(series)
     Transitions
       .detect(
         series.withColumn("__code", CanExpressions.apCodeOfName(col("state"))),
-        partCols,
+        parts,
         col("ts_sec"),
         col("__code"))
       .select(
-        col("ts_sec"),
-        col("code").as("canbus_state"),
-        col("transition").as("status"))
+        out ++ Seq(
+          col("ts_sec"),
+          col("code").as("canbus_state"),
+          col("transition").as("status")): _*)
+  }
 
   /** Day-partitioned event document rows: all transitions of a day grouped as
     * {engagement: [...], disengagement: [...]} (flat, loss-free — fixes
     * §2.7-6/8).
     */
-  def autopilotDaily(transitions: DataFrame): DataFrame =
+  def autopilotDaily(transitions: DataFrame): DataFrame = {
+    val dev = devCols(transitions)
     transitions
       .withColumn("date", to_date(timestamp_seconds(col("ts_sec"))))
-      .groupBy(col("date"), col("status"))
+      .groupBy(dev ++ Seq(col("date"), col("status")): _*)
       .agg(sort_array(collect_list(struct(col("ts_sec").as("timestamp"), col("canbus_state")))).as("events"))
-      .groupBy(col("date"))
+      .groupBy(dev :+ col("date"): _*)
       .agg(map_from_entries(sort_array(collect_list(struct(col("status"), col("events"))))).as("auditory"))
+  }
 }

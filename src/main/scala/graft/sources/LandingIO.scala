@@ -3,7 +3,7 @@ package graft.sources
 import java.net.URI
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -78,26 +78,38 @@ object LandingIO {
       "doc",
       outDir)
 
-  /** Schema'd recursive read of a landing-document tree. */
+  /** Schema'd recursive read of a landing-document tree; the device comes
+    * back from the per-device subdirectory the documents were written under.
+    */
   def readLanding(spark: SparkSession, dir: String): DataFrame =
     spark.read
       .schema(landingSchema)
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.json")
       .json(dir)
+      .withColumn("device", regexp_extract(input_file_name(), "([^/]+)/[^/]+$", 1))
+
+  /** Device-prefixed document name when the frame carries a device column. */
+  private def docName(df: DataFrame, base: Column): Column =
+    if (df.columns.contains("device"))
+      when(col("device").isNull || col("device") === "", base)
+        .otherwise(concat_ws("/", col("device"), base))
+    else base
 
   /** Day documents for stationary intervals: (start, end) epoch-sec rows ->
-    * {"IMU-telematics": {"stationary-state": [{start,end}...]}} per day.
+    * {"IMU-telematics": {"stationary-state": [{start,end}...]}} per day
+    * (per device when the intervals are device-keyed).
     */
   def writeStationaryDocs(intervals: DataFrame, outDir: String): Unit = {
+    val dev = if (intervals.columns.contains("device")) Seq(col("device")) else Seq.empty
     val daily = intervals
       .withColumn("date", to_date(timestamp_seconds(col("start"))))
-      .groupBy(col("date"))
+      .groupBy(dev :+ col("date"): _*)
       .agg(sort_array(collect_list(struct(col("start"), col("end")))).as("iv"))
-      .select(
-        concat(lit("canserver-events_"), date_format(col("date"), "yyyy-MM-dd")).as("name"),
-        to_json(struct(struct(col("iv").as("stationary-state")).as("IMU-telematics"))).as("doc"))
-    writeDocs(daily, "name", "doc", outDir)
+    val named = daily.select(
+      docName(daily, concat(lit("canserver-events_"), date_format(col("date"), "yyyy-MM-dd"))).as("name"),
+      to_json(struct(struct(col("iv").as("stationary-state")).as("IMU-telematics"))).as("doc"))
+    writeDocs(named, "name", "doc", outDir)
   }
 
   /** Day documents for autopilot transitions, from CanPipelines.autopilotDaily:
@@ -107,7 +119,7 @@ object LandingIO {
   def writeAutopilotDocs(daily: DataFrame, outDir: String): Unit =
     writeDocs(
       daily.select(
-        concat(lit("canserver-events_"), date_format(col("date"), "yyyy-MM-dd")).as("name"),
+        docName(daily, concat(lit("canserver-events_"), date_format(col("date"), "yyyy-MM-dd"))).as("name"),
         to_json(struct(col("auditory"))).as("doc")),
       "name",
       "doc",

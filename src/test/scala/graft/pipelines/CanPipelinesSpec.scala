@@ -154,11 +154,11 @@ class CanPipelinesSpec extends AnyFunSuite {
     assert(speeds === speeds.sorted)
     assert(speeds.length === 17)
 
-    // stationary: 15 s zero-run -> one trimmed interval
+    // stationary: 15 s zero-run -> one trimmed interval (device-keyed now)
     val st = CanPipelines
       .stationaryIntervals(CanPipelines.speedSeries(landing))
       .collect()
-      .map(r => (r.getDouble(0), r.getDouble(1)))
+      .map(r => (r.getAs[Double]("start"), r.getAs[Double]("end")))
     assert(st === Array((1700000000.0 + 3, 1700000015.0 - 3)))
 
     // autopilot: engagement in hour 1; hour-2 doc alone must show the
@@ -168,7 +168,7 @@ class CanPipelinesSpec extends AnyFunSuite {
       .autopilotTransitions(CanPipelines.apSeries(landing))
       .orderBy("ts_sec")
       .collect()
-      .map(r => (r.getDouble(0), r.getInt(1), r.getString(2)))
+      .map(r => (r.getAs[Double]("ts_sec"), r.getAs[Int]("canbus_state"), r.getAs[String]("status")))
     assert(tr === Array(
       (1700000018.0, 3, "engagement"),
       (1700003001.0, 1, "disengagement")))

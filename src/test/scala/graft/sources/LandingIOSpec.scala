@@ -57,10 +57,12 @@ class LandingIOSpec extends AnyFunSuite {
       .collect().map(_.getDouble(0))
     assert(speeds.length === 22 && speeds.count(_ == 0.0) === 21)
 
-    // stationary day document: ISO name + trimmed interval content
+    // stationary day document: ISO name + trimmed interval content, under
+    // the device prefix
+    val dev   = new java.io.File(raw).getName
     val stDir = s"$work/events/Stationary"
-    assert(new java.io.File(stDir).list().toSeq === Seq("canserver-events_2023-11-14.json"))
-    val st = new String(Files.readAllBytes(Paths.get(stDir, "canserver-events_2023-11-14.json")), "UTF-8")
+    assert(jsonNames(stDir) === Seq("canserver-events_2023-11-14.json"))
+    val st = new String(Files.readAllBytes(Paths.get(stDir, dev, "canserver-events_2023-11-14.json")), "UTF-8")
     assert(st.contains("\"IMU-telematics\""))
     assert(st.contains("\"stationary-state\""))
     assert(st.contains("1.700000003E9")) // start = t0 + 3 s trim
@@ -76,10 +78,10 @@ class LandingIOSpec extends AnyFunSuite {
     val oldDoc = LandingIO.readLanding(spark, s"$work/landing_json")
     assert(oldDoc.count() === 2)
 
-    // autopilot day document: both transitions kept
+    // autopilot day document: both transitions kept, under the device prefix
     val apDir = s"$work/events/Autopilot"
-    assert(new java.io.File(apDir).list().toSeq === Seq("canserver-events_2023-11-14.json"))
-    val ap = new String(Files.readAllBytes(Paths.get(apDir, "canserver-events_2023-11-14.json")), "UTF-8")
+    assert(jsonNames(apDir) === Seq("canserver-events_2023-11-14.json"))
+    val ap = new String(Files.readAllBytes(Paths.get(apDir, dev, "canserver-events_2023-11-14.json")), "UTF-8")
     assert(ap.contains("\"engagement\"") && ap.contains("\"disengagement\""))
     assert(ap.contains("\"canbus_state\":3") && ap.contains("\"canbus_state\":0"))
   }
