@@ -1,0 +1,50 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Merge-sink semantics: batch-wins upsert, untouched-partition isolation,
+  * and the reference-parity disjoint-or-skip compat mode (SURVEY §2.5).
+  */
+class MergeSinkSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def table(rows: (Long, String, Int)*) =
+    rows.toDF("k", "v", "p")
+
+  private def readBack(dir: String) =
+    spark.read.parquet(dir).select("k", "v", "p").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+
+  test("upsert: batch rows win on collision; untouched partitions survive") {
+    val dir = Files.createTempDirectory("ms").toString
+    MergeSink.upsert(spark, table((1L, "a", 1), (2L, "b", 2)), dir, Seq("k"), Seq("p"))
+    MergeSink.upsert(spark, table((1L, "A", 1)), dir, Seq("k"), Seq("p"))
+    assert(readBack(dir) === Set((1L, "A", 1), (2L, "b", 2)))
+  }
+
+  test("re-applying the same batch is a no-op (idempotent)") {
+    val dir = Files.createTempDirectory("ms2").toString
+    val b   = table((1L, "a", 1), (2L, "b", 1))
+    MergeSink.upsert(spark, b, dir, Seq("k"), Seq("p"))
+    MergeSink.upsert(spark, b, dir, Seq("k"), Seq("p"))
+    assert(readBack(dir) === Set((1L, "a", 1), (2L, "b", 1)))
+  }
+
+  test("compatDropOverlap: overlapping batch is skipped whole (reference parity)") {
+    val dir = Files.createTempDirectory("ms3").toString
+    MergeSink.upsert(spark, table((1L, "a", 1)), dir, Seq("k"), Seq("p"))
+    // overlaps key 1 -> entire batch (incl. the new key 3) dropped
+    MergeSink.upsert(spark, table((1L, "X", 1), (3L, "c", 1)), dir, Seq("k"), Seq("p"),
+      compatDropOverlap = true)
+    assert(readBack(dir) === Set((1L, "a", 1)))
+    // disjoint batch still lands in compat mode
+    MergeSink.upsert(spark, table((4L, "d", 1)), dir, Seq("k"), Seq("p"),
+      compatDropOverlap = true)
+    assert(readBack(dir) === Set((1L, "a", 1), (4L, "d", 1)))
+  }
+}
