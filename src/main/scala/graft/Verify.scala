@@ -20,6 +20,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any stale result from a previous run: a failed query must
+        // show up as MISSING in the compare, not false-pass on old parquet
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir)) {
+          import scala.reflect.io.Directory
+          new Directory(dir.toFile).deleteRecursively()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
