@@ -44,11 +44,21 @@ object LandingIO {
   /** Write one named single-object JSON file per row: (nameCol, jsonCol). */
   private def writeDocs(docs: DataFrame, nameCol: String, jsonCol: String, outDir: String): Unit = {
     if (docs.isEmpty) return // non-empty guard
+    // Session Hadoop conf (spark.hadoop.* — s3a credentials etc.) serialized
+    // into the closure; executor-side `new Configuration()` only sees
+    // classpath XML and would break s3a:// targets.
+    val confEntries: Array[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      docs.sparkSession.sessionState.newHadoopConf()
+        .iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+    }
     docs
       .select(col(nameCol), col(jsonCol))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         if (rows.nonEmpty) {
-          val fs = FileSystem.get(new URI(outDir), new Configuration())
+          val conf = new Configuration(false)
+          confEntries.foreach { case (k, v) => conf.set(k, v) }
+          val fs = FileSystem.get(new URI(outDir), conf)
           fs.setWriteChecksum(false) // no .crc sidecars next to documents
           fs.mkdirs(new Path(outDir))
           rows.foreach { r =>

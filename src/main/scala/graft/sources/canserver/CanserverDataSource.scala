@@ -111,11 +111,23 @@ class CanserverScan(path: String, frameIds: Option[Set[Int]]) extends Scan with 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs    = FileSystem.get(new URI(path), CanserverReaderFactory.toConf(hadoopConfEntries))
     val files = ArrayBuffer.empty[CanserverFilePartition]
-    val it    = fs.listFiles(new Path(path), true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
-        files += CanserverFilePartition(st.getPath.toString)
+    // Resolve globs first (load("dir/*.log")) so the format accepts the same
+    // path expressions as the binaryFile source it substitutes for; a
+    // no-match/nonexistent path fails with a clear message, not a raw
+    // Hadoop exception.
+    val matched = Option(fs.globStatus(new Path(path))).getOrElse(Array.empty)
+    if (matched.isEmpty)
+      throw new IllegalArgumentException(s"canserver source: path does not exist or matches no files: $path")
+    matched.foreach { root =>
+      if (root.isFile) files += CanserverFilePartition(root.getPath.toString)
+      else {
+        val it = fs.listFiles(root.getPath, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+            files += CanserverFilePartition(st.getPath.toString)
+        }
+      }
     }
     files.toArray
   }
@@ -159,11 +171,16 @@ class CanserverReaderFactory(
       }
       private val pathUtf = UTF8String.fromString(file)
 
-      override def next(): Boolean = it.hasNext
-      override def get(): InternalRow = {
-        val r = it.next()
-        InternalRow(pathUtf, r.frameId, r.busId, r.length, r.payloadLong, r.frameTimeMicros)
-      }
+      // DSv2 contract: next() advances and buffers; get() is idempotent
+      // (returns the same row however many times it is called between
+      // next() calls) and next() twice skips a row, never duplicates.
+      private var current: graft.decode.CanRecord = _
+
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow =
+        InternalRow(pathUtf, current.frameId, current.busId, current.length,
+          current.payloadLong, current.frameTimeMicros)
       override def close(): Unit = ()
     }
   }

@@ -39,8 +39,9 @@ object MergeSink {
     val existing: Option[DataFrame] =
       try Some(spark.read.parquet(targetDir)) catch { case _: AnalysisException => None }
 
-    val merged = existing match {
-      case None => batch
+    existing match {
+      case None =>
+        batch.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(targetDir)
       case Some(old) =>
         val dirty = batch.select(partitionCols.map(col): _*).distinct()
         val oldDirty = old
@@ -54,20 +55,56 @@ object MergeSink {
         val w = Window
           .partitionBy(keyCols.map(col): _*)
           .orderBy(col("__pri"))
-        batch
+        val merged = batch
           .withColumn("__pri", lit(0))
           .unionByName(oldDirty.withColumn("__pri", lit(1)))
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
           .drop("__pri", "__rn")
-    }
 
-    merged.write
-      .mode("overwrite")
-      // per-write option, NOT a session-wide conf mutation: an unrelated
-      // overwrite elsewhere in the session must keep static semantics
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCols: _*)
-      .parquet(targetDir)
+        // Two-phase commit: materialize the merge to a temporary SIBLING
+        // directory first (so the job never deletes data it is still
+        // reading), then swap each dirty partition directory into place
+        // with metadata renames. A crash before the swap leaves the target
+        // untouched; during the swap, the exposure is one partition's pair
+        // of renames — not the full rewrite window of a dynamic overwrite —
+        // and the displaced rows survive in a hidden .graft-old dir until
+        // the swap completes, so nothing is unrecoverable mid-commit.
+        val token   = java.util.UUID.randomUUID().toString.take(8)
+        val conf    = spark.sessionState.newHadoopConf()
+        val rawTgt  = new org.apache.hadoop.fs.Path(targetDir)
+        val fs      = rawTgt.getFileSystem(conf)
+        val target  = fs.makeQualified(rawTgt)
+        val tmp     = fs.makeQualified(
+          new org.apache.hadoop.fs.Path(target.getParent, s".graft-tmp-${target.getName}-$token"))
+        val trash   = fs.makeQualified(
+          new org.apache.hadoop.fs.Path(target.getParent, s".graft-old-${target.getName}-$token"))
+        merged.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp.toString)
+        // on swap failure the exception propagates and tmp/trash are left in
+        // place for recovery; nothing is deleted until every dirty partition
+        // has swapped successfully
+        locally {
+          def leafDirs(p: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
+            if (depth == 0) Seq(p)
+            else fs.listStatus(p).toSeq.filter(_.isDirectory)
+              .flatMap(s => leafDirs(s.getPath, depth - 1))
+          def renameOrFail(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+            if (!fs.rename(src, dst))
+              sys.error(s"MergeSink commit: rename $src -> $dst failed")
+          leafDirs(tmp, partitionCols.length).foreach { leaf =>
+            val rel   = fs.makeQualified(leaf).toString.stripPrefix(tmp.toString).stripPrefix("/")
+            val dest  = if (rel.isEmpty) target else new org.apache.hadoop.fs.Path(target, rel)
+            val aside = if (rel.isEmpty) trash else new org.apache.hadoop.fs.Path(trash, rel)
+            if (fs.exists(dest)) {
+              fs.mkdirs(aside.getParent)
+              renameOrFail(dest, aside)
+            }
+            fs.mkdirs(dest.getParent)
+            renameOrFail(leaf, dest)
+          }
+          fs.delete(trash, true)
+          fs.delete(tmp, true)
+        }
+    }
   }
 }
