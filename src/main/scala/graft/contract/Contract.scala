@@ -788,11 +788,10 @@ object Contract {
     Q(
       "q33_embed_neardup",
       (s, d) => {
-        // Fold-based dot on purpose: the filter pushdown duplicates the cos
-        // expression, and two 64-term static trees per pair overflow the JIT
-        // method limit (interpreted generated code loses to the compact
-        // lambda fold on this all-pairs shape). Static dot stays in
-        // q25/q36 where the pair count is small.
+        // Similarity.dot is the native VecDotExpr loop: compact bytecode, so
+        // the filter pushdown duplicating the cos expression cannot overflow
+        // the JIT method limit the way a 64-term unrolled tree does on this
+        // all-pairs shape.
         val withN2 = Tables
           .embeddings(s, d)
           .select(col("vec_id"), col("embedding"), Similarity.norm2(col("embedding")).as("n2"))

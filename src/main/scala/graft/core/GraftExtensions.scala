@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.PolyHashExpr
+import graft.functions.{PolyHashExpr, ShingleHashesExpr, VecDotExpr}
 
 /** SparkSessionExtensions hook: registers the engine's native expressions
   * with the SQL function registry, so `spark.sql("... poly_hash(col) ...")`
@@ -22,6 +22,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "poly_hash takes exactly one argument")
         PolyHashExpr(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vec_dot takes exactly two arguments")
+        VecDotExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "shingle_hashes takes (text, n)")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => sys.error(s"shingle_hashes n must be an INT literal, got $other")
+        }
+        ShingleHashesExpr(children.head, n)
       }))
   }
 }

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression producing the DISTINCT polynomial hashes of a
+  * text's n-token shingles in first-occurrence order — one pass over the
+  * string, replacing the composed chain
+  * `array_distinct(transform(array_distinct(shingles(split(text," "),n)), polyHash))`
+  * whose higher-order lambdas interpret an expression tree per shingle and
+  * materialize three intermediate arrays per row.
+  *
+  * Exact-parity contract (certified by ShingleHashesExprSpec against the
+  * composed form, and transitively by the q30-q32 DuckDB oracles):
+  *  - tokens = split on a single space, trailing/leading empties kept
+  *    (Java `split(" ", -1)` == Spark `split(text, " ")`);
+  *  - < n tokens => empty array (Spark's sequence(1,0) pitfall avoided);
+  *  - shingle = n consecutive tokens joined with " ";
+  *  - hash = PolyHashExpr codepoint fold, mod 1e9+7;
+  *  - distinct keeps first occurrence (array_distinct semantics).
+  */
+case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType      = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"shingle_hashes requires STRING and n >= 1, got ${child.dataType}, n=$n")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashesExpr.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashesExpr.shingleHashes($c, $n)")
+}
+
+object ShingleHashesExpr {
+  import PolyHashExpr.P
+
+  private def hashCodepoints(s: CharSequence): Long = {
+    var acc = 0L
+    var i   = 0
+    val len = s.length
+    while (i < len) {
+      val cp = Character.codePointAt(s, i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb   = new java.lang.StringBuilder()
+    var i    = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(hashCodepoints(sb))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it  = seen.iterator()
+    var k   = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(out)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst inner product over two ARRAY<FLOAT|DOUBLE> columns.
+  *
+  * Bit-identical to the composed higher-order form
+  * `aggregate(zip_with(a, b, (x,y) => x*y), 0.0, (acc,x) => acc+x)` — same
+  * left-to-right FP association from a 0.0 seed, same null semantics (null
+  * array, null element, or length mismatch => NULL, matching zip_with's
+  * null-padding) — but evaluated as one tight loop over the unsafe array
+  * data instead of an interpreted lambda tree per element.
+  *
+  * Why not a dim-unrolled static expression tree: at 64 dims a filter
+  * pushdown that duplicates the cosine puts two 64-term trees in one
+  * generated method and overflows the JIT method limit, falling back to
+  * interpreted generated code. A loop is ~6 bytecodes/element regardless of
+  * dim, stays inside whole-stage codegen, and its `eval` path is equally
+  * fast inside higher-order lambdas (which Spark interprets).
+  */
+case class VecDotExpr(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean  = true
+
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left.dataType).isDefined && elemType(right.dataType).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"vec_dot requires ARRAY<FLOAT> or ARRAY<DOUBLE> arguments, got ${left.dataType} and ${right.dataType}")
+
+  private lazy val leftIsFloat  = elemType(left.dataType).contains(FloatType)
+  private lazy val rightIsFloat = elemType(right.dataType).contains(FloatType)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecDotExpr.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], leftIsFloat, rightIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dotRes")
+      s"""
+         |java.lang.Double $tmp = graft.functions.VecDotExpr.dot($a, $b, $leftIsFloat, $rightIsFloat);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+}
+
+object VecDotExpr {
+  /** Null (boxed) on length mismatch or a null element — the zip_with
+    * null-padding / null-propagation contract of the composed form.
+    */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i   = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+}

@@ -59,9 +59,19 @@ object Dedup {
     array_distinct(shingles(TextAnalysis.tokens(text), n))
 
   /** Distinct shingle hashes (polynomial hash; collisions negligible at P≈1e9
-    * for per-document set sizes).
+    * for per-document set sizes). Backed by the native ShingleHashesExpr —
+    * one pass over the string instead of three intermediate arrays and an
+    * interpreted lambda per shingle; `shingleHashesComposed` is the
+    * built-ins-only cross-check.
     */
-  def shingleHashes(text: Column, n: Int = 3): Column =
+  def shingleHashes(text: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.ShingleHashesExpr(ColumnBridge.expression(text), n))
+  }
+
+  /** Composed-builtins form of shingleHashes (slow; cross-check only). */
+  def shingleHashesComposed(text: Column, n: Int = 3): Column =
     array_distinct(transform(shingleSet(text, n), s => TextAnalysis.polyHash(s)))
 
   // ---------------------------------------------------------- exact Jaccard

@@ -25,8 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sum of elementwise products as an in-order fold — deterministic FP. */
-  def dot(a: Column, b: Column): Column =
+  /** Sum of elementwise products — deterministic left-to-right FP from a 0.0
+    * seed. Backed by the native VecDotExpr (one loop over the unsafe array,
+    * codegen'd AND fast in interpreted/eval contexts such as inside
+    * higher-order lambdas); `dotComposed` keeps the built-ins-only
+    * formulation as the cross-checkable reference.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.VecDotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Same sum from composed built-ins (interpreted lambda per element — slow;
+    * exists to cross-check VecDotExpr).
+    */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
