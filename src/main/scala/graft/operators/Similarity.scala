@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * window shuffle is tiny).
   *
   * All dot products / norms are computed as an in-order left fold over the
-  * array (`aggregate`), entirely in codegen'd built-ins — deterministic FP,
+  * array via the native VecDotExpr (codegen'd loop) — deterministic FP,
   * no UDFs.
   *
   * The scale path (`ivfTopK`) is inverted-file ANN: k-means-free IVF with
@@ -46,12 +46,12 @@ object Similarity {
       lit(0.0),
       (acc, x) => acc + x)
 
-  /** Same sum, same left-to-right FP association, but as a STATIC dim-term
-    * expression tree: higher-order lambdas (`aggregate`/`zip_with`) run
-    * interpreted row-at-a-time, while a flat add/multiply tree is whole-stage
-    * codegen'd — ~10x on brute-force scans. Use when the embedding width is
-    * known (it is, per dataset). Results are bit-identical to `dot` except
-    * when every product is -0.0 (the fold's 0.0 seed normalizes the sign).
+  /** Same sum as a STATIC dim-term expression tree. Superseded by the native
+    * loop in `dot` (same speed class, no codegen-size growth with dim, no
+    * JIT-limit risk when an optimizer rule duplicates the expression); kept
+    * as a second cross-check formulation. Results are bit-identical to `dot`
+    * except when every product is -0.0 (the fold's 0.0 seed normalizes the
+    * sign).
     */
   def dotStatic(a: Column, b: Column, dim: Int): Column =
     (1 to dim)
@@ -68,11 +68,11 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each probe row.
     * Output: probe_id, rnk (1..k), neighbor_id, cos.
-    * @param dim embedding width; > 0 switches the hot inner product to the
-    *            codegen'd static form (same FP association)
+    * @param dim retained for API compatibility; the native loop `dot` is
+    *            used at any width (it replaced the dim-unrolled static tree)
     */
   def bruteForceTopK(emb: DataFrame, probePred: Column, k: Int, dim: Int = 0): DataFrame = {
-    def d2(a: Column, b: Column) = if (dim > 0) dotStatic(a, b, dim) else dot(a, b)
+    def d2(a: Column, b: Column) = dot(a, b)
     val withN2 = emb.select(col("vec_id"), col("embedding"), d2(col("embedding"), col("embedding")).as("n2"))
     val probes = withN2
       .filter(probePred)
@@ -112,7 +112,7 @@ object Similarity {
       ncells: Int,
       nprobe: Int,
       dim: Int = 0): DataFrame = {
-    def d2(a: Column, b: Column) = if (dim > 0) dotStatic(a, b, dim) else dot(a, b)
+    def d2(a: Column, b: Column) = dot(a, b)
     val centArr = emb
       .orderBy(col("vec_id"))
       .limit(ncells)
