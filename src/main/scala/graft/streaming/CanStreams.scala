@@ -35,13 +35,25 @@ object CanStreams {
     StructField("length", LongType),
     StructField("content", BinaryType)))
 
-  /** Streaming tokenized records from a watched directory of CANServer logs. */
-  def recordStream(spark: SparkSession, rawDir: String): Dataset[CanRecord] = {
+  /** Streaming tokenized records from a watched directory of CANServer logs.
+    * @param maxFilesPerTrigger backpressure pacing (SURVEY §2.1): cap the
+    *        objects drained per micro-batch so one invocation over a large
+    *        backlog becomes several bounded batches (each committed to the
+    *        checkpoint) instead of one unbounded one. Honored by
+    *        Trigger.AvailableNow: the invocation still drains everything,
+    *        in paced batches.
+    */
+  def recordStream(
+      spark: SparkSession,
+      rawDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Dataset[CanRecord] = {
     import spark.implicits._
-    spark.readStream
+    val reader = spark.readStream
       .format("binaryFile")
       .schema(BinaryFileSchema)
       .option("recursiveFileLookup", "true")
+    maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
       .load(rawDir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
@@ -49,8 +61,11 @@ object CanStreams {
   }
 
   /** Decoded signal stream (same columns as the batch CanDecode.decode). */
-  def decodedStream(spark: SparkSession, rawDir: String): DataFrame =
-    CanDecode.decode(recordStream(spark, rawDir))
+  def decodedStream(
+      spark: SparkSession,
+      rawDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    CanDecode.decode(recordStream(spark, rawDir, maxFilesPerTrigger))
 
   /** Watermarked per-epoch pivot: the streaming form of CanPipelines.pivot.
     * State is one wide row per live epoch, evicted 1.2 s (event time) after
@@ -87,8 +102,9 @@ object CanStreams {
       rawDir: String,
       landingDir: String,
       checkpointDir: String,
-      landingJsonDir: Option[String] = None): StreamingQuery =
-    pivotStream(decodedStream(spark, rawDir))
+      landingJsonDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    pivotStream(decodedStream(spark, rawDir, maxFilesPerTrigger))
       .withColumn("date", to_date(col("ts")))
       .withColumn("hour", hour(col("ts")))
       .writeStream

@@ -45,4 +45,24 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q02_tpch_q1")
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
+
+  test("q25: probes broadcast against the corpus — corpus is never shuffled") {
+    val p = plan("q25_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    // the only Exchange allowed is the tiny per-probe top-k window
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"corpus-side shuffle leaked into:\n$p")
+  }
+
+  test("partitioned landing read prunes to the filtered (date,hour) partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    import spark.implicits._
+    Seq((java.sql.Date.valueOf("2023-11-14"), 5, 1.0), (java.sql.Date.valueOf("2023-11-14"), 6, 2.0))
+      .toDF("date", "hour", "v")
+      .write.mode("overwrite").partitionBy("date", "hour").parquet(dir)
+    val p = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("hour") === 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("hour"), s"no partition pruning in:\n$p")
+  }
 }

@@ -54,6 +54,38 @@ class CanserverDataSourceSpec extends AnyFunSuite {
     assert(dsv2.size === 4)
   }
 
+  test("glob paths resolve like binaryFile; no match fails with a clear error") {
+    val dir = writeLogs()
+    val globbed = spark.read.format("canserver").load(s"$dir/*.log").count()
+    assert(globbed === 4)
+    val one = spark.read.format("canserver").load(s"$dir/a.log").count()
+    assert(one === 3)
+    val e = intercept[Exception] {
+      spark.read.format("canserver").load(s"$dir/nope/*.log").count()
+    }
+    assert(e.getMessage.contains("does not exist or matches no files"))
+  }
+
+  test("PartitionReader contract: get() is idempotent between next() calls") {
+    val dir = writeLogs()
+    val scan = new CanserverScan(dir, None)
+    val parts = scan.planInputPartitions()
+    val factory = scan.createReaderFactory()
+    val rows = parts.flatMap { p =>
+      val r = factory.createReader(p).asInstanceOf[
+        org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow]]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (r.next()) {
+        val first  = r.get().getLong(4) // payload_long
+        val second = r.get().getLong(4) // must be the SAME row, not the next
+        assert(first === second)
+        buf += first
+      }
+      buf
+    }
+    assert(rows.length === 4)
+  }
+
   test("frame_id filter is pushed into the scan") {
     val dir = writeLogs()
     val df  = spark.read.format("canserver").load(dir).filter(col("frame_id").isin(599, 921))

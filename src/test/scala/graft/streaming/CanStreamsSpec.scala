@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -64,6 +65,62 @@ class CanStreamsSpec extends AnyFunSuite {
     val ckpt2 = Files.createTempDirectory("canckpt2").toString
     CanStreams.runParse(spark, raw, land, ckpt2).awaitTermination()
     assert(canon(spark.read.parquet(land)) === batch)
+  }
+
+  test("retry from checkpoint: a replayed batch (crash before commit) does not duplicate") {
+    val t0 = 1700000000L * 1000000L
+    val fileA = file(
+      timesync(t0),
+      frame(1000, 599, 0, speedPayload(32.0)),
+      frame(2000, 599, 0, speedPayload(0.0)))
+
+    val raw  = Files.createTempDirectory("crashraw").toString
+    val land = Files.createTempDirectory("crashland").toString
+    val ckpt = Files.createTempDirectory("crashckpt").toString
+    Files.write(Paths.get(raw, "a.log"), fileA)
+    CanStreams.runParse(spark, raw, land, ckpt).awaitTermination()
+    val expect = spark.read.parquet(land).orderBy("epoch_sec").collect().toSeq
+
+    // simulate a crash AFTER the sink wrote but BEFORE the batch committed:
+    // delete the latest commit marker, leaving offsets + sink output in
+    // place — restart must re-run that batch against the already-written
+    // target, and the idempotent merge must absorb the replay
+    val commits = Paths.get(ckpt, "commits")
+    val latest = Files.list(commits).iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    Files.delete(latest)
+    // drop the manager's checksum sidecar too, or the restarted query sees a
+    // checksum for a missing commit and refuses the checkpoint
+    Files.list(commits).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.contains(latest.getFileName.toString))
+      .foreach(Files.delete)
+    CanStreams.runParse(spark, raw, land, ckpt).awaitTermination()
+    assert(spark.read.parquet(land).orderBy("epoch_sec").collect().toSeq === expect)
+  }
+
+  test("maxFilesPerTrigger paces a backlog into multiple committed batches, same result") {
+    val t0 = 1700000000L * 1000000L
+    val raw  = Files.createTempDirectory("paceraw").toString
+    val land = Files.createTempDirectory("paceland").toString
+    val ckpt = Files.createTempDirectory("paceckpt").toString
+    (0 until 3).foreach { i =>
+      Files.write(
+        Paths.get(raw, s"f$i.log"),
+        file(timesync(t0), frame(1000 * i, 599, 0, speedPayload(8.0 * i))))
+    }
+    CanStreams
+      .runParse(spark, raw, land, ckpt, maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+    // one committed micro-batch per file, not one unbounded batch
+    val nCommits = Files.list(Paths.get(ckpt, "commits")).iterator().asScala
+      .count(p => p.getFileName.toString.forall(_.isDigit))
+    assert(nCommits === 3)
+    val streamed = spark.read.parquet(land)
+      .select("epoch_sec", "speed").orderBy("epoch_sec").collect().toSeq
+    val batch = CanPipelines.pivot(CanDecode.decodeFiles(spark, raw))
+      .select("epoch_sec", "speed").orderBy("epoch_sec").collect().toSeq
+    assert(streamed === batch)
   }
 
   test("transitionsStream detects edges ACROSS micro-batches (cross-file fix)") {
