@@ -968,6 +968,65 @@ object Contract {
              |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
              |  FROM pairs)
              |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin)
+    ),
+    // -------------------------------------------- declared window capabilities
+    Q(
+      "q40_sliding_window",
+      // Sliding (hopping) windows — declared capability (SURVEY §2.6: the
+      // reference has none). Each event lands in size/slide = 4 windows; the
+      // oracle mirrors Spark's epoch-aligned assignment by generating the 4
+      // window starts per row (exact integer-second arithmetic from ts_ns).
+      (s, d) =>
+        ev(s, d)
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_val"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+            col("cnt"),
+            col("sum_val")),
+      Some("""WITH e AS (
+             |  SELECT epoch_ns(ts) // 1000000000 AS ep, value FROM events),
+             |w AS (
+             |  SELECT unnest(generate_series((ep // 900) * 900 - 2700, (ep // 900) * 900, 900)) AS ws,
+             |         value
+             |  FROM e)
+             |SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start,
+             |  COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_val
+             |FROM w GROUP BY 1""".stripMargin)
+    ),
+    Q(
+      "q41_session_window",
+      // Batch session_window — the built-in gap-merge form of the stationary
+      // sessionizer (streaming twin in CanStreams.stationarySessionStream).
+      // Cross-engine exactness: sessions computed on exact µs integers
+      // (ts_ns div 1000) in both engines; a gap == 30 s starts a NEW session
+      // in both (Spark merges only on strict overlap of [ts, ts+gap)).
+      (s, d) =>
+        ev(s, d)
+          .withColumn("ts_us", timestamp_micros(expr("ts_ns div 1000")))
+          .groupBy(col("user_id"), session_window(col("ts_us"), "30 seconds"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_val"))
+          .select(
+            col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            unix_micros(col("session_window.end")).as("end_us"),
+            col("cnt"),
+            col("sum_val")),
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events),
+             |flag AS (
+             |  SELECT user_id, us, value,
+             |    CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+             |           OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) >= 30000000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM e),
+             |sess AS (
+             |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flag)
+             |SELECT user_id, MIN(us) AS start_us, MAX(us) + 30000000 AS end_us,
+             |  COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_val
+             |FROM sess GROUP BY user_id, sid""".stripMargin)
     )
   )
 

@@ -178,6 +178,40 @@ class CanStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pivot watermark: events later than 1.2 s behind the max are dropped (MAX_SR parity)") {
+    import spark.implicits._
+    val ms = MemoryStream[(String, Long, Double)](spark)
+    val decodedLike = ms.toDS()
+      .toDF("device", "sec", "speed")
+      .select(
+        col("device"),
+        timestamp_seconds(col("sec")).as("ts"),
+        col("sec").cast("double").as("epoch_sec"),
+        lit(null).cast("double").as("long_acc"),
+        lit(null).cast("double").as("lat_acc"),
+        lit(null).cast("double").as("vert_acc"),
+        lit(null).cast("double").as("yaw_rate"),
+        lit(null).cast("double").as("pitch_rate"),
+        lit(null).cast("double").as("roll_rate"),
+        lit(null).cast("double").as("lat"),
+        lit(null).cast("double").as("long"),
+        col("speed"),
+        lit(null).cast("string").as("ap_status"))
+    val q = CanStreams
+      .pivotStream(decodedLike)
+      .writeStream.format("memory").queryName("wm_out").outputMode("update").start()
+    try {
+      ms.addData(("d", 1000L, 10.0), ("d", 2000L, 20.0)) // watermark -> 1998.8 s
+      q.processAllAvailable()
+      ms.addData(("d", 1500L, 99.0), ("d", 2001L, 30.0)) // 1500 is ~500 s late
+      q.processAllAvailable()
+      val epochs = spark.table("wm_out").select("epoch_sec").collect().map(_.getDouble(0)).sorted
+      // the in-watermark rows all surface; the late 1500 s row never does
+      assert(epochs.contains(1000.0) && epochs.contains(2000.0) && epochs.contains(2001.0))
+      assert(!epochs.contains(1500.0), "late event leaked past the 1.2 s watermark")
+    } finally q.stop()
+  }
+
   test("streamingDedup drops same-key duplicates across micro-batches") {
     import spark.implicits._
     val ms = MemoryStream[(String, Long)](spark)
