@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native k-slot MinHash signature over an ARRAY<LONG> of shingle hashes:
+  * slot j = min over hashes h of (a_j*h + b_j) mod P with the engine's fixed
+  * permutation constants a_j = 2j+1, b_j = 101j+7 (graft.operators.Dedup.perm).
+  *
+  * One pass over the hash array computes ALL k minima simultaneously — the
+  * signature becomes a pure per-row projection at scan time. The previous
+  * formulation (explode hashes -> groupBy(doc) with k min aggregates) pays a
+  * corpus-wide shuffle whose volume is the EXPLODED shingle table (~ document
+  * length x 8 bytes per doc); at 100 TB that shuffle dwarfs the signature
+  * itself. Per-row: zero shuffle, zero inflation.
+  *
+  * Empty input (a doc with < n tokens has no shingles) => NULL, mirroring
+  * "min of nothing" and the explode form's dropped rows.
+  */
+case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean  = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"minhash_sig requires ARRAY<LONG> and k >= 1, got $other, k=$k")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSigExpr.sig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("mhSig")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.MinHashSigExpr.sig($c, $k);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+}
+
+object MinHashSigExpr {
+  import PolyHashExpr.P
+
+  /** Null on an empty hash set (no shingles => no signature). */
+  def sig(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i    = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = ((2L * j + 1) * h + (101L * j + 7)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(_.asInstanceOf[Any]))
+  }
+}

@@ -117,8 +117,9 @@ object Dedup {
   def perm(j: Int): (Long, Long) = (2L * j + 1, 101L * j + 7)
 
   /** k-slot minhash signature columns mh0..mh{k-1} for a text column.
-    * NB: each slot re-evaluates the (interpreted) char-hash fold — fine for
-    * a handful of rows; for corpus-scale signatures use minHashSigTable.
+    * NB: each slot re-evaluates the transform lambda over the hash set —
+    * fine for a handful of rows; for corpus-scale signatures use
+    * minHashSigCol / minHashSigTable (all k minima in one native pass).
     */
   def minHashSig(text: Column, k: Int = 8, n: Int = 3): Seq[Column] = {
     val hashes = shingleHashes(text, n)
@@ -128,14 +129,24 @@ object Dedup {
     }
   }
 
-  /** Corpus-scale minhash: hash every shingle ONCE (explode), then compute
-    * the k permutation minima as plain codegen'd aggregates. Higher-order
-    * lambdas (`transform`/`aggregate`) are interpreted row-at-a-time in
-    * Spark, so the column form above pays the char-fold k times per doc —
-    * this form pays it once and the k mins are cheap integer arithmetic.
-    * One shuffle on the doc id (partial min makes it map-side combined).
+  /** All k minhash minima in ONE native pass over a shingle-hash array —
+    * NULL when the array is empty (no shingles). Signature generation is a
+    * pure per-row projection: zero shuffle at any corpus size.
+    */
+  def minHashSigCol(hashes: Column, k: Int = 8): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.MinHashSigExpr(ColumnBridge.expression(hashes), k))
+  }
+
+  /** Corpus-scale minhash signature table (id, mh0..mh{k-1}) — a per-row
+    * projection (shingle-hash once natively, k minima in one loop). The
+    * earlier explode -> groupBy(doc) formulation shuffled the EXPLODED
+    * shingle table (~ document length per doc) corpus-wide; at 100 TB that
+    * shuffle dwarfs the signatures themselves. Per-row: zero shuffle.
     *
-    * Docs with no shingles (< n tokens) drop out (explode of empty).
+    * Docs with no shingles (< n tokens) drop out (NULL signature filtered),
+    * matching the explode form's semantics.
     */
   def minHashSigTable(
       docs: DataFrame,
@@ -143,13 +154,10 @@ object Dedup {
       textCol: String,
       k: Int = 8,
       n: Int = 3): DataFrame = {
-    val exploded = spread(docs)
-      .select(col(idCol).as("id"), explode(shingleHashes(col(textCol), n)).as("h"))
-    val mins = (0 until k).map { j =>
-      val (a, b) = perm(j)
-      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$j")
-    }
-    exploded.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    val sig = spread(docs)
+      .select(col(idCol).as("id"), minHashSigCol(shingleHashes(col(textCol), n), k).as("__sig"))
+      .filter(col("__sig").isNotNull)
+    sig.select(col("id") +: (0 until k).map(j => element_at(col("__sig"), j + 1).as(s"mh$j")): _*)
   }
 
   /** Banded LSH near-dup: signatures -> band buckets -> candidate pairs
@@ -170,26 +178,25 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(k % rowsPerBand == 0, "k must divide into bands")
     val nBands = k / rowsPerBand
-    // ONE pass: shingle+hash each doc once (explode), then one aggregation
-    // yields the k minima AND the doc's hash set (for the exact verify) —
-    // no second shingling scan, no stitch-join. Jaccard runs on hash sets;
-    // at P≈1e9 a colliding shingle pair per doc-pair is ~1e-9 noise.
-    val exploded = spread(docs)
-      .select(col(idCol).as("id"), explode(shingleHashes(col(textCol), n)).as("h"))
-    val mins = (0 until k).map { j =>
-      val (a, b) = perm(j)
-      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$j")
-    }
-    val sigs = exploded
-      .groupBy(col("id"))
-      .agg(collect_list(col("h")).as("sh"), mins: _*)
+    // Signatures AND hash sets are per-row projections (native one-pass
+    // shingle hashing + one-pass k-minima): nothing shuffles until the
+    // band-bucket candidate join, whose volume is nBands rows per doc —
+    // independent of document length. Jaccard runs on hash sets; at P≈1e9 a
+    // colliding shingle pair per doc-pair is ~1e-9 noise.
+    val sigs = spread(docs)
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
+      .withColumn("__sig", minHashSigCol(col("sh"), k))
+      .filter(col("__sig").isNotNull)
     // band bucket key: the band's minhash slots joined into one string
     val bands = sigs.select(
       col("id"),
       explode(array((0 until nBands).map { b =>
         struct(
           lit(b).as("band"),
-          concat_ws(":", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("bucket"))
+          concat_ws(
+            ":",
+            (0 until rowsPerBand)
+              .map(r => element_at(col("__sig"), b * rowsPerBand + r + 1)): _*).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cand = bands

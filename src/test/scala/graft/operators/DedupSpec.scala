@@ -34,6 +34,31 @@ class DedupSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("minHashSigCol == per-slot composed minHash; empty hash set => NULL signature") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val native = Dedup
+      .minHashSigCol(Dedup.shingleHashes(col("text"), 3), 8)
+    val composed = (0 until 8).map { j =>
+      val (a, b) = Dedup.perm(j)
+      Dedup.minHash(Dedup.shingleHashes(col("text"), 3), a, b)
+    }
+    val rows = docs
+      .select(
+        (native.as("sig") +: composed.zipWithIndex.map { case (c, j) => c.as(s"c$j") }): _*)
+      .collect()
+    rows.foreach { r =>
+      val sig = r.getAs[scala.collection.Seq[Long]]("sig")
+      (0 until 8).foreach(j => assert(sig(j) === r.getLong(1 + j)))
+    }
+    // empty input
+    import spark.implicits._
+    val empty = Seq("xy")
+      .toDF("text")
+      .select(Dedup.minHashSigCol(Dedup.shingleHashes(col("text"), 3), 8))
+      .head()
+    assert(empty.isNullAt(0))
+  }
+
   test("jaccardPairs finds identical and near-identical docs, not disjoint ones") {
     import spark.implicits._
     val docs = Seq(
