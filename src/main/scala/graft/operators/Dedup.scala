@@ -13,9 +13,10 @@ import graft.functions.TextAnalysis.P
   *
   * Scale posture (the 100 TB contract):
   *  - exact dedup = one hash shuffle on the digest;
-  *  - Jaccard pair mining = inverted index on shingles (only pairs sharing a
-  *    shingle are materialized, via a shuffle keyed by shingle) — no
-  *    cross-join; pathological stop-shingles can be dropped with `maxDf`;
+  *  - Jaccard pair mining = PREFIX-FILTERED inverted index (only the first
+  *    ~(1-t) fraction of each canonically-ordered set is indexed; exact, no
+  *    false negatives) — no cross-join, and the candidate join shrinks
+  *    quadratically in the prefix fraction;
   *  - LSH = signatures computed per-row (no shuffle), candidates from
   *    band-bucket equality joins (shuffle keyed by bucket), exact verify
   *    only on candidates. Cost scales with bucket collision counts, not
@@ -76,10 +77,19 @@ object Dedup {
 
   // ---------------------------------------------------------- exact Jaccard
 
-  /** All pairs with shingle-set Jaccard >= threshold, mined EXACTLY via an
-    * inverted index: explode shingles, self-join on the shingle (any
-    * qualifying pair shares >= 1 shingle since threshold > 0), count shared
-    * shingles per pair, compute |A∩B| / (|A|+|B|-|A∩B|).
+  /** All pairs with shingle-set Jaccard >= threshold, mined EXACTLY with
+    * PREFIX FILTERING (Chaudhuri/Bayardo/Xiao all-pairs similarity joins):
+    * order each hash set canonically (ascending), index only its first
+    * |sh| - floor(t*|sh|) + 1 elements — any pair with J >= t MUST collide
+    * inside those prefixes (if all shared elements sat in the length-
+    * floor(t*|sh|)-1 suffix, the overlap would be < t*|sh| <= t*|A∪B|^-1
+    * bound) — then verify candidates with an exact set intersection. No
+    * false negatives; floor (not ceil) keeps the prefix on the long side of
+    * FP rounding.
+    *
+    * Scale: the inverted index carries ~(1-t) of the shingle volume instead
+    * of all of it, and the shuffle-heavy self-join shrinks quadratically in
+    * that fraction; the verify step touches only surviving candidates.
     *
     * Output: id_a < id_b, jaccard.
     */
@@ -92,16 +102,31 @@ object Dedup {
     // inverted index on shingle HASHES: an 8-byte join key shuffles a
     // fraction of the ~n-word shingle strings (collision noise ~1e-9 at
     // P≈1e9 per doc pair)
+    // The hashed set table feeds FOUR consumers (two prefix-index sides, two
+    // verify fetches), so it is persisted: one hashing pass, every consumer
+    // reads the cached columnar form (the Spark-ML-internal pattern — ALS /
+    // KMeans persist their working sets the same way; the ContextCleaner
+    // reclaims the cache once the plan is unreferenced). Exchange reuse
+    // alone is not reliable here: round-robin exchanges are not deduped.
+    // No nsh>0 guard: an empty set yields no prefix rows (explode of empty)
+    // and candidates inner-join back to sets, so shingle-less docs drop out
+    // for free — and an nsh predicate would be pushed down into the scan as
+    // a second full shingle-hash pass over every document.
     val sets = spread(docs)
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
+      .select(col(idCol).as("id"), sort_array(shingleHashes(col(textCol), n)).as("sh"))
       .withColumn("nsh", size(col("sh")))
-    val inv = sets.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
-    val pairs = inv
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixLen = (col("nsh") - floor(lit(threshold) * col("nsh")).cast("int") + 1)
+    val pref = sets.select(col("id"), explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
+    val cand = pref
       .as("a")
-      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.nsh").as("na"), col("b.nsh").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
+      .join(pref.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("nsh").as("na")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("nsh").as("nb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
