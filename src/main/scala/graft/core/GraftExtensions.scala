@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{PolyHashExpr, ShingleHashesExpr, VecDotExpr}
+import graft.functions.{MinHashSigExpr, PolyHashExpr, ShingleHashesExpr, VecDotExpr}
 
 /** SparkSessionExtensions hook: registers the engine's native expressions
   * with the SQL function registry, so `spark.sql("... poly_hash(col) ...")`
@@ -40,6 +40,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => sys.error(s"shingle_hashes n must be an INT literal, got $other")
         }
         ShingleHashesExpr(children.head, n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "minhash_sig takes (hashes, k)")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => sys.error(s"minhash_sig k must be an INT literal, got $other")
+        }
+        MinHashSigExpr(children.head, k)
       }))
   }
 }

@@ -57,6 +57,12 @@ class DedupSpec extends AnyFunSuite {
       .select(Dedup.minHashSigCol(Dedup.shingleHashes(col("text"), 3), 8))
       .head()
     assert(empty.isNullAt(0))
+    // registered as a SQL function via SparkSessionExtensions
+    val sql = spark
+      .sql("SELECT minhash_sig(shingle_hashes('a b c d e', 3), 4) AS s")
+      .head()
+      .getAs[scala.collection.Seq[Long]]("s")
+    assert(sql.length === 4)
   }
 
   test("jaccardPairs finds identical and near-identical docs, not disjoint ones") {
