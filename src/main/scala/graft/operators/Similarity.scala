@@ -105,43 +105,114 @@ object Similarity {
     * the corpus — versus the naive broadcast-join + window-argmin plan whose
     * intermediate is corpus x ncells pushed through a full shuffle+sort.
     */
+  /** Seed centroid table (single collapsed row of cell structs): the
+    * `ncells` vectors with the smallest vec_id. Deterministic and cheap;
+    * refine with `kmeansCentroids` when cell balance matters.
+    */
+  def seedCentroids(emb: DataFrame, ncells: Int): DataFrame =
+    emb
+      .orderBy(col("vec_id"))
+      .limit(ncells)
+      .select(
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("bigint").as("cell_id"),
+        col("embedding").as("c_emb"))
+      .withColumn("c_n2", norm2(col("c_emb")))
+      .agg(collect_list(struct(col("cell_id"), col("c_emb"), col("c_n2"))).as("cents"))
+
+  /** Spherical-k-means (Lloyd) refinement of the IVF centroids — scale-safe:
+    *  - ASSIGNMENT is the same zero-shuffle in-row fold ivfTopK uses;
+    *  - the UPDATE is posexplode -> groupBy((cell, pos)) sum/count: the
+    *    explode streams through the partial hash aggregate inside each task,
+    *    so the shuffle carries only tasks x ncells x dim partial sums —
+    *    independent of corpus size;
+    *  - the ncells x dim sums collect to the driver (centroids are driver
+    *    state in every k-means) and rebuild the broadcastable centroid row.
+    * Cosine-argmax assignment + un-normalized means = spherical k-means
+    * (the mean's norm cancels in the cosine ranking). Empty cells keep
+    * their previous centroid.
+    */
+  def kmeansCentroids(emb: DataFrame, ncells: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents: DataFrame = seedCentroids(emb, ncells)
+    val withN2 = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    (1 to iters).foreach { _ =>
+      val stats = assignCells(withN2, cents, 1)
+        .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val dims  = stats.map(_.getInt(1)).max + 1
+      val sums  = collection.mutable.Map.empty[Long, Array[Double]]
+      val cnts  = collection.mutable.Map.empty[Long, Long]
+      stats.foreach { r =>
+        val cell = r.getLong(0)
+        sums.getOrElseUpdate(cell, new Array[Double](dims))(r.getInt(1)) = r.getDouble(2)
+        cnts(cell) = r.getLong(3)
+      }
+      val prev = cents
+        .select(explode(col("cents")).as("c"))
+        .select(col("c.cell_id"), col("c.c_emb"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Any](1).map {
+          case f: Float  => f.toDouble
+          case d: Double => d
+        }.toArray)
+        .toMap
+      val next = (0L until ncells.toLong).map { cell =>
+        val mean = sums.get(cell) match {
+          case Some(s) => s.map(_ / cnts(cell))
+          case None    => prev(cell) // empty cell keeps its centroid
+        }
+        (cell, mean.toSeq)
+      }
+      cents = next
+        .toDF("cell_id", "c_emb")
+        .withColumn("c_n2", norm2(col("c_emb")))
+        .agg(collect_list(struct(col("cell_id"), col("c_emb"), col("c_n2"))).as("cents"))
+    }
+    cents
+  }
+
+  /** Nearest `keep` cells per row, computed INSIDE the row against the
+    * broadcast single-row centroid array — zero shuffle, zero inflation.
+    * `df` must carry `embedding` and `n2`.
+    */
+  private def assignCells(df: DataFrame, centArr: DataFrame, keep: Int): DataFrame =
+    df.crossJoin(broadcast(centArr))
+      .withColumn(
+        "__ranked",
+        array_sort(transform(
+          col("cents"),
+          c =>
+            struct(
+              (lit(-1.0) * cosine(dot(col("embedding"), c.getField("c_emb")), col("n2"), c.getField("c_n2")))
+                .as("negcos"),
+              c.getField("cell_id").as("cell_id")))))
+      .select(
+        df.columns.map(col) :+
+          explode(slice(col("__ranked"), 1, keep)).as("__cell"): _*)
+      .withColumn("cell_id", col("__cell.cell_id"))
+      .drop("__cell")
+
+  /** @param centroids optional refined centroid row (kmeansCentroids);
+    *                  defaults to the deterministic seed centroids
+    */
   def ivfTopK(
       emb: DataFrame,
       probePred: Column,
       k: Int,
       ncells: Int,
       nprobe: Int,
-      dim: Int = 0): DataFrame = {
+      dim: Int = 0,
+      centroids: Option[DataFrame] = None): DataFrame = {
     def d2(a: Column, b: Column) = dot(a, b)
-    val centArr = emb
-      .orderBy(col("vec_id"))
-      .limit(ncells)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
-      .withColumn("c_n2", norm2(col("c_emb")))
-      .agg(collect_list(struct(col("cell_id"), col("c_emb"), col("c_n2"))).as("cents"))
+    val centArr = centroids.getOrElse(seedCentroids(emb, ncells))
 
     val withN2 = emb.select(col("vec_id"), col("embedding"), d2(col("embedding"), col("embedding")).as("n2"))
 
-    // nearest `keep` cells per vector, computed inside the row
-    def assign(df: DataFrame, keep: Int): DataFrame =
-      df.crossJoin(broadcast(centArr))
-        .withColumn(
-          "__ranked",
-          array_sort(transform(
-            col("cents"),
-            c =>
-              struct(
-                (lit(-1.0) * cosine(dot(col("embedding"), c.getField("c_emb")), col("n2"), c.getField("c_n2")))
-                  .as("negcos"),
-                c.getField("cell_id").as("cell_id")))))
-        .select(
-          df.columns.map(col) :+
-            explode(slice(col("__ranked"), 1, keep)).as("__cell"): _*)
-        .withColumn("cell_id", col("__cell.cell_id"))
-        .drop("__cell")
-
-    val indexed = assign(withN2, 1) // corpus: single nearest cell
-    val probes = assign(withN2.filter(probePred), nprobe)
+    val indexed = assignCells(withN2, centArr, 1) // corpus: single nearest cell
+    val probes = assignCells(withN2.filter(probePred), centArr, nprobe)
       .select(
         col("vec_id").as("probe_id"),
         col("embedding").as("p_emb"),

@@ -82,6 +82,39 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.head._3 === 1.0)
   }
 
+  test("prefix filtering loses NO pairs: operator == driver-side brute force on random docs") {
+    import spark.implicits._
+    val rnd   = new scala.util.Random(17)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    // small vocab + mutation-of-a-base-doc mix => many pairs straddling the
+    // 0.8 threshold from both sides
+    val base = Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = (0 until 80).map { i =>
+      if (i % 3 == 0) {
+        val toks = base.split(" ").toBuffer
+        toks(rnd.nextInt(toks.size)) = vocab(rnd.nextInt(vocab.size))
+        (i.toLong, toks.mkString(" "))
+      } else
+        (i.toLong, Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = Dedup
+      .jaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text", n = 3, threshold = 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // driver-side brute force over ALL pairs (no filtering of any kind)
+    def sh(t: String): Set[Seq[String]] =
+      t.split(" ", -1).toSeq.sliding(3).filter(_.size == 3).toSet
+    val sets = docs.map { case (id, t) => id -> sh(t) }
+    val expect = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa intersect sb).size
+      union = sa.size + sb.size - inter
+      if union > 0 && inter.toDouble / union >= 0.8
+    } yield (ia, ib)).toSet
+    assert(got === expect)
+  }
+
   test("LSH near-dup == exact miner on the documents table (full recall at j>=0.8)") {
     val docs  = Tables.documents(spark, sfDir)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)

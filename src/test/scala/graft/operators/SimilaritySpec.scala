@@ -35,6 +35,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall < 1.0 || ivf === brute)
   }
 
+  test("kmeansCentroids: refined IVF stays exact at nprobe == ncells; recall at nprobe=3 holds up") {
+    val emb     = Tables.embeddings(spark, sfDir)
+    val refined = Similarity.kmeansCentroids(emb, ncells = 8, iters = 2)
+    // 8 centroids survive refinement (empty cells keep their seed)
+    assert(refined.select(org.apache.spark.sql.functions.size(col("cents"))).head().getInt(0) === 8)
+    val brute = topk(Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5))
+    val exact = topk(Similarity.ivfTopK(emb, col("vec_id") < 10, 5, 8, 8, centroids = Some(refined)))
+    assert(exact === brute) // probing every cell is exact for ANY centroids
+    val ivf3 = topk(Similarity.ivfTopK(emb, col("vec_id") < 10, 5, 8, 3, centroids = Some(refined)))
+    val recall = ivf3.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall@5 with 3/8 refined cells = $recall")
+  }
+
   test("ivfTopK plan: corpus is never inflated — broadcast joins only, no cartesian") {
     val plan = Similarity
       .ivfTopK(Tables.embeddings(spark, sfDir), col("vec_id") < 10, 5, 8, 8)
