@@ -969,6 +969,16 @@ object Contract {
              |  FROM pairs)
              |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin)
     ),
+    Q(
+      "q42_neardup_rows",
+      // the reusable near-dedup OPERATOR (rows out, not just pairs):
+      // greedy keep-smallest-id over the prefix-filtered exact miner
+      (s, d) =>
+        graft.operators.Dedup
+          .nearDedupRows(Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.8)
+          .select(col("doc_id"), col("lang"), col("source")),
+      Some(OracleSql.q42)
+    ),
     // -------------------------------------------- declared window capabilities
     Q(
       "q40_sliding_window",

@@ -108,6 +108,21 @@ object OracleSql {
        |  AND len(list_intersect(a.hh, b.hh))::DOUBLE
        |    / (len(a.hh) + len(b.hh) - len(list_intersect(a.hh, b.hh))) >= 0.8""".stripMargin
 
+  /** Surviving rows after greedy near-dedup: a doc is dropped iff it is the
+    * LARGER id of any qualifying pair (keep-smallest-id representative) —
+    * the same rule jaccardPairs + left-anti implements in Spark.
+    */
+  val q42: String =
+    s"""WITH ${shingleCtes()},
+       |drops AS (
+       |  SELECT DISTINCT b.doc_id AS id
+       |  FROM hs a, hs b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND len(list_intersect(a.hh, b.hh))::DOUBLE
+       |      / (len(a.hh) + len(b.hh) - len(list_intersect(a.hh, b.hh))) >= 0.8)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM drops)""".stripMargin
+
   val q33: String =
     """WITH n AS (
       |  SELECT vec_id, embedding,

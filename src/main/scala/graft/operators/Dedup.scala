@@ -132,6 +132,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Surviving rows after near-dedup: greedy keep-smallest-id — a row is
+    * dropped iff it is the larger id of ANY qualifying pair. (Chains are
+    * greedy, not connected components: if a~b and b~c but not a~c, both b
+    * and c drop — deterministic and one pass, the standard corpus-dedup
+    * policy.) Built on the prefix-filtered exact miner; swap in
+    * lshNearDupPairs for the approximate-at-scale variant.
+    */
+  def nearDedupRows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val drops = jaccardPairs(docs, idCol, textCol, n, threshold)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
+
   // --------------------------------------------------------------- MinHash
 
   /** One minhash permutation: min over the shingle-hash set of (a*h+b) mod P. */

@@ -35,6 +35,16 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(readBack(dir) === Set((1L, "a", 1), (2L, "b", 1)))
   }
 
+  test("commit leaves no temp/trash siblings and only merged data in the target") {
+    val dir = Files.createTempDirectory("ms4").resolve("tgt").toString
+    MergeSink.upsert(spark, table((1L, "a", 1), (2L, "b", 2)), dir, Seq("k"), Seq("p"))
+    MergeSink.upsert(spark, table((1L, "A", 1), (3L, "c", 3)), dir, Seq("k"), Seq("p"))
+    val parent = new java.io.File(dir).getParentFile
+    val leftovers = parent.listFiles().map(_.getName).filter(n => n.contains("graft-tmp") || n.contains("graft-old"))
+    assert(leftovers.isEmpty, s"leftover commit dirs: ${leftovers.mkString(",")}")
+    assert(readBack(dir) === Set((1L, "A", 1), (2L, "b", 2), (3L, "c", 3)))
+  }
+
   test("compatDropOverlap: overlapping batch is skipped whole (reference parity)") {
     val dir = Files.createTempDirectory("ms3").toString
     MergeSink.upsert(spark, table((1L, "a", 1)), dir, Seq("k"), Seq("p"))
