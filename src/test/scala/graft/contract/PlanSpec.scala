@@ -54,6 +54,13 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"corpus-side shuffle leaked into:\n$p")
   }
 
+  test("no contract query plans a CartesianProduct") {
+    Contract.all.foreach { q =>
+      val p = q.run(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"${q.name} plans a CartesianProduct:\n$p")
+    }
+  }
+
   test("partitioned landing read prunes to the filtered (date,hour) partitions") {
     val dir = java.nio.file.Files.createTempDirectory("prune").toString
     import spark.implicits._
