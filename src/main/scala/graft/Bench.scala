@@ -96,6 +96,13 @@ object Bench {
       timed("pipeline_parse_1h_log") {
         landing.write.format("noop").mode("overwrite").save()
       },
+      // same parse through the DSv2 canserver format (frame-id pushdown
+      // into the tokenize loop) — keeps both read paths measured
+      timed("pipeline_parse_dsv2") {
+        graft.pipelines.CanPipelines
+          .parseToLanding(graft.decode.CanDecode.decodeFilesV2(spark, logDir))
+          .write.format("noop").mode("overwrite").save()
+      },
       timed("pipeline_stationary") {
         graft.pipelines.CanPipelines
           .stationaryIntervals(graft.pipelines.CanPipelines.speedSeries(landing))
