@@ -979,6 +979,14 @@ object Contract {
           .select(col("doc_id"), col("lang"), col("source")),
       Some(OracleSql.q42)
     ),
+    Q(
+      "q43_simhash_neardup",
+      // pigeonhole-bucketed SimHash pair mining vs the brute-force oracle
+      (s, d) =>
+        graft.operators.Dedup
+          .simHashNearDupPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 1),
+      Some(OracleSql.q43)
+    ),
     // -------------------------------------------- declared window capabilities
     Q(
       "q40_sliding_window",

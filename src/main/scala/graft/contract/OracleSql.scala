@@ -74,6 +74,25 @@ object OracleSql {
        |FROM mh JOIN sim USING (doc_id)""".stripMargin
   }
 
+  /** Brute-force twin of the pigeonhole-bucketed SimHash pair miner: all
+    * pairs within hamming distance 1 of the 16-bit fingerprint.
+    */
+  val q43: String = {
+    val bitSums = (0 until 16).map(k => s"SUM(((h >> $k) & 1)*2 - 1) AS s$k").mkString(", ")
+    val simExpr = (0 until 16)
+      .map(k => s"(CASE WHEN s$k >= 0 THEN (1::BIGINT << $k) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+       |toku AS (SELECT doc_id, unnest(list_distinct(tk)) AS t FROM toks),
+       |tokh AS (SELECT doc_id, ${polyHash("t")} AS h FROM toku),
+       |bits AS (SELECT doc_id, $bitSums FROM tokh GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $simExpr AS simhash FROM bits)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+       |FROM sim a, sim b
+       |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin
+  }
+
   /** Banded candidates (any of 4 bands of 2 slots equal) -> exact verify. */
   val q31: String = {
     val bandCond = (0 until 4)

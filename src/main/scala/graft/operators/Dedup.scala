@@ -263,6 +263,50 @@ object Dedup {
 
   // --------------------------------------------------------------- SimHash
 
+  /** All pairs within `maxHamming` SimHash bits, mined EXACTLY by the
+    * pigeonhole principle: split the 16 fingerprint bits into
+    * (maxHamming + 1) contiguous chunks — a pair differing in <= maxHamming
+    * bits must agree on at least one whole chunk — bucket-join on
+    * (chunk, chunk value), verify with bit_count(xor). No all-pairs scan.
+    *
+    * Scale note: bucket population is corpus / 2^chunk_bits; production
+    * widens the fingerprint (more bits, same machinery) to keep buckets
+    * small — the 16-bit form matches the q30 cross-engine fingerprint.
+    *
+    * Output: id_a < id_b, hamming.
+    */
+  def simHashNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16, "maxHamming in [0, 16)")
+    val nChunks = maxHamming + 1
+    val bounds  = (0 to nChunks).map(c => c * 16 / nChunks) // contiguous splits
+    val sim     = simHash16(docs, idCol, textCol)
+    val bands = sim.select(
+      col("id"),
+      col("simhash"),
+      explode(array((0 until nChunks).map { c =>
+        val lo = bounds(c); val hi = bounds(c + 1)
+        struct(
+          lit(c).as("chunk"),
+          shiftright(col("simhash"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)).as("key"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.chunk").as("chunk"), col("bb.key").as("key"))
+    bands
+      .as("a")
+      .join(bands.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** 16-bit SimHash fingerprint per document from distinct-token hashes:
     * bit k set iff sum over tokens of (2*bit_k(h)-1) >= 0.
     */

@@ -127,6 +127,24 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
   }
 
+  test("simHashNearDupPairs: pigeonhole buckets lose no pair vs brute-force hamming") {
+    val docs = Tables.documents(spark, sfDir).limit(120).cache()
+    val got = Dedup
+      .simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val sims = Dedup.simHash16(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = (for {
+      (ia, sa) <- sims; (ib, sb) <- sims if ia < ib
+      ham = java.lang.Long.bitCount(sa ^ sb)
+      if ham <= 1
+    } yield (ia, ib, ham)).toSet
+    assert(got === expect)
+    docs.unpersist()
+  }
+
   test("simHash16: identical docs get identical fingerprints; near-dups are close") {
     import spark.implicits._
     val docs = Seq(
