@@ -987,6 +987,16 @@ object Contract {
           .simHashNearDupPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 1),
       Some(OracleSql.q43)
     ),
+    Q(
+      "q44_simhash_wide",
+      // zero-shuffle 62-bit fingerprint (per-row native projection) vs the
+      // groupBy-bitSums oracle formulation
+      (s, d) =>
+        graft.operators.Dedup
+          .simHashWide(Tables.documents(s, d), "doc_id", "text", bits = 62)
+          .withColumnRenamed("id", "doc_id"),
+      Some(OracleSql.q44)
+    ),
     // -------------------------------------------- declared window capabilities
     Q(
       "q40_sliding_window",

@@ -74,6 +74,25 @@ object OracleSql {
        |FROM mh JOIN sim USING (doc_id)""".stripMargin
   }
 
+  /** Twin of the per-row wide SimHash: distinct token HASHES (shingle n=1),
+    * bit k = sign of the summed permuted parities, k < 62.
+    */
+  val q44: String = {
+    val bitSums = (0 until 62).map { k =>
+      val (a, b) = graft.operators.Dedup.perm(k)
+      s"SUM((((($a*h + $b) % $P) & 1)*2 - 1)) AS s$k"
+    }.mkString(", ")
+    val simExpr = (0 until 62)
+      .map(k => s"(CASE WHEN s$k >= 0 THEN (1::BIGINT << $k) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |tokh AS (SELECT doc_id,
+       |  unnest(list_distinct(list_transform(tk, t -> ${polyHash("t")}))) AS h
+       |  FROM toks),
+       |bits AS (SELECT doc_id, $bitSums FROM tokh GROUP BY doc_id)
+       |SELECT doc_id, $simExpr AS simhash FROM bits""".stripMargin
+  }
+
   /** Brute-force twin of the pigeonhole-bucketed SimHash pair miner: all
     * pairs within hamming distance 1 of the 16-bit fingerprint.
     */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSigExpr, PolyHashExpr, ShingleHashesExpr, VecDotExpr}
+import graft.functions.{MinHashSigExpr, PolyHashExpr, ShingleHashesExpr, SimHashExpr, VecDotExpr}
 
 /** SparkSessionExtensions hook: registers the engine's native expressions
   * with the SQL function registry, so `spark.sql("... poly_hash(col) ...")`
@@ -51,6 +51,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => sys.error(s"minhash_sig k must be an INT literal, got $other")
         }
         MinHashSigExpr(children.head, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash_bits"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "simhash_bits takes (hashes, bits)")
+        val bits = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => sys.error(s"simhash_bits bits must be an INT literal, got $other")
+        }
+        SimHashExpr(children.head, bits)
       }))
   }
 }

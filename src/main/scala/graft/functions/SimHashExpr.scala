@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Wide SimHash fingerprint over an ARRAY<LONG> of (distinct) token hashes:
+  * bit k (k < bits <= 62) is set iff
+  * sum over hashes h of (2 * parity((a_k*h + b_k) mod P) - 1) >= 0,
+  * with the engine's fixed permutation constants a_k = 2k+1, b_k = 101k+7.
+  *
+  * The polynomial hash carries only ~30 informative bits, so bits beyond
+  * that come from independent permuted parities — a formulation expressible
+  * EXACTLY in ANSI SQL (unlike xxhash64), which is what lets the DuckDB
+  * oracle certify it. 62 bits, not 64: the oracle engine rejects
+  * 1::BIGINT << 63 as overflow, and 62 keeps both engines in positive-sign
+  * territory.
+  *
+  * One pass per row — the fingerprint is a scan-side projection, zero
+  * shuffle at any corpus size (the groupBy-bitSums form shuffles the
+  * exploded token table).
+  */
+case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean  = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if bits >= 1 && bits <= 62 => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"simhash_bits requires ARRAY<LONG> and 1 <= bits <= 62, got $other, bits=$bits")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashExpr.sig(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("shRes")
+      s"""
+         |java.lang.Long $tmp = graft.functions.SimHashExpr.sig($c, $bits);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+}
+
+object SimHashExpr {
+  import PolyHashExpr.P
+
+  /** Null (boxed) on an empty hash set. */
+  def sig(hashes: ArrayData, bits: Int): java.lang.Long = {
+    val n = hashes.numElements()
+    if (n == 0) return null
+    val sums = new Array[Int](bits)
+    var i    = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var k = 0
+      while (k < bits) {
+        val parity = (((2L * k + 1) * h + (101L * k + 7)) % P & 1L).toInt
+        sums(k) += parity * 2 - 1
+        k += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var k   = 0
+    while (k < bits) {
+      if (sums(k) >= 0) out |= 1L << k
+      k += 1
+    }
+    out
+  }
+}

@@ -307,6 +307,21 @@ object Dedup {
       .distinct()
   }
 
+  /** Wide (up to 62-bit) SimHash fingerprint as a PER-ROW projection:
+    * distinct token hashes via the native one-pass `shingle_hashes(text, 1)`
+    * and the fingerprint via the native `SimHashExpr` permuted-parity fold —
+    * zero shuffle at any corpus size (simHash16 below shuffles the exploded
+    * token table). Wider fingerprints keep pigeonhole buckets small at
+    * scale: population per bucket ~ corpus / 2^(bits/(maxHamming+1)).
+    */
+  def simHashWide(docs: DataFrame, idCol: String, textCol: String, bits: Int = 62): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sig = ColumnBridge.column(
+      graft.functions.SimHashExpr(
+        ColumnBridge.expression(shingleHashes(col(textCol), 1)), bits))
+    spread(docs).select(col(idCol).as("id"), sig.as("simhash"))
+  }
+
   /** 16-bit SimHash fingerprint per document from distinct-token hashes:
     * bit k set iff sum over tokens of (2*bit_k(h)-1) >= 0.
     */

@@ -145,6 +145,29 @@ class DedupSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("simHashWide: identical docs equal; near-identical docs land within small hamming") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "entirely different words populate this document body here now"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.simHashWide(df, "doc_id", "text", bits = 62)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) === sig(2L))
+    val nearHam = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    val farHam  = java.lang.Long.bitCount(sig(1L) ^ sig(4L))
+    assert(nearHam < farHam, s"near=$nearHam far=$farHam")
+    // registered as a SQL function via SparkSessionExtensions
+    val viaSql = spark
+      .sql("SELECT simhash_bits(shingle_hashes('a b c', 1), 62) AS s")
+      .head().getLong(0)
+    val viaOp = Dedup.simHashWide(Seq((9L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", 62)
+      .head().getLong(1)
+    assert(viaSql === viaOp)
+  }
+
   test("simHash16: identical docs get identical fingerprints; near-dups are close") {
     import spark.implicits._
     val docs = Seq(
