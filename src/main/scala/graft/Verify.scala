@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Verify <sfDir> <outDir> [queryName...]")
     val Array(sfDir, outDir) = args.take(2)
-    // optional subset: re-dump only the named queries (local iteration)
-    val only = args.drop(2).toSet
+    // optional subset: re-dump only the named queries (local iteration).
+    // Unknown names fail fast — a typo'd subset that silently matched
+    // nothing would leave stale parquet to false-pass the compare.
+    val only    = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"Verify: unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

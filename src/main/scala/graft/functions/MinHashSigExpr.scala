@@ -58,10 +58,11 @@ object MinHashSigExpr {
     val mins = Array.fill(k)(Long.MaxValue)
     var i    = 0
     while (i < n) {
+      if (hashes.isNullAt(i)) return null // composed-form null propagation
       val h = hashes.getLong(i)
       var j = 0
       while (j < k) {
-        val v = ((2L * j + 1) * h + (101L * j + 7)) % P
+        val v = (permA(j) * h + permB(j)) % P
         if (v < mins(j)) mins(j) = v
         j += 1
       }
@@ -69,4 +70,12 @@ object MinHashSigExpr {
     }
     new GenericArrayData(mins.map(_.asInstanceOf[Any]))
   }
+
+  /** THE permutation constants for slot/bit j — single source of truth for
+    * the native kernels (here and SimHashExpr), the composed Column forms
+    * (Dedup.perm delegates here), and the DuckDB oracle SQL (generated via
+    * Dedup.perm).
+    */
+  def permA(j: Int): Long = 2L * j + 1
+  def permB(j: Int): Long = 101L * j + 7
 }

@@ -51,18 +51,20 @@ case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
 
 object SimHashExpr {
   import PolyHashExpr.P
+  import MinHashSigExpr.{permA, permB} // single source of permutation constants
 
-  /** Null (boxed) on an empty hash set. */
+  /** Null (boxed) on an empty hash set or a NULL element. */
   def sig(hashes: ArrayData, bits: Int): java.lang.Long = {
     val n = hashes.numElements()
     if (n == 0) return null
     val sums = new Array[Int](bits)
     var i    = 0
     while (i < n) {
+      if (hashes.isNullAt(i)) return null
       val h = hashes.getLong(i)
       var k = 0
       while (k < bits) {
-        val parity = (((2L * k + 1) * h + (101L * k + 7)) % P & 1L).toInt
+        val parity = ((permA(k) * h + permB(k)) % P & 1L).toInt
         sums(k) += parity * 2 - 1
         k += 1
       }

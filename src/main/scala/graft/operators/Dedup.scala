@@ -103,11 +103,17 @@ object Dedup {
     // fraction of the ~n-word shingle strings (collision noise ~1e-9 at
     // P≈1e9 per doc pair)
     // The hashed set table feeds FOUR consumers (two prefix-index sides, two
-    // verify fetches), so it is persisted: one hashing pass, every consumer
-    // reads the cached columnar form (the Spark-ML-internal pattern — ALS /
-    // KMeans persist their working sets the same way; the ContextCleaner
-    // reclaims the cache once the plan is unreferenced). Exchange reuse
-    // alone is not reliable here: round-robin exchanges are not deduped.
+    // verify fetches), so it is materialized once with an EAGER
+    // localCheckpoint: every consumer replays the stored blocks instead of
+    // re-hashing the corpus. Unlike Dataset.persist (whose CacheManager
+    // entry is never reclaimed without an explicit unpersist), a local
+    // checkpoint is RDD-level storage that the ContextCleaner unpersists
+    // once the returned plan is garbage-collected — no leak across calls.
+    // (Local checkpoints trade lineage: an executor loss mid-query fails
+    // the query instead of recomputing; acceptable for a deterministic
+    // batch operator, and Spark retries the batch.)
+    // Exchange reuse alone is not reliable here: round-robin exchanges are
+    // not deduped.
     // No nsh>0 guard: an empty set yields no prefix rows (explode of empty)
     // and candidates inner-join back to sets, so shingle-less docs drop out
     // for free — and an nsh predicate would be pushed down into the scan as
@@ -115,7 +121,7 @@ object Dedup {
     val sets = spread(docs)
       .select(col(idCol).as("id"), sort_array(shingleHashes(col(textCol), n)).as("sh"))
       .withColumn("nsh", size(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val prefixLen = (col("nsh") - floor(lit(threshold) * col("nsh")).cast("int") + 1)
     val pref = sets.select(col("id"), explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
     val cand = pref
@@ -157,8 +163,11 @@ object Dedup {
   def minHash(hashes: Column, a: Long, b: Long): Column =
     array_min(transform(hashes, h => (lit(a) * h + lit(b)) % P))
 
-  /** Deterministic permutation constants for signature slot j. */
-  def perm(j: Int): (Long, Long) = (2L * j + 1, 101L * j + 7)
+  /** Deterministic permutation constants for signature slot j — delegates to
+    * the native kernels' single source (MinHashSigExpr.permA/permB).
+    */
+  def perm(j: Int): (Long, Long) =
+    (graft.functions.MinHashSigExpr.permA(j), graft.functions.MinHashSigExpr.permB(j))
 
   /** k-slot minhash signature columns mh0..mh{k-1} for a text column.
     * NB: each slot re-evaluates the transform lambda over the hash set —

@@ -134,6 +134,9 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, ncells: Int, iters: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    require(
+      emb.limit(ncells).count() == ncells,
+      s"kmeansCentroids: corpus has fewer than ncells=$ncells vectors")
     var cents: DataFrame = seedCentroids(emb, ncells)
     val withN2 = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
     (1 to iters).foreach { _ =>

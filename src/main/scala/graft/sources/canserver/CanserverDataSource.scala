@@ -1,6 +1,5 @@
 package graft.sources.canserver
 
-import java.net.URI
 import java.util
 import scala.collection.mutable.ArrayBuffer
 
@@ -109,22 +108,30 @@ class CanserverScan(path: String, frameIds: Option[Set[Int]]) extends Scan with 
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val fs    = FileSystem.get(new URI(path), CanserverReaderFactory.toConf(hadoopConfEntries))
-    val files = ArrayBuffer.empty[CanserverFilePartition]
+    // Path(String) handles glob characters ({a,b}, *, ?) that a raw
+    // new URI(path) rejects — parity with the binaryFile source.
+    val globPath = new Path(path)
+    val fs       = globPath.getFileSystem(CanserverReaderFactory.toConf(hadoopConfEntries))
+    val files    = ArrayBuffer.empty[CanserverFilePartition]
+    // hidden/metadata names (_SUCCESS, .crc sidecars, _tmp dirs) are
+    // skipped wherever they appear — glob matches included — matching
+    // Spark's file-index conventions
+    def hidden(p: Path): Boolean =
+      p.getName.startsWith(".") || p.getName.startsWith("_")
     // Resolve globs first (load("dir/*.log")) so the format accepts the same
     // path expressions as the binaryFile source it substitutes for; a
     // no-match/nonexistent path fails with a clear message, not a raw
     // Hadoop exception.
-    val matched = Option(fs.globStatus(new Path(path))).getOrElse(Array.empty)
+    val matched = Option(fs.globStatus(globPath)).getOrElse(Array.empty)
     if (matched.isEmpty)
       throw new IllegalArgumentException(s"canserver source: path does not exist or matches no files: $path")
-    matched.foreach { root =>
+    matched.filterNot(st => hidden(st.getPath)).foreach { root =>
       if (root.isFile) files += CanserverFilePartition(root.getPath.toString)
       else {
         val it = fs.listFiles(root.getPath, true)
         while (it.hasNext) {
           val st = it.next()
-          if (st.isFile && !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+          if (st.isFile && !hidden(st.getPath))
             files += CanserverFilePartition(st.getPath.toString)
         }
       }
@@ -153,7 +160,9 @@ class CanserverReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[CanserverFilePartition].file
     new PartitionReader[InternalRow] {
-      private val fs    = FileSystem.get(new URI(file), CanserverReaderFactory.toConf(hadoopConfEntries))
+      // Path(String), not new URI(file): listed paths may contain characters
+      // (spaces etc.) a raw URI constructor rejects
+      private val fs    = new Path(file).getFileSystem(CanserverReaderFactory.toConf(hadoopConfEntries))
       private val in    = fs.open(new Path(file))
       private val bytes =
         try {

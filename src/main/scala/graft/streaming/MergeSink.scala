@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -16,10 +17,48 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: only partitions present in the batch are read back
   * (left-semi against the batch's distinct partition values, which prunes on
-  * the partition columns) and only those are rewritten (dynamic partition
-  * overwrite). Untouched partitions are never scanned or written.
+  * the partition columns) and only those are rewritten. Untouched partitions
+  * are never scanned or written.
+  *
+  * Commit protocol (crash-safe): the merge is materialized to a DETERMINISTIC
+  * temp sibling (`.graft-tmp-<target>`), then each dirty partition directory
+  * is swapped in with two renames, displacing the old copy into
+  * `.graft-old-<target>`. Every upsert begins by RECOVERING any staging dirs
+  * a crashed commit left behind: a trash leaf whose destination is missing
+  * (crash between the two renames) is renamed back, one whose destination
+  * exists (new data landed) is dropped — so no commit state is ever
+  * unrecoverable. Deterministic staging names mean concurrent upserts to the
+  * SAME target are not supported (a streaming query runs its batches
+  * serially, which is the intended caller).
   */
 object MergeSink {
+
+  private def leafDirs(fs: FileSystem, p: Path, depth: Int): Seq[Path] =
+    if (depth == 0) Seq(p)
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap(s => leafDirs(fs, s.getPath, depth - 1))
+
+  private def relOf(root: Path, leaf: Path, fs: FileSystem): String =
+    fs.makeQualified(leaf).toString.stripPrefix(root.toString).stripPrefix("/")
+
+  private def renameOrFail(fs: FileSystem, src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      sys.error(s"MergeSink commit: rename $src -> $dst failed")
+
+  /** Restore the target from a previous crashed commit, then clear staging. */
+  private def recover(fs: FileSystem, target: Path, tmp: Path, trash: Path, depth: Int): Unit = {
+    if (fs.exists(trash)) {
+      leafDirs(fs, trash, depth).foreach { leaf =>
+        val rel  = relOf(trash, leaf, fs)
+        val dest = if (rel.isEmpty) target else new Path(target, rel)
+        if (!fs.exists(dest)) { // crash between the two renames: put it back
+          fs.mkdirs(dest.getParent)
+          renameOrFail(fs, leaf, dest)
+        } // else the new copy landed; the displaced old copy is obsolete
+      }
+      fs.delete(trash, true)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true) // half-written merge output
+  }
 
   /** @param compatDropOverlap reference bug-parity mode (SURVEY §2.5): when
     *        true, a batch whose keys OVERLAP existing rows is dropped
@@ -35,6 +74,16 @@ object MergeSink {
       partitionCols: Seq[String],
       compatDropOverlap: Boolean = false): Unit = {
     if (batch.isEmpty) return
+
+    val conf   = spark.sessionState.newHadoopConf()
+    val rawTgt = new Path(targetDir)
+    val fs     = rawTgt.getFileSystem(conf)
+    val target = fs.makeQualified(rawTgt)
+    val tmp    = fs.makeQualified(new Path(target.getParent, s".graft-tmp-${target.getName}"))
+    val trash  = fs.makeQualified(new Path(target.getParent, s".graft-old-${target.getName}"))
+
+    // heal any crashed previous commit BEFORE reading the target
+    recover(fs, target, tmp, trash, partitionCols.length)
 
     val existing: Option[DataFrame] =
       try Some(spark.read.parquet(targetDir)) catch { case _: AnalysisException => None }
@@ -62,49 +111,26 @@ object MergeSink {
           .filter(col("__rn") === 1)
           .drop("__pri", "__rn")
 
-        // Two-phase commit: materialize the merge to a temporary SIBLING
-        // directory first (so the job never deletes data it is still
-        // reading), then swap each dirty partition directory into place
-        // with metadata renames. A crash before the swap leaves the target
-        // untouched; during the swap, the exposure is one partition's pair
-        // of renames — not the full rewrite window of a dynamic overwrite —
-        // and the displaced rows survive in a hidden .graft-old dir until
-        // the swap completes, so nothing is unrecoverable mid-commit.
-        val token   = java.util.UUID.randomUUID().toString.take(8)
-        val conf    = spark.sessionState.newHadoopConf()
-        val rawTgt  = new org.apache.hadoop.fs.Path(targetDir)
-        val fs      = rawTgt.getFileSystem(conf)
-        val target  = fs.makeQualified(rawTgt)
-        val tmp     = fs.makeQualified(
-          new org.apache.hadoop.fs.Path(target.getParent, s".graft-tmp-${target.getName}-$token"))
-        val trash   = fs.makeQualified(
-          new org.apache.hadoop.fs.Path(target.getParent, s".graft-old-${target.getName}-$token"))
+        // Two-phase commit: materialize the merge to the temp sibling (the
+        // job never deletes data it is still reading), then swap each dirty
+        // partition in with renames. On swap failure the exception
+        // propagates with tmp/trash intact — the NEXT upsert's recover()
+        // restores them; nothing is deleted until its replacement is in
+        // place.
         merged.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp.toString)
-        // on swap failure the exception propagates and tmp/trash are left in
-        // place for recovery; nothing is deleted until every dirty partition
-        // has swapped successfully
-        locally {
-          def leafDirs(p: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
-            if (depth == 0) Seq(p)
-            else fs.listStatus(p).toSeq.filter(_.isDirectory)
-              .flatMap(s => leafDirs(s.getPath, depth - 1))
-          def renameOrFail(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
-            if (!fs.rename(src, dst))
-              sys.error(s"MergeSink commit: rename $src -> $dst failed")
-          leafDirs(tmp, partitionCols.length).foreach { leaf =>
-            val rel   = fs.makeQualified(leaf).toString.stripPrefix(tmp.toString).stripPrefix("/")
-            val dest  = if (rel.isEmpty) target else new org.apache.hadoop.fs.Path(target, rel)
-            val aside = if (rel.isEmpty) trash else new org.apache.hadoop.fs.Path(trash, rel)
-            if (fs.exists(dest)) {
-              fs.mkdirs(aside.getParent)
-              renameOrFail(dest, aside)
-            }
-            fs.mkdirs(dest.getParent)
-            renameOrFail(leaf, dest)
+        leafDirs(fs, tmp, partitionCols.length).foreach { leaf =>
+          val rel   = relOf(tmp, leaf, fs)
+          val dest  = if (rel.isEmpty) target else new Path(target, rel)
+          val aside = if (rel.isEmpty) trash else new Path(trash, rel)
+          if (fs.exists(dest)) {
+            fs.mkdirs(aside.getParent)
+            renameOrFail(fs, dest, aside)
           }
-          fs.delete(trash, true)
-          fs.delete(tmp, true)
+          fs.mkdirs(dest.getParent)
+          renameOrFail(fs, leaf, dest)
         }
+        fs.delete(trash, true)
+        fs.delete(tmp, true)
     }
   }
 }

@@ -45,6 +45,25 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(readBack(dir) === Set((1L, "A", 1), (2L, "b", 2), (3L, "c", 3)))
   }
 
+  test("recover: a crash between the two swap renames is healed by the next upsert") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val root = Files.createTempDirectory("ms5")
+    val dir  = root.resolve("tgt").toString
+    MergeSink.upsert(spark, table((1L, "a", 1), (2L, "b", 2)), dir, Seq("k"), Seq("p"))
+    // simulate the crash window: partition p=1 was renamed aside into the
+    // deterministic trash dir, the new copy never landed, staging remains
+    JFiles.createDirectories(JPaths.get(root.toString, ".graft-old-tgt"))
+    JFiles.move(
+      JPaths.get(dir, "p=1"),
+      JPaths.get(root.toString, ".graft-old-tgt", "p=1"))
+    JFiles.createDirectories(JPaths.get(root.toString, ".graft-tmp-tgt", "p=1"))
+    // next upsert must first restore p=1 from trash, then merge normally
+    MergeSink.upsert(spark, table((3L, "c", 3)), dir, Seq("k"), Seq("p"))
+    assert(readBack(dir) === Set((1L, "a", 1), (2L, "b", 2), (3L, "c", 3)))
+    val leftovers = root.toFile.listFiles().map(_.getName).filter(_.startsWith(".graft"))
+    assert(leftovers.isEmpty, s"staging dirs not cleared: ${leftovers.mkString(",")}")
+  }
+
   test("compatDropOverlap: overlapping batch is skipped whole (reference parity)") {
     val dir = Files.createTempDirectory("ms3").toString
     MergeSink.upsert(spark, table((1L, "a", 1)), dir, Seq("k"), Seq("p"))
