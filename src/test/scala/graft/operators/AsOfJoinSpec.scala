@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** The linear union + running-last as-of join must equal the naive
+  * equi-join + row_number()=1 formulation — including ties at equal time
+  * (largest tieBreak wins), inclusive <=, null right keys/times (never
+  * match), and left rows with no match (dropped when inner, null-extended
+  * otherwise) — on adversarial random data.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def data() = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // few keys + a tiny time domain => dense tie/boundary collisions
+    val left = (1 to 300).map(i => (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(20).toLong))
+      .toDF("event_id", "k", "t")
+    val right = (1 to 200).map { i =>
+      val k: java.lang.Long = if (rnd.nextInt(10) == 0) null else rnd.nextInt(5).toLong
+      val t: java.lang.Long = if (rnd.nextInt(10) == 0) null else rnd.nextInt(20).toLong
+      (i.toLong, k, t, rnd.nextInt(1000).toDouble)
+    }.toDF("order_id", "rk", "rt", "price")
+    (left, right)
+  }
+
+  private def naive(left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame, inner: Boolean) = {
+    val joined = left.join(
+      right,
+      col("k") === col("rk") && col("rt") <= col("t"),
+      if (inner) "inner" else "left")
+    val w = Window.partitionBy(col("event_id")).orderBy(col("rt").desc_nulls_last, col("order_id").desc_nulls_last)
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("event_id", "k", "t", "order_id", "rt", "price")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))
+      .toSet
+  }
+
+  test("inner as-of == naive join + row_number over random ties and nulls") {
+    val (left, right) = data()
+    val got = AsOfJoin
+      .asof(left, right, col("k"), col("rk"), col("t"), col("rt"), col("order_id"), inner = true)
+      .select("event_id", "k", "t", "order_id", "rt", "price")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))
+      .toSet
+    assert(got === naive(left, right, inner = true))
+  }
+
+  test("outer as-of keeps unmatched left rows with null right columns") {
+    val (left, right) = data()
+    val got = AsOfJoin
+      .asof(left, right, col("k"), col("rk"), col("t"), col("rt"), col("order_id"), inner = false)
+      .select("event_id", "k", "t", "order_id", "rt", "price")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))
+      .toSet
+    assert(got === naive(left, right, inner = false))
+    // every left row survives
+    assert(got.size === left.count())
+  }
+}
