@@ -82,4 +82,20 @@ object CanDecode {
     */
   def decodeFilesV2(spark: SparkSession, path: String): DataFrame =
     decodeRaw(spark.read.format("canserver").load(path))
+
+  /** Per-file framing health (the bad-record channel): what each file's
+    * tokenize pass skipped — noise bytes, truncated tails, embedded headers,
+    * invalid-header rejections — as a DataFrame for monitoring/alerting.
+    */
+  def scanStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read
+      .format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) => CanserverTokenizer.stats(bytes, p) }
+      .toDF()
+  }
 }

@@ -37,6 +37,19 @@ final case class CanRecord(
   *     same);
   *   - truncated record at EOF: stop (reference breaks on short reads).
   */
+/** Per-file framing health — the bad-record channel (SURVEY §2.1): what the
+  * tokenizer silently skipped or rejected, surfaced as data instead of logs.
+  */
+final case class CanScanStats(
+    path: String,
+    valid_header: Boolean,
+    n_frames: Long,
+    n_syncs: Long,
+    n_marks: Long,
+    n_embedded_headers: Long,
+    noise_bytes: Long,
+    truncated_tail_bytes: Long)
+
 object CanserverTokenizer {
 
   val Magic: Array[Byte] = "CANSERVER_v2_CANSERVER".getBytes("ASCII")
@@ -118,5 +131,44 @@ object CanserverTokenizer {
         r
       }
     }
+  }
+
+  /** One-pass framing census of a log file (same grammar as tokenize; no
+    * records materialized). An invalid header counts the whole body as
+    * noise — the file-rejection case made measurable.
+    */
+  def stats(bytes: Array[Byte], path: String = ""): CanScanStats = {
+    if (!hasValidHeader(bytes))
+      return CanScanStats(path, valid_header = false, 0, 0, 0, 0, bytes.length.toLong, 0)
+    var pos                                          = Magic.length
+    var frames, syncs, marks, embedded, noise, trunc = 0L
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    def magicAt(i: Int): Boolean =
+      i + Magic.length <= bytes.length && {
+        var j = 0
+        while (j < Magic.length && bytes(i + j) == Magic(j)) j += 1
+        j == Magic.length
+      }
+    var done = false
+    while (!done && pos < bytes.length) {
+      val b = u8(pos)
+      if (b == 'C'.toInt && magicAt(pos)) { embedded += 1; pos += Magic.length }
+      else if (b == 0xcd) {
+        if (pos + 1 >= bytes.length || pos + 2 + u8(pos + 1) > bytes.length) {
+          trunc = bytes.length.toLong - pos; done = true
+        } else { marks += 1; pos += 2 + u8(pos + 1) }
+      } else if (b == 0xce) {
+        if (pos + 9 > bytes.length) { trunc = bytes.length.toLong - pos; done = true }
+        else { syncs += 1; pos += 9 }
+      } else if (b == 0xcf) {
+        if (pos + 6 > bytes.length) { trunc = bytes.length.toLong - pos; done = true }
+        else {
+          val len = math.min(u8(pos + 5) & 0x0f, 8)
+          if (pos + 6 + len > bytes.length) { trunc = bytes.length.toLong - pos; done = true }
+          else { frames += 1; pos += 6 + len }
+        }
+      } else { noise += 1; pos += 1 }
+    }
+    CanScanStats(path, valid_header = true, frames, syncs, marks, embedded, noise, trunc)
   }
 }

@@ -11,6 +11,29 @@ class CanserverTokenizerSpec extends AnyFunSuite {
 
   private def toks(bytes: Array[Byte]) = CanserverTokenizer.tokenize(bytes).toList
 
+  test("stats: framing census counts frames/syncs/marks/noise/truncation/rejection") {
+    val t0 = 1700000000L * 1000000L
+    val body = file(
+      timesync(t0),
+      mark("hello"),
+      frame(1, 599, 0, Array[Byte](0, 0x50, 0x30)),
+      Array[Byte](0x7f, 0x00), // noise
+      frame(2, 273, 0, Array[Byte](1, 2, 3, 4, 5, 6)))
+    val s = CanserverTokenizer.stats(body)
+    assert(s.valid_header && s.n_frames === 2 && s.n_syncs === 1 && s.n_marks === 1)
+    assert(s.noise_bytes === 2 && s.truncated_tail_bytes === 0)
+    // the census walks the same grammar the tokenizer does
+    assert(CanserverTokenizer.tokenize(body).size === s.n_frames)
+
+    val truncated = body.dropRight(3) // cut into the last frame
+    val st = CanserverTokenizer.stats(truncated)
+    assert(st.n_frames === 1 && st.truncated_tail_bytes > 0)
+
+    val bad = "NOT_A_LOG".getBytes("ASCII")
+    val sb  = CanserverTokenizer.stats(bad)
+    assert(!sb.valid_header && sb.noise_bytes === bad.length)
+  }
+
   test("minimal valid file: header + sync + one frame per decoded id") {
     val t0 = 1700000000000000L // µs
     val f = file(
