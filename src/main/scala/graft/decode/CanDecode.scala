@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object CanDecode {
 
-  /** Tokenized frame records from every `.log`-like binary file under `path`. */
-  def records(spark: SparkSession, path: String): Dataset[CanRecord] = {
+  /** The one binaryFile scan both the decode path and the health census use
+    * — a single definition so they can never scan different file sets.
+    */
+  private def binaryFiles(spark: SparkSession, path: String): Dataset[(String, Array[Byte])] = {
     import spark.implicits._
     spark.read
       .format("binaryFile")
@@ -24,7 +26,12 @@ object CanDecode {
       .load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) => CanserverTokenizer.tokenize(bytes, p) }
+  }
+
+  /** Tokenized frame records from every `.log`-like binary file under `path`. */
+  def records(spark: SparkSession, path: String): Dataset[CanRecord] = {
+    import spark.implicits._
+    binaryFiles(spark, path).flatMap { case (p, bytes) => CanserverTokenizer.tokenize(bytes, p) }
   }
 
   /** Wide per-frame decode: one row per decoded frame with its channel's
@@ -89,12 +96,7 @@ object CanDecode {
     */
   def scanStats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read
-      .format("binaryFile")
-      .option("recursiveFileLookup", "true")
-      .load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
+    binaryFiles(spark, path)
       .map { case (p, bytes) => CanserverTokenizer.stats(bytes, p) }
       .toDF()
   }

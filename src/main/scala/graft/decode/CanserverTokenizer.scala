@@ -15,6 +15,19 @@ final case class CanRecord(
     payloadLong: Long,
     frameTimeMicros: Long)
 
+/** Per-file framing health — the bad-record channel (SURVEY §2.1): what the
+  * tokenizer silently skipped or rejected, surfaced as data instead of logs.
+  */
+final case class CanScanStats(
+    path: String,
+    valid_header: Boolean,
+    n_frames: Long,
+    n_syncs: Long,
+    n_marks: Long,
+    n_embedded_headers: Long,
+    noise_bytes: Long,
+    truncated_tail_bytes: Long)
+
 /** Stateful byte-stream framing of a CANServer-v2 log
   * (reference parse_canserver_filtered_log.py:186-293).
   *
@@ -36,20 +49,11 @@ final case class CanRecord(
   *   - any other byte: noise, skipped (the reference's scan loop does the
   *     same);
   *   - truncated record at EOF: stop (reference breaks on short reads).
+  *
+  * Both `tokenize` (the decode path) and `stats` (the bad-record census)
+  * drive the SAME single-step walker (`Cursor.step`), so the two surfaces
+  * cannot drift apart.
   */
-/** Per-file framing health — the bad-record channel (SURVEY §2.1): what the
-  * tokenizer silently skipped or rejected, surfaced as data instead of logs.
-  */
-final case class CanScanStats(
-    path: String,
-    valid_header: Boolean,
-    n_frames: Long,
-    n_syncs: Long,
-    n_marks: Long,
-    n_embedded_headers: Long,
-    noise_bytes: Long,
-    truncated_tail_bytes: Long)
-
 object CanserverTokenizer {
 
   val Magic: Array[Byte] = "CANSERVER_v2_CANSERVER".getBytes("ASCII")
@@ -62,47 +66,77 @@ object CanserverTokenizer {
       i == Magic.length
     }
 
-  /** Tokenize one log file. Invalid header => empty (the reference aborts the
-    * whole job; we reject just the file — the bad-file channel).
+  // step outcomes of the shared grammar walker
+  private[decode] final val TagNoise     = 0
+  private[decode] final val TagEmbedded  = 1
+  private[decode] final val TagMark      = 2
+  private[decode] final val TagSync      = 3
+  private[decode] final val TagFrame     = 4
+  private[decode] final val TagTruncated = 5
+
+  /** The single grammar walker: one call = one record/noise-byte consumed.
+    * All length guards use Long arithmetic so files near Int.MaxValue with a
+    * large size byte at EOF report truncation instead of overflowing.
     */
-  def tokenize(bytes: Array[Byte], path: String = ""): Iterator[CanRecord] = {
-    if (!hasValidHeader(bytes)) return Iterator.empty
-    new Iterator[CanRecord] {
-      private var pos          = Magic.length
-      private var lastSyncTime = 0L
-      private var nextRec: CanRecord = null
+  private[decode] final class Cursor(bytes: Array[Byte], path: String) {
+    var pos: Int           = Magic.length
+    var lastSyncTime: Long = 0L
+    var frame: CanRecord   = null // set when step() == TagFrame
+    var truncatedBytes: Long = 0L // set when step() == TagTruncated
 
-      @inline private def u8(i: Int): Int = bytes(i) & 0xff
+    def hasMore: Boolean = pos < bytes.length
 
-      private def advance(): Unit = {
-        nextRec = null
-        while (nextRec == null && pos < bytes.length) {
-          val b = u8(pos)
-          if (b == 'C'.toInt && matchesMagicAt(pos)) {
-            pos += Magic.length // embedded header from file concatenation
-          } else if (b == 0xcd) {
-            // mark record: size byte + that many ASCII bytes; truncated => stop
-            if (pos + 1 >= bytes.length) { pos = bytes.length; return }
-            val size = u8(pos + 1)
-            if (pos + 2 + size > bytes.length) { pos = bytes.length; return }
-            pos += 2 + size
-          } else if (b == 0xce) {
-            if (pos + 9 > bytes.length) { pos = bytes.length; return }
-            var t = 0L
-            var i = 0
-            while (i < 8) { t |= (bytes(pos + 1 + i) & 0xffL) << (8 * i); i += 1 }
-            lastSyncTime = t
-            pos += 9
-          } else if (b == 0xcf) {
-            if (pos + 6 > bytes.length) { pos = bytes.length; return }
-            val offsetMs = u8(pos + 1) | (u8(pos + 2) << 8)
-            val frameId  = u8(pos + 3) | (u8(pos + 4) << 8)
-            val lenBus   = u8(pos + 5)
-            val len      = math.min(lenBus & 0x0f, 8)
-            val busId    = (lenBus & 0xf0) >> 4
-            if (pos + 6 + len > bytes.length) { pos = bytes.length; return }
+    @inline private def u8(i: Int): Int = bytes(i) & 0xff
+
+    private def matchesMagicAt(i: Int): Boolean =
+      i.toLong + Magic.length <= bytes.length && {
+        var j = 0
+        while (j < Magic.length && bytes(i + j) == Magic(j)) j += 1
+        j == Magic.length
+      }
+
+    private def truncated(): Int = {
+      truncatedBytes = bytes.length.toLong - pos
+      pos = bytes.length
+      TagTruncated
+    }
+
+    /** Consume one grammar element; returns its Tag. */
+    def step(): Int = {
+      val b = u8(pos)
+      if (b == 'C'.toInt && matchesMagicAt(pos)) {
+        pos += Magic.length // embedded header from file concatenation
+        TagEmbedded
+      } else if (b == 0xcd) {
+        // mark record: size byte + that many ASCII bytes; truncated => stop
+        if (pos.toLong + 1 >= bytes.length) truncated()
+        else {
+          val size = u8(pos + 1)
+          if (pos.toLong + 2 + size > bytes.length) truncated()
+          else { pos += 2 + size; TagMark }
+        }
+      } else if (b == 0xce) {
+        if (pos.toLong + 9 > bytes.length) truncated()
+        else {
+          var t = 0L
+          var i = 0
+          while (i < 8) { t |= (bytes(pos + 1 + i) & 0xffL) << (8 * i); i += 1 }
+          lastSyncTime = t
+          pos += 9
+          TagSync
+        }
+      } else if (b == 0xcf) {
+        if (pos.toLong + 6 > bytes.length) truncated()
+        else {
+          val offsetMs = u8(pos + 1) | (u8(pos + 2) << 8)
+          val frameId  = u8(pos + 3) | (u8(pos + 4) << 8)
+          val lenBus   = u8(pos + 5)
+          val len      = math.min(lenBus & 0x0f, 8)
+          val busId    = (lenBus & 0xf0) >> 4
+          if (pos.toLong + 6 + len > bytes.length) truncated()
+          else {
             val payload = java.util.Arrays.copyOfRange(bytes, pos + 6, pos + 6 + len)
-            nextRec = CanRecord(
+            frame = CanRecord(
               path = path,
               frameId = frameId,
               busId = busId,
@@ -110,19 +144,30 @@ object CanserverTokenizer {
               payloadLong = CanCodec.packLE(payload),
               frameTimeMicros = lastSyncTime + offsetMs.toLong * 1000L)
             pos += 6 + len
-          } else {
-            pos += 1 // noise byte
+            TagFrame
           }
         }
+      } else {
+        pos += 1 // noise byte
+        TagNoise
       }
+    }
+  }
 
-      private def matchesMagicAt(i: Int): Boolean =
-        i + Magic.length <= bytes.length && {
-          var j = 0
-          while (j < Magic.length && bytes(i + j) == Magic(j)) j += 1
-          j == Magic.length
-        }
-
+  /** Tokenize one log file. Invalid header => empty (the reference aborts the
+    * whole job; we reject just the file — see `stats` for the measurable
+    * bad-record channel).
+    */
+  def tokenize(bytes: Array[Byte], path: String = ""): Iterator[CanRecord] = {
+    if (!hasValidHeader(bytes)) return Iterator.empty
+    val cur = new Cursor(bytes, path)
+    new Iterator[CanRecord] {
+      private var nextRec: CanRecord = null
+      private def advance(): Unit = {
+        nextRec = null
+        while (nextRec == null && cur.hasMore)
+          if (cur.step() == TagFrame) nextRec = cur.frame
+      }
       advance()
       override def hasNext: Boolean = nextRec != null
       override def next(): CanRecord = {
@@ -133,42 +178,25 @@ object CanserverTokenizer {
     }
   }
 
-  /** One-pass framing census of a log file (same grammar as tokenize; no
-    * records materialized). An invalid header counts the whole body as
-    * noise — the file-rejection case made measurable.
+  /** One-pass framing census of a log file (the same walker as tokenize; no
+    * records kept). An invalid header counts the whole body as noise — the
+    * file-rejection case made measurable.
     */
   def stats(bytes: Array[Byte], path: String = ""): CanScanStats = {
     if (!hasValidHeader(bytes))
       return CanScanStats(path, valid_header = false, 0, 0, 0, 0, bytes.length.toLong, 0)
-    var pos                                          = Magic.length
-    var frames, syncs, marks, embedded, noise, trunc = 0L
-    @inline def u8(i: Int): Int = bytes(i) & 0xff
-    def magicAt(i: Int): Boolean =
-      i + Magic.length <= bytes.length && {
-        var j = 0
-        while (j < Magic.length && bytes(i + j) == Magic(j)) j += 1
-        j == Magic.length
+    val cur                                   = new Cursor(bytes, path)
+    var frames, syncs, marks, embedded, noise = 0L
+    while (cur.hasMore) {
+      cur.step() match {
+        case TagFrame    => frames += 1
+        case TagSync     => syncs += 1
+        case TagMark     => marks += 1
+        case TagEmbedded => embedded += 1
+        case TagNoise    => noise += 1
+        case TagTruncated => // cursor recorded the tail; loop exits
       }
-    var done = false
-    while (!done && pos < bytes.length) {
-      val b = u8(pos)
-      if (b == 'C'.toInt && magicAt(pos)) { embedded += 1; pos += Magic.length }
-      else if (b == 0xcd) {
-        if (pos + 1 >= bytes.length || pos + 2 + u8(pos + 1) > bytes.length) {
-          trunc = bytes.length.toLong - pos; done = true
-        } else { marks += 1; pos += 2 + u8(pos + 1) }
-      } else if (b == 0xce) {
-        if (pos + 9 > bytes.length) { trunc = bytes.length.toLong - pos; done = true }
-        else { syncs += 1; pos += 9 }
-      } else if (b == 0xcf) {
-        if (pos + 6 > bytes.length) { trunc = bytes.length.toLong - pos; done = true }
-        else {
-          val len = math.min(u8(pos + 5) & 0x0f, 8)
-          if (pos + 6 + len > bytes.length) { trunc = bytes.length.toLong - pos; done = true }
-          else { frames += 1; pos += 6 + len }
-        }
-      } else { noise += 1; pos += 1 }
     }
-    CanScanStats(path, valid_header = true, frames, syncs, marks, embedded, noise, trunc)
+    CanScanStats(path, valid_header = true, frames, syncs, marks, embedded, noise, cur.truncatedBytes)
   }
 }

@@ -65,6 +65,28 @@ class CanDecodeSpec extends AnyFunSuite {
     assert(byId(273).getAs[Double]("epoch_sec") === (t0 + 10000L).toDouble / 1e6)
   }
 
+  test("scanStats: per-file health DataFrame matches the tokenizer census") {
+    val dir = Files.createTempDirectory("scanstats").toString
+    val t0  = 1700000000L * 1000000L
+    val good = file(
+      timesync(t0),
+      mark("m"),
+      frame(1, 599, 0, Array[Byte](0, 0x50, 0x30)),
+      Array[Byte](0x11), // noise
+      frame(2, 273, 0, Array[Byte](1, 2, 3, 4, 5, 6)))
+    Files.write(Paths.get(dir, "good.log"), good)
+    Files.write(Paths.get(dir, "bad.log"), "JUNKFILE".getBytes("ASCII"))
+    val rows = graft.decode.CanDecode.scanStats(spark, dir)
+      .select("path", "valid_header", "n_frames", "n_syncs", "n_marks", "noise_bytes", "truncated_tail_bytes")
+      .collect()
+      .map(r => (r.getString(0).split("/").last, r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    assert(rows === Set(
+      ("good.log", true, 2L, 1L, 1L, 1L, 0L),
+      ("bad.log", false, 0L, 0L, 0L, 8L, 0L)))
+  }
+
   test("CanExpressions equal CanCodec for random payload longs") {
     import spark.implicits._
     val rnd  = new scala.util.Random(7)
