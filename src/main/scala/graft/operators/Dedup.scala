@@ -157,6 +157,25 @@ object Dedup {
     docs.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Surviving rows via the BANDED-LSH pair miner — the at-scale variant of
+    * nearDedupRows (same greedy keep-smallest-id policy; candidate cost
+    * scales with band-bucket collisions, not corpus²). Recall follows the
+    * banding curve; pairs the buckets do surface are exact-verified.
+    */
+  def lshNearDedupRows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      rowsPerBand: Int = 2,
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val drops = lshNearDupPairs(docs, idCol, textCol, k, rowsPerBand, n, threshold)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
+
   // --------------------------------------------------------------- MinHash
 
   /** One minhash permutation: min over the shingle-hash set of (a*h+b) mod P. */

@@ -115,6 +115,15 @@ class DedupSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("lshNearDedupRows == nearDedupRows where LSH has full recall") {
+    val docs = Tables.documents(spark, sfDir)
+    val viaLsh = Dedup.lshNearDedupRows(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = Dedup.nearDedupRows(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaLsh === exact)
+  }
+
   test("LSH near-dup == exact miner on the documents table (full recall at j>=0.8)") {
     val docs  = Tables.documents(spark, sfDir)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
