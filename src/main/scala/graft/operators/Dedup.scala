@@ -138,43 +138,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Surviving rows after near-dedup: greedy keep-smallest-id — a row is
-    * dropped iff it is the larger id of ANY qualifying pair. (Chains are
-    * greedy, not connected components: if a~b and b~c but not a~c, both b
-    * and c drop — deterministic and one pass, the standard corpus-dedup
-    * policy.) Built on the prefix-filtered exact miner; swap in
-    * lshNearDupPairs for the approximate-at-scale variant.
+  /** THE survivor policy, shared by both near-dedup row variants: greedy
+    * keep-smallest-id — a row is dropped iff it is the larger id of ANY
+    * qualifying pair. (Chains are greedy, not connected components: if a~b
+    * and b~c but not a~c, both b and c drop — deterministic and one pass,
+    * the standard corpus-dedup policy.)
+    */
+  private def survivors(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Surviving rows after near-dedup (greedy keep-smallest-id, see
+    * `survivors`), built on the prefix-filtered EXACT miner; use
+    * lshNearDedupRows for the approximate-at-scale variant.
     */
   def nearDedupRows(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    val drops = jaccardPairs(docs, idCol, textCol, n, threshold)
-      .select(col("id_b").as(idCol))
-      .distinct()
-    docs.join(drops, Seq(idCol), "left_anti")
-  }
+      threshold: Double = 0.8): DataFrame =
+    survivors(docs, idCol, jaccardPairs(docs, idCol, textCol, n, threshold))
 
   /** Surviving rows via the BANDED-LSH pair miner — the at-scale variant of
-    * nearDedupRows (same greedy keep-smallest-id policy; candidate cost
-    * scales with band-bucket collisions, not corpus²). Recall follows the
-    * banding curve; pairs the buckets do surface are exact-verified.
+    * nearDedupRows (same `survivors` policy; candidate cost scales with
+    * band-bucket collisions, not corpus²). Recall follows the banding curve;
+    * pairs the buckets do surface are exact-verified.
+    *
+    * Parameter order mirrors nearDedupRows — (n, threshold) first — so a
+    * caller migrating between the two positionally keeps the same meaning.
     */
   def lshNearDedupRows(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 8,
-      rowsPerBand: Int = 2,
       n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    val drops = lshNearDupPairs(docs, idCol, textCol, k, rowsPerBand, n, threshold)
-      .select(col("id_b").as(idCol))
-      .distinct()
-    docs.join(drops, Seq(idCol), "left_anti")
-  }
+      threshold: Double = 0.8,
+      k: Int = 8,
+      rowsPerBand: Int = 2): DataFrame =
+    survivors(docs, idCol, lshNearDupPairs(docs, idCol, textCol, k, rowsPerBand, n, threshold))
 
   // --------------------------------------------------------------- MinHash
 
@@ -255,10 +256,14 @@ object Dedup {
     // band-bucket candidate join, whose volume is nBands rows per doc —
     // independent of document length. Jaccard runs on hash sets; at P≈1e9 a
     // colliding shingle pair per doc-pair is ~1e-9 noise.
+    // three consumers (band explode + two verify fetches): materialize once
+    // with an eager localCheckpoint, same lifecycle rationale as
+    // jaccardPairs' set table (exchange reuse is unreliable; persist leaks)
     val sigs = spread(docs)
       .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
       .withColumn("__sig", minHashSigCol(col("sh"), k))
       .filter(col("__sig").isNotNull)
+      .localCheckpoint(true)
     // band bucket key: the band's minhash slots joined into one string
     val bands = sigs.select(
       col("id"),
