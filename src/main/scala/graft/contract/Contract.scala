@@ -871,6 +871,35 @@ object Contract {
              |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin)
     ),
     Q(
+      "q45_ivf_kmeans",
+      // IVF with spherical-k-means-refined centroids; probing every cell is
+      // exact for ANY centroid set, so the brute-force oracle (same as q36)
+      // certifies the whole refine-then-search path
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity
+          .ivfTopK(emb, col("vec_id") < 10, k = 5, ncells = 8, nprobe = 8,
+            centroids = Some(Similarity.kmeansCentroids(emb, ncells = 8, iters = 2)))
+          .select(col("probe_id"), col("rnk"), col("neighbor_id"))
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             |                (a, b) -> a + b) AS n2
+             |  FROM embeddings),
+             |pairs AS (
+             |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             |    list_reduce(list_transform(range(1, len(p.embedding) + 1),
+             |                  i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+             |                (a, b) -> a + b) / (sqrt(p.n2) * sqrt(c.n2)) AS cos
+             |  FROM n p, n c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+             |ranked AS (
+             |  SELECT probe_id, neighbor_id,
+             |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+             |  FROM pairs)
+             |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin)
+    ),
+    Q(
       "q37_dedup_rows",
       (s, d) =>
         graft.operators.Dedup
