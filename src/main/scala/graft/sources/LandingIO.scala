@@ -62,9 +62,16 @@ object LandingIO {
           fs.setWriteChecksum(false) // no .crc sidecars next to documents
           fs.mkdirs(new Path(outDir))
           rows.foreach { r =>
-            val out = fs.create(new Path(outDir, r.getString(0) + ".json"), true)
+            // write-then-rename: a reader (or a crash) never sees a partial
+            // document — the hidden temp name is invisible to Spark scans
+            val dest = new Path(outDir, r.getString(0) + ".json")
+            val tmp  = new Path(dest.getParent, "." + dest.getName + ".tmp")
+            val out  = fs.create(tmp, true)
             try out.write((r.getString(1) + "\n").getBytes("UTF-8"))
             finally out.close()
+            if (fs.exists(dest)) fs.delete(dest, false)
+            if (!fs.rename(tmp, dest))
+              sys.error(s"LandingIO: rename $tmp -> $dest failed")
           }
         }
       }
