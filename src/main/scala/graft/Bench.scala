@@ -45,15 +45,22 @@ object BenchLog {
   *
   * Each query is forced through the `noop` sink (full execution of every
   * projected expression) — `count()` would let Catalyst prune the very
-  * projections the query exists to measure. Failures are recorded per query
-  * (negative time + name in "failed") instead of being swallowed. The JSON
-  * line goes to stdout AND to SPARK_GRAFT_BENCH_OUT (if set) so a log-noise
-  * wrapper can't make it unparseable.
+  * projections the query exists to measure. Each query runs
+  * SPARK_GRAFT_BENCH_REPS times (default 3) and reports the MEDIAN: host
+  * load varies ±20% run-to-run, which single-shot numbers eat as phantom
+  * regressions. Failures are recorded per query (negative time + name in
+  * "failed") instead of being swallowed. The JSON line goes to stdout AND
+  * to SPARK_GRAFT_BENCH_OUT (if set) so a log-noise wrapper can't make it
+  * unparseable. SPARK_GRAFT_BENCH_ONLY=q32,q45 (prefix match) restricts the
+  * run for single-query iteration.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps  = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val only  = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    def wanted(name: String): Boolean = only.forall(_.exists(name.startsWith))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -64,57 +71,72 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     var failed = List.empty[String]
+    // median of `reps` runs; any failing rep marks the query failed (-1)
     def timed(name: String)(body: => Unit): (String, Double) = {
-      val t0 = System.nanoTime()
-      val ok =
-        try { body; true }
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { body; (System.nanoTime() - t0) / 1e9 }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            failed ::= name
-            false
+            -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      if (times.exists(_ < 0)) { failed ::= name; name -> -1.0 }
+      else name -> times.sorted.apply(reps / 2)
     }
 
     // warm the JVM/codegen/parquet-footer caches so the first timed query
     // isn't charged session startup (~3 s of JIT + executor spin-up)
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
-    val queryResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    val queryResults = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if wanted(name) =>
+        timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     }
 
     // The 3 domain pipelines over a synthetic 1-hour 10 Hz log (~180k
     // frames) — the parse-class / inference-class workloads of BASELINE.md.
-    import org.apache.spark.sql.functions.col
-    val logDir  = BenchLog.write(Files.createTempDirectory("benchlog").toString)
-    val landing = graft.pipelines.CanPipelines
-      .parseToLanding(graft.decode.CanDecode.decodeFiles(spark, logDir))
-      .cache()
+    // Parse timings run the FULL read+decode each rep (no cache, so the
+    // median measures the parse, not a cache readback); the cached landing
+    // below is built outside any timer for the downstream pipelines.
+    val logDir = BenchLog.write(Files.createTempDirectory("benchlog").toString)
     val pipelineResults = Seq(
-      timed("pipeline_parse_1h_log") {
-        landing.write.format("noop").mode("overwrite").save()
-      },
+      ("pipeline_parse_1h_log", () => timed("pipeline_parse_1h_log") {
+        graft.pipelines.CanPipelines
+          .parseToLanding(graft.decode.CanDecode.decodeFiles(spark, logDir))
+          .write.format("noop").mode("overwrite").save()
+      }),
       // same parse through the DSv2 canserver format (frame-id pushdown
       // into the tokenize loop) — keeps both read paths measured
-      timed("pipeline_parse_dsv2") {
+      ("pipeline_parse_dsv2", () => timed("pipeline_parse_dsv2") {
         graft.pipelines.CanPipelines
           .parseToLanding(graft.decode.CanDecode.decodeFilesV2(spark, logDir))
           .write.format("noop").mode("overwrite").save()
-      },
-      timed("pipeline_stationary") {
-        graft.pipelines.CanPipelines
-          .stationaryIntervals(graft.pipelines.CanPipelines.speedSeries(landing))
-          .write.format("noop").mode("overwrite").save()
-      },
-      timed("pipeline_autopilot") {
-        graft.pipelines.CanPipelines
-          .autopilotDaily(graft.pipelines.CanPipelines
-            .autopilotTransitions(graft.pipelines.CanPipelines.apSeries(landing)))
-          .write.format("noop").mode("overwrite").save()
-      })
-    landing.unpersist()
+      })).collect { case (n, f) if wanted(n) => f() } ++ {
+      val downstream = Seq("pipeline_stationary", "pipeline_autopilot").exists(wanted)
+      if (!downstream) Seq.empty
+      else {
+        val landing = graft.pipelines.CanPipelines
+          .parseToLanding(graft.decode.CanDecode.decodeFiles(spark, logDir))
+          .cache()
+        landing.write.format("noop").mode("overwrite").save() // materialize, untimed
+        val r = Seq(
+          ("pipeline_stationary", () => timed("pipeline_stationary") {
+            graft.pipelines.CanPipelines
+              .stationaryIntervals(graft.pipelines.CanPipelines.speedSeries(landing))
+              .write.format("noop").mode("overwrite").save()
+          }),
+          ("pipeline_autopilot", () => timed("pipeline_autopilot") {
+            graft.pipelines.CanPipelines
+              .autopilotDaily(graft.pipelines.CanPipelines
+                .autopilotTransitions(graft.pipelines.CanPipelines.apSeries(landing)))
+              .write.format("noop").mode("overwrite").save()
+          })).collect { case (n, f) if wanted(n) => f() }
+        landing.unpersist()
+        r
+      }
+    }
     val results = queryResults ++ pipelineResults
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

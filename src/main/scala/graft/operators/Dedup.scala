@@ -88,8 +88,15 @@ object Dedup {
     * FP rounding.
     *
     * Scale: the inverted index carries ~(1-t) of the shingle volume instead
-    * of all of it, and the shuffle-heavy self-join shrinks quadratically in
-    * that fraction; the verify step touches only surviving candidates.
+    * of all of it, the candidate join is further pruned by the LENGTH filter
+    * (a pair can only reach J >= t if min(|A|,|B|) >= t * max(|A|,|B|)),
+    * and the verify step touches only surviving candidates.
+    *
+    * NOTE: the returned plan contains a lazy `localCheckpoint` of the
+    * shingle-set table — a concrete-RDD barrier. Constructing the DataFrame
+    * runs no job, but the plan is batch-only (not usable on a streaming
+    * input) and filters applied by the caller do not push below the
+    * checkpoint into the document scan.
     *
     * Output: id_a < id_b, jaccard.
     */
@@ -103,12 +110,15 @@ object Dedup {
     // fraction of the ~n-word shingle strings (collision noise ~1e-9 at
     // P≈1e9 per doc pair)
     // The hashed set table feeds FOUR consumers (two prefix-index sides, two
-    // verify fetches), so it is materialized once with an EAGER
-    // localCheckpoint: every consumer replays the stored blocks instead of
-    // re-hashing the corpus. Unlike Dataset.persist (whose CacheManager
-    // entry is never reclaimed without an explicit unpersist), a local
-    // checkpoint is RDD-level storage that the ContextCleaner unpersists
-    // once the returned plan is garbage-collected — no leak across calls.
+    // verify fetches), so it is materialized once with a LAZY
+    // localCheckpoint: the returned plan is a single concrete RDD that every
+    // consumer shares — partitions are hashed once (on first computation,
+    // inside the query's own first job, with no separate materialization
+    // job) and replayed from storage by the other three. Unlike
+    // Dataset.persist (whose CacheManager entry is never reclaimed without
+    // an explicit unpersist), a local checkpoint is RDD-level storage that
+    // the ContextCleaner unpersists once the returned plan is
+    // garbage-collected — no leak across calls.
     // (Local checkpoints trade lineage: an executor loss mid-query fails
     // the query instead of recomputing; acceptable for a deterministic
     // batch operator, and Spark retries the batch.)
@@ -121,12 +131,23 @@ object Dedup {
     val sets = spread(docs)
       .select(col(idCol).as("id"), sort_array(shingleHashes(col(textCol), n)).as("sh"))
       .withColumn("nsh", size(col("sh")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val prefixLen = (col("nsh") - floor(lit(threshold) * col("nsh")).cast("int") + 1)
-    val pref = sets.select(col("id"), explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
+    val pref =
+      sets.select(col("id"), col("nsh"), explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
+    // LENGTH FILTER (canonical to the prefix-filter algorithm): J >= t
+    // forces min(|A|,|B|) >= t * max(|A|,|B|) (inter <= min, union >= max),
+    // so length-incompatible collisions are pruned before the distinct and
+    // the verify joins — quadratic savings on length-skewed corpora. The
+    // ratio is computed with the SAME double ops as the final jaccard
+    // (min/max == inter/(na+nb-inter) when inter=min hits union=max), so FP
+    // rounding cannot reject a pair the verify filter would keep.
+    val lenOk =
+      least(col("a.nsh"), col("b.nsh")).cast("double") /
+        greatest(col("a.nsh"), col("b.nsh")) >= threshold
     val cand = pref
       .as("a")
-      .join(pref.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .join(pref.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id") && lenOk)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cand
@@ -239,6 +260,12 @@ object Dedup {
     * k minhash slots in bands of `rowsPerBand`; a pair is a candidate iff
     * one full band matches (standard banding: P(candidate) = 1-(1-j^r)^b).
     *
+    * NOTE: the returned plan contains a lazy `localCheckpoint` of the
+    * signature table — a concrete-RDD barrier. Constructing the DataFrame
+    * runs no job, but the plan is batch-only (not usable on a streaming
+    * input) and caller filters do not push below the checkpoint into the
+    * document scan.
+    *
     * Output: id_a < id_b, jaccard (exact, verified).
     */
   def lshNearDupPairs(
@@ -256,14 +283,16 @@ object Dedup {
     // band-bucket candidate join, whose volume is nBands rows per doc —
     // independent of document length. Jaccard runs on hash sets; at P≈1e9 a
     // colliding shingle pair per doc-pair is ~1e-9 noise.
-    // three consumers (band explode + two verify fetches): materialize once
-    // with an eager localCheckpoint, same lifecycle rationale as
-    // jaccardPairs' set table (exchange reuse is unreliable; persist leaks)
+    // three consumers (band explode + two verify fetches): share one
+    // concrete RDD via a LAZY localCheckpoint — computed once inside the
+    // query's first job, no separate materialization job; same lifecycle
+    // rationale as jaccardPairs' set table (exchange reuse is unreliable;
+    // persist leaks)
     val sigs = spread(docs)
       .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
       .withColumn("__sig", minHashSigCol(col("sh"), k))
       .filter(col("__sig").isNotNull)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // band bucket key: the band's minhash slots joined into one string
     val bands = sigs.select(
       col("id"),
