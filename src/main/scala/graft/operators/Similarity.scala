@@ -108,16 +108,27 @@ object Similarity {
   /** Seed centroid table (single collapsed row of cell structs): the
     * `ncells` vectors with the smallest vec_id. Deterministic and cheap;
     * refine with `kmeansCentroids` when cell balance matters.
+    *
+    * Cell ids are assigned INSIDE the collapsed row (sort_array of
+    * (vec_id, emb) structs + indexed transform) rather than via a
+    * global-ordered window: same result on the <= ncells rows, but no
+    * "move all data to a single partition" WindowExec — the only
+    * single-partition step is the top-ncells collect_list itself, which is
+    * the operator's output shape.
     */
   def seedCentroids(emb: DataFrame, ncells: Int): DataFrame =
     emb
       .orderBy(col("vec_id"))
       .limit(ncells)
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("raw"))
       .select(
-        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("bigint").as("cell_id"),
-        col("embedding").as("c_emb"))
-      .withColumn("c_n2", norm2(col("c_emb")))
-      .agg(collect_list(struct(col("cell_id"), col("c_emb"), col("c_n2"))).as("cents"))
+        transform(
+          col("raw"),
+          (c, i) =>
+            struct(
+              i.cast("bigint").as("cell_id"),
+              c.getField("embedding").as("c_emb"),
+              norm2(c.getField("embedding")).as("c_n2"))).as("cents"))
 
   /** Spherical-k-means (Lloyd) refinement of the IVF centroids — scale-safe:
     *  - ASSIGNMENT is the same zero-shuffle in-row fold ivfTopK uses;
