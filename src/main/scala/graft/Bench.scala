@@ -107,11 +107,18 @@ object Bench {
           .parseToLanding(graft.decode.CanDecode.decodeFiles(spark, logDir))
           .write.format("noop").mode("overwrite").save()
       }),
-      // same parse through the DSv2 canserver format (frame-id pushdown
-      // into the tokenize loop) — keeps both read paths measured
+      // explicit DSv2 entry (same path decodeFiles now defaults to — kept
+      // for round-over-round continuity of the name)
       ("pipeline_parse_dsv2", () => timed("pipeline_parse_dsv2") {
         graft.pipelines.CanPipelines
           .parseToLanding(graft.decode.CanDecode.decodeFilesV2(spark, logDir))
+          .write.format("noop").mode("overwrite").save()
+      }),
+      // legacy binaryFile+flatMap path — measured so the 3x gap that
+      // motivated the default switch stays visible
+      ("pipeline_parse_flatmap", () => timed("pipeline_parse_flatmap") {
+        graft.pipelines.CanPipelines
+          .parseToLanding(graft.decode.CanDecode.decodeFilesFlatMap(spark, logDir))
           .write.format("noop").mode("overwrite").save()
       })).collect { case (n, f) if wanted(n) => f() } ++ {
       val downstream = Seq("pipeline_stationary", "pipeline_autopilot").exists(wanted)

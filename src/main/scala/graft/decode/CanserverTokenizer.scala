@@ -74,30 +74,43 @@ object CanserverTokenizer {
   private[decode] final val TagFrame     = 4
   private[decode] final val TagTruncated = 5
 
+  /** Upper bound on the bytes one grammar element can span: a 0xCD mark with
+    * size byte 255 (2 + 255); larger than the magic (22) and a max frame
+    * (6 + 8). The chunked reader refills whenever fewer than this many bytes
+    * remain un-consumed, so no element can straddle a chunk boundary and
+    * truncation is only ever detected at true EOF.
+    */
+  val MaxRecordBytes: Int = 2 + 255
+
   /** The single grammar walker: one call = one record/noise-byte consumed.
     * All length guards use Long arithmetic so files near Int.MaxValue with a
     * large size byte at EOF report truncation instead of overflowing.
+    *
+    * `limit` is the live extent of `bytes` — the whole array for whole-file
+    * callers, the filled prefix for the chunked reader (which also rewrites
+    * `pos`/`limit` when it compacts and refills the buffer).
     */
   private[decode] final class Cursor(bytes: Array[Byte], path: String) {
     var pos: Int           = Magic.length
+    var limit: Int         = bytes.length
     var lastSyncTime: Long = 0L
     var frame: CanRecord   = null // set when step() == TagFrame
     var truncatedBytes: Long = 0L // set when step() == TagTruncated
 
-    def hasMore: Boolean = pos < bytes.length
+    def hasMore: Boolean = pos < limit
 
     @inline private def u8(i: Int): Int = bytes(i) & 0xff
 
     private def matchesMagicAt(i: Int): Boolean =
-      i.toLong + Magic.length <= bytes.length && {
+      i.toLong + Magic.length <= limit && {
         var j = 0
         while (j < Magic.length && bytes(i + j) == Magic(j)) j += 1
         j == Magic.length
       }
 
     private def truncated(): Int = {
-      truncatedBytes = bytes.length.toLong - pos
-      pos = bytes.length
+      truncatedBytes = limit.toLong - pos
+      pos = limit
       TagTruncated
     }
 
@@ -109,14 +122,14 @@ object CanserverTokenizer {
         TagEmbedded
       } else if (b == 0xcd) {
         // mark record: size byte + that many ASCII bytes; truncated => stop
-        if (pos.toLong + 1 >= bytes.length) truncated()
+        if (pos.toLong + 1 >= limit) truncated()
         else {
           val size = u8(pos + 1)
-          if (pos.toLong + 2 + size > bytes.length) truncated()
+          if (pos.toLong + 2 + size > limit) truncated()
           else { pos += 2 + size; TagMark }
         }
       } else if (b == 0xce) {
-        if (pos.toLong + 9 > bytes.length) truncated()
+        if (pos.toLong + 9 > limit) truncated()
         else {
           var t = 0L
           var i = 0
@@ -126,14 +139,14 @@ object CanserverTokenizer {
           TagSync
         }
       } else if (b == 0xcf) {
-        if (pos.toLong + 6 > bytes.length) truncated()
+        if (pos.toLong + 6 > limit) truncated()
         else {
           val offsetMs = u8(pos + 1) | (u8(pos + 2) << 8)
           val frameId  = u8(pos + 3) | (u8(pos + 4) << 8)
           val lenBus   = u8(pos + 5)
           val len      = math.min(lenBus & 0x0f, 8)
           val busId    = (lenBus & 0xf0) >> 4
-          if (pos.toLong + 6 + len > bytes.length) truncated()
+          if (pos.toLong + 6 + len > limit) truncated()
           else {
             val payload = java.util.Arrays.copyOfRange(bytes, pos + 6, pos + 6 + len)
             frame = CanRecord(
@@ -167,6 +180,63 @@ object CanserverTokenizer {
         nextRec = null
         while (nextRec == null && cur.hasMore)
           if (cur.step() == TagFrame) nextRec = cur.frame
+      }
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): CanRecord = {
+        val r = nextRec
+        advance()
+        r
+      }
+    }
+  }
+
+  /** Tokenize a log from an InputStream in bounded-memory chunks — the
+    * >2 GiB path (whole-file reads cap at Int.MaxValue). Drives the same
+    * Cursor as `tokenize` over a sliding buffer: whenever fewer than
+    * MaxRecordBytes un-consumed bytes remain and the stream has more, the
+    * tail is compacted to the buffer front and refilled, so no grammar
+    * element ever straddles a chunk boundary and record output is
+    * byte-identical to the whole-file walk (TagTruncated can only fire at
+    * true EOF). Running sync-time state lives in the one Cursor and carries
+    * across refills for free.
+    *
+    * The caller owns `in` (not closed here). `chunkSize` is clamped up to
+    * 2*MaxRecordBytes so compaction always frees room to read.
+    */
+  def tokenizeChunked(
+      in: java.io.InputStream,
+      path: String = "",
+      chunkSize: Int = 8 << 20): Iterator[CanRecord] = {
+    val buf             = new Array[Byte](math.max(chunkSize, 2 * MaxRecordBytes))
+    var filled          = 0
+    var eof             = false
+    def fill(): Unit =
+      while (!eof && filled < buf.length) {
+        val n = in.read(buf, filled, buf.length - filled)
+        if (n < 0) eof = true else filled += n
+      }
+    fill()
+    if (filled < Magic.length || !hasValidHeader(buf)) return Iterator.empty
+    val cur = new Cursor(buf, path)
+    cur.limit = filled
+    def refill(): Unit = {
+      val keep = filled - cur.pos
+      System.arraycopy(buf, cur.pos, buf, 0, keep)
+      filled = keep
+      cur.pos = 0
+      fill()
+      cur.limit = filled
+    }
+    new Iterator[CanRecord] {
+      private var nextRec: CanRecord = null
+      private def advance(): Unit = {
+        nextRec = null
+        while (nextRec == null) {
+          if (!eof && cur.limit - cur.pos < MaxRecordBytes) refill()
+          if (!cur.hasMore) return
+          if (cur.step() == TagFrame) nextRec = cur.frame
+        }
       }
       advance()
       override def hasNext: Boolean = nextRec != null

@@ -56,12 +56,18 @@ class CanserverTable(path: String) extends Table with SupportsRead {
   override def name(): String                 = s"canserver($path)"
   override def schema(): StructType           = CanserverDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CanserverScanBuilder(path)
+    new CanserverScanBuilder(
+      path,
+      // bounded read-buffer size; tiny values exercise chunk-boundary resync
+      // in tests, the default keeps one buffer per open file
+      Option(options.get("chunk_bytes")).map(_.toInt).getOrElse(8 << 20),
+      // streaming backpressure: cap NEW files admitted per micro-batch
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 }
 
-class CanserverScanBuilder(path: String)
+class CanserverScanBuilder(path: String, chunkBytes: Int, maxFilesPerTrigger: Option[Int])
     extends ScanBuilder
     with SupportsPushDownFilters {
 
@@ -89,10 +95,71 @@ class CanserverScanBuilder(path: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new CanserverScan(path, frameIds)
+  override def build(): Scan = new CanserverScan(path, frameIds, chunkBytes, maxFilesPerTrigger)
 }
 
-class CanserverScan(path: String, frameIds: Option[Set[Int]]) extends Scan with Batch {
+/** Shared file discovery for the batch scan and the micro-batch stream —
+  * one definition so the two read modes can never see different file sets.
+  */
+object CanserverFiles {
+  /** All visible data files under `path` (glob-expanded, recursive, hidden
+    * names skipped), sorted for determinism.
+    * @param strict batch semantics: no-match and all-hidden both throw a
+    *               clear error. Streaming passes false (an empty source dir
+    *               just means no files have landed yet).
+    */
+  def list(path: String, conf: Configuration, strict: Boolean): Array[String] = {
+    // Path(String) handles glob characters ({a,b}, *, ?) that a raw
+    // new URI(path) rejects — parity with the binaryFile source.
+    val globPath = new Path(path)
+    val fs       = globPath.getFileSystem(conf)
+    val files    = ArrayBuffer.empty[String]
+    // hidden/metadata names (_SUCCESS, .crc sidecars, _tmp dirs) are
+    // skipped wherever they appear — glob matches included — matching
+    // Spark's file-index conventions
+    def hidden(p: Path): Boolean =
+      p.getName.startsWith(".") || p.getName.startsWith("_")
+    // Resolve globs first (load("dir/*.log")) so the format accepts the same
+    // path expressions as the binaryFile source it substitutes for; a
+    // no-match/nonexistent path fails with a clear message, not a raw
+    // Hadoop exception.
+    val matched = Option(fs.globStatus(globPath)).getOrElse(Array.empty)
+    if (matched.isEmpty) {
+      if (strict)
+        throw new IllegalArgumentException(
+          s"canserver source: path does not exist or matches no files: $path")
+      return Array.empty
+    }
+    val visible = matched.filterNot(st => hidden(st.getPath))
+    // a load() that EXPLICITLY names only hidden paths gets the same clear
+    // error as a no-match glob, not a silent empty scan
+    if (visible.isEmpty) {
+      if (strict)
+        throw new IllegalArgumentException(
+          s"canserver source: all glob matches are hidden files/dirs (leading '.' or '_'): $path")
+      return Array.empty
+    }
+    visible.foreach { root =>
+      if (root.isFile) files += root.getPath.toString
+      else {
+        val it = fs.listFiles(root.getPath, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && !hidden(st.getPath))
+            files += st.getPath.toString
+        }
+      }
+    }
+    files.sorted.toArray
+  }
+}
+
+class CanserverScan(
+    path: String,
+    frameIds: Option[Set[Int]],
+    chunkBytes: Int,
+    maxFilesPerTrigger: Option[Int])
+    extends Scan with Batch {
   override def readSchema(): StructType = CanserverDataSource.Schema
   override def toBatch: Batch           = this
   override def description(): String =
@@ -107,40 +174,16 @@ class CanserverScan(path: String, frameIds: Option[Set[Int]]) extends Scan with 
       .newHadoopConf().iterator().asScala.map(e => e.getKey -> e.getValue).toArray
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // Path(String) handles glob characters ({a,b}, *, ?) that a raw
-    // new URI(path) rejects — parity with the binaryFile source.
-    val globPath = new Path(path)
-    val fs       = globPath.getFileSystem(CanserverReaderFactory.toConf(hadoopConfEntries))
-    val files    = ArrayBuffer.empty[CanserverFilePartition]
-    // hidden/metadata names (_SUCCESS, .crc sidecars, _tmp dirs) are
-    // skipped wherever they appear — glob matches included — matching
-    // Spark's file-index conventions
-    def hidden(p: Path): Boolean =
-      p.getName.startsWith(".") || p.getName.startsWith("_")
-    // Resolve globs first (load("dir/*.log")) so the format accepts the same
-    // path expressions as the binaryFile source it substitutes for; a
-    // no-match/nonexistent path fails with a clear message, not a raw
-    // Hadoop exception.
-    val matched = Option(fs.globStatus(globPath)).getOrElse(Array.empty)
-    if (matched.isEmpty)
-      throw new IllegalArgumentException(s"canserver source: path does not exist or matches no files: $path")
-    matched.filterNot(st => hidden(st.getPath)).foreach { root =>
-      if (root.isFile) files += CanserverFilePartition(root.getPath.toString)
-      else {
-        val it = fs.listFiles(root.getPath, true)
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.isFile && !hidden(st.getPath))
-            files += CanserverFilePartition(st.getPath.toString)
-        }
-      }
-    }
-    files.toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    CanserverFiles
+      .list(path, CanserverReaderFactory.toConf(hadoopConfEntries), strict = true)
+      .map(CanserverFilePartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CanserverReaderFactory(frameIds, hadoopConfEntries)
+    new CanserverReaderFactory(frameIds, hadoopConfEntries, chunkBytes)
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new CanserverMicroBatchStream(path, frameIds, chunkBytes, hadoopConfEntries, maxFilesPerTrigger)
 }
 
 case class CanserverFilePartition(file: String) extends InputPartition
@@ -155,28 +198,26 @@ object CanserverReaderFactory {
 
 class CanserverReaderFactory(
     frameIds: Option[Set[Int]],
-    hadoopConfEntries: Array[(String, String)])
+    hadoopConfEntries: Array[(String, String)],
+    chunkBytes: Int)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[CanserverFilePartition].file
     new PartitionReader[InternalRow] {
       // Path(String), not new URI(file): listed paths may contain characters
       // (spaces etc.) a raw URI constructor rejects
-      private val fs    = new Path(file).getFileSystem(CanserverReaderFactory.toConf(hadoopConfEntries))
-      private val in    = fs.open(new Path(file))
-      private val bytes =
-        try {
-          val len = fs.getFileStatus(new Path(file)).getLen
-          // whole-file tokenization; a chunked reader is the >2 GiB path
-          require(len < Int.MaxValue, s"canserver file too large for whole-file read ($len bytes): $file")
-          val buf = new Array[Byte](len.toInt)
-          in.readFully(0, buf)
-          buf
-        } finally in.close()
+      private val fs = new Path(file).getFileSystem(CanserverReaderFactory.toConf(hadoopConfEntries))
+      private val in = fs.open(new Path(file))
+      // CHUNKED tokenization over the open stream: bounded buffer (no
+      // whole-file materialization, no Int.MaxValue file-size ceiling),
+      // chunk-boundary resync handled inside tokenizeChunked.
       // pushdown happens HERE: non-matching frames never become rows
-      private val it = frameIds match {
-        case Some(ids) => CanserverTokenizer.tokenize(bytes, file).filter(r => ids(r.frameId))
-        case None      => CanserverTokenizer.tokenize(bytes, file)
+      private val it = {
+        val all = CanserverTokenizer.tokenizeChunked(in, file, chunkBytes)
+        frameIds match {
+          case Some(ids) => all.filter(r => ids(r.frameId))
+          case None      => all
+        }
       }
       private val pathUtf = UTF8String.fromString(file)
 
@@ -190,7 +231,7 @@ class CanserverReaderFactory(
       override def get(): InternalRow =
         InternalRow(pathUtf, current.frameId, current.busId, current.length,
           current.payloadLong, current.frameTimeMicros)
-      override def close(): Unit = ()
+      override def close(): Unit = in.close()
     }
   }
 }

@@ -1,0 +1,107 @@
+package graft.sources.canserver
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.connector.read.InputPartition
+import org.apache.spark.sql.connector.read.streaming._
+
+/** Offset for the `canserver` micro-batch stream: the full sorted set of
+  * file paths consumed so far. Self-contained and exact — a batch replayed
+  * from checkpointed (start, end) offsets re-reads precisely end \ start,
+  * with no side metadata log to lose. The cost is offset size growing with
+  * the total file count; the serverless drain pattern this source models
+  * (hour-scoped prefixes, bounded backlogs) keeps that small. A compacted
+  * file-log (the built-in file source's design) is the evolution path if a
+  * single watched prefix must accumulate unboundedly.
+  */
+case class CanserverOffset(files: Seq[String]) extends Offset {
+  // canonical (sorted) serialization — MicroBatchExecution decides "no new
+  // data" by offset equality, so equal file SETS must compare equal. A Seq
+  // field (not Array) keeps the case-class equals structural; sorting here
+  // keeps json() canonical regardless of construction order.
+  override def json(): String =
+    CanserverOffset.mapper.writeValueAsString(files.sorted.toArray)
+  override def equals(other: Any): Boolean = other match {
+    case o: CanserverOffset => files.sorted == o.files.sorted
+    case _                  => false
+  }
+  override def hashCode(): Int = files.sorted.hashCode()
+}
+
+object CanserverOffset {
+  private[canserver] val mapper = new ObjectMapper()
+  def fromJson(json: String): CanserverOffset =
+    CanserverOffset(mapper.readValue(json, classOf[Array[String]]).toSeq)
+}
+
+/** Micro-batch streaming form of the `canserver` scan (the DSv2 twin of the
+  * binaryFile+flatMap stream): each batch is the set of newly discovered
+  * files, read through the same chunked tokenizer + pushed frame-id filter
+  * as the batch scan.
+  *
+  *  - discovery = CanserverFiles.list in non-strict mode (an empty or
+  *    not-yet-existing directory means "no data yet", not an error);
+  *  - admission control honors maxFilesPerTrigger (ReadMaxFiles), so a big
+  *    backlog drains as several bounded, individually-committed batches;
+  *  - Trigger.AvailableNow snapshots the listing once and drains exactly
+  *    that set, matching the per-invocation serverless contract;
+  *  - new files are admitted in sorted order for deterministic pacing.
+  *
+  * The reader factory comes from the enclosing Scan (CanserverScan builds
+  * this stream), so filter pushdown reaches streaming reads identically to
+  * batch ones.
+  */
+class CanserverMicroBatchStream(
+    path: String,
+    frameIds: Option[Set[Int]],
+    chunkBytes: Int,
+    hadoopConfEntries: Array[(String, String)],
+    maxFilesPerTrigger: Option[Int])
+    extends MicroBatchStream
+    with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private def listNow(): Array[String] =
+    CanserverFiles.list(path, CanserverReaderFactory.toConf(hadoopConfEntries), strict = false)
+
+  // AvailableNow snapshot: fixed at trigger start so the drain is exactly
+  // "what had landed when the invocation began"
+  @volatile private var snapshot: Option[Array[String]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = snapshot = Some(listNow())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): Offset = CanserverOffset(Seq.empty)
+
+  override def deserializeOffset(json: String): Offset = CanserverOffset.fromJson(json)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen      = start.asInstanceOf[CanserverOffset].files.toSet
+    val available = snapshot.getOrElse(listNow())
+    val fresh     = available.filterNot(seen) // already sorted by list()
+    val admitted = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles)
+      case _               => fresh
+    }
+    CanserverOffset((seen.toSeq ++ admitted).sorted)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[CanserverOffset].files.toSet
+    end.asInstanceOf[CanserverOffset].files.filterNot(seen).map(CanserverFilePartition).toArray
+  }
+
+  // same factory as the batch scan: pushed frame-id filter + chunked reads
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new CanserverReaderFactory(frameIds, hadoopConfEntries, chunkBytes)
+
+  override def commit(end: Offset): Unit = () // files are immutable; nothing to release
+
+  override def stop(): Unit = ()
+}

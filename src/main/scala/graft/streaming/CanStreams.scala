@@ -60,12 +60,23 @@ object CanStreams {
       .flatMap { case (p, bytes) => CanserverTokenizer.tokenize(bytes, p) }
   }
 
-  /** Decoded signal stream (same columns as the batch CanDecode.decode). */
+  /** Decoded signal stream (same columns as the batch CanDecode.decode),
+    * read through the DSv2 `canserver` micro-batch stream — the same
+    * chunked tokenizer + pushed frame-id filter as the batch scan (~3x the
+    * throughput of the binaryFile+flatMap path, which `recordStream` keeps
+    * for typed CanRecord consumers). maxFilesPerTrigger rides the source's
+    * admission control.
+    */
   def decodedStream(
       spark: SparkSession,
       rawDir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame =
-    CanDecode.decode(recordStream(spark, rawDir, maxFilesPerTrigger))
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.format("canserver")
+    CanDecode.decodeRaw(
+      maxFilesPerTrigger
+        .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+        .load(rawDir))
+  }
 
   /** Watermarked per-epoch pivot: the streaming form of CanPipelines.pivot.
     * State is one wide row per live epoch, evicted 1.2 s (event time) after

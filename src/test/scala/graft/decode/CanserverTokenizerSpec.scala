@@ -127,4 +127,41 @@ class CanserverTokenizerSpec extends AnyFunSuite {
     val r  = toks(f).head
     assert(r.payloadLong === 0x060504030201L)
   }
+
+  test("tokenizeChunked == tokenize at every chunk size (boundary straddling)") {
+    val t0  = 1700000000L * 1000000L
+    val rnd = new scala.util.Random(42)
+    // a long messy stream: rotating sync times, frames of every payload
+    // size, marks (incl. near-max), noise runs, embedded headers — so at
+    // small chunk sizes every element kind straddles a refill at some point
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    (0 until 50).foreach { i =>
+      parts += timesync(t0 + i * 1000000L)
+      (0 until 20).foreach { j =>
+        val len = rnd.nextInt(9)
+        parts += frame(j * 10, 273 + (j % 5), j % 3, Array.fill[Byte](len)((i + j).toByte))
+      }
+      if (i % 7 == 0) parts += mark("m" * (1 + rnd.nextInt(200)))
+      if (i % 11 == 0) parts += Array.fill[Byte](1 + rnd.nextInt(5))(0x7f)
+      if (i % 13 == 0) parts += header // embedded header (concatenated logs)
+    }
+    val bytes = file(parts.toSeq: _*)
+    val whole = CanserverTokenizer.tokenize(bytes).toList
+    assert(whole.size === 1000)
+    for (chunk <- Seq(1, 257, 514, 600, 1024, bytes.length, 1 << 20)) {
+      val chunked = CanserverTokenizer
+        .tokenizeChunked(new java.io.ByteArrayInputStream(bytes), "", chunk)
+        .toList
+      assert(chunked === whole, s"chunkSize=$chunk")
+    }
+    // truncated tail: identical clean stop
+    val cut = bytes.dropRight(3)
+    assert(
+      CanserverTokenizer.tokenizeChunked(new java.io.ByteArrayInputStream(cut), "", 514).toList
+        === CanserverTokenizer.tokenize(cut).toList)
+    // header split across the very first refill boundary still validates
+    assert(
+      CanserverTokenizer.tokenizeChunked(new java.io.ByteArrayInputStream(bytes.take(10)), "", 514).toList
+        === Nil)
+  }
 }

@@ -68,7 +68,7 @@ class CanserverDataSourceSpec extends AnyFunSuite {
 
   test("PartitionReader contract: get() is idempotent between next() calls") {
     val dir = writeLogs()
-    val scan = new CanserverScan(dir, None)
+    val scan = new CanserverScan(dir, None, 8 << 20, None)
     val parts = scan.planInputPartitions()
     val factory = scan.createReaderFactory()
     val rows = parts.flatMap { p =>
@@ -107,6 +107,24 @@ class CanserverDataSourceSpec extends AnyFunSuite {
       .load(dir)
       .filter(col("frame_id").isin(273, 599) && col("frame_id").isin(599, 921))
     assert(df2.collect().map(_.getAs[Int]("frame_id")).toSeq === Seq(599))
+  }
+
+  test("chunk_bytes: multi-chunk file decodes identically to whole-file read") {
+    val dir = Files.createTempDirectory("dsv2chunk").toString
+    val t0  = 1700000000L * 1000000L
+    // ~4.5 KB of frames: with chunk_bytes=1 (clamped to a 514-byte buffer)
+    // the reader refills ~9 times, so records straddle many boundaries
+    val parts = (0 until 30).flatMap { s =>
+      timesync(t0 + s * 1000000L) +:
+        (0 until 10).map(j => frame(j * 10, 599, 0, Array[Byte](s.toByte, j.toByte, 0x30)))
+    }
+    Files.write(Paths.get(dir, "big.log"), file(parts: _*))
+    val whole = spark.read.format("canserver").load(dir)
+      .collect().map(_.toSeq).toSet
+    val chunked = spark.read.format("canserver").option("chunk_bytes", "1").load(dir)
+      .collect().map(_.toSeq).toSet
+    assert(whole.size === 300)
+    assert(chunked === whole)
   }
 
   test("each file is its own partition") {

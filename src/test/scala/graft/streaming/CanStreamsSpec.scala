@@ -112,10 +112,23 @@ class CanStreamsSpec extends AnyFunSuite {
     CanStreams
       .runParse(spark, raw, land, ckpt, maxFilesPerTrigger = Some(1))
       .awaitTermination()
-    // one committed micro-batch per file, not one unbounded batch
+    // one committed DATA micro-batch per file, not one unbounded batch.
+    // (The v2 source may also commit a trailing NO-DATA batch — same final
+    // offset — to advance the watermark and flush stateful operators; count
+    // batches by the offset log's admitted-file growth, not raw commits.)
+    val offsetDir = Paths.get(ckpt, "offsets")
+    val fileCounts = Files.list(offsetDir).iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .sortBy(_.getFileName.toString.toLong)
+      .map { p =>
+        val json = Files.readAllLines(p).asScala.last
+        ".log".r.findAllIn(json).size // one .log path per admitted file
+      }
+    val dataBatches = fileCounts.distinct
+    assert(dataBatches === Seq(1, 2, 3), s"expected 1 new file per batch, got $fileCounts")
     val nCommits = Files.list(Paths.get(ckpt, "commits")).iterator().asScala
       .count(p => p.getFileName.toString.forall(_.isDigit))
-    assert(nCommits === 3)
+    assert(nCommits >= 3 && nCommits <= fileCounts.size)
     val streamed = spark.read.parquet(land)
       .select("epoch_sec", "speed").orderBy("epoch_sec").collect().toSeq
     val batch = CanPipelines.pivot(CanDecode.decodeFiles(spark, raw))
