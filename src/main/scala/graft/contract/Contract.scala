@@ -1084,6 +1084,19 @@ object Contract {
              |SELECT user_id, MIN(us) AS start_us, MAX(us) + 30000000 AS end_us,
              |  COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_val
              |FROM sess GROUP BY user_id, sid""".stripMargin)
+    ),
+    Q(
+      "q46_embed_lsh",
+      // random-hyperplane LSH pair mining over embeddings — the SCALE path
+      // for q33's threshold semantics (banded bucket join + exact verify,
+      // no all-pairs BroadcastNestedLoopJoin). The oracle mirrors the WHOLE
+      // pipeline (same hyperplane constants, banding, verify), so the hash
+      // compare certifies fingerprints + candidates + cosine cross-engine.
+      (s, d) =>
+        Similarity.embedNearDupPairs(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.45, bits = 60, bandBits = 6),
+      Some(OracleSql.q46)
     )
   )
 

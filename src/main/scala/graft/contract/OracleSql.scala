@@ -177,6 +177,57 @@ object OracleSql {
       |                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
       |              (x, y) -> x + y) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.45""".stripMargin
 
+  /** Mirror of Similarity.embedNearDupPairs (random-hyperplane LSH over
+    * embeddings): identical integer hyperplane components
+    * (VecSignExpr.comp, emitted as literals), identical banding over the
+    * 60-bit fingerprint, identical exact-cosine verify — so the driver's
+    * hash compare certifies the whole LSH pipeline cross-engine. The sign
+    * dots are left-associated `+` chains over the fixture's 64 dims (the
+    * fingerprint needs static terms; the verify stays dim-generic, q33
+    * style). Both engines compute every dot in doubles in the same order,
+    * so the sign bits agree bit for bit.
+    */
+  val q46: String = {
+    val bits     = 60
+    val bandBits = 6
+    val nBands   = bits / bandBits
+    val mask     = (1 << bandBits) - 1
+    val dim      = 64
+    // list literals (sibling nodes), not 60/64-deep `+` chains: DuckDB's
+    // binder caps expression recursion at 128. The per-bit dot folds
+    // left-to-right over range(1, dim+1) — same order as VecSignExpr's loop.
+    val sigExpr = {
+      val cases = (0 until bits).map { k =>
+        val hp = (0 until dim).map(j => graft.functions.VecSignExpr.comp(k, j)).mkString("[", ",", "]")
+        s"(CASE WHEN list_reduce(list_transform(range(1, ${dim + 1}), " +
+          s"i -> CAST(embedding[i] AS DOUBLE) * ($hp[i])), (x, y) -> x + y) >= 0 " +
+          s"THEN (1::BIGINT << $k) ELSE 0::BIGINT END)"
+      }.mkString(",\n      ")
+      s"list_reduce(list_prepend(0::BIGINT, [$cases]), (sa, sb) -> sa + sb)"
+    }
+    val bandCond = (0 until nBands)
+      .map(b => s"((a.sig >> ${b * bandBits}) & $mask) = ((b.sig >> ${b * bandBits}) & $mask)")
+      .mkString(" OR ")
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding,
+       |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |                (a, b) -> a + b) AS n2,
+       |    $sigExpr AS sig
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM s a JOIN s b ON a.vec_id < b.vec_id AND ($bandCond)),
+       |v AS (
+       |  SELECT c.id_a, c.id_b,
+       |    list_reduce(list_transform(range(1, len(sa.embedding) + 1),
+       |                  i -> CAST(sa.embedding[i] AS DOUBLE) * CAST(sb.embedding[i] AS DOUBLE)),
+       |                (x, y) -> x + y) / (sqrt(sa.n2) * sqrt(sb.n2)) AS cos
+       |  FROM cand c
+       |  JOIN s sa ON sa.vec_id = c.id_a
+       |  JOIN s sb ON sb.vec_id = c.id_b)
+       |SELECT id_a, id_b, cos FROM v WHERE cos >= 0.45""".stripMargin
+  }
+
   /** DuckDB has no BLOB substring; the text is ASCII so a VARCHAR slice cast
     * to BLOB yields the same bytes. upper(hex(...)) matches Spark's
     * uppercase hex().

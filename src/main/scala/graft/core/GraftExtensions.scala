@@ -3,8 +3,10 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{MinHashSigExpr, PolyHashExpr, ShingleHashesExpr, SimHashExpr, VecDotExpr}
+import graft.functions.{MinHashSigExpr, PolyHashExpr, ShingleHashesExpr, SimHashExpr, VecDotExpr, VecSignExpr}
 
 /** SparkSessionExtensions hook: registers the engine's native expressions
   * with the SQL function registry, so `spark.sql("... poly_hash(col) ...")`
@@ -15,6 +17,21 @@ import graft.functions.{MinHashSigExpr, PolyHashExpr, ShingleHashesExpr, SimHash
   * or `spark.sql.extensions=graft.core.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Constant INT argument of a registered function: accepts any FOLDABLE
+    * integer expression (literal, 1+2, casts of constants), and fails with
+    * the standard non-foldable-argument AnalysisException — carrying the
+    * function and parameter names — instead of a raw RuntimeException.
+    */
+  private def intArg(fn: String, param: String, e: Expression): Int = e match {
+    case e if e.foldable && e.dataType == IntegerType =>
+      e.eval() match {
+        case i: java.lang.Integer => i.intValue
+        case _                    => throw ColumnBridge.nonFoldableArgumentError(fn, param, IntegerType)
+      }
+    case _ => throw ColumnBridge.nonFoldableArgumentError(fn, param, IntegerType)
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("poly_hash"),
@@ -35,33 +52,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashesExpr].getName, "shingle_hashes"),
       (children: Seq[Expression]) => {
         require(children.size == 2, "shingle_hashes takes (text, n)")
-        val n = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => sys.error(s"shingle_hashes n must be an INT literal, got $other")
-        }
-        ShingleHashesExpr(children.head, n)
+        ShingleHashesExpr(children.head, intArg("shingle_hashes", "n", children(1)))
       }))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
       (children: Seq[Expression]) => {
         require(children.size == 2, "minhash_sig takes (hashes, k)")
-        val k = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => sys.error(s"minhash_sig k must be an INT literal, got $other")
-        }
-        MinHashSigExpr(children.head, k)
+        MinHashSigExpr(children.head, intArg("minhash_sig", "k", children(1)))
       }))
     ext.injectFunction((
       FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "simhash_bits"),
       (children: Seq[Expression]) => {
         require(children.size == 2, "simhash_bits takes (hashes, bits)")
-        val bits = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => sys.error(s"simhash_bits bits must be an INT literal, got $other")
-        }
-        SimHashExpr(children.head, bits)
+        SimHashExpr(children.head, intArg("simhash_bits", "bits", children(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sign_bits"),
+      new ExpressionInfo(classOf[VecSignExpr].getName, "vec_sign_bits"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vec_sign_bits takes (embedding, bits)")
+        VecSignExpr(children.head, intArg("vec_sign_bits", "bits", children(1)))
       }))
   }
 }

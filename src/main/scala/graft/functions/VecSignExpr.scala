@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Random-hyperplane fingerprint of an ARRAY<FLOAT> embedding: bit k
+  * (k < bits <= 62) is the sign of the dot product against a fixed
+  * pseudo-random hyperplane H_k — the vector-space analogue of SimHashExpr
+  * (Charikar's rounding-hyperplane LSH): P(bit_k(a) == bit_k(b)) =
+  * 1 - angle(a,b)/pi, so near-parallel vectors agree on most bits.
+  *
+  * Hyperplane components are small integers derived from a fixed two-step
+  * LCG (`comp`) — deterministic, engine-independent, and emittable as
+  * integer literals in the DuckDB oracle's SQL, which is what lets the
+  * mirrored pipeline certify cross-engine. The dot runs in doubles with a
+  * left-to-right fold from 0.0, matching the oracle's left-associated `+`
+  * chain bit for bit.
+  *
+  * One pass per row — the fingerprint is a scan-side projection, zero
+  * shuffle at any corpus size. Component tables are cached per dimension.
+  */
+case class VecSignExpr(child: Expression, bits: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean  = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if bits >= 1 && bits <= 62 => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"vec_sign_bits requires ARRAY<FLOAT> and 1 <= bits <= 62, got $other, bits=$bits")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecSignExpr.sig(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("vsRes")
+      s"""
+         |java.lang.Long $tmp = graft.functions.VecSignExpr.sig($c, $bits);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+}
+
+object VecSignExpr {
+  import PolyHashExpr.P
+
+  /** Hyperplane component H_k[j], a deterministic small integer in [-8, 8]:
+    * two LCG steps over (k, j) mod P, folded to 17 values. The second step's
+    * mod-P wrap breaks the linearity of the first, so the hyperplanes are
+    * spread rather than lattice-aligned. All intermediates stay within Long
+    * (and within DuckDB BIGINT) for any k < 62, j < ~1e6.
+    */
+  def comp(k: Int, j: Int): Int = {
+    val x1 = ((j + 1).toLong * 1103515245L + 12345L + (k + 1).toLong * 2654435761L) % P
+    val x2 = (x1 * 1103515245L + 12345L) % P
+    (x2 % 17).toInt - 8
+  }
+
+  // per-dimension component table cache: [k * dim + j] layout, always the
+  // full 62 bits so one table serves every `bits` value
+  private val tables = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Int]]()
+
+  private def table(dim: Int): Array[Int] =
+    tables.computeIfAbsent(dim, d => {
+      val t = new Array[Int](62 * d)
+      var k = 0
+      while (k < 62) {
+        var j = 0
+        while (j < d) { t(k * d + j) = comp(k, j); j += 1 }
+        k += 1
+      }
+      t
+    })
+
+  /** Null (boxed) on an empty array or a NULL element. */
+  def sig(vec: ArrayData, bits: Int): java.lang.Long = {
+    val n = vec.numElements()
+    if (n == 0) return null
+    val v = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      if (vec.isNullAt(j)) return null
+      v(j) = vec.getFloat(j).toDouble
+      j += 1
+    }
+    val t   = table(n)
+    var out = 0L
+    var k   = 0
+    while (k < bits) {
+      var acc  = 0.0
+      val base = k * n
+      j = 0
+      while (j < n) { acc += v(j) * t(base + j); j += 1 }
+      if (acc >= 0) out |= 1L << k
+      k += 1
+    }
+    out
+  }
+}

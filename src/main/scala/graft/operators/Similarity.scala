@@ -209,6 +209,80 @@ object Similarity {
       .withColumn("cell_id", col("__cell.cell_id"))
       .drop("__cell")
 
+  /** Embedding near-dup pair mining at scale: RANDOM-HYPERPLANE LSH
+    * (Charikar) instead of the all-pairs join — the vector-space twin of
+    * Dedup.lshNearDupPairs.
+    *
+    *  - fingerprint: `bits` sign-of-dot bits against fixed pseudo-random
+    *    hyperplanes (native VecSignExpr, per-row projection, zero shuffle);
+    *  - candidates: banding over `bandBits`-bit chunks of the fingerprint —
+    *    a pair is a candidate iff ANY chunk matches (bucket equality join;
+    *    shuffle volume = nBands rows/vector, cost scales with bucket
+    *    collisions, not corpus^2);
+    *  - verify: exact cosine on candidates only; output pairs all satisfy
+    *    cos >= threshold.
+    *
+    * Recall follows the banding curve 1-(1-p^r)^b with p = 1 - angle/pi —
+    * near-certain for the near-duplicate regime (cos >= 0.9) this operator
+    * targets, and degrading toward weak thresholds where no sublinear
+    * method can be exact. The q46 contract entry certifies the WHOLE
+    * pipeline (fingerprints, banding, verify) against a DuckDB mirror built
+    * from the same hyperplane constants.
+    *
+    * NOTE: the returned plan contains a lazy `localCheckpoint` of the
+    * signature table (concrete-RDD barrier; batch-only, no pushdown below
+    * it), shared by the band explode and both verify fetches.
+    *
+    * Output: id_a < id_b, cos.
+    */
+  def embedNearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 60,
+      bandBits: Int = 6): DataFrame = {
+    require(bits >= 1 && bits <= 62, "bits in [1, 62]")
+    require(bandBits >= 1 && bits % bandBits == 0, "bandBits must divide bits")
+    val nBands = bits / bandBits
+    val mask   = (1L << bandBits) - 1
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sig = ColumnBridge.column(
+      graft.functions.VecSignExpr(ColumnBridge.expression(col(vecCol)), bits))
+    val shufflePartitions =
+      emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sigs = emb
+      .repartition(shufflePartitions) // one-file corpus: hash on all cores
+      .select(
+        col(idCol).as("id"),
+        col(vecCol).as("v"),
+        norm2(col(vecCol)).as("n2"),
+        sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .localCheckpoint(false)
+    val bands = sigs.select(
+      col("id"),
+      explode(array((0 until nBands).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.key").as("key"))
+    val cand = bands
+      .as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("v").as("v_a"), col("n2").as("n2_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("v").as("v_b"), col("n2").as("n2_b")), Seq("id_b"))
+      .withColumn("cos", cosine(dot(col("v_a"), col("v_b")), col("n2_a"), col("n2_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** @param centroids optional refined centroid row (kmeansCentroids);
     *                  defaults to the deterministic seed centroids
     */

@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column     = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Standard non-foldable-argument AnalysisException (QueryCompilationErrors
+    * is private[sql]; surfaced here for registered-function builders).
+    */
+  def nonFoldableArgumentError(
+      funcName: String,
+      paramName: String,
+      dataType: org.apache.spark.sql.types.DataType): Throwable =
+    org.apache.spark.sql.errors.QueryCompilationErrors
+      .nonFoldableArgumentError(funcName, paramName, dataType)
 }

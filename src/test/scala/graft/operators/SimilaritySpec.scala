@@ -48,6 +48,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall@5 with 3/8 refined cells = $recall")
   }
 
+  test("embedNearDupPairs: every mined pair is a true threshold pair (subset of brute force)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force (the q33 shape) at the same threshold
+    val withN2 = emb.select(col("vec_id"), col("embedding"),
+      Similarity.norm2(col("embedding")).as("n2"))
+    val brute = pairs(withN2.as("a").join(withN2.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"),
+        Similarity.cosine(
+          Similarity.dot(col("a.embedding"), col("b.embedding")),
+          col("a.n2"), col("b.n2")).as("cos"))
+      .filter(col("cos") >= 0.45))
+    val lsh = pairs(Similarity.embedNearDupPairs(emb, "vec_id", "embedding", 0.45))
+    assert(lsh.subsetOf(brute), s"LSH mined non-pairs: ${lsh -- brute}")
+  }
+
+  test("embedNearDupPairs: full recall on a planted high-cosine near-dup fixture") {
+    import spark.implicits._
+    val rnd  = new scala.util.Random(7)
+    val base = (0L until 40L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    // plant 10 near-dups: tiny perturbations of the first 10 vectors
+    // (cos >= ~0.99) with ids 100+
+    val dups = (0L until 10L).map { i =>
+      (100L + i, base(i.toInt)._2.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val mined = Similarity
+      .embedNearDupPairs(emb, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 10L).map(i => (i, 100L + i)).toSet
+    assert(planted.subsetOf(mined),
+      s"banding missed planted near-dups: ${planted -- mined}")
+  }
+
+  test("embedNearDupPairs plan: banded bucket join — no BroadcastNestedLoopJoin, no cartesian") {
+    val plan = Similarity
+      .embedNearDupPairs(Tables.embeddings(spark, sfDir), "vec_id", "embedding", 0.45)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join in plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("ivfTopK plan: corpus is never inflated — broadcast joins only, no cartesian") {
     val plan = Similarity
       .ivfTopK(Tables.embeddings(spark, sfDir), col("vec_id") < 10, 5, 8, 8)
