@@ -1097,6 +1097,17 @@ object Contract {
           Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.45, bits = 60, bandBits = 6),
       Some(OracleSql.q46)
+    ),
+    Q(
+      "q47_simhash_wide_pairs",
+      // pigeonhole pair mining wired to the SCALE fingerprint: 62 bits in 4
+      // chunks (maxHamming=3) — bucket population ~ corpus / 2^15 per chunk
+      // vs the 16-bit form's corpus / 2^8. Oracle is the brute-force
+      // bit_count(xor) scan over the same fingerprints.
+      (s, d) =>
+        graft.operators.Dedup
+          .simHashWidePairs(Tables.documents(s, d), "doc_id", "text", bits = 62, maxHamming = 3),
+      Some(OracleSql.q47)
     )
   )
 

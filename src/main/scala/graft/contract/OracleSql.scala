@@ -74,10 +74,11 @@ object OracleSql {
        |FROM mh JOIN sim USING (doc_id)""".stripMargin
   }
 
-  /** Twin of the per-row wide SimHash: distinct token HASHES (shingle n=1),
-    * bit k = sign of the summed permuted parities, k < 62.
+  /** Shared CTE chain ending in simw(doc_id, simhash): the wide (62-bit)
+    * SimHash twin — distinct token HASHES (shingle n=1), bit k = sign of the
+    * summed permuted parities.
     */
-  val q44: String = {
+  private val simWideCtes: String = {
     val bitSums = (0 until 62).map { k =>
       val (a, b) = graft.operators.Dedup.perm(k)
       s"SUM((((($a*h + $b) % $P) & 1)*2 - 1)) AS s$k"
@@ -85,13 +86,27 @@ object OracleSql {
     val simExpr = (0 until 62)
       .map(k => s"(CASE WHEN s$k >= 0 THEN (1::BIGINT << $k) ELSE 0::BIGINT END)")
       .mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |tokh AS (SELECT doc_id,
        |  unnest(list_distinct(list_transform(tk, t -> ${polyHash("t")}))) AS h
        |  FROM toks),
-       |bits AS (SELECT doc_id, $bitSums FROM tokh GROUP BY doc_id)
-       |SELECT doc_id, $simExpr AS simhash FROM bits""".stripMargin
+       |bitsums AS (SELECT doc_id, $bitSums FROM tokh GROUP BY doc_id),
+       |simw AS (SELECT doc_id, $simExpr AS simhash FROM bitsums)""".stripMargin
   }
+
+  val q44: String =
+    s"""WITH $simWideCtes
+       |SELECT doc_id, simhash FROM simw""".stripMargin
+
+  /** Brute-force twin of the WIDE pigeonhole pair miner: all pairs within
+    * hamming 3 of the 62-bit fingerprint.
+    */
+  val q47: String =
+    s"""WITH $simWideCtes
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+       |FROM simw a, simw b
+       |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
   /** Brute-force twin of the pigeonhole-bucketed SimHash pair miner: all
     * pairs within hamming distance 1 of the 16-bit fingerprint.

@@ -343,9 +343,21 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16, "maxHamming in [0, 16)")
+    simHashPairsFromSig(simHash16(docs, idCol, textCol), bits = 16, maxHamming = maxHamming)
+  }
+
+  /** Pigeonhole pair mining over ANY-width fingerprint table (id, simhash):
+    * split `bits` into (maxHamming + 1) contiguous chunks — a pair within
+    * maxHamming bits must agree on at least one whole chunk — bucket-join on
+    * (chunk, value), verify with bit_count(xor). Exact (no false negatives)
+    * at any width; bucket population ~ corpus / 2^(bits/(maxHamming+1)), so
+    * WIDER fingerprints keep buckets small as the corpus grows.
+    */
+  def simHashPairsFromSig(sim: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+    require(bits >= 1 && bits <= 62, "bits in [1, 62]")
+    require(maxHamming >= 0 && maxHamming < bits, s"maxHamming in [0, $bits)")
     val nChunks = maxHamming + 1
-    val bounds  = (0 to nChunks).map(c => c * 16 / nChunks) // contiguous splits
-    val sim     = simHash16(docs, idCol, textCol)
+    val bounds  = (0 to nChunks).map(c => c * bits / nChunks) // contiguous splits
     val bands = sim.select(
       col("id"),
       col("simhash"),
@@ -368,6 +380,25 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** SCALE form of SimHash near-dup mining: pigeonhole pairs over the
+    * 62-bit per-row `simHashWide` fingerprint. At 100 TB the 16-bit form's
+    * buckets collapse (corpus / 2^8 rows per chunk bucket at maxHamming=1);
+    * 62 bits keeps chunks ~15 bits wide at maxHamming=3 — buckets shrink by
+    * ~2^7 per chunk-bit added, while the fingerprint stays one BIGINT.
+    *
+    * Output: id_a < id_b, hamming.
+    */
+  def simHashWidePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 62,
+      maxHamming: Int = 3): DataFrame =
+    simHashPairsFromSig(
+      simHashWide(docs, idCol, textCol, bits).filter(col("simhash").isNotNull),
+      bits = bits,
+      maxHamming = maxHamming)
 
   /** Wide (up to 62-bit) SimHash fingerprint as a PER-ROW projection:
     * distinct token hashes via the native one-pass `shingle_hashes(text, 1)`

@@ -154,6 +154,33 @@ class DedupSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("simHashWidePairs: 62-bit pigeonhole mining == brute force; buckets finer than 16-bit") {
+    val docs = Tables.documents(spark, sfDir).limit(120).cache()
+    val got = Dedup
+      .simHashWidePairs(docs, "doc_id", "text", bits = 62, maxHamming = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val sims = Dedup.simHashWide(docs, "doc_id", "text", bits = 62)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = (for {
+      (ia, sa) <- sims; (ib, sb) <- sims if ia < ib
+      ham = java.lang.Long.bitCount(sa ^ sb)
+      if ham <= 3
+    } yield (ia, ib, ham)).toSet
+    assert(got === expect)
+    // bucket-population: the widest 62-bit chunk (15 bits at maxHamming=3)
+    // spreads fingerprints over far more buckets than ANY 16-bit chunking
+    // can (max 2^16 total across all its chunks) — the scale rationale.
+    val wideChunkVals = sims.map(_._2 & ((1L << 15) - 1)).distinct.length
+    val narrowSims    = Dedup.simHash16(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(1))
+    val narrowChunkVals = narrowSims.map(_ & ((1L << 8) - 1)).distinct.length
+    assert(wideChunkVals >= narrowChunkVals,
+      s"62-bit chunks should spread at least as well: wide=$wideChunkVals narrow=$narrowChunkVals")
+    docs.unpersist()
+  }
+
   test("simHashWide: identical docs equal; near-identical docs land within small hamming") {
     import spark.implicits._
     val df = Seq(
