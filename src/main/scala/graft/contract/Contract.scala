@@ -1108,6 +1108,20 @@ object Contract {
         graft.operators.Dedup
           .simHashWidePairs(Tables.documents(s, d), "doc_id", "text", bits = 62, maxHamming = 3),
       Some(OracleSql.q47)
+    ),
+    Q(
+      "q48_neardup_cc",
+      // CONNECTED-COMPONENTS survivor policy (one survivor per component of
+      // the pair graph) over the same exact miner as q42's greedy policy —
+      // oracled by a DuckDB recursive-CTE transitive closure
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Dedup
+          .ccNearDedupRows(docs, "doc_id",
+            graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8))
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some(OracleSql.q48)
     )
   )
 

@@ -176,6 +176,30 @@ object OracleSql {
        |SELECT doc_id, lang, source FROM documents
        |WHERE doc_id NOT IN (SELECT id FROM drops)""".stripMargin
 
+  /** Connected-components survivor policy over the same brute-force pair
+    * graph as q42: transitive closure via a recursive CTE, keep the minimum
+    * doc_id per component (drop every node whose component-min is not
+    * itself).
+    */
+  val q48: String =
+    s"""WITH RECURSIVE ${shingleCtes()},
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM hs a, hs b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND len(list_intersect(a.hh, b.hh))::DOUBLE
+       |      / (len(a.hh) + len(b.hh) - len(list_intersect(a.hh, b.hh))) >= 0.8),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |walk(src, reach) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+       |label AS (SELECT src AS id, MIN(reach) AS label FROM walk GROUP BY src),
+       |drops AS (SELECT id FROM label WHERE label <> id)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM drops)""".stripMargin
+
   val q33: String =
     """WITH n AS (
       |  SELECT vec_id, embedding,

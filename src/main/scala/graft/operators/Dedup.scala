@@ -180,6 +180,74 @@ object Dedup {
       threshold: Double = 0.8): DataFrame =
     survivors(docs, idCol, jaccardPairs(docs, idCol, textCol, n, threshold))
 
+  /** Minimum-label CONNECTED COMPONENTS over an undirected pair graph:
+    * iterative label propagation — label(x) := min(label(x), min of
+    * neighbors' labels) — run to fixpoint (bounded by `maxIters`, converges
+    * in O(component diameter) rounds; corpus near-dup components are
+    * shallow). Each round is one edge-join + min-aggregate, shuffle volume
+    * ~ |edges|; every round's labels are eagerly localCheckpoint'd so the
+    * iterated plan stays flat (no exponential lineage) and the storage is
+    * GC-reclaimed. The O(log n) large-star/small-star variant is the drop-in
+    * evolution if diameters ever grow past tens.
+    *
+    * Output: (id, label) for every node appearing in `pairs`, label = the
+    * component's minimum id.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint(true) // reused every round: materialize once
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var iter      = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dlabel")).as("nmin"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old"))
+        .limit(1)
+        .count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dedup with the CONNECTED-COMPONENTS survivor policy: one survivor
+    * (the minimum id) per component of the pair graph — the other common
+    * corpus policy besides `survivors`' greedy pair rule. They differ on
+    * shapes like edges (1,3),(2,3) only: greedy keeps {1,2} (3 is the larger
+    * id of every pair), components keep {1} (all three are one component).
+    *
+    * NOTE: computing components is iterative — constructing the result runs
+    * Spark jobs (one join+agg round per propagation step), like the k-means
+    * refinement does.
+    */
+  def ccNearDedupRows(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drops = connectedComponents(pairs)
+      .filter(col("label") =!= col("id"))
+      .select(col("id").as(idCol))
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Surviving rows via the BANDED-LSH pair miner — the at-scale variant of
     * nearDedupRows (same `survivors` policy; candidate cost scales with
     * band-bucket collisions, not corpus²). Recall follows the banding curve;

@@ -154,6 +154,41 @@ class DedupSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("connectedComponents: labels match driver-side union-find; policies differ on a star") {
+    import spark.implicits._
+    // star through the MAX id: edges (1,3),(2,3) — one component {1,2,3},
+    // but no (1,2) pair, so the greedy rule would keep 2
+    val pairs = Seq((1L, 3L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    val docs = Seq(1L, 2L, 3L, 5L, 10L, 11L).toDF("doc_id") // 5 isolated
+    val cc = Dedup.ccNearDedupRows(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(cc === Set(1L, 5L, 10L)) // min per component + untouched docs
+
+    // cross-check on real mined pairs: survivors == driver-side union-find
+    val real   = Tables.documents(spark, sfDir)
+    val mined  = Dedup.jaccardPairs(real, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mined.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expectDrops = parent.keys.map(k => (k, find(k))).filter { case (k, r) => k != r }.map(_._1).toSet
+    val gotSurvivors = Dedup.ccNearDedupRows(real, "doc_id",
+      Dedup.jaccardPairs(real, "doc_id", "text", 3, 0.8))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val allDocs = real.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotSurvivors === allDocs -- expectDrops)
+  }
+
   test("simHashWidePairs: 62-bit pigeonhole mining == brute force; buckets finer than 16-bit") {
     val docs = Tables.documents(spark, sfDir).limit(120).cache()
     val got = Dedup
