@@ -41,7 +41,17 @@ object LandingIO {
     StructField("speed", chanType(DoubleType)),
     StructField("ap_status", chanType(StringType))))
 
-  /** Write one named single-object JSON file per row: (nameCol, jsonCol). */
+  /** Write one named single-object JSON file per row: (nameCol, jsonCol).
+    *
+    * Overwrites go through FileContext's atomic Rename.OVERWRITE where the
+    * filesystem provides one (posix/HDFS): a crash can then never leave the
+    * destination missing — readers see the old document or the new one.
+    * Filesystems without an AbstractFileSystem binding (e.g. s3a) fall back
+    * to delete-then-rename, whose delete->rename window is the object
+    * store's own non-atomic-rename limitation. Stale `.*.json.tmp` files
+    * from a crashed earlier run are swept before writing (single concurrent
+    * writer per outDir assumed, as with MergeSink).
+    */
   private def writeDocs(docs: DataFrame, nameCol: String, jsonCol: String, outDir: String): Unit = {
     if (docs.isEmpty) return // non-empty guard
     // Session Hadoop conf (spark.hadoop.* — s3a credentials etc.) serialized
@@ -52,6 +62,16 @@ object LandingIO {
       docs.sparkSession.sessionState.newHadoopConf()
         .iterator().asScala.map(e => e.getKey -> e.getValue).toArray
     }
+    // sweep tmp leftovers of a crashed run (top level + per-device subdirs)
+    {
+      val conf = new Configuration(false)
+      confEntries.foreach { case (k, v) => conf.set(k, v) }
+      val fs = FileSystem.get(new URI(outDir), conf)
+      Seq(".*.json.tmp", "*/.*.json.tmp").foreach { g =>
+        Option(fs.globStatus(new Path(outDir, g))).getOrElse(Array.empty)
+          .foreach(st => fs.delete(st.getPath, false))
+      }
+    }
     docs
       .select(col(nameCol), col(jsonCol))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
@@ -61,6 +81,10 @@ object LandingIO {
           val fs = FileSystem.get(new URI(outDir), conf)
           fs.setWriteChecksum(false) // no .crc sidecars next to documents
           fs.mkdirs(new Path(outDir))
+          // atomic-overwrite rename where supported; None => fallback path
+          val fc =
+            try Some(org.apache.hadoop.fs.FileContext.getFileContext(new URI(outDir), conf))
+            catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
           rows.foreach { r =>
             // write-then-rename: a reader (or a crash) never sees a partial
             // document — the hidden temp name is invisible to Spark scans
@@ -69,9 +93,14 @@ object LandingIO {
             val out  = fs.create(tmp, true)
             try out.write((r.getString(1) + "\n").getBytes("UTF-8"))
             finally out.close()
-            if (fs.exists(dest)) fs.delete(dest, false)
-            if (!fs.rename(tmp, dest))
-              sys.error(s"LandingIO: rename $tmp -> $dest failed")
+            fc match {
+              case Some(c) =>
+                c.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+              case None =>
+                if (fs.exists(dest)) fs.delete(dest, false)
+                if (!fs.rename(tmp, dest))
+                  sys.error(s"LandingIO: rename $tmp -> $dest failed")
+            }
           }
         }
       }

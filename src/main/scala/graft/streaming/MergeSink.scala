@@ -60,7 +60,18 @@ object MergeSink {
     if (fs.exists(tmp)) fs.delete(tmp, true) // half-written merge output
   }
 
-  /** @param compatDropOverlap reference bug-parity mode (SURVEY §2.5): when
+  /** CONCURRENT READERS: the per-partition two-rename swap is atomic per
+    * partition but not across partitions — a reader scanning WHILE an upsert
+    * commits may observe a mix of new and old partition generations, and
+    * each partition has a brief window (old renamed aside, new not yet in
+    * place) where it is missing entirely. A crash in that window is healed
+    * by the next upsert's recover(), and a crashed batch replay converges
+    * (idempotent merge) — but point-in-time consistency across partitions is
+    * only guaranteed for readers that do not overlap a commit. Gate reads
+    * on a quiesced sink (the AvailableNow drain model) or snapshot the
+    * table first where overlap is possible.
+    *
+    * @param compatDropOverlap reference bug-parity mode (SURVEY §2.5): when
     *        true, a batch whose keys OVERLAP existing rows is dropped
     *        entirely — the reference's disjoint-or-skip merge
     *        (parse_canserver_filtered_log.py:342-343) — instead of merged.

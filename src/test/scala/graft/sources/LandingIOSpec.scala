@@ -108,6 +108,29 @@ class LandingIOSpec extends AnyFunSuite {
     assert(row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("speed").isEmpty)
   }
 
+  test("re-write overwrites atomically and sweeps stale .tmp leftovers") {
+    import spark.implicits._
+    val t0  = 1700000000L * 1000000L
+    val dir = Files.createTempDirectory("landow").toString
+    Files.write(
+      Paths.get(dir, "in.log"),
+      file(timesync(t0), frame(100, 273, 0, Array[Byte](1, 0, 2, 0, 3, 0))))
+    val landing = CanPipelines.parseToLanding(graft.decode.CanDecode.decodeFiles(spark, dir))
+    val out = Files.createTempDirectory("landowout").toString
+    LandingIO.writeLandingDocs(landing, out)
+    val files = java.nio.file.Files.walk(Paths.get(out)).iterator()
+    val docs = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+      .filter(p => p.toString.endsWith(".json")).toSeq
+    assert(docs.nonEmpty)
+    // plant a stale crashed-run tmp next to a real document
+    val stale = docs.head.getParent.resolve("." + docs.head.getFileName.toString + ".tmp")
+    Files.write(stale, "partial".getBytes)
+    LandingIO.writeLandingDocs(landing, out) // overwrite same names
+    assert(!Files.exists(stale), "stale .tmp not swept")
+    // document still present and readable after the overwrite
+    assert(LandingIO.readLanding(spark, out).count() >= 1)
+  }
+
   test("empty inputs are guarded: no files written") {
     import spark.implicits._
     val out = Files.createTempDirectory("emptyout").toString
