@@ -22,7 +22,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * shuffle at any corpus size (the groupBy-bitSums form shuffles the
   * exploded token table).
   */
-case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
+case class SimHashExpr(child: Expression, bits: Int, permuted: Boolean = true)
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean  = true
@@ -37,13 +38,13 @@ case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
     copy(child = newChild)
 
   override protected def nullSafeEval(input: Any): Any =
-    SimHashExpr.sig(input.asInstanceOf[ArrayData], bits)
+    SimHashExpr.sig(input.asInstanceOf[ArrayData], bits, permuted)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val tmp = ctx.freshName("shRes")
       s"""
-         |java.lang.Long $tmp = graft.functions.SimHashExpr.sig($c, $bits);
+         |java.lang.Long $tmp = graft.functions.SimHashExpr.sig($c, $bits, $permuted);
          |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
        """.stripMargin
     })
@@ -53,8 +54,15 @@ object SimHashExpr {
   import PolyHashExpr.P
   import MinHashSigExpr.{permA, permB} // single source of permutation constants
 
-  /** Null (boxed) on an empty hash set or a NULL element. */
-  def sig(hashes: ArrayData, bits: Int): java.lang.Long = {
+  /** Null (boxed) on an empty hash set or a NULL element.
+    * @param permuted true: bit k from the permuted parity
+    *                 ((a_k*h + b_k) mod P) & 1 — independent bits past the
+    *                 hash's ~30 informative bits (the wide form).
+    *                 false: bit k directly from (h >> k) & 1 — the classic
+    *                 16-bit fingerprint (cross-engine q30/q43 definition),
+    *                 valid for small `bits` only.
+    */
+  def sig(hashes: ArrayData, bits: Int, permuted: Boolean = true): java.lang.Long = {
     val n = hashes.numElements()
     if (n == 0) return null
     val sums = new Array[Int](bits)
@@ -64,7 +72,9 @@ object SimHashExpr {
       val h = hashes.getLong(i)
       var k = 0
       while (k < bits) {
-        val parity = ((permA(k) * h + permB(k)) % P & 1L).toInt
+        val parity =
+          if (permuted) ((permA(k) * h + permB(k)) % P & 1L).toInt
+          else ((h >> k) & 1L).toInt
         sums(k) += parity * 2 - 1
         k += 1
       }

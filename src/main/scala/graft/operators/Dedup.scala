@@ -484,9 +484,29 @@ object Dedup {
   }
 
   /** 16-bit SimHash fingerprint per document from distinct-token hashes:
-    * bit k set iff sum over tokens of (2*bit_k(h)-1) >= 0.
+    * bit k set iff sum over tokens of (2*bit_k(h)-1) >= 0. A PER-ROW native
+    * projection (one-pass token hashing + direct-bit SimHashExpr) — zero
+    * shuffle at any corpus size; the earlier explode -> groupBy(bitSums)
+    * form shuffled the exploded token table corpus-wide. Docs with no
+    * tokens drop out (NULL fingerprint filtered), matching the explode
+    * form's semantics; `simHash16Composed` keeps that formulation as the
+    * cross-check.
     */
   def simHash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sig = ColumnBridge.column(
+      graft.functions.SimHashExpr(
+        ColumnBridge.expression(shingleHashes(col(textCol), 1)), 16, permuted = false))
+    spread(docs)
+      .select(col(idCol).as("id"), sig.as("simhash"))
+      .filter(col("simhash").isNotNull)
+  }
+
+  /** Composed-builtins 16-bit fingerprint (explode -> groupBy bit sums) —
+    * the original shuffling formulation, kept as the cross-check for the
+    * per-row native form.
+    */
+  def simHash16Composed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = spread(docs)
       .select(col(idCol).as("id"), explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("t"))
       .withColumn("h", TextAnalysis.polyHash(col("t")))

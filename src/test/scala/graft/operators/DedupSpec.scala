@@ -239,6 +239,15 @@ class DedupSpec extends AnyFunSuite {
     assert(viaSql === viaOp)
   }
 
+  test("simHash16 native per-row == composed explode/groupBy formulation") {
+    val docs = Tables.documents(spark, sfDir)
+    val native = Dedup.simHash16(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = Dedup.simHash16Composed(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === composed)
+  }
+
   test("simHash16: identical docs get identical fingerprints; near-dups are close") {
     import spark.implicits._
     val docs = Seq(
