@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    Seq("q46_embed_lsh", "q47_simhash_wide_pairs", "q43_simhash_neardup", "q30_fingerprint").foreach { n =>
+      val p = contract.Contract.byName(n).run(spark, d).queryExecution.executedPlan.toString
+      val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+      val rr = "Exchange RoundRobin".r.findAllIn(p).size
+      val bnlj = p.contains("BroadcastNestedLoopJoin")
+      val cart = p.contains("CartesianProduct")
+      val wsc = "WholeStageCodegen".r.findAllIn(p).size
+      println(s"$n: hashExchanges=$ex roundRobin=$rr bnlj=$bnlj cartesian=$cart codegenSpans=$wsc")
+    }
+    spark.stop()
+  }
+}

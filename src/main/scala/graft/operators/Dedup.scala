@@ -426,7 +426,12 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < bits, s"maxHamming in [0, $bits)")
     val nChunks = maxHamming + 1
     val bounds  = (0 to nChunks).map(c => c * bits / nChunks) // contiguous splits
-    val bands = sim.select(
+    // the fingerprint table feeds BOTH sides of the self-join; a lazy
+    // localCheckpoint shares one concrete RDD (round-robin exchanges are
+    // not deduped, so without it the per-row fingerprint projection runs
+    // twice over the corpus)
+    val simCk = sim.localCheckpoint(false)
+    val bands = simCk.select(
       col("id"),
       col("simhash"),
       explode(array((0 until nChunks).map { c =>
