@@ -1,21 +1,41 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Plan-shape audit tool: prints, for each named contract query (all when
+  * no names are given), the executed-plan operator counts that matter for
+  * the 100x-scale review — hash/round-robin exchanges, nested-loop or
+  * cartesian joins, codegen spans. Usage:
+  *
+  *   sbt "runMain graft.PlanAudit [sfDir] [queryName...]"
+  *
+  * Note: with AQE enabled the pre-execution plan string reports
+  * WholeStageCodegen spans only after finalization, so codegenSpans=0 here
+  * means "not yet finalized", not "interpreted".
+  */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names =
+      if (args.length > 1) args.tail.toSeq
+      else contract.Contract.all.map(_.name)
+    val spark = SparkSession.builder()
+      .master("local[8]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.01"
-    Seq("q46_embed_lsh", "q47_simhash_wide_pairs", "q43_simhash_neardup", "q30_fingerprint").foreach { n =>
-      val p = contract.Contract.byName(n).run(spark, d).queryExecution.executedPlan.toString
-      val ex = "Exchange hashpartitioning".r.findAllIn(p).size
-      val rr = "Exchange RoundRobin".r.findAllIn(p).size
-      val bnlj = p.contains("BroadcastNestedLoopJoin")
-      val cart = p.contains("CartesianProduct")
-      val wsc = "WholeStageCodegen".r.findAllIn(p).size
-      println(s"$n: hashExchanges=$ex roundRobin=$rr bnlj=$bnlj cartesian=$cart codegenSpans=$wsc")
+    names.foreach { n =>
+      val q = contract.Contract.byName.getOrElse(n, sys.error(s"unknown query: $n"))
+      val p = q.run(spark, sfDir).queryExecution.executedPlan.toString
+      val counts = Seq(
+        "hashExchanges" -> "Exchange hashpartitioning".r.findAllIn(p).size,
+        "roundRobin"    -> "Exchange RoundRobin".r.findAllIn(p).size,
+        "bnlj"          -> (if (p.contains("BroadcastNestedLoopJoin")) 1 else 0),
+        "cartesian"     -> (if (p.contains("CartesianProduct")) 1 else 0),
+        "codegenSpans"  -> "WholeStageCodegen".r.findAllIn(p).size)
+      println(s"$n: " + counts.map { case (k, v) => s"$k=$v" }.mkString(" "))
     }
     spark.stop()
   }
