@@ -1122,6 +1122,47 @@ object Contract {
           .select(col("doc_id"), col("lang"), col("source"))
       },
       Some(OracleSql.q48)
+    ),
+    Q(
+      "q49_percentile",
+      // EXACT percentile/median aggregate (declared §2.3 capability).
+      // Cross-engine parity: p in {0.25, 0.5, 0.75} makes h = (n-1)*p exact
+      // in binary, so the linear interpolation lower + (upper-lower)*frac
+      // multiplies by an exact power-of-two fraction — both engines produce
+      // the identical double.
+      (s, d) =>
+        li(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+            expr("percentile(l_quantity, 0.5)").as("median_qty"),
+            expr("percentile(l_quantity, 0.75)").as("p75_qty"),
+            expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+            count(lit(1)).as("cnt")),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.25) AS p25_qty,
+             |  quantile_cont(l_quantity, 0.5)  AS median_qty,
+             |  quantile_cont(l_quantity, 0.75) AS p75_qty,
+             |  quantile_cont(l_extendedprice, 0.5) AS median_price,
+             |  COUNT(*) AS cnt
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    ),
+    Q(
+      "q50_dynamic_pivot",
+      // Dynamic PIVOT (df.groupBy().pivot() — declared §2.3 capability
+      // distinct from the domain first-agg pivot of q27): one column per
+      // l_returnflag value, decimal-exact sums.
+      (s, d) =>
+        li(s, d)
+          .groupBy(col("l_linestatus"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(dsum(col("l_quantity")))
+          .select(col("l_linestatus"), col("A").as("qty_a"), col("N").as("qty_n"), col("R").as("qty_r")),
+      Some("""SELECT l_linestatus,
+             |  SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END)::DOUBLE AS qty_a,
+             |  SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END)::DOUBLE AS qty_n,
+             |  SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END)::DOUBLE AS qty_r
+             |FROM lineitem GROUP BY l_linestatus""".stripMargin)
     )
   )
 
