@@ -1163,6 +1163,36 @@ object Contract {
              |  SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END)::DOUBLE AS qty_n,
              |  SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END)::DOUBLE AS qty_r
              |FROM lineitem GROUP BY l_linestatus""".stripMargin)
+    ),
+    Q(
+      "q51_range_join",
+      // RANGE (interval) join via the bucketed equi-join form — a raw
+      // BETWEEN join plans as BroadcastNestedLoopJoin (points x intervals);
+      // the bucket explode keeps it a hash join (RangeJoinSpec asserts the
+      // plan). Lineitems shipped within 7 days of a Jan-1996 order's date,
+      // counted per order.
+      (s, d) => {
+        val pts = li(s, d).select(
+          col("l_orderkey"),
+          unix_timestamp(col("l_shipdate")).cast("double").as("t"))
+        val ivs = ord(s, d)
+          .filter(
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-02-01").cast("timestamp"))
+          .select(col("o_orderkey"), unix_timestamp(col("o_orderdate")).cast("double").as("s0"))
+          .withColumn("e0", col("s0") + 7 * 86400)
+        graft.operators.RangeJoin
+          .bucketed(pts, "t", ivs, "s0", "e0", bucketWidth = 7 * 86400.0)
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_pts"))
+      },
+      Some("""SELECT o.o_orderkey, COUNT(*) AS n_pts
+             |FROM orders o JOIN lineitem l
+             |  ON epoch(l.l_shipdate) >= epoch(o.o_orderdate)
+             | AND epoch(l.l_shipdate) <= epoch(o.o_orderdate) + 7*86400
+             |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o.o_orderdate < TIMESTAMP '1996-02-01'
+             |GROUP BY o.o_orderkey""".stripMargin)
     )
   )
 

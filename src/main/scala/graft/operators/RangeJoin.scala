@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join without a nested-loop plan.
+  *
+  * Spark plans a raw `t BETWEEN s AND e` join as a
+  * BroadcastNestedLoopJoin — points x intervals work, which dies at scale.
+  * `bucketed` instead equi-joins through COARSE TIME BUCKETS: the interval
+  * side is exploded to every bucket it covers, the point side is keyed by
+  * its single bucket, and the exact BETWEEN predicate filters the bucket
+  * collisions. Each matching (point, interval) pair meets in EXACTLY ONE
+  * bucket — the point's — so the join needs no dedup pass.
+  *
+  * Scale: shuffle volume is |points| + |intervals| x avg-covered-buckets
+  * (~2 when bucketWidth ~ typical interval length), versus |points| x
+  * |intervals| for the nested loop. Pick bucketWidth near the typical
+  * interval length: wider buckets inflate per-bucket collision work,
+  * narrower ones inflate the interval explode.
+  */
+object RangeJoin {
+
+  /** Join each point row to every interval row with s <= t <= e (closed,
+    * SQL BETWEEN semantics). `tCol`, `sCol`, `eCol` must be numeric columns
+    * in the same unit (e.g. epoch seconds); column names of the two inputs
+    * must not collide (select/alias beforehand).
+    */
+  def bucketed(
+      points: DataFrame,
+      tCol: String,
+      intervals: DataFrame,
+      sCol: String,
+      eCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val pb = points.withColumn("__bucket", floor(col(tCol) / bucketWidth).cast("long"))
+    val ib = intervals.withColumn(
+      "__bucket",
+      explode(sequence(
+        floor(col(sCol) / bucketWidth).cast("long"),
+        floor(col(eCol) / bucketWidth).cast("long"))))
+    pb.join(ib, Seq("__bucket"))
+      .filter(col(tCol) >= col(sCol) && col(tCol) <= col(eCol))
+      .drop("__bucket")
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Bucketed range join: exact BETWEEN semantics at every bucket width, and
+  * a hash-join plan (never the nested loop a raw BETWEEN join gets).
+  */
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("bucketed == naive BETWEEN join at every bucket width (incl. boundary hits)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val points = (0 until 400).map(i => (i.toLong, rnd.nextInt(1000).toDouble))
+      .toDF("pid", "t")
+    // intervals of mixed lengths, some zero-length, some bucket-straddling;
+    // plus exact boundary cases around t=500
+    val intervals = ((0 until 60).map { i =>
+      val s = rnd.nextInt(950).toDouble
+      (1000L + i, s, s + rnd.nextInt(80))
+    } ++ Seq((2000L, 500.0, 500.0), (2001L, 499.0, 501.0)))
+      .toDF("iid", "s0", "e0")
+    val naive = points.join(intervals, col("t") >= col("s0") && col("t") <= col("e0"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(1.0, 7.0, 64.0, 100.0, 2000.0)) {
+      val got = RangeJoin.bucketed(points, "t", intervals, "s0", "e0", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === naive, s"bucketWidth=$w")
+    }
+  }
+
+  test("bucketed joins produce each matching pair exactly once (no dedup pass)") {
+    import spark.implicits._
+    val points    = Seq((1L, 10.0)).toDF("pid", "t")
+    val intervals = Seq((1L, 0.0, 100.0)).toDF("iid", "s0", "e0") // covers many 7-wide buckets
+    assert(RangeJoin.bucketed(points, "t", intervals, "s0", "e0", 7.0).count() === 1)
+  }
+
+  test("plan is a hash join, not BroadcastNestedLoopJoin") {
+    import spark.implicits._
+    val points    = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("pid", "t")
+    val intervals = (0 until 10).map(i => (i.toLong, i * 10.0, i * 10.0 + 5)).toDF("iid", "s0", "e0")
+    val plan = RangeJoin.bucketed(points, "t", intervals, "s0", "e0", 10.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
