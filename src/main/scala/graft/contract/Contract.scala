@@ -1193,6 +1193,18 @@ object Contract {
              |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
              |  AND o.o_orderdate < TIMESTAMP '1996-02-01'
              |GROUP BY o.o_orderkey""".stripMargin)
+    ),
+    Q(
+      "q52_neardup_rows_lsh",
+      // the LSH-mined near-dedup ROWS surface, oracle-certified end-to-end
+      // (banding + verify + greedy survivor policy all mirrored in SQL) —
+      // upgrades what was previously only the spec-certified twin of q42
+      (s, d) =>
+        graft.operators.Dedup
+          .lshNearDedupRows(Tables.documents(s, d), "doc_id", "text",
+            n = 3, threshold = 0.8, k = 8, rowsPerBand = 2)
+          .select(col("doc_id"), col("lang"), col("source")),
+      Some(OracleSql.q52)
     )
   )
 

@@ -127,12 +127,15 @@ object OracleSql {
        |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin
   }
 
-  /** Banded candidates (any of 4 bands of 2 slots equal) -> exact verify. */
-  val q31: String = {
+  /** CTE chain ending in v(id_a, id_b, inter, na, nb): banded LSH
+    * candidates (any of 4 bands of 2 minhash slots equal) fetched back to
+    * hash sets for exact verification — the mirror of lshNearDupPairs.
+    */
+  private val lshPairCtes: String = {
     val bandCond = (0 until 4)
       .map(b => s"(a.mh${2 * b} = b.mh${2 * b} AND a.mh${2 * b + 1} = b.mh${2 * b + 1})")
       .mkString(" OR ")
-    s"""WITH ${shingleCtes()},
+    s"""${shingleCtes()},
        |$mhCte,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -142,10 +145,26 @@ object OracleSql {
        |    len(list_intersect(ha.hh, hb.hh)) AS inter, len(ha.hh) AS na, len(hb.hh) AS nb
        |  FROM cand c
        |  JOIN hs ha ON ha.doc_id = c.id_a
-       |  JOIN hs hb ON hb.doc_id = c.id_b)
+       |  JOIN hs hb ON hb.doc_id = c.id_b)""".stripMargin
+  }
+
+  /** Banded candidates -> exact verify (pair view). */
+  val q31: String =
+    s"""WITH $lshPairCtes
        |SELECT id_a, id_b, inter::DOUBLE / (na + nb - inter) AS jaccard
        |FROM v WHERE inter::DOUBLE / (na + nb - inter) >= 0.8""".stripMargin
-  }
+
+  /** Survivors of the greedy keep-smallest-id policy over the LSH-mined
+    * pair graph — the end-to-end mirror of lshNearDedupRows (same banding,
+    * same verify, same drop rule).
+    */
+  val q52: String =
+    s"""WITH $lshPairCtes,
+       |drops AS (
+       |  SELECT DISTINCT id_b AS id FROM v
+       |  WHERE inter::DOUBLE / (na + nb - inter) >= 0.8)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM drops)""".stripMargin
 
   /** Exact all-pairs Jaccard >= 0.8 over shingle HASH sets (the brute-force
     * twin of the inverted-index mining — any qualifying pair shares a
