@@ -110,4 +110,23 @@ object CanCodecProps extends Properties("CanCodec") {
       !CanserverTokenizer.hasValidHeader(bytes) ==> Prop(
         CanserverTokenizer.tokenize(bytes).isEmpty)
     }
+
+  // ---- chunked reader equivalence ------------------------------------------
+
+  // bytes biased toward grammar tags so records (not just noise) straddle
+  // chunk boundaries; arbitrary chunk sizes down to 1 (clamped internally)
+  private val grammarish: Gen[Byte] = Gen.frequency(
+    (3, Gen.oneOf(0xcd, 0xce, 0xcf).map(_.toByte)),
+    (1, Gen.const('C'.toByte)),
+    (6, Gen.choose(-128, 127).map(_.toByte)))
+
+  property("tokenizeChunked == tokenize for arbitrary bytes and chunk sizes") =
+    forAll(Gen.listOf(grammarish), Gen.choose(1, 4096)) { (noise, chunk) =>
+      val bytes = CanserverTokenizer.Magic ++ noise.toArray
+      val whole = CanserverTokenizer.tokenize(bytes).toList
+      val chunked = CanserverTokenizer
+        .tokenizeChunked(new java.io.ByteArrayInputStream(bytes), "", chunk)
+        .toList
+      chunked == whole
+    }
 }
