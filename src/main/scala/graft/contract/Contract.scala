@@ -1205,6 +1205,29 @@ object Contract {
             n = 3, threshold = 0.8, k = 8, rowsPerBand = 2)
           .select(col("doc_id"), col("lang"), col("source")),
       Some(OracleSql.q52)
+    ),
+    Q(
+      "q53_hash_split",
+      // deterministic train/val/test assignment (multiplicative-hash
+      // buckets, pure projection — reproducible on any cluster, unlike
+      // randomSplit) — a training-pipeline primitive; integer arithmetic
+      // mirrors exactly in the oracle
+      (s, d) =>
+        graft.operators.Splits
+          .assignSplit(
+            Tables.documents(s, d), "doc_id",
+            Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("cnt")),
+      Some("""WITH b AS (
+             |  SELECT lang,
+             |    ((((doc_id % 1000000007) + 1000000007) % 1000000007) * 2654435761 % 1000000007) % 10000 AS bucket
+             |  FROM documents)
+             |SELECT CASE WHEN bucket < 8000 THEN 'train'
+             |            WHEN bucket < 9000 THEN 'val'
+             |            ELSE 'test' END AS split,
+             |  lang, COUNT(*) AS cnt
+             |FROM b GROUP BY 1, 2""".stripMargin)
     )
   )
 

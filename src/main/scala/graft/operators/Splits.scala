@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splits for training pipelines.
+  *
+  * `randomSplit` is seed- and partitioning-dependent: the same row can land
+  * in different splits across runs, cluster sizes, or after a repartition —
+  * unacceptable for train/val/test hygiene at corpus scale. `assignSplit`
+  * instead derives the split from a multiplicative hash of a stable key:
+  * pure per-row projection (zero shuffle, no RNG state), the same row maps
+  * to the same split on any cluster forever, and fractions hold in
+  * expectation over the key distribution.
+  */
+object Splits {
+
+  private val P = graft.functions.PolyHashExpr.P // 1e9+7, shared engine prime
+  private val K = 2654435761L                    // Knuth multiplicative constant
+
+  /** Stable bucket in [0, buckets) from a numeric key — safe for any Long
+    * key (reduce mod P first so the multiply cannot overflow).
+    */
+  def bucketOf(key: Column, buckets: Int): Column =
+    ((((key % P) + P) % P) * K % P % buckets).cast("int")
+
+  /** Split-label column for `fractions` (name -> weight, normalized over
+    * their sum; order defines the bucket ranges). Rows hash into `buckets`
+    * cells; cumulative-fraction boundaries assign the label.
+    */
+  def splitLabel(key: Column, fractions: Seq[(String, Double)], buckets: Int = 10000): Column = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0), "fractions must be positive")
+    val total = fractions.map(_._2).sum
+    val bounds = fractions
+      .scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail
+      .map(f => math.round(f * buckets))
+    val b = bucketOf(key, buckets)
+    fractions.map(_._1).zip(bounds).init
+      .foldRight(lit(fractions.last._1)) { case ((name, bound), rest) =>
+        when(b < bound, name).otherwise(rest)
+      }
+  }
+
+  /** df + a `split` column (see splitLabel). */
+  def assignSplit(
+      df: DataFrame,
+      keyCol: String,
+      fractions: Seq[(String, Double)],
+      buckets: Int = 10000): DataFrame =
+    df.withColumn("split", splitLabel(col(keyCol), fractions, buckets))
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.core.Tables
+
+/** Deterministic splits: stability under repartition/re-run, total and
+  * disjoint assignment, fractions roughly honored.
+  */
+class SplitsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir      = "/root/testdata/sf0.001"
+  private val fr         = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+
+  test("assignment is a pure function of the key: stable across partitioning and runs") {
+    val docs = Tables.documents(spark, sfDir)
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      Splits.assignSplit(df, "doc_id", fr)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = splits(docs)
+    val b = splits(docs.repartition(7, col("lang")))
+    assert(a === b)
+  }
+
+  test("every row gets exactly one split; fractions approximately hold") {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = Splits.assignSplit(docs, "doc_id", fr)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(counts.values.sum === n)
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    val trainFrac = counts("train").toDouble / n
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac")
+  }
+
+  test("negative keys bucket safely into range") {
+    import spark.implicits._
+    val df = Seq(-5L, -1L, 0L, 1L, Long.MinValue + 7, Long.MaxValue).toDF("k")
+    val buckets = df.select(Splits.bucketOf(col("k"), 100).as("b"))
+      .collect().map(_.getInt(0))
+    assert(buckets.forall(b => b >= 0 && b < 100))
+  }
+}
