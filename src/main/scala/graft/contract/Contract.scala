@@ -1228,6 +1228,32 @@ object Contract {
              |            ELSE 'test' END AS split,
              |  lang, COUNT(*) AS cnt
              |FROM b GROUP BY 1, 2""".stripMargin)
+    ),
+    Q(
+      "q54_curation_pipeline",
+      // THE composite corpus-curation flow a training-data user runs —
+      // quality filter -> exact dedup -> near-dedup -> deterministic split
+      // -> per-split stats — certified end-to-end as one query (each stage
+      // is also individually certified: q29 / q24 / q42 / q53)
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        import graft.operators.{Dedup, Splits}
+        val q = Tables
+          .documents(s, d)
+          .filter(
+            TextAnalysis.tokenCount(col("text")) >= 5 &&
+              TextAnalysis.punctRatio(col("text")) <= 0.2)
+          .select(col("doc_id"), col("lang"), col("text"))
+        val e    = Dedup.exactDedupRows(q, sha2(col("text"), 256), col("doc_id"))
+        val surv = Dedup.nearDedupRows(e, "doc_id", "text", n = 3, threshold = 0.8)
+        Splits
+          .assignSplit(surv, "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+          .groupBy(col("split"), col("lang"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(TextAnalysis.tokenCount(col("text")).cast("bigint")).as("sum_tokens"))
+      },
+      Some(OracleSql.q54)
     )
   )
 

@@ -286,6 +286,48 @@ object OracleSql {
        |SELECT id_a, id_b, cos FROM v WHERE cos >= 0.45""".stripMargin
   }
 
+  /** End-to-end curation pipeline mirror (q54): quality filter -> exact
+    * dedup (sha256, keep smallest doc_id) -> near-dedup (greedy over the
+    * exact Jaccard pair graph of the SURVIVING set) -> deterministic split
+    * -> per-split/lang stats. Every stage reuses a fragment already
+    * certified on its own (q29 quality exprs, q24/q37 digest dedup, q42
+    * pair graph, q53 split buckets).
+    */
+  val q54: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 5
+       |    AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / length(text) <= 0.2),
+       |e AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT doc_id, lang, text,
+       |      ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+       |    FROM q) WHERE rn = 1),
+       |toks AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM e),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(tk) >= 3
+       |    THEN list_distinct(list_transform(range(1, len(tk)-1),
+       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+       |    ELSE CAST([] AS VARCHAR[]) END AS ss
+       |  FROM toks),
+       |hs AS (SELECT doc_id, list_distinct(list_transform(ss, s -> ${polyHash("s")})) AS hh FROM sh),
+       |drops AS (
+       |  SELECT DISTINCT b.doc_id AS id
+       |  FROM hs a, hs b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND len(list_intersect(a.hh, b.hh))::DOUBLE
+       |      / (len(a.hh) + len(b.hh) - len(list_intersect(a.hh, b.hh))) >= 0.8),
+       |surv AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT id FROM drops)),
+       |b AS (
+       |  SELECT lang, len(string_split(text, ' '))::BIGINT AS n_tokens,
+       |    ((((doc_id % 1000000007) + 1000000007) % 1000000007) * 2654435761 % 1000000007) % 10000 AS bucket
+       |  FROM surv)
+       |SELECT CASE WHEN bucket < 8000 THEN 'train'
+       |            WHEN bucket < 9000 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  lang, COUNT(*) AS cnt, SUM(n_tokens) AS sum_tokens
+       |FROM b GROUP BY 1, 2""".stripMargin
+
   /** DuckDB has no BLOB substring; the text is ASCII so a VARCHAR slice cast
     * to BLOB yields the same bytes. upper(hex(...)) matches Spark's
     * uppercase hex().
