@@ -24,14 +24,16 @@ import graft.functions.TextAnalysis.P
   */
 object Dedup {
 
-  /** Spread a (possibly single-partition) input across the cluster before
-    * CPU-heavy interpreted projections (char-hash folds). At real scale the
-    * scan already has many partitions and AQE coalesces the extra exchange;
-    * on a one-file corpus this is the difference between 1 core and all of
-    * them doing the hashing.
+  /** Spread a NARROW input across the cluster before CPU-heavy per-row
+    * projections (char-hash folds): repartition only when the input has
+    * fewer partitions than the shuffle default — on a one-file corpus this
+    * is the difference between 1 core and all of them hashing, while an
+    * already-well-partitioned table keeps its layout and pays NO shuffle.
     */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 
   // ----------------------------------------------------------- exact dedup
 
@@ -228,6 +230,11 @@ object Dedup {
       converged = changed == 0L
       iter += 1
     }
+    // silent partial labels would mean silently-wrong dedup downstream
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — a component's " +
+          s"diameter exceeds maxIters; raise maxIters (rounds needed = max component diameter)")
     labels
   }
 

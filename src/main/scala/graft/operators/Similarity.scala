@@ -249,10 +249,10 @@ object Similarity {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val sig = ColumnBridge.column(
       graft.functions.VecSignExpr(ColumnBridge.expression(col(vecCol)), bits))
-    val shufflePartitions =
-      emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val sigs = emb
-      .repartition(shufflePartitions) // one-file corpus: hash on all cores
+    // one-file corpus: hash on all cores; already-wide inputs keep their
+    // layout and pay no shuffle (Dedup.spread is conditional)
+    val sigs = Dedup
+      .spread(emb)
       .select(
         col(idCol).as("id"),
         col(vecCol).as("v"),

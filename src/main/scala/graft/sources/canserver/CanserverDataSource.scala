@@ -57,14 +57,28 @@ class CanserverTable(path: String) extends Table with SupportsRead {
   override def schema(): StructType           = CanserverDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    def positiveInt(name: String): Option[Int] =
+      Option(options.get(name)).map { v =>
+        val n =
+          try v.toInt
+          catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(s"canserver option $name must be an integer, got '$v'")
+          }
+        // 0 would make the stream idle forever ("no new data" every
+        // trigger), the failure mode the built-in file source also rejects
+        require(n > 0, s"canserver option $name must be positive, got $n")
+        n
+      }
     new CanserverScanBuilder(
       path,
       // bounded read-buffer size; tiny values exercise chunk-boundary resync
       // in tests, the default keeps one buffer per open file
-      Option(options.get("chunk_bytes")).map(_.toInt).getOrElse(8 << 20),
+      positiveInt("chunk_bytes").getOrElse(8 << 20),
       // streaming backpressure: cap NEW files admitted per micro-batch
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      positiveInt("maxFilesPerTrigger"))
+  }
 }
 
 class CanserverScanBuilder(path: String, chunkBytes: Int, maxFilesPerTrigger: Option[Int])
@@ -211,14 +225,18 @@ class CanserverReaderFactory(
       // CHUNKED tokenization over the open stream: bounded buffer (no
       // whole-file materialization, no Int.MaxValue file-size ceiling),
       // chunk-boundary resync handled inside tokenizeChunked.
-      // pushdown happens HERE: non-matching frames never become rows
-      private val it = {
-        val all = CanserverTokenizer.tokenizeChunked(in, file, chunkBytes)
-        frameIds match {
-          case Some(ids) => all.filter(r => ids(r.frameId))
-          case None      => all
-        }
-      }
+      // pushdown happens HERE: non-matching frames never become rows.
+      // tokenizeChunked fills its first buffer eagerly — close the stream
+      // if that throws, or the fd leaks (Spark never sees a reader to
+      // close() on constructor failure).
+      private val it =
+        try {
+          val all = CanserverTokenizer.tokenizeChunked(in, file, chunkBytes)
+          frameIds match {
+            case Some(ids) => all.filter(r => ids(r.frameId))
+            case None      => all
+          }
+        } catch { case e: Throwable => in.close(); throw e }
       private val pathUtf = UTF8String.fromString(file)
 
       // DSv2 contract: next() advances and buffers; get() is idempotent
