@@ -1254,6 +1254,25 @@ object Contract {
             sum(TextAnalysis.tokenCount(col("text")).cast("bigint")).as("sum_tokens"))
       },
       Some(OracleSql.q54)
+    ),
+    Q(
+      "q55_group_sample",
+      // deterministic per-group downsampling (corpus balancing): keep the 5
+      // smallest-hash docs per (lang, source) — "uniform random but
+      // reproducible", which sample() cannot do stably across runs/clusters
+      (s, d) =>
+        graft.operators.Splits
+          .sampleGroup(Tables.documents(s, d), "doc_id", Seq("lang", "source"), n = 5)
+          .select(col("doc_id"), col("lang"), col("source")),
+      Some("""WITH h AS (
+             |  SELECT doc_id, lang, source,
+             |    ((((doc_id % 1000000007) + 1000000007) % 1000000007) * 2654435761) % 1000000007 AS hk
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, lang, source,
+             |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY hk, doc_id) AS rn
+             |  FROM h)
+             |SELECT doc_id, lang, source FROM r WHERE rn <= 5""".stripMargin)
     )
   )
 

@@ -49,4 +49,25 @@ object Splits {
       fractions: Seq[(String, Double)],
       buckets: Int = 10000): DataFrame =
     df.withColumn("split", splitLabel(col(keyCol), fractions, buckets))
+
+  /** Full-range stable hash of a numeric key (order-scrambling, injective
+    * for distinct keys mod P) — the sort key for deterministic sampling.
+    */
+  def hashOrder(key: Column): Column = (((key % P) + P) % P) * K % P
+
+  /** Deterministic per-group downsample: keep the `n` rows with the
+    * smallest key hash in each group — "uniform random but reproducible",
+    * the corpus-balancing cut (cap docs per language/source) that
+    * `sample()` cannot do stably. One shuffle (the group window); hash ties
+    * break on the key itself so the result is total-order deterministic.
+    */
+  def sampleGroup(df: DataFrame, keyCol: String, groupCols: Seq[String], n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(hashOrder(col(keyCol)), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
 }

@@ -37,6 +37,19 @@ class SplitsSpec extends AnyFunSuite {
     assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac")
   }
 
+  test("sampleGroup: exactly min(n, group size) rows per group, stable across partitioning") {
+    val docs = Tables.documents(spark, sfDir)
+    def sampled(df: org.apache.spark.sql.DataFrame) =
+      Splits.sampleGroup(df, "doc_id", Seq("lang"), 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = sampled(docs)
+    val b = sampled(docs.repartition(13))
+    assert(a === b)
+    val sizes = Splits.sampleGroup(docs, "doc_id", Seq("lang"), 3)
+      .groupBy("lang").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 3) && sizes.nonEmpty)
+  }
+
   test("negative keys bucket safely into range") {
     import spark.implicits._
     val df = Seq(-5L, -1L, 0L, 1L, Long.MinValue + 7, Long.MaxValue).toDF("k")
