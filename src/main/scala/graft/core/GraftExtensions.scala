@@ -75,5 +75,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "vec_sign_bits takes (embedding, bits)")
         VecSignExpr(children.head, intArg("vec_sign_bits", "bits", children(1)))
       }))
+    // interval-join rescue (OFF unless spark.graft.rangejoin.bucketWidth is
+    // set): rewrites BETWEEN-only joins to the bucketed equi-join form
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Optimizer rule (SURVEY §4.3 path c, registered via GraftExtensions):
+  * rewrites an inner join whose ONLY cross-relation predicate is an
+  * interval containment `t >= s AND t <= e` — which Spark can otherwise
+  * execute only as a nested-loop join (points x intervals) — into the
+  * bucketed equi-join form of `operators/RangeJoin.bucketed`:
+  *
+  *   points x intervals ON t BETWEEN s AND e
+  *   ==> (points + bucket(t)) JOIN (intervals explode bucketRange(s, e))
+  *       ON bucket equality AND the ORIGINAL predicate
+  *
+  * The original BETWEEN conjuncts are kept in the rewritten join, so the
+  * rewrite is semantics-preserving for every input (NULL bounds, inverted
+  * intervals, FP edges) — the bucket equality only PRUNES pairs the exact
+  * predicate would reject anyway, and each matching pair still meets in
+  * exactly one bucket (the point's), so no duplicates are introduced.
+  *
+  * OFF by default: enable with
+  *   spark.graft.rangejoin.bucketWidth = <positive double, same unit as t>
+  * picked near the typical interval length (see RangeJoin scaladoc for the
+  * width tradeoff). Joins that already have an equality conjunct are left
+  * alone — Spark hash-joins those fine.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val WidthConf = "spark.graft.rangejoin.bucketWidth"
+
+  private def width: Option[Double] =
+    Option(conf.getConfString(WidthConf, null)).map(_.toDouble).filter(_ > 0)
+
+  private def fromOnly(e: Expression, side: LogicalPlan): Boolean =
+    e.references.nonEmpty && e.references.subsetOf(side.outputSet) && e.deterministic
+
+  private def numeric(e: Expression): Boolean =
+    e.dataType == DoubleType || e.dataType == LongType ||
+      e.dataType.isInstanceOf[org.apache.spark.sql.types.IntegerType] ||
+      e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+
+  private def bucketExpr(e: Expression, w: Double): Expression =
+    Cast(Floor(Divide(Cast(e, DoubleType), Literal(w))), LongType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = width match {
+    case None => plan
+    case Some(w) =>
+      plan.transformUp {
+        case j @ Join(left, right, Inner, Some(cond), hint) =>
+          val conjs = splitConjunctivePredicates(cond)
+          val crossing = conjs.filter(c =>
+            c.references.intersect(left.outputSet).nonEmpty &&
+              c.references.intersect(right.outputSet).nonEmpty)
+          // an existing cross-relation equality already hash-joins; only the
+          // pure-interval shape needs rescue
+          val hasEqui = crossing.exists {
+            case EqualTo(a, b) =>
+              (fromOnly(a, left) && fromOnly(b, right)) || (fromOnly(a, right) && fromOnly(b, left))
+            case _ => false
+          }
+          // t >= s / s <= t with t on one side, bound on the other
+          def bound(c: Expression): Option[(Expression, Expression, Boolean)] = c match {
+            // (t, bound, isLower)
+            case GreaterThanOrEqual(a, b) if fromOnly(a, left) && fromOnly(b, right) => Some((a, b, true))
+            case LessThanOrEqual(a, b) if fromOnly(a, left) && fromOnly(b, right)    => Some((a, b, false))
+            case GreaterThanOrEqual(a, b) if fromOnly(b, left) && fromOnly(a, right) => Some((b, a, false))
+            case LessThanOrEqual(a, b) if fromOnly(b, left) && fromOnly(a, right)    => Some((b, a, true))
+            case _                                                                   => None
+          }
+          val bounds = crossing.flatMap(c => bound(c))
+          val lowers = bounds.collect { case (t, b, true) => (t, b) }
+          val uppers = bounds.collect { case (t, b, false) => (t, b) }
+          val pair = for {
+            (t1, s) <- lowers.headOption
+            (t2, e) <- uppers.headOption
+            if t1.semanticEquals(t2) && numeric(t1) && numeric(s) && numeric(e)
+          } yield (t1, s, e)
+          // exactly the two interval bounds cross the join, nothing else
+          if (hasEqui || crossing.size != 2 || bounds.size != 2 || pair.isEmpty) j
+          else {
+            val (t, s, e) = pair.head
+            val bucketL   = Alias(bucketExpr(t, w), "__bucket_pt")()
+            val newLeft   = Project(left.output :+ bucketL, left)
+            val bucketR = AttributeReference("__bucket_iv", LongType)()
+            // stepOpt=None infers direction: an inverted interval (e < s,
+            // BETWEEN matches nothing) generates DESCENDING buckets instead
+            // of throwing; the kept original predicate rejects those pairs.
+            // The timezone must be supplied here — TimeZoneAwareExpression
+            // is unresolved without one, and no analyzer runs post-optimizer
+            // (irrelevant for LONG bounds, required for resolution).
+            val seq = Sequence(
+              bucketExpr(s, w),
+              bucketExpr(e, w),
+              None,
+              Some(conf.sessionLocalTimeZone))
+            val newRight = Generate(
+              Explode(seq),
+              unrequiredChildIndex = Nil,
+              outer = false,
+              qualifier = None,
+              generatorOutput = Seq(bucketR),
+              child = right)
+            val newCond = (EqualTo(bucketL.toAttribute, bucketR) +: conjs).reduce(And)
+            Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
+          }
+      }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** The BETWEEN-join rescue rule: same results with the rule on and off,
+  * nested loop eliminated when on, untouched shapes left alone.
+  */
+class RangeJoinRewriteSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def withWidth[A](w: Option[Double])(body: => A): A = {
+    w match {
+      case Some(v) => spark.conf.set(RangeJoinRewrite.WidthConf, v.toString)
+      case None    => spark.conf.unset(RangeJoinRewrite.WidthConf)
+    }
+    try body
+    finally spark.conf.unset(RangeJoinRewrite.WidthConf)
+  }
+
+  private def fixtures() = {
+    import spark.implicits._
+    val rnd    = new scala.util.Random(23)
+    val points = (0 until 300).map(i => (i.toLong, rnd.nextInt(1000).toDouble)).toDF("pid", "t")
+    val intervals = ((0 until 40).map { i =>
+      val s = rnd.nextInt(950).toDouble
+      (1000L + i, s, s + rnd.nextInt(60))
+    } :+ ((2000L, 700.0, 600.0))) // inverted: matches nothing, must not throw
+      .toDF("iid", "s0", "e0")
+    (points, intervals)
+  }
+
+  test("rewrite preserves results exactly and removes the nested loop") {
+    val (points, intervals) = fixtures()
+    def run() = points
+      .join(intervals, col("t") >= col("s0") && col("t") <= col("e0"))
+      .select("pid", "iid")
+    val off = withWidth(None)(run().collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    withWidth(Some(50.0)) {
+      val df = run()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"rule did not fire:\n$plan")
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === off)
+    }
+  }
+
+  test("joins with an equality conjunct are left alone") {
+    val (points, intervals) = fixtures()
+    withWidth(Some(50.0)) {
+      val df = points
+        .join(intervals, col("pid") === col("iid") && col("t") >= col("s0") && col("t") <= col("e0"))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("__bucket_pt"), s"equi-join was rewritten:\n$plan")
+    }
+  }
+
+  test("swapped operand order (s <= t, e >= t) is recognized") {
+    val (points, intervals) = fixtures()
+    def run() = points
+      .join(intervals, col("s0") <= col("t") && col("e0") >= col("t"))
+      .select("pid", "iid")
+    val off = withWidth(None)(run().collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    withWidth(Some(35.0)) {
+      val df = run()
+      assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === off)
+    }
+  }
+}
