@@ -1273,6 +1273,97 @@ object Contract {
              |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY hk, doc_id) AS rn
              |  FROM h)
              |SELECT doc_id, lang, source FROM r WHERE rn <= 5""".stripMargin)
+    ),
+    Q(
+      "q56_decontaminate",
+      // benchmark decontamination: per-train-doc shingle overlap against
+      // the 'test' split's shingle set (broadcast), flagged at 50% — run
+      // before training so eval answers aren't memorized from leaked eval
+      // text. Splits are q53's deterministic buckets, shingles are q32's
+      // hash sets, so every constant mirrors in the oracle.
+      (s, d) => {
+        import graft.operators.{Corpus, Splits}
+        val docs  = Tables.documents(s, d)
+        val split = Splits.splitLabel(
+          col("doc_id"), Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        Corpus.contamination(
+          docs.filter(split === "train"), docs.filter(split === "test"),
+          "doc_id", "text", n = 3, threshold = 0.5)
+      },
+      Some(OracleSql.q56)
+    ),
+    Q(
+      "q57_doc_repetition",
+      // intra-document repetition (Gopher quality rule): fraction of
+      // 2-grams that repeat an earlier one — pure per-row expressions,
+      // zero shuffle
+      (s, d) => {
+        import graft.operators.Dedup
+        import graft.functions.TextAnalysis
+        val grams = Dedup.shingles(TextAnalysis.tokens(col("text")), 2)
+        val ratio = TextAnalysis.dupBigramRatio(col("text"))
+        Tables
+          .documents(s, d)
+          .select(
+            col("doc_id"),
+            size(grams).as("n_2grams"),
+            size(array_distinct(grams)).as("n_distinct"),
+            ratio.as("dup_ratio"),
+            (ratio > 0.2).as("repetitive"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |g AS (SELECT doc_id,
+             |  CASE WHEN len(tk) >= 2
+             |    THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+             |    ELSE CAST([] AS VARCHAR[]) END AS gs
+             |  FROM toks)
+             |SELECT doc_id, len(gs)::INTEGER AS n_2grams,
+             |  len(list_distinct(gs))::INTEGER AS n_distinct,
+             |  CASE WHEN len(gs) > 0 THEN 1.0 - len(list_distinct(gs))::DOUBLE / len(gs) ELSE 0.0 END AS dup_ratio,
+             |  (CASE WHEN len(gs) > 0 THEN 1.0 - len(list_distinct(gs))::DOUBLE / len(gs) ELSE 0.0 END) > 0.2 AS repetitive
+             |FROM g""".stripMargin)
+    ),
+    Q(
+      "q58_pii_scrub",
+      // PII minimization over the event stream: deterministic pseudonym for
+      // the user id (multiplicative hash — joins/groupBys still co-locate,
+      // raw id never leaves the scan), digit runs in the free-text props
+      // masked, the structured value extracted BEFORE masking. Zero
+      // shuffle: every column is a codegen'd projection.
+      (s, d) => {
+        import graft.functions.Privacy
+        ev(s, d).select(
+          col("event_id"),
+          Privacy.pseudonym(col("user_id")).as("pseudo_user"),
+          Privacy.redactDigitRuns(col("props")).as("props_red"),
+          Privacy.digitCount(col("props")).as("n_digits"),
+          regexp_extract(col("props"), "([0-9]+)", 1).cast("int").as("k_val"))
+      },
+      Some("""SELECT event_id,
+             |  ((((user_id % 1000000007) + 1000000007) % 1000000007) * 2654435761) % 1000000007 AS pseudo_user,
+             |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_red,
+             |  len(regexp_extract_all(props, '[0-9]'))::INTEGER AS n_digits,
+             |  regexp_extract(props, '([0-9]+)', 1)::INTEGER AS k_val
+             |FROM events""".stripMargin)
+    ),
+    Q(
+      "q59_tfidf",
+      // TF-IDF top-3 terms per doc with a RATIONAL idf (tf * N/df — ln()
+      // is not cross-engine bit-stable; ranking is identical since both
+      // idfs are strictly decreasing in df). df broadcasts (vocabulary is
+      // Heaps'-law sublinear); N enters as a broadcast one-row cross join.
+      (s, d) =>
+        graft.operators.Corpus.tfidfTopK(Tables.documents(s, d), "doc_id", "text", k = 3),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+             |n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+             |sc AS (SELECT doc_id, term, tf, df, tf::DOUBLE * (n.n / df) AS score
+             |       FROM tf JOIN df USING (term) CROSS JOIN n),
+             |r AS (SELECT doc_id, term, tf, df, score,
+             |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+             |      FROM sc)
+             |SELECT doc_id, term, tf, df, score, rnk::INTEGER AS rnk FROM r WHERE rnk <= 3""".stripMargin)
     )
   )
 

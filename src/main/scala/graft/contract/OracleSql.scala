@@ -328,6 +328,28 @@ object OracleSql {
        |  lang, COUNT(*) AS cnt, SUM(n_tokens) AS sum_tokens
        |FROM b GROUP BY 1, 2""".stripMargin
 
+  /** Decontamination mirror (q56): same split buckets as q53, same shingle
+    * hash sets as q32 — benchmark = the 'test' split, train docs report the
+    * fraction of their distinct shingles that appear anywhere in it.
+    */
+  val q56: String =
+    s"""WITH ${shingleCtes()},
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |          ((((doc_id % 1000000007) + 1000000007) % 1000000007) * 2654435761 % 1000000007) % 10000 AS bucket
+       |        FROM documents)),
+       |bh AS (SELECT DISTINCT unnest(hh) AS h FROM hs JOIN sp USING (doc_id) WHERE split = 'test'),
+       |tr AS (SELECT hs.doc_id AS doc_id, hh FROM hs JOIN sp USING (doc_id) WHERE split = 'train'),
+       |ex AS (SELECT doc_id, unnest(hh) AS h FROM tr),
+       |m AS (SELECT ex.doc_id AS doc_id, COUNT(*) AS nm FROM ex JOIN bh USING (h) GROUP BY ex.doc_id)
+       |SELECT tr.doc_id, len(hh)::INTEGER AS n_shingles,
+       |  COALESCE(nm, 0)::BIGINT AS n_matched,
+       |  CASE WHEN len(hh) > 0 THEN COALESCE(nm, 0)::DOUBLE / len(hh) ELSE 0.0 END AS overlap,
+       |  (CASE WHEN len(hh) > 0 THEN COALESCE(nm, 0)::DOUBLE / len(hh) ELSE 0.0 END) >= 0.5 AS contaminated
+       |FROM tr LEFT JOIN m USING (doc_id)""".stripMargin
+
   /** DuckDB has no BLOB substring; the text is ASCII so a VARCHAR slice cast
     * to BLOB yields the same bytes. upper(hex(...)) matches Spark's
     * uppercase hex().

@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII-minimization primitives for corpus preparation: numeric-run
+  * redaction over free text and deterministic pseudonymization of numeric
+  * identifiers. Redaction is regex column ops (codegen'd, zero shuffle);
+  * pseudonymization is the engine's multiplicative hash — stable across
+  * runs and clusters, injective for ids distinct mod P, so group-bys and
+  * joins on the pseudonym still co-locate while the raw id never leaves
+  * the scan.
+  */
+object Privacy {
+
+  /** Replace every run of at least `minRun` digits with `mask`. */
+  def redactDigitRuns(text: Column, mask: String = "<NUM>", minRun: Int = 1): Column = {
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    regexp_replace(text, s"[0-9]{$minRun,}", mask)
+  }
+
+  /** Digit characters in `text` (0 after a minRun=1 redaction). */
+  def digitCount(text: Column): Column = regexp_count(text, lit("[0-9]"))
+
+  /** Deterministic pseudonym for a numeric id (full-range multiplicative
+    * hash, see Splits.hashOrder).
+    */
+  def pseudonym(id: Column): Column = graft.operators.Splits.hashOrder(id)
+}

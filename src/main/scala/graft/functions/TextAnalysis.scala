@@ -64,6 +64,19 @@ object TextAnalysis {
     when(en >= es && en > 0, "en").when(es > en, "es").otherwise("unk")
   }
 
+  /** Fraction of a document's 2-grams that repeat an earlier 2-gram
+    * (1 - distinct/total; 0 for docs with fewer than 2 tokens) — the
+    * intra-document repetition signal of Gopher-style quality filtering.
+    * Pure per-row arithmetic, zero shuffle.
+    */
+  def dupBigramRatio(text: Column): Column = {
+    val grams = graft.operators.Dedup.shingles(tokens(text), 2)
+    when(
+      size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+      .otherwise(lit(0.0))
+  }
+
   /** Deterministic polynomial rolling hash of a string:
     * fold codepoints c: acc = (acc * 31 + c) mod P — bit-identical to the
     * DuckDB oracle's `list_reduce(... ord ...)`. Backed by the native

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators for training-data pipelines: benchmark
+  * decontamination (n-gram overlap against an eval set) and TF-IDF
+  * relevance scoring — the checks a curation run performs after dedup
+  * (Dedup) and before splitting (Splits).
+  */
+object Corpus {
+
+  /** Per-document contamination report of `train` against `bench`: the
+    * fraction of a training document's distinct n-token shingles that also
+    * appear anywhere in the benchmark set — the standard n-gram-overlap
+    * decontamination check run on scraped corpora before training, so eval
+    * answers are not memorized from leaked eval questions.
+    *
+    * Scale shape: the benchmark shingle set is DISTINCT'd (one shuffle over
+    * benchmark-sized data — benchmarks are orders of magnitude smaller than
+    * the corpus) and BROADCAST; the training side is a per-row shingle
+    * explode (map-side, native ShingleHashesExpr) probed against the
+    * broadcast, then ONE partial-agg shuffle keyed on the doc id. No
+    * corpus-sized join, no pair blowup — cost is linear in corpus shingle
+    * volume.
+    *
+    * Output: idCol, n_shingles, n_matched, overlap in [0,1], contaminated
+    * (overlap >= threshold). Documents with fewer than n tokens report
+    * n_shingles = 0 and overlap = 0.0 (explode_outer keeps them).
+    */
+  def contamination(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    val bh = bench
+      .select(explode(Dedup.shingleHashes(col(textCol), n)).as("__bh"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val ex = train
+      .select(col(idCol), Dedup.shingleHashes(col(textCol), n).as("__hh"))
+      .select(col(idCol), size(col("__hh")).as("__ns"), explode_outer(col("__hh")).as("__h"))
+    ex.join(broadcast(bh), ex("__h") === bh("__bh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        max(col("__ns")).as("n_shingles"),
+        count(col("__hit")).as("n_matched")) // count(col) skips nulls = misses
+      .withColumn(
+        "overlap",
+        when(col("n_shingles") > 0, col("n_matched").cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated", col("overlap") >= threshold)
+  }
+
+  /** TF-IDF top-k terms per document: tf = occurrences of the term in the
+    * doc, df = number of docs containing it, score = tf * (N / df). The idf
+    * is kept RATIONAL (one divide, one multiply — bit-identical IEEE ops in
+    * any engine) instead of logarithmic: ln() is not correctly-rounded and
+    * engines disagree in the last ulp, which a cross-engine hash compare
+    * cannot tolerate; the RANKING is unchanged (1/df and ln(N/df) are both
+    * strictly decreasing in df). Ties break on the term string, so top-k is
+    * total-order deterministic.
+    *
+    * Scale shape: tokenize+explode is map-side; tf is one (doc,term)
+    * shuffle with partial aggregation; df re-aggregates the tf rows
+    * (shuffle ~ vocabulary, which grows sublinearly — Heaps' law) and joins
+    * back as a BROADCAST; the corpus count enters as a broadcast one-row
+    * cross join (no driver action); top-k is one row_number window keyed on
+    * the doc id.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    val tf   = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT  = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDoc = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val w    = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(nDoc))
+      .withColumn("score", col("tf").cast("double") * (col("__n") / col("df")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
+  }
+}

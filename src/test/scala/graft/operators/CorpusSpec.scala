@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.functions.{Privacy, TextAnalysis}
+
+/** Corpus-hygiene semantics: decontamination overlap accounting, TF-IDF
+  * ranking vs a hand-computed fixture, repetition ratio, and the PII
+  * redaction/pseudonymization primitives.
+  */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("contamination: identical doc = 1.0, disjoint doc = 0.0, short doc survives with 0 shingles") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // identical to bench doc
+      (2L, "zeta eta theta iota kappa"),      // disjoint
+      (3L, "one two"))                        // < 3 tokens: no shingles
+      .toDF("id", "text")
+    val bench = Seq((10L, "alpha beta gamma delta epsilon")).toDF("id", "text")
+    val got = Corpus
+      .contamination(train, bench, "id", "text", n = 3, threshold = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got(1L) === ((3, 3L, 1.0, true)))
+    assert(got(2L) === ((3, 0L, 0.0, false)))
+    assert(got(3L) === ((0, 0L, 0.0, false)))
+  }
+
+  test("contamination: partial overlap counts only shared shingles") {
+    import spark.implicits._
+    // train doc shares exactly its first shingle ("a b c") with the bench
+    val train = Seq((1L, "a b c x y")).toDF("id", "text") // shingles: abc bcx cxy
+    val bench = Seq((9L, "a b c q r")).toDF("id", "text") // shingles: abc bcq cqr
+    val r = Corpus.contamination(train, bench, "id", "text").head()
+    assert(r.getInt(1) === 3 && r.getLong(2) === 1L)
+    assert(math.abs(r.getDouble(3) - 1.0 / 3) < 1e-12)
+  }
+
+  test("tfidf: ranks rare terms above common ones, caps at k, breaks ties on term") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common rare1 common common"), // tf(common)=3 df=2; tf(rare1)=1 df=1
+      (2L, "common solo solo"))
+      .toDF("id", "text")
+    val got = Corpus
+      .tfidfTopK(docs, "id", "text", k = 2)
+      .orderBy("id", "rnk")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5)))
+    // doc 1: common tf=3 df=2 score=3, rare1 tf=1 df=1 score=2 -> common first
+    // doc 2: solo tf=2 df=1 score=4, common tf=1 df=2 score=1
+    assert(got === Array(
+      (1L, "common", 3L, 2L, 3.0, 1),
+      (1L, "rare1", 1L, 1L, 2.0, 2),
+      (2L, "solo", 2L, 1L, 4.0, 1),
+      (2L, "common", 1L, 2L, 1.0, 2)))
+  }
+
+  test("tfidf: k caps per-doc output even with more distinct terms") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h")).toDF("id", "text")
+    assert(Corpus.tfidfTopK(docs, "id", "text", k = 3).count() === 3)
+  }
+
+  test("dupBigramRatio: repeated bigrams counted, short docs are 0") {
+    import spark.implicits._
+    val df = Seq(
+      ("a b a b a", 0.5), // grams: ab ba ab ba -> 4 total, 2 distinct
+      ("x y z", 0.0),     // 2 distinct grams of 2
+      ("single", 0.0))    // no bigrams
+      .toDF("text", "want")
+    val rows = df.select(TextAnalysis.dupBigramRatio(col("text")).as("got"), col("want")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("privacy: redaction leaves no digits; pseudonym is stable and distinct") {
+    import spark.implicits._
+    val df  = Seq((1L, "acct 12345 pin 007"), (2L, "no digits here")).toDF("id", "text")
+    val red = df.select(
+      Privacy.digitCount(Privacy.redactDigitRuns(col("text"))).as("d"),
+      Privacy.redactDigitRuns(col("text")).as("t"))
+    assert(red.collect().map(_.getInt(0)).forall(_ === 0))
+    assert(red.head().getString(1) === "acct <NUM> pin <NUM>")
+    val p1 = df.select(Privacy.pseudonym(col("id"))).collect().map(_.getLong(0))
+    val p2 = df.select(Privacy.pseudonym(col("id"))).collect().map(_.getLong(0))
+    assert(p1.toSeq === p2.toSeq)          // deterministic across runs
+    assert(p1.distinct.length === p1.length) // injective for distinct ids
+    assert(!p1.contains(1L) && !p1.contains(2L)) // not the raw ids
+  }
+}
