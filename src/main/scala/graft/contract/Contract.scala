@@ -1298,30 +1298,18 @@ object Contract {
       // 2-grams that repeat an earlier one — pure per-row expressions,
       // zero shuffle
       (s, d) => {
-        import graft.operators.Dedup
         import graft.functions.TextAnalysis
-        val grams = Dedup.shingles(TextAnalysis.tokens(col("text")), 2)
         val ratio = TextAnalysis.dupBigramRatio(col("text"))
         Tables
           .documents(s, d)
           .select(
             col("doc_id"),
-            size(grams).as("n_2grams"),
-            size(array_distinct(grams)).as("n_distinct"),
+            TextAnalysis.bigramCount(col("text")).as("n_2grams"),
+            TextAnalysis.distinctBigramCount(col("text")).as("n_distinct"),
             ratio.as("dup_ratio"),
             (ratio > 0.2).as("repetitive"))
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-             |g AS (SELECT doc_id,
-             |  CASE WHEN len(tk) >= 2
-             |    THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
-             |    ELSE CAST([] AS VARCHAR[]) END AS gs
-             |  FROM toks)
-             |SELECT doc_id, len(gs)::INTEGER AS n_2grams,
-             |  len(list_distinct(gs))::INTEGER AS n_distinct,
-             |  CASE WHEN len(gs) > 0 THEN 1.0 - len(list_distinct(gs))::DOUBLE / len(gs) ELSE 0.0 END AS dup_ratio,
-             |  (CASE WHEN len(gs) > 0 THEN 1.0 - len(list_distinct(gs))::DOUBLE / len(gs) ELSE 0.0 END) > 0.2 AS repetitive
-             |FROM g""".stripMargin)
+      Some(OracleSql.q57)
     ),
     Q(
       "q58_pii_scrub",

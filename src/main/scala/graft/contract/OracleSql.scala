@@ -350,6 +350,25 @@ object OracleSql {
        |  (CASE WHEN len(hh) > 0 THEN COALESCE(nm, 0)::DOUBLE / len(hh) ELSE 0.0 END) >= 0.5 AS contaminated
        |FROM tr LEFT JOIN m USING (doc_id)""".stripMargin
 
+  /** Intra-doc repetition mirror (q57): total 2-grams is |tokens|-1; the
+    * distinct count hashes each 2-gram with the shared polynomial hash —
+    * the exact twin of the engine's native ShingleHashesExpr(n=2) path.
+    */
+  val q57: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |g AS (SELECT doc_id,
+       |  CASE WHEN len(tk) >= 2
+       |    THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+       |    ELSE CAST([] AS VARCHAR[]) END AS gs
+       |  FROM toks),
+       |c AS (SELECT doc_id, len(gs)::INTEGER AS n2,
+       |        len(list_distinct(list_transform(gs, s -> ${polyHash("s")})))::INTEGER AS n2d
+       |      FROM g)
+       |SELECT doc_id, n2 AS n_2grams, n2d AS n_distinct,
+       |  CASE WHEN n2 > 0 THEN 1.0 - n2d::DOUBLE / n2 ELSE 0.0 END AS dup_ratio,
+       |  (CASE WHEN n2 > 0 THEN 1.0 - n2d::DOUBLE / n2 ELSE 0.0 END) > 0.2 AS repetitive
+       |FROM c""".stripMargin
+
   /** DuckDB has no BLOB substring; the text is ASCII so a VARCHAR slice cast
     * to BLOB yields the same bytes. upper(hex(...)) matches Spark's
     * uppercase hex().

@@ -68,14 +68,28 @@ object TextAnalysis {
     * (1 - distinct/total; 0 for docs with fewer than 2 tokens) — the
     * intra-document repetition signal of Gopher-style quality filtering.
     * Pure per-row arithmetic, zero shuffle.
+    *
+    * The total is arithmetic (`|tokens| - 1`) and the distinct count rides
+    * the native one-pass ShingleHashesExpr — the composed
+    * transform/array_distinct form ran INTERPRETED per row (higher-order
+    * lambdas have no codegen) and was the slowest expression in the whole
+    * contract bench (4.7 s at sf0.1 vs ~0.15 s for this form).
     */
   def dupBigramRatio(text: Column): Column = {
-    val grams = graft.operators.Dedup.shingles(tokens(text), 2)
-    when(
-      size(grams) > 0,
-      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+    val n2  = bigramCount(text)
+    when(n2 > 0, lit(1.0) - distinctBigramCount(text).cast("double") / n2)
       .otherwise(lit(0.0))
   }
+
+  /** Total 2-grams of a doc: max(|tokens| - 1, 0) — no array build. */
+  def bigramCount(text: Column): Column = greatest(tokenCount(text) - 1, lit(0))
+
+  /** Distinct 2-grams via the native one-pass shingle hasher (hash-distinct;
+    * collisions are negligible at P~1e9 for per-doc set sizes, and the
+    * DuckDB oracle mirrors the same hash so parity is exact).
+    */
+  def distinctBigramCount(text: Column): Column =
+    size(graft.operators.Dedup.shingleHashes(text, 2))
 
   /** Deterministic polynomial rolling hash of a string:
     * fold codepoints c: acc = (acc * 31 + c) mod P — bit-identical to the

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.functions.TextAnalysis
+
+/** Incremental corpus ingestion: the streaming twin of the q54 batch
+  * curation front (quality gate -> exact dedup), for the 100-TB posture
+  * where documents LAND CONTINUOUSLY instead of existing up front. Each
+  * `Trigger.AvailableNow` invocation drains newly landed JSON documents,
+  * filters them with the same zero-shuffle quality expressions the batch
+  * path certifies (q29/q57), drops content duplicates ACROSS invocations
+  * (digest-keyed streaming state, bounded by the event-time watermark), and
+  * merges survivors idempotently into a date-partitioned parquet corpus.
+  *
+  * Near-dedup intentionally stays batch-side: MinHash/LSH pair mining needs
+  * the full corpus view, so the streaming stage lands exact-deduped
+  * documents and the periodic batch job (Dedup.lshNearDedupRows) compacts
+  * them — the standard lambda split for similarity work.
+  */
+object CorpusStreams {
+
+  /** Landing schema for incoming JSON documents; `ts` is the ingest event
+    * time that bounds the dedup state.
+    */
+  val DocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("ts", TimestampType)))
+
+  /** Streaming read of a watched directory of JSON documents (one object
+    * per line). maxFilesPerTrigger paces the drain exactly like the CAN
+    * log source (SURVEY §2.1 backpressure).
+    */
+  def docStream(
+      spark: SparkSession,
+      rawDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+      .format("json")
+      .schema(DocSchema)
+      .option("recursiveFileLookup", "true")
+    maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .load(rawDir)
+  }
+
+  /** Quality gate + cross-batch exact dedup. The filter thresholds are the
+    * q54 curation constants plus the q57 repetition rule; the dedup key is
+    * the content digest, so re-posted documents (same text, any id) are
+    * dropped for as long as the watermark keeps their digest in state.
+    */
+  def curatedStream(
+      docs: DataFrame,
+      minTokens: Int = 5,
+      maxPunct: Double = 0.2,
+      maxDupBigram: Double = 0.5,
+      lateness: String = "10 minutes"): DataFrame = {
+    val gated = docs
+      .filter(
+        TextAnalysis.tokenCount(col("text")) >= minTokens &&
+          TextAnalysis.punctRatio(col("text")) <= maxPunct &&
+          TextAnalysis.dupBigramRatio(col("text")) <= maxDupBigram)
+      .withColumn("digest", sha2(col("text"), 256))
+    CanStreams.streamingDedup(gated, Seq("digest"), lateness)
+  }
+
+  /** Runnable ingest job: raw JSON docs -> curated, exact-deduped,
+    * date-partitioned parquet corpus, merged idempotently on the digest
+    * (a replayed batch converges instead of duplicating — MergeSink's
+    * exactly-once-effect contract).
+    */
+  def runIngest(
+      spark: SparkSession,
+      rawDir: String,
+      corpusDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    curatedStream(docStream(spark, rawDir, maxFilesPerTrigger))
+      .withColumn("date", to_date(col("ts")))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        MergeSink.upsert(
+          batch.sparkSession, batch, corpusDir,
+          keyCols = Seq("digest"),
+          partitionCols = Seq("date"))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

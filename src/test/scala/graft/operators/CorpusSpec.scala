@@ -78,6 +78,53 @@ class CorpusSpec extends AnyFunSuite {
     rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("contamination matches a driver-side brute force on the real documents table") {
+    val docs = graft.core.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val rows  = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    def sh(t: String): Set[String] =
+      t.split(" ", -1).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    // even ids play the benchmark, odd ids the training corpus
+    val benchSh = rows.filter(_._1 % 2 == 0).flatMap(r => sh(r._2)).toSet
+    val want = rows.filter(_._1 % 2 == 1).map { case (id, t) =>
+      val s = sh(t)
+      id -> ((s.size, s.count(benchSh.contains).toLong))
+    }.toMap
+    val got = Corpus
+      .contamination(
+        docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2))))
+      .toMap
+    assert(got === want)
+  }
+
+  test("tfidf matches a driver-side brute force on the real documents table") {
+    val docs = graft.core.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val rows = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    val n    = rows.length.toDouble
+    val tf   = rows.flatMap { case (id, t) => t.split(" ", -1).map(id -> _) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val want = tf.toSeq
+      .map { case ((id, term), f) => (id, term, f, df(term), f.toDouble * (n / df(term))) }
+      .groupBy(_._1)
+      .flatMap { case (_, ts) =>
+        ts.sortBy(t => (-t._5, t._2)).take(3).zipWithIndex.map { case (t, i) => (t._1, t._2, t._3, t._4, t._5, i + 1) }
+      }
+      .toSet
+    val got = Corpus
+      .tfidfTopK(docs, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5)))
+      .toSet
+    assert(got === want)
+  }
+
   test("privacy: redaction leaves no digits; pseudonym is stable and distinct") {
     import spark.implicits._
     val df  = Seq((1L, "acct 12345 pin 007"), (2L, "no digits here")).toDF("id", "text")

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.operators.Dedup
+
+/** Incremental corpus ingestion semantics: the quality gate drops what the
+  * batch gate drops, content duplicates are dropped ACROSS invocations
+  * (digest state survives in the checkpoint), a full replay converges
+  * (idempotent digest merge), and the stream's surviving set equals the
+  * batch curation front over the same files.
+  */
+class CorpusStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmp(pfx: String): String =
+    Files.createTempDirectory(pfx).toString
+
+  private val T = "2026-01-01T00:00:00Z"
+
+  private def writeDocs(dir: String, name: String, docs: Seq[(Long, String)]): Unit = {
+    val lines = docs.map { case (id, text) =>
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s0","ts":"$T"}"""
+    }
+    Files.write(Paths.get(dir, name), lines.mkString("\n").getBytes("UTF-8"))
+    ()
+  }
+
+  private val good1 = "the quick brown fox jumps over the lazy dog"
+  private val good2 = "analytics engines shuffle data across many partitions"
+
+  test("ingest: quality gate + cross-invocation dedup + replay convergence") {
+    val raw    = tmp("corpus-raw")
+    val corpus = tmp("corpus-out") + "/corpus"
+    val ckpt   = tmp("corpus-ckpt")
+
+    writeDocs(raw, "b1.json", Seq(
+      1L -> good1,
+      2L -> "short",                            // < 5 tokens
+      3L -> "!! ?? .. !! ?? zz",                // punctuation-heavy
+      4L -> "spam spam spam spam spam spam"))   // dup-bigram ratio 0.8
+    CorpusStreams.runIngest(spark, raw, corpus, ckpt).awaitTermination()
+    val after1 = spark.read.parquet(corpus)
+    assert(after1.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+
+    // second invocation: a re-post of doc 1's text under a new id must be
+    // dropped by the digest state carried in the checkpoint
+    writeDocs(raw, "b2.json", Seq(10L -> good1, 11L -> good2))
+    CorpusStreams.runIngest(spark, raw, corpus, ckpt).awaitTermination()
+    val after2 = spark.read.parquet(corpus)
+    assert(after2.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 11L))
+
+    // full replay from a FRESH checkpoint re-drains every file; the digest
+    // merge keys make the landing converge instead of duplicating
+    CorpusStreams.runIngest(spark, raw, corpus, tmp("corpus-ckpt2")).awaitTermination()
+    val after3 = spark.read.parquet(corpus)
+    assert(after3.count() === 2)
+    assert(after3.select("digest").distinct().count() === 2)
+  }
+
+  test("stream surviving digests == batch curation front over the same files") {
+    val raw    = tmp("corpus-raw")
+    val corpus = tmp("corpus-out") + "/corpus"
+    writeDocs(raw, "b1.json", Seq(
+      1L -> good1, 2L -> good2, 3L -> good1,    // 3 duplicates 1
+      4L -> "tiny"))                            // filtered
+    CorpusStreams.runIngest(spark, raw, corpus, tmp("corpus-ckpt")).awaitTermination()
+
+    val batchFront = Dedup.exactDedupRows(
+      spark.read.schema(CorpusStreams.DocSchema).json(raw)
+        .filter(
+          graft.functions.TextAnalysis.tokenCount(col("text")) >= 5 &&
+            graft.functions.TextAnalysis.punctRatio(col("text")) <= 0.2 &&
+            graft.functions.TextAnalysis.dupBigramRatio(col("text")) <= 0.5)
+        .withColumn("digest", sha2(col("text"), 256)),
+      col("digest"), col("doc_id"))
+    val want = batchFront.select("digest").collect().map(_.getString(0)).toSet
+    val got  = spark.read.parquet(corpus).select("digest").collect().map(_.getString(0)).toSet
+    assert(got === want && got.size === 2)
+  }
+}
