@@ -1352,6 +1352,31 @@ object Contract {
              |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
              |      FROM sc)
              |SELECT doc_id, term, tf, df, score, rnk::INTEGER AS rnk FROM r WHERE rnk <= 3""".stripMargin)
+    ),
+    Q(
+      "q60_incremental_neardup",
+      // the INCREMENTAL near-dedup surface, certified against the BATCH
+      // oracle: the corpus arrives as two ascending-id batches through
+      // lshIncrementalStep (signature store carried across steps); the
+      // union of survivors is exactly the one-shot lshNearDedupRows (same
+      // banding, same verify, same greedy earlier-id rule), so q52's SQL
+      // certifies the incremental path end-to-end. The id split constant
+      // keeps batch 1 non-empty at every SF; an empty batch 2 degenerates
+      // to the one-shot form.
+      (s, d) => {
+        import graft.operators.Dedup
+        val docs = Tables
+          .documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        val (s1, store1) = Dedup.lshIncrementalStep(
+          docs.filter(col("doc_id") < 250), "doc_id", "text", store = None,
+          k = 8, rowsPerBand = 2, n = 3, threshold = 0.8)
+        val (s2, _) = Dedup.lshIncrementalStep(
+          docs.filter(col("doc_id") >= 250), "doc_id", "text", store = Some(store1),
+          k = 8, rowsPerBand = 2, n = 3, threshold = 0.8)
+        s1.unionByName(s2).select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some(OracleSql.q52)
     )
   )
 

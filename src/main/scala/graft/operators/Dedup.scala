@@ -352,7 +352,6 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     require(k % rowsPerBand == 0, "k must divide into bands")
-    val nBands = k / rowsPerBand
     // Signatures AND hash sets are per-row projections (native one-pass
     // shingle hashing + one-pass k-minima): nothing shuffles until the
     // band-bucket candidate join, whose volume is nBands rows per doc —
@@ -363,23 +362,8 @@ object Dedup {
     // query's first job, no separate materialization job; same lifecycle
     // rationale as jaccardPairs' set table (exchange reuse is unreliable;
     // persist leaks)
-    val sigs = spread(docs)
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
-      .withColumn("__sig", minHashSigCol(col("sh"), k))
-      .filter(col("__sig").isNotNull)
-      .localCheckpoint(false)
-    // band bucket key: the band's minhash slots joined into one string
-    val bands = sigs.select(
-      col("id"),
-      explode(array((0 until nBands).map { b =>
-        struct(
-          lit(b).as("band"),
-          concat_ws(
-            ":",
-            (0 until rowsPerBand)
-              .map(r => element_at(col("__sig"), b * rowsPerBand + r + 1)): _*).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val sigs  = lshSignatures(docs, idCol, textCol, k, n).localCheckpoint(false)
+    val bands = bandBuckets(sigs, k, rowsPerBand)
     val cand = bands
       .as("a")
       .join(bands.as("b"),
@@ -387,15 +371,106 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // exact verify on candidates only
-    val sets = sigs.select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+    verifyPairs(cand, sigs, sigs, threshold)
+  }
+
+  /** Per-doc LSH signature-store records (id, sh, sig): the shingle-hash
+    * set and the k-slot minhash signature — everything incremental dedup
+    * needs, so later batches never re-read this corpus slice's text. A pure
+    * per-row projection (parquet-friendly: two BIGINT arrays). Docs with
+    * fewer than n tokens carry no signature and are excluded — they cannot
+    * near-dup.
+    */
+  def lshSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      n: Int = 3): DataFrame =
+    spread(docs)
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
+      .withColumn("sig", minHashSigCol(col("sh"), k))
+      .filter(col("sig").isNotNull)
+
+  /** (id, band, bucket) rows from a signature table — the band's minhash
+    * slots joined into one string bucket key.
+    */
+  private def bandBuckets(sigs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = k / rowsPerBand
+    sigs.select(
+      col("id"),
+      explode(array((0 until nBands).map { b =>
+        struct(
+          lit(b).as("band"),
+          concat_ws(
+            ":",
+            (0 until rowsPerBand)
+              .map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against the
+    * signature tables holding their hash sets.
+    */
+  private def verifyPairs(
+      cand: DataFrame,
+      sigsA: DataFrame,
+      sigsB: DataFrame,
+      threshold: Double): DataFrame = {
+    def sets(s: DataFrame, side: String) = s.select(
+      col("id").as(s"id_$side"), col("sh").as(s"sh_$side"), size(col("sh")).as(s"n_$side"))
     cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("nsh").as("na")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("nsh").as("nb")), Seq("id_b"))
+      .join(sets(sigsA, "a"), Seq("id_a"))
+      .join(sets(sigsB, "b"), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** INCREMENTAL near-dedup step: dedup a newly arrived batch against the
+    * corpus WITHOUT re-mining corpus pairs — the operation a continuously-
+    * fed 100 TB pipeline actually runs. `store` is the signature table of
+    * every document seen so far (survivors AND dropped — the greedy rule
+    * drops a doc against ANY earlier doc, so dropped docs still block their
+    * own later near-dups); new batches band-join against it, exact-verify,
+    * and drop new docs matching any earlier id.
+    *
+    * Returns (surviving new rows, updated store). Persist the store between
+    * invocations (parquet) and feed batches in ascending-id order: the
+    * union of survivors across batches is then EXACTLY
+    * `lshNearDedupRows(all docs)` — certified by IncrementalDedupSpec.
+    *
+    * Scale shape: the store is never text, only (sh, sig) arrays; the
+    * candidate join is new-bands x store-bands on band-bucket equality —
+    * with a delta much smaller than the corpus this is a broadcast-able
+    * probe of the store's buckets, shuffle ∝ collisions, never corpus².
+    */
+  def lshIncrementalStep(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      store: Option[DataFrame],
+      k: Int = 8,
+      rowsPerBand: Int = 2,
+      n: Int = 3,
+      threshold: Double = 0.8): (DataFrame, DataFrame) = {
+    require(k % rowsPerBand == 0, "k must divide into bands")
+    val newSigs = lshSignatures(newDocs, idCol, textCol, k, n).localCheckpoint(false)
+    // partner side = corpus so far + this batch (in-batch pairs count too)
+    val all = store.fold(newSigs)(_.unionByName(newSigs))
+    val cand = bandBuckets(all, k, rowsPerBand)
+      .as("b")
+      .join(bandBuckets(newSigs, k, rowsPerBand).as("a"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("b.id") < col("a.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val drops = verifyPairs(cand, newSigs, all, threshold)
+      .select(col("id_a").as(idCol))
+      .distinct()
+    (newDocs.join(drops, Seq(idCol), "left_anti"), all)
   }
 
   // --------------------------------------------------------------- SimHash

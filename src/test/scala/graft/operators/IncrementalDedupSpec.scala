@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.core.Tables
+
+/** Incremental LSH near-dedup: folding ascending-id batches through
+  * lshIncrementalStep must reproduce the one-shot batch result exactly,
+  * cross-batch duplicates must drop via the carried store, and dropped
+  * docs must keep blocking their own later near-dups (the greedy rule).
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("3-batch fold over the real documents table == one-shot lshNearDedupRows") {
+    val docs = Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val want = Dedup
+      .lshNearDedupRows(docs, "doc_id", "text", n = 3, threshold = 0.8, k = 8, rowsPerBand = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val cuts = Seq((Long.MinValue, 17L), (17L, 34L), (34L, Long.MaxValue))
+    var store: Option[org.apache.spark.sql.DataFrame] = None
+    var got = Set.empty[Long]
+    cuts.foreach { case (lo, hi) =>
+      val batch = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      val (surv, next) = Dedup.lshIncrementalStep(batch, "doc_id", "text", store)
+      got ++= surv.select("doc_id").collect().map(_.getLong(0))
+      store = Some(next)
+    }
+    assert(got === want)
+    // the store holds every seen doc that has a signature (>= 3 tokens)
+    val withSig = Dedup.lshSignatures(docs, "doc_id", "text").count()
+    assert(store.get.count() === withSig)
+  }
+
+  test("cross-batch duplicate drops via the store; dropped docs still block") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon zeta"
+    val b1 = Seq((1L, t)).toDF("doc_id", "text")
+    // 2 duplicates 1 -> dropped; 3 duplicates 2 (and 1) -> must ALSO drop,
+    // which requires the store to retain DROPPED doc 2
+    val b2 = Seq((2L, t)).toDF("doc_id", "text")
+    val b3 = Seq((3L, t), (4L, "unrelated words entirely fresh content here")).toDF("doc_id", "text")
+    val (s1, st1) = Dedup.lshIncrementalStep(b1, "doc_id", "text", None)
+    val (s2, st2) = Dedup.lshIncrementalStep(b2, "doc_id", "text", Some(st1))
+    val (s3, _)   = Dedup.lshIncrementalStep(b3, "doc_id", "text", Some(st2))
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(s2.count() === 0)
+    assert(s3.select("doc_id").collect().map(_.getLong(0)).toSet === Set(4L))
+  }
+
+  test("first batch with store=None equals plain batch dedup") {
+    import spark.implicits._
+    val t  = "one two three four five six"
+    val df = Seq((1L, t), (2L, t), (3L, "totally different other words here")).toDF("doc_id", "text")
+    val (surv, _) = Dedup.lshIncrementalStep(df, "doc_id", "text", None)
+    val want = Dedup
+      .lshNearDedupRows(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv.select("doc_id").collect().map(_.getLong(0)).toSet === want)
+  }
+}
