@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators: how a 100 TB table is WRITTEN decides what a
+  * query must READ. Two levers, composable:
+  *
+  *  - directory partitioning (hive layout, `partitionBy`): equality/IN
+  *    predicates on the partition columns prune whole directories at
+  *    planning time (PartitionFilters in the scan) — zero I/O for pruned
+  *    partitions;
+  *  - range clustering (`clusterWrite`): within a partition, rows are
+  *    range-distributed and sorted on a clustering key, so each file (and
+  *    each parquet row group) covers a TIGHT min/max span of that key —
+  *    range predicates then skip whole files/row groups via footer stats
+  *    instead of scanning everything.
+  *
+  * A time-series table clustered on its timestamp turns "last hour" from a
+  * full-table scan into a one-file read; LayoutSpec measures exactly that
+  * with input_file_name().
+  */
+object Layout {
+
+  /** Write `df` range-clustered on `clusterCol`: rows are range-partitioned
+    * into `numFiles` contiguous key spans (one output file each, disjoint
+    * min/max) and sorted within each file so row-group stats are tight too.
+    * `partitionCols` adds hive directory partitioning on top (pruned by
+    * equality predicates before clustering even matters).
+    *
+    * The range exchange samples the key distribution, so file spans stay
+    * balanced under skew — at 100 TB this is one corpus-wide shuffle, the
+    * price of every subsequent range query reading only matching spans.
+    */
+  def clusterWrite(
+      df: DataFrame,
+      path: String,
+      clusterCol: String,
+      numFiles: Int,
+      partitionCols: Seq[String] = Seq.empty): Unit = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val clustered = df
+      .repartitionByRange(numFiles, col(clusterCol))
+      .sortWithinPartitions(col(clusterCol))
+    val writer = clustered.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(path)
+  }
+
+  /** Distinct files a filtered read actually touches — the pruning
+    * measurement (a well-clustered layout touches few; a random layout
+    * touches all).
+    */
+  def filesTouched(df: DataFrame): Long =
+    df.select(input_file_name()).distinct().count()
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.core.Tables
+
+/** Layout semantics: range clustering confines a range predicate to the
+  * files whose span matches (vs every file under a random layout), hive
+  * partitioning prunes directories at plan time, and the clustered write
+  * loses no rows.
+  */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir      = "/root/testdata/sf0.001"
+
+  private def tmp(): String = Files.createTempDirectory("layout").toString
+
+  test("range clustering: a narrow range filter touches few files; random layout touches all") {
+    val ev = Tables.events(spark, sfDir).select("event_id", "ts", "event_type", "value")
+
+    val clustered = tmp() + "/clustered"
+    Layout.clusterWrite(ev, clustered, "event_id", numFiles = 8)
+    val shuffled = tmp() + "/shuffled"
+    // adversarial baseline: round-robin spreads every key span over every file
+    ev.repartition(8).write.parquet(shuffled)
+
+    val lo = 100L; val hi = 200L
+    def narrow(path: String) =
+      spark.read.parquet(path).filter(col("event_id") >= lo && col("event_id") < hi)
+
+    // correctness first: both layouts return the same rows
+    val want = ev.filter(col("event_id") >= lo && col("event_id") < hi).count()
+    assert(narrow(clustered).count() === want && want > 0)
+
+    // disjoint spans: 100 contiguous ids fit 1 span (2 if straddling a cut)
+    val touchedClustered = Layout.filesTouched(narrow(clustered))
+    val touchedShuffled  = Layout.filesTouched(narrow(shuffled))
+    assert(touchedClustered <= 2, s"clustered read touched $touchedClustered files")
+    assert(touchedShuffled === 8, s"random layout should touch all files, got $touchedShuffled")
+  }
+
+  test("hive partitioning on top: equality predicate prunes to one directory") {
+    val ev = Tables
+      .events(spark, sfDir)
+      .select("event_id", "ts", "event_type", "value")
+    val path = tmp() + "/parted"
+    Layout.clusterWrite(ev, path, "event_id", numFiles = 4, partitionCols = Seq("event_type"))
+
+    val one = spark.read.parquet(path).filter(col("event_type") === "click")
+    // PartitionFilters prune at plan time: no touched file may come from
+    // another event_type's directory
+    val files = one.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("event_type=click")))
+    // and the partitioned+clustered write still loses no rows
+    val total = spark.read.parquet(path).count()
+    assert(total === ev.count())
+  }
+}
