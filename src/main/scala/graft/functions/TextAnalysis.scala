@@ -86,10 +86,13 @@ object TextAnalysis {
 
   /** Distinct 2-grams via the native one-pass shingle hasher (hash-distinct;
     * collisions are negligible at P~1e9 for per-doc set sizes, and the
-    * DuckDB oracle mirrors the same hash so parity is exact).
+    * DuckDB oracle mirrors the same hash so parity is exact). NULL text
+    * counts 0, matching bigramCount's NULL behavior (size() alone would
+    * propagate the null).
     */
   def distinctBigramCount(text: Column): Column =
-    size(graft.operators.Dedup.shingleHashes(text, 2))
+    when(text.isNotNull, size(graft.operators.Dedup.shingleHashes(text, 2)))
+      .otherwise(lit(0))
 
   /** Deterministic polynomial rolling hash of a string:
     * fold codepoints c: acc = (acc * 31 + c) mod P — bit-identical to the

@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Write `df` range-clustered on `clusterCol`: rows are range-partitioned
-    * into `numFiles` contiguous key spans (one output file each, disjoint
-    * min/max) and sorted within each file so row-group stats are tight too.
-    * `partitionCols` adds hive directory partitioning on top (pruned by
-    * equality predicates before clustering even matters).
+    * into `numFiles` contiguous key spans with disjoint min/max and sorted
+    * within each span so row-group stats are tight too. Without
+    * `partitionCols` that is one output file per span; WITH hive
+    * partitioning each span task writes one file per partition value it
+    * holds (up to numFiles x |partition values| files), and pruning
+    * composes: equality predicates drop directories first, range predicates
+    * skip files/row groups inside the survivors.
     *
     * The range exchange samples the key distribution, so file spans stay
     * balanced under skew — at 100 TB this is one corpus-wide shuffle, the
@@ -39,9 +42,13 @@ object Layout {
       numFiles: Int,
       partitionCols: Seq[String] = Seq.empty): Unit = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    // sort by the partition cols FIRST: the writer requires its output
+    // ordered by them, and satisfying that here keeps FileFormatWriter from
+    // injecting its own sort — which would not preserve the clusterCol
+    // order once it spills, silently widening row-group spans
     val clustered = df
       .repartitionByRange(numFiles, col(clusterCol))
-      .sortWithinPartitions(col(clusterCol))
+      .sortWithinPartitions((partitionCols :+ clusterCol).map(col): _*)
     val writer = clustered.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(path)

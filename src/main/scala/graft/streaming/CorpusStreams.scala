@@ -50,25 +50,31 @@ object CorpusStreams {
       .load(rawDir)
   }
 
-  /** Quality gate + cross-batch exact dedup. The filter thresholds are the
-    * q54 curation constants plus the q57 repetition rule; the dedup key is
-    * the content digest, so re-posted documents (same text, any id) are
-    * dropped for as long as the watermark keeps their digest in state.
+  /** Quality gate + cross-batch exact dedup. The token/punctuation
+    * thresholds are the q54 curation constants; maxDupBigram bounds the
+    * q57 repetition RATIO with a looser default than q57's 0.2 `repetitive`
+    * flag (the flag marks suspects; the gate only drops pathological
+    * repetition). The dedup key is the content digest, so re-posted
+    * documents (same text, any id) are dropped for as long as the watermark
+    * keeps their digest in state.
     */
   def curatedStream(
       docs: DataFrame,
       minTokens: Int = 5,
       maxPunct: Double = 0.2,
       maxDupBigram: Double = 0.5,
-      lateness: String = "10 minutes"): DataFrame = {
-    val gated = docs
+      lateness: String = "10 minutes"): DataFrame =
+    docs
+      // watermark BEFORE the gate (the stationarySessionStream rule):
+      // gated-out documents must keep advancing event time, else an
+      // all-rejected drain stalls dedup-state eviction
+      .withWatermark("ts", lateness)
       .filter(
         TextAnalysis.tokenCount(col("text")) >= minTokens &&
           TextAnalysis.punctRatio(col("text")) <= maxPunct &&
           TextAnalysis.dupBigramRatio(col("text")) <= maxDupBigram)
       .withColumn("digest", sha2(col("text"), 256))
-    CanStreams.streamingDedup(gated, Seq("digest"), lateness)
-  }
+      .dropDuplicatesWithinWatermark("digest")
 
   /** Runnable ingest job: raw JSON docs -> curated, exact-deduped,
     * date-partitioned parquet corpus, merged idempotently on the digest
@@ -86,10 +92,17 @@ object CorpusStreams {
       .writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        MergeSink.upsert(
-          batch.sparkSession, batch, corpusDir,
+        // cache: upsert takes several actions over the batch (emptiness
+        // probe, dirty-partition scan, merged write) — without it each one
+        // re-reads the JSON and re-runs the regex gate (runParse does the
+        // same)
+        val cached = batch.cache()
+        try MergeSink.upsert(
+          batch.sparkSession, cached, corpusDir,
           keyCols = Seq("digest"),
           partitionCols = Seq("date"))
+        finally cached.unpersist()
+        ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
