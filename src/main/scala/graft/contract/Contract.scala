@@ -1377,6 +1377,80 @@ object Contract {
         s1.unionByName(s2).select(col("doc_id"), col("lang"), col("source"))
       },
       Some(OracleSql.q52)
+    ),
+    Q(
+      "q61_seq_pack",
+      // greedy sequence packing (training-batch prep): stable-id order per
+      // language, cut into ~512-token packs by the running total — one
+      // window shuffle, deterministic on any cluster (training-data
+      // reproducibility; random shuffling can't give this)
+      (s, d) =>
+        graft.operators.Corpus
+          .packSequences(
+            Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+            "doc_id", "text", Seq("lang"), budgetTokens = 512)
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"), col("pack_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, len(string_split(text, ' '))::INTEGER AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, lang, n_tokens,
+             |    SUM(n_tokens::BIGINT) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+             |  FROM t)
+             |SELECT doc_id, lang, n_tokens, cum_tokens,
+             |  floor((cum_tokens - n_tokens) / 512.0)::BIGINT AS pack_id
+             |FROM c""".stripMargin)
+    ),
+    Q(
+      "q62_mixture_sample",
+      // deterministic corpus mixing: per-source keep rates decided by the
+      // key's hash bucket (q53 arithmetic) — same rows kept on any
+      // cluster/run, maximal overlap when a rate changes, zero shuffle
+      // before the summary agg
+      (s, d) =>
+        graft.operators.Splits
+          .mixtureSample(
+            Tables.documents(s, d), "doc_id", "source",
+            rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+            defaultRate = 0.1)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("cnt")),
+      Some("""WITH b AS (
+             |  SELECT source,
+             |    ((((doc_id % 1000000007) + 1000000007) % 1000000007) * 2654435761 % 1000000007) % 10000 AS bucket
+             |  FROM documents)
+             |SELECT source, COUNT(*) AS cnt FROM b
+             |WHERE bucket < (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+             |                WHEN 'src2' THEN 2500 ELSE 1000 END)
+             |GROUP BY source""".stripMargin)
+    ),
+    Q(
+      "q63_quantize_int8",
+      // symmetric int8 embedding quantization (4x smaller ANN store):
+      // scale = max|x|/127, component = floor(x/scale + 0.5) — the
+      // half-rounding goes through floor because both engines compute it
+      // identically (round()'s half-cases don't mirror cross-engine)
+      (s, d) => {
+        import graft.operators.Similarity
+        Tables
+          .embeddings(s, d)
+          .select(
+            col("vec_id"), col("embedding"),
+            Similarity.int8Scale(col("embedding")).as("scale"))
+          .select(
+            col("vec_id"), col("scale"),
+            Similarity.quantizeInt8(col("embedding"), col("scale")).as("q"))
+      },
+      Some("""WITH s AS (
+             |  SELECT vec_id, embedding,
+             |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+             |  FROM embeddings)
+             |SELECT vec_id, scale,
+             |  CASE WHEN scale > 0.0
+             |    THEN list_transform(embedding, x -> floor(x::DOUBLE / scale + 0.5)::INTEGER)
+             |    ELSE list_transform(embedding, x -> 0) END AS q
+             |FROM s""".stripMargin)
     )
   )
 

@@ -72,6 +72,40 @@ object Corpus {
     * cross join (no driver action); top-k is one row_number window keyed on
     * the doc id.
     */
+  /** Greedy sequence packing for training-batch prep: within each group
+    * (e.g. language), documents are laid out in stable id order and cut
+    * into packs of ~`budgetTokens` by the running token total —
+    * `pack_id = floor((cumsum - n_tokens) / budget)`, i.e. a doc starts a
+    * new pack when the budget would overflow ON AVERAGE (first-fit on the
+    * ordered stream; packs can exceed the budget by less than one doc,
+    * the standard streaming-packing tradeoff — bin-packing exactly is
+    * NP-hard and order-unstable).
+    *
+    * One shuffle (the per-group window); deterministic for a fixed id
+    * order, so the same corpus packs identically on any cluster — which
+    * training-data reproducibility requires and random shuffling cannot
+    * give.
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCols: Seq[String],
+      budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    import graft.functions.TextAnalysis
+    val w = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("cum_tokens", sum(col("n_tokens").cast("bigint")).over(w))
+      .withColumn(
+        "pack_id",
+        floor((col("cum_tokens") - col("n_tokens")) / budgetTokens.toDouble).cast("bigint"))
+  }
+
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))

@@ -66,6 +66,29 @@ object Similarity {
   def cosine(dotCol: Column, n2a: Column, n2b: Column): Column =
     dotCol / (sqrt(n2a) * sqrt(n2b))
 
+  /** Symmetric int8 quantization scale: max|x| / 127 (0-vectors get scale
+    * 0 and quantize to all-zero).
+    */
+  def int8Scale(emb: Column): Column =
+    array_max(transform(emb, x => abs(x.cast("double")))) / 127.0
+
+  /** Quantize an embedding to int8 against `scale`:
+    * `floor(x/scale + 0.5)` — round-half-toward-+inf via floor, which both
+    * engines compute identically (plain `round()` half-cases differ
+    * engine-to-engine). A 100-TB ANN corpus stores 4x fewer bytes per
+    * vector (and the store side of IVF/LSH probes reads 4x less); the spec
+    * bounds the reconstruction error at scale/2 per component and measures
+    * top-k recall of quantized search vs exact.
+    */
+  def quantizeInt8(emb: Column, scale: Column): Column =
+    when(scale > 0.0,
+      transform(emb, x => floor(x.cast("double") / scale + 0.5).cast("int")))
+      .otherwise(transform(emb, _ => lit(0)))
+
+  /** Dequantized vector (double components): q * scale. */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
   /** Exact top-k cosine neighbors for each probe row.
     * Output: probe_id, rnk (1..k), neighbor_id, cos.
     * @param dim retained for API compatibility; the native loop `dot` is

@@ -50,6 +50,32 @@ object Splits {
       buckets: Int = 10000): DataFrame =
     df.withColumn("split", splitLabel(col(keyCol), fractions, buckets))
 
+  /** Deterministic mixture sampling: keep each row with a per-source rate
+    * (corpus mixing — upsample nothing, downsample over-represented
+    * sources to target weights). The keep decision is the key's hash
+    * bucket against the source's rate, so the SAME rows are kept on any
+    * cluster, any run, any partitioning — a reproducibility property
+    * `sample()` cannot give — and a rate change keeps maximal overlap with
+    * the previous sample (buckets below both rates stay kept). Zero
+    * shuffle: a pure per-row filter.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      keyCol: String,
+      sourceCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0,
+      buckets: Int = 10000): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val b = bucketOf(col(keyCol), buckets)
+    val cut = rates.foldLeft(lit(math.round(defaultRate * buckets).toInt)) {
+      case (rest, (src, r)) =>
+        when(col(sourceCol) === src, lit(math.round(r * buckets).toInt)).otherwise(rest)
+    }
+    df.filter(b < cut)
+  }
+
   /** Full-range stable hash of a numeric key (order-scrambling, injective
     * for distinct keys mod P) — the sort key for deterministic sampling.
     */

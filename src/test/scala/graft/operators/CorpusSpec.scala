@@ -125,6 +125,50 @@ class CorpusSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("packSequences: packs never exceed the budget before their last doc; repartition-stable") {
+    val docs = graft.core.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "text")
+    val packed = Corpus
+      .packSequences(docs, "doc_id", "text", Seq("lang"), budgetTokens = 100)
+      .select("lang", "pack_id", "doc_id", "n_tokens", "cum_tokens")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(packed.nonEmpty)
+    // a doc is placed in pack floor(startOffset/budget): the tokens BEFORE
+    // it in its pack are < budget (only the doc itself may overflow)
+    packed.groupBy(t => (t._1, t._2)).foreach { case ((_, pid), rows) =>
+      val firstStart = rows.map(r => r._5 - r._4).min
+      assert(firstStart / 100 === pid)
+      rows.foreach(r => assert((r._5 - r._4) / 100 === pid))
+    }
+    // determinism under a different physical layout
+    val repacked = Corpus
+      .packSequences(docs.repartition(7), "doc_id", "text", Seq("lang"), budgetTokens = 100)
+      .select("lang", "pack_id", "doc_id", "n_tokens", "cum_tokens")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(packed.sortBy(_._3).toSeq === repacked.sortBy(_._3).toSeq)
+  }
+
+  test("mixtureSample: rate 1.0 keeps all, rates nest, and sampling is partition-stable") {
+    val docs = graft.core.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source")
+    def ids(rate: Double) = Splits
+      .mixtureSample(docs, "doc_id", "source", rates = Map.empty, defaultRate = rate)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.count()
+    assert(ids(1.0).size === all)
+    val half = ids(0.5); val quarter = ids(0.25)
+    assert(quarter.subsetOf(half), "lowering the rate must keep a subset, not resample")
+    assert(half.size < all && quarter.size < half.size)
+    val repart = Splits
+      .mixtureSample(docs.repartition(5), "doc_id", "source", Map.empty, defaultRate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repart === half)
+  }
+
   test("privacy: redaction leaves no digits; pseudonym is stable and distinct") {
     import spark.implicits._
     val df  = Seq((1L, "acct 12345 pin 007"), (2L, "no digits here")).toDF("id", "text")

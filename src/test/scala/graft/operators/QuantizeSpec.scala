@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.core.Tables
+
+/** Int8 quantization semantics: per-component reconstruction error is
+  * bounded by scale/2, values stay in int8 range, zero vectors are safe,
+  * and quantized search keeps high top-k recall vs exact search.
+  */
+class QuantizeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir      = "/root/testdata/sf0.001"
+
+  test("reconstruction error <= scale/2 per component; values within int8 range") {
+    val e = Tables.embeddings(spark, sfDir)
+    val sc = Similarity.int8Scale(col("embedding"))
+    val rows = e
+      .select(col("embedding"), sc.as("scale"),
+        Similarity.quantizeInt8(col("embedding"), sc).as("q"))
+      .select(col("embedding"), col("scale"), col("q"),
+        Similarity.dequantize(col("q"), col("scale")).as("dq"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val emb   = r.getAs[scala.collection.Seq[Float]]("embedding")
+      val scale = r.getDouble(1)
+      val q     = r.getAs[scala.collection.Seq[Int]]("q")
+      val dq    = r.getAs[scala.collection.Seq[Double]]("dq")
+      assert(q.forall(v => v >= -127 && v <= 127))
+      emb.zip(dq).foreach { case (x, y) =>
+        assert(math.abs(x.toDouble - y) <= scale / 2 + 1e-9)
+      }
+    }
+  }
+
+  test("zero vector quantizes to all zeros with scale 0") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val sc = Similarity.int8Scale(col("embedding"))
+    val r  = df.select(sc.as("scale"), Similarity.quantizeInt8(col("embedding"), sc).as("q")).head()
+    assert(r.getDouble(0) === 0.0)
+    assert(r.getAs[scala.collection.Seq[Int]]("q").forall(_ === 0))
+  }
+
+  test("top-10 recall of dequantized search vs exact >= 0.9") {
+    val e     = Tables.embeddings(spark, sfDir)
+    val probe = col("vec_id") < 5
+    val exact = Similarity
+      .bruteForceTopK(e, probe, k = 10)
+      .select("probe_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val sc = Similarity.int8Scale(col("embedding"))
+    val deq = e
+      .select(col("vec_id"), col("embedding"), sc.as("scale"))
+      .select(col("vec_id"),
+        Similarity.dequantize(Similarity.quantizeInt8(col("embedding"), col("scale")), col("scale"))
+          .as("embedding"))
+    val approx = Similarity
+      .bruteForceTopK(deq, probe, k = 10)
+      .select("probe_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+}
