@@ -1451,6 +1451,17 @@ object Contract {
              |    THEN list_transform(embedding, x -> floor(x::DOUBLE / scale + 0.5)::INTEGER)
              |    ELSE list_transform(embedding, x -> 0) END AS q
              |FROM s""".stripMargin)
+    ),
+    Q(
+      "q64_skew_stats",
+      // per-key frequency diagnostics (the measurement behind the q39
+      // salting decision): top-10 heaviest event users with row share and
+      // skew factor — one count shuffle + a broadcast one-row total
+      (s, d) => graft.operators.Skew.keyStats(ev(s, d), col("user_id"), topN = 10),
+      Some("""WITH c AS (SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY 1),
+             |t AS (SELECT SUM(cnt)::DOUBLE AS total, COUNT(*)::DOUBLE AS nkeys FROM c)
+             |SELECT key, cnt, cnt / t.total AS share, cnt * t.nkeys / t.total AS skew_factor
+             |FROM c CROSS JOIN t ORDER BY cnt DESC, key LIMIT 10""".stripMargin)
     )
   )
 

@@ -38,6 +38,31 @@ object Skew {
       .drop("__lsalt", "__rsalt")
   }
 
+  /** Per-key frequency diagnostics — the measurement that DECIDES whether a
+    * join needs salting or AQE skew handling: the `topN` heaviest keys with
+    * their row share and skew factor (heaviest count / mean count per key;
+    * ~1 means uniform, >> 1 means a hot key will dominate its shuffle
+    * partition). One count shuffle + a single-row global aggregate joined
+    * back as a broadcast; ties order by key so the cut is deterministic.
+    *
+    * Output: key, cnt, share, skew_factor (topN rows, heaviest first).
+    */
+  def keyStats(df: DataFrame, key: Column, topN: Int = 10): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).cast("double").as("__total"),
+      count(lit(1)).cast("double").as("__nkeys"))
+    counts
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topN)
+      .crossJoin(broadcast(totals))
+      .select(
+        col("key"), col("cnt"),
+        (col("cnt") / col("__total")).as("share"),
+        (col("cnt") * col("__nkeys") / col("__total")).as("skew_factor"))
+  }
+
   /** Skew-safe count-distinct: pre-aggregate (key, value) pairs — spreading
     * a hot key's values across the cluster — then count per key. The same
     * two-phase shape Spark plans for COUNT(DISTINCT) internally; exposed for

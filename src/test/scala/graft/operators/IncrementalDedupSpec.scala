@@ -53,6 +53,19 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(s3.select("doc_id").collect().map(_.getLong(0)).toSet === Set(4L))
   }
 
+  test("signature store survives a parquet round-trip (the production persistence path)") {
+    import spark.implicits._
+    val t   = "alpha beta gamma delta epsilon zeta"
+    val b1  = Seq((1L, t)).toDF("doc_id", "text")
+    val b2  = Seq((2L, t), (3L, "other completely unrelated fresh words")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString + "/store"
+    val (_, st1) = Dedup.lshIncrementalStep(b1, "doc_id", "text", None)
+    st1.write.parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val (surv, _) = Dedup.lshIncrementalStep(b2, "doc_id", "text", Some(reloaded))
+    assert(surv.select("doc_id").collect().map(_.getLong(0)).toSet === Set(3L))
+  }
+
   test("first batch with store=None equals plain batch dedup") {
     import spark.implicits._
     val t  = "one two three four five six"

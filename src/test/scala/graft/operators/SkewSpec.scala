@@ -32,6 +32,19 @@ class SkewSpec extends AnyFunSuite {
     assert(twoPhase === direct)
   }
 
+  test("keyStats: hand-computed shares and skew factor on a planted hot key") {
+    import spark.implicits._
+    val df = ((1 to 90).map(_ => 1L) ++ (1 to 9).map(_ => 2L) ++ Seq(3L)).toDF("k")
+    val got = Skew
+      .keyStats(df, col("k"), topN = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // 100 rows over 3 keys: mean 100/3 per key
+    assert(got.length === 2)
+    assert(got(0) === ((1L, 90L, 0.9, 90.0 * 3 / 100)))
+    assert(got(1) === ((2L, 9L, 0.09, 9.0 * 3 / 100)))
+  }
+
   test("salted join splits a hot key across buckets in the shuffle") {
     import spark.implicits._
     // one pathological key
