@@ -60,4 +60,46 @@ object Layout {
     */
   def filesTouched(df: DataFrame): Long =
     df.select(input_file_name()).distinct().count()
+
+  /** Compact a parquet table's small files toward `targetBytes` per file:
+    * sizes the output file count from the table's actual on-disk bytes and
+    * rewrites atomically (write to a sibling temp dir, swap by rename) so
+    * readers never see a half-compacted table and a crash leaves the
+    * original in place.
+    *
+    * Small files are the silent 100 TB killer — a streaming sink that lands
+    * a file per micro-batch turns every later scan into millions of opens
+    * and the driver's file index into the bottleneck; periodic compaction
+    * is the standard remedy. Returns the output file count.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val dir  = new Path(path)
+    val fs   = dir.getFileSystem(conf)
+    val dataFiles = fs
+      .listStatus(dir)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nFiles     = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp   = new Path(dir.getParent, s".compact-tmp-${dir.getName}")
+    val trash = new Path(dir.getParent, s".compact-old-${dir.getName}")
+    if (fs.exists(tmp)) fs.delete(tmp, true)     // stale crashed attempt
+    if (fs.exists(trash)) fs.delete(trash, true)
+    spark.read.parquet(path).repartition(nFiles).write.parquet(tmp.toString)
+    // two-rename swap (MergeSink's commit shape): a crash between the
+    // renames is healed by re-running compact (tmp is rebuilt, trash is
+    // the original)
+    if (!fs.rename(dir, trash)) throw new java.io.IOException(s"compact: cannot set aside $dir")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(trash, dir) // roll back
+      throw new java.io.IOException(s"compact: cannot promote $tmp")
+    }
+    fs.delete(trash, true)
+    nFiles.toLong
+  }
 }

@@ -43,6 +43,26 @@ class LayoutSpec extends AnyFunSuite {
     assert(touchedShuffled === 8, s"random layout should touch all files, got $touchedShuffled")
   }
 
+  test("compact: many small files collapse to the computed count; rows and content survive") {
+    import spark.implicits._
+    val path = tmp() + "/frag"
+    val df   = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    df.repartition(50).write.parquet(path) // 50 tiny files
+    val before = Layout.filesTouched(spark.read.parquet(path))
+    assert(before === 50)
+
+    val total = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(path)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet")).map(p => java.nio.file.Files.size(java.nio.file.Paths.get(p))).sum
+    // target half the table per file -> expect 2 output files
+    val n = Layout.compact(spark, path, targetBytes = (total + 1) / 2)
+    assert(n === 2)
+    val after = spark.read.parquet(path)
+    assert(Layout.filesTouched(after) === 2)
+    assert(after.count() === 1000)
+    assert(after.as[(Long, String)].collect().toSet === df.as[(Long, String)].collect().toSet)
+  }
+
   test("hive partitioning on top: equality predicate prunes to one directory") {
     val ev = Tables
       .events(spark, sfDir)
