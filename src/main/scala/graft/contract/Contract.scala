@@ -1462,6 +1462,44 @@ object Contract {
              |t AS (SELECT SUM(cnt)::DOUBLE AS total, COUNT(*)::DOUBLE AS nkeys FROM c)
              |SELECT key, cnt, cnt / t.total AS share, cnt * t.nkeys / t.total AS skew_factor
              |FROM c CROSS JOIN t ORDER BY cnt DESC, key LIMIT 10""".stripMargin)
+    ),
+    Q(
+      "q65_histogram",
+      // fixed-width histogram per event type (first-pass profiling of an
+      // unfamiliar table): clamped edge bins so every non-null row is
+      // accounted for; bin ids from floor((v-lo)/width) — identical double
+      // ops in both engines. One (group, bin) shuffle with map-side
+      // partials.
+      (s, d) =>
+        graft.operators.Profile.histogram(
+          ev(s, d), "value", lo = 0.0, hi = 500.0, nBins = 20,
+          groupCols = Seq("event_type")),
+      Some("""WITH b AS (
+             |  SELECT event_type,
+             |    least(greatest(floor((value - 0.0) / 25.0), 0), 19)::BIGINT AS bin
+             |  FROM events WHERE value IS NOT NULL)
+             |SELECT event_type, bin,
+             |  0.0 + bin * 25.0 AS bin_lo, 0.0 + (bin + 1) * 25.0 AS bin_hi,
+             |  COUNT(*) AS cnt
+             |FROM b GROUP BY event_type, bin""".stripMargin)
+    ),
+    Q(
+      "q66_numeric_profile",
+      // one-pass per-column summary (count/nulls/min/max/decimal-exact
+      // sum) via a per-row struct explode — no N-scans-for-N-columns; the
+      // other half of the profiling pass
+      (s, d) =>
+        graft.operators.Profile.numericProfile(
+          li(s, d), Seq("l_quantity", "l_extendedprice", "l_discount")),
+      Some("""WITH u AS (
+             |  SELECT 'l_quantity' AS col_name, l_quantity::DOUBLE AS v FROM lineitem
+             |  UNION ALL SELECT 'l_extendedprice', l_extendedprice::DOUBLE FROM lineitem
+             |  UNION ALL SELECT 'l_discount', l_discount::DOUBLE FROM lineitem)
+             |SELECT col_name, COUNT(*) AS n,
+             |  COUNT(CASE WHEN v IS NULL THEN 1 END) AS n_null,
+             |  MIN(v) AS min_v, MAX(v) AS max_v,
+             |  SUM(CAST(v AS DECIMAL(18,2)))::DOUBLE AS sum_v
+             |FROM u GROUP BY col_name""".stripMargin)
     )
   )
 

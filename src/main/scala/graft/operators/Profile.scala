@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-profiling operators — the first pass a pipeline runs over an
+  * unfamiliar 100 TB table: fixed-width histograms and per-column summary
+  * stats. Both are single-shuffle aggregations with map-side partials;
+  * neither collects anything driver-side beyond the summary rows.
+  */
+object Profile {
+
+  /** Fixed-width histogram of `valueCol` over [lo, hi), `nBins` bins,
+    * optionally per group. Out-of-range rows are counted in the clamped
+    * edge bins (bin 0 / bin nBins-1) so the histogram always accounts for
+    * every non-null row — silent drops misread as missing data.
+    *
+    * Bin arithmetic is floor((v - lo) / width) with double ops in a fixed
+    * order, so any engine computes identical bin ids. One hash shuffle on
+    * (group, bin), partial-aggregated map-side.
+    *
+    * Output: groupCols..., bin, bin_lo, bin_hi, cnt.
+    */
+  def histogram(
+      df: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      nBins: Int,
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val width = (hi - lo) / nBins
+    val bin = least(
+      greatest(floor((col(valueCol) - lo) / width), lit(0L)),
+      lit(nBins.toLong - 1))
+    val keys = groupCols.map(col) :+ bin.as("bin")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bin_lo", lit(lo) + col("bin") * width)
+      .withColumn("bin_hi", lit(lo) + (col("bin") + 1) * width)
+      .select(groupCols.map(col) ++ Seq(col("bin"), col("bin_lo"), col("bin_hi"), col("cnt")): _*)
+  }
+
+  /** Per-column summary of the named NUMERIC columns: row count, null
+    * count, min, max, decimal-exact sum (the engine's cross-engine-stable
+    * sum form). One pass, one aggregate row per column via explode of a
+    * per-row struct array — no N-pass scan per column.
+    *
+    * Output: col_name, n, n_null, min_v, max_v, sum_v. ("column" itself is
+    * a reserved word in several engines, which would break the oracle
+    * mirror.)
+    */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val entries = array(cols.map { c =>
+      struct(lit(c).as("col_name"), col(c).cast("double").as("v"))
+    }: _*)
+    df.select(explode(entries).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("v").isNull, 1)).as("n_null"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        sum(col("v").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)))
+          .cast("double").as("sum_v"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Profiling semantics: histogram binning (edges clamp, nulls excluded,
+  * totals account for every non-null row) and the one-pass numeric profile
+  * against hand-computed values.
+  */
+class ProfileSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("histogram: bins, clamped edges, null exclusion, full accounting") {
+    import spark.implicits._
+    val df = Seq(
+      Some(-5.0), // below lo -> clamped to bin 0
+      Some(0.0), Some(9.9),  // bin 0
+      Some(10.0),            // bin 1
+      Some(25.0),            // bin 2
+      Some(99.0), Some(150.0), // at/above hi -> clamped to bin 9
+      None)
+      .toDF("v")
+    val got = Profile
+      .histogram(df, "v", lo = 0.0, hi = 100.0, nBins = 10)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      0L -> ((0.0, 10.0, 3L)),
+      1L -> ((10.0, 20.0, 1L)),
+      2L -> ((20.0, 30.0, 1L)),
+      9L -> ((90.0, 100.0, 2L))))
+    assert(got.values.map(_._3).sum === 7L) // everything non-null accounted
+  }
+
+  test("numericProfile: hand-computed count/nulls/min/max/sum over two columns") {
+    import spark.implicits._
+    val df = Seq(
+      (1.0, Some(10.5)),
+      (2.0, None),
+      (4.0, Some(-3.25)))
+      .toDF("a", "b")
+    val got = Profile
+      .numericProfile(df, Seq("a", "b"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4)), r.getDouble(5))))
+      .toMap
+    assert(got("a") === ((3L, 0L, Some(1.0), Some(4.0), 7.0)))
+    assert(got("b")._1 === 3L && got("b")._2 === 1L)
+    assert(got("b")._3 === Some(-3.25) && got("b")._4 === Some(10.5))
+    assert(math.abs(got("b")._5 - 7.25) < 1e-12)
+  }
+}
