@@ -1500,6 +1500,47 @@ object Contract {
              |  MIN(v) AS min_v, MAX(v) AS max_v,
              |  SUM(CAST(v AS DECIMAL(18,2)))::DOUBLE AS sum_v
              |FROM u GROUP BY col_name""".stripMargin)
+    ),
+    Q(
+      "q67_asof_tolerance",
+      // as-of join WITH staleness tolerance (the sensor-fusion rule: a
+      // reading too old is no reading): each error event attributed to the
+      // user's last click within 1 day — same one-shuffle running-last
+      // plan as q23, the tolerance rides the window for free. At this
+      // fixture ~60% of errors keep a match, so the bound demonstrably
+      // bites.
+      (s, d) => {
+        // all times in exact integer µs: the oracle's parquet read truncates
+        // TIMESTAMP(NANOS) to µs, so ns-precision arithmetic cannot mirror —
+        // `div 1000` on the int64 ns matches that truncation exactly
+        val e = ev(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+        val errors = e
+          .filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val clicks = e
+          .filter(col("event_type") === "click")
+          .select(
+            col("event_id").as("click_id"),
+            col("user_id").as("c_user"),
+            col("ts_us").as("c_us"))
+        AsOfJoin
+          .asof(errors, clicks, col("user_id"), col("c_user"), col("ts_us"), col("c_us"),
+            col("click_id"), inner = true, maxStaleness = Some(86400L * 1000000L))
+          .select(
+            col("event_id"), col("user_id"), col("click_id"),
+            (col("ts_us") - col("c_us")).as("lag_us"))
+      },
+      Some("""SELECT event_id, user_id, click_id, lag_us FROM (
+             |  SELECT e.event_id, e.user_id, c.event_id AS click_id,
+             |    epoch_us(e.ts) - epoch_us(c.ts) AS lag_us,
+             |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+             |                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+             |  FROM events e JOIN events c
+             |    ON c.user_id = e.user_id
+             |   AND c.event_type = 'click' AND e.event_type = 'error'
+             |   AND epoch_us(c.ts) <= epoch_us(e.ts)
+             |   AND epoch_us(e.ts) - epoch_us(c.ts) <= 86400000000
+             |) WHERE rn = 1""".stripMargin)
     )
   )
 

@@ -31,6 +31,14 @@ object AsOfJoin {
     * @param tieBreak  right-side column deciding ties at equal rightTime
     * @param inner     drop left rows with no matching right row (true
     *                  mirrors inner-join + rn=1; false keeps them with nulls)
+    * @param maxStaleness when set, a carried right row only counts while
+    *                  leftTime - rightTime <= maxStaleness (inclusive, same
+    *                  int64 unit as the time columns) — the sensor-fusion
+    *                  rule that a reading too old is no reading at all.
+    *                  Stale matches become misses (dropped when `inner`,
+    *                  nulled otherwise). Same plan shape: the matched TIME
+    *                  rides the identical running-last window, so the
+    *                  tolerance adds no shuffle.
     */
   def asof(
       left: DataFrame,
@@ -40,7 +48,8 @@ object AsOfJoin {
       leftTime: Column,
       rightTime: Column,
       tieBreak: Column,
-      inner: Boolean = true): DataFrame = {
+      inner: Boolean = true,
+      maxStaleness: Option[Long] = None): DataFrame = {
     val lStruct = struct(left.columns.map(col): _*)
     val rStruct = struct(right.columns.map(col): _*)
     val lType   = left.select(lStruct.as("s")).schema("s").dataType
@@ -73,9 +82,19 @@ object AsOfJoin {
       .orderBy(col("__t"), col("__side"), col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val merged = l2
+    val matched = l2
       .unionByName(r2)
       .withColumn("__match", last(col("__rrow"), ignoreNulls = true).over(w))
+    // the matched right row's TIME rides the same window (non-null exactly
+    // where __rrow is, so both lasts carry from the same row)
+    val merged = maxStaleness
+      .fold(matched) { tol =>
+        matched
+          .withColumn(
+            "__mt",
+            last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
+          .withColumn("__match", when(col("__t") - col("__mt") <= tol, col("__match")))
+      }
       .filter(col("__side") === 1)
 
     val kept = if (inner) merged.filter(col("__match").isNotNull) else merged

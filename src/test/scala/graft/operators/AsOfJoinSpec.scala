@@ -57,6 +57,51 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got === naive(left, right, inner = true))
   }
 
+  test("staleness tolerance == naive join with the tolerance in the join condition") {
+    // backward as-of: the carried match is always the LEAST stale right
+    // row, so "null it if stale" == "restrict the join to fresh rows"
+    val (left, right) = data()
+    val tol = 5L
+    def naiveTol(inner: Boolean) = {
+      val joined = left.join(
+        right,
+        col("k") === col("rk") && col("rt") <= col("t") && (col("t") - col("rt")) <= tol,
+        if (inner) "inner" else "left")
+      val w = Window
+        .partitionBy(col("event_id"))
+        .orderBy(col("rt").desc_nulls_last, col("order_id").desc_nulls_last)
+      joined
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("event_id", "order_id")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(1))))
+        .toSet
+    }
+    Seq(true, false).foreach { inner =>
+      val got = AsOfJoin
+        .asof(left, right, col("k"), col("rk"), col("t"), col("rt"), col("order_id"),
+          inner = inner, maxStaleness = Some(tol))
+        .select("event_id", "order_id")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(1))))
+        .toSet
+      assert(got === naiveTol(inner), s"inner=$inner")
+    }
+    // planted stale case: the only candidate is 90 ticks old
+    import spark.implicits._
+    val l1 = Seq((1L, 9L, 100L)).toDF("event_id", "k", "t")
+    val r1 = Seq((7L, 9L, 10L, 1.0)).toDF("order_id", "rk", "rt", "price")
+    assert(AsOfJoin
+      .asof(l1, r1, col("k"), col("rk"), col("t"), col("rt"), col("order_id"),
+        inner = true, maxStaleness = Some(tol)).count() === 0)
+    val outer = AsOfJoin
+      .asof(l1, r1, col("k"), col("rk"), col("t"), col("rt"), col("order_id"),
+        inner = false, maxStaleness = Some(tol))
+      .head()
+    assert(outer.getLong(0) === 1L && outer.isNullAt(3)) // order_id nulled
+  }
+
   test("outer as-of keeps unmatched left rows with null right columns") {
     val (left, right) = data()
     val got = AsOfJoin
