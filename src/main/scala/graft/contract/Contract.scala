@@ -1541,6 +1541,76 @@ object Contract {
              |   AND epoch_us(c.ts) <= epoch_us(e.ts)
              |   AND epoch_us(e.ts) - epoch_us(c.ts) <= 86400000000
              |) WHERE rn = 1""".stripMargin)
+    ),
+    Q(
+      "q68_asof_forward",
+      // FORWARD as-of with tolerance (next-event attribution): for each
+      // error, the user's next purchase within a day — the time-reversal
+      // twin of q67 (same single-shuffle running-last plan on negated
+      // times; ties at the equal earliest time go to the smallest id)
+      (s, d) => {
+        val e = ev(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+        val errors = e
+          .filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val buys = e
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("event_id").as("buy_id"),
+            col("user_id").as("b_user"),
+            col("ts_us").as("b_us"))
+        AsOfJoin
+          .asofForward(errors, buys, col("user_id"), col("b_user"), col("ts_us"), col("b_us"),
+            col("buy_id"), inner = true, maxStaleness = Some(86400L * 1000000L))
+          .select(
+            col("event_id"), col("user_id"), col("buy_id"),
+            (col("b_us") - col("ts_us")).as("lead_us"))
+      },
+      Some("""SELECT event_id, user_id, buy_id, lead_us FROM (
+             |  SELECT e.event_id, e.user_id, b.event_id AS buy_id,
+             |    epoch_us(b.ts) - epoch_us(e.ts) AS lead_us,
+             |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+             |                       ORDER BY b.ts ASC, b.event_id ASC) AS rn
+             |  FROM events e JOIN events b
+             |    ON b.user_id = e.user_id
+             |   AND b.event_type = 'purchase' AND e.event_type = 'error'
+             |   AND epoch_us(b.ts) >= epoch_us(e.ts)
+             |   AND epoch_us(b.ts) - epoch_us(e.ts) <= 86400000000
+             |) WHERE rn = 1""".stripMargin)
+    ),
+    Q(
+      "q69_funnel",
+      // ordered-stage funnel (click -> view -> purchase, in that order, per
+      // user): windowed conditional mins over ONE key shuffle — the naive
+      // form re-joins the fact table once per stage, which at 100 TB is
+      // `stages` full shuffles
+      (s, d) => {
+        val e = ev(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+        graft.operators.Funnel.funnel(
+          e.select(col("user_id"), col("event_type"), col("ts_us")),
+          "user_id", "ts_us",
+          Seq(
+            ("t1_us", col("event_type") === "click"),
+            ("t2_us", col("event_type") === "view"),
+            ("t3_us", col("event_type") === "purchase")))
+      },
+      Some("""WITH t1 AS (
+             |  SELECT user_id, MIN(epoch_us(ts)) AS t1_us
+             |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+             |t2 AS (
+             |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2_us
+             |  FROM events e JOIN t1 USING (user_id)
+             |  WHERE e.event_type = 'view' AND epoch_us(e.ts) >= t1.t1_us
+             |  GROUP BY e.user_id),
+             |t3 AS (
+             |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3_us
+             |  FROM events e JOIN t2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= t2.t2_us
+             |  GROUP BY e.user_id)
+             |SELECT t1.user_id, t1.t1_us, t2.t2_us, t3.t3_us,
+             |  CASE WHEN t3.t3_us IS NOT NULL THEN 3
+             |       WHEN t2.t2_us IS NOT NULL THEN 2 ELSE 1 END AS stage
+             |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""".stripMargin)
     )
   )
 

@@ -102,4 +102,29 @@ object AsOfJoin {
     val rightOut = right.columns.map(c => col(s"__match.$c").as(c))
     kept.select(leftOut ++ rightOut: _*)
   }
+
+  /** FORWARD as-of: for each left row, the single EARLIEST right row with
+    * rightTime >= leftTime within the same key (next-reading lookup /
+    * next-event attribution). Implemented as the backward join on NEGATED
+    * times — time reversal swaps "latest before" into "earliest after" —
+    * with the tieBreak negated too, so among right rows at the equal
+    * earliest time the SMALLEST tieBreak wins (the mirror of backward's
+    * largest-wins, matching `ORDER BY time ASC, tieBreak ASC` rn=1). Same
+    * single-shuffle running-last plan; maxStaleness bounds
+    * rightTime - leftTime.
+    */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      leftTime: Column,
+      rightTime: Column,
+      tieBreak: Column,
+      inner: Boolean = true,
+      maxStaleness: Option[Long] = None): DataFrame =
+    asof(
+      left, right, leftKey, rightKey,
+      -leftTime.cast("long"), -rightTime.cast("long"), -tieBreak.cast("long"),
+      inner, maxStaleness)
 }

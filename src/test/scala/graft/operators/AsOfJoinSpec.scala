@@ -102,6 +102,33 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(outer.getLong(0) === 1L && outer.isNullAt(3)) // order_id nulled
   }
 
+  test("forward as-of == naive earliest-after join (ties: smallest tieBreak wins)") {
+    val (left, right) = data()
+    Seq(None, Some(5L)).foreach { tol =>
+      val naiveFwd = {
+        val joined = left.join(
+          right,
+          col("k") === col("rk") && col("rt") >= col("t") &&
+            tol.fold(lit(true))(tl => (col("rt") - col("t")) <= tl),
+          "inner")
+        val w = Window
+          .partitionBy(col("event_id"))
+          .orderBy(col("rt").asc_nulls_last, col("order_id").asc_nulls_last)
+        joined
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select("event_id", "order_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val got = AsOfJoin
+        .asofForward(left, right, col("k"), col("rk"), col("t"), col("rt"), col("order_id"),
+          inner = true, maxStaleness = tol)
+        .select("event_id", "order_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === naiveFwd, s"tol=$tol")
+    }
+  }
+
   test("outer as-of keeps unmatched left rows with null right columns") {
     val (left, right) = data()
     val got = AsOfJoin

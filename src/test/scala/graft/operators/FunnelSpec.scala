@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Funnel semantics: ordering matters (a view BEFORE the first click does
+  * not count), stage numbering is the deepest consecutive stage reached,
+  * and keys that never start the funnel are excluded.
+  */
+class FunnelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def run(rows: Seq[(Long, String, Long)]) = {
+    import spark.implicits._
+    Funnel
+      .funnel(
+        rows.toDF("user_id", "event_type", "ts"),
+        "user_id", "ts",
+        Seq(
+          ("t1", col("event_type") === "a"),
+          ("t2", col("event_type") === "b"),
+          ("t3", col("event_type") === "c")))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4))))
+      .toMap
+  }
+
+  test("full walk, partial walk, out-of-order walk, never-started") {
+    val got = run(Seq(
+      // user 1: a@1, b@2, c@3 -> stage 3
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L),
+      // user 2: b@1 BEFORE a@2 -> the view doesn't count; b@5 after does
+      (2L, "b", 1L), (2L, "a", 2L), (2L, "b", 5L),
+      // user 3: only the entry stage
+      (3L, "a", 9L),
+      // user 4: never clicks -> excluded entirely
+      (4L, "b", 1L), (4L, "c", 2L)))
+    assert(got === Map(
+      1L -> ((Some(1L), Some(2L), Some(3L), 3)),
+      2L -> ((Some(2L), Some(5L), None, 2)),
+      3L -> ((Some(9L), None, None, 1))))
+  }
+
+  test("equal timestamps count (at-or-after, inclusive)") {
+    val got = run(Seq((1L, "a", 5L), (1L, "b", 5L), (1L, "c", 5L)))
+    assert(got(1L) === ((Some(5L), Some(5L), Some(5L), 3)))
+  }
+}
