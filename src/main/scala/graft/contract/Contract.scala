@@ -1611,6 +1611,66 @@ object Contract {
              |  CASE WHEN t3.t3_us IS NOT NULL THEN 3
              |       WHEN t2.t2_us IS NOT NULL THEN 2 ELSE 1 END AS stage
              |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""".stripMargin)
+    ),
+    Q(
+      "q70_retention",
+      // cohort retention: users bucketed by their first active week, counted
+      // per week-age — the "did week-0 users come back in week k" table.
+      // Week ids are integer µs division (exact both engines); two small
+      // distinct/agg shuffles on already-reduced data
+      (s, d) => {
+        val wk = expr("ts_us div 604800000000") // 7*86400*1e6 us
+        val a = ev(s, d)
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .select(col("user_id"), wk.as("wk"))
+          .distinct()
+        val c = a
+          .groupBy(col("user_id"))
+          .agg(min(col("wk")).as("cohort"))
+        a.join(c, "user_id")
+          .groupBy(col("cohort"), (col("wk") - col("cohort")).as("age"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH a AS (
+             |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+             |c AS (SELECT user_id, MIN(wk) AS cohort FROM a GROUP BY user_id)
+             |SELECT c.cohort, a.wk - c.cohort AS age, COUNT(*) AS n_users
+             |FROM a JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin)
+    ),
+    Q(
+      "q71_event_sessions",
+      // gap-based sessionization of the event stream (30-minute rule) with
+      // per-session stats — the batch analytics twin of q41's streaming
+      // session_window, one window shuffle + one same-keyed aggregation
+      (s, d) => {
+        import graft.operators.Sessionize
+        val e = ev(s, d)
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .select(col("user_id"), col("event_id"), col("ts_us"))
+        Sessionize
+          .byGap(e, "user_id", "ts_us", maxGap = 1800L * 1000000L, tieBreak = "event_id")
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            min(col("ts_us")).as("start_us"),
+            max(col("ts_us")).as("end_us"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, event_id, ts_us,
+             |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+             |  FROM o),
+             |s AS (
+             |  SELECT user_id, ts_us,
+             |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM m)
+             |SELECT user_id, session_id::BIGINT AS session_id,
+             |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us, COUNT(*) AS n_events
+             |FROM s GROUP BY user_id, s.session_id""".stripMargin)
     )
   )
 

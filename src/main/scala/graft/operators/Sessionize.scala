@@ -28,4 +28,32 @@ object Sessionize {
       .withColumn("run_id", sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .drop("__chg")
   }
+
+  /** GAP-based sessionization over an int64 time column: a new session
+    * starts at the first event per key and wherever the gap from the
+    * previous event exceeds `maxGap` (strict >; a gap of exactly maxGap
+    * stays in-session). Adds `session_id` (Long, 1-based per key). Same
+    * one-window-shuffle shape as `runs`; the analytics twin of the
+    * streaming `session_window` (q41), usable wherever event time is a
+    * plain long.
+    *
+    * Ordering ties break on `tieBreak` for a deterministic lag sequence
+    * (equal times have gap 0 and always share a session, so the session
+    * CUT is order-stable either way).
+    */
+  def byGap(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      maxGap: Long,
+      tieBreak: String): DataFrame = {
+    require(maxGap >= 0, s"maxGap must be >= 0, got $maxGap")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col(tieBreak))
+    df.withColumn("__prev", lag(col(timeCol), 1).over(w))
+      .withColumn(
+        "__new",
+        when(col("__prev").isNull || col(timeCol) - col("__prev") > maxGap, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__prev", "__new")
+  }
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Gaps-and-islands semantics: run ids over equal-flag streaks and
+  * gap-based session cuts (strict >, per-key numbering, tie handling).
+  */
+class SessionizeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("runs: maximal equal-flag streaks get one id each; null-safe transitions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, Some(0.0)), (1L, 2L, Some(0.0)), (1L, 3L, Some(1.0)),
+      (1L, 4L, None), (1L, 5L, None), (1L, 6L, Some(0.0)))
+      .toDF("k", "t", "v")
+    val got = Sessionize
+      .runs(df, Seq(col("k")), col("t"), col("v"))
+      .select("t", "run_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 3L, 6L -> 4L))
+  }
+
+  test("byGap: strict-greater cut, exact-gap stays, per-key numbering restarts") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1: gaps 10 (stay, == maxGap), 11 (cut), 1 (stay)
+      (1L, 101L, 0L), (1L, 102L, 10L), (1L, 103L, 21L), (1L, 104L, 22L),
+      // user 2: single event
+      (2L, 201L, 5L))
+      .toDF("user_id", "event_id", "ts")
+    val got = Sessionize
+      .byGap(df, "user_id", "ts", maxGap = 10L, tieBreak = "event_id")
+      .select("user_id", "event_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (1L, 101L) -> 1L, (1L, 102L) -> 1L, (1L, 103L) -> 2L, (1L, 104L) -> 2L,
+      (2L, 201L) -> 1L))
+  }
+
+  test("byGap: equal timestamps always share a session regardless of tie order") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 100L), (1L, 2L, 100L), (1L, 3L, 100L)).toDF("user_id", "event_id", "ts")
+    val sids = Sessionize
+      .byGap(df, "user_id", "ts", maxGap = 0L, tieBreak = "event_id")
+      .select("session_id").collect().map(_.getLong(0)).toSet
+    assert(sids === Set(1L))
+  }
+}
