@@ -1671,6 +1671,24 @@ object Contract {
              |SELECT user_id, session_id::BIGINT AS session_id,
              |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us, COUNT(*) AS n_events
              |FROM s GROUP BY user_id, s.session_id""".stripMargin)
+    ),
+    Q(
+      "q72_shuffle_shards",
+      // deterministic global shuffle for training export: stable hash shard
+      // + within-shard rank (Splits.shuffleShards). One window shuffle whose
+      // parallelism IS the shard/file count; Layout.writeShuffled is the
+      // physical write twin (LayoutSpec)
+      (s, d) => {
+        import graft.operators.Splits
+        Splits.shuffleShards(Tables.documents(s, d).select(col("doc_id")), "doc_id", 16)
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761 % 1000000007 AS hh
+             |  FROM documents)
+             |SELECT doc_id, (hh % 16)::INT AS shard,
+             |  ROW_NUMBER() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id)::INT AS pos
+             |FROM h""".stripMargin)
     )
   )
 

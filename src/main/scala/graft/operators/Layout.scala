@@ -54,6 +54,28 @@ object Layout {
       .parquet(path)
   }
 
+  /** Physical twin of `Splits.shuffleShards`: write `df` globally shuffled
+    * into `nShards` deterministic shard files — each row's shard is a hash
+    * bucket of its key, rows within a file are ordered by the scrambled
+    * key. Training-export layout: re-running on the same corpus reproduces
+    * byte-identical shard membership and order, so a resumed training run
+    * sees the same sample stream.
+    *
+    * One hash shuffle, no window (the writer's per-partition sort gives
+    * the in-file order), one file per shuffle partition — `nShards` is
+    * both the file count and the write parallelism.
+    */
+  def writeShuffled(df: DataFrame, path: String, keyCol: String, nShards: Int): Unit = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import graft.operators.Splits
+    df.withColumn("shard", Splits.bucketOf(col(keyCol), nShards))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(Splits.hashOrder(col(keyCol)), col(keyCol))
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
   /** Distinct files a filtered read actually touches — the pruning
     * measurement (a well-clustered layout touches few; a random layout
     * touches all).

@@ -81,6 +81,28 @@ object Splits {
     */
   def hashOrder(key: Column): Column = (((key % P) + P) % P) * K % P
 
+  /** Deterministic global shuffle for training export: every row gets a
+    * stable `(shard, pos)` — shard = hash bucket of the key, pos = the
+    * row's rank within its shard under scrambled-key order. This is the
+    * "shuffle the corpus and cut it into N files" step before training,
+    * with no RNG state: the same corpus yields the same shards and the
+    * same within-shard order on any cluster, any run, any partitioning.
+    *
+    * Scale shape: ONE shuffle (the per-shard window). Each shard is a
+    * single window task, so `nShards` is the parallelism — pick it like a
+    * file count (thousands at 100 TB, so a shard is a few GB), exactly the
+    * sizing the export write needs anyway. `Layout.writeShuffled` is the
+    * physical twin that skips the rank column and writes the files.
+    */
+  def shuffleShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(hashOrder(col(keyCol)), col(keyCol))
+    df.withColumn("shard", bucketOf(col(keyCol), nShards))
+      .withColumn("pos", row_number().over(w))
+  }
+
   /** Deterministic per-group downsample: keep the `n` rows with the
     * smallest key hash in each group — "uniform random but reproducible",
     * the corpus-balancing cut (cap docs per language/source) that
