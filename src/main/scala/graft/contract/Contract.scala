@@ -1395,8 +1395,8 @@ object Contract {
              |  FROM documents),
              |c AS (
              |  SELECT doc_id, lang, n_tokens,
-             |    SUM(n_tokens::BIGINT) OVER (PARTITION BY lang ORDER BY doc_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+             |    (SUM(n_tokens::BIGINT) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
              |  FROM t)
              |SELECT doc_id, lang, n_tokens, cum_tokens,
              |  floor((cum_tokens - n_tokens) / 512.0)::BIGINT AS pack_id
@@ -1430,7 +1430,10 @@ object Contract {
       // symmetric int8 embedding quantization (4x smaller ANN store):
       // scale = max|x|/127, component = floor(x/scale + 0.5) — the
       // half-rounding goes through floor because both engines compute it
-      // identically (round()'s half-cases don't mirror cross-engine)
+      // identically (round()'s half-cases don't mirror cross-engine).
+      // Output is POSEXPLODED to (idx, qv) scalars: the driver's pandas
+      // compare cannot sort/hash raw array cells, and the exploded form
+      // certifies every component individually anyway.
       (s, d) => {
         import graft.operators.Similarity
         Tables
@@ -1440,17 +1443,23 @@ object Contract {
             Similarity.int8Scale(col("embedding")).as("scale"))
           .select(
             col("vec_id"), col("scale"),
-            Similarity.quantizeInt8(col("embedding"), col("scale")).as("q"))
+            posexplode(Similarity.quantizeInt8(col("embedding"), col("scale"))))
+          .withColumnsRenamed(Map("pos" -> "idx", "col" -> "qv"))
       },
       Some("""WITH s AS (
              |  SELECT vec_id, embedding,
              |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
-             |  FROM embeddings)
+             |  FROM embeddings),
+             |q AS (
+             |  SELECT vec_id, scale,
+             |    CASE WHEN scale > 0.0
+             |      THEN list_transform(embedding, x -> floor(x::DOUBLE / scale + 0.5)::INTEGER)
+             |      ELSE list_transform(embedding, x -> 0) END AS q
+             |  FROM s)
              |SELECT vec_id, scale,
-             |  CASE WHEN scale > 0.0
-             |    THEN list_transform(embedding, x -> floor(x::DOUBLE / scale + 0.5)::INTEGER)
-             |    ELSE list_transform(embedding, x -> 0) END AS q
-             |FROM s""".stripMargin)
+             |  unnest(list_transform(range(len(q)), x -> x::INTEGER)) AS idx,
+             |  unnest(q) AS qv
+             |FROM q""".stripMargin)
     ),
     Q(
       "q64_skew_stats",

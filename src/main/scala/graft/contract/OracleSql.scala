@@ -325,7 +325,9 @@ object OracleSql {
        |SELECT CASE WHEN bucket < 8000 THEN 'train'
        |            WHEN bucket < 9000 THEN 'val'
        |            ELSE 'test' END AS split,
-       |  lang, COUNT(*) AS cnt, SUM(n_tokens) AS sum_tokens
+       |  -- ::BIGINT: DuckDB's integer SUM yields HUGEINT, which lands in
+       |  -- pandas as float64 and hash-mismatches Spark's int64
+       |  lang, COUNT(*) AS cnt, SUM(n_tokens)::BIGINT AS sum_tokens
        |FROM b GROUP BY 1, 2""".stripMargin
 
   /** Decontamination mirror (q56): same split buckets as q53, same shingle

@@ -87,6 +87,32 @@ def main():
             print(f"FAIL {name}: spark output missing: {e}")
             n_fail += 1
             continue
+        # Driver-compat lint: the REAL gate converts both sides through
+        # pandas, where (a) DuckDB HUGEINT (any un-cast integer SUM) becomes
+        # float64 while Spark writes int64 -> hash mismatch, and (b) list
+        # cells become np.ndarray, which pandas sort_values cannot factorize
+        # -> driver error. fetchall() hides both, so lint dtypes explicitly.
+        try:
+            wdtypes = dict(con.execute(sql).df().dtypes.astype(str))
+            gdtypes = dict(con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df().dtypes.astype(str))
+            lint = []
+            for c in wdtypes:
+                a, b = wdtypes.get(c), gdtypes.get(c)
+                if b is None:
+                    continue
+                num = lambda t: ("float" in t) or ("int" in t)
+                if num(a) and num(b) and (("float" in a) != ("float" in b)):
+                    lint.append(f"col {c}: pandas dtype oracle={a} spark={b} (driver hash-mismatch)")
+                if a == "object" or b == "object":
+                    for side, rows, cols in (("oracle", wrows, wcols), ("spark", grows, gcols)):
+                        if rows and c in cols and isinstance(rows[0][cols.index(c)], (list, tuple)):
+                            lint.append(f"col {c}: {side} cell is a list (driver sort crashes on ndarray)")
+            if lint:
+                print(f"FAIL {name}: " + "; ".join(lint))
+                n_fail += 1
+                continue
+        except Exception as e:
+            print(f"WARN {name}: dtype lint skipped: {e}")
         wc, wr = canon(wrows, wcols)
         gc, gr = canon(grows, gcols)
         if wc != gc:
