@@ -55,23 +55,35 @@ object Layout {
   }
 
   /** Physical twin of `Splits.shuffleShards`: write `df` globally shuffled
-    * into `nShards` deterministic shard files — each row's shard is a hash
-    * bucket of its key, rows within a file are ordered by the scrambled
-    * key. Training-export layout: re-running on the same corpus reproduces
-    * byte-identical shard membership and order, so a resumed training run
-    * sees the same sample stream.
+    * into `nShards` deterministic shard directories (`shard=K/`) — each
+    * row's shard is `Splits.bucketOf` of its key, rows within a shard's
+    * file are ordered by the scrambled key, i.e. exactly
+    * `shuffleShards`' `pos` order. Training-export layout: re-running on
+    * the same corpus reproduces identical shard membership and order, so a
+    * resumed training run sees the same sample stream, and `shard=K` can
+    * be read back by its literal value (directory name IS the shard id —
+    * hive partition pruning makes single-shard resume a one-file read).
     *
-    * One hash shuffle, no window (the writer's per-partition sort gives
-    * the in-file order), one file per shuffle partition — `nShards` is
-    * both the file count and the write parallelism.
+    * One hash shuffle; `repartition(n, shard)` co-locates each shard
+    * value in one task (so no shard is split across files) and
+    * `partitionBy` routes it to its own directory (so no two shards share
+    * a file — hash collisions of distinct shard values in one task only
+    * co-locate them in the task, never in the file). The leading `shard`
+    * sort key satisfies the writer's partition-column ordering requirement,
+    * keeping FileFormatWriter from injecting its own sort. The `shard`
+    * helper column lives in the directory name, not the data file — the
+    * exported schema is exactly the input schema.
     */
   def writeShuffled(df: DataFrame, path: String, keyCol: String, nShards: Int): Unit = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(!df.columns.contains("shard"),
+      "writeShuffled: input already has a 'shard' column; rename it first")
     import graft.operators.Splits
     df.withColumn("shard", Splits.bucketOf(col(keyCol), nShards))
       .repartition(nShards, col("shard"))
-      .sortWithinPartitions(Splits.hashOrder(col(keyCol)), col(keyCol))
+      .sortWithinPartitions(col("shard"), Splits.hashOrder(col(keyCol)), col(keyCol))
       .write
+      .partitionBy("shard")
       .mode(SaveMode.Overwrite)
       .parquet(path)
   }

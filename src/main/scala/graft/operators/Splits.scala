@@ -96,6 +96,8 @@ object Splits {
     */
   def shuffleShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(!df.columns.contains("shard") && !df.columns.contains("pos"),
+      "shuffleShards: input already has a 'shard' or 'pos' column; rename it first")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))
       .orderBy(hashOrder(col(keyCol)), col(keyCol))

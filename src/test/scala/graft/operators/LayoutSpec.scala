@@ -63,6 +63,51 @@ class LayoutSpec extends AnyFunSuite {
     assert(after.as[(Long, String)].collect().toSet === df.as[(Long, String)].collect().toSet)
   }
 
+  test("writeShuffled: shard->directory mapping is identity and order matches shuffleShards") {
+    import spark.implicits._
+    val nShards = 7
+    val df   = (1L to 500L).map(i => (i, s"doc$i")).toDF("doc_id", "s")
+    val path = tmp() + "/shards"
+    Layout.writeShuffled(df, path, "doc_id", nShards)
+
+    // the helper column lives in the directory name, not the data file
+    val back = spark.read.parquet(path)
+    assert(back.columns.toSet === Set("doc_id", "s", "shard"))
+    val rawFile = Files
+      .walk(java.nio.file.Paths.get(path)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    assert(spark.read.parquet(rawFile).columns.toSet === Set("doc_id", "s"))
+
+    // exactly one file per non-empty shard, and directory shard=K holds
+    // precisely the rows whose bucketOf(key) is K
+    val logical = Splits.shuffleShards(df, "doc_id", nShards).cache()
+    val wantByShard = logical
+      .groupBy("shard").count().as[(Int, Long)].collect().toMap
+    wantByShard.keys.foreach { k =>
+      val dir = spark.read.parquet(s"$path/shard=$k")
+      assert(Layout.filesTouched(dir) === 1, s"shard $k must be one file")
+      assert(dir.count() === wantByShard(k), s"shard $k row membership")
+      assert(
+        dir.select("doc_id").as[Long].collect().toSet ===
+          logical.filter(col("shard") === k).select("doc_id").as[Long].collect().toSet)
+      // in-file order IS shuffleShards' pos order (resume/indexing contract)
+      val fileOrder = dir.select("doc_id").as[Long].collect().toSeq
+      val posOrder = logical
+        .filter(col("shard") === k).orderBy("pos").select("doc_id").as[Long].collect().toSeq
+      assert(fileOrder === posOrder, s"shard $k in-file order")
+    }
+    logical.unpersist()
+  }
+
+  test("writeShuffled/shuffleShards: pre-existing helper columns are rejected, not clobbered") {
+    import spark.implicits._
+    val df = Seq((1L, 2)).toDF("doc_id", "shard")
+    intercept[IllegalArgumentException](Layout.writeShuffled(df, tmp() + "/x", "doc_id", 2))
+    intercept[IllegalArgumentException](Splits.shuffleShards(df, "doc_id", 2))
+    intercept[IllegalArgumentException](
+      Splits.shuffleShards(Seq((1L, 2)).toDF("doc_id", "pos"), "doc_id", 2))
+  }
+
   test("hive partitioning on top: equality predicate prunes to one directory") {
     val ev = Tables
       .events(spark, sfDir)
