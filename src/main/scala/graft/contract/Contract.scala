@@ -1698,6 +1698,53 @@ object Contract {
              |SELECT doc_id, (hh % 16)::INT AS shard,
              |  ROW_NUMBER() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id)::INT AS pos
              |FROM h""".stripMargin)
+    ),
+    Q(
+      "q73_random_project",
+      // JL random projection 64 -> 16 dims against the engine's fixed
+      // hyperplanes (native RandomProjectExpr — VecSignExpr's fingerprint
+      // is exactly this projection's sign bits). Pure per-row projection,
+      // zero shuffle; posexploded to scalars for the driver compare, every
+      // component certified bit-for-bit against the mirrored fold
+      (s, d) =>
+        Tables
+          .embeddings(s, d)
+          .select(
+            col("vec_id"),
+            posexplode(graft.operators.Similarity.randomProject(col("embedding"), 16)))
+          .withColumnsRenamed(Map("pos" -> "idx", "col" -> "proj")),
+      Some(OracleSql.q73)
+    ),
+    Q(
+      "q74_vocab_top",
+      // corpus-wide top-25 bigram vocabulary (tokenizer/vocab seeding):
+      // per-row gram build (map-side), ONE partial-agg shuffle carrying the
+      // vocabulary (Heaps'-law sublinear), TakeOrdered cut with total-order
+      // ties — no global sort materialization
+      (s, d) => graft.operators.Corpus.topNgrams(Tables.documents(s, d), "text", n = 2, k = 25),
+      Some("""WITH tk AS (
+             |  SELECT string_split(text, ' ') AS tk FROM documents WHERE text IS NOT NULL),
+             |g AS (
+             |  SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram
+             |  FROM tk WHERE len(tk) >= 2)
+             |SELECT gram, COUNT(*) AS cnt FROM g
+             |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 25""".stripMargin)
+    ),
+    Q(
+      "q75_bloom_semi_join",
+      // bloom-pruned semi join: the small side's key set rides as a few-MB
+      // sketch predicate that drops non-matching big rows BEFORE the
+      // exchange (shuffle ~ matches + fpp trickle, not the whole big side);
+      // the residual real join removes false positives, so the result — and
+      // the oracle — is EXACTLY the plain semi join
+      (s, d) => {
+        val big   = ev(s, d).select(col("event_id"), col("user_id"))
+        val small = ord(s, d).filter(col("o_totalprice") > lit(450000.0)).select(col("o_custkey"))
+        graft.operators.BloomJoin
+          .semiJoin(big, small, col("user_id"), col("o_custkey"), expectedKeys = 20000)
+      },
+      Some("""SELECT event_id, user_id FROM events
+             |WHERE user_id IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)""".stripMargin)
     )
   )
 

@@ -371,6 +371,26 @@ object OracleSql {
        |  (CASE WHEN n2 > 0 THEN 1.0 - n2d::DOUBLE / n2 ELSE 0.0 END) > 0.2 AS repetitive
        |FROM c""".stripMargin
 
+  /** Random-projection mirror (q73): the same fixed hyperplane components
+    * as q46 (VecSignExpr.comp literals), but emitting the raw projection
+    * DOUBLE instead of its sign bit. Each component is a left-to-right
+    * list_reduce fold — the exact FP order of RandomProjectExpr's loop —
+    * and the 16 components unnest zipped with their index.
+    */
+  val q73: String = {
+    val outDim = 16
+    val dim    = 64
+    val comps = (0 until outDim).map { k =>
+      val hp = (0 until dim).map(j => graft.functions.VecSignExpr.comp(k, j)).mkString("[", ",", "]")
+      s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * ($hp[i])), (x, y) -> x + y)"
+    }.mkString("[", ",\n      ", "]")
+    s"""SELECT vec_id,
+       |  unnest(list_transform(range($outDim), x -> x::INTEGER)) AS idx,
+       |  unnest($comps) AS proj
+       |FROM embeddings""".stripMargin
+  }
+
   /** DuckDB has no BLOB substring; the text is ASCII so a VARCHAR slice cast
     * to BLOB yields the same bytes. upper(hex(...)) matches Spark's
     * uppercase hex().

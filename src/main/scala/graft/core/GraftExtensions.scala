@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{MinHashSigExpr, PolyHashExpr, ShingleHashesExpr, SimHashExpr, VecDotExpr, VecSignExpr}
+import graft.functions.{MinHashSigExpr, PolyHashExpr, RandomProjectExpr, ShingleHashesExpr, SimHashExpr, VecDotExpr, VecSignExpr}
 
 /** SparkSessionExtensions hook: registers the engine's native expressions
   * with the SQL function registry, so `spark.sql("... poly_hash(col) ...")`
@@ -74,6 +74,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "vec_sign_bits takes (embedding, bits)")
         VecSignExpr(children.head, intArg("vec_sign_bits", "bits", children(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("random_project"),
+      new ExpressionInfo(classOf[RandomProjectExpr].getName, "random_project"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "random_project takes (embedding, outDim)")
+        RandomProjectExpr(children.head, intArg("random_project", "outDim", children(1)))
       }))
     // interval-join rescue (OFF unless spark.graft.rangejoin.bucketWidth is
     // set): rewrites BETWEEN-only joins to the bucketed equi-join form

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Membership probe against a pre-built `BloomFilter` sketch (Spark's
+  * public `org.apache.spark.util.sketch` — the same family
+  * `DataFrameStatFunctions.bloomFilter` builds): false positives at the
+  * configured fpp, NO false negatives — which is what makes a
+  * bloom-pruned join exact once candidates are verified by a real join.
+  *
+  * The sketch rides into executors inside the expression (task-binary
+  * broadcast): a few MB once per executor, vs shuffling the full big side.
+  * Long and int keys probe via `mightContainLong` (the sketch stores
+  * integral types as longs); strings via their UTF-8 bytes — both exactly
+  * the encodings `stat.bloomFilter` inserts.
+  */
+case class BloomMightContainExpr(child: Expression, bytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean  = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | org.apache.spark.sql.types.StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain requires LONG, INT, or STRING key, got $other")
+  }
+
+  // The constructor carries the sketch's compact BYTE form, not the live
+  // object: Catalyst freely re-constructs expressions via copy/makeCopy
+  // (canonicalization, child replacement) on driver AND executors, and a
+  // transient live-object field would be null there. The filter re-hydrates
+  // lazily once per deserialized instance.
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any = input match {
+    case s: UTF8String => filter.mightContainBinary(s.getBytes)
+    case i: Int        => filter.mightContainLong(i.toLong)
+    case l: Long       => filter.mightContainLong(l)
+  }
+
+  // CodegenFallback: the probe is a virtual call into the sketch either
+  // way; the generated plan calls this expression's eval through a plan
+  // reference, one boxed call per row — the same work hand-written codegen
+  // would do, and the surrounding stage stays whole-stage-generated.
+}
+
+object BloomMightContainExpr {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def apply(key: Column, bloom: BloomFilter): Column = {
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    ColumnBridge.column(BloomMightContainExpr(ColumnBridge.expression(key), out.toByteArray))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Random projection (Johnson–Lindenstrauss style) of an ARRAY<FLOAT>
+  * embedding to `outDim` double components: out[k] = <v, H_k> against the
+  * SAME fixed pseudo-random hyperplanes `VecSignExpr.comp` uses — so
+  * `VecSignExpr` is exactly the sign bits of this projection, and a
+  * projected-then-bucketed ANN index agrees with the engine's vector LSH.
+  *
+  * Why it matters at 100 TB: distance computations and ANN index storage
+  * scale with dimension. Projecting 768-dim corpus embeddings to 16–64
+  * dims before IVF/LSH cuts both by an order of magnitude while JL
+  * preserves relative distances in expectation. Pure per-row projection —
+  * zero shuffle at any corpus size.
+  *
+  * Dots run in doubles, left-to-right from a 0.0 seed per component,
+  * matching the DuckDB oracle's `list_reduce` fold bit for bit; the
+  * integer hyperplane components are emitted as literals in the mirrored
+  * SQL (same mechanism q46 certifies).
+  */
+case class RandomProjectExpr(child: Expression, outDim: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean  = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if outDim >= 1 && outDim <= 62 => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"random_project requires ARRAY<FLOAT> and 1 <= outDim <= 62, got $other, outDim=$outDim")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    RandomProjectExpr.project(input.asInstanceOf[ArrayData], outDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("rpRes")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.RandomProjectExpr.project($c, $outDim);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+}
+
+object RandomProjectExpr {
+
+  /** Null (boxed) on an empty array or a NULL element — VecSignExpr's
+    * contract, shared so sign(project(v)) == vecSign(v) on every input.
+    */
+  def project(vec: ArrayData, outDim: Int): ArrayData = {
+    val n = vec.numElements()
+    if (n == 0) return null
+    val v = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      if (vec.isNullAt(j)) return null
+      v(j) = vec.getFloat(j).toDouble
+      j += 1
+    }
+    val t   = VecSignExpr.table(n)
+    val out = new Array[Double](outDim)
+    var k   = 0
+    while (k < outDim) {
+      var acc  = 0.0
+      val base = k * n
+      j = 0
+      while (j < n) { acc += v(j) * t(base + j); j += 1 }
+      out(k) = acc
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -66,10 +66,11 @@ object VecSignExpr {
   }
 
   // per-dimension component table cache: [k * dim + j] layout, always the
-  // full 62 bits so one table serves every `bits` value
+  // full 62 bits so one table serves every `bits` value (shared with
+  // RandomProjectExpr, whose signs this expression is)
   private val tables = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Int]]()
 
-  private def table(dim: Int): Array[Int] =
+  private[functions] def table(dim: Int): Array[Int] =
     tables.computeIfAbsent(dim, d => {
       val t = new Array[Int](62 * d)
       var k = 0

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.BloomMightContainExpr
+
+/** Bloom-pruned joins — the standard 100 TB trick for a big-probes-small
+  * join whose small side is above the broadcast-hash threshold but whose
+  * KEY SET still fits a few-MB sketch.
+  *
+  * A plain semi/inner join shuffles the ENTIRE big side on the join key;
+  * when only a small fraction matches, almost all of that shuffle is
+  * wasted motion. Building a bloom filter over the small side's keys
+  * (distributed `stat.bloomFilter` aggregation, a few MB on the driver)
+  * and probing it as a scan-side predicate drops non-matching big rows
+  * BEFORE the exchange — shuffle volume falls to matches + the fpp-bounded
+  * false-positive trickle, which the real join then removes. No false
+  * negatives, so the result is EXACTLY the plain join's (certified by the
+  * q75 oracle, whose SQL is the unpruned semi join).
+  *
+  * This is the manual form of Spark's own InjectRuntimeFilter rewrite,
+  * exposed as an operator so pipelines can apply it where the optimizer's
+  * heuristics (creation-side thresholds, shuffle-presence checks) decline.
+  */
+object BloomJoin {
+
+  /** `big SEMI JOIN small ON bigKey = smallKey`, bloom-pruned. `fpp` trades
+    * sketch bytes against leftover-candidate shuffle volume. `expectedKeys`
+    * sizes the sketch; if unknown, pass an upper bound — oversizing costs
+    * bytes, undersizing only raises the effective fpp (still exact).
+    */
+  def semiJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: Column,
+      smallKey: Column,
+      expectedKeys: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val pruned = prune(big, small, bigKey, smallKey, expectedKeys, fpp)
+    pruned.join(small.select(smallKey.as("__bj_key")), bigKey === col("__bj_key"), "left_semi")
+  }
+
+  /** Just the pruning step: `big` filtered to rows whose key might be in
+    * `small`'s key set (superset of true matches — compose with any join
+    * type downstream).
+    */
+  def prune(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: Column,
+      smallKey: Column,
+      expectedKeys: Long,
+      fpp: Double = 0.01): DataFrame = {
+    require(expectedKeys > 0, s"expectedKeys must be positive, got $expectedKeys")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    // distributed sketch build: one treeAggregate over the small side, the
+    // merged few-MB filter lands on the driver and rides into the probe
+    // expression's task binary
+    val bloom = small.stat.bloomFilter(smallKey, expectedKeys, fpp)
+    big.filter(BloomMightContainExpr(bigKey, bloom))
+  }
+}

@@ -106,6 +106,41 @@ object Corpus {
         floor((col("cum_tokens") - col("n_tokens")) / budgetTokens.toDouble).cast("bigint"))
   }
 
+  /** Corpus-wide top-`k` n-gram vocabulary: the frequency table behind
+    * tokenizer/vocab construction (BPE seeding, stopword discovery, domain
+    * drift checks). Token n-grams are built per row from the whitespace
+    * token array (map-side, no join); counting is ONE shuffle with map-side
+    * partial aggregation — the reduce side carries the vocabulary (Heaps'-
+    * law sublinear), not the corpus; top-k is a TakeOrdered over the
+    * aggregated counts (no global sort materialization). Ties break on the
+    * gram string, so the cut is total-order deterministic.
+    *
+    * Output: gram, cnt (heaviest first; the caller can zip a rank since
+    * the cut is already total-order deterministic).
+    */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(k > 0, s"k must be positive, got $k")
+    val tk = split(col(textCol), " ")
+    val grams =
+      if (n == 1) tk
+      else
+        // < n tokens -> no grams (the guard keeps sequence() from going
+        // descending on a negative stop)
+        when(size(tk) >= n,
+          transform(
+            sequence(lit(0), size(tk) - n),
+            i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+          .otherwise(array())
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(explode(grams).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+  }
+
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))

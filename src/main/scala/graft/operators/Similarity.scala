@@ -66,6 +66,28 @@ object Similarity {
   def cosine(dotCol: Column, n2a: Column, n2b: Column): Column =
     dotCol / (sqrt(n2a) * sqrt(n2b))
 
+  /** JL random projection to `outDim` double components against the engine's
+    * fixed hyperplanes (`VecSignExpr.comp` — so `VecSignExpr`'s fingerprint
+    * is exactly the sign bits of this projection). Dimensionality reduction
+    * before IVF/LSH: distance work and index bytes scale with dim, and a
+    * 768→16 projection cuts both ~50x while JL preserves relative distances
+    * in expectation. Pure per-row projection, zero shuffle at any scale.
+    */
+  def randomProject(vec: Column, outDim: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.RandomProjectExpr(ColumnBridge.expression(vec), outDim))
+  }
+
+  /** Random-hyperplane fingerprint of the embedding (Charikar LSH bits) —
+    * exactly the sign bits of `randomProject`. See VecSignExpr.
+    */
+  def vecSimHash(vec: Column, bits: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.VecSignExpr(ColumnBridge.expression(vec), bits))
+  }
+
   /** Symmetric int8 quantization scale: max|x| / 127 (0-vectors get scale
     * 0 and quantize to all-zero).
     */
@@ -269,9 +291,7 @@ object Similarity {
     require(bandBits >= 1 && bits % bandBits == 0, "bandBits must divide bits")
     val nBands = bits / bandBits
     val mask   = (1L << bandBits) - 1
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    val sig = ColumnBridge.column(
-      graft.functions.VecSignExpr(ColumnBridge.expression(col(vecCol)), bits))
+    val sig = vecSimHash(col(vecCol), bits)
     // one-file corpus: hash on all cores; already-wide inputs keep their
     // layout and pay no shuffle (Dedup.spread is conditional)
     val sigs = Dedup

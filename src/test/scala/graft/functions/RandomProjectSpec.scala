@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.operators.Similarity
+
+/** Random projection semantics: exact agreement with a reference fold over
+  * VecSignExpr.comp, sign-bit consistency with the vector fingerprint, and
+  * the shared null/empty contract.
+  */
+class RandomProjectSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def refProject(v: Array[Float], outDim: Int): Array[Double] =
+    Array.tabulate(outDim) { k =>
+      var acc = 0.0
+      var j   = 0
+      while (j < v.length) { acc += v(j).toDouble * VecSignExpr.comp(k, j); j += 1 }
+      acc
+    }
+
+  test("projection matches the reference fold bit for bit") {
+    import spark.implicits._
+    val rnd  = new scala.util.Random(7)
+    val vecs = (1 to 50).map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val got = vecs.toDF("id", "v")
+      .select(col("id"), Similarity.randomProject(col("v"), 16).as("p"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    vecs.foreach { case (id, v) =>
+      assert(java.util.Arrays.equals(got(id), refProject(v, 16)), s"vec $id")
+    }
+  }
+
+  test("VecSignExpr is exactly the sign bits of the projection") {
+    import spark.implicits._
+    val rnd  = new scala.util.Random(11)
+    val vecs = (1 to 100).map(i => (i.toLong, Array.fill(32)(rnd.nextFloat() * 2 - 1)))
+    val rows = vecs.toDF("id", "v")
+      .select(
+        col("id"),
+        Similarity.randomProject(col("v"), 24).as("p"),
+        Similarity.vecSimHash(col("v"), bits = 24).as("sig"))
+      .collect()
+    rows.foreach { r =>
+      val p   = r.getSeq[Double](1)
+      val sig = r.getLong(2)
+      p.zipWithIndex.foreach { case (x, k) =>
+        assert(((sig >> k) & 1L) === (if (x >= 0) 1L else 0L), s"id ${r.getLong(0)} bit $k")
+      }
+    }
+  }
+
+  test("null vector, empty vector, null element -> NULL (VecSignExpr's contract)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(Some(1.0f), Some(2.0f)))),
+      (2L, None),
+      (3L, Some(Seq.empty[Option[Float]])),
+      (4L, Some(Seq(Some(1.0f), None))))
+      .toDF("id", "v")
+    val got = df
+      .select(col("id"), Similarity.randomProject(col("v"), 4).as("p"))
+      .collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1))
+      .toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
+  }
+}

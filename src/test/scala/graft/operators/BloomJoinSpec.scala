@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Bloom-pruned join semantics: the sketch admits a SUPERSET of true
+  * matches (no false negatives — the property that makes the verified join
+  * exact), the composed semiJoin equals the plain semi join on every key
+  * type, and the prune actually drops rows when selectivity is real.
+  */
+class BloomJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("semiJoin == plain semi join (long keys), and prune is a no-false-negative superset") {
+    import spark.implicits._
+    val big   = (1L to 5000L).map(i => (i, i % 97)).toDF("id", "key")
+    val small = Seq(3L, 11L, 42L, 96L).toDF("k")
+
+    val got = BloomJoin
+      .semiJoin(big, small, col("key"), col("k"), expectedKeys = 10)
+      .select("id").as[Long].collect().toSet
+    val want = big
+      .join(small, col("key") === col("k"), "left_semi")
+      .select("id").as[Long].collect().toSet
+    assert(got === want && want.nonEmpty)
+
+    // prune: superset of matches (bloom can false-positive, never false-negative)
+    val pruned = BloomJoin
+      .prune(big, small, col("key"), col("k"), expectedKeys = 10, fpp = 0.01)
+      .select("id").as[Long].collect().toSet
+    assert(want.subsetOf(pruned))
+    // at fpp=1% over 97 distinct keys the prune must drop most non-matching rows
+    assert(pruned.size < 5000 / 2, s"prune kept ${pruned.size} of 5000")
+  }
+
+  test("string keys probe the same encoding stat.bloomFilter inserts") {
+    import spark.implicits._
+    val big   = ('a' to 'z').map(c => (c.toString * 3, c.toInt)).toDF("s", "n")
+    val small = Seq("aaa", "mmm", "zzz").toDF("s2")
+    val got = BloomJoin
+      .semiJoin(big, small, col("s"), col("s2"), expectedKeys = 3)
+      .select("n").as[Int].collect().toSet
+    assert(got === Set('a'.toInt, 'm'.toInt, 'z'.toInt))
+  }
+
+  test("int keys and an undersized sketch stay exact (fpp degrades, result doesn't)") {
+    import spark.implicits._
+    val big   = (1 to 2000).map(i => (i, i % 211)).toDF("id", "key")
+    val small = (0 until 211 by 2).toDF("k") // 106 keys through a 10-slot sketch
+    val got = BloomJoin
+      .semiJoin(big, small, col("key"), col("k"), expectedKeys = 10)
+      .select("id").as[Int].collect().toSet
+    val want = big
+      .join(small, col("key") === col("k"), "left_semi")
+      .select("id").as[Int].collect().toSet
+    assert(got === want)
+  }
+
+  test("null big-side keys never match (semi join semantics preserved)") {
+    import spark.implicits._
+    val big   = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L))).toDF("id", "key")
+    val small = Seq(5L).toDF("k")
+    val got = BloomJoin
+      .semiJoin(big, small, col("key"), col("k"), expectedKeys = 1)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L))
+  }
+}

@@ -169,6 +169,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(repart === half)
   }
 
+  test("topNgrams: counts match brute force; ties cut deterministically; short docs contribute nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      "a b a b c",   // bigrams: "a b","b a","a b","b c"
+      "a b",         // "a b"
+      "x",           // too short for bigrams
+      "b c a b")     // "b c","c a","a b"
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+
+    val bi = Corpus.topNgrams(docs, "text", n = 2, k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // brute force: a b=4, b c=2, b a=1, c a=1 -> top3 cuts the (b a, c a)
+    // tie... both cnt=1, gram asc picks "b a"
+    assert(bi === Seq("a b" -> 4L, "b c" -> 2L, "b a" -> 1L))
+
+    val uni = Corpus.topNgrams(docs, "text", n = 1, k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // tokens: a=4, b=5, c=2, x=1
+    assert(uni === Seq("b" -> 5L, "a" -> 4L))
+
+    // null text rows are ignored, not NPE'd
+    val withNull = docs.union(Seq((9L, null: String)).toDF("id", "text"))
+    assert(Corpus.topNgrams(withNull, "text", n = 2, k = 3).count() === 3)
+  }
+
   test("privacy: redaction leaves no digits; pseudonym is stable and distinct") {
     import spark.implicits._
     val df  = Seq((1L, "acct 12345 pin 007"), (2L, "no digits here")).toDF("id", "text")
