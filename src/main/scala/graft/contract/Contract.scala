@@ -1745,6 +1745,40 @@ object Contract {
       },
       Some("""SELECT event_id, user_id FROM events
              |WHERE user_id IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)""".stripMargin)
+    ),
+    Q(
+      "q76_projected_topk",
+      // exact top-k search IN PROJECTED SPACE (the randomProject scale
+      // path): 64 -> 16 dims per row, then brute-force cosine over the
+      // small vectors — 4x less dot work and index bytes; both engines
+      // project with the same folds so ranks agree exactly
+      (s, d) => {
+        import graft.operators.Similarity
+        val proj = Tables
+          .embeddings(s, d)
+          .select(col("vec_id"), Similarity.randomProject(col("embedding"), 16).as("embedding"))
+        Similarity
+          .bruteForceTopK(proj, col("vec_id") < 10, k = 5)
+          .select(col("probe_id"), col("rnk"), col("neighbor_id"))
+      },
+      Some(OracleSql.q76)
+    ),
+    Q(
+      "q77_decontaminate_bloom",
+      // q56's decontamination WITHOUT the broadcast: the benchmark shingle
+      // set rides as a bloom sketch predicate, exact-verified by a plain
+      // shuffle join — same rows as q56 (same oracle certifies both), but
+      // the eval suite no longer has to fit the broadcast threshold
+      (s, d) => {
+        import graft.operators.{Corpus, Splits}
+        val docs  = Tables.documents(s, d)
+        val split = Splits.splitLabel(
+          col("doc_id"), Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        Corpus.contaminationBloom(
+          docs.filter(split === "train"), docs.filter(split === "test"),
+          "doc_id", "text", n = 3, threshold = 0.5, expectedShingles = 100000L)
+      },
+      Some(OracleSql.q56)
     )
   )
 

@@ -377,18 +377,48 @@ object OracleSql {
     * list_reduce fold — the exact FP order of RandomProjectExpr's loop —
     * and the 16 components unnest zipped with their index.
     */
-  val q73: String = {
-    val outDim = 16
-    val dim    = 64
-    val comps = (0 until outDim).map { k =>
+  /** The projected vector as a DuckDB list literal-of-folds: component k is
+    * a left-to-right list_reduce against VecSignExpr.comp(k, _) literals —
+    * RandomProjectExpr's exact FP order.
+    */
+  private def projFolds(outDim: Int, dim: Int): String =
+    (0 until outDim).map { k =>
       val hp = (0 until dim).map(j => graft.functions.VecSignExpr.comp(k, j)).mkString("[", ",", "]")
       s"list_reduce(list_transform(range(1, ${dim + 1}), " +
         s"i -> CAST(embedding[i] AS DOUBLE) * ($hp[i])), (x, y) -> x + y)"
     }.mkString("[", ",\n      ", "]")
+
+  val q73: String = {
+    val outDim = 16
     s"""SELECT vec_id,
        |  unnest(list_transform(range($outDim), x -> x::INTEGER)) AS idx,
-       |  unnest($comps) AS proj
+       |  unnest(${projFolds(outDim, 64)}) AS proj
        |FROM embeddings""".stripMargin
+  }
+
+  /** Projected-space exact top-k mirror (q76): brute-force cosine over the
+    * 16-dim projections of q73 — probes vec_id < 10, k = 5, ties on
+    * neighbor_id. Certifies search-in-reduced-space end to end: both
+    * engines project with the same folds, so ranks agree exactly.
+    */
+  val q76: String = {
+    val outDim = 16
+    s"""WITH p AS (
+       |  SELECT vec_id, ${projFolds(outDim, 64)} AS p FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, p,
+       |    list_reduce(list_transform(p, x -> x * x), (a, b) -> a + b) AS n2
+       |  FROM p),
+       |pairs AS (
+       |  SELECT pr.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(range(1, ${outDim + 1}), i -> pr.p[i] * c.p[i]),
+       |                (x, y) -> x + y) / (sqrt(pr.n2) * sqrt(c.n2)) AS cos
+       |  FROM n pr, n c WHERE pr.vec_id < 10 AND c.vec_id <> pr.vec_id),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM pairs)
+       |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin
   }
 
   /** DuckDB has no BLOB substring; the text is ASCII so a VARCHAR slice cast

@@ -106,6 +106,56 @@ object Corpus {
         floor((col("cum_tokens") - col("n_tokens")) / budgetTokens.toDouble).cast("bigint"))
   }
 
+  /** `contamination` without the broadcast: the benchmark shingle set rides
+    * as a few-MB BLOOM SKETCH predicate over the exploded training
+    * shingles, and only the might-match survivors (true hits + the
+    * fpp-bounded trickle) reach the exact verification join — which is a
+    * plain shuffle join, so the benchmark set no longer has to fit the
+    * broadcast threshold. Same output, row for row, as `contamination`
+    * (the q77 contract entry certifies it against q56's own oracle):
+    * the bloom admits a superset, the verify join removes false
+    * positives, and per-doc totals come from the pre-filter stream.
+    *
+    * Use when the eval suite's shingle set is too big to broadcast
+    * (hundreds of MBs to GBs) — the sketch is ~10 bits/key at fpp=1%.
+    */
+  def contaminationBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      expectedShingles: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    import graft.functions.BloomMightContainExpr
+    val bh = bench
+      .select(explode(Dedup.shingleHashes(col(textCol), n)).as("__bh"))
+      .distinct()
+    val bloom = bh.stat.bloomFilter(col("__bh"), expectedShingles, fpp)
+    val ex = train
+      .select(col(idCol), Dedup.shingleHashes(col(textCol), n).as("__hh"))
+      .select(col(idCol), size(col("__hh")).as("__ns"), explode_outer(col("__hh")).as("__h"))
+    // per-doc totals BEFORE the bloom cut (docs whose every shingle the
+    // sketch rejects must still report n_matched = 0)
+    val base = ex.groupBy(col(idCol)).agg(max(col("__ns")).as("n_shingles"))
+    val hits = ex
+      .filter(col("__h").isNotNull && BloomMightContainExpr(col("__h"), bloom))
+      .join(bh, col("__h") === col("__bh"), "left_semi") // exact verify: kills fp trickle
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nm"))
+    base
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_matched", coalesce(col("__nm"), lit(0L)))
+      .withColumn(
+        "overlap",
+        when(col("n_shingles") > 0, col("n_matched").cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated", col("overlap") >= threshold)
+      .select(col(idCol), col("n_shingles"), col("n_matched"), col("overlap"), col("contaminated"))
+  }
+
   /** Corpus-wide top-`k` n-gram vocabulary: the frequency table behind
     * tokenizer/vocab construction (BPE seeding, stopword discovery, domain
     * drift checks). Token n-grams are built per row from the whitespace

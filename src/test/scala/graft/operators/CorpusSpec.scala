@@ -169,6 +169,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(repart === half)
   }
 
+  test("contaminationBloom == contamination row for row (incl. zero-shingle and all-rejected docs)") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // fully contained in bench
+      (2L, "zeta eta theta iota kappa"),      // disjoint: every shingle bloom-rejected or verified away
+      (3L, "one two"),                        // < 3 tokens: zero shingles
+      (4L, "alpha beta gamma zeta eta"))      // partial overlap
+      .toDF("id", "text")
+    val bench = Seq((10L, "alpha beta gamma delta epsilon")).toDF("id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(_.toSeq).toSeq
+    val plain = Corpus.contamination(train, bench, "id", "text", n = 3, threshold = 0.5)
+    val bloom = Corpus.contaminationBloom(
+      train, bench, "id", "text", n = 3, threshold = 0.5, expectedShingles = 100L)
+    assert(canon(bloom) === canon(plain))
+    // and with an undersized sketch (high effective fpp): still exact
+    val tiny = Corpus.contaminationBloom(
+      train, bench, "id", "text", n = 3, threshold = 0.5, expectedShingles = 1L, fpp = 0.5)
+    assert(canon(tiny) === canon(plain))
+  }
+
   test("topNgrams: counts match brute force; ties cut deterministically; short docs contribute nothing") {
     import spark.implicits._
     val docs = Seq(
