@@ -1779,6 +1779,42 @@ object Contract {
           "doc_id", "text", n = 3, threshold = 0.5, expectedShingles = 100000L)
       },
       Some(OracleSql.q56)
+    ),
+    Q(
+      "q78_repeated_spans",
+      // cross-document repeated 8-token spans (the exact-substring dedup
+      // signal, Lee et al.): map-side window hashing, ONE partial-agg
+      // shuffle on the 8-byte span hash, >= 2-docs filter inside the agg —
+      // output is the boilerplate tail, not the corpus span volume
+      (s, d) =>
+        graft.operators.Dedup
+          .repeatedSpans(Tables.documents(s, d), "doc_id", "text", width = 8, minDocs = 2),
+      Some(OracleSql.q78)
+    ),
+    Q(
+      "q79_quantized_topk",
+      // exact top-k over the INT8-QUANTIZED store (q63's 4x-smaller
+      // vectors): integer dots are exactly representable in doubles, and
+      // the per-vector scales cancel out of cosine — so the quantized
+      // search mirrors bit for bit, certifying the compressed-store
+      // search path end to end
+      (s, d) => {
+        import graft.operators.Similarity
+        val q = Tables
+          .embeddings(s, d)
+          .select(
+            col("vec_id"), col("embedding"),
+            Similarity.int8Scale(col("embedding")).as("scale"))
+          .select(
+            col("vec_id"),
+            transform(
+              Similarity.quantizeInt8(col("embedding"), col("scale")),
+              _.cast("double")).as("embedding"))
+        Similarity
+          .bruteForceTopK(q, col("vec_id") < 10, k = 5)
+          .select(col("probe_id"), col("rnk"), col("neighbor_id"))
+      },
+      Some(OracleSql.q79)
     )
   )
 

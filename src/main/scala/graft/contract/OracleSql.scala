@@ -421,6 +421,58 @@ object OracleSql {
        |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin
   }
 
+  /** Repeated-span mirror (q78): 8-token windows, distinct strings per doc
+    * then distinct hashes (ShingleHashesExpr's contract), counted across
+    * docs. Same shingle/hash machinery as shingleCtes, widened to 8.
+    */
+  val q78: String = {
+    val w      = 8
+    val concat = (0 until w).map(o => s"tk[i+$o]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(tk) >= $w
+       |    THEN list_distinct(list_transform(range(1, len(tk) - ${w - 2}), i -> $concat))
+       |    ELSE CAST([] AS VARCHAR[]) END AS ss
+       |  FROM toks),
+       |hs AS (SELECT doc_id, list_distinct(list_transform(ss, s -> ${polyHash("s")})) AS hh FROM sh),
+       |e AS (SELECT doc_id, unnest(hh) AS h FROM hs)
+       |SELECT h AS span_hash, COUNT(*) AS n_docs FROM e
+       |GROUP BY h HAVING COUNT(*) >= 2""".stripMargin
+  }
+
+  /** Quantized-store top-k mirror (q79): int8 components (q63's floor
+    * arithmetic, exactly representable in doubles) searched with the q76
+    * brute-force shape — integer dots are exact cross-engine, and the
+    * scales cancel out of cosine entirely.
+    */
+  val q79: String = {
+    val dim = 64
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id,
+       |    CASE WHEN scale > 0.0
+       |      THEN list_transform(embedding, x -> floor(x::DOUBLE / scale + 0.5))
+       |      ELSE list_transform(embedding, x -> 0.0) END AS p
+       |  FROM s),
+       |n AS (
+       |  SELECT vec_id, p,
+       |    list_reduce(list_transform(p, x -> x * x), (a, b) -> a + b) AS n2
+       |  FROM q),
+       |pairs AS (
+       |  SELECT pr.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(range(1, ${dim + 1}), i -> pr.p[i] * c.p[i]),
+       |                (x, y) -> x + y) / (sqrt(pr.n2) * sqrt(c.n2)) AS cos
+       |  FROM n pr, n c WHERE pr.vec_id < 10 AND c.vec_id <> pr.vec_id),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM pairs)
+       |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin
+  }
+
   /** DuckDB has no BLOB substring; the text is ASCII so a VARCHAR slice cast
     * to BLOB yields the same bytes. upper(hex(...)) matches Spark's
     * uppercase hex().

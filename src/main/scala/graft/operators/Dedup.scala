@@ -161,6 +161,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cross-document repeated span mining (the exact-substring dedup signal
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): every `width`-token window is hashed per row (native
+    * one-pass ShingleHashesExpr, distinct within doc) and counted across
+    * the corpus — spans appearing in >= `minDocs` documents are the
+    * boilerplate/template text an exact-substring pass would cut.
+    *
+    * Scale shape: the window build is map-side; the count is ONE shuffle
+    * with map-side partial aggregation keyed on the 8-byte span hash, and
+    * the >= minDocs filter runs inside the aggregation — output is only
+    * the repeated tail, not the corpus's span volume.
+    *
+    * Output: span_hash, n_docs (documents containing the span).
+    */
+  def repeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    require(width >= 1, s"width must be positive, got $width")
+    require(minDocs >= 1, s"minDocs must be positive, got $minDocs")
+    spread(docs)
+      .select(col(idCol), explode(shingleHashes(col(textCol), width)).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** THE survivor policy, shared by both near-dedup row variants: greedy
     * keep-smallest-id — a row is dropped iff it is the larger id of ANY
     * qualifying pair. (Chains are greedy, not connected components: if a~b

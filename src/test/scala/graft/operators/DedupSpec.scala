@@ -248,6 +248,29 @@ class DedupSpec extends AnyFunSuite {
     assert(native === composed)
   }
 
+  test("repeatedSpans: planted cross-doc span found once; within-doc repeats don't inflate n_docs") {
+    import spark.implicits._
+    val span = "w1 w2 w3 w4" // 4-token span planted in docs 1-3
+    val docs = Seq(
+      (1L, s"$span tail one"),
+      (2L, s"head $span"),
+      (3L, s"$span mid $span"), // repeated WITHIN the doc: still counts once
+      (4L, "totally different words here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text", width = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exactly one span is shared by >= 2 docs, and it is in 3 of them
+    val spanHash = docs
+      .filter(col("doc_id") === 2L)
+      .select(explode(Dedup.shingleHashes(col("text"), 4)).as("h"))
+      .collect().map(_.getLong(0)).toSet
+    val planted = got.keySet.intersect(spanHash)
+    assert(planted.size === 1)
+    assert(got(planted.head) === 3L)
+    // no span from the disjoint doc appears
+    assert(got.values.forall(_ <= 3L) && got.size === 1)
+  }
+
   test("simHash16: identical docs get identical fingerprints; near-dups are close") {
     import spark.implicits._
     val docs = Seq(
