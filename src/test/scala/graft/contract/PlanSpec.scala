@@ -54,6 +54,26 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"corpus-side shuffle leaked into:\n$p")
   }
 
+  test("q75: the bloom probe reaches the big side's scan, below a real semi join") {
+    val p = plan("q75_bloom_semi_join").toLowerCase
+    // scan-side evaluation: the probe shows up in the events FileScan's
+    // DataFilters (rows drop before any exchange), and the fp-trickle
+    // remover is still a semi join on top
+    assert(p.contains("leftsemi"), s"no semi join in plan:\n$p")
+    val scanLine = p.linesIterator.find(l => l.contains("filescan") && l.contains("events.parquet"))
+    assert(scanLine.exists(_.contains("bloommightcontainexpr")),
+      s"bloom probe not in the big side's scan DataFilters:\n$p")
+  }
+
+  test("q76: projection happens scan-side; corpus is never shuffled (q25 shape)") {
+    val p = plan("q76_projected_topk")
+    assert(p.contains("randomprojectexpr"), s"projection missing:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    // the only Exchange allowed is the tiny per-probe top-k window
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"corpus-side shuffle leaked into:\n$p")
+  }
+
   test("no contract query plans a CartesianProduct") {
     Contract.all.foreach { q =>
       val p = q.run(spark, sfDir).queryExecution.executedPlan.toString
