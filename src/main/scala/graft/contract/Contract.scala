@@ -1815,6 +1815,36 @@ object Contract {
           .select(col("probe_id"), col("rnk"), col("neighbor_id"))
       },
       Some(OracleSql.q79)
+    ),
+    Q(
+      "q80_bm25",
+      // BM25 top-3 terms per doc (retrieval scoring with tf saturation +
+      // length normalization): rational idf (q59's trick), exact
+      // integer-sum avgdl, fixed-association FP chain — mirrors bit for
+      // bit. Same scale shape as tfidf: doc length rides the token rows
+      // (no per-doc join), df + corpus stats broadcast, one window cut.
+      (s, d) =>
+        graft.operators.Corpus.bm25TopK(Tables.documents(s, d), "doc_id", "text", k = 3),
+      Some {
+        val k1 = 1.2; val b = 0.75
+        s"""WITH t AS (
+           |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+           |    unnest(string_split(text, ' ')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM t GROUP BY doc_id, term),
+           |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+           |st AS (SELECT SUM(len(string_split(text, ' ')))::BIGINT::DOUBLE AS sumdl,
+           |         COUNT(*)::DOUBLE AS n FROM documents),
+           |sc AS (SELECT doc_id, term, tf, df,
+           |    ((tf::DOUBLE * ${k1 + 1}) /
+           |     (tf::DOUBLE + $k1 * (${1 - b} + ($b * dl::DOUBLE) / (sumdl / n)))) *
+           |    (n / df::DOUBLE) AS score
+           |  FROM tf JOIN df USING (term) CROSS JOIN st),
+           |r AS (SELECT doc_id, term, tf, df, score,
+           |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+           |      FROM sc)
+           |SELECT doc_id, term, tf, df, score, rnk::INTEGER AS rnk FROM r WHERE rnk <= 3""".stripMargin
+      }
     )
   )
 

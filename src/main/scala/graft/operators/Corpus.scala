@@ -191,6 +191,53 @@ object Corpus {
       .limit(k)
   }
 
+  /** BM25 top-k terms per document — the retrieval-scoring upgrade of
+    * tfidfTopK: tf saturates at k1 and long documents are normalized by b
+    * against the corpus mean length,
+    * score = (tf*(k1+1)) / (tf + k1*((1-b) + b*dl/avgdl)) * (N/df).
+    * The idf stays RATIONAL (N/df, q59's trick) and avgdl is an exact
+    * integer-sum divide — every FP op is a division/multiply chain with a
+    * fixed association, so the score mirrors bit for bit cross-engine
+    * (ln()-based idf and avg()-of-doubles would not).
+    *
+    * Scale shape = tfidfTopK's: the doc length rides the exploded token
+    * rows into the tf aggregation (max(dl) — no per-doc join), df and the
+    * one-row corpus stats broadcast, one row_number window for the cut.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import graft.functions.TextAnalysis
+    val toks = docs.select(
+      col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("__dl"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = toks
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("__dl")).as("dl"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("__sumdl"),
+      count(lit(1)).cast("double").as("__n"))
+    val avgdl = col("__sumdl").cast("double") / col("__n")
+    val score =
+      (col("tf").cast("double") * lit(k1 + 1)) /
+        (col("tf").cast("double") + lit(k1) * (lit(1 - b) + (lit(b) * col("dl").cast("double")) / avgdl)) *
+        (col("__n") / col("df").cast("double"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", score)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
+  }
+
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))

@@ -215,6 +215,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.topNgrams(withNull, "text", n = 2, k = 3).count() === 3)
   }
 
+  test("bm25: matches a hand-computed reference; long docs are length-penalized") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),                       // short doc, tf(apple)=2
+      (2L, "apple cherry cherry cherry date egg fig"),  // longer doc
+      (3L, "banana date"))
+      .toDF("id", "text")
+    val got = Corpus.bm25TopK(docs, "id", "text", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5))))
+      .toMap
+
+    // reference, same association: dl 3/7/2, avgdl = 12/3 = 4
+    def score(tf: Long, dl: Long, df: Long): Double =
+      ((tf.toDouble * 2.2) / (tf.toDouble + 1.2 * (0.25 + (0.75 * dl.toDouble) / (12.0 / 3.0)))) * (3.0 / df)
+    assert(got((1L, "apple")) === ((2L, 2L, score(2, 3, 2), 1)))
+    assert(got((2L, "cherry")) === ((3L, 1L, score(3, 7, 1), 1)))
+    // same tf, same df, different doc length: the longer doc scores LOWER
+    assert(got((3L, "date"))._3 > got((2L, "date"))._3)
+  }
+
   test("privacy: redaction leaves no digits; pseudonym is stable and distinct") {
     import spark.implicits._
     val df  = Seq((1L, "acct 12345 pin 007"), (2L, "no digits here")).toDF("id", "text")
