@@ -1845,6 +1845,22 @@ object Contract {
            |      FROM sc)
            |SELECT doc_id, term, tf, df, score, rnk::INTEGER AS rnk FROM r WHERE rnk <= 3""".stripMargin
       }
+    ),
+    Q(
+      "q81_neardup_cc_star",
+      // q48's component survivor policy computed by LARGE-STAR/SMALL-STAR
+      // contraction (O(log n) rounds vs label propagation's O(diameter)) —
+      // same labels, same survivors, certified by q48's own recursive-CTE
+      // oracle
+      (s, d) => {
+        import graft.operators.Dedup
+        val docs  = Tables.documents(s, d)
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+        Dedup
+          .ccNearDedupRowsFromLabels(docs, "doc_id", Dedup.connectedComponentsStar(pairs))
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some(OracleSql.q48)
     )
   )
 

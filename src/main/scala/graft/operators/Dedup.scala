@@ -267,6 +267,89 @@ object Dedup {
     labels
   }
 
+  /** Minimum-label connected components by LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the O(log n)-round evolution of `connectedComponents`' label
+    * propagation, for graphs whose component DIAMETER is large (chains of
+    * near-dup docs): label propagation needs diameter rounds, star
+    * contraction collapses a path of length 2^r in r rounds.
+    *
+    *  - large-star: every node's larger neighbors re-attach to its minimum
+    *    (min over N(u) and u itself);
+    *  - small-star: every node and its smaller neighbors re-attach to its
+    *    minimum — together they monotonically contract each component onto
+    *    its minimum id (a star), the fixpoint.
+    *
+    * Each half-round is one aggregation + one join, shuffle ~ |edges|,
+    * checkpointed flat like the propagation loop. Output contract matches
+    * `connectedComponents`: (id, label) for every node in `pairs`, label =
+    * component minimum (roots label themselves).
+    */
+  def connectedComponentsStar(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIters: Int = 20): DataFrame = {
+    val nodes = pairs
+      .select(col(idA).as("id"))
+      .union(pairs.select(col(idB).as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym
+        .groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym
+        .join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m")) // v < u, so min(N∪{u}) = min v
+      val j    = dir.join(mins, "u")
+      j.select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .union(j.select(col("u"), col("m").as("v")).distinct())
+        .distinct()
+    }
+    // edge checksum as the fixpoint test: (count, sum of a per-edge hash)
+    // — one cheap agg instead of a full except() anti-join. The hash is
+    // modded under P so the ANSI-mode sum cannot overflow Long before
+    // ~9e9 edges.
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(P))), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = pairs
+      .select(col(idA).as("u"), col(idB).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var last      = sig(edges)
+    var iter      = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val now = sig(edges)
+      converged = now == last
+      last = now
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds (needs ~log2(n))")
+    // fixpoint is a star: (u -> component min) for non-roots; roots self-label
+    nodes
+      .join(edges.select(col("u").as("id"), col("v").as("label")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
   /** Near-dedup with the CONNECTED-COMPONENTS survivor policy: one survivor
     * (the minimum id) per component of the pair graph — the other common
     * corpus policy besides `survivors`' greedy pair rule. They differ on
@@ -277,8 +360,16 @@ object Dedup {
     * Spark jobs (one join+agg round per propagation step), like the k-means
     * refinement does.
     */
-  def ccNearDedupRows(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val drops = connectedComponents(pairs)
+  def ccNearDedupRows(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    ccNearDedupRowsFromLabels(docs, idCol, connectedComponents(pairs))
+
+  /** The same survivor cut from precomputed component labels — lets the
+    * caller pick the label algorithm (`connectedComponents` for shallow
+    * graphs, `connectedComponentsStar` for long chains) or reuse labels
+    * across several downstream cuts.
+    */
+  def ccNearDedupRowsFromLabels(docs: DataFrame, idCol: String, labels: DataFrame): DataFrame = {
+    val drops = labels
       .filter(col("label") =!= col("id"))
       .select(col("id").as(idCol))
     docs.join(drops, Seq(idCol), "left_anti")

@@ -189,6 +189,31 @@ class DedupSpec extends AnyFunSuite {
     assert(gotSurvivors === allDocs -- expectDrops)
   }
 
+  test("connectedComponentsStar == label propagation; collapses a 64-chain within log rounds") {
+    import spark.implicits._
+    // star fixture from the propagation test
+    val pairs = Seq((1L, 3L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    // a 64-node PATH: diameter 63 — label propagation at maxIters=20 cannot
+    // finish, star contraction collapses it in ~log2(64) rounds
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponentsStar(chain, maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 64L).map(_ -> 1L).toMap)
+
+    // random graph: star labels == propagation labels
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val df   = edges.toDF("id_a", "id_b")
+    val prop = Dedup.connectedComponents(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val st   = Dedup.connectedComponentsStar(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st === prop)
+  }
+
   test("simHashWidePairs: 62-bit pigeonhole mining == brute force; buckets finer than 16-bit") {
     val docs = Tables.documents(spark, sfDir).limit(120).cache()
     val got = Dedup
