@@ -16,10 +16,11 @@ import graft.functions.TextAnalysis
   * (digest-keyed streaming state, bounded by the event-time watermark), and
   * merges survivors idempotently into a date-partitioned parquet corpus.
   *
-  * Near-dedup intentionally stays batch-side: MinHash/LSH pair mining needs
-  * the full corpus view, so the streaming stage lands exact-deduped
-  * documents and the periodic batch job (Dedup.lshNearDedupRows) compacts
-  * them — the standard lambda split for similarity work.
+  * `runIngest` keeps near-dedup batch-side (the standard lambda split:
+  * land exact-deduped, compact periodically with Dedup.lshNearDedupRows);
+  * `runIngestNearDedup` closes that split by mining each batch against the
+  * PERSISTED LSH signature store (delta-vs-corpus, no re-mining of
+  * history) and advancing the store atomically per drain.
   */
 object CorpusStreams {
 
@@ -75,6 +76,77 @@ object CorpusStreams {
           TextAnalysis.dupBigramRatio(col("text")) <= maxDupBigram)
       .withColumn("digest", sha2(col("text"), 256))
       .dropDuplicatesWithinWatermark("digest")
+
+  /** `runIngest` + incremental NEAR-dedup: each drained batch is mined
+    * against the persisted LSH signature store (`Dedup.lshIncrementalStep`
+    * — delta-vs-corpus banding, no re-mining of history), survivors merge
+    * into the corpus, and the store is atomically advanced by a two-rename
+    * swap. This closes the lambda split `runIngest` documents: the
+    * streaming path now drops near-duplicates of anything EVER ingested,
+    * not just exact re-posts.
+    *
+    * Crash/replay contract (the ordering is load-bearing): the corpus
+    * upsert commits BEFORE the store swap. A replay that died between the
+    * two re-mines with the OLD store and reproduces the same survivors
+    * (digest-idempotent upsert converges); a replay after both re-mines
+    * with the NEW store, where self-pairs are excluded (the miner's strict
+    * `id_b < id_a`) and the store is id-distinct, so survivors are again
+    * identical. A crash mid-swap leaves either the old store or the new
+    * one — both states replay to the same corpus.
+    */
+  def runIngestNearDedup(
+      spark: SparkSession,
+      rawDir: String,
+      corpusDir: String,
+      storeDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      k: Int = 8,
+      rowsPerBand: Int = 2,
+      n: Int = 3,
+      threshold: Double = 0.8): StreamingQuery =
+    curatedStream(docStream(spark, rawDir, maxFilesPerTrigger))
+      .withColumn("date", to_date(col("ts")))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss     = batch.sparkSession
+        val cached = batch.cache()
+        try if (!cached.isEmpty) {
+          import org.apache.hadoop.fs.Path
+          val conf  = ss.sessionState.newHadoopConf()
+          val store = new Path(storeDir)
+          val fs    = store.getFileSystem(conf)
+          val prior =
+            if (fs.exists(store)) Some(ss.read.parquet(storeDir)) else None
+          val (surv, nextStore) = graft.operators.Dedup.lshIncrementalStep(
+            cached, "doc_id", "text", prior, k, rowsPerBand, n, threshold)
+          val survCached = surv.cache()
+          try {
+            MergeSink.upsert(
+              ss, survCached, corpusDir,
+              keyCols = Seq("digest"), partitionCols = Seq("date"))
+            val tmp   = new Path(store.getParent, s".store-tmp-${store.getName}")
+            val trash = new Path(store.getParent, s".store-old-${store.getName}")
+            if (fs.exists(tmp)) fs.delete(tmp, true)
+            if (fs.exists(trash)) fs.delete(trash, true)
+            // id-distinct so a replayed batch cannot widen the store with
+            // duplicate signature rows
+            nextStore.dropDuplicates("id").write.parquet(tmp.toString)
+            if (fs.exists(store) && !fs.rename(store, trash))
+              throw new java.io.IOException(s"ingest: cannot set aside $store")
+            if (!fs.rename(tmp, store)) {
+              if (fs.exists(trash)) fs.rename(trash, store) // roll back
+              throw new java.io.IOException(s"ingest: cannot promote $tmp")
+            }
+            fs.delete(trash, true)
+          } finally survCached.unpersist()
+        } finally { cached.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** Runnable ingest job: raw JSON docs -> curated, exact-deduped,
     * date-partitioned parquet corpus, merged idempotently on the digest

@@ -82,4 +82,40 @@ class CorpusStreamsSpec extends AnyFunSuite {
     val got  = spark.read.parquet(corpus).select("digest").collect().map(_.getString(0)).toSet
     assert(got === want && got.size === 2)
   }
+
+  test("near-dedup ingest: cross-invocation near-dups drop via the store; == one-shot batch dedup") {
+    val raw    = tmp("nd-raw")
+    val corpus = tmp("nd-out") + "/corpus"
+    val store  = tmp("nd-out") + "/store"
+    val ckpt   = tmp("nd-ckpt")
+    // near-dup of good1: one token changed (J above 0.8 on 3-shingles is
+    // not guaranteed for short docs — use a longer base)
+    val base  = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val nearD = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+
+    writeDocs(raw, "b1.json", Seq(1L -> base, 2L -> good2))
+    CorpusStreams.runIngestNearDedup(spark, raw, corpus, store, ckpt).awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L))
+
+    // second drain: 10 is a NEAR (not exact) dup of 1 -> the digest state
+    // cannot catch it; the signature store must
+    writeDocs(raw, "b2.json", Seq(10L -> nearD, 11L -> "completely fresh unrelated sentence tokens"))
+    CorpusStreams.runIngestNearDedup(spark, raw, corpus, store, ckpt).awaitTermination()
+    val got = spark.read.parquet(corpus).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L, 11L), s"got $got")
+
+    // equivalence: the two-drain result == one-shot batch LSH dedup over
+    // every quality-surviving doc (ascending ids across drains)
+    val allDocs = spark.read.schema(CorpusStreams.DocSchema).json(raw)
+      .filter(graft.functions.TextAnalysis.tokenCount(col("text")) >= 5)
+    val want = Dedup.lshNearDedupRows(allDocs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+
+    // replay from a fresh checkpoint (store already advanced): converges
+    CorpusStreams.runIngestNearDedup(spark, raw, corpus, store, tmp("nd-ckpt2")).awaitTermination()
+    val replayed = spark.read.parquet(corpus).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replayed === got)
+  }
 }
