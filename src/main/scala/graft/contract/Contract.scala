@@ -853,22 +853,7 @@ object Contract {
         Similarity
           .ivfTopK(Tables.embeddings(s, d), col("vec_id") < 10, k = 5, ncells = 8, nprobe = 8, dim = 64)
           .select(col("probe_id"), col("rnk"), col("neighbor_id")),
-      Some("""WITH n AS (
-             |  SELECT vec_id, embedding,
-             |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-             |                (a, b) -> a + b) AS n2
-             |  FROM embeddings),
-             |pairs AS (
-             |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-             |    list_reduce(list_transform(range(1, len(p.embedding) + 1),
-             |                  i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
-             |                (a, b) -> a + b) / (sqrt(p.n2) * sqrt(c.n2)) AS cos
-             |  FROM n p, n c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
-             |ranked AS (
-             |  SELECT probe_id, neighbor_id,
-             |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
-             |  FROM pairs)
-             |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin)
+      Some(OracleSql.q36)
     ),
     Q(
       "q45_ivf_kmeans",
@@ -1861,6 +1846,27 @@ object Contract {
           .select(col("doc_id"), col("lang"), col("source"))
       },
       Some(OracleSql.q48)
+    ),
+    Q(
+      "q82_ivf_index_search",
+      // the PERSISTED IVF index: write the corpus cell-partitioned (one
+      // hive directory per cell + stored centroids/norms), then search it —
+      // a narrow probe reads only its cells' directories via partition
+      // pruning (IvfIndexSpec measures it with filesTouched). Probing every
+      // cell is exact, so q36's brute-force oracle certifies the whole
+      // write-then-search path. The index write inside the query is the
+      // operator's real shape (index once, search many); overwrite keeps
+      // reruns idempotent.
+      (s, d) => {
+        import graft.operators.Similarity
+        val emb  = Tables.embeddings(s, d)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_q82"
+        Similarity.writeIvfIndex(emb, path, ncells = 8)
+        Similarity
+          .searchIvfIndex(s, path, emb.filter(col("vec_id") < 10), k = 5, nprobe = 8)
+          .select(col("probe_id"), col("rnk"), col("neighbor_id"))
+      },
+      Some(OracleSql.q36)
     )
   )
 

@@ -377,6 +377,29 @@ object OracleSql {
     * list_reduce fold — the exact FP order of RandomProjectExpr's loop —
     * and the 16 components unnest zipped with their index.
     */
+  /** Brute-force cosine top-k over every vector (q36/q45/q82): probing
+    * every IVF cell is exact for ANY centroid set, so this one mirror
+    * certifies the plain IVF, the k-means-refined variant, and the
+    * persisted-index write-then-search path alike.
+    */
+  val q36: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |                (a, b) -> a + b) AS n2
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |    list_reduce(list_transform(range(1, len(p.embedding) + 1),
+      |                  i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+      |                (a, b) -> a + b) / (sqrt(p.n2) * sqrt(c.n2)) AS cos
+      |  FROM n p, n c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+      |ranked AS (
+      |  SELECT probe_id, neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+      |  FROM pairs)
+      |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin
+
   /** The projected vector as a DuckDB list literal-of-folds: component k is
     * a left-to-right list_reduce against VecSignExpr.comp(k, _) literals —
     * RandomProjectExpr's exact FP order.

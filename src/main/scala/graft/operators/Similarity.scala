@@ -329,6 +329,76 @@ object Similarity {
   /** @param centroids optional refined centroid row (kmeansCentroids);
     *                  defaults to the deterministic seed centroids
     */
+  /** Persist the corpus as an IVF-PARTITIONED parquet index: every vector
+    * lands in its nearest cell's hive directory (`cell_id=K/` — same
+    * centroids and in-row assignment as ivfTopK), with its norm
+    * precomputed, and the centroid table alongside at `<path>.centroids`.
+    * A search probing `nprobe` cells then reads ONLY those directories
+    * (PartitionFilters; IvfIndexSpec measures it with filesTouched) — at
+    * 100 TB that is the difference between scanning the corpus per query
+    * batch and reading nprobe/ncells of it.
+    *
+    * One shuffle (co-locating cells for the write); `partitionBy` splits
+    * hash-colliding cells into their own directories, `writeShuffled`'s
+    * contract.
+    */
+  def writeIvfIndex(emb: DataFrame, path: String, ncells: Int): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val centArr = seedCentroids(emb, ncells)
+    val withN2 =
+      emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    assignCells(withN2, centArr, 1)
+      .repartition(col("cell_id"))
+      .sortWithinPartitions(col("cell_id"), col("vec_id"))
+      .write
+      .partitionBy("cell_id")
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+    centArr.write.mode(SaveMode.Overwrite).parquet(s"$path.centroids")
+  }
+
+  /** Top-k search against a persisted IVF index: probe vectors are
+    * assigned their `nprobe` nearest cells against the stored centroids,
+    * and the index scan carries a LITERAL cell_id predicate, so partition
+    * pruning drops every unprobed directory at planning time. The probed
+    * cell set collects to the driver first — bounded by |probes| x nprobe
+    * ids, the MergeSink dirty-partition pattern, and the price of a
+    * static (plan-time) prune instead of a runtime one.
+    *
+    * With nprobe == ncells this reproduces ivfTopK / brute force exactly
+    * (q82's oracle); smaller nprobe trades recall for I/O like ivfTopK.
+    */
+  def searchIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      probes: DataFrame,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val centArr = spark.read.parquet(s"$path.centroids")
+    val p = assignCells(
+      probes.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2")),
+      centArr, nprobe)
+      .select(
+        col("vec_id").as("probe_id"),
+        col("embedding").as("p_emb"),
+        col("n2").as("p_n2"),
+        col("cell_id"))
+    val cells = p.select("cell_id").distinct().collect().map(_.getLong(0))
+    val index = spark.read.parquet(path).filter(col("cell_id").isin(cells: _*))
+    val pairs = index
+      .join(broadcast(p), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"),
+        col("vec_id").as("neighbor_id"),
+        cosine(dot(col("p_emb"), col("embedding")), col("p_n2"), col("n2")).as("cos"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    pairs
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("cos"))
+  }
+
   def ivfTopK(
       emb: DataFrame,
       probePred: Column,

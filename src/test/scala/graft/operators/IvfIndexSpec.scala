@@ -1,0 +1,61 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.core.Tables
+
+/** Persisted IVF index semantics: full-probe search reproduces brute force
+  * exactly, and a narrow probe READS only its cells' directories — the
+  * measured partition-pruning contract that makes the index an index.
+  */
+class IvfIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir      = "/root/testdata/sf0.001"
+
+  private def tmp(): String = Files.createTempDirectory("ivfidx").toString
+
+  test("nprobe == ncells search over the index == brute force; narrow probe prunes partitions") {
+    val emb  = Tables.embeddings(spark, sfDir)
+    val path = tmp() + "/index"
+    Similarity.writeIvfIndex(emb, path, ncells = 8)
+
+    // exactness at full probe: same rows as the brute-force baseline
+    val probes = emb.filter(col("vec_id") < 10)
+    val got = Similarity.searchIvfIndex(spark, path, probes, k = 5, nprobe = 8)
+      .select("probe_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = Similarity.bruteForceTopK(emb, col("vec_id") < 10, k = 5)
+      .select("probe_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want && got.nonEmpty)
+
+    // the index landed one directory per non-empty cell
+    val index   = spark.read.parquet(path)
+    val nCells  = index.select("cell_id").distinct().count()
+    val allFiles = Layout.filesTouched(index)
+    assert(allFiles === nCells, s"expected one file per cell, got $allFiles for $nCells cells")
+
+    // a single-cell read touches exactly one file, through PartitionFilters
+    val oneCell = index.filter(col("cell_id") === 0)
+    assert(Layout.filesTouched(oneCell) === 1)
+    val plan = oneCell.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell_id"),
+      s"cell filter did not prune partitions:\n$plan")
+
+    // a narrow search returns only neighbors from the probed cell
+    val narrow = Similarity.searchIvfIndex(spark, path, probes.limit(1), k = 5, nprobe = 1)
+    assert(narrow.count() > 0)
+    // cell_id reads back as INT (hive partition-column inference) — cast
+    val probeCell = index
+      .join(probes.limit(1).select(col("vec_id")), "vec_id")
+      .select(col("cell_id").cast("long")).head().getLong(0)
+    val neighborCells = narrow
+      .join(index.select(col("vec_id").as("neighbor_id"), col("cell_id")), "neighbor_id")
+      .select(col("cell_id").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    assert(neighborCells === Set(probeCell))
+  }
+}
