@@ -233,6 +233,13 @@ object Similarity {
     cents
   }
 
+  /** Single-cell assignment against a stored/loaded centroid table —
+    * the indexing projection (EmbedStreams' per-batch step). `df` must
+    * carry `embedding` and `n2`.
+    */
+  def assignToCells(df: DataFrame, centArr: DataFrame): DataFrame =
+    assignCells(df, centArr, 1)
+
   /** Nearest `keep` cells per row, computed INSIDE the row against the
     * broadcast single-row centroid array — zero shuffle, zero inflation.
     * `df` must carry `embedding` and `n2`.

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.Similarity
+
+/** Continuous embedding ingestion into the persisted IVF index — the
+  * streaming twin of `Similarity.writeIvfIndex`: vectors land as they
+  * arrive, each into its cell's hive partition, so the index is always
+  * searchable (`Similarity.searchIvfIndex`) without a rebuild.
+  *
+  * Cell stability is the invariant that makes this an index: centroids are
+  * seeded ONCE (from the first drained batch) and persisted; every later
+  * batch assigns against the STORED centroids, so a vector's cell never
+  * moves and partition pruning stays valid. Re-seeding per batch would
+  * silently shear the index. (Re-clustering is a deliberate batch rebuild:
+  * writeIvfIndex over the accumulated corpus.)
+  *
+  * Exactly-once effect: the per-cell merge is MergeSink.upsert keyed on
+  * vec_id — a replayed batch rewrites the same rows into the same
+  * partitions and converges.
+  */
+object EmbedStreams {
+
+  val EmbSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType, containsNull = false))))
+
+  /** Streaming read of a watched directory of parquet embedding files. */
+  def embStream(
+      spark: SparkSession,
+      rawDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+      .format("parquet")
+      .schema(EmbSchema)
+      .option("recursiveFileLookup", "true")
+    maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .load(rawDir)
+  }
+
+  /** Runnable ingest: raw embedding files -> cell-partitioned IVF index at
+    * `indexDir` (centroids at `<indexDir>.centroids`, writeIvfIndex's
+    * convention — searchIvfIndex works unchanged).
+    */
+  def runEmbedIngest(
+      spark: SparkSession,
+      rawDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      ncells: Int,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    embStream(spark, rawDir, maxFilesPerTrigger).writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss     = batch.sparkSession
+        val cached = batch.cache()
+        try if (!cached.isEmpty) {
+          import org.apache.hadoop.fs.Path
+          val conf     = ss.sessionState.newHadoopConf()
+          val centPath = new Path(s"$indexDir.centroids")
+          val fs       = centPath.getFileSystem(conf)
+          // seed once, then always assign against the STORED centroids
+          if (!fs.exists(centPath))
+            Similarity.seedCentroids(cached, ncells)
+              .write.parquet(centPath.toString)
+          val centArr = ss.read.parquet(centPath.toString)
+          val assigned = Similarity.assignToCells(
+            cached.select(
+              col("vec_id"), col("embedding"),
+              Similarity.norm2(col("embedding")).as("n2")),
+            centArr)
+          MergeSink.upsert(
+            ss, assigned, indexDir,
+            keyCols = Seq("vec_id"), partitionCols = Seq("cell_id"))
+        } finally { cached.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

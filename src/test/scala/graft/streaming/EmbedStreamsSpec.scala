@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.core.Tables
+import graft.operators.Similarity
+
+/** Continuous IVF ingestion semantics: the index stays searchable and
+  * EXACT (at full probe) as batches land, cells never move after seeding
+  * (the pruning invariant), and a replay converges.
+  */
+class EmbedStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir      = "/root/testdata/sf0.001"
+
+  private def tmp(pfx: String): String = Files.createTempDirectory(pfx).toString
+
+  test("two drains build the same searchable index; centroids stay fixed; replay converges") {
+    val emb   = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").cache()
+    val raw   = tmp("emb-raw")
+    val index = tmp("emb-out") + "/index"
+    val ckpt  = tmp("emb-ckpt")
+
+    // drain 1: first half of the corpus (seeds the centroids)
+    emb.filter(col("vec_id") < 100).write.parquet(raw + "/b1")
+    EmbedStreams.runEmbedIngest(spark, raw, index, ckpt, ncells = 8).awaitTermination()
+    val cents1 = spark.read.parquet(s"$index.centroids")
+      .select(to_json(col("cents"))).head().getString(0)
+
+    // drain 2: the rest — assigned against the STORED centroids
+    emb.filter(col("vec_id") >= 100).write.parquet(raw + "/b2")
+    EmbedStreams.runEmbedIngest(spark, raw, index, ckpt, ncells = 8).awaitTermination()
+    val cents2 = spark.read.parquet(s"$index.centroids")
+      .select(to_json(col("cents"))).head().getString(0)
+    assert(cents1 === cents2, "centroids must not move after seeding")
+
+    // full-probe search over the incrementally built index == brute force
+    // over the full corpus
+    val probes = emb.filter(col("vec_id") < 10)
+    val got = Similarity.searchIvfIndex(spark, index, probes, k = 5, nprobe = 8)
+      .select("probe_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = Similarity.bruteForceTopK(emb, col("vec_id") < 10, k = 5)
+      .select("probe_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want && got.nonEmpty)
+
+    // replay from a fresh checkpoint: upsert keyed on vec_id converges
+    EmbedStreams.runEmbedIngest(spark, raw, index, tmp("emb-ckpt2"), ncells = 8)
+      .awaitTermination()
+    val total = spark.read.parquet(index).count()
+    assert(total === emb.count(), s"replayed index has $total rows")
+    emb.unpersist()
+    ()
+  }
+}
