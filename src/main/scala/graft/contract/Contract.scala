@@ -1867,6 +1867,49 @@ object Contract {
           .select(col("probe_id"), col("rnk"), col("neighbor_id"))
       },
       Some(OracleSql.q36)
+    ),
+    Q(
+      "q83_clustered_roundtrip",
+      // the range-clustered WRITE path under the hash gate: cluster the
+      // events table on event_id into span files (LayoutSpec measures the
+      // file pruning), read it back through a range predicate, aggregate —
+      // the oracle runs the same query on the ORIGINAL table, so the
+      // write-then-read must lose/duplicate nothing
+      (s, d) => {
+        import graft.operators.Layout
+        val ev0  = ev(s, d).select(col("event_id"), col("user_id"), col("value"))
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_clustered_q83"
+        Layout.clusterWrite(ev0, path, "event_id", numFiles = 8)
+        s.read
+          .parquet(path)
+          .filter(col("event_id") >= 1000 && col("event_id") < 3000)
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_v"))
+      },
+      Some("""SELECT COUNT(*) AS cnt,
+             |  SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_v
+             |FROM events WHERE event_id >= 1000 AND event_id < 3000""".stripMargin)
+    ),
+    Q(
+      "q84_shuffle_shards_files",
+      // the deterministic-shard WRITE path under the hash gate: the
+      // directory a row lands in must be EXACTLY its bucketOf hash (the
+      // identity mapping the round-4 advice required), so per-shard counts
+      // read back from the files match the oracle computing the bucket
+      // arithmetic directly on the table
+      (s, d) => {
+        import graft.operators.Layout
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_q84"
+        Layout.writeShuffled(docs, path, "doc_id", nShards = 16)
+        s.read
+          .parquet(path)
+          .groupBy(col("shard").cast("int").as("shard"))
+          .agg(count(lit(1)).as("cnt"))
+      },
+      Some("""WITH h AS (
+             |  SELECT ((doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761 % 1000000007 AS hh
+             |  FROM documents)
+             |SELECT (hh % 16)::INT AS shard, COUNT(*) AS cnt FROM h GROUP BY 1""".stripMargin)
     )
   )
 
