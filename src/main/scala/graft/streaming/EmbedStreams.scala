@@ -64,10 +64,16 @@ object EmbedStreams {
           val conf     = ss.sessionState.newHadoopConf()
           val centPath = new Path(s"$indexDir.centroids")
           val fs       = centPath.getFileSystem(conf)
-          // seed once, then always assign against the STORED centroids
-          if (!fs.exists(centPath))
-            Similarity.seedCentroids(cached, ncells)
-              .write.parquet(centPath.toString)
+          // seed once, then always assign against the STORED centroids.
+          // Write-then-rename: a crash mid-write must not leave a partial
+          // centroid table that the next drain would trust.
+          if (!fs.exists(centPath)) {
+            val tmp = new Path(centPath.getParent, s".cent-tmp-${centPath.getName}")
+            if (fs.exists(tmp)) fs.delete(tmp, true)
+            Similarity.seedCentroids(cached, ncells).write.parquet(tmp.toString)
+            if (!fs.rename(tmp, centPath) && !fs.exists(centPath))
+              throw new java.io.IOException(s"ingest: cannot promote centroids $tmp")
+          }
           val centArr = ss.read.parquet(centPath.toString)
           val assigned = Similarity.assignToCells(
             cached.select(
