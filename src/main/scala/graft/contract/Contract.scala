@@ -34,6 +34,17 @@ object Contract {
 
   private val Dec = DataTypes.createDecimalType(18, 2)
 
+  /** Per-JVM scratch root for the write-path queries (q82-q84): unique per
+    * process so concurrent runs (a Bench and a Verify on one host) cannot
+    * clobber each other's files mid-read, but stable WITHIN the process so
+    * bench repetitions overwrite instead of accumulating.
+    */
+  private lazy val scratchRoot: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
   /** Exact, order-independent double sum (see parity rules above). */
   private def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
 
@@ -1860,7 +1871,7 @@ object Contract {
       (s, d) => {
         import graft.operators.Similarity
         val emb  = Tables.embeddings(s, d)
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_q82"
+        val path = s"$scratchRoot/ivf_index_q82"
         Similarity.writeIvfIndex(emb, path, ncells = 8)
         Similarity
           .searchIvfIndex(s, path, emb.filter(col("vec_id") < 10), k = 5, nprobe = 8)
@@ -1878,7 +1889,7 @@ object Contract {
       (s, d) => {
         import graft.operators.Layout
         val ev0  = ev(s, d).select(col("event_id"), col("user_id"), col("value"))
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_clustered_q83"
+        val path = s"$scratchRoot/clustered_q83"
         Layout.clusterWrite(ev0, path, "event_id", numFiles = 8)
         s.read
           .parquet(path)
@@ -1899,7 +1910,7 @@ object Contract {
       (s, d) => {
         import graft.operators.Layout
         val docs = Tables.documents(s, d).select(col("doc_id"))
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_q84"
+        val path = s"$scratchRoot/shards_q84"
         Layout.writeShuffled(docs, path, "doc_id", nShards = 16)
         s.read
           .parquet(path)

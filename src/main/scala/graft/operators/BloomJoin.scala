@@ -37,6 +37,8 @@ object BloomJoin {
       smallKey: Column,
       expectedKeys: Long,
       fpp: Double = 0.01): DataFrame = {
+    require(!big.columns.contains("__bj_key"),
+      "bloom semiJoin: input already has a '__bj_key' column; rename it first")
     val pruned = prune(big, small, bigKey, smallKey, expectedKeys, fpp)
     pruned.join(small.select(smallKey.as("__bj_key")), bigKey === col("__bj_key"), "left_semi")
   }

@@ -134,9 +134,14 @@ object Corpus {
       .select(explode(Dedup.shingleHashes(col(textCol), n)).as("__bh"))
       .distinct()
     val bloom = bh.stat.bloomFilter(col("__bh"), expectedShingles, fpp)
+    // localCheckpoint: `ex` feeds BOTH aggregations below; without the
+    // barrier each would re-run the per-row shingle hashing over the full
+    // training corpus — the dominant CPU cost at the scale this operator
+    // targets (jaccardPairs' multi-consumer rule)
     val ex = train
       .select(col(idCol), Dedup.shingleHashes(col(textCol), n).as("__hh"))
       .select(col(idCol), size(col("__hh")).as("__ns"), explode_outer(col("__hh")).as("__h"))
+      .localCheckpoint(false)
     // per-doc totals BEFORE the bloom cut (docs whose every shingle the
     // sketch rejects must still report n_matched = 0)
     val base = ex.groupBy(col(idCol)).agg(max(col("__ns")).as("n_shingles"))

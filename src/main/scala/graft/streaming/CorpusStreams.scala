@@ -117,6 +117,13 @@ object CorpusStreams {
           val conf  = ss.sessionState.newHadoopConf()
           val store = new Path(storeDir)
           val fs    = store.getFileSystem(conf)
+          val trash = new Path(store.getParent, s".store-old-${store.getName}")
+          // recover a crash that died between the swap's two renames
+          // (store set aside, replacement not yet promoted): the trash IS
+          // the store — restore it before reading, else the batch would
+          // silently re-mine with no history (MergeSink.recover's rule)
+          if (!fs.exists(store) && fs.exists(trash) && !fs.rename(trash, store))
+            throw new java.io.IOException(s"ingest: cannot restore $trash to $store")
           val prior =
             if (fs.exists(store)) Some(ss.read.parquet(storeDir)) else None
           val (surv, nextStore) = graft.operators.Dedup.lshIncrementalStep(
@@ -126,10 +133,9 @@ object CorpusStreams {
             MergeSink.upsert(
               ss, survCached, corpusDir,
               keyCols = Seq("digest"), partitionCols = Seq("date"))
-            val tmp   = new Path(store.getParent, s".store-tmp-${store.getName}")
-            val trash = new Path(store.getParent, s".store-old-${store.getName}")
+            val tmp = new Path(store.getParent, s".store-tmp-${store.getName}")
             if (fs.exists(tmp)) fs.delete(tmp, true)
-            if (fs.exists(trash)) fs.delete(trash, true)
+            if (fs.exists(trash)) fs.delete(trash, true) // stale completed swap
             // id-distinct so a replayed batch cannot widen the store with
             // duplicate signature rows
             nextStore.dropDuplicates("id").write.parquet(tmp.toString)

@@ -22,6 +22,14 @@ import graft.operators.Similarity
   * Exactly-once effect: the per-cell merge is MergeSink.upsert keyed on
   * vec_id — a replayed batch rewrites the same rows into the same
   * partitions and converges.
+  *
+  * WRITE-ONCE INVARIANT: vec_id is an append-once key. A replayed or
+  * re-posted batch with the SAME embedding lands in the same cell and is
+  * replaced idempotently; but re-ingesting an id with a CHANGED embedding
+  * whose nearest cell moves would leave the stale row in the old cell
+  * (the upsert only rewrites the batch's dirty partitions — locating the
+  * old cell would cost a full index scan per batch). Corrections are a
+  * batch rebuild: `Similarity.writeIvfIndex` over the corrected corpus.
   */
 object EmbedStreams {
 

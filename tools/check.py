@@ -91,24 +91,34 @@ def main():
         # pandas, where (a) DuckDB HUGEINT (any un-cast integer SUM) becomes
         # float64 while Spark writes int64 -> hash mismatch, and (b) list
         # cells become np.ndarray, which pandas sort_values cannot factorize
-        # -> driver error. fetchall() hides both, so lint dtypes explicitly.
+        # -> driver error. DESCRIBE gives the declared types WITHOUT
+        # re-executing the query (some oracles cost minutes), and unlike a
+        # first-row probe it also catches lists behind NULL-leading or
+        # empty results.
         try:
-            wdtypes = dict(con.execute(sql).df().dtypes.astype(str))
-            gdtypes = dict(con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df().dtypes.astype(str))
+            def types_of(q):
+                return {r[0]: r[1] for r in con.execute(f"DESCRIBE {q}").fetchall()}
+            wtypes = types_of(sql)
+            gtypes = types_of(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            def is_float(t):
+                return any(f in t for f in ("FLOAT", "DOUBLE", "REAL", "DECIMAL"))
+
+            def is_int(t):
+                return "INT" in t and t != "HUGEINT"
+
             lint = []
-            for c in wdtypes:
-                a, b = wdtypes.get(c), gdtypes.get(c)
-                if b is None:
-                    continue
-                num = lambda t: ("float" in t) or ("int" in t)
-                if num(a) and num(b) and (("float" in a) != ("float" in b)):
-                    lint.append(f"col {c}: pandas dtype oracle={a} spark={b} (driver hash-mismatch)")
-                if a == "object" or b == "object":
-                    for side, rows, cols in (("oracle", wrows, wcols), ("spark", grows, gcols)):
-                        if rows and c in cols and isinstance(rows[0][cols.index(c)], (list, tuple)):
-                            lint.append(f"col {c}: {side} cell is a list (driver sort crashes on ndarray)")
+            for c, a in wtypes.items():
+                b = gtypes.get(c)
+                if a == "HUGEINT":
+                    lint.append(f"col {c}: oracle HUGEINT -> pandas float64 vs spark int64 (cast ::BIGINT)")
+                for side, t in (("oracle", a), ("spark", b or "")):
+                    if "[]" in t or t.startswith("STRUCT") or t.startswith("MAP"):
+                        lint.append(f"col {c}: {side} type {t} (driver sort crashes on ndarray cells)")
+                if b is not None and (is_int(a) or is_float(a)) and (is_int(b) or is_float(b)) \
+                        and is_float(a) != is_float(b):
+                    lint.append(f"col {c}: numeric class differs oracle={a} spark={b} (driver hash-mismatch)")
             if lint:
-                print(f"FAIL {name}: " + "; ".join(lint))
+                print(f"FAIL {name}: " + "; ".join(sorted(set(lint))))
                 n_fail += 1
                 continue
         except Exception as e:
