@@ -1921,6 +1921,30 @@ object Contract {
              |  SELECT ((doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761 % 1000000007 AS hh
              |  FROM documents)
              |SELECT (hh % 16)::INT AS shard, COUNT(*) AS cnt FROM h GROUP BY 1""".stripMargin)
+    ),
+    Q(
+      "q85_sliding_distinct",
+      // EXACT distinct users per sliding window (active-user analytics):
+      // q40's epoch-aligned window assignment + a distinct aggregation —
+      // Spark plans the expand + two-phase distinct (partial (win,user)
+      // dedup map-side), the mirror generates the same 4 window starts
+      // per row
+      (s, d) =>
+        ev(s, d)
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+            col("n_users")),
+      Some("""WITH e AS (
+             |  SELECT epoch_ns(ts) // 1000000000 AS ep, user_id FROM events),
+             |w AS (
+             |  SELECT unnest(generate_series((ep // 900) * 900 - 2700, (ep // 900) * 900, 900)) AS ws,
+             |         user_id
+             |  FROM e)
+             |SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start,
+             |  COUNT(DISTINCT user_id) AS n_users
+             |FROM w GROUP BY 1""".stripMargin)
     )
   )
 
