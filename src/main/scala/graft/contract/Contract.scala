@@ -1945,6 +1945,25 @@ object Contract {
              |SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start,
              |  COUNT(DISTINCT user_id) AS n_users
              |FROM w GROUP BY 1""".stripMargin)
+    ),
+    Q(
+      "q86_normalized_dedup",
+      // exact dedup on NORMALIZED text (lowercase + whitespace collapse +
+      // trim): catches case/spacing re-posts that byte-level digests miss —
+      // the standard normalization pass before corpus dedup. Same one-hash-
+      // shuffle shape as q37; the normalize chain mirrors verbatim.
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        graft.operators.Dedup
+          .exactDedupRows(
+            Tables.documents(s, d),
+            sha2(TextAnalysis.normalize(col("text")), 256), col("doc_id"))
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some("""SELECT doc_id, lang, source FROM documents
+             |QUALIFY ROW_NUMBER() OVER (
+             |  PARTITION BY sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             |  ORDER BY doc_id) = 1""".stripMargin)
     )
   )
 

@@ -24,6 +24,14 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Dedup-normalization: lowercase, collapse whitespace runs to one
+    * space, trim. Case/spacing variants of the same content then share a
+    * digest, so exact dedup catches them (q86). Pure codegen'd projection;
+    * the DuckDB mirror is the same lower/regexp_replace/trim chain.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
   /** BPE-ish subword count: letter runs, digit runs, single punctuation. */
   def bpeishCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))

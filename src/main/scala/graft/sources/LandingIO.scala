@@ -135,6 +135,41 @@ object LandingIO {
       .json(dir)
       .withColumn("device", regexp_extract(input_file_name(), "([^/]+)/[^/]+$", 1))
 
+  /** `readLanding` with a BAD-RECORD CHANNEL (the JSON twin of the binary
+    * scan's framing census): malformed lines survive the read in a
+    * `_corrupt` column instead of silently becoming all-null rows, split
+    * into (good, bad) frames. At 100 TB a scraped landing tree always
+    * carries truncated uploads and stray bytes — dropping them silently
+    * corrupts counts, failing the whole read loses the good 99.99%; the
+    * channel quarantines the bad lines (with their source file) for
+    * inspection without stopping the pipeline.
+    */
+  def readLandingWithBadRecords(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val withCorrupt = StructType(landingSchema.fields :+ StructField("_corrupt", StringType))
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.json")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir)
+      // capture file provenance BEFORE the checkpoint below severs the
+      // scan context (input_file_name is empty on a concrete RDD)
+      .withColumn("file", input_file_name())
+      .withColumn("device", regexp_extract(col("file"), "([^/]+)/[^/]+$", 1))
+      // Spark's corrupt-column contract: the flag is only materialized when
+      // referenced, and filtering the SAME scan on it requires a
+      // materialization barrier — cache would leak across calls, so read
+      // once into a concrete RDD
+      .localCheckpoint(false)
+    val good = raw.filter(col("_corrupt").isNull).drop("_corrupt", "file")
+    val bad = raw
+      .filter(col("_corrupt").isNotNull)
+      .select(col("device"), col("file"), col("_corrupt"))
+    (good, bad)
+  }
+
   /** Device-prefixed document name when the frame carries a device column. */
   private def docName(df: DataFrame, base: Column): Column =
     if (df.columns.contains("device"))

@@ -108,6 +108,31 @@ class LandingIOSpec extends AnyFunSuite {
     assert(row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("speed").isEmpty)
   }
 
+  test("bad-record channel: malformed JSON lines quarantine with provenance; good rows unaffected") {
+    val dir = Files.createTempDirectory("landbad").toString
+    Files.createDirectories(Paths.get(dir, "devA"))
+    val goodDoc =
+      """{"accel":[{"timestamp":1.5,"value":[0.1,0.2,0.3]}],"gyro":[],"location":[],"speed":[],"ap_status":[]}"""
+    Files.write(Paths.get(dir, "devA", "good.json"), goodDoc.getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "devA", "trunc.json"), """{"accel":[{"timestamp":2.""".getBytes("UTF-8"))
+
+    val (good, bad) = LandingIO.readLandingWithBadRecords(spark, dir)
+    assert(good.count() === 1)
+    val g = good.head()
+    assert(g.getAs[String]("device") === "devA")
+    assert(g.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("accel").length === 1)
+    assert(!good.columns.contains("_corrupt"))
+
+    val b = bad.collect()
+    assert(b.length === 1)
+    assert(b.head.getAs[String]("device") === "devA")
+    assert(b.head.getAs[String]("file").endsWith("trunc.json"))
+    assert(b.head.getAs[String]("_corrupt").startsWith("""{"accel":[{"timestamp":2."""))
+
+    // the strict reader still sees only the parseable document
+    assert(LandingIO.readLanding(spark, dir).count() === 2) // permissive all-null row included
+  }
+
   test("re-write overwrites atomically and sweeps stale .tmp leftovers") {
     import spark.implicits._
     val t0  = 1700000000L * 1000000L
