@@ -301,11 +301,13 @@ object Dedup {
         .groupBy(col("u"))
         .agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // no distinct here: duplicates are bounded (≤2x the symmetric edge
+      // list) and the half-round that always follows ends in a distinct —
+      // one fewer shuffle per iteration
       sym
         .join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       val dir = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
