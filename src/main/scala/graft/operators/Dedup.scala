@@ -246,16 +246,16 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("dlabel")).as("nmin"))
+      // change detection rides the SAME join (old label is right there) —
+      // the checkpoint materializes once and feeds both the convergence
+      // probe and the next round, replacing the former second join
+      val nextLabel = least(col("label"), coalesce(col("nmin"), col("label")))
       val next = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .select(col("id"), nextLabel.as("label"), (nextLabel =!= col("label")).as("__chg"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old"))
-        .limit(1)
-        .count()
-      labels = next
+      val changed = next.filter(col("__chg")).limit(1).count()
+      labels = next.drop("__chg")
       converged = changed == 0L
       iter += 1
     }
