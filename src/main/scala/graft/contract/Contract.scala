@@ -1964,6 +1964,44 @@ object Contract {
              |QUALIFY ROW_NUMBER() OVER (
              |  PARTITION BY sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
              |  ORDER BY doc_id) = 1""".stripMargin)
+    ),
+    Q(
+      "q87_curation_v2",
+      // the CAPSTONE curation flow, certified end to end as one query:
+      // quality gate -> exact dedup on the NORMALIZED digest (q86) ->
+      // near-dedup (q42) -> deterministic split (q53) -> decontaminate the
+      // train split against the test split (q56) -> per-split/lang stats.
+      // Every stage is individually certified; this certifies their
+      // composition (the pipeline a training-data user actually ships).
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        import graft.operators.{Corpus, Dedup, Splits}
+        val q = Tables
+          .documents(s, d)
+          .filter(
+            TextAnalysis.tokenCount(col("text")) >= 5 &&
+              TextAnalysis.punctRatio(col("text")) <= 0.2)
+          .select(col("doc_id"), col("lang"), col("text"))
+        val e = Dedup.exactDedupRows(
+          q, sha2(TextAnalysis.normalize(col("text")), 256), col("doc_id"))
+        val surv = Dedup.nearDedupRows(e, "doc_id", "text", n = 3, threshold = 0.8)
+        val split = Splits.assignSplit(
+          surv, "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        val contaminated = Corpus
+          .contamination(
+            split.filter(col("split") === "train"),
+            split.filter(col("split") === "test"),
+            "doc_id", "text", n = 3, threshold = 0.5)
+          .filter(col("contaminated"))
+          .select(col("doc_id"))
+        split
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .groupBy(col("split"), col("lang"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(TextAnalysis.tokenCount(col("text")).cast("bigint")).as("sum_tokens"))
+      },
+      Some(OracleSql.q87)
     )
   )
 

@@ -352,6 +352,62 @@ object OracleSql {
        |  (CASE WHEN len(hh) > 0 THEN COALESCE(nm, 0)::DOUBLE / len(hh) ELSE 0.0 END) >= 0.5 AS contaminated
        |FROM tr LEFT JOIN m USING (doc_id)""".stripMargin
 
+  /** Capstone curation mirror (q87): q54's chain with the q86 NORMALIZED
+    * digest in the exact-dedup stage and a q56 decontamination stage
+    * dropping contaminated train docs before the final stats — every
+    * fragment individually certified by its own query.
+    */
+  val q87: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 5
+       |    AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / length(text) <= 0.2),
+       |e AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT doc_id, lang, text,
+       |      ROW_NUMBER() OVER (
+       |        PARTITION BY sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+       |        ORDER BY doc_id) AS rn
+       |    FROM q) WHERE rn = 1),
+       |toks AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM e),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(tk) >= 3
+       |    THEN list_distinct(list_transform(range(1, len(tk)-1),
+       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+       |    ELSE CAST([] AS VARCHAR[]) END AS ss
+       |  FROM toks),
+       |hs AS (SELECT doc_id, list_distinct(list_transform(ss, s -> ${polyHash("s")})) AS hh FROM sh),
+       |drops AS (
+       |  SELECT DISTINCT b.doc_id AS id
+       |  FROM hs a, hs b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND len(list_intersect(a.hh, b.hh))::DOUBLE
+       |      / (len(a.hh) + len(b.hh) - len(list_intersect(a.hh, b.hh))) >= 0.8),
+       |surv AS (
+       |  SELECT e.doc_id, e.lang, e.text, hs.hh FROM e JOIN hs USING (doc_id)
+       |  WHERE e.doc_id NOT IN (SELECT id FROM drops)),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |          ((((doc_id % 1000000007) + 1000000007) % 1000000007) * 2654435761 % 1000000007) % 10000 AS bucket
+       |        FROM surv)),
+       |bh AS (SELECT DISTINCT unnest(hh) AS h FROM surv JOIN sp USING (doc_id) WHERE split = 'test'),
+       |ex AS (SELECT surv.doc_id AS doc_id, unnest(hh) AS h
+       |       FROM surv JOIN sp USING (doc_id) WHERE split = 'train'),
+       |m AS (SELECT ex.doc_id AS doc_id, COUNT(*) AS nm FROM ex JOIN bh USING (h) GROUP BY ex.doc_id),
+       |contaminated AS (
+       |  SELECT surv.doc_id FROM surv JOIN sp USING (doc_id) LEFT JOIN m USING (doc_id)
+       |  WHERE split = 'train' AND len(hh) > 0
+       |    AND COALESCE(nm, 0)::DOUBLE / len(hh) >= 0.5),
+       |clean AS (
+       |  SELECT surv.doc_id, surv.lang, surv.text, sp.split
+       |  FROM surv JOIN sp USING (doc_id)
+       |  WHERE surv.doc_id NOT IN (SELECT doc_id FROM contaminated))
+       |SELECT split, lang, COUNT(*) AS cnt,
+       |  SUM(len(string_split(text, ' ')))::BIGINT AS sum_tokens
+       |FROM clean GROUP BY 1, 2""".stripMargin
+
   /** Intra-doc repetition mirror (q57): total 2-grams is |tokens|-1; the
     * distinct count hashes each 2-gram with the shared polynomial hash —
     * the exact twin of the engine's native ShingleHashesExpr(n=2) path.
