@@ -154,6 +154,108 @@ object CorpusStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Embedding-event schema: an embedding computed asynchronously for a
+    * document, stamped with ITS OWN event time (when the embedder emitted
+    * it), which is what bounds the join state below.
+    */
+  val EmbEventSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("embedding", ArrayType(FloatType, containsNull = false)),
+    StructField("ts", TimestampType)))
+
+  /** Streaming read of a watched directory of parquet embedding events. */
+  def embEventStream(
+      spark: SparkSession,
+      rawDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+      .format("parquet")
+      .schema(EmbEventSchema)
+      .option("recursiveFileLookup", "true")
+    maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .load(rawDir)
+  }
+
+  /** Watermarked STREAM-STREAM join: attach asynchronously-arriving
+    * embeddings to their documents. The production shape this models: docs
+    * land on one feed, an embedding service emits vectors on another, and
+    * neither side can be a static table because both grow forever — so the
+    * join must buffer STATE, and that state must be BOUNDED or a 100-TB
+    * pipeline's join memory grows without limit.
+    *
+    * Both sides carry a watermark and the join condition carries the time
+    * bound (`doc.ts <= emb.ts <= doc.ts + maxDelay`) — exactly the pair of
+    * constraints Structured Streaming needs to know when a buffered row can
+    * never match again and evict it: a document leaves state once the
+    * embedding watermark passes `doc.ts + maxDelay`, an embedding once the
+    * document watermark passes its `ts`. Matches ACROSS drains work because
+    * the buffered side lives in the checkpoint, not the trigger.
+    *
+    * `joinType`:
+    *  - "inner": embedded documents only.
+    *  - "left_outer": additionally emits each document whose embedding
+    *    never arrived within `maxDelay` — with a NULL embedding — once the
+    *    watermark proves it can't anymore. That late NULL row IS the retry
+    *    channel: route it back to the embedder.
+    *
+    * Columns out: all doc columns + `embedding`, `emb_ts`.
+    */
+  def attachEmbeddings(
+      docs: DataFrame,
+      embs: DataFrame,
+      maxDelay: String = "1 hour",
+      lateness: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
+    val d = docs.withWatermark("ts", lateness)
+    val e = embs
+      .select(col("doc_id").as("emb_doc_id"), col("embedding"), col("ts").as("emb_ts"))
+      .withWatermark("emb_ts", lateness)
+    d.join(
+        e,
+        col("doc_id") === col("emb_doc_id") &&
+          col("emb_ts") >= col("ts") &&
+          col("emb_ts") <= col("ts") + expr(s"INTERVAL $maxDelay"),
+        joinType)
+      .drop("emb_doc_id")
+  }
+
+  /** Runnable attach job: curated docs + embedding events -> joined
+    * parquet, merged idempotently on doc_id (a replayed drain rewrites the
+    * same rows — MergeSink's exactly-once-effect contract). In left-outer
+    * mode the NULL-embedding orphans land under the same key, so a
+    * downstream re-embed that re-posts BOTH feeds replaces the orphan row
+    * on the next drain instead of duplicating it.
+    */
+  def runAttach(
+      spark: SparkSession,
+      docsDir: String,
+      embsDir: String,
+      outDir: String,
+      checkpointDir: String,
+      maxDelay: String = "1 hour",
+      lateness: String = "10 minutes",
+      joinType: String = "inner",
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    attachEmbeddings(
+      docStream(spark, docsDir, maxFilesPerTrigger),
+      embEventStream(spark, embsDir, maxFilesPerTrigger),
+      maxDelay, lateness, joinType)
+      .withColumn("date", to_date(col("ts")))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.cache()
+        try MergeSink.upsert(
+          batch.sparkSession, cached, outDir,
+          keyCols = Seq("doc_id"), partitionCols = Seq("date"))
+        finally cached.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Runnable ingest job: raw JSON docs -> curated, exact-deduped,
     * date-partitioned parquet corpus, merged idempotently on the digest
     * (a replayed batch converges instead of duplicating — MergeSink's

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Watermarked stream-stream join semantics (`CorpusStreams.attachEmbeddings`):
+  * matches land across drains (the buffered side lives in the checkpoint),
+  * the time bound excludes embeddings older than `maxDelay`, and left-outer
+  * mode emits a NULL-embedding orphan row once the watermark PROVES the
+  * embedding can no longer arrive — never before.
+  */
+class StreamJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmp(pfx: String): String =
+    Files.createTempDirectory(pfx).toString
+
+  private def writeDocs(dir: String, name: String, docs: Seq[(Long, String, String)]): Unit = {
+    val lines = docs.map { case (id, text, ts) =>
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s0","ts":"$ts"}"""
+    }
+    Files.write(Paths.get(dir, name), lines.mkString("\n").getBytes("UTF-8"))
+    ()
+  }
+
+  private def writeEmbs(dir: String, embs: Seq[(Long, Seq[Float], String)]): Unit = {
+    val ss = spark
+    import ss.implicits._
+    embs.toDF("doc_id", "embedding", "ts_s")
+      .select(
+        col("doc_id"), col("embedding"),
+        to_timestamp(col("ts_s")).as("ts"))
+      .coalesce(1)
+      .write.mode("append").parquet(dir)
+  }
+
+  test("inner: matches land across drains; out-of-bound embeddings never join") {
+    val docsDir = tmp("sj-docs")
+    val embsDir = tmp("sj-embs")
+    val out     = tmp("sj-out") + "/joined"
+    val ckpt    = tmp("sj-ckpt")
+    def drain(): Unit =
+      CorpusStreams.runAttach(
+        spark, docsDir, embsDir, out, ckpt,
+        maxDelay = "30 minutes", lateness = "5 minutes").awaitTermination()
+
+    // drain 1: two docs, embedding only for doc 1 (in-bound, +60 s);
+    // doc 5's embedding arrives 2 h later — OUTSIDE maxDelay
+    writeDocs(docsDir, "b1.json", Seq(
+      (1L, "one", "2026-01-01T00:00:00Z"),
+      (2L, "two", "2026-01-01T00:00:00Z"),
+      (5L, "five", "2026-01-01T00:00:00Z")))
+    writeEmbs(embsDir, Seq(
+      (1L, Seq(1f, 0f), "2026-01-01T00:01:00Z"),
+      (5L, Seq(5f, 0f), "2026-01-01T02:00:00Z"),
+      (99L, Seq(9f, 9f), "2026-01-01T00:01:00Z"))) // no such doc
+    drain()
+    val after1 = spark.read.parquet(out)
+    assert(after1.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+
+    // drain 2: doc 2's embedding arrives — doc 2 was buffered in the
+    // drain-1 checkpoint state, so the match emits now
+    writeEmbs(embsDir, Seq((2L, Seq(0f, 2f), "2026-01-01T00:02:00Z")))
+    drain()
+    val after2 = spark.read.parquet(out)
+    assert(after2.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    val emb2 = after2.filter(col("doc_id") === 2L)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    assert(emb2 === Seq(0f, 2f))
+
+    // replay from a fresh checkpoint converges (idempotent doc_id upsert)
+    CorpusStreams.runAttach(
+      spark, docsDir, embsDir, out, tmp("sj-ckpt2"),
+      maxDelay = "30 minutes", lateness = "5 minutes").awaitTermination()
+    assert(spark.read.parquet(out).count() === 2)
+  }
+
+  test("left_outer: orphan emits with NULL embedding only after the watermark proves no match") {
+    val docsDir = tmp("sjo-docs")
+    val embsDir = tmp("sjo-embs")
+    val out     = tmp("sjo-out") + "/joined"
+    val ckpt    = tmp("sjo-ckpt")
+    def drain(): Unit =
+      CorpusStreams.runAttach(
+        spark, docsDir, embsDir, out, ckpt,
+        maxDelay = "30 minutes", lateness = "5 minutes",
+        joinType = "left_outer").awaitTermination()
+
+    // drain 1: doc 1 with NO embedding — must NOT emit yet (the watermark
+    // hasn't passed ts + maxDelay; the embedding could still arrive)
+    writeDocs(docsDir, "b1.json", Seq((1L, "orphan", "2026-01-01T00:00:00Z")))
+    writeEmbs(embsDir, Seq((42L, Seq(0f), "2026-01-01T00:00:00Z"))) // seeds emb watermark
+    drain()
+    assert(!Files.exists(Paths.get(out)) ||
+      spark.read.parquet(out).filter(col("doc_id") === 1L).isEmpty)
+
+    // drain 2+: later events on BOTH feeds push both watermarks past
+    // 00:30 + lateness — doc 1 is now provably unmatched. The orphan may
+    // take an extra no-data drain to flush (eviction happens a batch after
+    // the watermark advances), so drain until it appears, bounded.
+    writeDocs(docsDir, "b2.json", Seq((2L, "late", "2026-01-01T02:00:00Z")))
+    writeEmbs(embsDir, Seq((2L, Seq(2f, 2f), "2026-01-01T02:01:00Z")))
+    var tries = 0
+    def orphanOut() = Files.exists(Paths.get(out)) &&
+      !spark.read.parquet(out).filter(col("doc_id") === 1L).isEmpty
+    while (!orphanOut() && tries < 3) { drain(); tries += 1 }
+
+    val rows = spark.read.parquet(out)
+    assert(rows.filter(col("doc_id") === 1L).select("embedding").collect()(0).isNullAt(0),
+      "orphan row must carry a NULL embedding")
+    // the matched pair from drain 2 is present with its embedding
+    assert(rows.filter(col("doc_id") === 2L).select("embedding")
+      .collect()(0).getSeq[Float](0) === Seq(2f, 2f))
+  }
+}
