@@ -2002,6 +2002,28 @@ object Contract {
             sum(TextAnalysis.tokenCount(col("text")).cast("bigint")).as("sum_tokens"))
       },
       Some(OracleSql.q87)
+    ),
+    Q(
+      "q88_zorder_roundtrip",
+      // the MULTI-column clustered write path under the hash gate: z-order
+      // events on (event_id, user_id) — LayoutSpec measures that a
+      // predicate on EITHER column prunes files — then read back through a
+      // two-dimension predicate and aggregate. The oracle runs the same
+      // query on the ORIGINAL table: the Morton shuffle must permute rows,
+      // never lose, duplicate, or mutate them.
+      (s, d) => {
+        import graft.operators.Layout
+        val ev0  = ev(s, d).select(col("event_id"), col("user_id"), col("value"))
+        val path = s"$scratchRoot/zordered_q88"
+        Layout.zorderWrite(ev0, path, Seq("event_id", "user_id"), numFiles = 8, buckets = 16)
+        s.read
+          .parquet(path)
+          .filter(col("event_id") < 4000 && col("user_id") < 500)
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_v"))
+      },
+      Some("""SELECT COUNT(*) AS cnt,
+             |  SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_v
+             |FROM events WHERE event_id < 4000 AND user_id < 500""".stripMargin)
     )
   )
 

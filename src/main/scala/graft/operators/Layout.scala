@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout operators: how a 100 TB table is WRITTEN decides what a
@@ -86,6 +86,86 @@ object Layout {
       .partitionBy("shard")
       .mode(SaveMode.Overwrite)
       .parquet(path)
+  }
+
+  /** Z-ORDER clustering: `clusterWrite` prunes ONE column's ranges; a
+    * corpus queried by several independent predicates (time AND user,
+    * score AND length) needs file spans tight on ALL of them at once.
+    * Sorting on (a, b) gives b no locality; the Z (Morton) curve does —
+    * each column is quantile-bucketed and the bucket BITS are interleaved,
+    * so rows close in z-value are close in EVERY dimension, and a range
+    * predicate on any single column confines the read to ~numFiles /
+    * 2^bitsFixed contiguous curve spans instead of the whole table.
+    *
+    * Quantile bucketing (not min/max scaling) makes the cells equal-
+    * POPULATION, so skew cannot collapse the curve: the cut points come
+    * from one `percentile_approx` pass, the only driver state is
+    * |zCols| x (buckets-1) doubles. Columns must be numeric or timestamp
+    * (hash strings to a number first — a z-curve over hashes prunes
+    * equality but not ranges). NULL sorts as the lowest bucket.
+    *
+    * One corpus-wide range exchange on the z-value (same price as
+    * clusterWrite) buys every later multi-predicate scan its pruning.
+    */
+  def zorderWrite(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      numFiles: Int,
+      buckets: Int = 64): Unit = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    require(zCols.size >= 2, "zorderWrite needs >= 2 columns; for one use clusterWrite")
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two >= 2, got $buckets")
+    require(!df.columns.contains("__z"),
+      "zorderWrite: input already has a '__z' column; rename it first")
+    df.withColumn("__z", zValue(df, zCols, buckets))
+      .repartitionByRange(numFiles, col("__z"))
+      // z first (file spans + writer ordering), raw columns after so row
+      // groups inside a file are tight on the leading column too
+      .sortWithinPartitions((col("__z") +: zCols.map(col)): _*)
+      .drop("__z")
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
+  /** The z (Morton) value expression `zorderWrite` clusters on: per-column
+    * approximate-quantile bucket ids, bit-interleaved (column i owns bit
+    * positions i, i+n, i+2n, ...). Runs one `percentile_approx` aggregate
+    * over `df` to learn the cut points; the returned Column is then pure
+    * per-row arithmetic (codegen'd, zero shuffle). Exposed for tests and
+    * for clustering EXISTING layouts (e.g. compact-then-zorder).
+    */
+  def zValue(df: DataFrame, zCols: Seq[String], buckets: Int): Column = {
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    // one pass for every column's cut points; approx is fine — cuts decide
+    // file spans, not results
+    val cutsRow = df
+      .select(zCols.map(c =>
+        percentile_approx(col(c).cast("double"), typedlit(qs), lit(10000)).as(c)): _*)
+      .collect()(0)
+    val bits = Integer.numberOfTrailingZeros(buckets)
+    val n    = zCols.size
+    val bucketIds = zCols.zipWithIndex.map { case (c, i) =>
+      // empty input: no cuts -> every row (there are none) buckets to 0
+      val cuts =
+        if (cutsRow.isNullAt(i)) Seq.empty[Double]
+        else cutsRow.getSeq[java.lang.Double](i).filter(_ ne null).map(_.doubleValue)
+      if (cuts.isEmpty) lit(0L)
+      else {
+        val v = col(c).cast("double")
+        // bucket = #cuts <= v, NULL lowest — a size(filter()) scan over
+        // <=63 literals, branch-free and codegen-friendly
+        when(v.isNull, lit(0L))
+          .otherwise(size(filter(typedlit(cuts), b => b <= v)).cast("long"))
+      }
+    }
+    (0 until bits)
+      .flatMap(k => bucketIds.zipWithIndex.map { case (b, i) =>
+        shiftleft(shiftright(b, k).bitwiseAND(lit(1L)), k * n + i)
+      })
+      .reduce(_.bitwiseOR(_))
   }
 
   /** Distinct files a filtered read actually touches — the pruning

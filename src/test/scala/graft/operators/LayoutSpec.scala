@@ -108,6 +108,49 @@ class LayoutSpec extends AnyFunSuite {
       Splits.shuffleShards(Seq((1L, 2)).toDF("doc_id", "pos"), "doc_id", 2))
   }
 
+  test("zorder: single-column predicates on EITHER dimension prune files; rows survive") {
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    val nFiles = 16
+
+    val zpath = tmp() + "/zordered"
+    Layout.zorderWrite(ev, zpath, Seq("event_id", "user_id"), numFiles = nFiles, buckets = 16)
+    val spath = tmp() + "/shuffled"
+    ev.repartition(nFiles).write.parquet(spath) // adversarial baseline
+
+    // roundtrip loses nothing
+    assert(spark.read.parquet(zpath).count() === ev.count())
+
+    // one event_id bucket (~1/16 of rows): ids are dense 0..N, so the
+    // lowest 1/16 of the id range is about one quantile bucket
+    val maxId = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    val idHi  = maxId / 16
+    def onId(p: String) = spark.read.parquet(p).filter(col("event_id") <= idHi)
+    // one user_id bucket, same construction
+    val maxU = ev.agg(max(col("user_id"))).collect()(0).getLong(0)
+    val uHi  = maxU / 16
+    def onUser(p: String) = spark.read.parquet(p).filter(col("user_id") <= uHi)
+
+    assert(onId(zpath).count() === onId(spath).count())
+    assert(onUser(zpath).count() === onUser(spath).count())
+
+    // the z-curve spreads a fixed bucket of EITHER column over a strict
+    // subset of the 16 contiguous z spans (fixing 2 of the top 4
+    // interleaved bits -> ~4 spans); the random layout reads everything
+    val idTouched   = Layout.filesTouched(onId(zpath))
+    val userTouched = Layout.filesTouched(onUser(zpath))
+    assert(idTouched <= nFiles / 2, s"event_id slice touched $idTouched of $nFiles files")
+    assert(userTouched <= nFiles / 2, s"user_id slice touched $userTouched of $nFiles files")
+    // (>= 3/4, not ==: at sf0.001 a ~62-row slice can randomly miss a file)
+    assert(Layout.filesTouched(onId(spath)) >= nFiles * 3L / 4)
+
+    // single-column clustering is the CONTRAST: tight on its own column,
+    // no locality at all on the other
+    val cpath = tmp() + "/clustered1d"
+    Layout.clusterWrite(ev, cpath, "event_id", numFiles = nFiles)
+    assert(Layout.filesTouched(onId(cpath)) <= 2)
+    assert(Layout.filesTouched(onUser(cpath)) >= nFiles * 3L / 4)
+  }
+
   test("hive partitioning on top: equality predicate prunes to one directory") {
     val ev = Tables
       .events(spark, sfDir)
