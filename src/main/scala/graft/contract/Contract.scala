@@ -2024,6 +2024,31 @@ object Contract {
       Some("""SELECT COUNT(*) AS cnt,
              |  SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_v
              |FROM events WHERE event_id < 4000 AND user_id < 500""".stripMargin)
+    ),
+    Q(
+      "q89_hybrid_rrf",
+      // hybrid retrieval: BM25 leg (q80's scoring chain restricted to the
+      // query terms, summed in query-term order — fixed association) +
+      // cosine leg (q25/q36's chain against the vec_id=0 embedding),
+      // fused by reciprocal rank — integer-derived FP, so the whole
+      // two-modality pipeline sits under the hash gate. Each leg is cut
+      // to its top-50 BEFORE fusion: the fusion join sees 100 rows at any
+      // corpus size.
+      (s, d) => {
+        import graft.operators.Retrieval
+        val docs = Tables.documents(s, d)
+        val embs = Tables.embeddings(s, d)
+        val qv = embs
+          .filter(col("vec_id") === 0)
+          .select(col("embedding"))
+          .collect()(0)
+          .getSeq[Float](0)
+        Retrieval.hybridTopK(
+          docs, embs, "doc_id", "text", "vec_id", "embedding",
+          queryTerms = Seq("vector", "merge"), queryVec = qv,
+          k = 10, nLeg = 50)
+      },
+      Some(OracleSql.q89)
     )
   )
 

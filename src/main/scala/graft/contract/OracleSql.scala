@@ -552,6 +552,58 @@ object OracleSql {
        |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin
   }
 
+  /** Hybrid RRF (q89): the lexical leg repeats q80's proven BM25 chain
+    * restricted to the query terms, with the per-doc total summed in the
+    * QUERY's term order (CASE-max per term — fixed association, mirroring
+    * Retrieval.bm25QueryScores); the vector leg repeats q36's proven
+    * cosine chain against the vec_id=0 embedding. RRF arithmetic is
+    * integer-derived (1/(60+rank)) so the fusion mirrors exactly.
+    */
+  val q89: String = {
+    val k1 = 1.2; val b = 0.75
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+       |    unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM t
+       |       WHERE term IN ('vector', 'merge') GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |st AS (SELECT SUM(len(string_split(text, ' ')))::BIGINT::DOUBLE AS sumdl,
+       |         COUNT(*)::DOUBLE AS n FROM documents),
+       |sc AS (SELECT doc_id, term,
+       |    ((tf::DOUBLE * ${k1 + 1}) /
+       |     (tf::DOUBLE + $k1 * (${1 - b} + ($b * dl::DOUBLE) / (sumdl / n)))) *
+       |    (n / df::DOUBLE) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN st),
+       |lex AS (SELECT doc_id,
+       |    COALESCE(MAX(CASE WHEN term = 'vector' THEN score END), 0) +
+       |    COALESCE(MAX(CASE WHEN term = 'merge' THEN score END), 0) AS lex_score
+       |  FROM sc GROUP BY doc_id),
+       |lexr AS (SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY lex_score DESC, doc_id) AS lex_rnk
+       |  FROM lex QUALIFY lex_rnk <= 50),
+       |nv AS (SELECT vec_id, embedding,
+       |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |                (a, b) -> a + b) AS n2
+       |  FROM embeddings),
+       |q AS (SELECT embedding, n2 FROM nv WHERE vec_id = 0),
+       |vs AS (SELECT c.vec_id AS doc_id,
+       |    list_reduce(list_transform(range(1, len(c.embedding) + 1),
+       |                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)),
+       |                (a, b) -> a + b) / (sqrt(c.n2) * sqrt(q.n2)) AS vec_score
+       |  FROM nv c CROSS JOIN q),
+       |vecr AS (SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY vec_score DESC, doc_id) AS vec_rnk
+       |  FROM vs QUALIFY vec_rnk <= 50),
+       |f AS (SELECT COALESCE(lexr.doc_id, vecr.doc_id) AS doc_id,
+       |    lexr.lex_rnk::INTEGER AS lex_rnk, vecr.vec_rnk::INTEGER AS vec_rnk,
+       |    COALESCE(1.0::DOUBLE / (60.0 + lexr.lex_rnk::DOUBLE), 0) +
+       |    COALESCE(1.0::DOUBLE / (60.0 + vecr.vec_rnk::DOUBLE), 0) AS rrf_score
+       |  FROM lexr FULL JOIN vecr ON lexr.doc_id = vecr.doc_id)
+       |SELECT doc_id, lex_rnk, vec_rnk, rrf_score FROM f
+       |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   /** DuckDB has no BLOB substring; the text is ASCII so a VARCHAR slice cast
     * to BLOB yields the same bytes. upper(hex(...)) matches Spark's
     * uppercase hex().

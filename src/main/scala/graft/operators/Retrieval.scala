@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: fuse a LEXICAL ranking (BM25 against a query term
+  * set) with a VECTOR ranking (cosine against a query embedding) by
+  * reciprocal-rank fusion — the standard recipe for "semantic search that
+  * still respects exact keywords" over a training corpus.
+  *
+  * RRF fuses RANKS, not scores (`sum_legs 1/(kRrf + rank)`), so the two
+  * legs need no score calibration and the fusion arithmetic is exact
+  * integer-derived FP — it mirrors bit for bit cross-engine, which is what
+  * lets the whole hybrid pipeline sit under the q89 hash gate.
+  *
+  * Scale shape: each leg reduces the corpus to its top `nLeg` rows BEFORE
+  * fusion (TakeOrdered — no global sort materialization, no global-window
+  * warning), so the fusion join handles 2 x nLeg rows regardless of corpus
+  * size.
+  */
+object Retrieval {
+
+  /** BM25 score of every document against a fixed query term set:
+    * `score(doc) = sum_{t in queryTerms} bm25(doc, t)`.
+    *
+    * Same per-term chain as `Corpus.bm25TopK` (rational idf, exact
+    * integer-sum avgdl, fixed-association FP), with two query-time wins:
+    *  - the explode is filtered to the query terms BEFORE the tf
+    *    aggregation, so the shuffle carries only matching token rows
+    *    (a few terms' postings, not the corpus);
+    *  - the per-doc total is summed in the QUERY's term order via one
+    *    conditional max per term — fixed association, so the total
+    *    mirrors bit for bit (a plain sum() would re-associate).
+    *
+    * Output: (idCol, lex_score), only documents containing at least one
+    * query term.
+    */
+  def bm25QueryScores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"queryTerms must be distinct, got $queryTerms")
+    import graft.functions.TextAnalysis
+    val toks = docs
+      .select(
+        col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__dl"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = toks
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("__dl")).as("dl"))
+    val dfT   = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("__sumdl"),
+      count(lit(1)).cast("double").as("__n"))
+    val avgdl = col("__sumdl").cast("double") / col("__n")
+    val score =
+      (col("tf").cast("double") * lit(k1 + 1)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1 - b) + (lit(b) * col("dl").cast("double")) / avgdl)) *
+        (col("__n") / col("df").cast("double"))
+    val perTerm = tf
+      .join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__score", score)
+    val total = queryTerms
+      .map(t => coalesce(max(when(col("term") === t, col("__score"))), lit(0.0)))
+      .reduce(_ + _)
+    perTerm.groupBy(col(idCol)).agg(total.as("lex_score"))
+  }
+
+  /** Top-`n` rows of `df` by (`scoreCol` DESC, `idCol` ASC), returned as
+    * (idCol, rnkName) with ranks 1..n. TakeOrdered cuts the corpus to n
+    * rows distributed; the rank is then assigned by sorting the collected
+    * struct array (score negated so ties still break id-ASCENDING) — no
+    * partitionless window, so no "No Partition Defined" scale warning in
+    * any log at any size.
+    */
+  def rankTop(
+      df: DataFrame,
+      scoreCol: String,
+      idCol: String,
+      n: Int,
+      rnkName: String): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    df.orderBy(col(scoreCol).desc, col(idCol))
+      .limit(n)
+      .select(struct((-col(scoreCol)).as("ns"), col(idCol).as("id")).as("s"))
+      .agg(sort_array(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")))
+      .select((col("pos") + 1).cast("int").as(rnkName), col("col.id").as(idCol))
+  }
+
+  /** Hybrid top-`k`: BM25 leg + cosine leg, RRF-fused.
+    *
+    * `embs(vecIdCol)` must share the id domain of `docs(docIdCol)`. The
+    * query embedding is a literal (driver-held, one vector) — the corpus
+    * side is a pure per-row projection (native dot product, zero shuffle)
+    * exactly like q25's probe side. A document missing from one leg's
+    * top-`nLeg` contributes nothing for that leg (standard RRF).
+    *
+    * Output: (docIdCol, lex_rnk, vec_rnk, rrf_score), best first,
+    * deterministic (ties break on id).
+    */
+  def hybridTopK(
+      docs: DataFrame,
+      embs: DataFrame,
+      docIdCol: String,
+      textCol: String,
+      vecIdCol: String,
+      vecCol: String,
+      queryTerms: Seq[String],
+      queryVec: Seq[Float],
+      k: Int = 10,
+      nLeg: Int = 50,
+      kRrf: Int = 60): DataFrame = {
+    // the fused pool is the UNION of the legs (up to 2 x nLeg rows)
+    require(k > 0 && 2 * nLeg >= k, s"need 0 < k <= 2*nLeg, got k=$k nLeg=$nLeg")
+    require(kRrf > 0, s"kRrf must be positive, got $kRrf")
+    val lexR = rankTop(
+      bm25QueryScores(docs, docIdCol, textCol, queryTerms),
+      "lex_score", docIdCol, nLeg, "lex_rnk")
+    val qv = typedlit(queryVec)
+    val vecScores = embs.select(
+      col(vecIdCol).as(docIdCol),
+      Similarity
+        .cosine(Similarity.dot(col(vecCol), qv), Similarity.norm2(col(vecCol)), Similarity.norm2(qv))
+        .as("vec_score"))
+    val vecR = rankTop(vecScores, "vec_score", docIdCol, nLeg, "vec_rnk")
+    def leg(rnk: Column): Column =
+      coalesce(lit(1.0) / (lit(kRrf.toDouble) + rnk.cast("double")), lit(0.0))
+    lexR
+      .join(vecR, Seq(docIdCol), "full_outer")
+      .withColumn("rrf_score", leg(col("lex_rnk")) + leg(col("vec_rnk")))
+      .orderBy(col("rrf_score").desc, col(docIdCol))
+      .limit(k)
+      .select(col(docIdCol), col("lex_rnk"), col("vec_rnk"), col("rrf_score"))
+  }
+}

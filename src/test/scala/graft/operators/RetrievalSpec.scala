@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Hybrid-retrieval semantics: rankTop's ordering contract, and RRF math —
+  * a document ranked by BOTH legs beats any single-leg document, missing
+  * legs contribute exactly zero, and every reported rrf_score reconstructs
+  * from its ranks.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("rankTop: dense ranks 1..n, score desc, ties break id ascending") {
+    val df = Seq(
+      (1L, 3.0), (2L, 9.0), (3L, 3.0), (4L, 7.0), (5L, 1.0)
+    ).toDF("id", "score")
+    val got = Retrieval.rankTop(df, "score", "id", 4, "rnk")
+      .orderBy("rnk").as[(Int, Long)].collect().toSeq
+    // 9.0 -> id 2; 7.0 -> id 4; tie at 3.0 -> ids 1 then 3; 1.0 cut off
+    assert(got === Seq((1, 2L), (2, 4L), (3, 1L), (4, 3L)))
+  }
+
+  test("hybridTopK: both-legs doc wins; missing leg contributes zero; scores reconstruct") {
+    // doc 1 is strong in BOTH legs; doc 2 lexical-only (orthogonal
+    // embedding); doc 3 vector-only (no query terms); doc 4 neither
+    val docs = Seq(
+      (1L, "vector merge vector merge"),
+      (2L, "vector vector merge merge vector merge vector"),
+      (3L, "nothing relevant here at all"),
+      (4L, "completely unrelated words only")
+    ).toDF("doc_id", "text")
+    val embs = Seq(
+      (1L, Seq(1f, 0.1f)),
+      (2L, Seq(0f, 1f)),
+      (3L, Seq(1f, 0f)),
+      (4L, Seq(0f, 1f))
+    ).toDF("vec_id", "embedding")
+
+    val out = Retrieval.hybridTopK(
+      docs, embs, "doc_id", "text", "vec_id", "embedding",
+      queryTerms = Seq("vector", "merge"), queryVec = Seq(1f, 0f),
+      k = 4, nLeg = 2)
+      .collect()
+
+    // doc 1: lexical top-2 AND vector top-2 -> two reciprocal terms; every
+    // other doc has at most one -> doc 1 must lead
+    assert(out.head.getLong(0) === 1L)
+    out.foreach { r =>
+      val lex  = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val vec  = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      val want = lex.map(x => 1.0 / (60.0 + x)).getOrElse(0.0) +
+        vec.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+      assert(r.getDouble(3) === want, s"row $r")
+      assert(lex.nonEmpty || vec.nonEmpty, "a fused row must come from some leg")
+    }
+    // doc 4 appears in NO leg's top-2 (no terms, orthogonal vector loses
+    // the vector top-2 to docs 1/3) -> absent from the fusion entirely
+    assert(!out.map(_.getLong(0)).contains(4L))
+  }
+}
