@@ -2049,6 +2049,27 @@ object Contract {
           k = 10, nLeg = 50)
       },
       Some(OracleSql.q89)
+    ),
+    Q(
+      "q90_token_budget",
+      // token-budget selection: highest-quality docs until the running
+      // token total hits the budget. The running total is the two-phase
+      // quantile-bucketed prefix sum (Splits.rankedPrefix) — NO
+      // partitionless window — while the oracle states the same thing as
+      // the naive SUM() OVER (ORDER BY ...): the scalable plan must
+      // reproduce the single-reducer semantics exactly. quality reuses
+      // q29's hash-proven FP chain; rank/cum columns are integer-exact.
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        val scored = Tables.documents(s, d).select(
+          col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.operators.Corpus
+          .selectToBudget(scored, "quality", "doc_id", "n_tokens", budget = 20000L)
+          .select(col("doc_id"), col("rnk").cast("int").as("rnk"), col("cum_cost").as("cum_tokens"))
+      },
+      Some(OracleSql.q90)
     )
   )
 

@@ -604,6 +604,29 @@ object OracleSql {
        |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** Token-budget selection (q90): quality is q29's hash-proven FP chain;
+    * the running total is the NAIVE single-reducer window — the engine's
+    * two-phase bucketed prefix sum must reproduce it row for row.
+    */
+  val q90: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    least(length(text)::DOUBLE / 400.0, 1.0) * 0.5
+       |      + least((len(list_filter(string_split(text, ' '), t -> list_contains(['the','a'], t)))::DOUBLE
+       |               / len(string_split(text, ' '))) * 5.0, 1.0) * 0.3
+       |      + (1.0 - least((len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / length(text)) * 10.0, 1.0)) * 0.2
+       |      AS quality,
+       |    len(string_split(text, ' '))::BIGINT AS n_tokens
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY quality DESC NULLS LAST, doc_id) AS rnk,
+       |    SUM(n_tokens) OVER (ORDER BY quality DESC NULLS LAST, doc_id
+       |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM scored)
+       |SELECT doc_id, rnk::INTEGER AS rnk, cum_tokens::BIGINT AS cum_tokens
+       |FROM r WHERE cum_tokens <= 20000""".stripMargin
+
   /** DuckDB has no BLOB substring; the text is ASCII so a VARCHAR slice cast
     * to BLOB yields the same bytes. upper(hex(...)) matches Spark's
     * uppercase hex().

@@ -257,4 +257,29 @@ object Corpus {
       .filter(col("rnk") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
   }
+
+  /** Token-budget corpus selection: keep the best-scoring documents whose
+    * RUNNING token total stays within `budget` — "give me the highest-
+    * quality `budget` tokens", the greedy selection rule every
+    * fixed-compute training run applies to an over-collected corpus.
+    *
+    * The running total in global (`scoreCol` DESC, `idCol`) order is
+    * `Splits.rankedPrefix` — quantile-bucketed two-phase prefix sum, no
+    * partitionless window, no single-reducer funnel at any corpus size.
+    * Rows keep all input columns plus `rnk` (global quality rank) and
+    * `cum_cost` (inclusive running cost): the first selected row is rank 1
+    * and the last one is the selection's exact token count.
+    */
+  def selectToBudget(
+      df: DataFrame,
+      scoreCol: String,
+      idCol: String,
+      costCol: String,
+      budget: Long,
+      buckets: Int = 32): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    Splits
+      .rankedPrefix(df, scoreCol, idCol, costCol, buckets = buckets)
+      .filter(col("cum_cost") <= budget)
+  }
 }

@@ -105,6 +105,77 @@ object Splits {
       .withColumn("pos", row_number().over(w))
   }
 
+  /** Global rank AND running-cost prefix sum in (`scoreCol` DESC NULLS
+    * LAST, `idCol` ASC) order — computed WITHOUT a partitionless window,
+    * which is the single-reducer trap every "ORDER BY ... ROW_NUMBER() /
+    * SUM() OVER ()" hides at 100 TB.
+    *
+    * Mechanics: quantile-bucket the score (one `percentile_approx` pass —
+    * the same equal-population trick as `Layout.zorderWrite`, so skew
+    * cannot unbalance the partitions), aggregate per-bucket (count, cost)
+    * totals — driver state is `buckets` pairs of longs — and turn them
+    * into exclusive offsets from the TOP bucket down. Each row's global
+    * rank/prefix is then its bucket's offset plus a local window
+    * PARTITIONED BY bucket: every reducer handles ~n/buckets rows, nothing
+    * funnels through one task. The bucket id is a pure function of the
+    * collected cut points, so the offsets pass and the final pass can
+    * never disagree about membership.
+    *
+    * NULL scores rank last; NULL costs count as 0. Adds `rankName`
+    * (long, 1-based) and `cumName` (long, inclusive running `costCol`).
+    */
+  def rankedPrefix(
+      df: DataFrame,
+      scoreCol: String,
+      idCol: String,
+      costCol: String,
+      rankName: String = "rnk",
+      cumName: String = "cum_cost",
+      buckets: Int = 32): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    Seq(rankName, cumName, "__b").foreach(n =>
+      require(!df.columns.contains(n), s"rankedPrefix: input already has a '$n' column"))
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val cutsRow = df
+      .select(percentile_approx(col(scoreCol).cast("double"), typedlit(qs), lit(10000)).as("c"))
+      .collect()(0)
+    val cuts =
+      if (cutsRow.isNullAt(0)) Seq.empty[Double]
+      else cutsRow.getSeq[java.lang.Double](0).filter(_ ne null).map(_.doubleValue)
+    val bExpr =
+      if (cuts.isEmpty) lit(0)
+      else
+        when(col(scoreCol).isNull, lit(-1)) // below every real bucket: ranks last
+          .otherwise(size(filter(typedlit(cuts), c => c <= col(scoreCol).cast("double"))))
+    val withB = df.withColumn("__b", bExpr)
+    val cost  = coalesce(col(costCol).cast("long"), lit(0L))
+    // per-bucket totals: the only driver state, `buckets` rows
+    val totals = withB
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("n"), sum(cost).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1) // highest score bucket first = global order
+    val offsets = totals
+      .scanLeft((0, 0L, 0L)) { case ((_, cn, cc), (b, n, c)) => (b, cn + n, cc + c) }
+      .sliding(2)
+      .collect { case Array((_, cntOff, costOff), (b, _, _)) => (b, cntOff, costOff) }
+      .toSeq
+    val ss = df.sparkSession
+    import ss.implicits._
+    val offDf = offsets.toDF("__b", "__cntoff", "__costoff")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b"))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    withB
+      .join(broadcast(offDf), Seq("__b"))
+      .withColumn(rankName, col("__cntoff") + row_number().over(w))
+      .withColumn(cumName, col("__costoff") + sum(cost).over(w))
+      .drop("__b", "__cntoff", "__costoff")
+  }
+
   /** Deterministic per-group downsample: keep the `n` rows with the
     * smallest key hash in each group — "uniform random but reproducible",
     * the corpus-balancing cut (cap docs per language/source) that

@@ -57,4 +57,33 @@ class SplitsSpec extends AnyFunSuite {
       .collect().map(_.getInt(0))
     assert(buckets.forall(b => b >= 0 && b < 100))
   }
+
+  test("rankedPrefix == naive global window, incl. score ties, NULL score, NULL cost") {
+    import spark.implicits._
+    // 200 rows, few distinct scores (heavy ties), some NULL scores/costs
+    val rows = (1L to 200L).map { i =>
+      val score: java.lang.Double = if (i % 17 == 0) null else (i % 7).toDouble
+      val cost: java.lang.Long    = if (i % 23 == 0) null else i % 10 + 1
+      (i, score, cost)
+    }
+    val df = rows.toDF("id", "score", "cost").repartition(7)
+
+    val got = Splits
+      .rankedPrefix(df, "score", "id", "cost", buckets = 4)
+      .select("id", "rnk", "cum_cost")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+
+    // naive single-reducer reference, computed driver-side
+    val ordered = rows.sortBy { case (id, s, _) =>
+      (if (s == null) (1, 0.0) else (0, -s.doubleValue), id)
+    }
+    var cum = 0L
+    val want = ordered.zipWithIndex.map { case ((id, _, c), i) =>
+      cum += (if (c == null) 0L else c.longValue)
+      (id, (i + 1).toLong, cum)
+    }.sortBy(_._1)
+    assert(got.toSeq === want)
+  }
 }
