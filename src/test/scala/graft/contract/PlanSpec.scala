@@ -74,6 +74,19 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"corpus-side shuffle leaked into:\n$p")
   }
 
+  test("q90: every window in the prefix-sum plan is partitioned (no single-reducer funnel)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = Contract.byName("q90_token_budget").run(spark, sfDir).queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the local rank/cumsum window in q90's plan")
+    wins.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"partitionless window leaked into q90:\n$w"))
+  }
+
+  test("q89: both retrieval legs cut by TakeOrdered before fusion (no global sort)") {
+    assert(plan("q89_hybrid_rrf").contains("TakeOrderedAndProject"))
+  }
+
   test("no contract query plans a CartesianProduct") {
     Contract.all.foreach { q =>
       val p = q.run(spark, sfDir).queryExecution.executedPlan.toString
