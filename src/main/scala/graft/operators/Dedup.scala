@@ -289,7 +289,8 @@ object Dedup {
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20,
+      smallGraphThreshold: Long = 1L << 17): DataFrame = {
     val nodes = pairs
       .select(col(idA).as("id"))
       .union(pairs.select(col(idB).as("id")))
@@ -333,7 +334,40 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
-    var last      = sig(edges)
+    var last = sig(edges)
+    // Size-gated driver fallback (the LocalRelation trick): a mined
+    // near-dup graph is usually TINY relative to its corpus — edges ∝
+    // duplicate pairs, not documents — and below the threshold the
+    // distributed rounds are pure per-job overhead. Union-find with path
+    // compression on the driver produces the identical min-label
+    // components in microseconds; bounded by `smallGraphThreshold` edges
+    // of driver memory. Above the threshold (or with threshold 0, as the
+    // log-round convergence tests force) the O(log n) star rounds run.
+    if (last._1 <= smallGraphThreshold) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) x = parent.getOrElse(x, x)
+        var y = x0
+        while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = x; y = n }
+        x
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val ss = pairs.sparkSession
+      import ss.implicits._
+      val labels = es
+        .flatMap { case (a, b) => Seq(a, b) }
+        .distinct
+        .map(id => (id, find(id)))
+        .toSeq
+      return nodes
+        .join(labels.toDF("id", "label"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    }
     var iter      = 0
     var converged = false
     while (iter < maxIters && !converged) {

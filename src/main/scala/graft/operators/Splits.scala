@@ -135,27 +135,47 @@ object Splits {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     Seq(rankName, cumName, "__b").foreach(n =>
       require(!df.columns.contains(n), s"rankedPrefix: input already has a '$n' column"))
-    val qs = (1 until buckets).map(_.toDouble / buckets)
-    val cutsRow = df
-      .select(percentile_approx(col(scoreCol).cast("double"), typedlit(qs), lit(10000)).as("c"))
-      .collect()(0)
-    val cuts =
-      if (cutsRow.isNullAt(0)) Seq.empty[Double]
-      else cutsRow.getSeq[java.lang.Double](0).filter(_ ne null).map(_.doubleValue)
+    val cost = coalesce(col(costCol).cast("long"), lit(0L))
+    // The cuts and totals passes run over a PERSISTED (score, cost)
+    // projection — ~16 bytes/row, the k-means caching pattern. The cache is
+    // a materialization barrier: without it, CollapseProject inlines an
+    // expensive score EXPRESSION into the bucket lambda (structurally one
+    // reference, but evaluated `buckets` times per row at runtime — a 30x
+    // blowup measured on q90's quality chain). The final pass keeps the
+    // score as an output column, so it never duplicates.
+    val slim = df
+      .select(col(scoreCol).cast("double").as("__score"), cost.as("__cost"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cuts, totals) =
+      try {
+        val qs = (1 until buckets).map(_.toDouble / buckets)
+        val cutsRow = slim
+          .select(percentile_approx(col("__score"), typedlit(qs), lit(10000)).as("c"))
+          .collect()(0)
+        val cs =
+          if (cutsRow.isNullAt(0)) Seq.empty[Double]
+          else cutsRow.getSeq[java.lang.Double](0).filter(_ ne null).map(_.doubleValue)
+        val bSlim =
+          if (cs.isEmpty) lit(0)
+          else
+            when(col("__score").isNull, lit(-1))
+              .otherwise(size(filter(typedlit(cs), c => c <= col("__score"))))
+        // per-bucket totals: the only driver state, `buckets` rows
+        val tot = slim
+          .withColumn("__b", bSlim)
+          .groupBy(col("__b"))
+          .agg(count(lit(1)).as("n"), sum(col("__cost")).as("c"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+          .sortBy(-_._1) // highest score bucket first = global order
+        (cs, tot)
+      } finally { slim.unpersist(); () }
     val bExpr =
       if (cuts.isEmpty) lit(0)
       else
         when(col(scoreCol).isNull, lit(-1)) // below every real bucket: ranks last
           .otherwise(size(filter(typedlit(cuts), c => c <= col(scoreCol).cast("double"))))
     val withB = df.withColumn("__b", bExpr)
-    val cost  = coalesce(col(costCol).cast("long"), lit(0L))
-    // per-bucket totals: the only driver state, `buckets` rows
-    val totals = withB
-      .groupBy(col("__b"))
-      .agg(count(lit(1)).as("n"), sum(cost).as("c"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(-_._1) // highest score bucket first = global order
     val offsets = totals
       .scanLeft((0, 0L, 0L)) { case ((_, cn, cc), (b, n, c)) => (b, cn + n, cc + c) }
       .sliding(2)

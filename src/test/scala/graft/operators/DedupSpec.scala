@@ -199,19 +199,25 @@ class DedupSpec extends AnyFunSuite {
 
     // a 64-node PATH: diameter 63 — label propagation at maxIters=20 cannot
     // finish, star contraction collapses it in ~log2(64) rounds
+    // (smallGraphThreshold = 0 forces the DISTRIBUTED rounds — the
+    // convergence claim is about them, not the driver fallback)
     val chain = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponentsStar(chain, maxIters = 10)
+    val got = Dedup.connectedComponentsStar(chain, maxIters = 10, smallGraphThreshold = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === (1L to 64L).map(_ -> 1L).toMap)
 
-    // random graph: star labels == propagation labels
+    // random graph: propagation, distributed star, and the size-gated
+    // driver union-find all produce identical labels
     val rnd = new scala.util.Random(13)
     val edges = (1 to 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
       .filter { case (a, b) => a != b }
     val df   = edges.toDF("id_a", "id_b")
     val prop = Dedup.connectedComponents(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val st   = Dedup.connectedComponentsStar(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(st === prop)
+    val dist = Dedup.connectedComponentsStar(df, smallGraphThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val drv = Dedup.connectedComponentsStar(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === prop && drv === prop)
   }
 
   test("simHashWidePairs: 62-bit pigeonhole mining == brute force; buckets finer than 16-bit") {
