@@ -2070,6 +2070,27 @@ object Contract {
           .select(col("doc_id"), col("rnk").cast("int").as("rnk"), col("cum_cost").as("cum_tokens"))
       },
       Some(OracleSql.q90)
+    ),
+    Q(
+      "q91_embed_dedup_rows",
+      // vector-level dedup SURVIVORS: connected components over the q46
+      // banded-LSH pair graph, keep the min vec_id per component — the
+      // embedding twin of q48/q81's text policy, closing the vector dedup
+      // story from pair mining (q33/q46) to dropped rows. The star CC's
+      // size-gated driver fallback handles the (tiny) mined graph; at
+      // corpus scale the distributed log-round contraction takes over.
+      (s, d) => {
+        import graft.operators.{Dedup, Similarity}
+        val emb = Tables.embeddings(s, d)
+        val pairs = Similarity.embedNearDupPairs(
+          emb, "vec_id", "embedding", threshold = 0.45, bits = 60, bandBits = 6)
+        Dedup
+          .ccNearDedupRowsFromLabels(
+            emb, "vec_id",
+            Dedup.connectedComponentsStar(pairs))
+          .select(col("vec_id"))
+      },
+      Some(OracleSql.q91)
     )
   )
 

@@ -245,12 +245,12 @@ object OracleSql {
     * style). Both engines compute every dot in doubles in the same order,
     * so the sign bits agree bit for bit.
     */
-  val q46: String = {
-    val bits     = 60
-    val bandBits = 6
-    val nBands   = bits / bandBits
-    val mask     = (1 << bandBits) - 1
-    val dim      = 64
+  /** q46/q91 shared CTE chain: signatures -> banded candidates -> exact
+    * cosine verify (`v`). Mirrors Similarity.embedNearDupPairs.
+    */
+  private def embedPairCtes(bits: Int = 60, bandBits: Int = 6, dim: Int = 64): String = {
+    val nBands = bits / bandBits
+    val mask   = (1 << bandBits) - 1
     // list literals (sibling nodes), not 60/64-deep `+` chains: DuckDB's
     // binder caps expression recursion at 128. The per-bit dot folds
     // left-to-right over range(1, dim+1) — same order as VecSignExpr's loop.
@@ -266,7 +266,7 @@ object OracleSql {
     val bandCond = (0 until nBands)
       .map(b => s"((a.sig >> ${b * bandBits}) & $mask) = ((b.sig >> ${b * bandBits}) & $mask)")
       .mkString(" OR ")
-    s"""WITH s AS (
+    s"""s AS (
        |  SELECT vec_id, embedding,
        |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
        |                (a, b) -> a + b) AS n2,
@@ -282,9 +282,29 @@ object OracleSql {
        |                (x, y) -> x + y) / (sqrt(sa.n2) * sqrt(sb.n2)) AS cos
        |  FROM cand c
        |  JOIN s sa ON sa.vec_id = c.id_a
-       |  JOIN s sb ON sb.vec_id = c.id_b)
-       |SELECT id_a, id_b, cos FROM v WHERE cos >= 0.45""".stripMargin
+       |  JOIN s sb ON sb.vec_id = c.id_b)""".stripMargin
   }
+
+  val q46: String =
+    s"""WITH ${embedPairCtes()}
+       |SELECT id_a, id_b, cos FROM v WHERE cos >= 0.45""".stripMargin
+
+  /** Embedding dedup ROWS (q91): q46's pair graph + q48's recursive
+    * min-label walk — survivors are the min vec_id per component.
+    */
+  val q91: String =
+    s"""WITH RECURSIVE ${embedPairCtes()},
+       |pairs AS (SELECT id_a, id_b FROM v WHERE cos >= 0.45),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |walk(src, reach) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+       |label AS (SELECT src AS id, MIN(reach) AS label FROM walk GROUP BY src),
+       |drops AS (SELECT id FROM label WHERE label <> id)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM drops)""".stripMargin
 
   /** End-to-end curation pipeline mirror (q54): quality filter -> exact
     * dedup (sha256, keep smallest doc_id) -> near-dedup (greedy over the
