@@ -2091,6 +2091,51 @@ object Contract {
           .select(col("vec_id"))
       },
       Some(OracleSql.q91)
+    ),
+    Q(
+      "q92_unpivot",
+      // wide->long reshape (melt): the inverse of q50's dynamic pivot,
+      // Spark's native unpivot (Expand — one pass, rows x |values|, no
+      // join, no shuffle before the final metric aggregation). The mirror
+      // is the portable UNION ALL spelling of the same reshape.
+      (s, d) =>
+        li(s, d)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+            "metric", "val")
+          .groupBy(col("metric"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("val")).as("total")),
+      Some("""WITH u AS (
+             |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+             |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+             |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+             |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+             |SELECT metric, COUNT(*) AS cnt,
+             |  SUM(CAST(val AS DECIMAL(18,2)))::DOUBLE AS total
+             |FROM u GROUP BY metric""".stripMargin)
+    ),
+    Q(
+      "q93_resample_ffill",
+      // regular-grid resample + forward fill (telematics normalization):
+      // per-user 1-hour grid between first and last observation, bin value
+      // = last observation in the bin (ts ties -> larger value,
+      // deterministic), gaps carried forward with an `observed` flag. All
+      // windows key-partitioned; the grid explode materializes only each
+      // key's own span.
+      (s, d) =>
+        graft.operators.Resample
+          .resampleFill(
+            ev(s, d).select(col("user_id"), col("ts"), col("value")),
+            "user_id", "ts", "value", step = "1 hour")
+          .select(
+            col("user_id"),
+            date_format(col("bin"), "yyyy-MM-dd HH:mm:ss").as("bin_s"),
+            col("value"), col("observed")),
+      Some(OracleSql.q93)
     )
   )
 

@@ -647,6 +647,31 @@ object OracleSql {
        |SELECT doc_id, rnk::INTEGER AS rnk, cum_tokens::BIGINT AS cum_tokens
        |FROM r WHERE cum_tokens <= 20000""".stripMargin
 
+  /** Resample + forward fill (q93): bins at µs precision (epoch_ns//1000
+    * — Spark's timestamp is µs), per-bin last picked by (ts DESC, value
+    * DESC) to mirror max(struct(ts, value)), per-user generate_series
+    * grid, LOCF via IGNORE NULLS last_value.
+    */
+  val q93: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events),
+       |b AS (
+       |  SELECT user_id, (us // 3600000000) * 3600 AS bin, value,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, us // 3600000000
+       |                       ORDER BY us DESC, value DESC) AS rn
+       |  FROM e),
+       |pb AS (SELECT user_id, bin, value AS vobs FROM b WHERE rn = 1),
+       |bounds AS (SELECT user_id, MIN(bin) AS lo, MAX(bin) AS hi FROM pb GROUP BY user_id),
+       |grid AS (SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bin FROM bounds),
+       |j AS (SELECT g.user_id, g.bin, pb.vobs
+       |      FROM grid g LEFT JOIN pb ON pb.user_id = g.user_id AND pb.bin = g.bin)
+       |SELECT user_id,
+       |  strftime(make_timestamp(bin * 1000000), '%Y-%m-%d %H:%M:%S') AS bin_s,
+       |  last_value(vobs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bin
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       |  vobs IS NOT NULL AS observed
+       |FROM j""".stripMargin
+
   /** DuckDB has no BLOB substring; the text is ASCII so a VARCHAR slice cast
     * to BLOB yields the same bytes. upper(hex(...)) matches Spark's
     * uppercase hex().

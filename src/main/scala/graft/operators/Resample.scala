@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid resampling for irregular time series — the telematics
+  * normalization step (CAN channels arrive at device-dependent rates;
+  * models and joins want one row per key per step, gaps carried forward).
+  *
+  * Scale shape: one (key, bin) aggregation for the per-bin last
+  * observation, a per-key min/max aggregate whose `sequence()` explode
+  * materializes only each key's OWN span (no global calendar join), and a
+  * key-partitioned forward-fill window — nothing global, nothing
+  * partitionless, grid volume = sum of per-key spans / step.
+  */
+object Resample {
+
+  /** Resample `df` to a regular `step` grid per `keyCol`: one row per key
+    * per step between that key's first and last observation.
+    *
+    *  - `value`: the bin's LAST observation — max of struct(ts, value), so
+    *    same-timestamp ties resolve to the larger value, deterministically —
+    *    forward-filled across empty bins (standard last-observation-
+    *    carried-forward);
+    *  - `observed`: false on carried-forward rows.
+    *
+    * `step` is any calendar-interval string `sequence()` accepts
+    * ("1 hour", "15 minutes"). Output: keyCol, bin (timestamp), value,
+    * observed.
+    */
+  def resampleFill(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      step: String = "1 hour"): DataFrame = {
+    val key = col(keyCol)
+    val perBin = df
+      .withColumn("__bin", window(col(tsCol), step).getField("start"))
+      .groupBy(key, col("__bin"))
+      .agg(max(struct(col(tsCol), col(valCol))).getField(valCol).as("__vobs"))
+    val grid = perBin
+      .groupBy(key)
+      .agg(min(col("__bin")).as("__lo"), max(col("__bin")).as("__hi"))
+      .select(key, explode(expr(s"sequence(__lo, __hi, interval $step)")).as("__bin"))
+    val w = Window.partitionBy(key).orderBy(col("__bin"))
+    grid
+      .join(perBin, Seq(keyCol, "__bin"), "left")
+      .withColumn("value", last(col("__vobs"), ignoreNulls = true).over(w))
+      .withColumn("observed", col("__vobs").isNotNull)
+      .select(key, col("__bin").as("bin"), col("value"), col("observed"))
+  }
+
+  /** Gap report over the same grid: per key, the count and fraction of
+    * carried-forward (unobserved) bins — the data-quality number that says
+    * whether a channel is dense enough to train on.
+    */
+  def gapStats(resampled: DataFrame, keyCol: String): DataFrame =
+    resampled
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum(when(!col("observed"), 1L).otherwise(0L)).as("n_filled"))
+      .withColumn("fill_ratio", col("n_filled").cast("double") / col("n_bins"))
+}
