@@ -123,6 +123,13 @@ object Splits {
     *
     * NULL scores rank last; NULL costs count as 0. Adds `rankName`
     * (long, 1-based) and `cumName` (long, inclusive running `costCol`).
+    *
+    * Caveat: rows with IDENTICAL scores share a bucket (quantile cuts
+    * cannot split a tie), so a near-constant score column degenerates back
+    * toward one partition. Scores with real spread (quality signals,
+    * timestamps, sizes) are fine; for coarse grades first refine the score
+    * deterministically (e.g. `score * 2^20 + hashOrder(id) % 2^20` as a
+    * composite) so the cuts have something to cut.
     */
   def rankedPrefix(
       df: DataFrame,
