@@ -256,6 +256,46 @@ object CorpusStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAM-STATIC enrichment against a REFRESHING dimension: join each
+    * drained batch of documents with the CURRENT snapshot of a small
+    * dimension table (source metadata, license tiers, language configs —
+    * the slowly-changing dimensions of a corpus pipeline).
+    *
+    * The dimension is re-read INSIDE foreachBatch, once per micro-batch —
+    * a static DataFrame captured at stream construction would pin the file
+    * listing of the snapshot it was created from, silently ignoring every
+    * later dimension update; the per-batch read is what makes the
+    * dimension actually slowly-CHANGING. Broadcast by construction
+    * (dimensions are small); left join so documents with no dim row still
+    * land (with NULL attributes) rather than vanishing.
+    */
+  def runEnrich(
+      spark: SparkSession,
+      docsDir: String,
+      dimDir: String,
+      outDir: String,
+      checkpointDir: String,
+      dimKey: String = "lang",
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    docStream(spark, docsDir, maxFilesPerTrigger)
+      .withColumn("date", to_date(col("ts")))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        // fresh snapshot per batch — the refresh IS the operator
+        val dim    = ss.read.parquet(dimDir)
+        val cached = batch.join(broadcast(dim), Seq(dimKey), "left").cache()
+        try MergeSink.upsert(
+          ss, cached, outDir,
+          keyCols = Seq("doc_id"), partitionCols = Seq("date"))
+        finally cached.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Runnable ingest job: raw JSON docs -> curated, exact-deduped,
     * date-partitioned parquet corpus, merged idempotently on the digest
     * (a replayed batch converges instead of duplicating — MergeSink's

@@ -79,6 +79,34 @@ class StreamJoinSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 2)
   }
 
+  test("stream-static enrich: each drain joins the dimension's CURRENT snapshot") {
+    val ss = spark
+    import ss.implicits._
+    val docsDir = tmp("se-docs")
+    val dimDir  = tmp("se-dim") + "/dim"
+    val out     = tmp("se-out") + "/enriched"
+    val ckpt    = tmp("se-ckpt")
+
+    // dim v1: en -> tier "A"
+    Seq(("en", "A")).toDF("lang", "tier").write.mode("overwrite").parquet(dimDir)
+    writeDocs(docsDir, "b1.json", Seq((1L, "one", "2026-01-01T00:00:00Z")))
+    CorpusStreams.runEnrich(spark, docsDir, dimDir, out, ckpt).awaitTermination()
+    val after1 = spark.read.parquet(out)
+      .select("doc_id", "tier").as[(Long, String)].collect().toMap
+    assert(after1 === Map(1L -> "A"))
+
+    // dim updated to v2 BETWEEN drains: en -> "B", new lang es -> "C".
+    // The next drain must see v2 without any stream restart plumbing.
+    Seq(("en", "B"), ("es", "C")).toDF("lang", "tier")
+      .write.mode("overwrite").parquet(dimDir)
+    writeDocs(docsDir, "b2.json", Seq((2L, "two", "2026-01-01T01:00:00Z")))
+    CorpusStreams.runEnrich(spark, docsDir, dimDir, out, ckpt).awaitTermination()
+    val after2 = spark.read.parquet(out)
+      .select("doc_id", "tier").as[(Long, String)].collect().toMap
+    // doc 2 enriched by v2; doc 1's landed row is untouched history
+    assert(after2 === Map(1L -> "A", 2L -> "B"))
+  }
+
   test("left_outer: orphan emits with NULL embedding only after the watermark proves no match") {
     val docsDir = tmp("sjo-docs")
     val embsDir = tmp("sjo-embs")
