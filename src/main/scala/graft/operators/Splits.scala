@@ -161,11 +161,18 @@ object Splits {
           .collect()(0)
         val cs =
           if (cutsRow.isNullAt(0)) Seq.empty[Double]
-          else cutsRow.getSeq[java.lang.Double](0).filter(_ ne null).map(_.doubleValue)
+          else
+            cutsRow.getSeq[java.lang.Double](0)
+              .filter(_ ne null).map(_.doubleValue)
+              .filterNot(_.isNaN) // a NaN cut would poison every comparison
         val bSlim =
           if (cs.isEmpty) lit(0)
           else
             when(col("__score").isNull, lit(-1))
+              // NaN compares false against every cut but SORTS as the
+              // largest double — pin it to the top bucket explicitly or
+              // its bucket offset and its sort position disagree
+              .when(isnan(col("__score")), lit(cs.length))
               .otherwise(size(filter(typedlit(cs), c => c <= col("__score"))))
         // per-bucket totals: the only driver state, `buckets` rows
         val tot = slim
@@ -181,6 +188,7 @@ object Splits {
       if (cuts.isEmpty) lit(0)
       else
         when(col(scoreCol).isNull, lit(-1)) // below every real bucket: ranks last
+          .when(isnan(col(scoreCol).cast("double")), lit(cuts.length)) // NaN sorts largest
           .otherwise(size(filter(typedlit(cuts), c => c <= col(scoreCol).cast("double"))))
     val withB = df.withColumn("__b", bExpr)
     val offsets = totals

@@ -58,12 +58,19 @@ class SplitsSpec extends AnyFunSuite {
     assert(buckets.forall(b => b >= 0 && b < 100))
   }
 
-  test("rankedPrefix == naive global window, incl. score ties, NULL score, NULL cost") {
+  test("rankedPrefix == naive global window, incl. ties, NULL/NaN/Inf scores, NULL cost") {
     import spark.implicits._
-    // 200 rows, few distinct scores (heavy ties), some NULL scores/costs
+    // 200 rows, few distinct scores (heavy ties), NULL scores/costs, and
+    // the double ordering edge cases: NaN (sorts LARGEST in Spark) and
+    // +/-Infinity
     val rows = (1L to 200L).map { i =>
-      val score: java.lang.Double = if (i % 17 == 0) null else (i % 7).toDouble
-      val cost: java.lang.Long    = if (i % 23 == 0) null else i % 10 + 1
+      val score: java.lang.Double =
+        if (i % 17 == 0) null
+        else if (i % 31 == 0) Double.NaN
+        else if (i % 37 == 0) Double.PositiveInfinity
+        else if (i % 41 == 0) Double.NegativeInfinity
+        else (i % 7).toDouble
+      val cost: java.lang.Long = if (i % 23 == 0) null else i % 10 + 1
       (i, score, cost)
     }
     val df = rows.toDF("id", "score", "cost").repartition(7)
@@ -75,9 +82,17 @@ class SplitsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
 
-    // naive single-reducer reference, computed driver-side
-    val ordered = rows.sortBy { case (id, s, _) =>
-      (if (s == null) (1, 0.0) else (0, -s.doubleValue), id)
+    // naive single-reducer reference: Spark's DESC NULLS LAST over doubles
+    // is java.lang.Double.compare reversed (NaN greatest), nulls last
+    val ordered = rows.sortWith { case ((ida, sa, _), (idb, sb, _)) =>
+      (sa, sb) match {
+        case (null, null) => ida < idb
+        case (null, _)    => false
+        case (_, null)    => true
+        case (a, b) =>
+          val c = java.lang.Double.compare(a.doubleValue, b.doubleValue)
+          if (c != 0) c > 0 else ida < idb
+      }
     }
     var cum = 0L
     val want = ordered.zipWithIndex.map { case ((id, _, c), i) =>
