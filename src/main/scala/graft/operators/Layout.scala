@@ -175,6 +175,84 @@ object Layout {
   def filesTouched(df: DataFrame): Long =
     df.select(input_file_name()).distinct().count()
 
+  /** `clusterWrite` + a `_RANGE_INDEX.json` manifest mapping each data
+    * file to its [min, max] span of `clusterCol` — the span metadata
+    * parquet keeps in footers, EXPORTED to where a reader that never opens
+    * a footer (a shard loader, a downloader, an external catalog) can
+    * binary-search it. One extra aggregation over the written files
+    * (group by input_file_name), manifest written last so a crashed write
+    * leaves no index to trust.
+    */
+  def clusterWriteIndexed(
+      df: DataFrame,
+      path: String,
+      clusterCol: String,
+      numFiles: Int): Unit = {
+    clusterWrite(df, path, clusterCol, numFiles)
+    val spark = df.sparkSession
+    val spans = spark.read
+      .parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(clusterCol)).as("lo"), max(col(clusterCol)).as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.get(1), r.get(2)))
+      .sortBy(_._2.toString)
+    val json = spans
+      .map { case (f, lo, hi) =>
+        val name = new org.apache.hadoop.fs.Path(f).getName
+        s"""{"file":"$name","lo":"$lo","hi":"$hi"}"""
+      }
+      .mkString("[", ",", "]")
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val idx  = new Path(path, "_RANGE_INDEX.json")
+    val fs   = idx.getFileSystem(conf)
+    val tmp  = new Path(idx.getParent, s".${idx.getName}.tmp")
+    val out  = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(idx)) fs.delete(idx, false)
+    if (!fs.rename(tmp, idx))
+      throw new java.io.IOException(s"clusterWriteIndexed: cannot promote $tmp")
+  }
+
+  /** Range read THROUGH the manifest: select only the files whose span
+    * overlaps [lo, hi] (string-compared against the stamped spans — the
+    * caller supplies values in the clusterCol's own formatting) and read
+    * just those, with the residual filter on top. The span cut happens on
+    * the driver over the manifest — no listing, no footer reads, no
+    * planner involvement for the skipped files. Returns the pruned
+    * DataFrame and the file count it will read.
+    */
+  def readRangeIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      clusterCol: String,
+      lo: Long,
+      hi: Long): (DataFrame, Int) = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val idx  = new Path(path, "_RANGE_INDEX.json")
+    val fs   = idx.getFileSystem(conf)
+    if (!fs.exists(idx))
+      throw new java.io.FileNotFoundException(s"readRangeIndexed: no range index at $idx")
+    val in  = fs.open(idx)
+    val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val rx  = """\{"file":"([^"]+)","lo":"([^"]+)","hi":"([^"]+)"\}""".r
+    val files = rx
+      .findAllMatchIn(raw)
+      .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong))
+      .collect { case (f, flo, fhi) if fhi >= lo && flo <= hi => s"$path/$f" }
+      .toSeq
+    val df =
+      if (files.isEmpty)
+        spark.read.parquet(path).filter(lit(false)) // empty, same schema
+      else
+        spark.read
+          .parquet(files: _*)
+          .filter(col(clusterCol) >= lo && col(clusterCol) <= hi)
+    (df, files.size)
+  }
+
   /** Compact a parquet table's small files toward `targetBytes` per file:
     * sizes the output file count from the table's actual on-disk bytes and
     * rewrites atomically (write to a sibling temp dir, swap by rename) so

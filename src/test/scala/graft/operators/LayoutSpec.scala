@@ -151,6 +151,24 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.filesTouched(onUser(cpath)) >= nFiles * 3L / 4)
   }
 
+  test("range index manifest: reads only overlapping files, exact rows, empty beyond the span") {
+    val ev   = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    val path = tmp() + "/indexed"
+    Layout.clusterWriteIndexed(ev, path, "event_id", numFiles = 8)
+
+    val (narrow, nFiles) = Layout.readRangeIndexed(spark, path, "event_id", 100L, 199L)
+    val want = ev.filter(col("event_id") >= 100 && col("event_id") <= 199)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(narrow.select("event_id").collect().map(_.getLong(0)).toSet === want && want.nonEmpty)
+    assert(nFiles <= 2, s"manifest cut should touch <= 2 span files, got $nFiles")
+
+    // beyond every span: zero files, empty result, schema preserved
+    val maxId = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    val (empty, zero) = Layout.readRangeIndexed(spark, path, "event_id", maxId + 10, maxId + 20)
+    assert(zero === 0 && empty.count() === 0)
+    assert(empty.columns.toSeq === Seq("event_id", "user_id", "value"))
+  }
+
   test("hive partitioning on top: equality predicate prunes to one directory") {
     val ev = Tables
       .events(spark, sfDir)
