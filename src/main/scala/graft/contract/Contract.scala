@@ -2136,6 +2136,50 @@ object Contract {
             date_format(col("bin"), "yyyy-MM-dd HH:mm:ss").as("bin_s"),
             col("value"), col("observed")),
       Some(OracleSql.q93)
+    ),
+    Q(
+      "q94_snapshot_diff",
+      // anti-entropy between corpus versions: v2 is v1 with every 7th doc
+      // removed, every 5th survivor's text edited, and every 13th doc
+      // re-added under a shifted id — the diff must classify every key
+      // exactly (added/removed/changed/unchanged) through one full-outer
+      // key shuffle with map-side null-safe comparison.
+      (s, d) => {
+        import graft.operators.Corpus
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+        val v2 = docs
+          .filter(col("doc_id") % 7 =!= 0)
+          .withColumn(
+            "text",
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" EDITED")))
+              .otherwise(col("text")))
+          .unionByName(
+            docs
+              .filter(col("doc_id") % 13 === 0)
+              .withColumn("doc_id", col("doc_id") + 1000000L))
+        Corpus
+          .snapshotDiff(docs, v2, Seq("doc_id"), Seq("text", "lang"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("cnt"))
+      },
+      Some("""WITH a AS (SELECT doc_id, text, lang FROM documents),
+             |b AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN text || ' EDITED' ELSE text END AS text,
+             |    lang
+             |  FROM documents WHERE doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 13 = 0),
+             |j AS (
+             |  SELECT a.doc_id IS NOT NULL AS ina, b.doc_id IS NOT NULL AS inb,
+             |    (a.text IS DISTINCT FROM b.text) OR (a.lang IS DISTINCT FROM b.lang) AS diff
+             |  FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+             |SELECT CASE WHEN NOT ina THEN 'added'
+             |            WHEN NOT inb THEN 'removed'
+             |            WHEN diff THEN 'changed'
+             |            ELSE 'unchanged' END AS status,
+             |  COUNT(*) AS cnt
+             |FROM j GROUP BY 1""".stripMargin)
     )
   )
 

@@ -282,4 +282,43 @@ object Corpus {
       .rankedPrefix(df, scoreCol, idCol, costCol, buckets = buckets)
       .filter(col("cum_cost") <= budget)
   }
+
+  /** Snapshot diff: per-key drift status between two corpus versions —
+    * `added` (key only in `b`), `removed` (only in `a`), `changed` (in
+    * both, any compare column differs, null-safe), `unchanged`. The
+    * anti-entropy check between a rebuilt corpus and its predecessor:
+    * "what did this pipeline change" answered as data, not as a guess
+    * from job logs.
+    *
+    * One key-hash full-outer shuffle; the column comparison is map-side.
+    * At 100 TB diff the PARTITIONS you suspect (date ranges), not the
+    * whole table, and compare digests instead of wide payloads — the
+    * operator takes whatever projection you hand it.
+    *
+    * Output: keyCols + status.
+    */
+  def snapshotDiff(
+      a: DataFrame,
+      b: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(compareCols.nonEmpty, "snapshotDiff needs at least one compare column")
+    val aren = a
+      .select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__ina", lit(1))
+    val bren = b
+      .select((keyCols.map(col) ++ compareCols.map(c => col(c).as(s"__b_$c"))): _*)
+      .withColumn("__inb", lit(1))
+    val changed = compareCols.map(c => !(col(c) <=> col(s"__b_$c"))).reduce(_ || _)
+    aren
+      .join(bren, keyCols, "full_outer")
+      .withColumn(
+        "status",
+        when(col("__ina").isNull, "added")
+          .when(col("__inb").isNull, "removed")
+          .when(changed, "changed")
+          .otherwise("unchanged"))
+      .select(keyCols.map(col) :+ col("status"): _*)
+  }
 }

@@ -236,6 +236,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(got((3L, "date"))._3 > got((2L, "date"))._3)
   }
 
+  test("snapshotDiff: every status classified; NULL payloads compare null-safely") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, "same", "en"), (2L, "edit me", "en"), (3L, "gone", "en"),
+      (4L, null.asInstanceOf[String], "en"), (5L, null.asInstanceOf[String], "en")
+    ).toDF("id", "text", "lang")
+    val b = Seq(
+      (1L, "same", "en"),      // unchanged
+      (2L, "edited", "en"),    // changed (payload)
+      (4L, null.asInstanceOf[String], "en"), // unchanged (NULL == NULL null-safely)
+      (5L, "filled", "en"),    // changed (NULL -> value)
+      (6L, "new", "es")        // added
+    ).toDF("id", "text", "lang")
+    val got = Corpus.snapshotDiff(a, b, Seq("id"), Seq("text", "lang"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "changed", 6L -> "added"))
+  }
+
   test("privacy: redaction leaves no digits; pseudonym is stable and distinct") {
     import spark.implicits._
     val df  = Seq((1L, "acct 12345 pin 007"), (2L, "no digits here")).toDF("id", "text")
