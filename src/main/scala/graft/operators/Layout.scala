@@ -188,19 +188,30 @@ object Layout {
       path: String,
       clusterCol: String,
       numFiles: Int): Unit = {
+    // the manifest stores spans as JSON longs and the reader range-cuts
+    // numerically — an arbitrary type (timestamp, string) would stringify
+    // fine at write and then blow up or mis-order at read, so reject it
+    // here, at write time, where the caller can still fix the schema
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(clusterCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"clusterWriteIndexed: clusterCol '$clusterCol' must be integral for a typed " +
+        s"range manifest, got $dt (cast timestamps to epoch long first)")
     clusterWrite(df, path, clusterCol, numFiles)
     val spark = df.sparkSession
     val spans = spark.read
       .parquet(path)
       .groupBy(input_file_name().as("file"))
-      .agg(min(col(clusterCol)).as("lo"), max(col(clusterCol)).as("hi"))
+      .agg(
+        min(col(clusterCol)).cast("long").as("lo"),
+        max(col(clusterCol)).cast("long").as("hi"))
       .collect()
-      .map(r => (r.getString(0), r.get(1), r.get(2)))
-      .sortBy(_._2.toString)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2) // numeric span order — lexicographic would put "10" < "2"
     val json = spans
       .map { case (f, lo, hi) =>
         val name = new org.apache.hadoop.fs.Path(f).getName
-        s"""{"file":"$name","lo":"$lo","hi":"$hi"}"""
+        s"""{"file":"$name","lo":$lo,"hi":$hi}"""
       }
       .mkString("[", ",", "]")
     import org.apache.hadoop.fs.Path
@@ -215,10 +226,10 @@ object Layout {
       throw new java.io.IOException(s"clusterWriteIndexed: cannot promote $tmp")
   }
 
-  /** Range read THROUGH the manifest: select only the files whose span
-    * overlaps [lo, hi] (string-compared against the stamped spans — the
-    * caller supplies values in the clusterCol's own formatting) and read
-    * just those, with the residual filter on top. The span cut happens on
+  /** Range read THROUGH the manifest: select only the files whose stamped
+    * long span overlaps [lo, hi] (the manifest is typed — only integral
+    * cluster columns can be indexed, enforced at write) and read just
+    * those, with the residual filter on top. The span cut happens on
     * the driver over the manifest — no listing, no footer reads, no
     * planner involvement for the skipped files. Returns the pruned
     * DataFrame and the file count it will read.
@@ -237,7 +248,7 @@ object Layout {
       throw new java.io.FileNotFoundException(s"readRangeIndexed: no range index at $idx")
     val in  = fs.open(idx)
     val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    val rx  = """\{"file":"([^"]+)","lo":"([^"]+)","hi":"([^"]+)"\}""".r
+    val rx  = """\{"file":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
     val files = rx
       .findAllMatchIn(raw)
       .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong))
@@ -259,10 +270,18 @@ object Layout {
     * readers never see a half-compacted table and a crash leaves the
     * original in place.
     *
+    * Hive-partitioned tables (the engine's own landing / shard layouts, and
+    * exactly the tables streaming sinks fragment most) are handled by
+    * recursing to each partition LEAF (`col=value` directory chain) and
+    * compacting it in place — the partition columns stay encoded in the
+    * path, each leaf gets its own atomic two-rename swap, and a crash mid-
+    * table leaves every leaf either fully old or fully new, never mixed
+    * within a leaf.
+    *
     * Small files are the silent 100 TB killer — a streaming sink that lands
     * a file per micro-batch turns every later scan into millions of opens
     * and the driver's file index into the bottleneck; periodic compaction
-    * is the standard remedy. Returns the output file count.
+    * is the standard remedy. Returns the total output file count.
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
@@ -273,16 +292,36 @@ object Layout {
     val conf = spark.sessionState.newHadoopConf()
     val dir  = new Path(path)
     val fs   = dir.getFileSystem(conf)
+    // a partition leaf is reached by following `name=value` subdirectories;
+    // a directory with none of those is itself a (flat) leaf
+    def leaves(d: Path): Seq[Path] = {
+      val parts = fs
+        .listStatus(d)
+        .filter(s =>
+          s.isDirectory && s.getPath.getName.contains("=") &&
+            !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+      if (parts.isEmpty) Seq(d) else parts.toSeq.flatMap(p => leaves(p.getPath))
+    }
+    leaves(dir).map(leaf => compactLeaf(spark, fs, leaf, targetBytes)).sum
+  }
+
+  private def compactLeaf(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      targetBytes: Long): Long = {
+    import org.apache.hadoop.fs.Path
     val dataFiles = fs
       .listStatus(dir)
       .filter(s => s.isFile && !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+    if (dataFiles.isEmpty) return 0L // empty partition: nothing to rewrite
     val totalBytes = dataFiles.map(_.getLen).sum
     val nFiles     = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp   = new Path(dir.getParent, s".compact-tmp-${dir.getName}")
     val trash = new Path(dir.getParent, s".compact-old-${dir.getName}")
     if (fs.exists(tmp)) fs.delete(tmp, true)     // stale crashed attempt
     if (fs.exists(trash)) fs.delete(trash, true)
-    spark.read.parquet(path).repartition(nFiles).write.parquet(tmp.toString)
+    spark.read.parquet(dir.toString).repartition(nFiles).write.parquet(tmp.toString)
     // two-rename swap (MergeSink's commit shape): a crash between the
     // renames is healed by re-running compact (tmp is rebuilt, trash is
     // the original)

@@ -29,10 +29,25 @@ object Publish {
   private val P = graft.functions.PolyHashExpr.P
 
   private def signature(df: DataFrame): Manifest = {
+    import org.apache.spark.sql.types.DecimalType
+    // xxhash64 SKIPS null arguments (the seed-chained accumulator passes
+    // through unchanged), so rows differing only in WHICH column is null —
+    // (null, "x") vs ("x", null) — would hash identically. Interleaving an
+    // isNull flag (itself never null) before every column keeps the hashed
+    // argument stream distinct per null pattern.
+    val rowHash =
+      xxhash64(df.columns.flatMap(c => Seq(col(c).isNull.cast("int"), col(c))): _*)
+    // Each term is < P (~1e9); a LongType SUM overflows past ~9.2e9 rows —
+    // inside this module's own 100 TB design point, and under ANSI mode the
+    // overflow THROWS instead of wrapping. Accumulate in DECIMAL(38,0)
+    // (headroom to ~1e29 rows) and fold back mod P at the end.
+    val dec = DecimalType(38, 0)
     val r = df
       .agg(
         count(lit(1)).as("n"),
-        coalesce(sum(pmod(xxhash64(df.columns.map(col): _*), lit(P))), lit(0L)).as("h"))
+        coalesce(
+          pmod(sum(pmod(rowHash, lit(P)).cast(dec)), lit(P).cast(dec)).cast("long"),
+          lit(0L)).as("h"))
       .head()
     Manifest(r.getLong(0), r.getLong(1))
   }

@@ -78,9 +78,17 @@ object Retrieval {
   /** Top-`n` rows of `df` by (`scoreCol` DESC, `idCol` ASC), returned as
     * (idCol, rnkName) with ranks 1..n. TakeOrdered cuts the corpus to n
     * rows distributed; the rank is then assigned by sorting the collected
-    * struct array (score negated so ties still break id-ASCENDING) — no
-    * partitionless window, so no "No Partition Defined" scale warning in
-    * any log at any size.
+    * struct array — no partitionless window, so no "No Partition Defined"
+    * scale warning in any log at any size.
+    *
+    * The rank key MUST mirror the selection comparator exactly, including
+    * the degenerate scores a real corpus produces (cosine of a zero-norm
+    * embedding is 0/0 = NaN; a missing leg is NULL): Spark's DESC puts NaN
+    * first (NaN > +Inf) and NULLs last, but a naive negation key breaks
+    * both (-NaN is still NaN → sorts LAST ascending; NULL structs sort
+    * FIRST). So the key is (class, -score, id) with class 0 = NaN,
+    * 1 = finite (negated score, ties id-ASC), 2 = NULL — ascending order of
+    * that triple IS (score DESC NULLS LAST, id ASC).
     */
   def rankTop(
       df: DataFrame,
@@ -89,9 +97,12 @@ object Retrieval {
       n: Int,
       rnkName: String): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
+    val s   = col(scoreCol).cast("double")
+    val cls = when(s.isNull, lit(2)).when(isnan(s), lit(0)).otherwise(lit(1))
+    val ns  = when(s.isNull || isnan(s), lit(0.0)).otherwise(-s)
     df.orderBy(col(scoreCol).desc, col(idCol))
       .limit(n)
-      .select(struct((-col(scoreCol)).as("ns"), col(idCol).as("id")).as("s"))
+      .select(struct(cls.as("c"), ns.as("ns"), col(idCol).as("id")).as("s"))
       .agg(sort_array(collect_list(col("s"))).as("arr"))
       .select(posexplode(col("arr")))
       .select((col("pos") + 1).cast("int").as(rnkName), col("col.id").as(idCol))

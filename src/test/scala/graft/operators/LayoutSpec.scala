@@ -63,6 +63,29 @@ class LayoutSpec extends AnyFunSuite {
     assert(after.as[(Long, String)].collect().toSet === df.as[(Long, String)].collect().toSet)
   }
 
+  test("compact: hive-partitioned table compacts per leaf; pruning and rows survive") {
+    import spark.implicits._
+    val path = tmp() + "/fragp"
+    // i % 3 cycles dates, so every round-robin task holds all 3 values:
+    // 10 tasks x 3 partition dirs = 30 small files
+    val df = (1 to 900).map(i => (i.toLong, s"d${i % 3}", s"row$i")).toDF("id", "date", "s")
+    df.repartition(10).write.partitionBy("date").parquet(path)
+    assert(Layout.filesTouched(spark.read.parquet(path)) === 30)
+
+    val n = Layout.compact(spark, path, targetBytes = Long.MaxValue) // 1 file per leaf
+    assert(n === 3)
+    val after = spark.read.parquet(path)
+    assert(Layout.filesTouched(after) === 3)
+    assert(after.count() === 900)
+    assert(
+      after.select("id", "date", "s").as[(Long, String, String)].collect().toSet ===
+        df.as[(Long, String, String)].collect().toSet)
+    // directory pruning still works: the partition column stayed in the path
+    val one = after.filter(col("date") === "d1")
+    val files = one.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("date=d1")))
+  }
+
   test("writeShuffled: shard->directory mapping is identity and order matches shuffleShards") {
     import spark.implicits._
     val nShards = 7
@@ -167,6 +190,15 @@ class LayoutSpec extends AnyFunSuite {
     val (empty, zero) = Layout.readRangeIndexed(spark, path, "event_id", maxId + 10, maxId + 20)
     assert(zero === 0 && empty.count() === 0)
     assert(empty.columns.toSeq === Seq("event_id", "user_id", "value"))
+  }
+
+  test("clusterWriteIndexed: non-integral cluster column is rejected at write time") {
+    import spark.implicits._
+    // the manifest stores typed long spans; a string/timestamp column would
+    // stringify at write and then mis-parse or mis-order at read
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    intercept[IllegalArgumentException](
+      Layout.clusterWriteIndexed(df, tmp() + "/badcol", "k", 2))
   }
 
   test("hive partitioning on top: equality predicate prunes to one directory") {

@@ -30,6 +30,24 @@ class PublishSpec extends AnyFunSuite {
     assert(m2 === m1)
   }
 
+  test("checksum is always reduced mod P (no long-sum overflow path)") {
+    val p = tmp() + "/modp"
+    val m = Publish.publish(spark, df, p)
+    assert(m.checksum >= 0 && m.checksum < graft.functions.PolyHashExpr.P)
+  }
+
+  test("rows differing only by WHICH column holds NULL checksum differently") {
+    // xxhash64 skips null args, so without null disambiguation
+    // (null, "x") and ("x", null) hash identically and the mutation
+    // validates as unchanged
+    val a = Seq((Option("x"), Option.empty[String])).toDF("c1", "c2")
+    val b = Seq((Option.empty[String], Option("x"))).toDF("c1", "c2")
+    val ma = Publish.publish(spark, a, tmp() + "/a")
+    val mb = Publish.publish(spark, b, tmp() + "/b")
+    assert(ma.rows === 1L && mb.rows === 1L)
+    assert(ma.checksum !== mb.checksum)
+  }
+
   test("row loss and smuggled extra rows break validation; no manifest refuses") {
     val p = tmp() + "/d"
     Publish.publish(spark, df.repartition(8), p)

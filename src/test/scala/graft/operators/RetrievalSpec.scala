@@ -24,6 +24,20 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got === Seq((1, 2L), (2, 4L), (3, 1L), (4, 3L)))
   }
 
+  test("rankTop: NaN scores rank FIRST (desc treats NaN as greatest), NULLs rank LAST") {
+    // cosine of a zero-norm embedding is 0/0 = NaN; a leg can also emit
+    // NULL. Selection (orderBy desc limit) and rank assignment must agree:
+    // before the class-keyed comparator, a NaN was SELECTED first but
+    // RANKED last and a NULL ranked 1, inverting RRF weights.
+    val df = Seq(
+      (1L, Some(5.0)), (2L, None), (3L, Some(Double.NaN)), (4L, Some(7.0))
+    ).toDF("id", "score")
+    val got = Retrieval.rankTop(df, "score", "id", 4, "rnk")
+      .orderBy("rnk").as[(Int, Long)].collect().toSeq
+    // Spark DESC order: NaN(3), 7.0(4), 5.0(1), NULL(2)
+    assert(got === Seq((1, 3L), (2, 4L), (3, 1L), (4, 2L)))
+  }
+
   test("hybridTopK: both-legs doc wins; missing leg contributes zero; scores reconstruct") {
     // doc 1 is strong in BOTH legs; doc 2 lexical-only (orthogonal
     // embedding); doc 3 vector-only (no query terms); doc 4 neither
