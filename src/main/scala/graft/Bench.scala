@@ -43,24 +43,164 @@ object BenchLog {
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * emits ONE JSON line with per-query seconds.
   *
-  * Each query is forced through the `noop` sink (full execution of every
-  * projected expression) — `count()` would let Catalyst prune the very
-  * projections the query exists to measure. Each query runs
-  * SPARK_GRAFT_BENCH_REPS times (default 3) and reports the MEDIAN: host
-  * load varies ±20% run-to-run, which single-shot numbers eat as phantom
-  * regressions. Failures are recorded per query (negative time + name in
+  * Round-5 adjudication showed the single-JVM full run LIES: 106 queries x
+  * 3 reps in one heap inflated individual timings 2-26x (GC/heap churn), so
+  * a trivial string query read as a "26x regression" while its isolated
+  * number was flat. The fix is ISOLATION AT THE HARNESS LEVEL: the default
+  * run is now a PARENT that splits the query list into chunks and runs each
+  * chunk in a FRESH FORKED JVM (same classpath, same JVM flags — including
+  * build.sbt's --add-opens and -Xmx), then concatenates the per-chunk
+  * results into the same single JSON line. Cross-chunk interference is
+  * structurally impossible; each chunk still pays one warmup so JIT/codegen
+  * cost is not billed to its first query.
+  *
+  * Modes (decided from env, so the driver's `runMain graft.Bench` is
+  * unchanged):
+  *  - default: parent/fork mode as above (chunk size
+  *    SPARK_GRAFT_BENCH_CHUNK_SIZE, default 12; pipelines share one chunk
+  *    because they share the landing build);
+  *  - SPARK_GRAFT_BENCH_ONLY=q32,q45 (prefix match): legacy in-process run
+  *    for fast single-query iteration — already isolated by being small;
+  *  - SPARK_GRAFT_BENCH_FORK=0: force the legacy whole-run-in-one-JVM path;
+  *  - SPARK_GRAFT_BENCH_CHUNK=<exact names>: internal child marker.
+  *  If the first fork fails to produce parseable output (some future
+  *  environment without a forkable java), the parent falls back to
+  *  in-process for everything rather than reporting a dead bench.
+  *
+  * Within a chunk the per-query protocol is unchanged: each query is forced
+  * through the `noop` sink (full execution of every projected expression —
+  * `count()` would let Catalyst prune the very projections the query exists
+  * to measure), runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports
+  * the MEDIAN. Failures are recorded per query (negative time + name in
   * "failed") instead of being swallowed. The JSON line goes to stdout AND
-  * to SPARK_GRAFT_BENCH_OUT (if set) so a log-noise wrapper can't make it
-  * unparseable. SPARK_GRAFT_BENCH_ONLY=q32,q45 (prefix match) restricts the
-  * run for single-query iteration.
+  * to SPARK_GRAFT_BENCH_OUT (if set); child stdout/stderr is redirected to
+  * per-chunk log files so the parent's captured tail holds the JSON line,
+  * not stack traces from benign cleaner races.
   */
 object Bench {
+
+  /** Domain-pipeline entries (not in SparkEntry.queries); they share the
+    * synthetic log + cached landing, so the parent keeps them in one chunk.
+    */
+  private val pipelineNames = Seq(
+    "pipeline_parse_1h_log", "pipeline_parse_dsv2", "pipeline_parse_flatmap",
+    "pipeline_stationary", "pipeline_autopilot")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps  = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val chunk = sys.env.get("SPARK_GRAFT_BENCH_CHUNK").map(_.split(",").map(_.trim).toSet)
     val only  = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
-    def wanted(name: String): Boolean = only.forall(_.exists(name.startsWith))
+    val noFork = sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("0")
+    if (chunk.isEmpty && only.isEmpty && !noFork) {
+      parentMain(sfDir)
+    } else {
+      // child chunk (exact-name match — prefix matching could smuggle a
+      // same-prefix query into two chunks) or legacy in-process run
+      val wanted: String => Boolean = chunk match {
+        case Some(c) => c.contains(_)
+        case None    => name => only.forall(_.exists(name.startsWith))
+      }
+      val (results, failed) = runQueries(sfDir, wanted)
+      emit(results, failed, sfDir)
+      if (failed.nonEmpty) sys.exit(1)
+    }
+  }
+
+  // ---------------------------------------------------------------- parent
+
+  private def parentMain(sfDir: String): Unit = {
+    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK_SIZE", "12").toInt.max(1)
+    val chunks = SparkEntry.queries.keys.toSeq.sorted.grouped(chunkSize).toSeq :+ pipelineNames
+    val acc    = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var failed = List.empty[String]
+    var forkBroken = false
+    chunks.foreach { names =>
+      val forked = if (forkBroken) None else runChunkForked(names, sfDir)
+      val (res, f) = forked.getOrElse {
+        if (!forkBroken)
+          System.err.println("[bench] fork produced no parseable output; " +
+            "falling back to in-process for the remaining chunks")
+        forkBroken = true
+        runQueries(sfDir, names.toSet)
+      }
+      acc ++= res
+      failed :::= f
+    }
+    emit(acc.toSeq, failed, sfDir)
+    if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** Run one chunk in a fresh JVM that mirrors this one (classpath + input
+    * args reproduce sbt's forked-run flags: --add-opens, -Xmx). Returns
+    * None only if the child produced no parseable result file — individual
+    * query failures inside a healthy child come back as -1 entries.
+    */
+  private def runChunkForked(
+      names: Seq[String],
+      sfDir: String): Option[(Seq[(String, Double)], List[String])] = {
+    import scala.jdk.CollectionConverters._
+    val out = Files.createTempFile("bench-chunk", ".json")
+    val log = Files.createTempFile("bench-chunk", ".log")
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val jvmArgs =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", sys.props("java.class.path"), "graft.Bench")
+    val pb  = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_BENCH_CHUNK", names.mkString(","))
+    pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    pb.environment().remove("SPARK_GRAFT_BENCH_ONLY")
+    // the chunk's Spark/cleaner chatter goes to its log, not the captured
+    // stdout tail; surfaced below only when something actually failed
+    pb.redirectOutput(log.toFile)
+    pb.redirectError(ProcessBuilder.Redirect.appendTo(log.toFile))
+    val parsed =
+      try {
+        pb.start().waitFor()
+        parseChunk(Files.readString(out), names)
+      } catch { case _: java.io.IOException => None }
+    parsed match {
+      case Some((_, f)) if f.nonEmpty =>
+        val tail = Files.readString(log)
+        System.err.println(s"[bench] chunk with failures $f, child log tail:\n" +
+          tail.substring(math.max(0, tail.length - 1500)))
+      case None =>
+        val tail = try Files.readString(log) catch { case _: Exception => "" }
+        System.err.println("[bench] unparseable chunk output, child log tail:\n" +
+          tail.substring(math.max(0, tail.length - 1500)))
+      case _ => ()
+    }
+    parsed
+  }
+
+  /** Parse a child's full-detail JSON line (we wrote the format: a flat
+    * "queries" object of name->seconds and a flat "failed" array).
+    */
+  private def parseChunk(
+      raw: String,
+      names: Seq[String]): Option[(Seq[(String, Double)], List[String])] = {
+    val qrx  = """"queries":\{([^}]*)\}""".r
+    val pair = """"([^"]+)":(-?\d+(?:\.\d+)?)""".r
+    qrx.findFirstMatchIn(raw).map { m =>
+      val got = pair.findAllMatchIn(m.group(1)).map(p => p.group(1) -> p.group(2).toDouble).toMap
+      // keep the parent's canonical order; a name the child never reported
+      // (crashed mid-chunk) is a failure, not a silent omission
+      val res    = names.map(n => n -> got.getOrElse(n, -1.0))
+      val failed = res.collect { case (n, v) if v < 0 => n }.toList
+      (res, failed)
+    }
+  }
+
+  // ----------------------------------------------------------- worker body
+
+  /** Run every wanted query + pipeline in THIS JVM; returns (results in
+    * canonical order, failed names).
+    */
+  private def runQueries(
+      sfDir: String,
+      wanted: String => Boolean): (Seq[(String, Double)], List[String]) = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -69,6 +209,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    quietBenignNoise()
 
     var failed = List.empty[String]
     // median of `reps` runs; any failing rep marks the query failed (-1)
@@ -100,7 +241,7 @@ object Bench {
     // Parse timings run the FULL read+decode each rep (no cache, so the
     // median measures the parse, not a cache readback); the cached landing
     // below is built outside any timer for the downstream pipelines.
-    val logDir = BenchLog.write(Files.createTempDirectory("benchlog").toString)
+    lazy val logDir = BenchLog.write(Files.createTempDirectory("benchlog").toString)
     val pipelineResults = Seq(
       ("pipeline_parse_1h_log", () => timed("pipeline_parse_1h_log") {
         graft.pipelines.CanPipelines
@@ -144,8 +285,28 @@ object Bench {
         r
       }
     }
-    val results = queryResults ++ pipelineResults
-    val total = results.map(_._2).filter(_ >= 0).sum
+    spark.stop()
+    (queryResults ++ pipelineResults, failed)
+  }
+
+  /** The eager localCheckpoint loops (star CC, k-means) race the
+    * ContextCleaner into benign "attempted to access non-existent
+    * accumulator" ERROR traces that bury the bench's one JSON line; those
+    * two loggers go to FATAL — real failures still surface through the
+    * "failed" list and the [bench] stderr lines.
+    */
+  private def quietBenignNoise(): Unit =
+    try {
+      import org.apache.logging.log4j.Level
+      import org.apache.logging.log4j.core.config.Configurator
+      Configurator.setLevel("org.apache.spark.scheduler.DAGScheduler", Level.FATAL)
+      Configurator.setLevel("org.apache.spark.ContextCleaner", Level.FATAL)
+    } catch { case _: Throwable => () } // logging must never kill the bench
+
+  // ----------------------------------------------------------------- emit
+
+  private def emit(results: Seq[(String, Double)], failed: List[String], sfDir: String): Unit = {
+    val total    = results.map(_._2).filter(_ >= 0).sum
     val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     def line(qs: String, extra: String): String =
@@ -162,7 +323,7 @@ object Bench {
     // slowest-first (failures always included) until the budget is spent;
     // the omitted fast tail is summed into "rest" so value still equals
     // the sum of everything reported.
-    val budget = 1700
+    val budget  = 1700
     val ordered = results.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
     val picked  = scala.collection.mutable.ListBuffer.empty[(String, Double)]
     var used    = 0
@@ -176,7 +337,5 @@ object Bench {
       else s""""rest":${fmt(rest)},"omitted":${results.size - picked.size},"""
     val qs = picked.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     println(line(qs, restJs))
-    spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
   }
 }
