@@ -426,8 +426,10 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8,
       k: Int = 8,
-      rowsPerBand: Int = 2): DataFrame =
-    survivors(docs, idCol, lshNearDupPairs(docs, idCol, textCol, k, rowsPerBand, n, threshold))
+      rowsPerBand: Int = 2,
+      maxBucket: Int = 4096): DataFrame =
+    survivors(docs, idCol,
+      lshNearDupPairs(docs, idCol, textCol, k, rowsPerBand, n, threshold, maxBucket))
 
   // --------------------------------------------------------------- MinHash
 
@@ -506,7 +508,8 @@ object Dedup {
       k: Int = 8,
       rowsPerBand: Int = 2,
       n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxBucket: Int = 4096): DataFrame = {
     require(k % rowsPerBand == 0, "k must divide into bands")
     // Signatures AND hash sets are per-row projections (native one-pass
     // shingle hashing + one-pass k-minima): nothing shuffles until the
@@ -519,15 +522,8 @@ object Dedup {
     // rationale as jaccardPairs' set table (exchange reuse is unreliable;
     // persist leaks)
     val sigs  = lshSignatures(docs, idCol, textCol, k, n).localCheckpoint(false)
-    val bands = bandBuckets(sigs, k, rowsPerBand)
-    val cand = bands
-      .as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    verifyPairs(cand, sigs, sigs, threshold)
+    val bands = bandBuckets(sigs, k, rowsPerBand).withColumnRenamed("bucket", "key")
+    verifyPairs(bandCandidates(bands, maxBucket), sigs, sigs, threshold)
   }
 
   /** Per-doc LSH signature-store records (id, sh, sig): the shingle-hash
@@ -547,6 +543,55 @@ object Dedup {
       .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
       .withColumn("sig", minHashSigCol(col("sh"), k))
       .filter(col("sig").isNotNull)
+
+  /** Candidate (id_a, id_b) pairs from a banded table (id, band, key) with
+    * a HOT-BUCKET GUARD — the one latent 100x-scale hazard of every
+    * bucket-join miner: a boilerplate cluster (100 k identical templates)
+    * puts its whole population in ONE (band, key) bucket, and an unguarded
+    * self-join emits O(m^2) candidates from that single key (10^10 pairs —
+    * one straggler task that never finishes).
+    *
+    * Buckets holding <= maxBucket rows self-join exactly as before (the
+    * guard is invisible on healthy corpora). Oversized buckets instead emit
+    * a STAR to the bucket's minimum id (m-1 pairs): for identical members —
+    * the only way real corpora produce such buckets — every star edge
+    * passes downstream exact verification, so greedy keep-smallest-id
+    * (every non-min is the id_b of a star pair) and connected components
+    * (the star IS the clique's spanning connectivity) behave exactly as
+    * with the full clique, at linear cost. For merely-colliding non-
+    * identical members, pairs not involving the bucket minimum are a
+    * documented recall cut — audit with `bucketCensus` on the banded table.
+    *
+    * One extra window pass on the same (band, key) key the join shuffles on
+    * anyway; the exchange is reused.
+    */
+  private[operators] def bandCandidates(bands: DataFrame, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"), col("key"))
+    val sized = bands
+      .select(col("id"), col("band"), col("key"))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__min", min(col("id")).over(w))
+    val cold = sized.filter(col("__cnt") <= maxBucket)
+    val coldPairs = cold
+      .as("a")
+      .join(cold.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val starPairs = sized
+      .filter(col("__cnt") > maxBucket && col("id") =!= col("__min"))
+      .select(col("__min").as("id_a"), col("id").as("id_b"))
+    coldPairs.union(starPairs).distinct()
+  }
+
+  /** Bucket-population census of a banded (id, band, key) table — the audit
+    * surface for `bandCandidates`' hot-bucket guard: any bucket reported
+    * here was mined as a star, not a clique.
+    */
+  def bucketCensus(bands: DataFrame, maxBucket: Int): DataFrame =
+    bands.groupBy(col("band"), col("key")).count().filter(col("count") > maxBucket)
 
   /** (id, band, bucket) rows from a signature table — the band's minhash
     * slots joined into one string bucket key.
@@ -611,12 +656,24 @@ object Dedup {
       k: Int = 8,
       rowsPerBand: Int = 2,
       n: Int = 3,
-      threshold: Double = 0.8): (DataFrame, DataFrame) = {
+      threshold: Double = 0.8,
+      maxBucket: Int = 4096): (DataFrame, DataFrame) = {
     require(k % rowsPerBand == 0, "k must divide into bands")
     val newSigs = lshSignatures(newDocs, idCol, textCol, k, n).localCheckpoint(false)
     // partner side = corpus so far + this batch (in-batch pairs count too)
     val all = store.fold(newSigs)(_.unionByName(newSigs))
-    val cand = bandBuckets(all, k, rowsPerBand)
+    // hot-bucket guard, store-vs-delta shape: an oversized PARTNER bucket
+    // (a boilerplate cluster accumulated in the store) collapses to its
+    // minimum id — each new doc in that bucket still pairs with the
+    // earliest member (so identical templates keep dropping, the greedy
+    // rule's outcome), without the delta x hot-store-bucket candidate blowup
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
+    val partnerBands = bandBuckets(all, k, rowsPerBand)
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__min", min(col("id")).over(w))
+      .filter(col("__cnt") <= maxBucket || col("id") === col("__min"))
+      .drop("__cnt", "__min")
+    val cand = partnerBands
       .as("b")
       .join(bandBuckets(newSigs, k, rowsPerBand).as("a"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -647,9 +704,12 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 2): DataFrame = {
+      maxHamming: Int = 2,
+      maxBucket: Int = 4096): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16, "maxHamming in [0, 16)")
-    simHashPairsFromSig(simHash16(docs, idCol, textCol), bits = 16, maxHamming = maxHamming)
+    simHashPairsFromSig(
+      simHash16(docs, idCol, textCol), bits = 16, maxHamming = maxHamming,
+      maxBucket = maxBucket)
   }
 
   /** Pigeonhole pair mining over ANY-width fingerprint table (id, simhash):
@@ -659,37 +719,35 @@ object Dedup {
     * at any width; bucket population ~ corpus / 2^(bits/(maxHamming+1)), so
     * WIDER fingerprints keep buckets small as the corpus grows.
     */
-  def simHashPairsFromSig(sim: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+  def simHashPairsFromSig(
+      sim: DataFrame,
+      bits: Int,
+      maxHamming: Int,
+      maxBucket: Int = 4096): DataFrame = {
     require(bits >= 1 && bits <= 62, "bits in [1, 62]")
     require(maxHamming >= 0 && maxHamming < bits, s"maxHamming in [0, $bits)")
     val nChunks = maxHamming + 1
     val bounds  = (0 to nChunks).map(c => c * bits / nChunks) // contiguous splits
-    // the fingerprint table feeds BOTH sides of the self-join; a lazy
-    // localCheckpoint shares one concrete RDD (round-robin exchanges are
-    // not deduped, so without it the per-row fingerprint projection runs
-    // twice over the corpus)
+    // the fingerprint table feeds the band explode AND both verify fetches;
+    // a lazy localCheckpoint shares one concrete RDD (round-robin exchanges
+    // are not deduped, so without it the per-row fingerprint projection
+    // runs repeatedly over the corpus)
     val simCk = sim.localCheckpoint(false)
     val bands = simCk.select(
       col("id"),
-      col("simhash"),
       explode(array((0 until nChunks).map { c =>
         val lo = bounds(c); val hi = bounds(c + 1)
         struct(
-          lit(c).as("chunk"),
+          lit(c).as("band"),
           shiftright(col("simhash"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)).as("key"))
       }: _*)).as("bb"))
-      .select(col("id"), col("simhash"), col("bb.chunk").as("chunk"), col("bb.key").as("key"))
-    bands
-      .as("a")
-      .join(bands.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(
-        col("a.id").as("id_a"),
-        col("b.id").as("id_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.key").as("key"))
+    bandCandidates(bands, maxBucket)
+      .join(simCk.select(col("id").as("id_a"), col("simhash").as("__sim_a")), Seq("id_a"))
+      .join(simCk.select(col("id").as("id_b"), col("simhash").as("__sim_b")), Seq("id_b"))
+      .withColumn("hamming", expr("bit_count(__sim_a ^ __sim_b)").cast("int"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** SCALE form of SimHash near-dup mining: pigeonhole pairs over the
@@ -705,11 +763,13 @@ object Dedup {
       idCol: String,
       textCol: String,
       bits: Int = 62,
-      maxHamming: Int = 3): DataFrame =
+      maxHamming: Int = 3,
+      maxBucket: Int = 4096): DataFrame =
     simHashPairsFromSig(
       simHashWide(docs, idCol, textCol, bits).filter(col("simhash").isNotNull),
       bits = bits,
-      maxHamming = maxHamming)
+      maxHamming = maxHamming,
+      maxBucket = maxBucket)
 
   /** Wide (up to 62-bit) SimHash fingerprint as a PER-ROW projection:
     * distinct token hashes via the native one-pass `shingle_hashes(text, 1)`

@@ -293,7 +293,8 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       bits: Int = 60,
-      bandBits: Int = 6): DataFrame = {
+      bandBits: Int = 6,
+      maxBucket: Int = 4096): DataFrame = {
     require(bits >= 1 && bits <= 62, "bits in [1, 62]")
     require(bandBits >= 1 && bits % bandBits == 0, "bandBits must divide bits")
     val nBands = bits / bandBits
@@ -318,13 +319,12 @@ object Similarity {
           shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.key").as("key"))
-    val cand = bands
-      .as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    // hot-bucket guard (Dedup.bandCandidates): an embedding cluster of
+    // near-identical vectors (re-encoded boilerplate) fills one band bucket
+    // and would emit O(m^2) candidates from a single key; oversized buckets
+    // mine a star to their min id instead — CC-based dedup (q91) sees the
+    // same components, pairs not involving the min are the documented cut
+    val cand = Dedup.bandCandidates(bands, maxBucket)
     cand
       .join(sigs.select(col("id").as("id_a"), col("v").as("v_a"), col("n2").as("n2_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("v").as("v_b"), col("n2").as("n2_b")), Seq("id_b"))

@@ -316,4 +316,73 @@ class DedupSpec extends AnyFunSuite {
     assert(fp(1L) === fp(2L))
     assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
   }
+
+  // an identical-doc cluster: every member shares every band bucket, the
+  // unguarded self-join would emit m(m-1)/2 candidates from one key
+  private def boilerplate(m: Int) = {
+    import spark.implicits._
+    ((1 to m).map(i =>
+      (i.toLong, "the same boilerplate template text repeated verbatim everywhere")) :+
+      (9999L, "a completely different document about unrelated things entirely"))
+      .toDF("doc_id", "text")
+  }
+
+  test("hot-bucket guard: identical cluster mines a bounded star; below threshold, full clique") {
+    val m    = 200
+    val docs = boilerplate(m)
+
+    // guard ACTIVE (maxBucket 32 << m): star to the min id — m-1 pairs,
+    // all verified at jaccard 1.0, nothing touches the unrelated doc
+    val star = Dedup
+      .lshNearDupPairs(docs, "doc_id", "text", maxBucket = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(star.length === m - 1)
+    assert(star.forall { case (a, _, j) => a === 1L && j === 1.0 })
+    assert(star.map(_._2).sorted === (2 to m).map(_.toLong).toArray)
+
+    // guard INACTIVE (default 4096 > m): the exact full clique
+    val clique = Dedup.lshNearDupPairs(docs, "doc_id", "text")
+    assert(clique.count() === m.toLong * (m - 1) / 2)
+
+    // greedy dedup collapses the cluster to one survivor either way
+    val kept = Dedup
+      .lshNearDedupRows(docs, "doc_id", "text", maxBucket = 32)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(1L, 9999L))
+
+    // CC over the star pairs: one component labeled by the min id
+    val cc = Dedup.connectedComponents(
+      Dedup.lshNearDupPairs(docs, "doc_id", "text", maxBucket = 32))
+    assert(cc.filter(col("label") === 1L).count() === m.toLong)
+  }
+
+  test("hot-bucket guard: simhash star is bounded and exact-verified") {
+    val m    = 150
+    val docs = boilerplate(m)
+    val star = Dedup
+      .simHashWidePairs(docs, "doc_id", "text", maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // identical docs: identical fingerprints -> hamming 0 on every star edge
+    assert(star.length === m - 1)
+    assert(star.forall { case (a, _, h) => a === 1L && h === 0 })
+    // unguarded on the same fixture: the quadratic clique (the blowup the
+    // guard exists to prevent)
+    assert(Dedup.simHashWidePairs(docs, "doc_id", "text").count() === m.toLong * (m - 1) / 2)
+  }
+
+  test("hot-bucket guard: incremental step still drops templates against a hot store bucket") {
+    import spark.implicits._
+    val m = 120
+    val store0 = boilerplate(m)
+    val (_, store) = Dedup.lshIncrementalStep(store0, "doc_id", "text", None, maxBucket = 16)
+    // a new batch: one more template copy + one fresh doc
+    val batch = Seq(
+      (20000L, "the same boilerplate template text repeated verbatim everywhere"),
+      (20001L, "genuinely novel content that matches nothing in the store at all"))
+      .toDF("doc_id", "text")
+    val (kept, _) = Dedup.lshIncrementalStep(batch, "doc_id", "text", Some(store), maxBucket = 16)
+    // the template copy pairs with the store bucket's min id and drops;
+    // the novel doc survives
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(20001L))
+  }
 }

@@ -85,6 +85,25 @@ class SimilaritySpec extends AnyFunSuite {
       s"banding missed planted near-dups: ${planted -- mined}")
   }
 
+  test("embedNearDupPairs hot-bucket guard: identical-vector cluster mines a bounded star") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val v   = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val m   = 100
+    // m identical vectors (one band bucket per band holds all of them)
+    // plus one unrelated vector
+    val emb = ((1 to m).map(i => (i.toLong, v)) :+
+      (9999L, Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val star = Similarity
+      .embedNearDupPairs(emb, "vec_id", "embedding", threshold = 0.99, maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(star.length === m - 1)
+    assert(star.forall { case (a, _, c) => a === 1L && c > 0.999 })
+    // unguarded default on the same fixture: the quadratic clique
+    assert(Similarity.embedNearDupPairs(emb, "vec_id", "embedding", 0.99).count() ===
+      m.toLong * (m - 1) / 2)
+  }
+
   test("embedNearDupPairs plan: banded bucket join — no BroadcastNestedLoopJoin, no cartesian") {
     val plan = Similarity
       .embedNearDupPairs(Tables.embeddings(spark, sfDir), "vec_id", "embedding", 0.45)
