@@ -12,6 +12,7 @@ import graft.decode.{CanDecode, CanRecord, CanserverTokenizer}
 final case class ApSample(key: String, tsSec: Double, code: Int)
 final case class ApState(lastCode: Int)
 final case class SpeedSample(key: String, tsSec: Double, speed: Double)
+final case class SpeedSampleWm(key: String, tsSec: Double, speed: Double, ts: java.sql.Timestamp)
 final case class RunState(runStart: Double, lastZero: Double)
 
 /** Structured Streaming twins of the batch pipelines (SURVEY §2.6): file
@@ -182,38 +183,71 @@ object CanStreams {
 
   /** Cross-batch stationary-run stream with the reference thresholds: a run
     * closes when a nonzero sample arrives (possibly in a later file) and is
-    * emitted iff its zero-span >= 13 s, trimmed ±3 s. Open runs persist in
-    * state until closed — end-of-stream is unknowable online, so the
-    * run-at-end-of-data case remains the batch function's job.
+    * emitted iff its zero-span >= 13 s, trimmed ±3 s.
+    *
+    * END-OF-DATA CLOSURE: a device that parks and stops logging never sends
+    * the closing nonzero sample. Open runs therefore carry an EVENT-TIME
+    * TIMEOUT — when the watermark (advanced by ANY key's traffic) passes
+    * `lastZero + closeAfterSec`, the run is emitted on timeout exactly as
+    * if a nonzero had arrived then, and its state is dropped. No same-key
+    * sample earlier than the watermark can still arrive, so the closure is
+    * safe; the one documented divergence from the batch function is a
+    * device that resumes logging ZEROS after a silence longer than
+    * `closeAfterSec` with no nonzero in between — batch merges that into
+    * one run, the stream emits two.
+    *
+    * Event time is derived from tsSec inside (10 s watermark, matching
+    * stationarySessionStream's lateness bound).
     */
   def stationaryStream(
-      samples: Dataset[(String, Double, Double)]): DataFrame = {
+      samples: Dataset[(String, Double, Double)],
+      closeAfterSec: Double = 30.0): DataFrame = {
     val spark = samples.sparkSession
     import spark.implicits._
     samples
-      .map { case (k, t, v) => SpeedSample(k, t, v) }
+      .toDF("key", "ts_sec", "speed")
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      .withWatermark("ts", "10 seconds")
+      .select(col("key"), col("ts_sec").as("tsSec"), col("speed"), col("ts"))
+      .as[SpeedSampleWm]
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[SpeedSample], state: GroupState[RunState]) =>
-          val sorted = rows.toSeq.sortBy(_.tsSec)
-          var open   = state.getOption
-          val out = sorted.flatMap { s =>
-            if (s.speed == 0.0) {
-              open = Some(open.fold(RunState(s.tsSec, s.tsSec))(r => r.copy(lastZero = s.tsSec)))
-              None
-            } else {
-              val emit = open.collect {
-                case RunState(st, en) if en - st >= 13.0 => (key, st + 3.0, en - 3.0)
-              }
-              open = None
-              emit
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[SpeedSampleWm], state: GroupState[RunState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastZero + closeAfterSec: the run can no
+            // longer be extended or closed earlier by in-order data
+            val emit = state.getOption.collect {
+              case RunState(st, en) if en - st >= 13.0 => (key, st + 3.0, en - 3.0)
             }
+            state.remove()
+            emit.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsSec)
+            var open   = state.getOption
+            val out = sorted.flatMap { s =>
+              if (s.speed == 0.0) {
+                open = Some(open.fold(RunState(s.tsSec, s.tsSec))(r => r.copy(lastZero = s.tsSec)))
+                None
+              } else {
+                val emit = open.collect {
+                  case RunState(st, en) if en - st >= 13.0 => (key, st + 3.0, en - 3.0)
+                }
+                open = None
+                emit
+              }
+            }
+            open match {
+              case Some(r) =>
+                state.update(r)
+                // must be strictly past the current watermark or Spark
+                // rejects the registration
+                state.setTimeoutTimestamp(math.max(
+                  ((r.lastZero + closeAfterSec) * 1000).toLong,
+                  state.getCurrentWatermarkMs + 1))
+              case None => state.remove()
+            }
+            out.iterator
           }
-          open match {
-            case Some(r) => state.update(r)
-            case None    => state.remove()
-          }
-          out.iterator
       }
       .toDF("key", "start", "end")
   }

@@ -283,4 +283,34 @@ class CanStreamsSpec extends AnyFunSuite {
       assert(spark.table("stat_out").count() === 1)
     } finally q.stop()
   }
+
+  test("stationaryStream: end-of-data run closes on event-time timeout, short run never does") {
+    import spark.implicits._
+    val ms = MemoryStream[(String, Double, Double)](spark)
+    val q = CanStreams
+      .stationaryStream(ms.toDS(), closeAfterSec = 30.0)
+      .writeStream.format("memory").queryName("stat_eod_out").outputMode("append").start()
+    try {
+      // device parks: 16 s of zeros (t=300..315), then stops logging forever
+      ms.addData((300 to 315).map(t => ("e", t.toDouble, 0.0)): _*)
+      q.processAllAvailable()
+      assert(spark.table("stat_eod_out").count() === 0) // still open, not timed out
+      // a LATER, UNRELATED device advances the watermark past 315+30
+      ms.addData(("other", 400.0, 50.0))
+      q.processAllAvailable()
+      ms.addData(("other", 401.0, 50.0)) // nudge a further batch so the timeout fires
+      q.processAllAvailable()
+      val got = spark.table("stat_eod_out").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      assert(got === Array(("e", 303.0, 312.0)))
+      // a 12 s end-of-data run: times out but never emits (below threshold)
+      ms.addData((500 to 511).map(t => ("f", t.toDouble, 0.0)): _*)
+      q.processAllAvailable()
+      ms.addData(("other", 600.0, 50.0))
+      q.processAllAvailable()
+      ms.addData(("other", 601.0, 50.0))
+      q.processAllAvailable()
+      assert(spark.table("stat_eod_out").count() === 1)
+    } finally q.stop()
+  }
 }
