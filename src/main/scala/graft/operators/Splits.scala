@@ -124,12 +124,17 @@ object Splits {
     * NULL scores rank last; NULL costs count as 0. Adds `rankName`
     * (long, 1-based) and `cumName` (long, inclusive running `costCol`).
     *
-    * Caveat: rows with IDENTICAL scores share a bucket (quantile cuts
-    * cannot split a tie), so a near-constant score column degenerates back
-    * toward one partition. Scores with real spread (quality signals,
-    * timestamps, sizes) are fine; for coarse grades first refine the score
-    * deterministically (e.g. `score * 2^20 + hashOrder(id) % 2^20` as a
-    * composite) so the cuts have something to cut.
+    * TIE DEGENERACY is auto-remedied: rows with IDENTICAL scores share a
+    * bucket (quantile cuts cannot split a tie), so a near-constant score
+    * column would collapse back toward one partition. When the computed
+    * cuts are degenerate (distinct cuts < buckets/2), every score value
+    * owning two or more cut slots is SUB-BUCKETED by id quantiles —
+    * ascending id, i.e. exactly the declared tie order, so the output
+    * ranks are bit-identical to the naive window while the heavy value's
+    * mass spreads over its deserved share of partitions. The sub-cut pass
+    * only runs on the degenerate path (one extra small aggregate per heavy
+    * value); non-numeric ids leave the tie in one bucket (correct, just
+    * unbalanced — cast such ids to a numeric surrogate first).
     */
   def rankedPrefix(
       df: DataFrame,
@@ -143,17 +148,20 @@ object Splits {
     Seq(rankName, cumName, "__b").foreach(n =>
       require(!df.columns.contains(n), s"rankedPrefix: input already has a '$n' column"))
     val cost = coalesce(col(costCol).cast("long"), lit(0L))
-    // The cuts and totals passes run over a PERSISTED (score, cost)
-    // projection — ~16 bytes/row, the k-means caching pattern. The cache is
+    // The cuts and totals passes run over a PERSISTED (score, cost, id)
+    // projection — ~24 bytes/row, the k-means caching pattern. The cache is
     // a materialization barrier: without it, CollapseProject inlines an
     // expensive score EXPRESSION into the bucket lambda (structurally one
     // reference, but evaluated `buckets` times per row at runtime — a 30x
     // blowup measured on q90's quality chain). The final pass keeps the
     // score as an output column, so it never duplicates.
     val slim = df
-      .select(col(scoreCol).cast("double").as("__score"), cost.as("__cost"))
+      .select(
+        col(scoreCol).cast("double").as("__score"),
+        cost.as("__cost"),
+        col(idCol).cast("double").as("__id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (cuts, totals) =
+    val (cuts, heavy, totals) =
       try {
         val qs = (1 until buckets).map(_.toDouble / buckets)
         val cutsRow = slim
@@ -165,32 +173,71 @@ object Splits {
             cutsRow.getSeq[java.lang.Double](0)
               .filter(_ ne null).map(_.doubleValue)
               .filterNot(_.isNaN) // a NaN cut would poison every comparison
-        val bSlim =
-          if (cs.isEmpty) lit(0)
+        // tie remedy: a score value holding >= 2 cut slots owns >= a full
+        // bucket's mass; split it by id quantiles (ascending id = the tie
+        // order, so global ordering is untouched)
+        val hv: Seq[(Double, Seq[Double])] =
+          if (cs.isEmpty || cs.distinct.size >= buckets / 2) Seq.empty
           else
-            when(col("__score").isNull, lit(-1))
-              // NaN compares false against every cut but SORTS as the
-              // largest double — pin it to the top bucket explicitly or
-              // its bucket offset and its sort position disagree
-              .when(isnan(col("__score")), lit(cs.length))
-              .otherwise(size(filter(typedlit(cs), c => c <= col("__score"))))
-        // per-bucket totals: the only driver state, `buckets` rows
+            cs.groupBy(identity).toSeq.collect { case (v, slots) if slots.size >= 2 => (v, slots.size + 1) }
+              .sortBy(_._1)
+              .flatMap { case (v, m) =>
+                val subQs = (1 until m).map(_.toDouble / m)
+                val row = slim
+                  .filter(col("__score") === v)
+                  .select(percentile_approx(col("__id"), typedlit(subQs), lit(10000)).as("c"))
+                  .collect()(0)
+                val sub =
+                  if (row.isNullAt(0)) Seq.empty[Double]
+                  else
+                    row.getSeq[java.lang.Double](0)
+                      .filter(_ ne null).map(_.doubleValue).filterNot(_.isNaN)
+                if (sub.isEmpty) None else Some((v, sub))
+              }
+        // combined bucket id: primary score bucket, heavy values refined by
+        // id sub-bucket — DESCENDING in id so a LARGER combined id is
+        // EARLIER in (score DESC, id ASC) order, same as the primary
+        val mult = hv.map(_._2.length + 1).maxOption.getOrElse(1)
+        def combined(score: Column, id: Column): Column = {
+          val primary =
+            if (cs.isEmpty) lit(0)
+            else
+              when(score.isNull, lit(-1))
+                // NaN compares false against every cut but SORTS as the
+                // largest double — pin it to the top bucket explicitly or
+                // its bucket offset and its sort position disagree
+                .when(isnan(score), lit(cs.length))
+                .otherwise(size(filter(typedlit(cs), c => c <= score)))
+          val sub = hv.foldLeft(lit(0)) { case (rest, (v, subCuts)) =>
+            when(score === v,
+              lit(subCuts.length) - size(filter(typedlit(subCuts), c => c <= id)))
+              .otherwise(rest)
+          }
+          primary * lit(mult) + sub
+        }
+        // per-bucket totals: the only driver state, <= buckets * mult rows
         val tot = slim
-          .withColumn("__b", bSlim)
+          .withColumn("__b", combined(col("__score"), col("__id")))
           .groupBy(col("__b"))
           .agg(count(lit(1)).as("n"), sum(col("__cost")).as("c"))
           .collect()
           .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
           .sortBy(-_._1) // highest score bucket first = global order
-        (cs, tot)
+        (cs, hv, tot)
       } finally { slim.unpersist(); () }
-    val bExpr =
+    val mult = heavy.map(_._2.length + 1).maxOption.getOrElse(1)
+    val bPrimary =
       if (cuts.isEmpty) lit(0)
       else
         when(col(scoreCol).isNull, lit(-1)) // below every real bucket: ranks last
           .when(isnan(col(scoreCol).cast("double")), lit(cuts.length)) // NaN sorts largest
           .otherwise(size(filter(typedlit(cuts), c => c <= col(scoreCol).cast("double"))))
-    val withB = df.withColumn("__b", bExpr)
+    val bSub = heavy.foldLeft(lit(0)) { case (rest, (v, subCuts)) =>
+      when(col(scoreCol).cast("double") === v,
+        lit(subCuts.length) - size(filter(typedlit(subCuts), c => c <= col(idCol).cast("double"))))
+        .otherwise(rest)
+    }
+    val withB = df.withColumn("__b", bPrimary * lit(mult) + bSub)
     val offsets = totals
       .scanLeft((0, 0L, 0L)) { case ((_, cn, cc), (b, n, c)) => (b, cn + n, cc + c) }
       .sliding(2)

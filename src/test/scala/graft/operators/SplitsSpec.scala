@@ -101,4 +101,27 @@ class SplitsSpec extends AnyFunSuite {
     }.sortBy(_._1)
     assert(got.toSeq === want)
   }
+
+  test("rankedPrefix constant-score degeneracy: id sub-buckets restore balance, ranks exact") {
+    import spark.implicits._
+    val n  = 4000
+    val df = (1L to n.toLong).map(i => (i, 1.0, 1L)).toDF("id", "score", "cost").repartition(13)
+    val out = Splits.rankedPrefix(df, "score", "id", "cost", buckets = 8)
+
+    // semantics unchanged: constant score ties break id ASC, so rnk == id
+    // and cum_cost == id exactly
+    val got = out.select("id", "rnk", "cum_cost").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (id, rnk, cum) => rnk === id && cum === id })
+
+    // balance restored: without the remedy every row shares one quantile
+    // bucket -> ONE window partition holds all n rows; with id sub-buckets
+    // the biggest partition carries ~n/8, never a majority
+    val sizes = out
+      .groupBy(spark_partition_id()).count()
+      .collect().map(_.getLong(1))
+    assert(sizes.max <= n / 2,
+      s"degenerate window partition: max ${sizes.max} of $n rows in one partition")
+    assert(sizes.count(_ > 0) >= 4, s"expected spread, got ${sizes.toSeq}")
+  }
 }
