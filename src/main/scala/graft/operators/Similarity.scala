@@ -175,6 +175,50 @@ object Similarity {
               c.getField("embedding").as("c_emb"),
               norm2(c.getField("embedding")).as("c_n2"))).as("cents"))
 
+  /** Deterministic farthest-point (k-center greedy) seeding: start from the
+    * smallest vec_id, then repeatedly add the vector LEAST similar to every
+    * seed so far (argmin of max cosine, ties on vec_id). Each step is one
+    * pass over the corpus with the chosen seeds as broadcast literals —
+    * ncells passes total, the deliberate-rebuild price. Where
+    * `seedCentroids` (first ncells ids) can start Lloyd with every seed
+    * inside one region — a local optimum that leaves a later-drifted
+    * cluster without a cell — farthest-point spreads the seeds across the
+    * corpus's actual extent, which is exactly what `reindexIvf` needs when
+    * the distribution has drifted since the original epoch.
+    */
+  def farthestPointSeeds(emb: DataFrame, ncells: Int): DataFrame = {
+    require(ncells >= 1, s"ncells must be >= 1, got $ncells")
+    val withN2 = emb
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val first = withN2.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id"), col("embedding")).collect()(0)
+      var chosen = Vector[Seq[Float]](first.getSeq[Float](1))
+      while (chosen.size < ncells) {
+        val maxCos = chosen
+          .map { v =>
+            val lv = typedlit(v)
+            cosine(dot(col("embedding"), lv), col("n2"), norm2(lv))
+          }
+          .reduce(greatest(_, _))
+        val next = withN2
+          .select(col("vec_id"), col("embedding"), maxCos.as("__m"))
+          .orderBy(col("__m").asc, col("vec_id"))
+          .limit(1)
+          .collect()(0)
+        chosen = chosen :+ next.getSeq[Float](1)
+      }
+      val ss = emb.sparkSession
+      import ss.implicits._
+      chosen.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }
+        .toDF("cell_id", "c_emb")
+        .withColumn("c_n2", norm2(col("c_emb")))
+        .agg(collect_list(struct(col("cell_id"), col("c_emb"), col("c_n2"))).as("cents"))
+    } finally { withN2.unpersist(); () }
+  }
+
   /** Spherical-k-means (Lloyd) refinement of the IVF centroids — scale-safe:
     *  - ASSIGNMENT is the same zero-shuffle in-row fold ivfTopK uses;
     *  - the UPDATE is posexplode -> groupBy((cell, pos)) sum/count: the
@@ -187,13 +231,18 @@ object Similarity {
     * (the mean's norm cancels in the cosine ranking). Empty cells keep
     * their previous centroid.
     */
-  def kmeansCentroids(emb: DataFrame, ncells: Int, iters: Int): DataFrame = {
+  def kmeansCentroids(
+      emb: DataFrame,
+      ncells: Int,
+      iters: Int,
+      farthestSeeds: Boolean = false): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     require(
       emb.limit(ncells).count() == ncells,
       s"kmeansCentroids: corpus has fewer than ncells=$ncells vectors")
-    var cents: DataFrame = seedCentroids(emb, ncells)
+    var cents: DataFrame =
+      if (farthestSeeds) farthestPointSeeds(emb, ncells) else seedCentroids(emb, ncells)
     val withN2 = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
     (1 to iters).foreach { _ =>
       val stats = assignCells(withN2, cents, 1)
@@ -362,6 +411,67 @@ object Similarity {
       .mode(SaveMode.Overwrite)
       .parquet(path)
     centArr.write.mode(SaveMode.Overwrite).parquet(s"$path.centroids")
+  }
+
+  /** Re-cluster a persisted IVF index IN PLACE: spherical k-means over the
+    * STORED vectors, then an atomic rewrite of the data partitions and the
+    * centroid table. A long-lived index fed by `EmbedStreams` keeps its
+    * original epoch's centroids (cell stability is the streaming
+    * invariant), so when the embedding distribution drifts, the new mass
+    * crowds a few stale cells — searches still verify exact cosines, but
+    * low-nprobe recall decays (a drifted cluster straddling two stale
+    * cells hides half its neighbors from every probe) and cell skew grows
+    * monotonically. Reindex is the deliberate rebuild that restores both.
+    *
+    * Crash shape (compact's two-rename swap, applied to data then
+    * centroids): tmp dirs are rebuilt by a re-run; a crash between the two
+    * swaps leaves NEW data partitions with OLD centroids — re-running
+    * reindexIvf heals it, and searches in that window lose recall, never
+    * cosine correctness.
+    */
+  def reindexIvf(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      iters: Int = 5): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.SaveMode
+    val stored = spark.read.parquet(path).select("vec_id", "embedding")
+    val ncells = spark.read.parquet(s"$path.centroids")
+      .select(size(col("cents"))).head().getInt(0)
+    // farthest-point seeding: the drift that motivates a reindex is exactly
+    // the case where the original-epoch seeds miss part of the corpus
+    val cents   = kmeansCentroids(stored, ncells, iters, farthestSeeds = true)
+    val conf    = spark.sessionState.newHadoopConf()
+    val dataDir = new Path(path)
+    val centDir = new Path(s"$path.centroids")
+    val fs      = dataDir.getFileSystem(conf)
+    val tmpData = new Path(dataDir.getParent, s".reindex-tmp-${dataDir.getName}")
+    val tmpCent = new Path(centDir.getParent, s".reindex-tmp-${centDir.getName}")
+    Seq(tmpData, tmpCent).foreach(p => if (fs.exists(p)) fs.delete(p, true))
+    // both tmp writes read the OLD index (lazy plans over `path`), so they
+    // must complete before any swap
+    val withN2 = stored.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    assignCells(withN2, cents, 1)
+      .repartition(col("cell_id"))
+      .sortWithinPartitions(col("cell_id"), col("vec_id"))
+      .write
+      .partitionBy("cell_id")
+      .mode(SaveMode.Overwrite)
+      .parquet(tmpData.toString)
+    cents.write.mode(SaveMode.Overwrite).parquet(tmpCent.toString)
+    def swap(live: Path, tmp: Path): Unit = {
+      val trash = new Path(live.getParent, s".reindex-old-${live.getName}")
+      if (fs.exists(trash)) fs.delete(trash, true)
+      if (!fs.rename(live, trash))
+        throw new java.io.IOException(s"reindexIvf: cannot set aside $live")
+      if (!fs.rename(tmp, live)) {
+        fs.rename(trash, live) // roll back
+        throw new java.io.IOException(s"reindexIvf: cannot promote $tmp")
+      }
+      fs.delete(trash, true)
+    }
+    swap(dataDir, tmpData)
+    swap(centDir, tmpCent)
   }
 
   /** Top-k search against a persisted IVF index: probe vectors are

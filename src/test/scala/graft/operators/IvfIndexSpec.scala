@@ -58,4 +58,69 @@ class IvfIndexSpec extends AnyFunSuite {
       .select(col("cell_id").cast("long")).distinct().collect().map(_.getLong(0)).toSet
     assert(neighborCells === Set(probeCell))
   }
+
+  test("reindexIvf: drifted streamed-in cluster regains low-nprobe recall after re-centroid") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    def around(center: Array[Float], eps: Float) =
+      center.map(x => x + eps * rnd.nextGaussian().toFloat)
+    // epoch 1: two well-separated clusters seed the index's centroids
+    val c1   = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val c2   = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = (1L to 60L).map(i => (i, around(if (i % 2 == 0) c1 else c2, 0.05f)))
+    val raw  = tmp() + "/raw"; val idx = tmp() + "/index"; val ckpt = tmp() + "/ckpt"
+    base.toDF("vec_id", "embedding").write.parquet(raw)
+    graft.streaming.EmbedStreams
+      .runEmbedIngest(spark, raw, idx, ckpt, ncells = 4).awaitTermination()
+
+    // epoch 2: a NEW tight cluster EXACTLY BETWEEN two stored centroids
+    // streams in (unit-normalized sum — equal cosine to both by
+    // construction), so member noise decides each row's stale cell and the
+    // cluster splits across cells: a 1-probe search sees only the part
+    // sharing its cell
+    val cents = spark.read.parquet(s"$idx.centroids")
+      .select(explode(col("cents")).as("c"))
+      .orderBy(col("c.cell_id"))
+      .select("c.c_emb")
+      .collect().map(_.getSeq[Float](0).toArray)
+    def unit(a: Array[Float]) = {
+      val n = math.sqrt(a.map(x => x * x.toDouble).sum).toFloat; a.map(_ / n)
+    }
+    val c3    = unit(cents(0)).zip(unit(cents(1))).map { case (a, b) => a + b }
+    val drift = (200L until 260L).map(i => (i, around(c3, 0.05f)))
+    drift.toDF("vec_id", "embedding").write.mode("append").parquet(raw)
+    graft.streaming.EmbedStreams
+      .runEmbedIngest(spark, raw, idx, ckpt, ncells = 4).awaitTermination()
+
+    val all = (base ++ drift).toDF("vec_id", "embedding")
+    def recallAt(nprobe: Int): Double = {
+      val want = Similarity.bruteForceTopK(all, col("vec_id") >= 200, k = 5)
+        .select("probe_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Similarity
+        .searchIvfIndex(spark, idx, all.filter(col("vec_id") >= 200), k = 5, nprobe = nprobe)
+        .select("probe_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (want & got).size.toDouble / want.size
+    }
+    // the drift cluster (60 rows, the largest) legitimately splits over 2
+    // of the 4 refined cells, so the demonstrative budget is nprobe=2:
+    // stale centroids scatter the cluster over ALL cells (recall@2 ~0.7);
+    // refined ones confine it to its two (recall@2 = 1.0)
+    val before = recallAt(2)
+    Similarity.reindexIvf(spark, idx, iters = 10)
+    val after = recallAt(2)
+    assert(before <= 0.8, s"fixture failed to degrade: recall@2 $before under stale centroids")
+    assert(after >= 0.99, s"reindex did not restore recall@2: $before -> $after")
+
+    // exactness invariant survives the rewrite: full probe == brute force
+    val full = Similarity
+      .searchIvfIndex(spark, idx, all.filter(col("vec_id") < 10), k = 5, nprobe = 4)
+      .select("probe_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(all, col("vec_id") < 10, k = 5)
+      .select("probe_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(full === brute && full.nonEmpty)
+  }
 }
