@@ -36,9 +36,14 @@ object TextAnalysis {
   def bpeishCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
-  /** Punctuation characters / total characters. */
+  /** Punctuation characters / total characters; NULL for empty text — the
+    * nullif guard matters under ANSI mode, where a bare `x / length(text)`
+    * THROWS DIVIDE_BY_ZERO on the empty documents every real crawl
+    * contains (found by the adversarial fixture round).
+    */
   def punctRatio(text: Column): Column =
-    regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / length(text)
+    regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") /
+      nullif(length(text), lit(0))
 
   def stopwordCount(toks: Column): Column =
     size(filter(toks, t => t.isInCollection(Stopwords)))

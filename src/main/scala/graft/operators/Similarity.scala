@@ -351,6 +351,14 @@ object Similarity {
     val sig = vecSimHash(col(vecCol), bits)
     // one-file corpus: hash on all cores; already-wide inputs keep their
     // layout and pay no shuffle (Dedup.spread is conditional)
+    // DEGENERATE-VECTOR GUARD (adversarial round): a NaN/Inf/zero-norm
+    // embedding yields a NaN cosine against everything, and Spark's
+    // ordering comparison treats NaN as GREATER than any threshold — so a
+    // batch of corrupt embeddings sharing an LSH bucket would mine
+    // spurious pairs welding unrelated docs into one dedup component.
+    // `0 < n2 < Inf` excludes all three classes at the signature stage
+    // (NaN fails `< Inf` under the same ordering semantics), before they
+    // cost bucket or verify work.
     val sigs = Dedup
       .spread(emb)
       .select(
@@ -358,7 +366,8 @@ object Similarity {
         col(vecCol).as("v"),
         norm2(col(vecCol)).as("n2"),
         sig.as("__sig"))
-      .filter(col("__sig").isNotNull)
+      .filter(col("__sig").isNotNull &&
+        col("n2") > 0 && col("n2") < lit(Double.PositiveInfinity))
       .localCheckpoint(false)
     val bands = sigs.select(
       col("id"),
@@ -378,7 +387,9 @@ object Similarity {
       .join(sigs.select(col("id").as("id_a"), col("v").as("v_a"), col("n2").as("n2_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("v").as("v_b"), col("n2").as("n2_b")), Seq("id_b"))
       .withColumn("cos", cosine(dot(col("v_a"), col("v_b")), col("n2_a"), col("n2_b")))
-      .filter(col("cos") >= threshold)
+      // belt to the n2 guard above: a NaN cosine must never satisfy the
+      // threshold (Spark's NaN-is-greatest comparison would let it)
+      .filter(col("cos") >= threshold && !isnan(col("cos")))
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 

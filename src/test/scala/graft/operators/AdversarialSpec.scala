@@ -1,0 +1,161 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.functions.TextAnalysis
+
+/** Adversarial-input round: the corpus pathologies a 100 TB crawl actually
+  * contains — unicode normalization variants, zero-width characters,
+  * surrogate pairs, empty/whitespace docs, NaN/Inf/zero embeddings,
+  * epoch-0 and year-2106 timestamps, and 0-row part files mid-glob —
+  * run through the dedup / text-stats / LSH / resample operators. Every
+  * behavior asserted here is the deliberate, DuckDB-matching rule, not an
+  * accident; divergences would surface as oracle hash mismatches.
+  */
+class AdversarialSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmp(): String = Files.createTempDirectory("adversarial").toString
+
+  test("exact dedup: unicode normalization forms and zero-width chars are DISTINCT keys") {
+    import spark.implicits._
+    // NFC é, NFD e+combining-accent, and a zero-width-space variant are
+    // three different byte sequences: byte-exact dedup keeps all three
+    // (neither this engine nor DuckDB normalizes unicode — the documented
+    // rule; normalize first via TextAnalysis.normalize-style projections
+    // if canonical-equivalence dedup is wanted)
+    val docs = Seq(
+      (1L, "café au lait"),
+      (2L, "café au lait"),
+      (3L, "café au​ lait"),
+      (4L, "café au lait"),      // true byte dup of 1
+      (5L, "😀 emoji doc"), // surrogate pair
+      (6L, "😀 emoji doc")) // true byte dup of 5
+      .toDF("doc_id", "text")
+    val kept = Dedup
+      .exactDedupRows(docs, sha2(col("text"), 256), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(1L, 2L, 3L, 5L))
+  }
+
+  test("text stats: empty, whitespace-only, zero-width, emoji, and CJK docs never throw or null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ""),
+      (2L, " "),
+      (3L, "​"),
+      (4L, "😀"),
+      (5L, "ひらがな カタカナ 漢字"),
+      (6L, "mixed the ascii と text"))
+      .toDF("doc_id", "text")
+    val got = docs.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("toks"),
+      TextAnalysis.bpeishCount(col("text")).as("bpe"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.langGuess(col("text")).as("lang"),
+      TextAnalysis.dupBigramRatio(col("text")).as("rep"))
+      .collect()
+    assert(got.length === 6)
+    got.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(2) >= 0, s"negative counts: $r")
+      assert(!r.isNullAt(4), s"null langGuess: $r")
+      if (!r.isNullAt(3)) {
+        val q = r.getDouble(3)
+        assert(!q.isNaN && q >= 0.0 && q <= 1.0 + 1e-9, s"quality out of range: $r")
+      }
+      if (!r.isNullAt(5)) assert(!r.getDouble(5).isNaN, s"NaN repetition: $r")
+    }
+    // the CJK-free english doc still classifies en (markers present)
+    assert(got.find(_.getLong(0) == 6L).get.getString(4) === "en")
+  }
+
+  test("LSH near-dup: unicode docs pair exactly; sub-shingle and empty docs are inert") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "éclair b​c café déjà vu encore"),
+      (2L, "éclair b​c café déjà vu encore"), // byte-identical
+      (3L, "x y"),                                                     // < 3 tokens: no shingles
+      (4L, ""),                                                        // empty
+      (5L, "totally different words with no overlap at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup
+      .lshNearDupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("embedding near-dup: NaN/Inf/zero vectors are verification-inert; clean pairs still mine") {
+    import spark.implicits._
+    val rnd   = new scala.util.Random(5)
+    val clean = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val emb = Seq(
+      (1L, clean),
+      (2L, clean.map(x => x + 1e-4f)),
+      (3L, Array.fill(16)(Float.NaN)),
+      (4L, Array.fill(16)(0f)),                      // zero norm: cosine 0/0 = NaN
+      (5L, Array.fill(16)(Float.PositiveInfinity)),  // Inf/Inf = NaN
+      (6L, clean))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity
+      .embedNearDupPairs(emb, "vec_id", "embedding", threshold = 0.99)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cosine against a NaN/Inf/zero vector is NaN, which fails every
+    // threshold comparison (the DuckDB-matching rule: NaN >= t is false in
+    // both engines) — such vectors can never emit a pair
+    assert(pairs === Set((1L, 2L), (1L, 6L), (2L, 6L)))
+  }
+
+  test("resampleFill: epoch-0 and year-2106 (past 2^32 s) grids bin and fill exactly") {
+    import spark.implicits._
+    val y2106 = 4294967296L // 2106-02-07T06:28:16Z
+    val rows = Seq(
+      ("a", 0L, 1.0),                  // epoch 0, bin 1970-01-01T00:00
+      ("a", 3L * 3600, 2.0),           // 3 hours later: 2 carried bins between
+      ("b", y2106, 5.0),
+      ("b", y2106 + 2L * 3600, 6.0))
+    val df = rows.toDF("key", "sec", "v").withColumn("ts", timestamp_seconds(col("sec")))
+    val out = Resample.resampleFill(df, "key", "ts", "v", "1 hour")
+      .withColumn("bin_sec", unix_timestamp(col("bin")))
+      .select("key", "bin_sec", "value", "observed")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(r => (r._1, r._2))
+    val hourFloor2106 = y2106 / 3600 * 3600
+    assert(out.toSeq === Seq(
+      ("a", 0L, 1.0, true),
+      ("a", 3600L, 1.0, false),
+      ("a", 7200L, 1.0, false),
+      ("a", 10800L, 2.0, true),
+      ("b", hourFloor2106, 5.0, true),
+      ("b", hourFloor2106 + 3600, 5.0, false),
+      ("b", hourFloor2106 + 7200, 6.0, true)))
+  }
+
+  test("0-row parquet part file mid-glob neither breaks the scan nor changes results") {
+    import spark.implicits._
+    val dir = tmp() + "/table"
+    val df  = (1L to 100L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    df.repartition(2).write.parquet(dir)
+    // land a footer-only (0-row, schema-bearing) part file in the middle
+    // of the glob — what a crashed writer or an empty upstream partition
+    // leaves behind
+    val emptyDir = tmp() + "/empty"
+    df.limit(0).coalesce(1).write.parquet(emptyDir)
+    val emptyPart = Files
+      .walk(java.nio.file.Paths.get(emptyDir)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.copy(
+      java.nio.file.Paths.get(emptyPart),
+      java.nio.file.Paths.get(dir, "part-00000-empty-rows.parquet"))
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 100)
+    val kept = Dedup.exactDedupRows(back, sha2(col("text"), 256), col("doc_id"))
+    assert(kept.count() === 100)
+  }
+}
