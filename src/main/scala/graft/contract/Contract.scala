@@ -2180,6 +2180,27 @@ object Contract {
              |            ELSE 'unchanged' END AS status,
              |  COUNT(*) AS cnt
              |FROM j GROUP BY 1""".stripMargin)
+    ),
+    Q(
+      "q95_topk_heap",
+      // q10's top-3-orders-per-customer, re-planned as the bounded-heap
+      // CollectTopK aggregate instead of a window: map-side partial heaps
+      // cap shuffle volume at k rows per (group x map partition) regardless
+      // of corpus size — the scale-right spelling the window can't give.
+      // Same oracle family as q10 proves the two plans agree row-for-row.
+      (s, d) =>
+        graft.operators.TopK.topKPerGroup(
+          ord(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+          groupCols = Seq("o_custkey"),
+          scoreCol = "o_totalprice",
+          idCol = "o_orderkey",
+          k = 3,
+          rnkName = "rnk"),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rnk::INTEGER AS rnk FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             |  FROM orders) t WHERE rnk <= 3""".stripMargin)
     )
   )
 

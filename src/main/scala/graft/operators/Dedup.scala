@@ -562,26 +562,34 @@ object Dedup {
     * identical members, pairs not involving the bucket minimum are a
     * documented recall cut — audit with `bucketCensus` on the banded table.
     *
-    * One extra window pass on the same (band, key) key the join shuffles on
-    * anyway; the exchange is reused.
+    * Guard mechanics: bucket sizes come from a groupBy AGGREGATE (map-side
+    * partial combine — shuffle ~ distinct buckets, not rows), the surviving
+    * hot-bucket keys (at most n/maxBucket of them, tiny by construction)
+    * ride as a BROADCAST, and cold rows are carved out by a broadcast
+    * anti-join — map-side, no extra shuffle or sort of the bands table. The
+    * first cut of this guard sized buckets with a window over (band, key);
+    * that planned a full sort-shuffle of every band row per join side and
+    * cost the simhash miners 5x (round-6 bench) — the aggregate+broadcast
+    * form restores the unguarded plan shape on healthy corpora.
     */
   private[operators] def bandCandidates(bands: DataFrame, maxBucket: Int): DataFrame = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("band"), col("key"))
-    val sized = bands
-      .select(col("id"), col("band"), col("key"))
-      .withColumn("__cnt", count(lit(1)).over(w))
-      .withColumn("__min", min(col("id")).over(w))
-    val cold = sized.filter(col("__cnt") <= maxBucket)
+    val b = bands.select(col("id"), col("band"), col("key"))
+    val hot = b
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__cnt"), min(col("id")).as("__min"))
+      .filter(col("__cnt") > maxBucket)
+      .select(col("band"), col("key"), col("__min"))
+    val cold = b.join(broadcast(hot), Seq("band", "key"), "left_anti")
     val coldPairs = cold
       .as("a")
       .join(cold.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val starPairs = sized
-      .filter(col("__cnt") > maxBucket && col("id") =!= col("__min"))
+    val starPairs = b
+      .join(broadcast(hot), Seq("band", "key"))
+      .filter(col("id") =!= col("__min"))
       .select(col("__min").as("id_a"), col("id").as("id_b"))
     coldPairs.union(starPairs).distinct()
   }
@@ -666,13 +674,21 @@ object Dedup {
     // (a boilerplate cluster accumulated in the store) collapses to its
     // minimum id — each new doc in that bucket still pairs with the
     // earliest member (so identical templates keep dropping, the greedy
-    // rule's outcome), without the delta x hot-store-bucket candidate blowup
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
-    val partnerBands = bandBuckets(all, k, rowsPerBand)
-      .withColumn("__cnt", count(lit(1)).over(w))
-      .withColumn("__min", min(col("id")).over(w))
-      .filter(col("__cnt") <= maxBucket || col("id") === col("__min"))
-      .drop("__cnt", "__min")
+    // rule's outcome), without the delta x hot-store-bucket candidate
+    // blowup. Sizing rides an aggregate + broadcast left-outer join (hot
+    // keys are at most |store|/maxBucket, tiny), NOT a window — a window
+    // here plans a full sort-shuffle of every store band row (see
+    // bandCandidates).
+    val allBands = bandBuckets(all, k, rowsPerBand)
+    val hotPartner = allBands
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__cnt"), min(col("id")).as("__min"))
+      .filter(col("__cnt") > maxBucket)
+      .select(col("band"), col("bucket"), col("__min"))
+    val partnerBands = allBands
+      .join(broadcast(hotPartner), Seq("band", "bucket"), "left_outer")
+      .filter(col("__min").isNull || col("id") === col("__min"))
+      .drop("__min")
     val cand = partnerBands
       .as("b")
       .join(bandBuckets(newSigs, k, rowsPerBand).as("a"),

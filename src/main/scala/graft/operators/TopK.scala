@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Top-k rows PER GROUP without sorting whole groups.
+  *
+  * The naive spelling — `row_number().over(Window.partitionBy(g).orderBy(s
+  * desc))` then `filter(rn <= k)` — shuffles and SORTS every row of every
+  * group; at 100 TB the sort of the 99.99% of rows that lose is pure waste.
+  * The scale-right primitive is a bounded-heap aggregate with map-side
+  * partial merge: each task keeps at most k candidates per group, the
+  * shuffle carries k rows per (group x map partition), and the reduce side
+  * merges heaps — shuffle volume ~ k x partitions x groups, independent of
+  * row count. Spark ships exactly this as the Catalyst aggregate
+  * `CollectTopK` (the engine behind pandas-on-Spark `nlargest`); it is not
+  * exposed through `functions._`, so it is bridged here (same pattern as
+  * ColumnBridge's other private[sql] surfaces).
+  *
+  * Comparator: (scoreCol DESC NULLS LAST, idCol ASC), encoded as the same
+  * (class, -score, id) triple `Retrieval.rankTop` uses — ascending order of
+  * the triple IS the wanted order, with NaN ranked first (Spark DESC
+  * semantics: NaN > +Inf) and NULL last, so degenerate scores from a real
+  * corpus (0/0 cosines, missing legs) cannot invert ranks (ADVICE r5).
+  */
+object TopK {
+
+  /** Catalyst's bounded-heap collect (via the graftbridge shim — the class
+    * is private[sql]). `reverse = true` keeps the `k` SMALLEST elements of
+    * `c`'s type ordering and emits them ascending — with the rank triple
+    * below, ascending = best-first.
+    */
+  def collectTopK(c: Column, k: Int, reverse: Boolean): Column =
+    ColumnBridge.collectTopK(c, k, reverse)
+
+  /** (class, negScore, id) — ascending == (score DESC NULLS LAST, id ASC),
+    * total-order even for NaN (class 0, first) and NULL (class 2, last).
+    */
+  private def rankTriple(scoreCol: String, idCol: String): Seq[Column] = {
+    val s = col(scoreCol).cast("double")
+    Seq(
+      when(s.isNull, lit(2)).when(isnan(s), lit(0)).otherwise(lit(1)).as("__c"),
+      when(s.isNull || isnan(s), lit(0.0)).otherwise(-s).as("__ns"),
+      col(idCol).as("__id"))
+  }
+
+  /** Top-`k` rows per group by (`scoreCol` DESC NULLS LAST, `idCol` ASC).
+    *
+    * Output: groupCols ++ (idCol, scoreCol, carryCols, rnkName) with ranks
+    * 1..k per group, best first. `idCol` must be unique within a group (it
+    * is the tiebreak; carried columns ride in the heap entry and are never
+    * compared when ids are unique). Carried columns must be orderable types
+    * (struct ordering — no maps); carry a map by joining it back on
+    * (group, id) instead.
+    *
+    * One shuffle (the groupBy), k-bounded on both sides of it. The heap
+    * entry is the full carried row, so no second join — for wide rows
+    * prefer `carryCols = Nil` + join back.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      idCol: String,
+      k: Int,
+      carryCols: Seq[String] = Nil,
+      rnkName: String = "rnk"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(groupCols.nonEmpty, "topKPerGroup needs at least one group column")
+    // the original score rides as payload (the triple's negated-double copy
+    // is comparator-only — emitting it back would silently retype an int
+    // score to double and fail the driver's type-strict compare)
+    val entry = struct(
+      rankTriple(scoreCol, idCol) ++
+        (col(scoreCol).as("__s") +: carryCols.map(c => col(c).as(s"__p_$c"))): _*)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(collectTopK(entry, k, reverse = true).as("__top"))
+      .select(groupCols.map(col) :+ posexplode(col("__top")): _*)
+      .select(
+        groupCols.map(col) ++
+          Seq(col("col.__id").as(idCol), col("col.__s").as(scoreCol)) ++
+          carryCols.map(c => col(s"col.__p_$c").as(c)) :+
+          (col("pos") + 1).cast("int").as(rnkName): _*)
+  }
+}

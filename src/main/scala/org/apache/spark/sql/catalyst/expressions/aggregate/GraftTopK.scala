@@ -1,0 +1,13 @@
+package org.apache.spark.sql.catalyst.expressions.aggregate
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Accessor for Catalyst's bounded-heap collect aggregate (the engine behind
+  * pandas-on-Spark `nlargest`). `CollectTopK` is private[aggregate], so the
+  * factory lives in this package — same pattern as graftbridge.ColumnBridge
+  * for the private[sql] Column <-> Expression conversions.
+  */
+object GraftTopK {
+  def collectTopK(child: Expression, k: Int, reverse: Boolean): Expression =
+    CollectTopK(child, k, reverse).toAggregateExpression()
+}

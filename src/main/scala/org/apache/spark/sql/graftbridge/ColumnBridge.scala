@@ -13,6 +13,16 @@ object ColumnBridge {
   def column(e: Expression): Column     = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Catalyst's bounded-heap collect aggregate (the engine behind
+    * pandas-on-Spark `nlargest`) — private[sql], surfaced for graft's
+    * per-group top-k. `reverse = true` keeps the k SMALLEST of the child's
+    * type ordering and emits them ascending.
+    */
+  def collectTopK(child: Column, k: Int, reverse: Boolean): Column =
+    column(
+      org.apache.spark.sql.catalyst.expressions.aggregate.GraftTopK
+        .collectTopK(expression(child), k, reverse))
+
   /** Standard non-foldable-argument AnalysisException (QueryCompilationErrors
     * is private[sql]; surfaced here for registered-function builders).
     */

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.core.Tables
+
+/** Bounded-heap per-group top-k: must equal the naive window spelling on
+  * every input (including tie / NaN / NULL scores) while never planning a
+  * Window or a full Sort.
+  */
+class TopKSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir      = "/root/testdata/sf0.001"
+
+  private def naive(
+      df: org.apache.spark.sql.DataFrame,
+      group: String,
+      score: String,
+      id: String,
+      k: Int) = {
+    // (score DESC NULLS LAST, id ASC) with NaN first — Spark's desc_nulls_last
+    // already orders NaN > +Inf > ... > NULL, i.e. exactly TopK's comparator
+    val w = Window.partitionBy(col(group)).orderBy(col(score).desc_nulls_last, col(id))
+    df.withColumn("rnk", row_number().over(w).cast("int")).filter(col("rnk") <= k)
+  }
+
+  test("== window row_number on real data (documents per lang by n_chars)") {
+    val docs = Tables.documents(spark, sfDir).select(col("lang"), col("doc_id"), col("n_chars"))
+    val got = TopK
+      .topKPerGroup(docs, Seq("lang"), "n_chars", "doc_id", k = 3)
+      .select("lang", "doc_id", "n_chars", "rnk")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val want = naive(docs, "lang", "n_chars", "doc_id", 3)
+      .select("lang", "doc_id", "n_chars", "rnk")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got === want)
+  }
+
+  test("ties, NaN, NULL scores and k > group size match the window spelling") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, Some(5.0)), ("a", 2L, Some(5.0)), ("a", 3L, Some(5.0)), // all tied
+      ("a", 4L, Some(1.0)),
+      ("b", 5L, Some(Double.NaN)), ("b", 6L, Some(9.9)), ("b", 7L, None), // NaN first, NULL last
+      ("c", 8L, None) // group smaller than k, all-NULL
+    ).toDF("g", "id", "s")
+    val got = TopK.topKPerGroup(df, Seq("g"), "s", "id", k = 2)
+      .select("g", "id", "rnk").collect().map(_.toSeq).sortBy(_.toString)
+    val want = naive(df, "g", "s", "id", 2)
+      .select("g", "id", "rnk").collect().map(_.toSeq).sortBy(_.toString)
+    assert(got === want)
+    // NaN outranks the finite score; NULL is cut
+    val b = TopK.topKPerGroup(df, Seq("g"), "s", "id", k = 2)
+      .filter(col("g") === "b").orderBy("rnk")
+      .select("id").as[Long].collect().toSeq
+    assert(b === Seq(5L, 6L))
+  }
+
+  test("carried columns survive and original score type is preserved") {
+    val docs = Tables.documents(spark, sfDir)
+    val out  = TopK.topKPerGroup(
+      docs, Seq("lang"), "n_chars", "doc_id", k = 2, carryCols = Seq("source", "text"))
+    assert(out.columns.toSeq === Seq("lang", "doc_id", "n_chars", "source", "text", "rnk"))
+    // score column keeps the parquet type (no silent double-ification)
+    assert(
+      out.schema("n_chars").dataType ===
+        docs.schema("n_chars").dataType)
+    val one = out.filter(col("rnk") === 1).limit(1).collect().head
+    val id  = one.getLong(one.fieldIndex("doc_id"))
+    val src = docs.filter(col("doc_id") === id).select("source").collect().head.getString(0)
+    assert(one.getString(one.fieldIndex("source")) === src)
+  }
+
+  test("plan: no Window, no global Sort — one hash aggregate pair around one exchange") {
+    val docs = Tables.documents(spark, sfDir).select(col("lang"), col("doc_id"), col("n_chars"))
+    val plan = TopK.topKPerGroup(docs, Seq("lang"), "n_chars", "doc_id", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Sort "), plan) // no sort of the corpus, heap only
+    // partial + final bounded-heap aggregate (map-side combine present)
+    assert(plan.contains("partial_collect_top_k"), plan)
+    assert(plan.contains("functions=[collect_top_k"), plan)
+  }
+}
