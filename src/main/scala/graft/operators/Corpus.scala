@@ -234,12 +234,14 @@ object Corpus {
       (col("tf").cast("double") * lit(k1 + 1)) /
         (col("tf").cast("double") + lit(k1) * (lit(1 - b) + (lit(b) * col("dl").cast("double")) / avgdl)) *
         (col("__n") / col("df").cast("double"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(dfT), "term")
+    val scored = tf
+      .join(broadcast(dfT), "term")
       .crossJoin(broadcast(stats))
       .withColumn("score", score)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    // bounded-heap top-k per doc (see tfidfTopK) — no per-doc sort of the
+    // full posting list
+    TopK
+      .topKPerGroup(scored, Seq(idCol), "score", "term", k, carryCols = Seq("tf", "df"))
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
   }
 
@@ -249,12 +251,16 @@ object Corpus {
     val tf   = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfT  = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDoc = docs.agg(count(lit(1)).cast("double").as("__n"))
-    val w    = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(dfT), "term")
+    val scored = tf
+      .join(broadcast(dfT), "term")
       .crossJoin(broadcast(nDoc))
       .withColumn("score", col("tf").cast("double") * (col("__n") / col("df")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    // per-doc top-k rides the bounded-heap aggregate: a doc's posting list
+    // (its distinct-term count, unbounded for long docs) never gets sorted
+    // — each map partition keeps a k-heap per doc and the shuffle carries
+    // only those candidates
+    TopK
+      .topKPerGroup(scored, Seq(idCol), "score", "term", k, carryCols = Seq("tf", "df"))
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
   }
 

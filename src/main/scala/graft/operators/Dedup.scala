@@ -38,11 +38,20 @@ object Dedup {
   // ----------------------------------------------------------- exact dedup
 
   /** Surviving rows after exact dedup on `keyExpr` (e.g. sha2(text, 256)):
-    * the row with the smallest `pick` value wins. One shuffle on the digest.
+    * the row with the smallest `pick` value wins (ties arbitrary — pass a
+    * unique pick, as every in-repo caller does with doc_id).
+    *
+    * Spelled as a `min_by` AGGREGATE, not a window: the window form sorts
+    * every digest group after shuffling every row; min_by partial-combines
+    * map-side, so the shuffle carries one candidate row per (digest x map
+    * partition) — at 100 TB with dup rate p, that is ~(1-p) of the corpus
+    * instead of all of it, and no sort anywhere.
     */
   def exactDedupRows(df: DataFrame, keyExpr: Column, pick: Column): DataFrame = {
-    val w = Window.partitionBy(keyExpr).orderBy(pick)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val cols = df.columns.toSeq
+    df.groupBy(keyExpr.as("__digest"))
+      .agg(min_by(struct(cols.map(col): _*), pick).as("__row"))
+      .select(cols.map(c => col("__row").getField(c).as(c)): _*)
   }
 
   // ------------------------------------------------------------- shingling

@@ -1,16 +1,15 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector similarity over an `Array[Float]` embedding column.
   *
   * Brute-force cosine top-k is the exact baseline: broadcast the (small) probe
   * set against the full corpus — one broadcast join, zero shuffles on the big
-  * side except the final per-probe top-k (TakeOrdered per group via
-  * row_number over a probe-partitioned window; probe count is small so the
-  * window shuffle is tiny).
+  * side except the final per-probe top-k (a bounded-heap CollectTopK
+  * aggregate — k rows per probe per map partition cross the wire, never the
+  * full candidate set).
   *
   * All dot products / norms are computed as an in-order left fold over the
   * array via the native VecDotExpr (codegen'd loop) — deterministic FP,
@@ -59,6 +58,17 @@ object Similarity {
       .reduce(_ + _)
 
   def norm2(a: Column): Column = dot(a, a)
+
+  /** Shared tail of the three neighbor searches: top-`k` pairs per probe by
+    * (cos DESC, neighbor_id ASC), on the bounded-heap CollectTopK aggregate
+    * — the window form shuffles AND SORTS every candidate pair per probe;
+    * the heap shuffles k rows per (probe x map partition), independent of
+    * candidate count (the quantity IVF nprobe multiplies).
+    */
+  private def topKNeighbors(pairs: DataFrame, k: Int): DataFrame =
+    TopK
+      .topKPerGroup(pairs, Seq("probe_id"), "cos", "neighbor_id", k, rnkName = "rnk")
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("cos"))
 
   def norm2Static(a: Column, dim: Int): Column = dotStatic(a, a, dim)
 
@@ -131,11 +141,7 @@ object Similarity {
         col("probe_id"),
         col("vec_id").as("neighbor_id"),
         cosine(d2(col("p_emb"), col("embedding")), col("p_n2"), col("n2")).as("cos"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    pairs
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("cos"))
+    topKNeighbors(pairs, k)
   }
 
   /** IVF-bucketed approximate top-k.
@@ -520,11 +526,7 @@ object Similarity {
         col("probe_id"),
         col("vec_id").as("neighbor_id"),
         cosine(dot(col("p_emb"), col("embedding")), col("p_n2"), col("n2")).as("cos"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    pairs
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("cos"))
+    topKNeighbors(pairs, k)
   }
 
   def ivfTopK(
@@ -554,10 +556,6 @@ object Similarity {
         col("probe_id"),
         col("vec_id").as("neighbor_id"),
         cosine(d2(col("p_emb"), col("embedding")), col("p_n2"), col("n2")).as("cos"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    pairs
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("cos"))
+    topKNeighbors(pairs, k)
   }
 }
