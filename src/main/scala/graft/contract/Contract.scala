@@ -2201,6 +2201,57 @@ object Contract {
              |    ROW_NUMBER() OVER (PARTITION BY o_custkey
              |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
              |  FROM orders) t WHERE rnk <= 3""".stripMargin)
+    ),
+    Q(
+      "q96_chunk_docs",
+      // sliding token-window chunking: 40-token windows, stride 30 (10
+      // overlap) — per-row sequence+slice, zero shuffle; the aggregate
+      // per-doc chunk census keeps the compare small while still pinning
+      // every chunk's text through the md5 fold
+      (s, d) => {
+        import graft.operators.Corpus
+        Corpus
+          .chunkDocs(Tables.documents(s, d), "doc_id", "text", maxTokens = 40, overlap = 10)
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(col("n_tokens")).as("sum_tokens"),
+            // order-independent fingerprint over (chunk_id, text)
+            sum(conv(substring(md5(concat_ws("|", col("chunk_id"), col("chunk_text"))), 1, 12), 16, 10)
+              .cast("long")).as("chunk_sig"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |n AS (
+             |  SELECT doc_id, tk, len(tk) AS lt,
+             |    CASE WHEN len(tk) <= 40 THEN 1
+             |         ELSE 1 + CAST(ceil((len(tk) - 40) / 30.0) AS BIGINT) END AS nc
+             |  FROM toks),
+             |ch AS (
+             |  SELECT doc_id,
+             |    i AS chunk_id,
+             |    array_to_string(list_slice(tk, i*30 + 1, i*30 + 40), ' ') AS chunk_text
+             |  FROM n, UNNEST(range(nc)) AS t(i))
+             |SELECT doc_id, COUNT(*) AS n_chunks,
+             |  SUM(len(string_split(chunk_text, ' ')))::BIGINT AS sum_tokens,
+             |  SUM(CAST(('0x' || substring(md5(chunk_id || '|' || chunk_text), 1, 12)) AS BIGINT))::BIGINT
+             |    AS chunk_sig
+             |FROM ch GROUP BY doc_id""".stripMargin)
+    ),
+    Q(
+      "q97_sample_exact",
+      // deterministic global exact-N sample: the 500 docs with the smallest
+      // multiplicative key hash — plans as TakeOrderedAndProject (per-
+      // partition heaps, no global sort), same rows on any cluster
+      (s, d) =>
+        graft.operators.Splits
+          .sampleExact(
+            Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
+            "doc_id",
+            n = 500),
+      Some("""SELECT doc_id, lang, source FROM documents
+             |ORDER BY (doc_id % 1000000007) * 2654435761 % 1000000007, doc_id
+             |LIMIT 500""".stripMargin)
     )
   )
 

@@ -106,6 +106,47 @@ object Corpus {
         floor((col("cum_tokens") - col("n_tokens")) / budgetTokens.toDouble).cast("bigint"))
   }
 
+  /** Sliding token-window chunking of long documents — the context-length
+    * prep step `packSequences` doesn't cover: packing concatenates SHORT
+    * docs up to a budget; chunking cuts LONG docs down to one. Each doc
+    * emits windows of `maxTokens` whitespace tokens starting every
+    * `maxTokens - overlap` tokens (the trailing window may be short; a doc
+    * at or under the limit emits itself as chunk 0).
+    *
+    * Pure per-row projection (`sequence` + in-row `slice`/`posexplode`) —
+    * zero shuffle, stays inside whole-stage codegen, and output rows are
+    * (doc, chunk_id)-keyed so downstream dedup/packing can treat chunks as
+    * documents. Output: idCol, chunk_id (0-based), chunk_text, n_tokens.
+    */
+  def chunkDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int,
+      overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val stride = maxTokens - overlap
+    val toks   = split(col(textCol), " ")
+    val len    = size(toks)
+    // 1 + ceil(max(0, len - maxTokens) / stride) chunks
+    val nChunks =
+      when(len <= maxTokens, lit(1L))
+        .otherwise(lit(1L) + ceil((len - maxTokens).cast("double") / stride).cast("long"))
+    docs
+      .select(
+        col(idCol),
+        posexplode(transform(
+          sequence(lit(0L), nChunks - 1),
+          i => array_join(slice(toks, (i * stride + 1).cast("int"), lit(maxTokens)), " "))))
+      .select(
+        col(idCol),
+        col("pos").cast("bigint").as("chunk_id"),
+        col("col").as("chunk_text"),
+        size(split(col("col"), " ")).cast("long").as("n_tokens"))
+  }
+
   /** `contamination` without the broadcast: the benchmark shingle set rides
     * as a few-MB BLOOM SKETCH predicate over the exploded training
     * shingles, and only the might-match survivors (true hits + the

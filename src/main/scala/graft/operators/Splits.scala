@@ -261,16 +261,39 @@ object Splits {
   /** Deterministic per-group downsample: keep the `n` rows with the
     * smallest key hash in each group — "uniform random but reproducible",
     * the corpus-balancing cut (cap docs per language/source) that
-    * `sample()` cannot do stably. One shuffle (the group window); hash ties
-    * break on the key itself so the result is total-order deterministic.
+    * `sample()` cannot do stably. Hash ties break on the key itself so the
+    * result is total-order deterministic for unique keys.
+    *
+    * Spelled on the bounded-heap CollectTopK aggregate, not a window: a
+    * window sorts every group after shuffling every row; the heap keeps n
+    * candidates per (group x map partition), so a 10^9-doc language costs
+    * the shuffle n x partitions rows, not 10^9. Rows ride inside the heap
+    * entry, so all columns must be orderable types (no maps) — join a map
+    * column back on the key instead.
     */
+  /** Deterministic global downsample to exactly `min(n, count)` rows: the
+    * `n` rows with the smallest key hash, ties on the key. Plans as
+    * TakeOrderedAndProject — per-partition n-heaps, a single n-row merge on
+    * the driver side of the exchange; the corpus is never globally sorted.
+    * The stable twin of `df.limit(n)`-after-shuffle: same rows on any
+    * cluster, any partitioning, any run.
+    */
+  def sampleExact(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    df.orderBy(hashOrder(col(keyCol)), col(keyCol)).limit(n)
+  }
+
   def sampleGroup(df: DataFrame, keyCol: String, groupCols: Seq[String], n: Int): DataFrame = {
     require(n > 0, "n must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(col): _*)
-      .orderBy(hashOrder(col(keyCol)), col(keyCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n)
-      .drop("__rn")
+    val cols = df.columns.toSeq
+    val entry = struct(
+      hashOrder(col(keyCol)).as("__h"),
+      col(keyCol).as("__k"),
+      struct(cols.map(col): _*).as("__row"))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(org.apache.spark.sql.graftbridge.ColumnBridge
+        .collectTopK(entry, n, reverse = true).as("__top"))
+      .select(explode(col("__top")).as("__e"))
+      .select(cols.map(c => col("__e").getField("__row").getField(c).as(c)): _*)
   }
 }

@@ -270,4 +270,45 @@ class CorpusSpec extends AnyFunSuite {
     assert(p1.distinct.length === p1.length) // injective for distinct ids
     assert(!p1.contains(1L) && !p1.contains(2L)) // not the raw ids
   }
+
+  test("chunkDocs: windows tile with the stride, trailing chunk short, short/empty docs = 1 chunk") {
+    import spark.implicits._
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val df = Seq(
+      (1L, ten),                        // exactly 10 tokens
+      (2L, (1 to 25).map(i => s"w$i").mkString(" ")), // 25 tokens
+      (3L, "solo"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkDocs(df, "doc_id", "text", maxTokens = 10, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: one chunk (len == maxTokens)
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq === Seq(ten))
+    // doc 2: stride 6 -> starts 0,6,12,18; last start covers to 25
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length === 4)
+    assert(d2.map(_._4).toSeq === Seq(10L, 10L, 10L, 7L))
+    assert(d2(1)._3.startsWith("w7 ") && d2(3)._3 === (19 to 25).map(i => s"w$i").mkString(" "))
+    // every token of the original appears in order when overlap is dropped
+    val rebuilt = d2.zipWithIndex.map { case ((_, _, txt, _), i) =>
+      val toks = txt.split(" ")
+      if (i == 0) toks else toks.drop(4)
+    }.flatten
+    assert(rebuilt.toSeq === (1 to 25).map(i => s"w$i"))
+    // short and empty docs emit themselves once
+    assert(out.filter(_._1 == 3L).toSeq === Seq((3L, 0L, "solo", 1L)))
+    assert(out.filter(_._1 == 4L).map(t => (t._2, t._3)).toSeq === Seq((0L, "")))
+  }
+
+  test("chunkDocs: overlap 0 partitions exactly; plan has no shuffle") {
+    import spark.implicits._
+    val df  = Seq((1L, (1 to 21).map("x" + _).mkString(" "))).toDF("doc_id", "text")
+    val out = Corpus.chunkDocs(df, "doc_id", "text", maxTokens = 10, overlap = 0)
+    val rows = out.orderBy("chunk_id").collect()
+    assert(rows.map(_.getLong(3)).toSeq === Seq(10L, 10L, 1L))
+    assert(rows.flatMap(_.getString(2).split(" ")).toSeq === (1 to 21).map("x" + _))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

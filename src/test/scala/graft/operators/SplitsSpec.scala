@@ -50,6 +50,32 @@ class SplitsSpec extends AnyFunSuite {
     assert(sizes.forall(_ <= 3) && sizes.nonEmpty)
   }
 
+  test("sampleGroup == the window row_number spelling; plan has no Window/Sort") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "source")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(Splits.hashOrder(col("doc_id")), col("doc_id"))
+    val naive = docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 5).drop("__rn")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val heap = Splits.sampleGroup(docs, "doc_id", Seq("lang"), 5)
+    assert(heap.columns.toSeq === Seq("doc_id", "lang", "source")) // order kept
+    assert(heap.collect().map(_.toSeq).sortBy(_.toString).toSeq === naive.toSeq)
+    val plan = heap.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Sort "), plan)
+  }
+
+  test("sampleExact: exactly n rows, partition-stable, plans TakeOrdered (no global sort)") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Splits.sampleExact(df, "doc_id", 50).select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(docs)
+    val b = ids(docs.repartition(17))
+    assert(a === b && a.size === 50)
+    val plan = Splits.sampleExact(docs, "doc_id", 50).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("negative keys bucket safely into range") {
     import spark.implicits._
     val df = Seq(-5L, -1L, 0L, 1L, Long.MinValue + 7, Long.MaxValue).toDF("k")
