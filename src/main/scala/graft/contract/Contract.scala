@@ -2252,6 +2252,68 @@ object Contract {
       Some("""SELECT doc_id, lang, source FROM documents
              |ORDER BY (doc_id % 1000000007) * 2654435761 % 1000000007, doc_id
              |LIMIT 500""".stripMargin)
+    ),
+    Q(
+      "q98_mixture_budget",
+      // pretraining mixture realization: each source keeps its best docs
+      // (by n_chars, doc_id tiebreak) until that source's token budget
+      // fills — per-group two-phase prefix sum (rankedPrefixGrouped), one
+      // pass over all sources, no per-source window over raw rows
+      (s, d) => {
+        import graft.operators.Corpus
+        val docs = Tables.documents(s, d)
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        Corpus
+          .mixtureToBudget(
+            docs,
+            sourceCol = "source",
+            scoreCol = "n_chars",
+            idCol = "doc_id",
+            costCol = "n_tokens",
+            budgets = Map("src1" -> 800L, "src2" -> 600L, "src7" -> 1000L, "src19" -> 300L))
+          .select(col("doc_id"), col("source"), col("rnk"), col("cum_cost"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, n_chars,
+             |    len(string_split(text, ' '))::BIGINT AS n_tokens
+             |  FROM documents),
+             |b(source, budget) AS (
+             |  VALUES ('src1', 800), ('src2', 600), ('src7', 1000), ('src19', 300)),
+             |r AS (
+             |  SELECT d.doc_id, d.source, b.budget,
+             |    ROW_NUMBER() OVER w AS rnk,
+             |    SUM(n_tokens) OVER (PARTITION BY d.source
+             |                        ORDER BY n_chars DESC, doc_id
+             |                        ROWS UNBOUNDED PRECEDING) AS cum_cost
+             |  FROM d JOIN b USING (source)
+             |  WINDOW w AS (PARTITION BY d.source ORDER BY n_chars DESC, doc_id))
+             |SELECT doc_id, source, rnk::BIGINT AS rnk, cum_cost::BIGINT AS cum_cost
+             |FROM r WHERE cum_cost <= budget""".stripMargin)
+    ),
+    Q(
+      "q99_unigram_logp",
+      // CCNet-style unigram LM quality score: per-doc mean log-prob under
+      // the corpus's own add-one-smoothed unigram distribution — term
+      // frequencies via one aggregate, scoring via a term shuffle join (the
+      // vocabulary of a 100 TB corpus can't broadcast). Quantized x1e4 for
+      // the cross-engine compare (float-sum order differs; margin 1e-10)
+      (s, d) => {
+        import graft.operators.Corpus
+        Corpus
+          .unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            floor(col("avg_logp") * 10000).cast("long").as("logp_x1e4"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY 1),
+             |st AS (SELECT SUM(tf)::DOUBLE AS total, COUNT(*)::DOUBLE AS vocab FROM tf)
+             |SELECT t.doc_id, COUNT(*)::BIGINT AS n_tokens,
+             |  floor(AVG(ln((tf + 1.0) / (total + vocab))) * 10000)::BIGINT AS logp_x1e4
+             |FROM toks t JOIN tf USING (term) CROSS JOIN st
+             |GROUP BY t.doc_id""".stripMargin)
     )
   )
 

@@ -330,6 +330,78 @@ object Corpus {
       .filter(col("cum_cost") <= budget)
   }
 
+  /** Unigram language-model quality score — the CCNet-style filter proxy:
+    * score each document by the mean log-probability of its tokens under
+    * the CORPUS's own unigram distribution (add-one smoothed). Junk pages
+    * (boilerplate explosions, gibberish, wrong-language fragments) sit in
+    * the tails; the score feeds `mixtureToBudget`/`selectToBudget` as the
+    * quality signal when no trained scorer is available.
+    *
+    * Scale shape: term frequencies are ONE aggregate over exploded tokens,
+    * and scoring is a plain shuffle join on term (NOT a broadcast — a 100
+    * TB corpus's vocabulary does not fit an executor) followed by a
+    * per-doc aggregate. Both shuffles hash-partition on high-cardinality
+    * keys; nothing funnels.
+    *
+    * Output: idCol, n_tokens, avg_logp (natural log). Every doc emits a
+    * row (the whitespace convention tokenizes an empty text as one empty
+    * token, same as the other text ops). Deterministic up to float
+    * summation order — quantize before any cross-engine compare.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    val tf   = toks.groupBy(col("term")).agg(count(lit(1)).as("__tf"))
+    val stats = tf.agg(
+      sum(col("__tf")).as("__total"),
+      count(lit(1)).as("__vocab"))
+    // add-one smoothing: p(t) = (tf + 1) / (total + vocab)
+    toks
+      .join(tf, "term") // every token matches (tf built from the same corpus)
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        avg(log(
+          (col("__tf").cast("double") + 1.0) /
+            (col("__total").cast("double") + col("__vocab").cast("double"))))
+          .as("avg_logp"))
+  }
+
+  /** Per-source token-budget mixture selection — the pretraining-mixture
+    * construction step: each source keeps its highest-`scoreCol` documents
+    * until that SOURCE's token budget is filled (greedy, exact cut on the
+    * running total). `selectToBudget` fills one global budget; this fills
+    * one per corpus component, which is how mixture weights are actually
+    * realized when components share a corpus.
+    *
+    * Rides `Splits.rankedPrefixGrouped` — one pass over all sources, no
+    * per-source rescan, no per-source full sort. Sources without an entry
+    * in `budgets` are DROPPED (they have no mixture weight). Output keeps
+    * all columns + per-source `rnk` and `cum_cost`.
+    */
+  def mixtureToBudget(
+      df: DataFrame,
+      sourceCol: String,
+      scoreCol: String,
+      idCol: String,
+      costCol: String,
+      budgets: Map[String, Long],
+      buckets: Int = 32): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.values.forall(_ > 0), "every budget must be positive")
+    val ss = df.sparkSession
+    import ss.implicits._
+    val budgetDf = broadcast(budgets.toSeq.toDF(sourceCol + "__bsrc", "__budget"))
+    Splits
+      .rankedPrefixGrouped(
+        df.join(
+          budgetDf,
+          col(sourceCol).cast("string") === col(sourceCol + "__bsrc")),
+        sourceCol, scoreCol, idCol, costCol, buckets = buckets)
+      .filter(col("cum_cost") <= col("__budget"))
+      .drop(sourceCol + "__bsrc", "__budget")
+  }
+
   /** Snapshot diff: per-key drift status between two corpus versions —
     * `added` (key only in `b`), `removed` (only in `a`), `changed` (in
     * both, any compare column differs, null-safe), `unchanged`. The

@@ -271,6 +271,166 @@ object Splits {
     * entry, so all columns must be orderable types (no maps) — join a map
     * column back on the key instead.
     */
+  /** Per-group `rankedPrefix`: within every value of `groupCol`, rank rows
+    * in (`scoreCol` DESC NULLS LAST, `idCol` ASC) order and compute the
+    * inclusive running `costCol` sum — in ONE pass over all groups, not a
+    * per-group loop (which would rescan the corpus once per group) and not
+    * a per-group window over raw rows (which would sort each group's full
+    * row set in one task: a single hot source = a single hot reducer).
+    *
+    * Same two-phase shape as `rankedPrefix`, keyed by group: per-group
+    * score-quantile cuts (one grouped `percentile_approx` pass), per-
+    * (group, bucket) count/cost totals (one aggregate, collected —
+    * driver state is groups x buckets rows), prefix offsets per group on
+    * the driver, then an in-bucket window on (group, bucket). The heavy-
+    * value remedy carries over: a score value owning >= 2 cut slots in its
+    * group is sub-bucketed by id quantiles, so a near-constant-score group
+    * still spreads across partitions.
+    *
+    * Groups are keyed by `groupCol`'s STRING form internally (the cuts /
+    * offset side tables are driver-built); two group values with equal
+    * string forms merge. `scoreCol`/`idCol`/`costCol` must be materialized
+    * columns (same contract as `rankedPrefix`). Output: all input columns
+    * + rankName + cumName, both per-group.
+    */
+  def rankedPrefixGrouped(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      costCol: String,
+      rankName: String = "rnk",
+      cumName: String = "cum_cost",
+      buckets: Int = 32): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    Seq(rankName, cumName, "__g", "__b").foreach(n =>
+      require(!df.columns.contains(n), s"rankedPrefixGrouped: input already has a '$n' column"))
+    val cost = coalesce(col(costCol).cast("long"), lit(0L))
+    val ss   = df.sparkSession
+    import ss.implicits._
+    // null-safe internal group key (a plain join on a null key would
+    // silently drop the null group's rows)
+    val gkey = coalesce(col(groupCol).cast("string"), lit("\u0000<null>"))
+    val slim = df
+      .select(
+        gkey.as("__g"),
+        col(scoreCol).cast("double").as("__score"),
+        cost.as("__cost"),
+        col(idCol).cast("double").as("__id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cutsRows, heavyRows) =
+      try {
+        val qs = (1 until buckets).map(_.toDouble / buckets)
+        val perGroup: Seq[(String, Seq[Double])] = slim
+          .groupBy(col("__g"))
+          .agg(percentile_approx(col("__score"), typedlit(qs), lit(10000)).as("c"))
+          .collect()
+          .map { r =>
+            val g = r.getString(0)
+            val cs =
+              if (r.isNullAt(1)) Seq.empty[Double]
+              else
+                r.getSeq[java.lang.Double](1)
+                  .filter(_ ne null).map(_.doubleValue).filterNot(_.isNaN)
+            (g, cs)
+          }
+          .toSeq
+        // heavy values (>= 2 cut slots within their group) for DEGENERATE
+        // groups only — one extra grouped pass over just those (g, v) rows
+        val heavyKeys: Seq[(String, Double, Int)] = perGroup.flatMap { case (g, cs) =>
+          if (cs.isEmpty || cs.distinct.size >= buckets / 2) Seq.empty
+          else
+            cs.groupBy(identity).toSeq.collect {
+              case (v, slots) if slots.size >= 2 => (g, v, slots.size + 1)
+            }
+        }
+        val heavy: Seq[(String, Double, Seq[Double])] =
+          if (heavyKeys.isEmpty) Seq.empty
+          else {
+            val subB = heavyKeys.map(_._3).max
+            val subQs = (1 until subB).map(_.toDouble / subB)
+            val keySet = heavyKeys.map { case (g, v, _) => (g, v) }.toSet
+            val heavyKeyDf =
+              heavyKeys.map { case (g, v, _) => (g, v) }.toDF("__kg", "__kv")
+            slim
+              .join(
+                broadcast(heavyKeyDf),
+                col("__g") === col("__kg") && col("__score") === col("__kv"),
+                "left_semi")
+              .groupBy(col("__g"), col("__score"))
+              .agg(percentile_approx(col("__id"), typedlit(subQs), lit(10000)).as("c"))
+              .collect()
+              .flatMap { r =>
+                val g = r.getString(0)
+                val v = r.getDouble(1)
+                if (!keySet((g, v)) || r.isNullAt(2)) None
+                else {
+                  val sub = r.getSeq[java.lang.Double](2)
+                    .filter(_ ne null).map(_.doubleValue).filterNot(_.isNaN)
+                  if (sub.isEmpty) None else Some((g, v, sub))
+                }
+              }
+              .toSeq
+          }
+        (perGroup, heavy)
+      } finally { slim.unpersist(); () }
+
+    // per-group mult so combined ids stay consistent within each group
+    val multByG = heavyRows.groupBy(_._1).map { case (g, hs) => g -> (hs.map(_._3.length).max + 1) }
+    val cutsDf = cutsRows
+      .map { case (g, cs) => (g, cs, multByG.getOrElse(g, 1)) }
+      .toDF("__g", "__cuts", "__mult")
+    val heavyDf = heavyRows.toDF("__hg", "__hv", "__hsub")
+
+    val sg = col(scoreCol).cast("double")
+    val primary =
+      when(sg.isNull, lit(-1))
+        .when(isnan(sg), size(col("__cuts")))
+        .otherwise(size(filter(col("__cuts"), c => c <= sg)))
+    val sub =
+      when(col("__hsub").isNotNull,
+        size(col("__hsub")) - size(filter(col("__hsub"), c => c <= col(idCol).cast("double"))))
+        .otherwise(lit(0))
+    val withB = df
+      .withColumn("__g", gkey)
+      .join(broadcast(cutsDf), Seq("__g"), "left_outer")
+      .join(
+        broadcast(heavyDf),
+        col("__g") === col("__hg") && sg === col("__hv"),
+        "left_outer")
+      .withColumn("__b", primary * coalesce(col("__mult"), lit(1)) + sub)
+      .drop("__cuts", "__mult", "__hg", "__hv", "__hsub")
+
+    // per-(group, bucket) totals -> per-group descending-bucket offsets
+    val totals = withB
+      .groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("n"), sum(cost).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val offsets = totals
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (g, rows) =>
+        rows
+          .sortBy(-_._2)
+          .scanLeft((g, 0, 0L, 0L)) { case ((_, _, cn, cc), (_, b, n, c)) => (g, b, cn + n, cc + c) }
+          .sliding(2)
+          .collect { case Seq((_, _, cntOff, costOff), (_, b, _, _)) => (g, b, cntOff, costOff) }
+      }
+    val offDf = offsets.toDF("__g", "__b", "__cntoff", "__costoff")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g"), col("__b"))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    withB
+      .join(broadcast(offDf), Seq("__g", "__b"))
+      .withColumn(rankName, col("__cntoff") + row_number().over(w))
+      .withColumn(cumName, col("__costoff") + sum(cost).over(w))
+      .drop("__g", "__b", "__cntoff", "__costoff")
+  }
+
   /** Deterministic global downsample to exactly `min(n, count)` rows: the
     * `n` rows with the smallest key hash, ties on the key. Plans as
     * TakeOrderedAndProject — per-partition n-heaps, a single n-row merge on

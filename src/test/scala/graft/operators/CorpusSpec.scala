@@ -301,6 +301,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 4L).map(t => (t._2, t._3)).toSeq === Seq((0L, "")))
   }
 
+  test("unigramLogProb: matches hand-computed add-one unigram model; repartition-stable") {
+    import spark.implicits._
+    // corpus: "a a b" + "a c" -> tf: a=3, b=1, c=1; total=5, vocab=3
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = Corpus.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val pa = 4.0 / 8; val pb = 2.0 / 8; val pc = 2.0 / 8
+    val want1 = (math.log(pa) + math.log(pa) + math.log(pb)) / 3
+    val want2 = (math.log(pa) + math.log(pc)) / 2
+    assert(out.map(t => (t._1, t._2)).toSeq === Seq((1L, 3L), (2L, 2L)))
+    assert(math.abs(out(0)._3 - want1) < 1e-12, s"${out(0)._3} vs $want1")
+    assert(math.abs(out(1)._3 - want2) < 1e-12, s"${out(1)._3} vs $want2")
+    // partition-stable (up to float tolerance)
+    val rep = Corpus.unigramLogProb(df.repartition(5), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+    out.zip(rep).foreach { case ((_, _, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
+  }
+
+  test("unigramLogProb: junk doc scores below clean docs on the real corpus") {
+    val docs  = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    import spark.implicits._
+    val junk  = Seq((999999L, "zzqx9 vvkw7 qqmmz8 xxj3 wwp5 zzqx9b vkz2 qpm4")).toDF("doc_id", "text")
+    val all   = docs.select(col("doc_id"), col("text")).unionByName(junk)
+    val out   = Corpus.unigramLogProb(all, "doc_id", "text")
+    val junkScore = out.filter(col("doc_id") === 999999L).select("avg_logp").head().getDouble(0)
+    val meanClean = out.filter(col("doc_id") =!= 999999L)
+      .agg(avg(col("avg_logp"))).head().getDouble(0)
+    assert(junkScore < meanClean,
+      s"junk doc should score below corpus mean: $junkScore vs $meanClean")
+  }
+
   test("chunkDocs: overlap 0 partitions exactly; plan has no shuffle") {
     import spark.implicits._
     val df  = Seq((1L, (1 to 21).map("x" + _).mkString(" "))).toDF("doc_id", "text")

@@ -128,6 +128,67 @@ class SplitsSpec extends AnyFunSuite {
     assert(got.toSeq === want)
   }
 
+  test("rankedPrefixGrouped == naive per-group window, incl. ties, NULL/NaN scores, NULL group") {
+    import spark.implicits._
+    val rows = (1L to 300L).map { i =>
+      val g: String =
+        if (i % 29 == 0) null else s"g${i % 4}"
+      val score: java.lang.Double =
+        if (i % 17 == 0) null
+        else if (i % 31 == 0) Double.NaN
+        else (i % 5).toDouble
+      val cost: java.lang.Long = if (i % 23 == 0) null else i % 10 + 1
+      (i, g, score, cost)
+    }
+    val df = rows.toDF("id", "src", "score", "cost").repartition(7)
+    val got = Splits
+      .rankedPrefixGrouped(df, "src", "score", "id", "cost", buckets = 4)
+      .select("id", "rnk", "cum_cost")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val want = rows
+      .groupBy(_._2)
+      .values
+      .flatMap { grp =>
+        val ordered = grp.sortWith { case ((ida, _, sa, _), (idb, _, sb, _)) =>
+          (sa, sb) match {
+            case (null, null) => ida < idb
+            case (null, _)    => false
+            case (_, null)    => true
+            case (a, b) =>
+              val c = java.lang.Double.compare(a.doubleValue, b.doubleValue)
+              if (c != 0) c > 0 else ida < idb
+          }
+        }
+        var cum = 0L
+        ordered.zipWithIndex.map { case ((id, _, _, c), i) =>
+          cum += (if (c == null) 0L else c.longValue)
+          (id, (i + 1).toLong, cum)
+        }
+      }
+      .toSeq
+      .sortBy(_._1)
+    assert(got.toSeq === want)
+  }
+
+  test("mixtureToBudget: per-source exact cuts; sources without a budget drop") {
+    import spark.implicits._
+    val df = (1L to 60L)
+      .map(i => (i, s"s${i % 3}", (i % 6).toDouble, 10L))
+      .toDF("id", "src", "score", "cost")
+    val out = graft.operators.Corpus
+      .mixtureToBudget(df, "src", "score", "id", "cost",
+        budgets = Map("s0" -> 50L, "s1" -> 95L))
+      .select("id", "src", "cum_cost")
+      .collect()
+    val bySrc = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(!bySrc.contains("s2"))        // unbudgeted source dropped
+    assert(bySrc("s0") === 5)            // 5 docs x 10 tokens = 50
+    assert(bySrc("s1") === 9)            // 9 x 10 = 90 <= 95, 10th would be 100
+    assert(out.forall(r => r.getLong(2) <= (if (r.getString(1) == "s0") 50L else 95L)))
+  }
+
   test("rankedPrefix constant-score degeneracy: id sub-buckets restore balance, ranks exact") {
     import spark.implicits._
     val n  = 4000
