@@ -2314,6 +2314,35 @@ object Contract {
              |  floor(AVG(ln((tf + 1.0) / (total + vocab))) * 10000)::BIGINT AS logp_x1e4
              |FROM toks t JOIN tf USING (term) CROSS JOIN st
              |GROUP BY t.doc_id""".stripMargin)
+    ),
+    Q(
+      "q100_pq_topk",
+      // product-quantization ANN: sample-trained codebooks, per-row 1-byte-
+      // per-subspace encoding, ADC shortlist, exact cosine re-rank. With
+      // shortlist >= corpus the re-rank is EXACT for ANY codebook (q45's
+      // probe-everything trick), so the brute-force oracle certifies the
+      // entire encode/table/ADC/re-rank pipeline.
+      (s, d) =>
+        Similarity
+          .pqTopK(Tables.embeddings(s, d), col("vec_id") < 10, k = 5,
+            m = 8, kCodes = 16, shortlist = 4096) // >= corpus at every test SF => exact
+          .select(col("probe_id"), col("rnk"), col("neighbor_id")),
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             |                (a, b) -> a + b) AS n2
+             |  FROM embeddings),
+             |pairs AS (
+             |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             |    list_reduce(list_transform(range(1, len(p.embedding) + 1),
+             |                  i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+             |                (a, b) -> a + b) / (sqrt(p.n2) * sqrt(c.n2)) AS cos
+             |  FROM n p, n c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+             |ranked AS (
+             |  SELECT probe_id, neighbor_id,
+             |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+             |  FROM pairs)
+             |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin)
     )
   )
 

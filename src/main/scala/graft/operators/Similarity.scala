@@ -558,4 +558,176 @@ object Similarity {
         cosine(d2(col("p_emb"), col("embedding")), col("p_n2"), col("n2")).as("cos"))
     topKNeighbors(pairs, k)
   }
+
+  // ------------------------------------------------- product quantization
+
+  /** PQ codebooks trained DRIVER-SIDE on a deterministic sample — the
+    * FAISS posture: codebooks come from a bounded training sample (k-means
+    * over m x kCodes x dim/m values is pure driver arithmetic), then
+    * encoding is a distributed per-row projection. At 100 TB you never
+    * k-means the corpus; you k-means a sample of it.
+    *
+    * Vectors are UNIT-NORMALIZED before slicing, so squared-L2 ADC order
+    * equals cosine order (||a-b||^2 = 2 - 2 cos for unit vectors) and the
+    * per-subspace distances decompose exactly. Sampling is
+    * `Splits.sampleExact` (hash-deterministic: same corpus, same
+    * codebooks, any cluster); seeds are the sample's first kCodes
+    * subvectors in hash order; empty clusters keep their previous
+    * centroid. Degenerate vectors (zero/NaN/Inf norm) are excluded.
+    *
+    * Returns m codebooks, each kCodes x (dim/m).
+    */
+  def pqCodebooks(
+      emb: DataFrame,
+      m: Int,
+      kCodes: Int,
+      sampleN: Int = 2048,
+      iters: Int = 10): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && kCodes >= 1 && iters >= 1, "m, kCodes, iters must be positive")
+    val clean = emb
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("__n2"))
+      .filter(col("__n2") > 0 && !isnan(col("__n2")) && col("__n2") < Double.PositiveInfinity)
+    val sample = Splits
+      .sampleExact(clean, "vec_id", sampleN)
+      .select(col("embedding"), col("__n2"))
+      .collect()
+      .map { r =>
+        val n = math.sqrt(r.getDouble(1))
+        r.getSeq[Any](0).map {
+          case f: java.lang.Float  => f.toDouble / n
+          case d: java.lang.Double => d.doubleValue / n
+        }.toArray
+      }
+    require(sample.nonEmpty, "pqCodebooks: no valid vectors to train on")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    (0 until m).map { j =>
+      val xs = sample.map(v => v.slice(j * sub, (j + 1) * sub))
+      var cents = xs.distinct.take(kCodes)
+      if (cents.length < kCodes) // tiny corpora: pad with repeats, harmless
+        cents = Array.tabulate(kCodes)(i => cents(i % cents.length))
+      (1 to iters).foreach { _ =>
+        val assign = xs.map { x =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < kCodes) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = x(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+        cents = Array.tabulate(kCodes) { c =>
+          val members = xs.indices.filter(assign(_) == c)
+          if (members.isEmpty) cents(c)
+          else {
+            val acc = new Array[Double](sub)
+            members.foreach { i => var d = 0; while (d < sub) { acc(d) += xs(i)(d); d += 1 } }
+            acc.map(_ / members.length)
+          }
+        }
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  /** Per-row PQ encoding: unit-normalize, slice into m subspaces, argmin
+    * squared-L2 against that subspace's codebook (a broadcast literal).
+    * Pure projection — zero shuffle, 1 byte-scale code per subspace instead
+    * of dim floats. Output: vec_id, codes (array<int>, length m).
+    * Degenerate vectors drop (same rule as the codebook trainer).
+    */
+  def pqEncode(emb: DataFrame, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m   = codebooks.length
+    val sub = codebooks.head.head.length
+    val cb  = typedlit(codebooks)
+    val n2c = norm2(col("embedding"))
+    val nrm = sqrt(n2c)
+    emb
+      .filter(n2c > 0 && !isnan(n2c) && n2c < Double.PositiveInfinity)
+      .select(
+        col("vec_id"),
+        transform(sequence(lit(0), lit(m - 1)), j => {
+          val subv = slice(col("embedding"), j * sub + 1, lit(sub))
+          val dists = transform(element_at(cb, j + 1), cent =>
+            aggregate(sequence(lit(1), lit(sub)), lit(0.0), (acc, i) => {
+              val t = element_at(subv, i).cast("double") / nrm - element_at(cent, i)
+              acc + t * t
+            }))
+          (array_position(dists, array_min(dists)) - 1).cast("int")
+        }).as("codes"))
+  }
+
+  /** PQ-shortlisted top-k cosine search: asymmetric-distance (ADC)
+    * candidate ranking over the 1-byte-per-subspace codes, exact cosine
+    * re-rank of the per-probe `shortlist`.
+    *
+    * Scale shape: each probe precomputes its m x kCodes distance TABLE
+    * once (probe side is tiny and broadcast); each (probe, corpus-row)
+    * candidate then costs m array lookups — versus dim multiplies for
+    * exact — and the corpus never shuffles (codes ride a broadcast join,
+    * shortlists cut by the bounded-heap TopK). Re-rank touches only
+    * shortlist x probes rows. With shortlist >= corpus the result is
+    * EXACT (brute-force order) — the q100 contract entry certifies the
+    * whole encode/table/ADC/re-rank pipeline against the q25 oracle that
+    * way; recall with small shortlists is property-tested.
+    */
+  def pqTopK(
+      emb: DataFrame,
+      probePred: Column,
+      k: Int,
+      m: Int = 8,
+      kCodes: Int = 16,
+      shortlist: Int = 64,
+      codebooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val cb    = codebooks.getOrElse(pqCodebooks(emb, m, kCodes))
+    val sub   = cb.head.head.length
+    val cbLit = typedlit(cb)
+    val codes = pqEncode(emb, cb)
+    val n2c   = norm2(col("embedding"))
+    val nrm   = sqrt(n2c)
+    // per-probe ADC table: table[j][c] = ||probe_sub_j - cb[j][c]||^2
+    val probes = emb
+      .filter(probePred && n2c > 0 && !isnan(n2c) && n2c < Double.PositiveInfinity)
+      .select(
+        col("vec_id").as("probe_id"),
+        transform(sequence(lit(0), lit(m - 1)), j => {
+          val subv = slice(col("embedding"), j * sub + 1, lit(sub))
+          transform(element_at(cbLit, j + 1), cent =>
+            aggregate(sequence(lit(1), lit(sub)), lit(0.0), (acc, i) => {
+              val t = element_at(subv, i).cast("double") / nrm - element_at(cent, i)
+              acc + t * t
+            }))
+        }).as("__table"))
+    val adc = codes
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"),
+        col("vec_id").as("neighbor_id"),
+        (lit(0.0) - aggregate(
+          sequence(lit(0), lit(m - 1)),
+          lit(0.0),
+          (acc, j) =>
+            acc + element_at(
+              element_at(col("__table"), j + 1),
+              element_at(col("codes"), j + 1) + 1))).as("neg_adc"))
+    val short = TopK
+      .topKPerGroup(adc, Seq("probe_id"), "neg_adc", "neighbor_id", shortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    // exact re-rank of the shortlist
+    val withN2 = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    val pairs = short
+      .join(withN2.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col("n2").as("n_n2")), Seq("neighbor_id"))
+      .join(broadcast(withN2.filter(probePred).select(col("vec_id").as("probe_id"),
+        col("embedding").as("p_emb"), col("n2").as("p_n2"))), Seq("probe_id"))
+      .select(
+        col("probe_id"),
+        col("neighbor_id"),
+        cosine(dot(col("p_emb"), col("n_emb")), col("p_n2"), col("n_n2")).as("cos"))
+    topKNeighbors(pairs, k)
+  }
 }

@@ -125,4 +125,46 @@ class SimilaritySpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 2, s"unexpected shuffles in plan:\n$plan")
   }
+
+  test("pqTopK with shortlist >= corpus reproduces brute force exactly (any codebook)") {
+    val emb   = Tables.embeddings(spark, sfDir)
+    val brute = topk(Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5))
+    val pq    = topk(Similarity.pqTopK(emb, col("vec_id") < 10, k = 5,
+      m = 8, kCodes = 16, shortlist = 100000))
+    assert(pq === brute)
+  }
+
+  test("pqTopK ADC shortlist: planted near-dups retrieved through a small shortlist; codes well-formed") {
+    import spark.implicits._
+    // PQ's job is ranking TRUE near neighbors highly: unstructured random
+    // vectors (the synthetic corpus) are its worst case (32-bit codes can't
+    // resolve cos~0 margins), so recall is measured on planted structure
+    val rnd  = new scala.util.Random(11)
+    val base = (0L until 200L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val dups = (0L until 5L).map { i => // 5 near-dups of probe 0, ids 1000+
+      (1000L + i, base(0)._2.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val pq = topk(Similarity.pqTopK(emb, col("vec_id") === 0, k = 5,
+      m = 8, kCodes = 16, shortlist = 20))
+    assert(pq.map(_._3).toSet === (1000L until 1005L).toSet,
+      s"planted near-dups not retrieved through the ADC shortlist: $pq")
+    // codes: one int in [0, kCodes) per subspace, for every corpus vector
+    val real = Tables.embeddings(spark, sfDir)
+    val cb   = Similarity.pqCodebooks(real, m = 8, kCodes = 16)
+    assert(cb.length === 8 && cb.forall(_.length === 16) && cb.forall(_.forall(_.length === 8)))
+    val codes = Similarity.pqEncode(real, cb)
+    val bad = codes.filter(
+      size(col("codes")) =!= 8 ||
+        exists(col("codes"), c => c < 0 || c >= 16)).count()
+    assert(bad === 0L)
+    assert(codes.count() === real.count())
+  }
+
+  test("pqCodebooks: deterministic across partitioning") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val a   = Similarity.pqCodebooks(emb, m = 4, kCodes = 8)
+    val b   = Similarity.pqCodebooks(emb.repartition(13), m = 4, kCodes = 8)
+    assert(a === b)
+  }
 }
