@@ -367,6 +367,52 @@ object Corpus {
           .as("avg_logp"))
   }
 
+  /** Persist the unigram model `unigramLogProb` derives on the fly: the
+    * (term, tf) table, parquet at `dir`. Train once on a reference corpus,
+    * then score any OTHER corpus (or stream drain) against it with
+    * `scoreAgainstModel` — the frozen-model split that streaming ingestion
+    * needs (per-batch re-estimation would let one junk-heavy drain redefine
+    * "normal").
+    */
+  def writeUnigramModel(docs: DataFrame, textCol: String, dir: String): Unit = {
+    docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(dir)
+    ()
+  }
+
+  /** Score documents against a FROZEN unigram model (see
+    * `writeUnigramModel`): same add-one smoothing as `unigramLogProb`,
+    * except unseen terms take tf = 0 (the model's vocabulary is fixed, so
+    * out-of-vocabulary tokens get the floor probability 1/(total+vocab) —
+    * exactly what makes gibberish score low against a clean reference).
+    * LEFT join on term keeps every token; the model never broadcasts.
+    *
+    * Output: idCol, n_tokens, avg_logp.
+    */
+  def scoreAgainstModel(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      modelTf: DataFrame): DataFrame = {
+    val toks  = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    val stats = modelTf.agg(
+      sum(col("tf")).as("__total"),
+      count(lit(1)).as("__vocab"))
+    toks
+      .join(modelTf.select(col("term"), col("tf").as("__tf")), Seq("term"), "left_outer")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        avg(log(
+          (coalesce(col("__tf"), lit(0L)).cast("double") + 1.0) /
+            (col("__total").cast("double") + col("__vocab").cast("double"))))
+          .as("avg_logp"))
+  }
+
   /** Per-source token-budget mixture selection — the pretraining-mixture
     * construction step: each source keeps its highest-`scoreCol` documents
     * until that SOURCE's token budget is filled (greedy, exact cut on the

@@ -296,6 +296,48 @@ object CorpusStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** `runIngest` + a FROZEN-model language gate: each drained batch is
+    * scored against a persisted unigram model (`Corpus.writeUnigramModel`,
+    * trained on a clean reference corpus) and documents below
+    * `minAvgLogp` are dropped before the merge. The model is frozen by
+    * design — per-batch re-estimation would let one junk-heavy drain
+    * redefine "normal" — exactly the EmbedStreams fixed-centroid posture.
+    * Scoring is batch machinery inside foreachBatch (term join + per-doc
+    * aggregate), so no extra streaming-state operator is involved and the
+    * replay/idempotence contract is runIngest's unchanged.
+    */
+  def runIngestLmGated(
+      spark: SparkSession,
+      rawDir: String,
+      corpusDir: String,
+      modelDir: String,
+      checkpointDir: String,
+      minAvgLogp: Double,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    curatedStream(docStream(spark, rawDir, maxFilesPerTrigger))
+      .withColumn("date", to_date(col("ts")))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss     = batch.sparkSession
+        val cached = batch.cache()
+        try if (!cached.isEmpty) {
+          val keep = graft.operators.Corpus
+            .scoreAgainstModel(cached, "doc_id", "text", ss.read.parquet(modelDir))
+            .filter(col("avg_logp") >= minAvgLogp)
+            .select(col("doc_id"))
+          val gated = cached.join(keep, Seq("doc_id"), "left_semi").cache()
+          try MergeSink.upsert(
+            ss, gated, corpusDir,
+            keyCols = Seq("digest"), partitionCols = Seq("date"))
+          finally gated.unpersist()
+        } finally { cached.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Runnable ingest job: raw JSON docs -> curated, exact-deduped,
     * date-partitioned parquet corpus, merged idempotently on the digest
     * (a replayed batch converges instead of duplicating — MergeSink's

@@ -118,4 +118,40 @@ class CorpusStreamsSpec extends AnyFunSuite {
     val replayed = spark.read.parquet(corpus).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(replayed === got)
   }
+
+  test("LM-gated ingest: frozen-model gate drops gibberish, keeps in-distribution docs; replay converges") {
+    import spark.implicits._
+    val raw    = tmp("lm-raw")
+    val corpus = tmp("lm-out") + "/corpus"
+    val model  = tmp("lm-model") + "/model"
+
+    // reference model: the clean phrases (trained once, frozen)
+    graft.operators.Corpus.writeUnigramModel(
+      Seq(good1, good2, s"$good1 $good2").toDF("text"), "text", model)
+
+    // gibberish passes the surface gate (enough tokens, low punct, no
+    // repeated bigrams) but is out-of-distribution for the model
+    val junk = "zzqx9 vvkw7 qqmmz8 xxj3 wwp5 vkz2"
+    writeDocs(raw, "b1.json", Seq(1L -> good1, 2L -> junk, 3L -> good2))
+    CorpusStreams
+      .runIngestLmGated(spark, raw, corpus, model, tmp("lm-ckpt"), minAvgLogp = -3.3)
+      .awaitTermination()
+    val got = spark.read.parquet(corpus).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L), s"expected the junk doc gated out, got $got")
+
+    // threshold sanity: the junk doc's score really is below, clean above
+    val scores = graft.operators.Corpus
+      .scoreAgainstModel(
+        Seq((1L, good1), (2L, junk)).toDF("doc_id", "text"),
+        "doc_id", "text", spark.read.parquet(model))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1L) > -3.3 && scores(2L) < -3.3,
+      s"threshold straddle broken: $scores")
+
+    // replay from a fresh checkpoint converges (digest-idempotent upsert)
+    CorpusStreams
+      .runIngestLmGated(spark, raw, corpus, model, tmp("lm-ckpt2"), minAvgLogp = -3.3)
+      .awaitTermination()
+    assert(spark.read.parquet(corpus).count() === 2)
+  }
 }
