@@ -2343,6 +2343,27 @@ object Contract {
              |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
              |  FROM pairs)
              |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin)
+    ),
+    Q(
+      "q101_heavy_hitters",
+      // exact top-10 corpus tokens via the bounded-shuffle two-pass: a
+      // merged Misra-Gries summary (capacity 4096, one row through the
+      // exchange) mines candidates, an exact recount of only those keys
+      // ranks them. Exact vs the full groupBy whenever the 10th-heaviest
+      // token exceeds n_tokens/4096 — comfortably true for any Zipf-ish
+      // vocabulary; `vocabTop` (q74) is the exact-baseline twin whose
+      // shuffle carries the whole vocabulary instead.
+      (s, d) =>
+        graft.operators.HeavyHitters.heavyHitters(
+          Tables.documents(s, d)
+            .filter(col("text").isNotNull)
+            .select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("token")),
+          "token", k = 10, m = 4096),
+      Some("""WITH tk AS (
+             |  SELECT unnest(string_split(text, ' ')) AS token
+             |  FROM documents WHERE text IS NOT NULL)
+             |SELECT token, COUNT(*) AS cnt FROM tk
+             |GROUP BY token ORDER BY cnt DESC, token LIMIT 10""".stripMargin)
     )
   )
 

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Misra-Gries candidate mining + exact recount: results match the exact
+  * groupBy baseline under the gap condition, summaries obey the MG
+  * lower-bound law under any partitioning, and degenerate inputs stay sane.
+  */
+class HeavyHittersSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Zipf-ish stream: key i in 1..40 appears ceil(4000/i) times. */
+  private def zipf = (1 to 40).flatMap(i => Seq.fill((4000 + i - 1) / i)(s"k$i"))
+
+  test("heavyHitters == exact groupBy baseline on a Zipf-ish column") {
+    val df = spark.sparkContext.parallelize(zipf, 8).toDF("k")
+    val got = HeavyHitters.heavyHitters(df, "k", k = 10, m = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = df.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("k")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === want)
+    // the top key's exact count survived the recount untouched
+    assert(got.head === ("k1", 4000L))
+  }
+
+  test("MG summary law: every key with count > n/m is a candidate, any partitioning") {
+    val rows = zipf
+    val n = rows.size.toLong
+    val m = 32
+    for (parts <- Seq(1, 7, 32)) {
+      val df = spark.sparkContext.parallelize(rows, parts).toDF("k")
+      val summary = HeavyHitters.mgSummary(df, "k", m)
+        .select(explode(map_keys(col("summary"))))
+        .collect().map(_.getString(0)).toSet
+      assert(summary.size <= m)
+      val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val mustKeep = exact.collect { case (k, c) if c > n / m => k }
+      val lost = mustKeep.filterNot(summary.contains)
+      assert(lost.isEmpty, s"parts=$parts lost guaranteed heavy keys: $lost")
+    }
+  }
+
+  test("near-uniform column: returned counts are exact for the returned keys") {
+    // 200 keys x 10 occurrences — no heavy hitters at all (gap condition
+    // fails by construction); membership may be summary-dependent but every
+    // reported count must still be the true count
+    val df = spark.sparkContext
+      .parallelize((1 to 200).flatMap(i => Seq.fill(10)(f"u$i%03d")), 16).toDF("k")
+    val got = HeavyHitters.heavyHitters(df, "k", k = 5, m = 16).collect()
+    // no key is heavy, so MEMBERSHIP is summary-dependent and the result
+    // may even be empty (the summary's way of saying "nothing is heavy") —
+    // but any returned count must be the true count
+    assert(got.length <= 5)
+    assert(got.forall(_.getLong(1) === 10L))
+    // with capacity >= cardinality the summary IS the exact groupBy and
+    // the full k come back
+    val exactCap = HeavyHitters.heavyHitters(df, "k", k = 5, m = 256).collect()
+    assert(exactCap.length === 5)
+    assert(exactCap.map(_.getString(0)).toSeq === (1 to 5).map(i => f"u$i%03d"))
+  }
+
+  test("nulls are ignored; all-null input yields an empty result") {
+    val df = Seq[String]("a", null, "a", null, "b").toDF("k")
+    val got = HeavyHitters.heavyHitters(df, "k", k = 2, m = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a", 2L), ("b", 1L)))
+    val empty = HeavyHitters.heavyHitters(
+      spark.createDataset(Seq.empty[String]).toDF("k"), "k", k = 3, m = 8)
+    assert(empty.count() === 0L)
+  }
+
+  test("capacity below distinct count still finds the dominant key") {
+    // 1 giant key + 100 singletons, m = 4: decrement pressure cannot evict
+    // the head (its count dwarfs n/m)
+    val rows = Seq.fill(500)("big") ++ (1 to 100).map(i => s"s$i")
+    val shuffled = new scala.util.Random(42).shuffle(rows)
+    val df = spark.sparkContext.parallelize(shuffled, 8).toDF("k")
+    val got = HeavyHitters.heavyHitters(df, "k", k = 1, m = 4).collect()
+    assert(got.head.getString(0) === "big")
+    assert(got.head.getLong(1) === 500L)
+  }
+}
