@@ -2364,6 +2364,36 @@ object Contract {
              |  FROM documents WHERE text IS NOT NULL)
              |SELECT token, COUNT(*) AS cnt FROM tk
              |GROUP BY token ORDER BY cnt DESC, token LIMIT 10""".stripMargin)
+    ),
+    Q(
+      "q102_ivfpq_topk",
+      // IVF-PQ composed ANN (the FAISS IVFPQ shape): cell pruning chooses
+      // which corpus slice each probe scans, PQ-ADC shortlists within it,
+      // exact cosine re-ranks. Probing every cell with a full shortlist is
+      // EXACT for any centroids/codebook (q45 x q100's tricks composed),
+      // so the brute-force oracle certifies the whole composed pipeline —
+      // cell assignment, code/table build, cell-join, ADC, re-rank.
+      (s, d) =>
+        Similarity
+          .ivfPqTopK(Tables.embeddings(s, d), col("vec_id") < 10, k = 5,
+            ncells = 8, nprobe = 8, m = 8, kCodes = 16, shortlist = 4096)
+          .select(col("probe_id"), col("rnk"), col("neighbor_id")),
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             |                (a, b) -> a + b) AS n2
+             |  FROM embeddings),
+             |pairs AS (
+             |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             |    list_reduce(list_transform(range(1, len(p.embedding) + 1),
+             |                  i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+             |                (a, b) -> a + b) / (sqrt(p.n2) * sqrt(c.n2)) AS cos
+             |  FROM n p, n c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+             |ranked AS (
+             |  SELECT probe_id, neighbor_id,
+             |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+             |  FROM pairs)
+             |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin)
     )
   )
 

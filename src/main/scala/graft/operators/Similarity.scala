@@ -646,6 +646,71 @@ object Similarity {
   private def centroidN2(codebooks: Seq[Seq[Seq[Double]]]): Seq[Seq[Double]] =
     codebooks.map(_.map(c => c.map(x => x * x).sum))
 
+  /** PQ code array for the row's `embedding` (norm `nrm` in scope):
+    * per-subspace argmin of l2OrderScore against the codebook literal.
+    */
+  private def pqCodesExpr(cb: Seq[Seq[Seq[Double]]], nrm: Column): Column = {
+    val m     = cb.length
+    val sub   = cb.head.head.length
+    val cbL   = typedlit(cb)
+    val cn2L  = typedlit(centroidN2(cb))
+    transform(sequence(lit(0), lit(m - 1)), j => {
+      val subv = slice(col("embedding"), j * sub + 1, lit(sub))
+      val dists = transform(sequence(lit(1), lit(cb.head.length)), c =>
+        l2OrderScore(subv, nrm,
+          element_at(element_at(cbL, j + 1), c),
+          element_at(element_at(cn2L, j + 1), c)))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+  }
+
+  /** Per-probe ADC table expression: table[j][c] = l2OrderScore of the
+    * probe's j-th subvector against codebook entry c (order-equivalent to
+    * the true squared L2 per subspace — the per-probe constant drops).
+    */
+  private def adcTableExpr(cb: Seq[Seq[Seq[Double]]], nrm: Column): Column = {
+    val m    = cb.length
+    val sub  = cb.head.head.length
+    val cbL  = typedlit(cb)
+    val cn2L = typedlit(centroidN2(cb))
+    transform(sequence(lit(0), lit(m - 1)), j => {
+      val subv = slice(col("embedding"), j * sub + 1, lit(sub))
+      transform(sequence(lit(1), lit(cb.head.length)), c =>
+        l2OrderScore(subv, nrm,
+          element_at(element_at(cbL, j + 1), c),
+          element_at(element_at(cn2L, j + 1), c)))
+    })
+  }
+
+  /** Negated ADC sum for a (codes, __table) row pair — higher = closer. */
+  private def negAdcExpr(m: Int): Column =
+    lit(0.0) - aggregate(
+      sequence(lit(0), lit(m - 1)),
+      lit(0.0),
+      (acc, j) =>
+        acc + element_at(
+          element_at(col("__table"), j + 1),
+          element_at(col("codes"), j + 1) + 1))
+
+  /** Exact-cosine re-rank of a (probe_id, neighbor_id) shortlist to top-k. */
+  private def exactRerank(
+      short: DataFrame,
+      emb: DataFrame,
+      probePred: Column,
+      k: Int): DataFrame = {
+    val withN2 = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    val pairs = short
+      .join(withN2.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col("n2").as("n_n2")), Seq("neighbor_id"))
+      .join(broadcast(withN2.filter(probePred).select(col("vec_id").as("probe_id"),
+        col("embedding").as("p_emb"), col("n2").as("p_n2"))), Seq("probe_id"))
+      .select(
+        col("probe_id"),
+        col("neighbor_id"),
+        cosine(dot(col("p_emb"), col("n_emb")), col("p_n2"), col("n_n2")).as("cos"))
+    topKNeighbors(pairs, k)
+  }
+
   /** Per-row PQ encoding: unit-normalize, slice into m subspaces, argmin
     * squared-L2 against that subspace's codebook (a broadcast literal).
     * Pure projection — zero shuffle, 1 byte-scale code per subspace instead
@@ -653,24 +718,10 @@ object Similarity {
     * Degenerate vectors drop (same rule as the codebook trainer).
     */
   def pqEncode(emb: DataFrame, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val m   = codebooks.length
-    val sub = codebooks.head.head.length
-    val cb  = typedlit(codebooks)
-    val cn2 = typedlit(centroidN2(codebooks))
     val n2c = norm2(col("embedding"))
-    val nrm = sqrt(n2c)
     emb
       .filter(n2c > 0 && !isnan(n2c) && n2c < Double.PositiveInfinity)
-      .select(
-        col("vec_id"),
-        transform(sequence(lit(0), lit(m - 1)), j => {
-          val subv = slice(col("embedding"), j * sub + 1, lit(sub))
-          val dists = transform(sequence(lit(1), lit(codebooks.head.length)), c =>
-            l2OrderScore(subv, nrm,
-              element_at(element_at(cb, j + 1), c),
-              element_at(element_at(cn2, j + 1), c)))
-          (array_position(dists, array_min(dists)) - 1).cast("int")
-        }).as("codes"))
+      .select(col("vec_id"), pqCodesExpr(codebooks, sqrt(n2c)).as("codes"))
   }
 
   /** PQ-shortlisted top-k cosine search: asymmetric-distance (ADC)
@@ -696,13 +747,9 @@ object Similarity {
       shortlist: Int = 64,
       codebooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
-    val cb     = codebooks.getOrElse(pqCodebooks(emb, m, kCodes))
-    val sub    = cb.head.head.length
-    val cbLit  = typedlit(cb)
-    val cn2Lit = typedlit(centroidN2(cb))
-    val codes  = pqEncode(emb, cb)
-    val n2c    = norm2(col("embedding"))
-    val nrm    = sqrt(n2c)
+    val cb    = codebooks.getOrElse(pqCodebooks(emb, m, kCodes))
+    val codes = pqEncode(emb, cb)
+    val n2c   = norm2(col("embedding"))
     // per-probe ADC table: table[j][c] ~ ||probe_sub_j - cb[j][c]||^2 up to
     // the per-probe constant sum_j |probe_sub_j|^2 (dropped — see
     // l2OrderScore; candidate ORDER per probe is what the shortlist needs)
@@ -710,39 +757,78 @@ object Similarity {
       .filter(probePred && n2c > 0 && !isnan(n2c) && n2c < Double.PositiveInfinity)
       .select(
         col("vec_id").as("probe_id"),
-        transform(sequence(lit(0), lit(m - 1)), j => {
-          val subv = slice(col("embedding"), j * sub + 1, lit(sub))
-          transform(sequence(lit(1), lit(cb.head.length)), c =>
-            l2OrderScore(subv, nrm,
-              element_at(element_at(cbLit, j + 1), c),
-              element_at(element_at(cn2Lit, j + 1), c)))
-        }).as("__table"))
+        adcTableExpr(cb, sqrt(n2c)).as("__table"))
     val adc = codes
       .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .select(
         col("probe_id"),
         col("vec_id").as("neighbor_id"),
-        (lit(0.0) - aggregate(
-          sequence(lit(0), lit(m - 1)),
-          lit(0.0),
-          (acc, j) =>
-            acc + element_at(
-              element_at(col("__table"), j + 1),
-              element_at(col("codes"), j + 1) + 1))).as("neg_adc"))
+        negAdcExpr(cb.length).as("neg_adc"))
     val short = TopK
       .topKPerGroup(adc, Seq("probe_id"), "neg_adc", "neighbor_id", shortlist)
       .select(col("probe_id"), col("neighbor_id"))
-    // exact re-rank of the shortlist
-    val withN2 = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
-    val pairs = short
-      .join(withN2.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
-        col("n2").as("n_n2")), Seq("neighbor_id"))
-      .join(broadcast(withN2.filter(probePred).select(col("vec_id").as("probe_id"),
-        col("embedding").as("p_emb"), col("n2").as("p_n2"))), Seq("probe_id"))
+    exactRerank(short, emb, probePred, k)
+  }
+
+  /** IVF-PQ composed search (the FAISS IVFPQ shape): IVF cell pruning picks
+    * WHICH corpus slice each probe scans, PQ-ADC picks the shortlist WITHIN
+    * that slice, exact cosine re-ranks the shortlist.
+    *
+    * Scale shape, multiplicative with each part alone:
+    *  - the corpus side is ONE projection pass (cell id + PQ codes computed
+    *    in-row against broadcast centroid/codebook literals — no join, no
+    *    shuffle, ~m bytes per vector downstream);
+    *  - candidates come from a broadcast HASH join on cell_id (each corpus
+    *    row meets only the probes probing its cell — ~nprobe/ncells of the
+    *    probe set — instead of pqTopK's every-probe fan-out);
+    *  - ADC cost per candidate is m table lookups; the shortlist cut is the
+    *    bounded-heap TopK; exact cosines touch only shortlist x probes rows.
+    *
+    * With nprobe = ncells and shortlist >= corpus the result is EXACT
+    * (cell pruning passes everything, ADC order collapses under the exact
+    * re-rank) — the q102 contract entry certifies the composed pipeline
+    * against the brute-force oracle that way; recall at real settings is
+    * spec-tested on planted clusters.
+    */
+  def ivfPqTopK(
+      emb: DataFrame,
+      probePred: Column,
+      k: Int,
+      ncells: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      kCodes: Int = 16,
+      shortlist: Int = 64,
+      codebooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    require(nprobe >= 1 && nprobe <= ncells, s"need 1 <= nprobe ($nprobe) <= ncells ($ncells)")
+    val cb    = codebooks.getOrElse(pqCodebooks(emb, m, kCodes))
+    val cents = seedCentroids(emb, ncells)
+    val n2c   = norm2(col("embedding"))
+    val withN2 = emb
+      .filter(n2c > 0 && !isnan(n2c) && n2c < Double.PositiveInfinity)
+      .select(col("vec_id"), col("embedding"), n2c.as("n2"))
+    // corpus: nearest cell + PQ codes in one pass, then embeddings drop
+    val codes = assignCells(withN2, cents, 1)
+      .select(col("vec_id"), col("cell_id"),
+        pqCodesExpr(cb, sqrt(col("n2"))).as("codes"))
+    // probes: nprobe nearest cells each, ADC table repeated per probed cell
+    // (the duplication costs nothing — the probe side is tiny and broadcast)
+    val probes = assignCells(withN2.filter(probePred), cents, nprobe)
+      .select(
+        col("vec_id").as("probe_id"),
+        col("cell_id").as("__pcell"),
+        adcTableExpr(cb, sqrt(col("n2"))).as("__table"))
+    val adc = codes
+      .join(broadcast(probes),
+        col("cell_id") === col("__pcell") && col("vec_id") =!= col("probe_id"))
       .select(
         col("probe_id"),
-        col("neighbor_id"),
-        cosine(dot(col("p_emb"), col("n_emb")), col("p_n2"), col("n_n2")).as("cos"))
-    topKNeighbors(pairs, k)
+        col("vec_id").as("neighbor_id"),
+        negAdcExpr(cb.length).as("neg_adc"))
+    val short = TopK
+      .topKPerGroup(adc, Seq("probe_id"), "neg_adc", "neighbor_id", shortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    exactRerank(short, emb, probePred, k)
   }
 }

@@ -167,4 +167,36 @@ class SimilaritySpec extends AnyFunSuite {
     val b   = Similarity.pqCodebooks(emb.repartition(13), m = 4, kCodes = 8)
     assert(a === b)
   }
+
+  test("ivfPqTopK: probe-everything + full shortlist reproduces brute force exactly") {
+    val emb   = Tables.embeddings(spark, sfDir)
+    val brute = topk(Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5))
+    val got = topk(Similarity.ivfPqTopK(emb, col("vec_id") < 10, k = 5,
+      ncells = 8, nprobe = 8, m = 8, kCodes = 16, shortlist = 100000))
+    assert(got === brute)
+  }
+
+  test("ivfPqTopK: planted near-dups survive cell pruning AND the ADC shortlist") {
+    import spark.implicits._
+    // near-dups of the probe share its cell (cos ~ 0.999 dwarfs every
+    // centroid margin), so IVF pruning keeps them and ADC ranks them first
+    val rnd  = new scala.util.Random(23)
+    val base = (0L until 200L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val dups = (0L until 5L).map { i =>
+      (1000L + i, base(0)._2.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val got = topk(Similarity.ivfPqTopK(emb, col("vec_id") === 0, k = 5,
+      ncells = 8, nprobe = 2, m = 8, kCodes = 16, shortlist = 20))
+    assert(got.map(_._3).toSet === (1000L until 1005L).toSet,
+      s"planted near-dups lost to cell pruning or the shortlist: $got")
+  }
+
+  test("ivfPqTopK plan: broadcast joins only — no cartesian, no nested loop over the corpus") {
+    val emb  = Tables.embeddings(spark, sfDir)
+    val plan = Similarity.ivfPqTopK(emb, col("vec_id") < 10, k = 5,
+      ncells = 8, nprobe = 2, shortlist = 32)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "corpus must never cross-join the probes")
+  }
 }
