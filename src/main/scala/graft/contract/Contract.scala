@@ -2394,6 +2394,27 @@ object Contract {
              |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
              |  FROM pairs)
              |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin)
+    ),
+    Q(
+      "q103_editdist_join",
+      // edit-distance similarity self-join (Ed-Join): rarest-(gram,occ)
+      // prefix index -> candidate bucket join -> exact Levenshtein verify.
+      // Exact by the q-gram count bound + prefix-filter theorem, so the
+      // oracle is the plain all-pairs levenshtein (cut to custkey <= 2000
+      // to keep the quadratic ORACLE sf-stable; the operator itself never
+      // goes all-pairs).
+      (s, d) =>
+        graft.operators.EditSimilarity.editDistancePairs(
+          cust(s, d)
+            .filter(col("c_custkey") <= 2000)
+            .select(col("c_custkey").as("id"), col("c_name").as("s")),
+          "id", "s", d = 1),
+      Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             |       levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+             |FROM customer a, customer b
+             |WHERE a.c_custkey < b.c_custkey
+             |  AND a.c_custkey <= 2000 AND b.c_custkey <= 2000
+             |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)
     )
   )
 

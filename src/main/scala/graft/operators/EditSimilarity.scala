@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** String similarity self-join: all pairs within Levenshtein distance `d`,
+  * without the all-pairs cross join — the string-space sibling of the
+  * MinHash/SimHash miners (Ed-Join family: Xiao et al., VLDB 2008).
+  *
+  * Soundness chain (no false negatives, so the exact verify makes the
+  * result EXACT):
+  *  - a string of length L has n = L - q + 1 positional q-grams, and one
+  *    edit operation destroys at most q of them, so edit distance <= d
+  *    implies the two multisets share >= max(nA, nB) - q*d grams;
+  *  - PREFIX FILTER: order every string's grams by global rarity (df, then
+  *    gram, then occurrence index — one total order for the whole corpus);
+  *    if two multisets overlap in >= t elements, their first n - t + 1
+  *    grams under that order must intersect. With t >= n - q*d the prefix
+  *    is at most q*d + 1 grams — each string is indexed by its q*d + 1
+  *    RAREST grams only, so corpus-wide stop-grams (a shared "Customer#"
+  *    prefix, boilerplate) never key a bucket;
+  *  - multiset semantics ride an occurrence index (the join key is
+  *    (gram, occ), occ = how many equal grams precede this one in its own
+  *    string), so repeated grams count min(cntA, cntB) times, not
+  *    cntA * cntB.
+  *
+  * Strings too short for the theorem (fewer than q*d + 1 grams, including
+  * empty) fall back to a length-banded exact leg against every string
+  * within d of their length — bounded by the short slice's size, which a
+  * q-gram-indexable corpus keeps tiny.
+  *
+  * Scale shape: gram df is one vocabulary-sized partial-agg shuffle; the
+  * prefix regroup is one per-id shuffle; candidates come from a bucket
+  * join on (gram, occ) whose buckets hold only rare grams; the Levenshtein
+  * verify (codegen'd built-in) touches candidates only. No stage is ever
+  * corpus x corpus.
+  *
+  * Output: id_a < id_b, dist (<= d).
+  */
+object EditSimilarity {
+
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      d: Int,
+      q: Int = 2): DataFrame = {
+    require(d >= 0, s"d must be >= 0, got $d")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val prefixLen = q * d + 1
+    val minLen    = q * d + q // fewer grams than prefixLen below this length
+
+    val s = df.select(
+      col(idCol).cast("long").as("id"),
+      col(strCol).as("str"),
+      length(col(strCol)).as("len"))
+      .filter(col("str").isNotNull)
+
+    val long_  = s.filter(col("len") >= minLen)
+    val short_ = s.filter(col("len") < minLen)
+
+    // positional q-grams with per-string occurrence index: occ(i) = number
+    // of equal grams at earlier positions — computed IN-ROW (O(n^2) over
+    // n = len - q + 1 grams, zero shuffle; chunk long documents before
+    // joining them at document scale)
+    val gramArr = transform(
+      sequence(lit(1), col("len") - q + 1),
+      i => col("str").substr(i, lit(q)))
+    val withOcc = long_.select(
+      col("id"), col("len"),
+      explode(transform(
+        gramArr,
+        (g, i) => struct(
+          g.as("gram"),
+          size(filter(slice(gramArr, lit(1), i), x => x === g)).cast("long").as("occ")))).as("__e"))
+      .select(col("id"), col("len"), col("__e.gram").as("gram"), col("__e.occ").as("occ"))
+
+    // global rarity order: (df, gram, occ) — one shuffle over the gram
+    // vocabulary (sublinear in corpus size), joined back by gram
+    val gdf = withOcc.groupBy(col("gram"), col("occ")).agg(count(lit(1)).as("__df"))
+    val ranked = withOcc.join(gdf, Seq("gram", "occ"))
+
+    // per-string prefix: the q*d + 1 rarest (gram, occ) keys
+    val prefixes = ranked
+      .groupBy(col("id"), col("len"))
+      .agg(sort_array(collect_list(struct(
+        col("__df"), col("gram"), col("occ")))).as("__g"))
+      .select(
+        col("id"), col("len"),
+        explode(slice(col("__g"), 1, prefixLen)).as("__e"))
+      .select(
+        col("id"), col("len"),
+        col("__e.gram").as("gram"), col("__e.occ").as("occ"))
+
+    val candLong = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
+          col("a.id") < col("b.id") &&
+          abs(col("a.len") - col("b.len")) <= d)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    // short leg: too few grams for the prefix theorem — length-banded
+    // exact pairs against everything within d of their length (the band
+    // keeps it |short| x |near-short|, never |short| x corpus)
+    val candShort = short_.select(col("id").as("id_a"), col("len").as("la"))
+      .join(
+        s.filter(col("len") < minLen + d)
+          .select(col("id").as("id_b"), col("len").as("lb")),
+        col("id_a") =!= col("id_b") && abs(col("la") - col("lb")) <= d)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+
+    val strs = s.select(col("id"), col("str"))
+    candLong.union(candShort).distinct()
+      .join(strs.select(col("id").as("id_a"), col("str").as("__sa")), Seq("id_a"))
+      .join(strs.select(col("id").as("id_b"), col("str").as("__sb")), Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        levenshtein(col("__sa"), col("__sb")).cast("long").as("dist"))
+      .filter(col("dist") <= d)
+  }
+}

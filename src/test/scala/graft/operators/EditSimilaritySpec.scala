@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.core.Tables
+
+/** Ed-Join-style edit-distance self-join: exact vs the all-pairs brute
+  * force on real and adversarial fixtures (repeated grams, short strings,
+  * cross-leg pairs).
+  */
+class EditSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def brute(df: org.apache.spark.sql.DataFrame, d: Int) =
+    pairs(df.select(col("id").as("id_a"), col("s").as("sa"))
+      .join(df.select(col("id").as("id_b"), col("s").as("sb")), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("sa"), col("sb")).cast("long").as("dist"))
+      .filter(col("dist") <= d))
+
+  test("matches brute force on customer names (d = 1 and d = 2)") {
+    val names = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    for (d <- Seq(1, 2)) {
+      val got  = pairs(EditSimilarity.editDistancePairs(names, "id", "s", d))
+      val want = brute(names, d)
+      assert(got === want, s"d=$d")
+      assert(want.nonEmpty, "fixture should contain near pairs") // digits differ by 1
+    }
+  }
+
+  test("repeated grams use multiset overlap: 'aaaa' family is exact") {
+    val df = Seq(
+      (1L, "aaaaaaaa"), (2L, "aaaaaaab"), (3L, "aaabaaaa"),
+      (4L, "abababab"), (5L, "babababa"), (6L, "aaaaaaaa")).toDF("id", "s")
+    val got = pairs(EditSimilarity.editDistancePairs(df, "id", "s", 1))
+    assert(got === brute(df, 1))
+  }
+
+  test("short strings and cross-leg pairs: exact below and across the gram cutoff") {
+    // len < q*d + q routes through the short leg; 'abc'/'abcd' crosses legs
+    val df = Seq(
+      (1L, ""), (2L, "a"), (3L, "b"), (4L, "ab"), (5L, "abc"),
+      (6L, "abcd"), (7L, "abcde"), (8L, "xbcde"), (9L, "zzzzzz")).toDF("id", "s")
+    for (d <- Seq(1, 2)) {
+      val got = pairs(EditSimilarity.editDistancePairs(df, "id", "s", d))
+      assert(got === brute(df, d), s"d=$d")
+    }
+  }
+
+  test("d = 0 degenerates to exact-duplicate pairing") {
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "hello worle"))
+      .toDF("id", "s")
+    val got = pairs(EditSimilarity.editDistancePairs(df, "id", "s", 0))
+    assert(got === Set((1L, 2L, 0L)))
+  }
+
+  test("corpus-wide stop-grams never key a candidate bucket (prefix filter)") {
+    // every name shares the 'Customer#0000' region; with the rarity prefix,
+    // no (gram, occ) bucket may hold the whole corpus
+    val names = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val n = names.count()
+    // reproduce the operator's prefix stage bucket census at d=1, q=2
+    val d = 1; val q = 2
+    val gramArr = transform(sequence(lit(1), length(col("s")) - q + 1),
+      i => col("s").substr(i, lit(q)))
+    val grams = names
+      .select(col("id"), explode(transform(gramArr, (g, i) => struct(
+        g.as("gram"),
+        size(filter(slice(gramArr, lit(1), i), x => x === g)).cast("long").as("occ")))).as("e"))
+      .select(col("id"), col("e.gram").as("gram"), col("e.occ").as("occ"))
+    val gdf = grams.groupBy(col("gram"), col("occ")).agg(count(lit(1)).as("df"))
+    val maxBucket = grams.join(gdf, Seq("gram", "occ"))
+      .groupBy(col("id")).agg(sort_array(collect_list(struct(col("df"), col("gram"), col("occ")))).as("g"))
+      .select(explode(slice(col("g"), 1, q * d + 1)).as("e"))
+      .groupBy(col("e.gram"), col("e.occ")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head().getLong(0)
+    assert(maxBucket < n, s"a stop-gram keyed a full-corpus bucket ($maxBucket of $n)")
+  }
+}
