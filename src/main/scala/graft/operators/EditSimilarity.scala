@@ -101,13 +101,17 @@ object EditSimilarity {
       .distinct()
 
     // short leg: too few grams for the prefix theorem — length-banded
-    // exact pairs against everything within d of their length (the band
-    // keeps it |short| x |near-short|, never |short| x corpus)
-    val candShort = short_.select(col("id").as("id_a"), col("len").as("la"))
+    // exact pairs against everything within d of their length. The band
+    // rides as an EQUI key (the partner side explodes its d-window of
+    // lengths), so this is a hash join on len, never a nested loop; cost
+    // is |short| x |near-short|, never |short| x corpus.
+    val candShort = short_.select(col("id").as("id_a"), col("len").as("__band"))
       .join(
         s.filter(col("len") < minLen + d)
-          .select(col("id").as("id_b"), col("len").as("lb")),
-        col("id_a") =!= col("id_b") && abs(col("la") - col("lb")) <= d)
+          .select(col("id").as("id_b"),
+            explode(sequence(col("len") - d, col("len") + d)).as("__band")),
+        Seq("__band"))
+      .filter(col("id_a") =!= col("id_b"))
       .select(
         least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
