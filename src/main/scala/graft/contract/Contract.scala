@@ -2415,6 +2415,24 @@ object Contract {
              |WHERE a.c_custkey < b.c_custkey
              |  AND a.c_custkey <= 2000 AND b.c_custkey <= 2000
              |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)
+    ),
+    Q(
+      "q104_weighted_sample",
+      // per-row weighted Bernoulli sampling: keep probability = the row's
+      // own (clamped) weight — here length-proportional, the "keep long
+      // documents more often" curation rule. Same stable-bucket hash as
+      // q53's splits, so the kept set is run/cluster/partitioning-
+      // independent and the oracle mirrors the arithmetic exactly.
+      (s, d) =>
+        graft.operators.Splits.weightedSample(
+          Tables.documents(s, d)
+            .withColumn("w", col("n_chars").cast("double") / 1000.0),
+          "doc_id", "w")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE ((((doc_id % 1000000007) + 1000000007) % 1000000007)
+             |        * 2654435761 % 1000000007) % 10000
+             |      < round(least(greatest(n_chars / 1000.0, 0.0), 1.0) * 10000)""".stripMargin)
     )
   )
 

@@ -76,6 +76,31 @@ object Splits {
     df.filter(b < cut)
   }
 
+  /** Deterministic PER-ROW weighted Bernoulli sampling: keep each row with
+    * probability proportional to its own weight column (clamped to [0,1]
+    * after `scale`) — the continuous-weight sibling of `mixtureSample`'s
+    * per-source rates, for quality-score-weighted downsampling ("keep good
+    * documents more often") where the rate varies row by row.
+    *
+    * The decision is the stable hash bucket of the key against the row's
+    * own cut, so the kept set is identical on any cluster / run /
+    * partitioning, and raising `scale` only ADDS rows (bucket below both
+    * cuts stays kept) — reproducibility and monotonicity `sample()` can't
+    * give. Zero shuffle: a pure per-row filter; the expected kept fraction
+    * is avg(clamp(weight * scale)).
+    */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      scale: Double = 1.0,
+      buckets: Int = 10000): DataFrame = {
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    val w   = least(greatest(col(weightCol).cast("double") * scale, lit(0.0)), lit(1.0))
+    val cut = round(w * buckets).cast("long")
+    df.filter(bucketOf(col(keyCol), buckets).cast("long") < cut)
+  }
+
   /** Full-range stable hash of a numeric key (order-scrambling, injective
     * for distinct keys mod P) — the sort key for deterministic sampling.
     */

@@ -14,6 +14,23 @@ class SplitsSpec extends AnyFunSuite {
   private val sfDir      = "/root/testdata/sf0.001"
   private val fr         = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
 
+  test("weightedSample: monotone in scale, partitioning-stable, weight-extreme exactness") {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("w", org.apache.spark.sql.functions.col("n_chars").cast("double") / 1000.0)
+    def kept(df: org.apache.spark.sql.DataFrame, scale: Double) =
+      Splits.weightedSample(df, "doc_id", "w", scale)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val half = kept(docs, 0.5)
+    val full = kept(docs, 1.0)
+    assert(half.subsetOf(full), "raising scale must only add rows")
+    assert(kept(docs.repartition(13), 1.0) === full, "kept set must be partitioning-stable")
+    // weight >= 1 keeps everything; weight 0 (and null) keeps nothing
+    import spark.implicits._
+    val extremes = Seq((1L, 5.0), (2L, 0.0), (3L, 1.0)).toDF("doc_id", "w")
+      .union(Seq((4L, Option.empty[Double])).toDF("doc_id", "w"))
+    assert(kept(extremes, 1.0) === Set(1L, 3L))
+  }
+
   test("assignment is a pure function of the key: stable across partitioning and runs") {
     val docs = Tables.documents(spark, sfDir)
     def splits(df: org.apache.spark.sql.DataFrame) =
