@@ -2433,6 +2433,32 @@ object Contract {
              |WHERE ((((doc_id % 1000000007) + 1000000007) % 1000000007)
              |        * 2654435761 % 1000000007) % 10000
              |      < round(least(greatest(n_chars / 1000.0, 0.0), 1.0) * 10000)""".stripMargin)
+    ),
+    Q(
+      "q105_alpha_mixture",
+      // temperature-weighted source mixing (alpha=0.5): realize a ~300-row
+      // corpus with per-source rates ∝ sqrt(n_s)/n_s — small sources are
+      // upweighted relative to proportional sampling. The per-source weight
+      // is quantized (round(sqrt(n)*1e6) as a long) so the rate is the
+      // bit-identical double in both engines; keep rule is q53's bucket.
+      (s, d) =>
+        graft.operators.Splits.alphaMixture(
+          Tables.documents(s, d), "doc_id", "source", targetRows = 300)
+          .select(col("doc_id"), col("source"), col("lang")),
+      Some("""WITH census AS (
+             |  SELECT source, count(*)::DOUBLE AS n,
+             |         round(sqrt(count(*)::DOUBLE) * 1e6)::BIGINT AS wq
+             |  FROM documents GROUP BY source),
+             |tot AS (SELECT sum(wq)::BIGINT AS t FROM census),
+             |rates AS (
+             |  SELECT source,
+             |         least(1.0, ((300.0 * wq::DOUBLE) / t::DOUBLE) / n) AS rate
+             |  FROM census, tot)
+             |SELECT d.doc_id, d.source, d.lang
+             |FROM documents d JOIN rates r ON d.source = r.source
+             |WHERE ((((d.doc_id % 1000000007) + 1000000007) % 1000000007)
+             |        * 2654435761 % 1000000007) % 10000
+             |      < round(r.rate * 10000)""".stripMargin)
     )
   )
 

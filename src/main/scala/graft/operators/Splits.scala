@@ -101,6 +101,56 @@ object Splits {
     df.filter(bucketOf(col(keyCol), buckets).cast("long") < cut)
   }
 
+  /** Temperature-weighted source mixing (the multilingual "alpha sampling"
+    * rule): realize a ~`targetRows` corpus whose source proportions follow
+    * n_s^alpha instead of raw counts n_s — alpha<1 upweights small sources
+    * (alpha=0.5 is the common pretraining choice), alpha=1 is proportional.
+    * Each source keeps rate_s = min(1, targetRows * w_s / W / n_s) with
+    * w_s = n_s^alpha, applied with the same stable-bucket rule as
+    * `mixtureSample`, so the kept set is run/cluster/partitioning-stable.
+    *
+    * Determinism across engines: w_s is QUANTIZED to round(sqrt(n)*1e6) as
+    * a long (IEEE sqrt/mul/round are correctly rounded — bit-identical in
+    * any engine) and W is an exact integer sum, so rate_s is the same
+    * double everywhere — no float-sum order sensitivity. Only alpha=0.5
+    * (sqrt) carries that guarantee; other alphas use pow(), whose last ULP
+    * is libm-dependent (fine for use, not for a hash-compared oracle).
+    *
+    * Scale: one partial-agg shuffle of |sources| rows for the census, the
+    * tiny rate table broadcasts back, and the keep decision is a per-row
+    * filter — the 100 TB cost is one scan.
+    */
+  def alphaMixture(
+      df: DataFrame,
+      keyCol: String,
+      sourceCol: String,
+      targetRows: Long,
+      alpha: Double = 0.5,
+      buckets: Int = 10000): DataFrame = {
+    require(targetRows >= 0, s"targetRows must be >= 0, got $targetRows")
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    val pw: Column => Column =
+      if (alpha == 0.5) sqrt(_) else (c => pow(c, lit(alpha)))
+    val census = df
+      .groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__wq", round(pw(col("__n")) * 1e6).cast("long"))
+    val tot = census.agg(sum("__wq").as("__tot"))
+    val rates = census
+      .crossJoin(broadcast(tot))
+      // evaluation order ((T * wq) / W) / n is part of the contract: each
+      // step is correctly rounded, so any engine repeating it bit-matches
+      .withColumn("__rate",
+        least(lit(1.0),
+          lit(targetRows.toDouble) * col("__wq").cast("double")
+            / col("__tot").cast("double") / col("__n")))
+      .select(col("__src"), col("__rate"))
+    df.join(broadcast(rates), col(sourceCol) === col("__src"), "inner")
+      .filter(bucketOf(col(keyCol), buckets).cast("long")
+        < round(col("__rate") * buckets).cast("long"))
+      .drop("__src", "__rate")
+  }
+
   /** Full-range stable hash of a numeric key (order-scrambling, injective
     * for distinct keys mod P) — the sort key for deterministic sampling.
     */

@@ -31,6 +31,42 @@ class SplitsSpec extends AnyFunSuite {
     assert(kept(extremes, 1.0) === Set(1L, 3L))
   }
 
+  test("alphaMixture: clamp-to-all, monotone in target, partition-stable, small-source upweight") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.count()
+    def kept(df: org.apache.spark.sql.DataFrame, target: Long) =
+      Splits.alphaMixture(df, "doc_id", "source", target)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // target >= total clamps every rate to 1 -> identity
+    assert(kept(docs, total) === docs.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // monotone: raising the target only adds rows
+    val t20 = kept(docs, total / 5)
+    val t50 = kept(docs, total / 2)
+    assert(t20.subsetOf(t50), "raising targetRows must only add rows")
+    // stable under physical partitioning
+    assert(kept(docs.repartition(17), total / 2) === t50)
+    // alpha=0.5 upweights the smaller source: its kept FRACTION must be >=
+    // the largest source's (rates scale as 1/sqrt(n) when unclamped)
+    val bySrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val smallest = bySrc.minBy(_._2)._1
+    val largest  = bySrc.maxBy(_._2)._1
+    if (smallest != largest) {
+      val keptDf = Splits.alphaMixture(docs, "doc_id", "source", total / 3)
+      val keptBySrc = keptDf.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val fSmall = keptBySrc.getOrElse(smallest, 0L).toDouble / bySrc(smallest)
+      val fLarge = keptBySrc.getOrElse(largest, 0L).toDouble / bySrc(largest)
+      assert(fSmall >= fLarge,
+        s"alpha<1 must upweight the small source: $fSmall vs $fLarge")
+    }
+    // rate table must BROADCAST back (no shuffle of the corpus for the join)
+    val plan = Splits.alphaMixture(docs, "doc_id", "source", total / 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "rate join must broadcast")
+  }
+
   test("assignment is a pure function of the key: stable across partitioning and runs") {
     val docs = Tables.documents(spark, sfDir)
     def splits(df: org.apache.spark.sql.DataFrame) =
