@@ -2459,6 +2459,23 @@ object Contract {
              |WHERE ((((d.doc_id % 1000000007) + 1000000007) % 1000000007)
              |        * 2654435761 % 1000000007) % 10000
              |      < round(r.rate * 10000)""".stripMargin)
+    ),
+    Q(
+      "q106_link_pagerank",
+      // fixed-point PageRank over the co-purchase chain graph (edges =
+      // consecutive lineitem lines within an order, part -> next part):
+      // 3 rounds, d=0.85, scores in 1e-9 units. Integer arithmetic end to
+      // end, so the DuckDB unrolled recurrence hash-matches every score.
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        val edges = l.as("a").join(l.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("b.l_linenumber") === col("a.l_linenumber") + 1)
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        graft.operators.LinkGraph.propagate(edges, "src", "dst", iters = 3)
+      },
+      Some(OracleSql.q106)
     )
   )
 

@@ -672,6 +672,39 @@ object OracleSql {
        |  vobs IS NOT NULL AS observed
        |FROM j""".stripMargin
 
+  /** Fixed-point PageRank over the consecutive-line co-purchase chain, the
+    * unrolled twin of `LinkGraph.propagate` (iters=3, d=85, scale=1e9).
+    * Every step is integer arithmetic — `//` here, `div` in Spark, both
+    * floor on nonnegative values; long sums are order-free — so the scores
+    * hash-match exactly. DuckDB's sum(BIGINT) widens to HUGEINT; the final
+    * cast restores BIGINT to match Spark's long.
+    */
+  val q106: String = {
+    val scale = 1000000000L
+    val d     = 85
+    val base  = (100L - d) * scale / 100L
+    def iter(i: Int): String =
+      s"""m$i AS (SELECT e.dst AS id, sum(s${i - 1}.score // g.d) AS m
+         |  FROM edges e
+         |  JOIN s${i - 1} ON e.src = s${i - 1}.id
+         |  JOIN deg g ON g.src = e.src
+         |  GROUP BY e.dst),
+         |s$i AS (SELECT n.id, $base + ($d * coalesce(m$i.m, 0)) // 100 AS score
+         |  FROM nodes n LEFT JOIN m$i ON n.id = m$i.id)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1),
+       |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+       |s0 AS (SELECT id, $scale AS score FROM nodes),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT id, CAST(score AS BIGINT) AS score FROM s3""".stripMargin
+  }
+
   /** DuckDB has no BLOB substring; the text is ASCII so a VARCHAR slice cast
     * to BLOB yields the same bytes. upper(hex(...)) matches Spark's
     * uppercase hex().

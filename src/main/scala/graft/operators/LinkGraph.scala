@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph score propagation (PageRank family) for corpus curation:
+  * propagate a quality/authority score over a directed link graph — domain
+  * reputation from the web graph, part importance from co-purchase chains —
+  * so a document's keep/drop decision can use its NEIGHBORHOOD's quality,
+  * not just its own text (the Common-Crawl-style "good domains link to good
+  * domains" prior).
+  *
+  * FIXED-POINT INTEGER arithmetic throughout: scores live as long
+  * micro-units (`scale` = 1.0), per-edge contributions are integer
+  * divisions, and the damping step is `d * sum div 100`. Every operation is
+  * exact and order-free (long sums commute — no float-accumulation-order
+  * sensitivity), so ANY engine repeating the recurrence reproduces the
+  * byte-identical result: the DuckDB oracle unrolls the same iterations and
+  * hash-matches, certifying the whole loop cross-engine. The cost of the
+  * quantization is bounded by iters ULPs of `scale` — invisible at
+  * scale=1e9 for ranking purposes.
+  *
+  * Semantics per iteration (the standard simplified PageRank step):
+  *   contrib(u)  = score(u) div outdeg(u)          (u has out-edges)
+  *   score'(v)   = (100-d)*scale div 100  +  d * Σ_{u→v} contrib(u) div 100
+  * Multi-edges count multiply (a page linking twice sends twice the mass);
+  * dangling nodes (no out-edges) leak their mass — the usual simplification,
+  * documented rather than redistributed, so the oracle stays a pure join.
+  *
+  * Scale posture: each round is one join of edges to the score table on the
+  * EDGE SOURCE (shuffle ∝ |edges|) and one partial-agg shuffle on the edge
+  * destination — the same O(iters × |edges|) posture as `Dedup`'s label
+  * propagation, and like it every round is eagerly localCheckpoint'd so the
+  * iterated plan stays flat. Node count never materializes on the driver.
+  */
+object LinkGraph {
+
+  /** Run `iters` propagation rounds over `edges(srcCol, dstCol)`; returns
+    * (id, score) for every node in the graph, score in `scale` micro-units.
+    * dampingPct is the integer damping percentage (85 = the classic 0.85).
+    */
+  def propagate(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      dampingPct: Int = 85,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    // long-sum headroom: total mass is ~|nodes|*scale and a single hub can
+    // receive a large share of it; keep |nodes|*scale under 2^62
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true) // reused every round: materialize once
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg")).localCheckpoint(true)
+    val base = (100L - dampingPct) * scale / 100L
+    var scores = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .select(col("id"), lit(scale).as("score"))
+      .localCheckpoint(true)
+    var iter = 0
+    while (iter < iters) {
+      val inMass = e
+        .join(scores.withColumnRenamed("id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("id"), expr("score div __deg").as("__c"))
+        .groupBy("id")
+        .agg(sum(col("__c")).as("__m"))
+      scores = scores
+        .select(col("id"))
+        .join(inMass, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"$dampingPct * coalesce(__m, 0L) div 100"))
+            .as("score"))
+        .localCheckpoint(true)
+      iter += 1
+    }
+    scores
+  }
+}

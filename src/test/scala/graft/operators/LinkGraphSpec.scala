@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+
+class LinkGraphSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local()
+  import spark.implicits._
+
+  /** The recurrence re-spelled imperatively — the test's independent truth. */
+  private def reference(
+      edges: Seq[(Long, Long)],
+      iters: Int,
+      d: Long = 85,
+      scale: Long = 1000000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val deg   = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base  = (100 - d) * scale / 100
+    var score = nodes.map(_ -> scale).toMap
+    (1 to iters).foreach { _ =>
+      val in = edges
+        .groupBy(_._2)
+        .view.mapValues(_.map { case (u, _) => score(u) / deg(u) }.sum)
+        .toMap
+      score = nodes.map(n => n -> (base + d * in.getOrElse(n, 0L) / 100)).toMap
+    }
+    score
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    LinkGraph.propagate(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("matches the imperative recurrence on a cyclic graph with a hub and a dangler") {
+    // triangle 1->2->3->1, hub 4 -> {1,2,3}, dangler 5 (in-edges only),
+    // multi-edge 4->1 twice (must count twice)
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 1), (4, 1), (4, 2), (4, 3), (4, 1), (1, 5))
+    (0 to 4).foreach { iters =>
+      assert(run(edges, iters) === reference(edges, iters), s"iters=$iters")
+    }
+  }
+
+  test("deterministic across partitioning; zero iters is the uniform base") {
+    val edges = (1L to 200L).map(i => (i, i * 7 % 97 + 1))
+    val df    = edges.toDF("src", "dst")
+    val a = LinkGraph.propagate(df, "src", "dst", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = LinkGraph.propagate(df.repartition(13), "src", "dst", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+    assert(run(edges, 0).values.toSet === Set(1000000000L))
+  }
+
+  test("damping=100 on a 2-cycle conserves each node's mass exactly") {
+    val scores = LinkGraph
+      .propagate(Seq[(Long, Long)]((1, 2), (2, 1)).toDF("src", "dst"),
+        "src", "dst", 5, dampingPct = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores === Map(1L -> 1000000000L, 2L -> 1000000000L))
+  }
+}
