@@ -2476,6 +2476,16 @@ object Contract {
         graft.operators.LinkGraph.propagate(edges, "src", "dst", iters = 3)
       },
       Some(OracleSql.q106)
+    ),
+    Q(
+      "q107_source_overlap",
+      // corpus-level overlap profile: estimated shingle Jaccard between
+      // every source pair from union-MinHash signatures (one scan + a
+      // |sources|-row aggregate — nothing pairwise touches the corpus).
+      (s, d) =>
+        graft.operators.Dedup.signatureOverlapMatrix(
+          Tables.documents(s, d), "source", "text"),
+      Some(OracleSql.q107)
     )
   )
 

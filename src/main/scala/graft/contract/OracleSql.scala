@@ -705,6 +705,28 @@ object OracleSql {
        |SELECT id, CAST(score AS BIGINT) AS score FROM s3""".stripMargin
   }
 
+  /** Per-source union-MinHash overlap matrix, the twin of
+    * `Dedup.signatureOverlapMatrix`: per-doc signatures (same permutations
+    * as q30) -> per-source slot minima (MinHash's union property) ->
+    * pairwise slot-match counts. mh0 IS NOT NULL mirrors Spark's
+    * null-signature (shingle-less doc) filter.
+    */
+  val q107: String = {
+    val minSlots  = (0 until 8).map(j => s"min(mh$j) AS mh$j").mkString(", ")
+    val matchExpr = (0 until 8).map(j => s"(a.mh$j = b.mh$j)::INT").mkString(" + ")
+    s"""WITH ${shingleCtes()},
+       |$mhCte,
+       |smin AS (
+       |  SELECT d.source AS src, $minSlots
+       |  FROM mh JOIN documents d USING (doc_id)
+       |  WHERE mh.mh0 IS NOT NULL
+       |  GROUP BY d.source)
+       |SELECT a.src AS src_a, b.src AS src_b,
+       |  ($matchExpr) AS matching_slots,
+       |  ($matchExpr)::DOUBLE / 8 AS est_jaccard
+       |FROM smin a JOIN smin b ON a.src < b.src""".stripMargin
+  }
+
   /** DuckDB has no BLOB substring; the text is ASCII so a VARCHAR slice cast
     * to BLOB yields the same bytes. upper(hex(...)) matches Spark's
     * uppercase hex().

@@ -496,6 +496,48 @@ object Dedup {
     sig.select(col("id") +: (0 until k).map(j => element_at(col("__sig"), j + 1).as(s"mh$j")): _*)
   }
 
+  /** Corpus-level overlap profile: estimated shingle-set Jaccard between
+    * every pair of GROUPS (sources, crawls, snapshots) from their UNION
+    * MinHash signatures — "how much does source A's text overlap source
+    * B's?", the pre-dedup diagnostic that decides whether a cross-source
+    * near-dedup pass is worth scheduling at all.
+    *
+    * MinHash's union property does the heavy lifting: the signature of a
+    * group's shingle-set union is the per-slot MIN over its docs'
+    * signatures, so the whole profile is one per-row projection (the native
+    * one-pass signature), one partial-agg shuffle of |groups| rows, and a
+    * pairwise compare of a table with one row per group — at 100 TB the
+    * corpus is scanned once and NOTHING else is quadratic (the |groups|^2
+    * compare is on the tiny aggregate).
+    *
+    * Output: (src_a < src_b, matching_slots, est_jaccard = matching/k).
+    * Estimator variance is 1/sqrt(k) — k=8 ranks coarse overlap tiers, not
+    * fine percentages; raise k for precision.
+    */
+  def signatureOverlapMatrix(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      k: Int = 8,
+      n: Int = 3): DataFrame = {
+    val slots = spread(docs)
+      .select(col(groupCol).as("src"),
+        minHashSigCol(shingleHashes(col(textCol), n), k).as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col("src") +:
+        (0 until k).map(j => element_at(col("__sig"), j + 1).as(s"mh$j")): _*)
+    val mins = (0 until k).map(j => min(col(s"mh$j")).as(s"mh$j"))
+    val unioned = slots.groupBy("src").agg(mins.head, mins.tail: _*)
+    val a = unioned.toDF(unioned.columns.map(_ + "_a"): _*)
+    val b = unioned.toDF(unioned.columns.map(_ + "_b"): _*)
+    val matching = (0 until k)
+      .map(j => (col(s"mh${j}_a") === col(s"mh${j}_b")).cast("int"))
+      .reduce(_ + _)
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), matching.as("matching_slots"),
+        (matching.cast("double") / k).as("est_jaccard"))
+  }
+
   /** Banded LSH near-dup: signatures -> band buckets -> candidate pairs
     * sharing any band -> exact Jaccard verify on candidates only.
     *

@@ -385,4 +385,35 @@ class DedupSpec extends AnyFunSuite {
     // the novel doc survives
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(20001L))
   }
+
+  test("signatureOverlapMatrix: identical sources match all slots, disjoint ones few; empty docs drop") {
+    import spark.implicits._
+    val texts = (1 to 30).map(i => s"alpha beta gamma delta epsilon token$i run of shared words")
+    val docs =
+      texts.map(("a", _)) ++ texts.map(("b", _)) ++                  // a == b exactly
+        (1 to 30).map(i => ("c", s"zq$i xw$i vv$i uu$i tt$i ss$i")) ++ // c: disjoint vocab
+        Seq(("a", "x"), ("c", ""))                                   // shingle-less: ignored
+    val m = Dedup.signatureOverlapMatrix(
+      docs.toDF("source", "text"), "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getInt(2), r.getDouble(3))).toMap
+    assert(m.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(m(("a", "b")) === ((8, 1.0)), "identical sources must match every slot")
+    assert(m(("a", "c"))._1 <= 2, "disjoint vocabularies should match ~0 slots")
+    // union property: per-slot min over docs == signature of the union of
+    // the docs' SHINGLE SETS (not of concatenated text, which would invent
+    // boundary shingles)
+    val docsDf = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val unionSig = docsDf
+      .select(explode(Dedup.shingleHashes(col("text"))).as("h"))
+      .agg(collect_set("h").as("hs"))
+      .select(Dedup.minHashSigCol(col("hs")).as("sig"))
+      .select((0 until 8).map(j => element_at(col("sig"), j + 1)): _*)
+      .collect().head.toSeq
+    val aggSig = Dedup.minHashSigTable(docsDf, "id", "text")
+      .agg(min("mh0"), min("mh1"), min("mh2"), min("mh3"),
+        min("mh4"), min("mh5"), min("mh6"), min("mh7"))
+      .collect().head.toSeq
+    assert(aggSig === unionSig, "slot minima must equal the union's signature")
+  }
 }
