@@ -2486,6 +2486,33 @@ object Contract {
         graft.operators.Dedup.signatureOverlapMatrix(
           Tables.documents(s, d), "source", "text"),
       Some(OracleSql.q107)
+    ),
+    Q(
+      "q108_line_dedup",
+      // C4's line-level rule over 10-token lines: a line occurring more
+      // than once anywhere in the corpus is cut from every doc; docs
+      // reassemble from surviving lines in order (all-duplicate docs drop)
+      (s, d) =>
+        graft.operators.Corpus.lineDedup(
+          Tables.documents(s, d), "doc_id", "text", lineTokens = 10),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |n AS (
+             |  SELECT doc_id, tk,
+             |    CASE WHEN len(tk) <= 10 THEN 1
+             |         ELSE 1 + CAST(ceil((len(tk) - 10) / 10.0) AS BIGINT) END AS nc
+             |  FROM toks),
+             |ch AS (
+             |  SELECT doc_id, i AS chunk_id,
+             |    array_to_string(list_slice(tk, i*10 + 1, i*10 + 10), ' ') AS chunk_text
+             |  FROM n, UNNEST(range(nc)) AS t(i)),
+             |census AS (SELECT chunk_text, count(*) AS cnt FROM ch GROUP BY chunk_text)
+             |SELECT ch.doc_id,
+             |  string_agg(ch.chunk_text, ' ' ORDER BY ch.chunk_id) AS text,
+             |  count(*) AS n_lines_kept
+             |FROM ch JOIN census USING (chunk_text)
+             |WHERE census.cnt = 1
+             |GROUP BY ch.doc_id""".stripMargin)
     )
   )
 

@@ -106,6 +106,46 @@ object Corpus {
         floor((col("cum_tokens") - col("n_tokens")) / budgetTokens.toDouble).cast("bigint"))
   }
 
+  /** C4-style LINE-level corpus dedup: every "line" that occurs more than
+    * once ANYWHERE in the corpus is removed from every document that
+    * contains it, and each document is reassembled from its surviving lines
+    * in order (C4 dropped boilerplate — nav bars, cookie banners, license
+    * headers — exactly this way; doc-level dedup can't touch a duplicated
+    * line inside an otherwise-unique page). Documents whose every line was
+    * duplicated elsewhere disappear, like C4's empty-page drop.
+    *
+    * Lines are fixed `lineTokens`-token windows from `chunkDocs` (stride =
+    * width, no overlap) — corpora with real newlines would split on those
+    * instead; the census/filter/reassemble machinery is identical.
+    *
+    * Scale: one partial-agg shuffle keyed on the line text for the census
+    * (at extreme corpus sizes key on (xxhash64(line), length) instead to
+    * shrink the shuffle — exactness then needs a collision check), one
+    * shuffle join back, and a per-doc ordered reassembly via an in-row
+    * array sort — no window over the corpus, no driver state.
+    *
+    * Output: idCol, text (surviving lines joined), n_lines_kept.
+    */
+  def lineDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lineTokens: Int = 50): DataFrame = {
+    val chunks = chunkDocs(docs, idCol, textCol, maxTokens = lineTokens)
+    val census = chunks.groupBy("chunk_text").agg(count(lit(1)).as("__n"))
+    chunks
+      .join(census, Seq("chunk_text"))
+      .filter(col("__n") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+            c => c.getField("chunk_text")),
+          " ").as("text"),
+        count(lit(1)).as("n_lines_kept"))
+  }
+
   /** Sliding token-window chunking of long documents — the context-length
     * prep step `packSequences` doesn't cover: packing concatenates SHORT
     * docs up to a budget; chunking cuts LONG docs down to one. Each doc

@@ -342,4 +342,22 @@ class CorpusSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("lineDedup: corpus-wide duplicate lines cut everywhere, order kept, all-dup docs drop") {
+    import spark.implicits._
+    // 10-token "lines": L(x) repeats its marker token 10 times
+    def L(x: String) = Seq.fill(10)(x).mkString(" ")
+    val docs = Seq(
+      (1L, Seq(L("shared"), L("only1")).mkString(" ")),      // keeps only1
+      (2L, Seq(L("only2a"), L("shared"), L("only2b")).mkString(" ")), // keeps a,b in order
+      (3L, L("shared")),                                     // all lines dup -> gone
+      (4L, Seq(L("twice"), L("twice")).mkString(" "))        // self-dup counts too -> gone
+    ).toDF("doc_id", "text")
+    val out = Corpus.lineDedup(docs, "doc_id", "text", lineTokens = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((L("only1"), 1L)))
+    assert(out(2L) === ((Seq(L("only2a"), L("only2b")).mkString(" "), 2L)),
+      "surviving lines must reassemble in original order")
+  }
 }
