@@ -2513,6 +2513,21 @@ object Contract {
              |FROM ch JOIN census USING (chunk_text)
              |WHERE census.cnt = 1
              |GROUP BY ch.doc_id""".stripMargin)
+    ),
+    Q(
+      "q109_neardup_best",
+      // best-score survivor policy: same exact pair miner + components as
+      // q48, but each cluster keeps its LONGEST doc (tiebreak min id) —
+      // the "keep the best version" curation rule min-id can't express
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val labels = graft.operators.Dedup.connectedComponents(
+          graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8))
+        graft.operators.Dedup
+          .ccBestNearDedupRows(docs, "doc_id", "n_chars", labels)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      },
+      Some(OracleSql.q109)
     )
   )
 

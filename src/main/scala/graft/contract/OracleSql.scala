@@ -672,6 +672,36 @@ object OracleSql {
        |  vobs IS NOT NULL AS observed
        |FROM j""".stripMargin
 
+  /** Best-score survivor policy over q48's component graph: transitive
+    * closure as in q48, every doc labeled (graph-absent docs label
+    * themselves), keeper per label = max n_chars then min doc_id.
+    */
+  val q109: String =
+    s"""WITH RECURSIVE ${shingleCtes()},
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM hs a, hs b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND len(list_intersect(a.hh, b.hh))::DOUBLE
+       |      / (len(a.hh) + len(b.hh) - len(list_intersect(a.hh, b.hh))) >= 0.8),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |walk(src, reach) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+       |lab AS (SELECT src AS id, MIN(reach) AS label FROM walk GROUP BY src),
+       |alllab AS (
+       |  SELECT d.doc_id AS id, coalesce(l.label, d.doc_id) AS label, d.n_chars
+       |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+       |keep AS (
+       |  SELECT id FROM (
+       |    SELECT id, row_number() OVER
+       |      (PARTITION BY label ORDER BY n_chars DESC, id ASC) AS rn
+       |    FROM alllab) WHERE rn = 1)
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id IN (SELECT id FROM keep)""".stripMargin
+
   /** Fixed-point PageRank over the consecutive-line co-purchase chain, the
     * unrolled twin of `LinkGraph.propagate` (iters=3, d=85, scale=1e9).
     * Every step is integer arithmetic — `//` here, `div` in Spark, both

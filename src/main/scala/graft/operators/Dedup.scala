@@ -420,6 +420,39 @@ object Dedup {
     docs.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Connected-components near-dedup keeping the BEST-SCORING doc per
+    * component instead of the minimum id — the curation-grade survivor
+    * policy ("keep the longest / highest-quality version of this page",
+    * RefinedWeb-style) that min-id can't express. Docs absent from the pair
+    * graph are their own component and always survive.
+    *
+    * The keeper is argmax by (score, then MIN id) via a lexicographic
+    * struct max — one partial-agg shuffle over |docs|, no window. NULL
+    * scores lose to any non-null score (the isNotNull flag leads the
+    * struct); among all-NULL components the min id survives. Double NaN
+    * compares largest (Spark total order) — pre-scrub if that's not the
+    * caller's intent.
+    */
+  def ccBestNearDedupRows(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      labels: DataFrame): DataFrame = {
+    val member = docs
+      .select(col(idCol).as("id"), col(scoreCol).as("__s"))
+      .join(labels.select(col("id"), col("label")), Seq("id"), "left")
+      .withColumn("label", coalesce(col("label"), col("id")))
+    val rank = struct(
+      col("__s").isNotNull.cast("int").as("ok"),
+      col("__s").as("s"),
+      (-col("id")).as("nid"))
+    val keep = member
+      .groupBy("label")
+      .agg(max(rank).as("k"))
+      .select((-col("k.nid")).as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Surviving rows via the BANDED-LSH pair miner — the at-scale variant of
     * nearDedupRows (same `survivors` policy; candidate cost scales with
     * band-bucket collisions, not corpus²). Recall follows the banding curve;

@@ -386,6 +386,27 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(20001L))
   }
 
+  test("ccBestNearDedupRows: per-cluster argmax by score then min id; graph-absent docs survive") {
+    import spark.implicits._
+    // components {1,2,3} and {10,11}; 20 is not in the graph
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "label")
+    val docs = Seq[(Long, Option[Long])](
+      (1L, Some(5L)), (2L, Some(9L)), (3L, Some(9L)), // tie at 9 -> min id 2 wins
+      (10L, None), (11L, None),                       // all-NULL cluster -> min id 10
+      (20L, Some(1L))                                 // own component
+    ).toDF("doc_id", "score")
+    val kept = Dedup.ccBestNearDedupRows(docs, "doc_id", "score", labels)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 10L, 20L))
+    // NULL loses to any non-null score
+    val docs2 = Seq((1L, Option.empty[Long]), (2L, Some(0L)), (3L, Some(-5L)))
+      .toDF("doc_id", "score")
+    val labels2 = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "label")
+    assert(Dedup.ccBestNearDedupRows(docs2, "doc_id", "score", labels2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L))
+  }
+
   test("signatureOverlapMatrix: identical sources match all slots, disjoint ones few; empty docs drop") {
     import spark.implicits._
     val texts = (1 to 30).map(i => s"alpha beta gamma delta epsilon token$i run of shared words")
