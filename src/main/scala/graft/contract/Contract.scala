@@ -2528,6 +2528,28 @@ object Contract {
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       },
       Some(OracleSql.q109)
+    ),
+    Q(
+      "q110_priority_sample",
+      // weighted EXACT-N sampling without replacement (Efraimidis–Spirakis):
+      // top-200 by u^(1/n_chars), u = the stable hash in (0,1] — longer
+      // docs likelier, total exactly 200, same set on any cluster. The
+      // oracle repeats the identical double arithmetic (pow is libm-close;
+      // adjacent priorities are ~1e-4 apart, far beyond ULP divergence).
+      (s, d) =>
+        graft.operators.Splits.prioritySample(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", "n_chars", n = 200),
+      Some("""SELECT doc_id, lang, n_chars FROM (
+             |  SELECT doc_id, lang, n_chars,
+             |    pow((((((doc_id % 1000000007) + 1000000007) % 1000000007)
+             |           * 2654435761 % 1000000007) + 1)::DOUBLE / 1000000007.0,
+             |        1.0 / n_chars::DOUBLE) AS pri
+             |  FROM documents
+             |  WHERE n_chars::DOUBLE > 0
+             |  ORDER BY pri DESC, doc_id
+             |  LIMIT 200)""".stripMargin)
     )
   )
 

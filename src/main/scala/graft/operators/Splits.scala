@@ -151,6 +151,34 @@ object Splits {
       .drop("__src", "__rate")
   }
 
+  /** Deterministic weighted EXACT-N sampling without replacement
+    * (Efraimidis–Spirakis priority sampling): keep the `n` rows with the
+    * largest priority u^(1/w), where u is the key's stable hash mapped
+    * into (0,1] — inclusion probability rises with weight, the total is
+    * exactly min(n, eligible rows), and the kept set is identical on any
+    * cluster/run/partitioning (contrast `weightedSample`: per-row Bernoulli,
+    * exact probabilities but only an EXPECTED total).
+    *
+    * Rows with NULL or non-positive weight are never sampled. Plans as
+    * TakeOrdered (per-partition heaps + a top-n merge — no global sort),
+    * so the 100 TB cost is one scan; ~n rows cross the wire.
+    */
+  def prioritySample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      n: Int): DataFrame = {
+    require(n >= 0, s"n must be >= 0, got $n")
+    val u = (hashOrder(col(keyCol)) + 1).cast("double") / lit(P.toDouble)
+    val w = col(weightCol).cast("double")
+    val pri = when(w > 0, pow(u, lit(1.0) / w))
+    df.withColumn("__pri", pri)
+      .filter(col("__pri").isNotNull)
+      .orderBy(col("__pri").desc, col(keyCol))
+      .limit(n)
+      .drop("__pri")
+  }
+
   /** Full-range stable hash of a numeric key (order-scrambling, injective
     * for distinct keys mod P) — the sort key for deterministic sampling.
     */

@@ -67,6 +67,36 @@ class SplitsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "rate join must broadcast")
   }
 
+  test("prioritySample: exact n, partition-stable, equal weights = hash-desc top-n, bad weights excluded") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+    val total = docs.count().toInt
+    def ids(df: org.apache.spark.sql.DataFrame, n: Int) =
+      Splits.prioritySample(df, "doc_id", "n_chars", n)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(docs, 10).size === 10)
+    assert(ids(docs, total + 50).size === total, "n beyond rows keeps everything eligible")
+    assert(ids(docs.repartition(13), 10) === ids(docs, 10), "kept set must be partition-stable")
+    // equal weights: u^(1/w) is monotone in u, so the sample is exactly the
+    // top-n docs by the stable hash, descending
+    val eq = Splits.prioritySample(docs.withColumn("w", lit(7)), "doc_id", "w", 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byHash = docs
+      .withColumn("h", Splits.hashOrder(col("doc_id")))
+      .orderBy(col("h").desc, col("doc_id")).limit(25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(eq === byHash)
+    // zero/negative/null weights are never sampled
+    val bad = Seq[(Long, Option[Long])]((1L, Some(0L)), (2L, Some(-3L)), (3L, None), (4L, Some(5L)))
+      .toDF("doc_id", "w")
+    assert(ids(bad.withColumnRenamed("w", "n_chars"), 10) === Set(4L))
+    // plans as TakeOrdered, not a global sort
+    val plan = Splits.prioritySample(docs, "doc_id", "n_chars", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), plan)
+  }
+
   test("assignment is a pure function of the key: stable across partitioning and runs") {
     val docs = Tables.documents(spark, sfDir)
     def splits(df: org.apache.spark.sql.DataFrame) =
