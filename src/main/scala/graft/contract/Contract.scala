@@ -2550,6 +2550,75 @@ object Contract {
              |  WHERE n_chars::DOUBLE > 0
              |  ORDER BY pri DESC, doc_id
              |  LIMIT 200)""".stripMargin)
+    ),
+    Q(
+      "q111_simpson_diversity",
+      // Simpson (collision) diversity at char and token level — the
+      // integer-exact repetitiveness signal ("aaaa…" garbage, one-token
+      // spam): Σn(n−1) collision counts are pure integer sums (no
+      // float-order sensitivity, unlike entropy), one division at the end.
+      // In-row per doc: zero shuffle.
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        val chars = split(col("text"), "")
+        val toks  = TextAnalysis.tokens(col("text"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          TextAnalysis.collisionCount(chars).as("char_collisions"),
+          TextAnalysis.simpsonDiversity(chars).as("char_diversity"),
+          TextAnalysis.collisionCount(toks).as("tok_collisions"),
+          TextAnalysis.simpsonDiversity(toks).as("tok_diversity"))
+      },
+      Some("""WITH arrs AS (
+             |  SELECT doc_id,
+             |    list_transform(range(1, length(text)+1), i -> text[i]) AS ch,
+             |    string_split(text, ' ') AS tk
+             |  FROM documents),
+             |coll AS (
+             |  SELECT doc_id,
+             |    coalesce(list_reduce(list_prepend(0::BIGINT,
+             |      list_transform(list_distinct(ch),
+             |        d -> len(list_filter(ch, v -> v = d))::BIGINT
+             |           * (len(list_filter(ch, v -> v = d))::BIGINT - 1))),
+             |      (a, b) -> a + b), 0) AS cc,
+             |    len(ch)::BIGINT AS nc,
+             |    coalesce(list_reduce(list_prepend(0::BIGINT,
+             |      list_transform(list_distinct(tk),
+             |        d -> len(list_filter(tk, v -> v = d))::BIGINT
+             |           * (len(list_filter(tk, v -> v = d))::BIGINT - 1))),
+             |      (a, b) -> a + b), 0) AS tc,
+             |    len(tk)::BIGINT AS nt
+             |  FROM arrs)
+             |SELECT doc_id,
+             |  cc AS char_collisions,
+             |  CASE WHEN nc >= 2
+             |       THEN 1.0 - cc::DOUBLE / (nc * (nc - 1))::DOUBLE END AS char_diversity,
+             |  tc AS tok_collisions,
+             |  CASE WHEN nt >= 2
+             |       THEN 1.0 - tc::DOUBLE / (nt * (nt - 1))::DOUBLE END AS tok_diversity
+             |FROM coll""".stripMargin)
+    ),
+    Q(
+      "q112_source_top_tokens",
+      // per-source top-5 tokens by frequency (tiebreak token ASC) through
+      // the bounded-heap per-group top-k — k rows per map partition cross
+      // the shuffle, never a full per-source sort
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        val cnt = Tables.documents(s, d)
+          .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .groupBy("source", "token")
+          .agg(count(lit(1)).as("cnt"))
+        graft.operators.TopK.topKPerGroup(
+          cnt, Seq("source"), scoreCol = "cnt", idCol = "token", k = 5)
+      },
+      Some("""WITH tok AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+             |cnt AS (SELECT source, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+             |r AS (SELECT source, token, cnt, row_number() OVER
+             |        (PARTITION BY source ORDER BY cnt DESC, token ASC)::INTEGER AS rnk
+             |      FROM cnt)
+             |SELECT source, token, cnt, rnk FROM r WHERE rnk <= 5""".stripMargin)
     )
   )
 

@@ -173,6 +173,35 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Σ n_v·(n_v−1) over the distinct values of `arr` — the unnormalized
+    * collision count behind the Simpson index. Pure INTEGER arithmetic
+    * (entropy's cross-engine-safe cousin: no logs to accumulate in
+    * engine-dependent float order), computed fully in-row: distinct values
+    * × a filtered count each — O(d·n) per row, zero shuffle, and an exact
+    * DuckDB mirror via list_distinct/list_filter/list_reduce.
+    */
+  def collisionCount(arr: Column): Column =
+    coalesce(
+      aggregate(
+        transform(array_distinct(arr), d => {
+          val n = size(filter(arr, v => v === d)).cast("long")
+          n * (n - 1)
+        }),
+        lit(0L), (acc, x) => acc + x),
+      lit(0L))
+
+  /** Simpson diversity 1 − Σn_v(n_v−1)/(n(n−1)) of an array's value
+    * distribution in [0,1]: 0 = one value repeated (the "aaaa…" garbage /
+    * single-token spam signal), →1 = all distinct. Integer collision count
+    * + ONE final division, so it hash-compares exactly cross-engine.
+    * NULL for arrays shorter than 2 (no pairs to collide).
+    */
+  def simpsonDiversity(arr: Column): Column = {
+    val n = size(arr).cast("long")
+    when(n >= 2,
+      lit(1.0) - collisionCount(arr).cast("double") / (n * (n - 1)).cast("double"))
+  }
+
   /** Total 2-grams of a doc: max(|tokens| - 1, 0) — no array build. */
   def bigramCount(text: Column): Column = greatest(tokenCount(text) - 1, lit(0))
 

@@ -343,6 +343,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("simpsonDiversity/collisionCount: hand values, degenerate and all-distinct extremes, null/empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split}
+    import graft.functions.TextAnalysis._
+    val rows = Seq(
+      (1L, "aaaa"),       // chars: 4 same -> coll 12, diversity 0
+      (2L, "abcd"),       // all distinct -> coll 0, diversity 1
+      (3L, "aabb"),       // 2+2 -> coll 4; 1 - 4/12
+      (4L, "x"),          // single char -> no pairs -> NULL diversity
+      (5L, "")            // empty -> coll 0, NULL diversity
+    ).toDF("id", "t")
+    val got = rows.select(col("id"),
+        collisionCount(split(col("t"), "")).as("c"),
+        simpsonDiversity(split(col("t"), "")).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(got(1L) === ((12L, Some(0.0))))
+    assert(got(2L) === ((0L, Some(1.0))))
+    assert(got(3L) === ((4L, Some(1.0 - 4.0 / 12.0))))
+    assert(got(4L)._2 === None)
+    assert(got(5L) === ((0L, None)))
+    // token level: repeated token spam scores 0
+    val spam = Seq((1L, "buy buy buy buy")).toDF("id", "t")
+      .select(simpsonDiversity(tokens(col("t"))).as("d")).collect().head.getDouble(0)
+    assert(spam === 0.0)
+  }
+
   test("lineDedup: corpus-wide duplicate lines cut everywhere, order kept, all-dup docs drop") {
     import spark.implicits._
     // 10-token "lines": L(x) repeats its marker token 10 times
