@@ -2619,6 +2619,16 @@ object Contract {
              |        (PARTITION BY source ORDER BY cnt DESC, token ASC)::INTEGER AS rnk
              |      FROM cnt)
              |SELECT source, token, cnt, rnk FROM r WHERE rnk <= 5""".stripMargin)
+    ),
+    Q(
+      "q113_centroid_cosine",
+      // semantic group fingerprint: pairwise cosine between per-label
+      // embedding centroids (the semantic twin of q107's lexical overlap)
+      // — quantized integer arithmetic end to end, one corpus scan
+      (s, d) =>
+        Similarity.centroidCosineMatrix(
+          Tables.embeddings(s, d), "label", "embedding"),
+      Some(OracleSql.q113)
     )
   )
 

@@ -672,6 +672,31 @@ object OracleSql {
        |  vobs IS NOT NULL AS observed
        |FROM j""".stripMargin
 
+  /** Pairwise cosine between per-label embedding centroids, the twin of
+    * `Similarity.centroidCosineMatrix` (quantum 1e6): quantized integer
+    * sums -> exactly-rounded centroid division -> integer dot products ->
+    * one sqrt/sqrt/divide tail. Every step deterministic, so the cosines
+    * hash-match.
+    */
+  val q113: String = {
+    def dot(x: String, y: String): String =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, len($x)+1), " +
+        s"i -> $x[i] * $y[i])), (acc, v) -> acc + v)"
+    s"""WITH q AS (
+       |  SELECT label AS g, p AS pos,
+       |    round(embedding[p]::DOUBLE * 1000000.0)::BIGINT AS qv
+       |  FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(p)),
+       |cent AS (
+       |  SELECT g, pos, round(sum(qv)::DOUBLE / count(*))::BIGINT AS c
+       |  FROM q GROUP BY g, pos),
+       |ca AS (SELECT g, list(c ORDER BY pos) AS cent FROM cent GROUP BY g)
+       |SELECT a.g AS g_a, b.g AS g_b,
+       |  ${dot("a.cent", "b.cent")}::DOUBLE
+       |    / (sqrt(${dot("a.cent", "a.cent")}::DOUBLE)
+       |       * sqrt(${dot("b.cent", "b.cent")}::DOUBLE)) AS centroid_cos
+       |FROM ca a JOIN ca b ON a.g < b.g""".stripMargin
+  }
+
   /** Best-score survivor policy over q48's component graph: transitive
     * closure as in q48, every doc labeled (graph-absent docs label
     * themselves), keeper per label = max n_chars then min doc_id.

@@ -790,6 +790,53 @@ object Similarity {
     * against the brute-force oracle that way; recall at real settings is
     * spec-tested on planted clusters.
     */
+  /** Semantic group fingerprint: the pairwise cosine between GROUP CENTROIDS
+    * of an embedding column — "are source A's documents about the same
+    * things as source B's?", the semantic twin of the lexical
+    * `Dedup.signatureOverlapMatrix`.
+    *
+    * Cross-engine exact by construction: components quantize to integer
+    * micro-units (round is deterministic), per-group sums are exact long
+    * sums (no float accumulation order), the centroid is one
+    * exactly-rounded double division + round back to long, and the final
+    * cosine is integer dot products with a fixed two-sqrt/one-divide tail —
+    * so a SQL engine repeating the recipe hash-matches bit for bit.
+    *
+    * Scale: one posexplode shuffle keyed (group, pos) — dim × |corpus| thin
+    * rows with map-side partial sums — then everything is |groups|-sized;
+    * the pairwise compare never touches the corpus. Quantized-sum caveat:
+    * beyond ~2^53/quantum rows per group the centroid division's double
+    * loses integer exactness — switch the sum leg to DECIMAL there.
+    */
+  def centroidCosineMatrix(
+      vecs: DataFrame,
+      groupCol: String,
+      embCol: String,
+      quantum: Double = 1e6): DataFrame = {
+    val cent = vecs
+      .select(col(groupCol).as("g"), posexplode(col(embCol)))
+      .select(col("g"), col("pos"),
+        round(col("col").cast("double") * quantum).cast("long").as("q"))
+      .groupBy("g", "pos")
+      .agg(sum("q").as("s"), count(lit(1)).as("n"))
+      .select(col("g"), col("pos"),
+        round(col("s").cast("double") / col("n")).cast("long").as("c"))
+      .groupBy("g")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cent"))
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+    val a = cent.select(col("g").as("g_a"), col("cent").as("__ca"))
+    val b = cent.select(col("g").as("g_b"), col("cent").as("__cb"))
+    a.join(broadcast(b), col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"),
+        (dot(col("__ca"), col("__cb")).cast("double")
+          / (sqrt(dot(col("__ca"), col("__ca")).cast("double"))
+            * sqrt(dot(col("__cb"), col("__cb")).cast("double"))))
+          .as("centroid_cos"))
+  }
+
   def ivfPqTopK(
       emb: DataFrame,
       probePred: Column,

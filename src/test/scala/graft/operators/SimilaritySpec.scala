@@ -199,4 +199,23 @@ class SimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "corpus must never cross-join the probes")
   }
+
+  test("centroidCosineMatrix: colinear 1, orthogonal 0, opposite -1; centroid averages members") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0, Seq(1f, 0f)), (0, Seq(1f, 0f)),  // centroid (1e6, 0)
+      (1, Seq(2f, 0f)),                     // colinear with 0
+      (2, Seq(0f, 3f)),                     // orthogonal to 0
+      (3, Seq(-1f, 0f)),                    // opposite of 0
+      (4, Seq(1f, 1f)), (4, Seq(0f, 0f))    // centroid (5e5, 5e5): 45 deg vs 0
+    ).toDF("label", "embedding")
+    val m = Similarity.centroidCosineMatrix(vecs, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(m.size === 10)
+    assert(m((0, 1)) === 1.0)
+    assert(m((0, 2)) === 0.0)
+    assert(m((0, 3)) === -1.0)
+    assert(math.abs(m((0, 4)) - math.sqrt(0.5)) < 1e-9,
+      "averaged centroid must sit at 45 degrees")
+  }
 }
