@@ -2629,6 +2629,29 @@ object Contract {
         Similarity.centroidCosineMatrix(
           Tables.embeddings(s, d), "label", "embedding"),
       Some(OracleSql.q113)
+    ),
+    Q(
+      "q114_proportional_sample",
+      // proportional stratified sample (~200 rows): each source keeps
+      // round(200·n_s/N) rows, chosen as its top allocation by the stable
+      // hash descending (rankedPrefixGrouped ranks score DESC) — strata
+      // keep their corpus shares, the whole sample is partitioning-stable
+      (s, d) =>
+        graft.operators.Splits.proportionalSample(
+          Tables.documents(s, d).select(col("doc_id"), col("source"), col("lang")),
+          "doc_id", "source", totalN = 200),
+      Some("""WITH census AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+             |tot AS (SELECT sum(n)::BIGINT AS t FROM census),
+             |alloc AS (SELECT source,
+             |  round((200.0 * n::DOUBLE) / t::DOUBLE)::BIGINT AS a FROM census, tot),
+             |r AS (SELECT doc_id, source, lang,
+             |  row_number() OVER (PARTITION BY source ORDER BY
+             |    ((((doc_id % 1000000007) + 1000000007) % 1000000007)
+             |      * 2654435761 % 1000000007) DESC,
+             |    doc_id ASC) AS rn
+             |  FROM documents)
+             |SELECT doc_id, source, lang FROM r JOIN alloc USING (source)
+             |WHERE rn <= a""".stripMargin)
     )
   )
 

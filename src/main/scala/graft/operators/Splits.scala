@@ -151,6 +151,45 @@ object Splits {
       .drop("__src", "__rate")
   }
 
+  /** Proportional stratified sampling: a ~`totalN`-row sample whose strata
+    * keep their corpus shares — stratum s contributes round(totalN·n_s/N)
+    * rows, each stratum's rows chosen deterministically as its top
+    * allocation by stable key hash ("uniform but reproducible", like
+    * `sampleGroup` with a per-stratum n derived from the census). The
+    * workhorse under survey-style eval-set construction: per-language /
+    * per-domain representativeness without clipping small strata to a
+    * fixed cap.
+    *
+    * Ranks come from `rankedPrefixGrouped` (two-phase quantile buckets —
+    * no per-stratum window sort, no hot reducer on a dominant stratum);
+    * the census/allocation tables are |strata|-row broadcasts. Rounding
+    * makes the total Σround(...) = totalN ± |strata|/2, the standard
+    * proportional-allocation quantization. NULL-valued strata drop (their
+    * census row can't equi-join back).
+    */
+  def proportionalSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      totalN: Long): DataFrame = {
+    require(totalN >= 0, s"totalN must be >= 0, got $totalN")
+    val census = df.groupBy(col(strataCol).as("__src")).agg(count(lit(1)).as("__n"))
+    val tot    = census.agg(sum("__n").as("__t"))
+    val alloc = census
+      .crossJoin(broadcast(tot))
+      .select(col("__src"),
+        round(lit(totalN.toDouble) * col("__n").cast("double")
+          / col("__t").cast("double")).cast("long").as("__alloc"))
+    val ranked = rankedPrefixGrouped(
+      df.withColumn("__score", hashOrder(col(keyCol)).cast("double")),
+      strataCol, "__score", keyCol, costCol = keyCol,
+      rankName = "__rnk", cumName = "__cum")
+    ranked
+      .join(broadcast(alloc), col(strataCol) === col("__src"))
+      .filter(col("__rnk") <= col("__alloc"))
+      .drop("__score", "__src", "__alloc", "__rnk", "__cum")
+  }
+
   /** Deterministic weighted EXACT-N sampling without replacement
     * (Efraimidis–Spirakis priority sampling): keep the `n` rows with the
     * largest priority u^(1/w), where u is the key's stable hash mapped

@@ -97,6 +97,30 @@ class SplitsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrdered"), plan)
   }
 
+  test("proportionalSample: per-stratum shares held, partition-stable, degenerate totals") {
+    import org.apache.spark.sql.functions.col
+    val docs  = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val total = docs.count()
+    def run(df: org.apache.spark.sql.DataFrame, n: Long) =
+      Splits.proportionalSample(df, "doc_id", "source", n)
+    // every stratum contributes exactly round(n * share)
+    val census = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = run(docs, total / 4).groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    census.foreach { case (src, n) =>
+      val expect = math.round((total / 4).toDouble * n / total)
+      assert(kept.getOrElse(src, 0L) === expect, s"stratum $src")
+    }
+    // stable under physical partitioning
+    val a = run(docs, total / 4).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = run(docs.repartition(11), total / 4).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    // totalN >= rows keeps everything; 0 keeps nothing
+    assert(run(docs, total).count() === total)
+    assert(run(docs, 0).count() === 0L)
+  }
+
   test("assignment is a pure function of the key: stable across partitioning and runs") {
     val docs = Tables.documents(spark, sfDir)
     def splits(df: org.apache.spark.sql.DataFrame) =
