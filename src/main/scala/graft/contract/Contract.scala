@@ -2652,6 +2652,79 @@ object Contract {
              |  FROM documents)
              |SELECT doc_id, source, lang FROM r JOIN alloc USING (source)
              |WHERE rn <= a""".stripMargin)
+    ),
+    Q(
+      "q115_curation_v3",
+      // capstone composing this round's ops: C4 line dedup (q108) ->
+      // quality gates (>=10 surviving tokens, token Simpson diversity
+      // >= 0.5, q111) -> alpha-temperature mixing to ~200 rows over the
+      // CLEANED census (q105). Every stage mirrors exactly, so the whole
+      // pipeline hash-matches end to end.
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        import graft.operators.{Corpus, Splits}
+        val deduped = Corpus.lineDedup(
+          Tables.documents(s, d), "doc_id", "text", lineTokens = 10)
+        val clean = deduped
+          .join(Tables.documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+          .withColumn("tok_diversity",
+            TextAnalysis.simpsonDiversity(TextAnalysis.tokens(col("text"))))
+          .filter(col("n_tokens") >= 10 && col("tok_diversity") >= 0.5)
+        Splits.alphaMixture(clean, "doc_id", "source", targetRows = 200)
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("n_lines_kept"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |n AS (
+             |  SELECT doc_id, tk,
+             |    CASE WHEN len(tk) <= 10 THEN 1
+             |         ELSE 1 + CAST(ceil((len(tk) - 10) / 10.0) AS BIGINT) END AS nc
+             |  FROM toks),
+             |ch AS (
+             |  SELECT doc_id, i AS chunk_id,
+             |    array_to_string(list_slice(tk, i*10 + 1, i*10 + 10), ' ') AS chunk_text
+             |  FROM n, UNNEST(range(nc)) AS t(i)),
+             |lcensus AS (SELECT chunk_text, count(*) AS cnt FROM ch GROUP BY chunk_text),
+             |dd AS (
+             |  SELECT ch.doc_id,
+             |    string_agg(ch.chunk_text, ' ' ORDER BY ch.chunk_id) AS text,
+             |    count(*) AS n_lines_kept
+             |  FROM ch JOIN lcensus USING (chunk_text)
+             |  WHERE lcensus.cnt = 1
+             |  GROUP BY ch.doc_id),
+             |feat0 AS (
+             |  SELECT dd.doc_id, d.source, dd.n_lines_kept,
+             |    string_split(dd.text, ' ') AS tk2
+             |  FROM dd JOIN documents d USING (doc_id)),
+             |feat AS (
+             |  SELECT doc_id, source, n_lines_kept,
+             |    len(tk2)::BIGINT AS n_tokens,
+             |    coalesce(list_reduce(list_prepend(0::BIGINT,
+             |      list_transform(list_distinct(tk2),
+             |        d2 -> len(list_filter(tk2, v -> v = d2))::BIGINT
+             |            * (len(list_filter(tk2, v -> v = d2))::BIGINT - 1))),
+             |      (a, b) -> a + b), 0) AS tc
+             |  FROM feat0),
+             |clean AS (
+             |  SELECT doc_id, source, n_tokens, n_lines_kept
+             |  FROM feat
+             |  WHERE n_tokens >= 10
+             |    AND CASE WHEN n_tokens >= 2
+             |         THEN 1.0 - tc::DOUBLE / (n_tokens * (n_tokens - 1))::DOUBLE END >= 0.5),
+             |scensus AS (
+             |  SELECT source, count(*)::DOUBLE AS sn,
+             |         round(sqrt(count(*)::DOUBLE) * 1e6)::BIGINT AS wq
+             |  FROM clean GROUP BY source),
+             |stot AS (SELECT sum(wq)::BIGINT AS t FROM scensus),
+             |rates AS (
+             |  SELECT source, least(1.0, ((200.0 * wq::DOUBLE) / t::DOUBLE) / sn) AS rate
+             |  FROM scensus, stot)
+             |SELECT c.doc_id, c.source, c.n_tokens, c.n_lines_kept
+             |FROM clean c JOIN rates r ON c.source = r.source
+             |WHERE ((((c.doc_id % 1000000007) + 1000000007) % 1000000007)
+             |        * 2654435761 % 1000000007) % 10000
+             |      < round(r.rate * 10000)""".stripMargin)
     )
   )
 
