@@ -2725,6 +2725,47 @@ object Contract {
              |WHERE ((((c.doc_id % 1000000007) + 1000000007) % 1000000007)
              |        * 2654435761 % 1000000007) % 10000
              |      < round(r.rate * 10000)""".stripMargin)
+    ),
+    Q(
+      "q116_boilerplate_strip",
+      // Per-source boilerplate line removal (Corpus.stripBoilerplate):
+      // 10-token lines repeating across >= 2 docs AND > 1% of a source's
+      // documents are dropped from every doc of that source; docs are
+      // reassembled in line order (empty text when everything was
+      // boilerplate). The frac compare is one IEEE multiply on both
+      // engines, so the census boundary is bit-stable.
+      (s, d) =>
+        graft.operators.Corpus.stripBoilerplate(
+          Tables.documents(s, d), "doc_id", "text", "source",
+          lineTokens = 10, maxDocFrac = 0.01, minDocs = 2),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+             |n AS (
+             |  SELECT doc_id, source, tk,
+             |    CASE WHEN len(tk) <= 10 THEN 1
+             |         ELSE 1 + CAST(ceil((len(tk) - 10) / 10.0) AS BIGINT) END AS nc
+             |  FROM toks),
+             |ch AS (
+             |  SELECT doc_id, source, i AS chunk_id,
+             |    array_to_string(list_slice(tk, i*10 + 1, i*10 + 10), ' ') AS chunk_text
+             |  FROM n, UNNEST(range(nc)) AS t(i)),
+             |srcdocs AS (
+             |  SELECT source, count(DISTINCT doc_id) AS ndocs
+             |  FROM documents GROUP BY source),
+             |census AS (
+             |  SELECT source, chunk_text, count(DISTINCT doc_id) AS indocs
+             |  FROM ch GROUP BY source, chunk_text),
+             |flag AS (
+             |  SELECT ch.doc_id, ch.source, ch.chunk_id, ch.chunk_text,
+             |    NOT (c.indocs >= 2 AND c.indocs::DOUBLE > 0.01 * s.ndocs) AS keepl
+             |  FROM ch JOIN census c USING (source, chunk_text)
+             |          JOIN srcdocs s USING (source))
+             |SELECT doc_id, source,
+             |  coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_id)
+             |             FILTER (WHERE keepl), '') AS text,
+             |  count(*) FILTER (WHERE keepl) AS n_lines_kept,
+             |  count(*) FILTER (WHERE NOT keepl) AS n_boiler_dropped
+             |FROM flag GROUP BY doc_id, source""".stripMargin)
     )
   )
 

@@ -146,6 +146,70 @@ object Corpus {
         count(lit(1)).as("n_lines_kept"))
   }
 
+  /** Per-SOURCE boilerplate removal — the CCNet/Dolma cleanup step that
+    * `lineDedup` (global uniqueness) does not express: a line is
+    * boilerplate when it repeats across a meaningful FRACTION of one
+    * source's documents (nav bars, cookie banners, license footers), and
+    * such lines are dropped from every document of that source — while a
+    * line duplicated only a handful of times (legit quotations, shared
+    * headlines) survives, which is exactly where lineDedup is too blunt.
+    * "Line" is a `lineTokens`-token chunk, as in lineDedup, so the rule is
+    * layout-independent.
+    *
+    * A line is dropped iff, within its source, it appears in >= `minDocs`
+    * distinct documents AND in more than `maxDocFrac` of the source's
+    * documents. Both censuses are partial-agg shuffles (one keyed on
+    * (source, line), one on source — the latter tiny and broadcast back);
+    * the verdict join rides the same (source, line) key, and reassembly is
+    * lineDedup's in-row ordered sort — no window over the corpus, no
+    * driver state, shuffle volume ∝ corpus line count.
+    *
+    * Unlike lineDedup, documents never disappear: a fully-boilerplate
+    * document survives with text = "" so the caller can census the drop.
+    *
+    * Output: idCol, sourceCol, text, n_lines_kept, n_boiler_dropped.
+    */
+  def stripBoilerplate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      lineTokens: Int = 10,
+      maxDocFrac: Double = 0.01,
+      minDocs: Int = 2): DataFrame = {
+    require(maxDocFrac > 0 && maxDocFrac <= 1, s"maxDocFrac must be in (0,1], got $maxDocFrac")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val chunks = chunkDocs(docs, idCol, textCol, maxTokens = lineTokens)
+      .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
+    val srcDocs =
+      docs.groupBy(col(sourceCol)).agg(countDistinct(col(idCol)).as("__docs"))
+    val census = chunks
+      .groupBy(col(sourceCol), col("chunk_text"))
+      .agg(countDistinct(col(idCol)).as("__indocs"))
+    // the fraction compare is a single IEEE double multiply on both engines
+    // (and in the DuckDB mirror), so the boundary is bit-stable
+    val keep =
+      !(col("__indocs") >= minDocs &&
+        col("__indocs").cast("double") > lit(maxDocFrac) * col("__docs"))
+    chunks
+      .join(census, Seq(sourceCol, "chunk_text"))
+      .join(broadcast(srcDocs), Seq(sourceCol))
+      .withColumn("__keep", keep)
+      .groupBy(col(idCol), col(sourceCol))
+      .agg(
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(
+                col("chunk_id"),
+                when(col("__keep"), col("chunk_text")).as("chunk_text")))),
+              c => c.getField("chunk_text").isNotNull),
+            c => c.getField("chunk_text")),
+          " ").as("text"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_lines_kept"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_boiler_dropped"))
+  }
+
   /** Sliding token-window chunking of long documents — the context-length
     * prep step `packSequences` doesn't cover: packing concatenates SHORT
     * docs up to a budget; chunking cuts LONG docs down to one. Each doc
