@@ -2766,6 +2766,85 @@ object Contract {
              |  count(*) FILTER (WHERE keepl) AS n_lines_kept,
              |  count(*) FILTER (WHERE NOT keepl) AS n_boiler_dropped
              |FROM flag GROUP BY doc_id, source""".stripMargin)
+    ),
+    Q(
+      "q117_containment_pairs",
+      // Asymmetric containment join (Dedup.containmentPairs): directed
+      // pairs where >= 90% of the source doc's 3-gram shingles appear in
+      // the destination — the subset-duplicate detector Jaccard cannot
+      // see. Exact via the asymmetric prefix filter + verify intersection.
+      (s, d) =>
+        graft.operators.Dedup
+          .containmentPairs(Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.9),
+      Some(OracleSql.q117)
+    ),
+    Q(
+      "q118_quality_classifier",
+      // Hashed linear classifier inference (TextAnalysis.hashedLinearScore):
+      // fastText-shaped bag-of-ngrams scoring with deterministic integer
+      // weights — pure per-row projection, zero shuffle.
+      (s, d) =>
+        Tables
+          .documents(s, d)
+          .select(
+            col("doc_id"),
+            graft.functions.TextAnalysis.hashedLinearScore(col("text")).as("score")),
+      Some(OracleSql.q118)
+    ),
+    Q(
+      "q119_bigram_coherence",
+      // Corpus-trained bigram conditional-probability score
+      // (Corpus.bigramCoherence): mean p(w2|w1) per doc in integer
+      // billionths — quantized integer division both engines, integer
+      // sums, one final div; no float accumulation.
+      (s, d) =>
+        graft.operators.Corpus.bigramCoherence(Tables.documents(s, d), "doc_id", "text"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |bg AS (
+             |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+             |  FROM toks, UNNEST(range(1, len(tk))) AS t(i)
+             |  WHERE len(tk) >= 2),
+             |bgc AS (
+             |  SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY doc_id, w1, w2),
+             |c12 AS (SELECT w1, w2, sum(k)::BIGINT AS cnt12 FROM bgc GROUP BY w1, w2),
+             |c1  AS (SELECT w1, sum(k)::BIGINT AS cnt1 FROM bgc GROUP BY w1)
+             |SELECT doc_id,
+             |  sum(k)::BIGINT AS n_bigrams,
+             |  (sum(k * ((cnt12 * 1000000000) // cnt1))::BIGINT) // (sum(k)::BIGINT)
+             |    AS coherence_q
+             |FROM bgc JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+             |GROUP BY doc_id""".stripMargin)
+    ),
+    Q(
+      "q120_norm_outliers",
+      // Robust median/MAD outlier gate (Profile.madOutliers) over
+      // integer-quantized embedding L2 norms — exact percentile at p=0.5
+      // on integers/half-integers is bit-equal cross-engine (q49
+      // convention); the value column never shuffles.
+      (s, d) => {
+        val nq = round(sqrt(Similarity.norm2(col("embedding"))) * 1e6).cast("long")
+        graft.operators.Profile
+          .madOutliers(
+            Tables.embeddings(s, d).select(col("vec_id"), nq.as("norm_q")),
+            "norm_q",
+            k = 3.0)
+          .select(
+            col("vec_id"), col("norm_q"), col("med"), col("dev"), col("mad"),
+            col("is_outlier"))
+      },
+      Some("""WITH nq AS (
+             |  SELECT vec_id,
+             |    round(sqrt(list_reduce(
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             |      (x, y) -> x + y)) * 1000000.0)::BIGINT AS norm_q
+             |  FROM embeddings),
+             |medt AS (SELECT quantile_cont(norm_q, 0.5) AS med FROM nq),
+             |dev AS (
+             |  SELECT vec_id, norm_q, med, abs(norm_q - med) AS dev FROM nq, medt),
+             |madt AS (SELECT quantile_cont(dev, 0.5) AS mad FROM dev)
+             |SELECT vec_id, norm_q, med, dev, mad, dev > 3.0 * mad AS is_outlier
+             |FROM dev, madt""".stripMargin)
     )
   )
 

@@ -180,6 +180,40 @@ object OracleSql {
        |  AND len(list_intersect(a.hh, b.hh))::DOUBLE
        |    / (len(a.hh) + len(b.hh) - len(list_intersect(a.hh, b.hh))) >= 0.8""".stripMargin
 
+  /** Hashed linear-classifier scoring (TextAnalysis.hashedLinearScore):
+    * token + bigram features -> polyHash mod 65536 slot -> deterministic
+    * integer weight ((slot+1)*K mod P mod 2001 - 1000), summed with
+    * multiplicity. All-integer, so the mirror is exact.
+    */
+  val q118: String = {
+    def w(f: String): String =
+      s"((${polyHash(f)} % 65536 + 1) * 2654435761 % $P) % 2001 - 1000"
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |feats AS (
+       |  SELECT doc_id, tk,
+       |    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bg
+       |  FROM toks)
+       |SELECT doc_id,
+       |  coalesce(list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(tk, t -> ${w("t")})), (a, b) -> a + b), 0)
+       |  + coalesce(list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(bg, g -> ${w("g")})), (a, b) -> a + b), 0) AS score
+       |FROM feats""".stripMargin
+  }
+
+  /** Brute-force DIRECTED containment pairs |Ss ∩ Sd| / |Ss| >= 0.9 over
+    * the same shingle-hash sets as q32 — certifies the asymmetric prefix
+    * filter of Dedup.containmentPairs (a doc with an empty set emits no
+    * pairs, matching the NULL-division drop in Spark).
+    */
+  val q117: String =
+    s"""WITH ${shingleCtes()}
+       |SELECT a.doc_id AS id_src, b.doc_id AS id_dst,
+       |  len(list_intersect(a.hh, b.hh))::DOUBLE / len(a.hh) AS containment
+       |FROM hs a, hs b
+       |WHERE a.doc_id <> b.doc_id AND len(a.hh) > 0
+       |  AND len(list_intersect(a.hh, b.hh))::DOUBLE / len(a.hh) >= 0.9""".stripMargin
+
   /** Surviving rows after greedy near-dedup: a doc is dropped iff it is the
     * LARGER id of any qualifying pair (keep-smallest-id representative) —
     * the same rule jaccardPairs + left-anti implements in Spark.

@@ -144,6 +144,37 @@ object TextAnalysis {
       (lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0))) * 0.2
   }
 
+  /** fastText-shaped linear-classifier INFERENCE over hashed bag-of-ngrams
+    * features: every token and every adjacent bigram hashes into one of
+    * `buckets` weight slots, and the document score is the sum of the
+    * slots' weights with multiplicity — exactly the scoring loop of a
+    * trained hashed linear model (the standard web-scale quality/toxicity
+    * classifier shape). The weight table here is a deterministic
+    * pseudo-random projection of the slot index (slot -> ((slot+1)*K mod P)
+    * mod 2001 - 1000 ∈ [-1000, 1000]); swapping in trained weights changes
+    * only that one expression, not the machinery.
+    *
+    * All-integer arithmetic end to end (polyHash fold, modular weight,
+    * long sum), so the score is bit-stable across engines. Pure per-row
+    * projection: zero shuffle, no broadcast, no model file.
+    */
+  def hashedLinearScore(text: Column, buckets: Int = 65536): Column = {
+    val K    = 2654435761L
+    val toks = tokens(text)
+    def w(f: Column): Column =
+      ((polyHash(f) % buckets + 1) * K % P) % 2001 - 1000
+    val uni = aggregate(toks, lit(0L), (acc, t) => acc + w(t))
+    // sequence(1, n-1) would DESCEND for n = 1 (Spark fills step = -1), so
+    // single-token docs guard to an empty bigram list explicitly
+    val bis =
+      when(size(toks) >= 2,
+        transform(
+          sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    uni + aggregate(bis, lit(0L), (acc, b) => acc + w(b))
+  }
+
   /** n-gram-heuristic language guess. The marker sets are tiny on purpose —
     * the engine capability is the machinery (per-language marker counts +
     * argmax), not the lexicon.

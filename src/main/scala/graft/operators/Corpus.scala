@@ -251,6 +251,59 @@ object Corpus {
         size(split(col("col"), " ")).cast("long").as("n_tokens"))
   }
 
+  /** Corpus-trained BIGRAM coherence score per document — the second-order
+    * companion to `unigramLogProb`: every adjacent token pair (w1, w2)
+    * scores the empirical conditional probability p(w2 | w1) =
+    * c(w1,w2) / c(w1,·) estimated from the corpus itself, and the document
+    * score is the mean over its bigrams. Word-salad / shuffled / machine-
+    * garbled text strings together bigrams the corpus never co-locates and
+    * scores near zero; natural text rides the corpus's own transitions.
+    *
+    * Cross-engine exactness: each conditional is quantized to integer
+    * billionths with one integer division ((c12 * 1e9) div c1 — both
+    * operands non-negative, so Spark `div` == DuckDB `//`), the per-doc
+    * mean is an integer sum (order-free) with one final integer division.
+    * No float accumulation anywhere.
+    *
+    * Scale shape: bigram rows collapse FIRST to per-(doc, w1, w2) counts
+    * (one partial-agg shuffle over corpus bigram volume, checkpointed once
+    * for its three consumers); the c12/c1 model tables aggregate FROM that
+    * collapsed table (vocab-sized shuffles), and the score join rides the
+    * same keys. At extreme scale the model tables are broadcast-able
+    * (vocab² is bounded; the corpus never re-shuffles).
+    *
+    * Output: idCol, n_bigrams, coherence_q (mean conditional probability
+    * in integer billionths). Documents with < 2 tokens emit nothing.
+    */
+  def bigramCoherence(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val bgc = graft.operators.Dedup
+      .spread(docs)
+      .filter(size(toks) >= 2)
+      .select(
+        col(idCol),
+        explode(transform(
+          sequence(lit(1), size(toks) - 1),
+          i =>
+            struct(
+              element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2")))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint(false)
+    val c12 = bgc.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("cnt12"))
+    val c1  = bgc.groupBy(col("w1")).agg(sum(col("k")).as("cnt1"))
+    bgc
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .withColumn("pq", expr("cnt12 * 1000000000 div cnt1"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("k")).as("n_bigrams"),
+        expr("sum(k * pq) div sum(k)").as("coherence_q"))
+  }
+
   /** `contamination` without the broadcast: the benchmark shingle set rides
     * as a few-MB BLOOM SKETCH predicate over the exploded training
     * shingles, and only the might-match survivors (true hits + the

@@ -170,6 +170,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** All DIRECTED pairs with shingle-set containment
+    * |S_src ∩ S_dst| / |S_src| >= threshold — the asymmetric companion to
+    * `jaccardPairs`: a short document fully embedded in a long one scores
+    * containment ~1.0 but Jaccard ~|short|/|long|, so symmetric dedup
+    * never sees it. This is the quote/excerpt/aggregator-page detector a
+    * corpus pass runs alongside near-dedup.
+    *
+    * Exact, via the asymmetric prefix filter: each source doc indexes only
+    * the first |S| - floor(t*|S|) + 1 of its canonically-sorted shingle
+    * hashes (pigeonhole: any qualifying destination must collide inside
+    * that prefix; floor keeps the prefix on the long side of FP rounding),
+    * while the destination side indexes ALL its shingles — asymmetric
+    * joins cannot prefix both sides. Candidates dedupe before two
+    * verify-fetch joins compute the exact intersection. Scale cost is the
+    * full-side index volume (corpus shingle count, 8-byte keys); the next
+    * lever at extreme scale is df-ascending canonical order, which
+    * concentrates prefixes on rare shingles (the editDistancePairs
+    * rarest-gram trick) without changing results.
+    *
+    * Output: id_src, id_dst (id_src != id_dst, both directions possible),
+    * containment.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    val sets = spread(docs)
+      .select(col(idCol).as("id"), sort_array(shingleHashes(col(textCol), n)).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+      .localCheckpoint(false)
+    val prefixLen = (col("nsh") - floor(lit(threshold) * col("nsh")).cast("int") + 1)
+    val pref = sets
+      .select(col("id").as("id_src"), explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
+    val full = sets.select(col("id").as("id_dst"), explode(col("sh")).as("s"))
+    val cand = pref
+      .join(full, Seq("s"))
+      .filter(col("id_src") =!= col("id_dst"))
+      .select(col("id_src"), col("id_dst"))
+      .distinct()
+    cand
+      .join(sets.select(col("id").as("id_src"), col("sh").as("sh_s"), col("nsh").as("ns")), Seq("id_src"))
+      .join(sets.select(col("id").as("id_dst"), col("sh").as("sh_d")), Seq("id_dst"))
+      .withColumn(
+        "containment",
+        size(array_intersect(col("sh_s"), col("sh_d"))).cast("double") / col("ns"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_src"), col("id_dst"), col("containment"))
+  }
+
   /** Cross-document repeated span mining (the exact-substring dedup signal
     * of Lee et al., "Deduplicating Training Data Makes Language Models
     * Better"): every `width`-token window is hashed per row (native

@@ -79,6 +79,43 @@ object Profile {
       .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("est"))
       .head().getLong(0)
 
+  /** Robust (median/MAD) outlier annotation of a numeric column — the
+    * distribution-free quality gate a pipeline runs over embedding norms,
+    * doc lengths, or feature magnitudes, where mean/stddev is itself
+    * dragged by the outliers it should catch. A row is an outlier when
+    * |v - median| > k * MAD (MAD = median absolute deviation; k=3 by
+    * convention ~ 2σ for normal data).
+    *
+    * Cross-engine exactness: feed an INTEGER-quantized value column. Both
+    * medians ride the exact `percentile` aggregate at p=0.5 — on integers
+    * (and on the half-integer deviations) the interpolation lower +
+    * 0.5*(upper-lower) is an exact power-of-two multiply, bit-equal to
+    * DuckDB's quantile_cont (the q49 convention) — and k*MAD is exact for
+    * integral k against half-integer MADs.
+    *
+    * Scale shape: two single-group percentile aggregates (partial-merged
+    * value maps — bounded by DISTINCT quantized values, not rows; quantize
+    * coarser or switch to Splits.rankedPrefix's two-phase rank if the
+    * value domain itself explodes) and two one-row broadcast joins — the
+    * data never shuffles.
+    *
+    * Output: input columns + dev (|v - med|), med, mad, is_outlier.
+    */
+  def madOutliers(
+      df: DataFrame,
+      valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val stats = df.agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val dev = df
+      .crossJoin(broadcast(stats))
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val madT = dev.agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev
+      .crossJoin(broadcast(madT))
+      .withColumn("is_outlier", col("dev") > lit(k) * col("mad"))
+  }
+
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     val entries = array(cols.map { c =>
