@@ -2845,6 +2845,32 @@ object Contract {
              |madt AS (SELECT quantile_cont(dev, 0.5) AS mad FROM dev)
              |SELECT vec_id, norm_q, med, dev, mad, dev > 3.0 * mad AS is_outlier
              |FROM dev, madt""".stripMargin)
+    ),
+    Q(
+      "q121_vocab_coverage",
+      // Vocabulary coverage (Corpus.vocabCoverage): smallest top-k
+      // vocabulary covering >= 90% of corpus token mass, ranked on the
+      // two-phase rankedPrefix (no partitionless window). All-integer
+      // threshold compare.
+      (s, d) =>
+        graft.operators.Corpus.vocabCoverage(Tables.documents(s, d), "text", 900),
+      Some("""WITH census AS (
+             |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+             |cnts AS (SELECT token, count(*) AS cnt FROM census GROUP BY token),
+             |ranked AS (
+             |  SELECT token, cnt,
+             |    row_number() OVER (ORDER BY cnt DESC, token) AS rnk,
+             |    sum(cnt) OVER (ORDER BY cnt DESC, token
+             |                   ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM cnts),
+             |tot AS (
+             |  SELECT sum(cnt)::BIGINT AS total_mass, count(*)::BIGINT AS vocab_size
+             |  FROM cnts)
+             |SELECT min(rnk)::BIGINT AS cover_k, min(cum)::BIGINT AS covered_mass,
+             |       total_mass, vocab_size
+             |FROM ranked, tot
+             |WHERE cum * 1000 >= total_mass * 900
+             |GROUP BY total_mass, vocab_size""".stripMargin)
     )
   )
 

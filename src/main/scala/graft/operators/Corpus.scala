@@ -251,6 +251,44 @@ object Corpus {
         size(split(col("col"), " ")).cast("long").as("n_tokens"))
   }
 
+  /** Vocabulary coverage summary: the smallest top-k (by frequency, token
+    * ASC tiebreak) vocabulary whose cumulative token mass reaches
+    * `coverPermille`/1000 of the corpus — THE sizing question every
+    * tokenizer/vocab decision starts from ("how many types cover 90% of
+    * tokens?"), plus the Zipf sanity numbers around it.
+    *
+    * Scale shape: one partial-agg shuffle to the token census (vocab-sized,
+    * checkpointed for its two consumers), then the global rank + running
+    * mass ride `Splits.rankedPrefix` — the quantile-bucketed two-phase
+    * rank, NOT a partitionless window, so a 100 M-type vocab spreads over
+    * all reducers. The coverage threshold compare is all-integer
+    * (mass * 1000 vs total * permille).
+    *
+    * Output: one row — cover_k, covered_mass, total_mass, vocab_size.
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      textCol: String,
+      coverPermille: Int = 900): DataFrame = {
+    require(coverPermille > 0 && coverPermille <= 1000,
+      s"coverPermille must be in (0,1000], got $coverPermille")
+    val census = graft.operators.Dedup
+      .spread(docs)
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val ranked = Splits.rankedPrefix(census, "cnt", "token", "cnt")
+    val totals =
+      census.agg(sum(col("cnt")).as("total_mass"), count(lit(1)).as("vocab_size"))
+    ranked
+      .crossJoin(broadcast(totals))
+      .filter(col("cum_cost") * 1000 >= col("total_mass") * coverPermille)
+      .groupBy(col("total_mass"), col("vocab_size"))
+      .agg(min(col("rnk")).as("cover_k"), min(col("cum_cost")).as("covered_mass"))
+      .select(col("cover_k"), col("covered_mass"), col("total_mass"), col("vocab_size"))
+  }
+
   /** Corpus-trained BIGRAM coherence score per document — the second-order
     * companion to `unigramLogProb`: every adjacent token pair (w1, w2)
     * scores the empirical conditional probability p(w2 | w1) =

@@ -301,7 +301,9 @@ object Splits {
       .select(
         col(scoreCol).cast("double").as("__score"),
         cost.as("__cost"),
-        col(idCol).cast("double").as("__id"))
+        // TRY_cast: a non-numeric id (string tokens) must fall back to the
+        // no-sub-bucket path, not throw under ANSI mode
+        expr(s"try_cast(`$idCol` AS DOUBLE)").as("__id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (cuts, heavy, totals) =
       try {
@@ -376,7 +378,8 @@ object Splits {
           .otherwise(size(filter(typedlit(cuts), c => c <= col(scoreCol).cast("double"))))
     val bSub = heavy.foldLeft(lit(0)) { case (rest, (v, subCuts)) =>
       when(col(scoreCol).cast("double") === v,
-        lit(subCuts.length) - size(filter(typedlit(subCuts), c => c <= col(idCol).cast("double"))))
+        lit(subCuts.length) - size(filter(typedlit(subCuts),
+          c => c <= expr(s"try_cast(`$idCol` AS DOUBLE)"))))
         .otherwise(rest)
     }
     val withB = df.withColumn("__b", bPrimary * lit(mult) + bSub)
