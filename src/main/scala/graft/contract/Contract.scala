@@ -2871,6 +2871,18 @@ object Contract {
              |FROM ranked, tot
              |WHERE cum * 1000 >= total_mass * 900
              |GROUP BY total_mass, vocab_size""".stripMargin)
+    ),
+    Q(
+      "q122_mmr_rerank",
+      // Greedy MMR diversified top-k (Retrieval.mmrRerank): top-20 cosine
+      // shortlist -> 5 greedy picks maximizing 7*rel_q - 3*maxSim_q over
+      // integer-quantized cosines; the oracle replays the trajectory as
+      // unrolled SQL stages.
+      (s, d) =>
+        graft.operators.Retrieval
+          .mmrRerank(Tables.embeddings(s, d), "vec_id", "embedding", probeId = 0L,
+            m = 20, k = 5),
+      Some(OracleSql.q122)
     )
   )
 

@@ -180,6 +180,51 @@ object OracleSql {
        |  AND len(list_intersect(a.hh, b.hh))::DOUBLE
        |    / (len(a.hh) + len(b.hh) - len(list_intersect(a.hh, b.hh))) >= 0.8""".stripMargin
 
+  /** Unrolled greedy MMR replay (Retrieval.mmrRerank, probe vec_id = 0,
+    * m = 20, k = 5, weights 7 / -3): each selection step is a literal CTE
+    * pair (score the remaining candidates against the selected set, take
+    * the max with id-ascending tiebreak) over the same integer-quantized
+    * cosines as the Spark side — greedy is sequential, so the oracle
+    * replays the trajectory stage by stage instead of pretending it is
+    * one relational expression.
+    */
+  val q122: String = {
+    val n2 =
+      "list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)"
+    def cosQ(ae: String, an2: String, be: String, bn2: String) =
+      s"round(1000000000.0 * (list_reduce(list_transform(range(1, len($ae) + 1), " +
+        s"i -> CAST($ae[i] AS DOUBLE) * CAST($be[i] AS DOUBLE)), (a, b) -> a + b) " +
+        s"/ (sqrt($an2) * sqrt($bn2))))::BIGINT"
+    def selU(t: Int) = (1 to t).map(i => s"SELECT id FROM sel$i").mkString(" UNION ALL ")
+    val steps = (2 to 5).map { i =>
+      s"""sc$i AS (
+         |  SELECT r.id, r.rel_q, 7 * r.rel_q - 3 * max(s.sim_q) AS mmr_q
+         |  FROM rel r JOIN sim s ON s.ia = r.id
+         |  WHERE r.id NOT IN (${selU(i - 1)}) AND s.ib IN (${selU(i - 1)})
+         |  GROUP BY r.id, r.rel_q),
+         |sel$i AS (SELECT id, rel_q, $i AS rnk, mmr_q FROM sc$i ORDER BY mmr_q DESC, id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT vec_id, embedding, $n2 AS n2 FROM embeddings),
+       |q AS (SELECT embedding AS qe, n2 AS qn2 FROM n WHERE vec_id = 0),
+       |rel0 AS (
+       |  SELECT c.vec_id AS id,
+       |    ${cosQ("c.embedding", "c.n2", "q.qe", "q.qn2")} AS rel_q
+       |  FROM n c, q WHERE c.vec_id <> 0),
+       |rel AS (SELECT * FROM rel0 ORDER BY rel_q DESC, id LIMIT 20),
+       |se AS (SELECT r.id, n.embedding, n.n2 FROM rel r JOIN n ON n.vec_id = r.id),
+       |sim AS (
+       |  SELECT a.id AS ia, b.id AS ib,
+       |    ${cosQ("a.embedding", "a.n2", "b.embedding", "b.n2")} AS sim_q
+       |  FROM se a, se b WHERE a.id <> b.id),
+       |sel1 AS (
+       |  SELECT id, rel_q, 1 AS rnk, 7 * rel_q AS mmr_q
+       |  FROM rel ORDER BY rel_q DESC, id LIMIT 1),
+       |$steps
+       |SELECT rnk, id AS vec_id, rel_q, mmr_q
+       |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM sel3
+       |      UNION ALL SELECT * FROM sel4 UNION ALL SELECT * FROM sel5)""".stripMargin
+  }
+
   /** Hashed linear-classifier scoring (TextAnalysis.hashedLinearScore):
     * token + bigram features -> polyHash mod 65536 slot -> deterministic
     * integer weight ((slot+1)*K mod P mod 2001 - 1000), summed with

@@ -153,4 +153,96 @@ object Retrieval {
       .limit(k)
       .select(col(docIdCol), col("lex_rnk"), col("vec_rnk"), col("rrf_score"))
   }
+
+  /** Maximal-marginal-relevance reranking (Carbonell & Goldstein): from a
+    * relevance-ranked shortlist of `m` candidates, greedily pick `k` that
+    * trade relevance against redundancy — each step takes the remaining
+    * candidate maximizing wRel * rel - wDiv * max(sim to already-selected)
+    * — so a result page of k near-identical top hits becomes k DISTINCT
+    * relevant hits. This is the de-duplicating tail every retrieval stack
+    * bolts onto its ANN leg.
+    *
+    * Scale shape: the corpus-sized work is ONE broadcast-probe cosine pass
+    * cut to the top-m by TakeOrdered (no global sort — same shape as the
+    * q25 brute-force leg; swap in the IVF leg for planet-scale corpora).
+    * The greedy loop is inherently sequential in k, so it runs on the
+    * DRIVER over the m x m candidate-similarity matrix — bounded driver
+    * state like the k-means / union-find fallbacks (m <= 256 enforced),
+    * with the pair sims computed IN Spark and collected, never recomputed
+    * per step.
+    *
+    * Cross-engine exactness: relevance and pair cosines are quantized to
+    * integer billionths BEFORE any comparison; selection maximizes the
+    * all-integer wRel*rel_q - wDiv*maxSim_q with id-ascending tiebreak, so
+    * the greedy trajectory is bit-stable (the q122 oracle replays it as
+    * unrolled SQL stages).
+    *
+    * Output: rnk (1-based selection order), idCol, rel_q, mmr_q (the
+    * selection-time objective; rnk 1 carries wRel*rel_q).
+    */
+  def mmrRerank(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      probeId: Long,
+      m: Int = 20,
+      k: Int = 5,
+      wRel: Int = 7,
+      wDiv: Int = 3): DataFrame = {
+    require(k >= 1 && m >= k, s"need m >= k >= 1, got m=$m k=$k")
+    require(m <= 256, s"the driver greedy is bounded: m <= 256, got $m")
+    val ss = emb.sparkSession
+    import ss.implicits._
+    val withN2 = emb.select(
+      col(idCol).as("id"),
+      col(embCol).as("e"),
+      Similarity.norm2(col(embCol)).as("n2"))
+    val q = withN2
+      .filter(col("id") === probeId)
+      .select(col("e").as("qe"), col("n2").as("qn2"))
+    val rel = withN2
+      .filter(col("id") =!= probeId)
+      .crossJoin(broadcast(q))
+      .withColumn(
+        "rel_q",
+        round(Similarity.cosine(Similarity.dot(col("e"), col("qe")), col("n2"), col("qn2")) * 1e9)
+          .cast("long"))
+      .select(col("id"), col("rel_q"), col("e"), col("n2"))
+      .orderBy(col("rel_q").desc, col("id"))
+      .limit(m)
+      .localCheckpoint(false)
+    val a = rel.select(col("id").as("ia"), col("e").as("ea"), col("n2").as("na"))
+    val b = rel.select(col("id").as("ib"), col("e").as("eb"), col("n2").as("nb"))
+    val sim = a
+      .join(b, col("ia") =!= col("ib"))
+      .withColumn(
+        "sim_q",
+        round(Similarity.cosine(Similarity.dot(col("ea"), col("eb")), col("na"), col("nb")) * 1e9)
+          .cast("long"))
+      .select(col("ia"), col("ib"), col("sim_q"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    val cands = rel
+      .select(col("id"), col("rel_q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toVector
+    var selected  = Vector.empty[(Long, Long, Long)] // (id, rel_q, mmr_q)
+    var remaining = cands
+    while (selected.size < k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, rq) =>
+        val maxSim =
+          if (selected.isEmpty) 0L
+          else selected.map(s => sim((id, s._1))).max
+        (id, rq, wRel * rq - wDiv * maxSim)
+      }
+      val best = scored.minBy { case (id, _, mmr) => (-mmr, id) }
+      selected = selected :+ best
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    selected.zipWithIndex
+      .map { case ((id, rq, mmr), i) => (i + 1, id, rq, mmr) }
+      .toDF("rnk", idCol, "rel_q", "mmr_q")
+  }
 }
