@@ -2883,6 +2883,25 @@ object Contract {
           .mmrRerank(Tables.embeddings(s, d), "vec_id", "embedding", probeId = 0L,
             m = 20, k = 5),
       Some(OracleSql.q122)
+    ),
+    Q(
+      "q123_leakfree_split",
+      // Leakage-free train/val/test assignment (Splits.leakFreeSplit):
+      // near-dup components (q32's exact pair graph -> label-prop CC)
+      // hash as a UNIT via their minimum-id representative, so no
+      // near-duplicate pair ever straddles a split boundary. Oracle
+      // replays the closure with a recursive CTE + the same hash rule.
+      (s, d) => {
+        val docs  = Tables.documents(s, d)
+        val pairs = graft.operators.Dedup
+          .jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+        graft.operators.Splits
+          .leakFreeSplit(
+            docs.select(col("doc_id"), col("source")), pairs, "doc_id",
+            Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+          .select(col("doc_id"), col("source"), col("group_key"), col("split"))
+      },
+      Some(OracleSql.q123)
     )
   )
 

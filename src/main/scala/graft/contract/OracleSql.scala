@@ -298,6 +298,39 @@ object OracleSql {
        |SELECT doc_id, lang, source FROM documents
        |WHERE doc_id NOT IN (SELECT id FROM drops)""".stripMargin
 
+  /** Leakage-free split replay (Splits.leakFreeSplit over the q32 pair
+    * graph): recursive-CTE transitive closure -> component minimum per
+    * edge-touched doc -> the q53 hash-bucket rule on coalesce(label, id).
+    */
+  val q123: String =
+    s"""WITH RECURSIVE ${shingleCtes()},
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM hs a, hs b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND len(list_intersect(a.hh, b.hh))::DOUBLE
+       |      / (len(a.hh) + len(b.hh) - len(list_intersect(a.hh, b.hh))) >= 0.8),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |walk(src, reach) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+       |label AS (SELECT src AS id, MIN(reach) AS label FROM walk GROUP BY src),
+       |gk AS (
+       |  SELECT d.doc_id, d.source, coalesce(l.label, d.doc_id) AS group_key
+       |  FROM documents d LEFT JOIN label l ON l.id = d.doc_id),
+       |b AS (
+       |  SELECT doc_id, source, group_key,
+       |    ((((group_key % 1000000007) + 1000000007) % 1000000007)
+       |      * 2654435761 % 1000000007) % 10000 AS bucket
+       |  FROM gk)
+       |SELECT doc_id, source, group_key,
+       |  CASE WHEN bucket < 8000 THEN 'train'
+       |       WHEN bucket < 9000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b""".stripMargin
+
   val q33: String =
     """WITH n AS (
       |  SELECT vec_id, embedding,

@@ -191,14 +191,22 @@ object Dedup {
     *
     * Output: id_src, id_dst (id_src != id_dst, both directions possible),
     * containment.
+    *
+    * `maxDf` (default None = exact) drops shingles hotter than the cap
+    * from the index before the candidate join — the containment twin of
+    * the LSH miners' maxBucket guard; see the inline note for the recall
+    * contract. Verification always runs on full sets, so precision is
+    * unaffected.
     */
   def containmentPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9,
+      maxDf: Option[Long] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    maxDf.foreach(m => require(m >= 2, s"maxDf must be >= 2, got $m"))
     val sets = spread(docs)
       .select(col(idCol).as("id"), sort_array(shingleHashes(col(textCol), n)).as("sh"))
       .withColumn("nsh", size(col("sh")))
@@ -206,7 +214,23 @@ object Dedup {
     val prefixLen = (col("nsh") - floor(lit(threshold) * col("nsh")).cast("int") + 1)
     val pref = sets
       .select(col("id").as("id_src"), explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
-    val full = sets.select(col("id").as("id_dst"), explode(col("sh")).as("s"))
+    val full0 = sets.select(col("id").as("id_dst"), explode(col("sh")).as("s"))
+    // HOT-SHINGLE GUARD (same boilerplate-cluster hazard as the LSH band
+    // miners' maxBucket): a shingle present in `d` docs contributes up to
+    // d candidate rows per indexed prefix occurrence, so one boilerplate
+    // shingle in 100 k docs is a 10^10-pair key. With maxDf set, shingles
+    // above the cap are dropped from BOTH index sides before the join —
+    // an explicit, documented recall cut: a qualifying pair whose every
+    // shared shingle is corpus-hot goes unseen (such pairs are
+    // boilerplate agreements, not excerpts). Default None = exact.
+    val full = maxDf match {
+      case None => full0
+      case Some(m) =>
+        // the candidate join is inner on the shingle key, so filtering the
+        // full side alone suppresses hot-shingle candidates from BOTH sides
+        val hot = full0.groupBy(col("s")).agg(count(lit(1)).as("__df")).filter(col("__df") > m)
+        full0.join(broadcast(hot.select(col("s"))), Seq("s"), "left_anti")
+    }
     val cand = pref
       .join(full, Seq("s"))
       .filter(col("id_src") =!= col("id_dst"))

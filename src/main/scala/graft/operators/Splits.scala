@@ -50,6 +50,36 @@ object Splits {
       buckets: Int = 10000): DataFrame =
     df.withColumn("split", splitLabel(col(keyCol), fractions, buckets))
 
+  /** LEAKAGE-FREE split assignment: rows connected by a near-duplicate
+    * edge must land in the SAME split, or test answers leak into train
+    * verbatim — the failure `assignSplit` (per-row hashing) cannot
+    * prevent, and the reason eval decontamination alone is insufficient
+    * once near-dups exist INSIDE the corpus. Split identity is decided by
+    * the near-dup CLUSTER: hash the connected-component representative
+    * (minimum id; isolated rows represent themselves), not the row.
+    *
+    * Scale shape: components ride `Dedup.connectedComponents` over the
+    * pair graph (shuffle ∝ edges per round — the pair graph is orders of
+    * magnitude smaller than the corpus); the corpus itself pays one
+    * left join against the edge-touched labels plus the zero-shuffle hash
+    * projection. Deterministic end to end: same corpus + same pairs =
+    * same splits on any cluster.
+    *
+    * Output: input columns + group_key (component rep) + split.
+    */
+  def leakFreeSplit(
+      df: DataFrame,
+      pairs: DataFrame,
+      keyCol: String,
+      fractions: Seq[(String, Double)],
+      buckets: Int = 10000): DataFrame = {
+    val labels = graft.operators.Dedup.connectedComponents(pairs)
+    df.join(labels.withColumnRenamed("id", keyCol), Seq(keyCol), "left")
+      .withColumn("group_key", coalesce(col("label"), col(keyCol)))
+      .drop("label")
+      .withColumn("split", splitLabel(col("group_key"), fractions, buckets))
+  }
+
   /** Deterministic mixture sampling: keep each row with a per-source rate
     * (corpus mixing — upsample nothing, downsample over-represented
     * sources to target weights). The keep decision is the key's hash

@@ -387,4 +387,65 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(2L) === ((Seq(L("only2a"), L("only2b")).mkString(" "), 2L)),
       "surviving lines must reassemble in original order")
   }
+
+  test("stripBoilerplate: frequent per-source line drops everywhere; rare dup and " +
+    "other-source copies survive; all-boiler doc stays with empty text") {
+    import spark.implicits._
+    val boiler = "cookie banner text"
+    val docs = Seq(
+      (1L, s"$boiler u1a u1b u1c", "A"),
+      (2L, s"$boiler u2a u2b u2c", "A"),
+      (3L, s"$boiler shared dup line", "A"),
+      (4L, s"$boiler shared dup line", "A"),
+      (5L, boiler, "A"), // every line boilerplate
+      (6L, s"$boiler unique b-side line", "B")
+    ).toDF("doc_id", "text", "source")
+    // lineTokens=3: each 3-token run is one line. In A: boiler is in 5/5
+    // docs (> 0.5 frac, >= 2 docs -> dropped); "shared dup line" is in
+    // 2/5 docs (<= 0.5 frac -> KEPT, where lineDedup would drop it). In
+    // B the same boiler line is in 1 doc -> kept.
+    val out = Corpus
+      .stripBoilerplate(docs, "doc_id", "text", "source",
+        lineTokens = 3, maxDocFrac = 0.5, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(1L) === (("u1a u1b u1c", 1L, 1L)))
+    assert(out(3L) === (("shared dup line", 1L, 1L)),
+      "a line duplicated in a small fraction of the source must survive")
+    assert(out(4L) === (("shared dup line", 1L, 1L)))
+    assert(out(5L) === (("", 0L, 1L)),
+      "an all-boilerplate doc must survive with empty text, not vanish")
+    assert(out(6L) === ((s"$boiler unique b-side line", 2L, 0L)),
+      "the census is per-source: one copy in B is not boilerplate in B")
+  }
+
+  test("bigramCoherence: hand-computed corpus conditionals, integer quantization") {
+    import spark.implicits._
+    // corpus bigrams: doc 1 "a b a b" -> (a,b) x2, (b,a) x1; doc 2 "a c"
+    // -> (a,c) x1. c1(a)=3, c1(b)=1; p(b|a)=2/3, p(a|b)=1, p(c|a)=1/3.
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo")).toDF("doc_id", "text")
+    val out = Corpus
+      .bigramCoherence(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val pBA = 2000000000L / 3 // 666666666
+    val pAB = 1000000000L
+    val pCA = 1000000000L / 3 // 333333333
+    assert(out(1L) === ((3L, (2 * pBA + pAB) / 3)))
+    assert(out(2L) === ((1L, pCA)))
+    assert(!out.contains(3L), "single-token docs emit no bigram rows")
+  }
+
+  test("vocabCoverage: smallest top-k by (count desc, token asc) reaching the mass bar") {
+    import spark.implicits._
+    // census: a x4, b x2, c x1 -> total 7. 70% bar = cum*1000 >= 4900:
+    // 'a' alone is 4000 (no), 'a'+'b' is 6000 (yes) -> cover_k = 2.
+    val docs = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val row = Corpus.vocabCoverage(docs, "text", coverPermille = 700).collect()
+    assert(row.length === 1)
+    val r = row.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 6L, 7L, 3L)))
+  }
 }

@@ -437,4 +437,75 @@ class DedupSpec extends AnyFunSuite {
       .collect().head.toSeq
     assert(aggSig === unionSig, "slot minima must equal the union's signature")
   }
+
+  test("containmentPairs: an excerpt fully inside a long doc is found (directed), " +
+    "where symmetric Jaccard misses it; equals the naive all-pairs result") {
+    import spark.implicits._
+    val excerpt = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = excerpt + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, excerpt),                        // contained in 2
+      (2L, long),
+      (3L, "totally different words here today okay")
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(got.keySet === Set((1L, 2L)), s"expected only 1->2, got ${got.keySet}")
+    assert(got((1L, 2L)) === 1.0, "every excerpt shingle is in the long doc")
+    val jacc = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8).count()
+    assert(jacc === 0L, "Jaccard at 0.8 must NOT see the excerpt pair — that asymmetry is the point")
+
+    // naive equivalence on a denser corpus: same shingle sets, all directed
+    // pairs computed in Scala
+    val vocab = Seq("a", "b", "c", "d", "e", "f")
+    val rng   = new scala.util.Random(7)
+    val corpus = (0L until 30L)
+      .map(i => (i, Seq.fill(8 + rng.nextInt(10))(vocab(rng.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val sets = corpus
+      .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .as[(Long, Seq[Long])].collect().toMap.view.mapValues(_.toSet).toMap
+    val expected = (for {
+      (a, sa) <- sets.toSeq if sa.nonEmpty
+      (b, sb) <- sets.toSeq if a != b
+      c = sa.intersect(sb).size.toDouble / sa.size
+      if c >= 0.6
+    } yield (a, b)).toSet
+    val mined = Dedup
+      .containmentPairs(corpus, "doc_id", "text", n = 3, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mined === expected, "prefix-filtered mining must equal naive all-pairs")
+  }
+
+  test("containmentPairs maxDf guard: hot-shingle-only pairs are cut (documented recall), " +
+    "rare-shingle pairs survive, verification precision is untouched") {
+    import spark.implicits._
+    val boiler = "every page carries this exact footer line"
+    // 1/2: boilerplate-only agreement (all shared shingles are hot).
+    // 3/4: a genuine rare excerpt pair. 5..24: the crowd making the
+    // footer's shingles hot (df >= 22 > maxDf 10).
+    val rare = "unique rare excerpt alpha beta gamma delta"
+    val docs = (
+      Seq(
+        (1L, boiler),
+        (2L, boiler),
+        (3L, rare),
+        (4L, rare + " plus extra trailing tokens here now")
+      ) ++ (5L to 24L).map(i => (i, s"$boiler filler$i"))
+    ).toDF("doc_id", "text")
+    val guarded = Dedup
+      .containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.9, maxDf = Some(10L))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(guarded.contains((3L, 4L)), "rare excerpt pair must survive the guard")
+    assert(guarded((3L, 4L)) === 1.0, "verification runs on FULL sets: containment exact")
+    assert(!guarded.keys.exists { case (a, b) => a <= 2L && b <= 2L },
+      "the boilerplate-only pair rides exclusively on hot shingles: cut by contract")
+    val exact = Dedup
+      .containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((1L, 2L)), "without the guard the same pair IS found (exactness default)")
+  }
 }

@@ -78,4 +78,23 @@ class ProfileSpec extends AnyFunSuite {
     assert(got("b")._3 === Some(-3.25) && got("b")._4 === Some(10.5))
     assert(math.abs(got("b")._5 - 7.25) < 1e-12)
   }
+
+  test("madOutliers: median/MAD flag the far point; a constant column flags nothing") {
+    import spark.implicits._
+    // values 10,11,12,13,100: med=12, devs 2,1,0,1,88, mad=1 -> only 100
+    // exceeds 3*mad. The mean/stddev version would be dragged toward 100.
+    val df = Seq((1L, 10L), (2L, 11L), (3L, 12L), (4L, 13L), (5L, 100L)).toDF("id", "v")
+    val got = Profile
+      .madOutliers(df, "v", k = 3.0)
+      .select(col("id"), col("med"), col("dev"), col("mad"), col("is_outlier"))
+      .as[(Long, Double, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(3L)._2 === 12.0 && got(3L)._4 === 1.0)
+    assert(got.filter(_._2._5).keySet === Set(5L), s"only the far point flags: $got")
+    assert(got(5L)._3 === 88.0)
+
+    val const = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("id", "v")
+    val cg = Profile.madOutliers(const, "v").filter(col("is_outlier")).count()
+    assert(cg === 0L, "dev 0 is not > 3*mad(=0): constant columns flag nothing")
+  }
 }

@@ -75,4 +75,31 @@ class RetrievalSpec extends AnyFunSuite {
     // the vector top-2 to docs 1/3) -> absent from the fusion entirely
     assert(!out.map(_.getLong(0)).contains(4L))
   }
+
+  test("mmrRerank: redundant twin is demoted below a diverse candidate; rnk 1 is pure relevance") {
+    import spark.implicits._
+    // probe 0 = (1,0,0). v1/v2 are equal-relevance twins (sim ~ 1.0) and
+    // v3 matches their relevance from a DIFFERENT direction (sim to the
+    // twins ~ 0.49). Pure top-2 = both twins; MMR's step-2 objective
+    // 7*rel_q - 3*maxSim_q scores the surviving twin ~ 7*.70 - 3*1.0 =
+    // 1.90e9 against v3's ~ 7*.70 - 3*.49 = 3.43e9, so the diverse
+    // candidate wins.
+    val embs = Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (1L, Seq(0.7f, 0.7141f, 0f)), // rel ~.70002
+      (2L, Seq(0.701f, 0.713f, 0f)), // rel ~.70108: the closer twin
+      (3L, Seq(0.7f, 0f, 0.7141f)) // rel ~.70002, diverse
+    ).toDF("vec_id", "embedding")
+    val out = Retrieval
+      .mmrRerank(embs, "vec_id", "embedding", probeId = 0L, m = 3, k = 2)
+      .orderBy("rnk")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 2)
+    val first = out(0)
+    assert(first._2 === 2L, "rnk 1 must be the max-relevance candidate (the closer twin)")
+    assert(first._4 === 7L * first._3, "rnk 1 objective carries no diversity penalty")
+    assert(out(1)._2 === 3L,
+      s"MMR must pick the diverse candidate over the redundant twin, got ${out.toSeq}")
+  }
 }

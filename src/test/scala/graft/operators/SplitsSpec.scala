@@ -318,4 +318,29 @@ class SplitsSpec extends AnyFunSuite {
       s"degenerate window partition: max ${sizes.max} of $n rows in one partition")
     assert(sizes.count(_ > 0) >= 4, s"expected spread, got ${sizes.toSeq}")
   }
+
+  test("leakFreeSplit: connected rows share a split; isolated rows match assignSplit") {
+    import spark.implicits._
+    val docs  = (1L to 50L).map(i => (i, s"row$i")).toDF("doc_id", "payload")
+    // two components: {1,2,3} (a chain - transitivity must hold) and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val fr    = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val got = Splits
+      .leakFreeSplit(docs, pairs, "doc_id", fr)
+      .select(col("doc_id"), col("group_key"), col("split"))
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(Set(got(1L), got(2L), got(3L)).size === 1,
+      "a near-dup chain must land in ONE split with one group key")
+    assert(got(1L)._1 === 1L, "the component representative is its minimum id")
+    assert(got(10L) === got(11L))
+    val baseline = Splits
+      .assignSplit(docs, "doc_id", fr)
+      .select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    (4L to 9L) ++ (12L to 50L) foreach { i =>
+      assert(got(i) === ((i, baseline(i))),
+        s"isolated row $i must hash exactly like assignSplit")
+    }
+  }
 }
