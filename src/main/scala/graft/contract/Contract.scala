@@ -2902,6 +2902,51 @@ object Contract {
           .select(col("doc_id"), col("source"), col("group_key"), col("split"))
       },
       Some(OracleSql.q123)
+    ),
+    Q(
+      "q124_source_divergence",
+      // Observed-support chi^2 token-distribution divergence per source
+      // (Corpus.chiSquareDivergence): exact integer residuals, one
+      // identical double divide per term, order-free integer sum.
+      (s, d) =>
+        graft.operators.Corpus.chiSquareDivergence(Tables.documents(s, d), "source", "text"),
+      Some("""WITH tok AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+             |oc AS (
+             |  SELECT source, token, count(*)::BIGINT AS o
+             |  FROM tok GROUP BY source, token),
+             |ctt AS (SELECT token, sum(o)::BIGINT AS ct FROM oc GROUP BY token),
+             |tst AS (SELECT source, sum(o)::BIGINT AS ts FROM oc GROUP BY source),
+             |tat AS (SELECT sum(o)::BIGINT AS ta FROM oc)
+             |SELECT oc.source,
+             |  count(*)::BIGINT AS vocab_used,
+             |  sum(round(1000000.0 * ((o*ta - ct*ts)::DOUBLE * (o*ta - ct*ts)::DOUBLE)
+             |        / (ct::DOUBLE * ts * ta))::BIGINT)::BIGINT AS chi2_q
+             |FROM oc JOIN ctt USING (token) JOIN tst USING (source), tat
+             |GROUP BY oc.source""".stripMargin)
+    ),
+    Q(
+      "q125_collocations",
+      // Lift-scored collocation mining (Corpus.collocations): top-20
+      // bigrams with support >= 5 by integer lift (PMI sans log) —
+      // TakeOrdered cut, no global sort.
+      (s, d) =>
+        graft.operators.Corpus.collocations(Tables.documents(s, d), "text",
+          minSupport = 5L, k = 20),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |bg AS (
+             |  SELECT tk[i] AS w1, tk[i+1] AS w2
+             |  FROM toks, UNNEST(range(1, len(tk))) AS t(i)
+             |  WHERE len(tk) >= 2),
+             |c12t AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY w1, w2),
+             |c1t AS (SELECT w1, sum(c12)::BIGINT AS c1s FROM c12t GROUP BY w1),
+             |c2t AS (SELECT w2, sum(c12)::BIGINT AS c2e FROM c12t GROUP BY w2),
+             |nt AS (SELECT sum(c12)::BIGINT AS n FROM c12t)
+             |SELECT w1, w2, c12, (c12 * n * 1000000) // (c1s * c2e) AS lift_q
+             |FROM c12t JOIN c1t USING (w1) JOIN c2t USING (w2), nt
+             |WHERE c12 >= 5
+             |ORDER BY lift_q DESC, w1, w2 LIMIT 20""".stripMargin)
     )
   )
 

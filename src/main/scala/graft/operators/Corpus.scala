@@ -342,6 +342,105 @@ object Corpus {
         expr("sum(k * pq) div sum(k)").as("coherence_q"))
   }
 
+  /** Per-source token-distribution DIVERGENCE from the corpus: the
+    * observed-support χ² statistic Σ_t (o_t·T − c_t·s)² / (c_t·s·T)
+    * (o = token count in the source, c = corpus count, s = source total,
+    * T = corpus total), summed over the tokens the source actually uses.
+    * The drift alarm for a multi-source corpus: a source whose language
+    * shifts (spam influx, template change, scraper breakage) spikes
+    * against the corpus baseline — complementing `centroidCosineMatrix`
+    * (semantic drift) with a lexical, model-free signal.
+    *
+    * Cross-engine exactness: the residual o·T − c·s is exact 64-bit
+    * integer arithmetic; each term then pays ONE identical double
+    * divide + round into integer micro-units, and the per-source total is
+    * an order-free integer sum.
+    *
+    * Scale shape: token rows collapse to (source, token) counts first
+    * (one partial-agg shuffle over corpus token volume); the corpus/source
+    * marginals aggregate FROM that collapsed table (vocab- and
+    * source-sized), the corpus total broadcasts as one row, and the term
+    * join rides the same keys.
+    *
+    * Output: groupCol, vocab_used (distinct tokens in the source),
+    * chi2_q (statistic in integer micro-units).
+    */
+  def chiSquareDivergence(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val oc = graft.operators.Dedup
+      .spread(docs)
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(false)
+    val ct = oc.groupBy(col("token")).agg(sum(col("o")).as("ct"))
+    val ts = oc.groupBy(col(groupCol)).agg(sum(col("o")).as("ts"))
+    val ta = oc.agg(sum(col("o")).as("ta"))
+    val d  = (col("o") * col("ta") - col("ct") * col("ts")).cast("double")
+    val term = round(
+      lit(1000000.0) * (d * d) / (col("ct").cast("double") * col("ts") * col("ta")))
+      .cast("long")
+    oc.join(ct, Seq("token"))
+      .join(ts, Seq(groupCol))
+      .crossJoin(broadcast(ta))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("vocab_used"), sum(term).as("chi2_q"))
+  }
+
+  /** Collocation mining by LIFT: bigrams occurring at least `minSupport`
+    * times, scored lift = p(w1,w2) / (p(w1·)·p(·w2)) = c12·N / (c1s·c2e)
+    * and cut to the global top-`k` — the PMI-family collocation extractor
+    * (lift is PMI without the log, so the score stays exact integer
+    * arithmetic: lift_q = (c12·N·1e6) div (c1s·c2e), every operand
+    * non-negative so Spark `div` == DuckDB `//`). Surfaces the multi-word
+    * units ("new york", "machine learning") a tokenizer or phrase-mining
+    * pass should treat as one token.
+    *
+    * Scale shape: one partial-agg shuffle to global bigram counts, vocab-
+    * sized marginal aggregates joined back on their own keys, a one-row
+    * broadcast total, and a TakeOrdered top-k — no global sort. At
+    * extreme scale c12·N needs DECIMAL(38) headroom (N ≳ 3e9 overflows
+    * the long product); the contract-scale long path is documented here.
+    *
+    * Output: w1, w2, c12, lift_q — top-k by (lift_q DESC, w1, w2).
+    */
+  def collocations(
+      docs: DataFrame,
+      textCol: String,
+      minSupport: Long = 5L,
+      k: Int = 20): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val toks = split(col(textCol), " ")
+    val c12 = graft.operators.Dedup
+      .spread(docs)
+      .filter(size(toks) >= 2)
+      .select(
+        explode(transform(
+          sequence(lit(1), size(toks) - 1),
+          i =>
+            struct(
+              element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false)
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1s"))
+    val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2e"))
+    val nt = c12.agg(sum(col("c12")).as("n"))
+    c12
+      .filter(col("c12") >= minSupport)
+      .join(c1, Seq("w1"))
+      .join(c2, Seq("w2"))
+      .crossJoin(broadcast(nt))
+      .withColumn("lift_q", expr("c12 * n * 1000000 div (c1s * c2e)"))
+      .select(col("w1"), col("w2"), col("c12"), col("lift_q"))
+      .orderBy(col("lift_q").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** `contamination` without the broadcast: the benchmark shingle set rides
     * as a few-MB BLOOM SKETCH predicate over the exploded training
     * shingles, and only the might-match survivors (true hits + the

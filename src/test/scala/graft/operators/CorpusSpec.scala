@@ -448,4 +448,31 @@ class CorpusSpec extends AnyFunSuite {
     val r = row.head
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 6L, 7L, 3L)))
   }
+
+  test("chiSquareDivergence: hand-computed observed-support chi^2 micro-units") {
+    import spark.implicits._
+    // A: "x x y" (ts=3), B: "x z" (ts=2); ct: x=3,y=1,z=1; ta=5.
+    // A.x: d=2*5-3*3=1  -> 1e6*1/45  = 22222 ; A.y: d=5-3=2 -> 4e6/15 = 266667
+    // B.x: d=5-6=-1     -> 1e6/30    = 33333 ; B.z: d=5-2=3 -> 9e6/10 = 900000
+    val docs = Seq((1L, "x x y", "A"), (2L, "x z", "B")).toDF("doc_id", "text", "source")
+    val got = Corpus
+      .chiSquareDivergence(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("A") === ((2L, 22222L + 266667L)))
+    assert(got("B") === ((2L, 33333L + 900000L)))
+  }
+
+  test("collocations: integer lift, support cut, (lift desc, w1, w2) tie order") {
+    import spark.implicits._
+    // "a b a b a b c d": (a,b)x3 (b,a)x2 (b,c)x1 (c,d)x1, N=7.
+    // support >= 2 leaves (a,b) and (b,a), both lift_q = 2333333 — the
+    // tie must order (a,b) first.
+    val docs = Seq((1L, "a b a b a b c d")).toDF("doc_id", "text")
+    val got = Corpus
+      .collocations(docs, "text", minSupport = 2L, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("a", "b", 3L, 2333333L),
+      ("b", "a", 2L, 2333333L)))
+  }
 }
