@@ -2947,6 +2947,43 @@ object Contract {
              |FROM c12t JOIN c1t USING (w1) JOIN c2t USING (w2), nt
              |WHERE c12 >= 5
              |ORDER BY lift_q DESC, w1, w2 LIMIT 20""".stripMargin)
+    ),
+    Q(
+      "q126_k_anonymity",
+      // k-anonymity release audit (Privacy.kAnonymityAudit): equivalence
+      // classes of (lang, source, n_chars div 256) with population and
+      // the < k at-risk flag — one partial-agg shuffle.
+      (s, d) =>
+        graft.functions.Privacy.kAnonymityAudit(
+          Tables
+            .documents(s, d)
+            .select(col("lang"), col("source"),
+              expr("n_chars div 256").as("len_bucket")),
+          Seq("lang", "source", "len_bucket"),
+          k = 5L),
+      Some("""SELECT lang, source, n_chars // 256 AS len_bucket,
+             |  count(*)::BIGINT AS n_rows,
+             |  count(*) < 5 AS at_risk
+             |FROM documents
+             |GROUP BY lang, source, len_bucket""".stripMargin)
+    ),
+    Q(
+      "q127_dataset_card",
+      // One-pass dataset card (Corpus.datasetCard): population, source
+      // breadth, dup mass, token volume, short tail, integer mean.
+      (s, d) =>
+        graft.operators.Corpus.datasetCard(Tables.documents(s, d), "text", "source"),
+      Some("""WITH base AS (
+             |  SELECT count(*)::BIGINT AS n_docs,
+             |    count(DISTINCT source)::BIGINT AS n_groups,
+             |    count(DISTINCT text)::BIGINT AS n_distinct_texts,
+             |    sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+             |    (count(*) FILTER (WHERE len(string_split(text, ' ')) < 32))::BIGINT
+             |      AS short_docs
+             |  FROM documents)
+             |SELECT *, n_docs - n_distinct_texts AS dup_docs,
+             |  (total_tokens * 1000) // n_docs AS mean_tokens_milli
+             |FROM base""".stripMargin)
     )
   )
 

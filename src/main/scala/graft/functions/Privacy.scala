@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** PII-minimization primitives for corpus preparation: numeric-run
@@ -26,4 +26,23 @@ object Privacy {
     * hash, see Splits.hashOrder).
     */
   def pseudonym(id: Column): Column = graft.operators.Splits.hashOrder(id)
+
+  /** k-anonymity audit over a quasi-identifier combination: every
+    * equivalence class (distinct quasi-id tuple) with its population and
+    * an `at_risk` flag for classes smaller than `k` — the release gate a
+    * privacy review runs before publishing "anonymized" data, since a
+    * quasi-id class of size 1 re-identifies its member outright.
+    * Redaction/pseudonymization (above) remove direct identifiers; this
+    * measures what the REMAINING columns still leak in combination.
+    *
+    * One partial-agg shuffle keyed on the quasi-id tuple; the flag is a
+    * pure projection. Output: quasiCols + n_rows + at_risk.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityAudit needs at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("at_risk", col("n_rows") < k)
+  }
 }

@@ -441,6 +441,37 @@ object Corpus {
       .limit(k)
   }
 
+  /** One-row DATASET CARD: the headline numbers a corpus release ships
+    * with (datasheet/data-statement practice) — population, source
+    * breadth, exact-duplicate mass, token volume, mean length, short-doc
+    * tail — computed in ONE multi-aggregate pass over the corpus (the
+    * distinct counts ride Spark's expand; at extreme scale swap
+    * `textCol` for a precomputed digest column so the distinct shuffle
+    * carries 8-byte keys instead of documents — same counts).
+    *
+    * All-integer output (mean in integer milli-tokens), so the card is
+    * bit-stable cross-engine.
+    *
+    * Output: n_docs, n_groups, n_distinct_texts, total_tokens,
+    * short_docs (< shortTokens), dup_docs, mean_tokens_milli.
+    */
+  def datasetCard(
+      docs: DataFrame,
+      textCol: String,
+      groupCol: String,
+      shortTokens: Int = 32): DataFrame = {
+    val nt = graft.functions.TextAnalysis.tokenCount(col(textCol)).cast("long")
+    docs
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col(groupCol)).as("n_groups"),
+        countDistinct(col(textCol)).as("n_distinct_texts"),
+        sum(nt).as("total_tokens"),
+        sum(when(nt < shortTokens, 1L).otherwise(0L)).as("short_docs"))
+      .withColumn("dup_docs", col("n_docs") - col("n_distinct_texts"))
+      .withColumn("mean_tokens_milli", expr("total_tokens * 1000 div n_docs"))
+  }
+
   /** `contamination` without the broadcast: the benchmark shingle set rides
     * as a few-MB BLOOM SKETCH predicate over the exploded training
     * shingles, and only the might-match survivors (true hits + the

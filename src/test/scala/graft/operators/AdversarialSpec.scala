@@ -136,6 +136,48 @@ class AdversarialSpec extends AnyFunSuite {
       ("b", hourFloor2106 + 7200, 6.0, true)))
   }
 
+  test("round-6 text ops: empty / whitespace / unicode / emoji docs never throw; " +
+    "empty-text scores are the documented values") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "", "A"),
+      (2L, " ", "A"),
+      (3L, "​", "A"), // zero-width space
+      (4L, "😀", "B"),
+      (5L, "normal words appear here twice normal words appear here twice", "B"))
+      .toDF("doc_id", "text", "source")
+    // hashedLinearScore: total on every row (the empty token "" hashes
+    // like any feature — no null, no throw)
+    val scores = docs
+      .select(col("doc_id"), TextAnalysis.hashedLinearScore(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores.size === 5, "a score row per doc, nulls would have thrown on getLong")
+    // stripBoilerplate: nothing repeats across >= 2 docs of a source here,
+    // so every doc round-trips intact with zero drops
+    val sb = Corpus
+      .stripBoilerplate(docs, "doc_id", "text", "source",
+        lineTokens = 3, maxDocFrac = 0.5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(sb.size === 5 && sb.values.forall(_ === 0L))
+    // bigramCoherence: only doc 5 has >= 2 tokens... doc 5 repeats its
+    // phrase, so every bigram it contains is its own corpus model — all
+    // conditionals near 1 except across the seam
+    val bc = Corpus.bigramCoherence(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // " " splits to TWO empty tokens (split keeps trailing empties, same
+    // as DuckDB string_split) -> doc 2 carries one ("","") bigram; docs
+    // 1/3/4 are single-token and emit nothing
+    assert(bc.keySet === Set(2L, 5L), s"got $bc")
+    assert(bc(5L) === 1000000000L, "a self-repeating doc is fully coherent against its own corpus")
+    assert(bc(2L) === 1000000000L, "the empty-token bigram is its own (trivial) model")
+    // containmentPairs: sub-shingle docs are inert; the identical phrase
+    // halves of doc 5 are WITHIN one doc (no self-pairs) -> no output
+    assert(Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.9).count() === 0L)
+    // datasetCard counts the empty/unicode rows like any others
+    val card = Corpus.datasetCard(docs, "text", "source").collect().head
+    assert(card.getLong(0) === 5L && card.getLong(1) === 2L && card.getLong(5) === 0L)
+  }
+
   test("0-row parquet part file mid-glob neither breaks the scan nor changes results") {
     import spark.implicits._
     val dir = tmp() + "/table"
