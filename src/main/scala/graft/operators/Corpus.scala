@@ -389,6 +389,56 @@ object Corpus {
       .agg(count(lit(1)).as("vocab_used"), sum(term).as("chi2_q"))
   }
 
+  /** Frozen token BASELINE for drift monitoring: the reference corpus's
+    * token census (token, ct) persisted once — the lexical analogue of
+    * `writeUnigramModel`'s frozen posture, consumed by
+    * `divergenceAgainstBaseline` / `CorpusStreams.runDriftMonitor`.
+    */
+  def writeTokenBaseline(docs: DataFrame, textCol: String, dir: String): Unit =
+    graft.operators.Dedup
+      .spread(docs)
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("ct"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Per-group χ² divergence of `batch` against a FROZEN baseline census
+    * (`writeTokenBaseline`): the same observed-support statistic as
+    * `chiSquareDivergence`, but with expected proportions from the
+    * baseline instead of the batch itself — so a batch that matches the
+    * reference distribution scores 0 and a drifted one spikes, regardless
+    * of batch size mix. Tokens the baseline never saw take a pseudo-count
+    * of 1 (+1 floor): novel vocabulary must RAISE the alarm — an inner
+    * join would undercount drift exactly when it is novel-token-shaped.
+    *
+    * Same scale shape as chiSquareDivergence; the baseline is vocab-sized
+    * and joins on the token key. Output: groupCol, vocab_used, chi2_q.
+    */
+  def divergenceAgainstBaseline(
+      batch: DataFrame,
+      groupCol: String,
+      textCol: String,
+      baseline: DataFrame): DataFrame = {
+    val oc = graft.operators.Dedup
+      .spread(batch)
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(false)
+    val ts = oc.groupBy(col(groupCol)).agg(sum(col("o")).as("ts"))
+    val ta = baseline.agg(sum(col("ct")).as("ta"))
+    val d  = (col("o") * col("ta") - col("ct") * col("ts")).cast("double")
+    val term = round(
+      lit(1000000.0) * (d * d) / (col("ct").cast("double") * col("ts") * col("ta")))
+      .cast("long")
+    oc.join(baseline.select(col("token"), col("ct")), Seq("token"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(1L)))
+      .join(ts, Seq(groupCol))
+      .crossJoin(broadcast(ta))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("vocab_used"), sum(term).as("chi2_q"))
+  }
+
   /** Collocation mining by LIFT: bigrams occurring at least `minSupport`
     * times, scored lift = p(w1,w2) / (p(w1·)·p(·w2)) = c12·N / (c1s·c2e)
     * and cut to the global top-`k` — the PMI-family collocation extractor

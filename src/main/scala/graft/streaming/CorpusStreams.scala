@@ -338,6 +338,51 @@ object CorpusStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming DRIFT MONITOR: every drained batch scores its per-source
+    * token distribution against a FROZEN baseline census
+    * (`Corpus.writeTokenBaseline`, trained on a trusted reference corpus)
+    * and appends one audit row per source — (source, batch_id,
+    * vocab_used, chi2_q, alarm) — to `monitorDir`. A scraper breaking, a
+    * spam influx, or a template change spikes chi2_q the batch it lands;
+    * a batch matching the reference distribution scores ~0. The baseline
+    * is frozen by design (the LmGated / EmbedStreams posture): per-batch
+    * re-estimation would let one junk-heavy drain redefine "normal".
+    *
+    * Scoring is batch machinery inside foreachBatch (Corpus
+    * .divergenceAgainstBaseline — census join + per-source aggregate);
+    * replay idempotence rides MergeSink.upsert keyed on
+    * (source, batch_id), so a re-delivered epoch REPLACES its rows
+    * instead of double-counting them.
+    */
+  def runDriftMonitor(
+      spark: SparkSession,
+      rawDir: String,
+      monitorDir: String,
+      baselineDir: String,
+      checkpointDir: String,
+      alarmThreshold: Long,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    docStream(spark, rawDir, maxFilesPerTrigger).writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss     = batch.sparkSession
+        val cached = batch.cache()
+        try if (!cached.isEmpty) {
+          val audit = graft.operators.Corpus
+            .divergenceAgainstBaseline(
+              cached, "source", "text", ss.read.parquet(baselineDir))
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("alarm", col("chi2_q") >= alarmThreshold)
+          MergeSink.upsert(
+            ss, audit, monitorDir,
+            keyCols = Seq("source", "batch_id"), partitionCols = Seq("source"))
+        } finally { cached.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Runnable ingest job: raw JSON docs -> curated, exact-deduped,
     * date-partitioned parquet corpus, merged idempotently on the digest
     * (a replayed batch converges instead of duplicating — MergeSink's

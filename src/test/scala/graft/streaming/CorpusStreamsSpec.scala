@@ -154,4 +154,45 @@ class CorpusStreamsSpec extends AnyFunSuite {
       .awaitTermination()
     assert(spark.read.parquet(corpus).count() === 2)
   }
+
+  test("drift monitor: in-distribution batch scores 0, drifted batch alarms; " +
+    "re-drain with no new files adds nothing") {
+    import spark.implicits._
+    val raw      = tmp("drift-raw")
+    val monitor  = tmp("drift-out") + "/monitor"
+    val baseline = tmp("drift-base") + "/baseline"
+    val ckpt     = tmp("drift-ckpt")
+
+    graft.operators.Corpus.writeTokenBaseline(
+      Seq(good1, good2).toDF("text"), "text", baseline)
+
+    // batch 0: EXACTLY the baseline distribution -> every residual
+    // o*ta - ct*ts is zero -> chi2_q = 0, no alarm
+    writeDocs(raw, "b0.json", Seq(1L -> good1, 2L -> good2))
+    CorpusStreams
+      .runDriftMonitor(spark, raw, monitor, baseline, ckpt, alarmThreshold = 1000000L)
+      .awaitTermination()
+    val r0 = spark.read.parquet(monitor)
+      .select("source", "batch_id", "chi2_q", "alarm")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(r0 === Set(("s0", 0L, 0L, false)), s"clean drain must score exactly 0: $r0")
+
+    // batch 1: novel-vocabulary junk -> +1-floor pseudo-counts spike chi2
+    writeDocs(raw, "b1.json", Seq(3L -> "zzqx9 vvkw7 qqmmz8 xxj3 wwp5 vkz2"))
+    CorpusStreams
+      .runDriftMonitor(spark, raw, monitor, baseline, ckpt, alarmThreshold = 1000000L)
+      .awaitTermination()
+    val r1 = spark.read.parquet(monitor)
+      .select("batch_id", "chi2_q", "alarm")
+      .as[(Long, Long, Boolean)].collect().map { case (b, c, a) => b -> ((c, a)) }.toMap
+    assert(r1(0L) === ((0L, false)))
+    assert(r1(1L)._2 === true, s"novel-token drain must alarm: $r1")
+    assert(r1(1L)._1 >= 1000000L)
+
+    // third drain, no new files: no batch fires, the audit is unchanged
+    CorpusStreams
+      .runDriftMonitor(spark, raw, monitor, baseline, ckpt, alarmThreshold = 1000000L)
+      .awaitTermination()
+    assert(spark.read.parquet(monitor).count() === 2L)
+  }
 }
