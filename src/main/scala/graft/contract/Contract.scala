@@ -2984,6 +2984,26 @@ object Contract {
              |SELECT *, n_docs - n_distinct_texts AS dup_docs,
              |  (total_tokens * 1000) // n_docs AS mean_tokens_milli
              |FROM base""".stripMargin)
+    ),
+    Q(
+      "q128_hits",
+      // HITS hub/authority over the q106 co-purchase chain graph
+      // (LinkGraph.hits): 2 rounds of mutual reinforcement with integer
+      // max-normalization — the oracle replays the recurrence unrolled.
+      (s, d) => {
+        val l = Tables
+          .lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        val edges = l
+          .as("a")
+          .join(
+            l.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("b.l_linenumber") === col("a.l_linenumber") + 1)
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        graft.operators.LinkGraph.hits(edges, "src", "dst", iters = 2)
+      },
+      Some(OracleSql.q128)
     )
   )
 

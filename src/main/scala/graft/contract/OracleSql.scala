@@ -872,6 +872,39 @@ object OracleSql {
        |SELECT id, CAST(score AS BIGINT) AS score FROM s3""".stripMargin
   }
 
+  /** HITS hub/authority replay (LinkGraph.hits, 2 rounds, scale 1e6):
+    * each half-round is a sum over edges + a max-normalize with one
+    * integer multiply-divide — all non-negative, so `//` mirrors Spark's
+    * `div` exactly and the recurrence unrolls into literal CTE stages.
+    */
+  val q128: String = {
+    val scale = 1000000L
+    def half(i: Int): String =
+      s"""ar$i AS (SELECT e.dst AS id, sum(h${i - 1}.hub)::BIGINT AS v
+         |  FROM edges e JOIN h${i - 1} ON e.src = h${i - 1}.id GROUP BY e.dst),
+         |arf$i AS (SELECT n.id, coalesce(ar$i.v, 0)::BIGINT AS v
+         |  FROM nodes n LEFT JOIN ar$i USING (id)),
+         |amx$i AS (SELECT greatest(max(v), 1)::BIGINT AS m FROM arf$i),
+         |a$i AS (SELECT id, (v * $scale) // m AS auth FROM arf$i, amx$i),
+         |hr$i AS (SELECT e.src AS id, sum(a$i.auth)::BIGINT AS v
+         |  FROM edges e JOIN a$i ON e.dst = a$i.id GROUP BY e.src),
+         |hrf$i AS (SELECT n.id, coalesce(hr$i.v, 0)::BIGINT AS v
+         |  FROM nodes n LEFT JOIN hr$i USING (id)),
+         |hmx$i AS (SELECT greatest(max(v), 1)::BIGINT AS m FROM hrf$i),
+         |h$i AS (SELECT id, (v * $scale) // m AS hub FROM hrf$i, hmx$i)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1),
+       |nodes AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+       |h0 AS (SELECT id, $scale AS hub FROM nodes),
+       |${half(1)},
+       |${half(2)}
+       |SELECT n.id, h2.hub::BIGINT AS hub, a2.auth::BIGINT AS auth
+       |FROM nodes n JOIN h2 USING (id) JOIN a2 USING (id)""".stripMargin
+  }
+
   /** Per-source union-MinHash overlap matrix, the twin of
     * `Dedup.signatureOverlapMatrix`: per-doc signatures (same permutations
     * as q30) -> per-source slot minima (MinHash's union property) ->

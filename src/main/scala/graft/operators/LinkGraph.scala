@@ -80,4 +80,69 @@ object LinkGraph {
     }
     scores
   }
+
+  /** HITS hub/authority scores (Kleinberg) — the bipartite companion to
+    * `propagate`: an AUTHORITY is pointed at by good hubs, a HUB points at
+    * good authorities, the two reinforcing mutually. For corpus curation
+    * this separates aggregator/index pages (hubs) from canonical content
+    * (authorities) where PageRank conflates both into one centrality.
+    *
+    * Fixed-point integer arithmetic like `propagate`: each half-round sums
+    * the counterpart score over edges (multi-edges count multiply, same
+    * rule as propagate), then max-normalizes back to `scale` with ONE
+    * integer multiply-divide — all operands non-negative, so Spark `div`
+    * mirrors DuckDB `//` bit for bit and the q128 oracle replays the
+    * recurrence unrolled. Long headroom: deg_max * scale^2 must stay
+    * under 2^63 — the 1e6 default scale allows in/out-degrees to 9e6;
+    * raise scale only with DECIMAL edges.
+    *
+    * Per half-round: one shuffle join + one partial-agg on edges, a one-
+    * row max broadcast, checkpointed flat. Output: id, hub, auth — both
+    * in [0, scale], max node = scale.
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale >= 1, s"scale must be positive, got $scale")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
+    val nodes = e
+      .select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    def norm(raw: DataFrame, valCol: String, outCol: String): DataFrame = {
+      val filled = nodes
+        .join(raw, Seq("id"), "left")
+        .select(col("id"), coalesce(col(valCol), lit(0L)).as("__v"))
+        .localCheckpoint(true)
+      val mx = filled.agg(greatest(max(col("__v")), lit(1L)).as("__m"))
+      filled
+        .crossJoin(broadcast(mx))
+        .select(col("id"), expr(s"__v * ${scale}L div __m").as(outCol))
+        .localCheckpoint(true)
+    }
+    var hub  = nodes.select(col("id"), lit(scale).as("hub"))
+    var auth = nodes.select(col("id"), lit(scale).as("auth"))
+    var iter = 0
+    while (iter < iters) {
+      val ar = e
+        .join(hub.select(col("id").as("src"), col("hub").as("__h")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("__h")).as("__ar"))
+      auth = norm(ar, "__ar", "auth")
+      val hr = e
+        .join(auth.select(col("id").as("dst"), col("auth").as("__a")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(sum(col("__a")).as("__hr"))
+      hub = norm(hr, "__hr", "hub")
+      iter += 1
+    }
+    nodes.join(hub, Seq("id")).join(auth, Seq("id"))
+  }
 }

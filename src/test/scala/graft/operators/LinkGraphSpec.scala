@@ -61,4 +61,21 @@ class LinkGraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(scores === Map(1L -> 1000000000L, 2L -> 1000000000L))
   }
+
+  test("hits: hand-computed 2-round hub/authority scores; pure roles score 0 on the other axis") {
+    import spark.implicits._
+    // hub 1 -> {10,11,12}, hub 2 -> {10}. Round 1: ar=(2,1,1)e6 ->
+    // auth=(1e6, 5e5, 5e5); hr=(2e6, 1e6) -> hub=(1e6, 5e5).
+    // Round 2: ar 10=1.5e6, 11=12=1e6 -> auth=(1e6, 666666, 666666);
+    // hr 1=2333332, 2=1e6 -> hub=(1e6, 1e12//2333332=428571).
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L)).toDF("src", "dst")
+    val got = LinkGraph
+      .hits(edges, "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((1000000L, 0L)), "the broad hub is the max hub; it has no in-links")
+    assert(got(2L) === ((428571L, 0L)))
+    assert(got(10L) === ((0L, 1000000L)), "the doubly-cited authority is the max authority")
+    assert(got(11L) === ((0L, 666666L)))
+    assert(got(12L) === ((0L, 666666L)))
+  }
 }
