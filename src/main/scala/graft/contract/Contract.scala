@@ -3004,6 +3004,28 @@ object Contract {
         graft.operators.LinkGraph.hits(edges, "src", "dst", iters = 2)
       },
       Some(OracleSql.q128)
+    ),
+    Q(
+      "q129_triangles",
+      // triangle census + local clustering coefficient over the q106
+      // co-purchase chain graph (LinkGraph.triangles): degree-ordered
+      // wedge enumeration — O(m^1.5) bound, hub-proof — vs the oracle's
+      // id-ordered 3-join; both count each triangle once, so every cell
+      // is an exact integer.
+      (s, d) => {
+        val l = Tables
+          .lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        val edges = l
+          .as("a")
+          .join(
+            l.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("b.l_linenumber") === col("a.l_linenumber") + 1)
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        graft.operators.LinkGraph.triangles(edges, "src", "dst")
+      },
+      Some(OracleSql.q129)
     )
   )
 

@@ -942,4 +942,40 @@ object OracleSql {
       |  upper(hex(substring(text, 1, 16)::BLOB)) AS w0,
       |  upper(hex(substring(text, 257, 16)::BLOB)) AS w1
       |FROM documents""".stripMargin
+
+  /** Triangle census over the q106 co-purchase chain graph. The oracle
+    * enumerates triangles by ID order (u < v guaranteed by the canonical
+    * undirected edge list, so e1=(a,b), e2=(b,c), e3=(a,c) finds each
+    * triangle exactly once); the Spark side enumerates by DEGREE order —
+    * both satisfy the once-per-triangle invariant, so the per-node counts
+    * are identical integers and the compare needs no tolerance. `//` on
+    * non-negative BIGINTs mirrors Spark `div`.
+    */
+  val q129: String =
+    """WITH dir AS (
+      |  SELECT a.l_partkey AS s, b.l_partkey AS t
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1),
+      |und AS (
+      |  SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+      |  FROM dir WHERE s <> t),
+      |deg AS (
+      |  SELECT id, count(*)::BIGINT AS deg FROM
+      |    (SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM und e1
+      |  JOIN und e2 ON e2.u = e1.v
+      |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |corners AS (
+      |  SELECT a AS id FROM tri
+      |  UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri),
+      |tcnt AS (SELECT id, count(*)::BIGINT AS tri FROM corners GROUP BY 1)
+      |SELECT d.id, d.deg,
+      |  coalesce(t.tri, 0)::BIGINT AS tri,
+      |  (CASE WHEN d.deg >= 2
+      |        THEN (2 * coalesce(t.tri, 0) * 1000000) // (d.deg * (d.deg - 1))
+      |        ELSE 0 END)::BIGINT AS clust_x1e6
+      |FROM deg d LEFT JOIN tcnt t USING (id)""".stripMargin
 }

@@ -145,4 +145,93 @@ object LinkGraph {
     }
     nodes.join(hub, Seq("id")).join(auth, Seq("id"))
   }
+
+  /** Per-node triangle count + local clustering coefficient — the standard
+    * link-spam / community-cohesion signal (a page farm is a near-clique;
+    * organic link neighborhoods are sparse). Directed multi-edges collapse
+    * to a simple undirected graph first: `least/greatest` canonicalization,
+    * self-loops dropped, `distinct`.
+    *
+    * Scale posture — DEGREE-ORDERED orientation (Ortmann/Brandes "compact
+    * forward"): every undirected edge is oriented from its lower-(deg, id)
+    * endpoint to the higher, so wedges are generated at each triangle's
+    * LOWEST-degree corner and the wedge count is bounded by O(m^1.5)
+    * regardless of hubs — a 10^6-degree hub generates no wedges unless its
+    * neighbors are equally hot, where an id-ordered or naive enumeration
+    * would emit deg^2 ≈ 10^12 from that one node. Three equi-join shuffles
+    * on edge keys, no driver state; each triangle found exactly once, so
+    * per-node counts are exact integers and the id-ordered DuckDB oracle
+    * (same once-per-triangle invariant, different traversal order)
+    * hash-matches without any float tolerance.
+    *
+    * `clust_x1e6 = (2 * tri * scale) div (deg * (deg - 1))` — all operands
+    * non-negative longs, so Spark `div` mirrors DuckDB `//` exactly; nodes
+    * with deg < 2 report 0.
+    */
+  def triangles(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val und = edges
+      .select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true) // reused: degrees, orientation, closure probe
+    val deg = und
+      .select(col("u").as("id"))
+      .union(und.select(col("v").as("id")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // orient each edge low-rank -> high-rank, rank = (deg, id); carry the
+    // head's rank so the wedge join can order the two heads without a
+    // second degree lookup
+    val oriented = und
+      .join(deg.select(col("id").as("u"), col("deg").as("__du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("__dv")), Seq("v"))
+      .select(
+        when(col("__du") < col("__dv") ||
+          (col("__du") === col("__dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("a"),
+        when(col("__du") < col("__dv") ||
+          (col("__du") === col("__dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("b"),
+        greatest(col("__du"), col("__dv")).as("__db"))
+      .localCheckpoint(true)
+    // wedges at the lowest-rank corner: (a->b, a->c) with rank(b) < rank(c);
+    // closed iff the oriented edge b->c exists (it is oriented b->c by
+    // transitivity of the rank order). Distinct column names per leg — the
+    // three legs share the checkpointed `oriented` lineage.
+    val e1 = oriented
+      .select(col("a").as("ta"), col("b").as("tb"), col("__db").as("__rb"))
+    val e2 = oriented
+      .select(col("a").as("ua"), col("b").as("tc"), col("__db").as("__rc"))
+    val wedges = e1
+      .join(e2,
+        col("ta") === col("ua") &&
+          (col("__rb") < col("__rc") ||
+            (col("__rb") === col("__rc") && col("tb") < col("tc"))))
+      .select(col("ta"), col("tb"), col("tc"))
+    val tris = wedges
+      .join(oriented.select(col("a").as("tb"), col("b").as("tc")), Seq("tb", "tc"))
+      .select(col("ta"), col("tb"), col("tc"))
+    val perNode = tris
+      .select(col("ta").as("id"))
+      .union(tris.select(col("tb").as("id")))
+      .union(tris.select(col("tc").as("id")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("tri"))
+    deg
+      .join(perNode, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") >= 2,
+          expr(s"(2 * coalesce(tri, 0L) * ${scale}L) div (deg * (deg - 1L))"))
+          .otherwise(lit(0L)).as("clust_x1e6"))
+  }
 }

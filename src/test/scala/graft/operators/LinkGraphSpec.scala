@@ -78,4 +78,41 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got(11L) === ((0L, 666666L)))
     assert(got(12L) === ((0L, 666666L)))
   }
+
+  test("triangles: hand-computed counts; multi-edges collapse, self-loops drop") {
+    import spark.implicits._
+    // undirected simple graph after canonicalization:
+    // {1-2, 2-3, 1-3, 3-4, 4-5, 3-5, 2-4}; (2,1) duplicates 1-2, (5,3)
+    // duplicates 3-5, (6,6) is a self-loop -> node 6 vanishes (no edges).
+    // Triangles: {1,2,3}, {2,3,4}, {3,4,5}.
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (3L, 5L), (5L, 3L), (6L, 6L), (2L, 4L)).toDF("src", "dst")
+    val got = LinkGraph
+      .triangles(edges, "src", "dst")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, 1000000L)),
+      2L -> ((3L, 2L, 666666L)),
+      3L -> ((4L, 3L, 500000L)),
+      4L -> ((3L, 2L, 666666L)),
+      5L -> ((2L, 1L, 1000000L))))
+  }
+
+  test("triangles: triangle-free star scores 0; partitioning-invariant") {
+    import spark.implicits._
+    val star = (2L to 40L).map(i => (1L, i)).toDF("src", "dst")
+    val s = LinkGraph.triangles(star, "src", "dst").collect()
+    assert(s.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+    assert(s.length == 40)
+    val edges = (1L to 300L).map(i => (i % 23, (i * 7) % 23 + 1))
+    val df    = edges.toDF("src", "dst")
+    val a = LinkGraph.triangles(df, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = LinkGraph.triangles(df.repartition(13), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a === b)
+  }
 }
