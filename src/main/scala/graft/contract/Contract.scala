@@ -3026,6 +3026,42 @@ object Contract {
         graft.operators.LinkGraph.triangles(edges, "src", "dst")
       },
       Some(OracleSql.q129)
+    ),
+    Q(
+      "q130_bigram_nll",
+      // interpolated bigram LM fluency (Corpus.bigramNll): mean negative
+      // log-likelihood in micro-nats under λ=0.9 corpus-conditional +
+      // 0.1 add-one unigram backoff. The mixture is an exact integer
+      // rational; both engines pay ONE identical double division and one
+      // ln per distinct (doc, w1, w2), then integer sums — so the
+      // compare rides q99's ulp class with strictly fewer float ops.
+      (s, d) =>
+        graft.operators.Corpus.bigramNll(Tables.documents(s, d), "doc_id", "text"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |uni AS (
+             |  SELECT term, count(*)::BIGINT AS uf
+             |  FROM (SELECT unnest(tk) AS term FROM toks) GROUP BY 1),
+             |st AS (SELECT (sum(uf) + count(*))::BIGINT AS nv FROM uni),
+             |bg AS (
+             |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+             |  FROM toks, UNNEST(range(1, len(tk))) AS t(i)
+             |  WHERE len(tk) >= 2),
+             |bgc AS (
+             |  SELECT doc_id, w1, w2, count(*)::BIGINT AS k
+             |  FROM bg GROUP BY doc_id, w1, w2),
+             |c12 AS (SELECT w1, w2, sum(k)::BIGINT AS cnt12 FROM bgc GROUP BY w1, w2),
+             |c1  AS (SELECT w1, sum(k)::BIGINT AS cnt1 FROM bgc GROUP BY w1),
+             |sc AS (
+             |  SELECT doc_id, k,
+             |    round(ln((100 * cnt1 * nv)::DOUBLE
+             |             / (90 * cnt12 * nv + 10 * cnt1 * (uf + 1))::DOUBLE)
+             |          * 1000000)::BIGINT AS nllq
+             |  FROM bgc JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+             |  JOIN uni ON uni.term = bgc.w2 CROSS JOIN st)
+             |SELECT doc_id, sum(k)::BIGINT AS n_bigrams,
+             |  (sum(k * nllq)::BIGINT) // (sum(k)::BIGINT) AS nll_x1e6
+             |FROM sc GROUP BY doc_id""".stripMargin)
     )
   )
 

@@ -342,6 +342,83 @@ object Corpus {
         expr("sum(k * pq) div sum(k)").as("coherence_q"))
   }
 
+  /** Interpolated bigram language-model fluency score — the KenLM-lite
+    * upgrade of `bigramCoherence`: each adjacent pair scores the MIXTURE
+    * p = λ·p(w2|w1) + (1−λ)·p_uni(w2), where p(w2|w1) = c(w1,w2)/c(w1·)
+    * is the corpus conditional and p_uni is the add-one-smoothed unigram
+    * (q99's model), so unseen transitions get unigram mass instead of the
+    * raw conditional's zero. Output is mean NEGATIVE log-likelihood in
+    * integer micro-nats (`nll_x1e6`, lower = more fluent) — the standard
+    * CCNet/KenLM document-quality axis.
+    *
+    * Cross-engine exactness: with λ = lambdaPct/100 the mixture is the
+    * exact RATIONAL (λp·cb·(N+V) + (100−λp)·c1·(u2+1)) /
+    * (100·c1·(N+V)) — numerator and denominator are exact 64-bit
+    * integers, each < 2^53 at any SF this repo runs, so casting to double
+    * is exact, the single division is correctly rounded identically in
+    * both engines, and `ln(den/num)` (≥ 0 — the mixture never exceeds 1)
+    * differs by at most 1 ulp before quantization to micro-nats. The
+    * per-doc mean is then an order-free integer sum with ONE final
+    * integer division, all operands non-negative, so Spark `div` mirrors
+    * DuckDB `//`. Beyond ~2^53 total tokens the numerator needs a
+    * DECIMAL leg — document-scale corpora hit that at ~1000× this
+    * engine's test envelope.
+    *
+    * Scale shape: same as `bigramCoherence` — bigrams collapse to
+    * per-(doc, w1, w2) counts first (one partial-agg shuffle,
+    * checkpointed for its three consumers); model tables (c12, c1,
+    * unigram) aggregate from vocab-sized tables and ride the same join
+    * keys; the one-row (N, V) stats table broadcasts. Docs with < 2
+    * tokens emit nothing.
+    */
+  def bigramNll(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lambdaPct: Int = 90): DataFrame = {
+    require(lambdaPct >= 1 && lambdaPct <= 99,
+      s"lambdaPct must be in [1,99], got $lambdaPct")
+    val toks = split(col(textCol), " ")
+    val bgc = graft.operators.Dedup
+      .spread(docs)
+      .filter(size(toks) >= 2)
+      .select(
+        col(idCol),
+        explode(transform(
+          sequence(lit(1), size(toks) - 1),
+          i =>
+            struct(
+              element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2")))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint(false)
+    val c12 = bgc.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("cnt12"))
+    val c1  = bgc.groupBy(col("w1")).agg(sum(col("k")).as("cnt1"))
+    val uni = docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("uf"))
+    val stats = uni.agg(
+      (sum(col("uf")) + count(lit(1))).as("nv")) // N + V, one broadcast cell
+    bgc
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("uf").as("uf2")), Seq("w2"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__den", expr("100L * cnt1 * nv"))
+      .withColumn("__num",
+        expr(s"${lambdaPct}L * cnt12 * nv + ${100 - lambdaPct}L * cnt1 * (uf2 + 1L)"))
+      .withColumn("__nllq",
+        round(log(col("__den").cast("double") / col("__num").cast("double"))
+          * lit(1000000d)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("k")).as("n_bigrams"),
+        expr("sum(k * __nllq) div sum(k)").as("nll_x1e6"))
+  }
+
   /** Per-source token-distribution DIVERGENCE from the corpus: the
     * observed-support χ² statistic Σ_t (o_t·T − c_t·s)² / (c_t·s·T)
     * (o = token count in the source, c = corpus count, s = source total,

@@ -438,6 +438,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(!out.contains(3L), "single-token docs emit no bigram rows")
   }
 
+  test("bigramNll: hand-computed interpolated mixture in micro-nats; repartition-stable") {
+    import spark.implicits._
+    // unigrams over ALL tokens (doc 3 included): a=3 b=2 c=1 solo=1 ->
+    // N=7, V=4, nv=11. Bigram-first counts: c1(a)=3, c1(b)=1.
+    // Mixture num/den per pair (λ=90): den=100*c1*11,
+    // num=90*cnt12*11 + 10*c1*(uf2+1).
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo")).toDF("doc_id", "text")
+    def nll(den: Long, num: Long): Long =
+      Math.round(math.log(den.toDouble / num.toDouble) * 1e6)
+    val ab = nll(3300, 90 * 2 * 11 + 10 * 3 * 3) // (a,b): cnt12=2, uf(b)=2
+    val ba = nll(1100, 90 * 1 * 11 + 10 * 1 * 4) // (b,a): cnt12=1, uf(a)=3
+    val ac = nll(3300, 90 * 1 * 11 + 10 * 3 * 2) // (a,c): cnt12=1, uf(c)=1
+    def run(d: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      Corpus.bigramNll(d, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val out = run(docs)
+    assert(out(1L) === ((3L, (2 * ab + ba) / 3)))
+    assert(out(2L) === ((1L, ac)))
+    assert(!out.contains(3L), "single-token docs emit no bigram rows")
+    assert(run(docs.repartition(7)) === out)
+  }
+
+  test("bigramNll: corpus-frequent transitions score more fluent than word salad") {
+    import spark.implicits._
+    val natural = (1L to 30L).map(i => (i, "the cat sat on the mat"))
+    val docs    = (natural :+ ((99L, "mat the on cat the sat"))).toDF("doc_id", "text")
+    val out = Corpus.bigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) < out(99L),
+      s"natural ${out(1L)} should beat shuffled ${out(99L)}")
+  }
+
   test("vocabCoverage: smallest top-k by (count desc, token asc) reaching the mass bar") {
     import spark.implicits._
     // census: a x4, b x2, c x1 -> total 7. 70% bar = cum*1000 >= 4900:
