@@ -3062,6 +3062,18 @@ object Contract {
              |SELECT doc_id, sum(k)::BIGINT AS n_bigrams,
              |  (sum(k * nllq)::BIGINT) // (sum(k)::BIGINT) AS nll_x1e6
              |FROM sc GROUP BY doc_id""".stripMargin)
+    ),
+    Q(
+      "q131_cluster_silhouette",
+      // per-vector simplified silhouette vs label centroids
+      // (Similarity.clusterSilhouette): exact integer distances + IEEE
+      // sqrt — zero float tolerance; the scoring pass is a pure
+      // projection over a broadcast centroid literal (no join, no
+      // shuffle).
+      (s, d) =>
+        Similarity.clusterSilhouette(
+          Tables.embeddings(s, d), "label", "embedding"),
+      Some(OracleSql.q131)
     )
   )
 

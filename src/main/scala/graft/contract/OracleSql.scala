@@ -978,4 +978,37 @@ object OracleSql {
       |        THEN (2 * coalesce(t.tri, 0) * 1000000) // (d.deg * (d.deg - 1))
       |        ELSE 0 END)::BIGINT AS clust_x1e6
       |FROM deg d LEFT JOIN tcnt t USING (id)""".stripMargin
+
+  /** Simplified silhouette vs label centroids, replaying the Spark recipe
+    * exactly: quantize to integer micro-units, centroid = one rounded
+    * division, EXACT integer squared distances, sqrt (IEEE correctly
+    * rounded — identical in both engines), one double multiply/divide of
+    * exact integers, half-away-from-zero round. No ulp tolerance needed.
+    */
+  val q131: String =
+    """WITH q AS (
+      |  SELECT vec_id, label::BIGINT AS label,
+      |         list_transform(embedding, x -> round(x::DOUBLE * 1000000)::BIGINT) AS xq
+      |  FROM embeddings WHERE label IS NOT NULL),
+      |cpos AS (
+      |  SELECT label AS g, i AS pos,
+      |         round(sum(xq[i])::DOUBLE / count(*))::BIGINT AS c
+      |  FROM q, UNNEST(range(1, len(xq) + 1)) AS t(i)
+      |  GROUP BY label, i),
+      |cent AS (SELECT g, list(c ORDER BY pos) AS cv FROM cpos GROUP BY g),
+      |d AS (
+      |  SELECT q.vec_id, q.label, cent.g,
+      |    round(sqrt(list_sum(list_transform(range(1, len(q.xq) + 1),
+      |      i -> (q.xq[i] - cent.cv[i]) * (q.xq[i] - cent.cv[i])))::DOUBLE))::BIGINT
+      |      AS dist
+      |  FROM q CROSS JOIN cent),
+      |ab AS (
+      |  SELECT vec_id, label,
+      |    min(CASE WHEN g = label THEN dist END)  AS a_q,
+      |    min(CASE WHEN g <> label THEN dist END) AS b_q
+      |  FROM d GROUP BY vec_id, label)
+      |SELECT vec_id, label, a_q::BIGINT AS a_q, b_q::BIGINT AS b_q,
+      |  round((b_q - a_q)::DOUBLE * 1000000
+      |        / greatest(greatest(a_q, b_q), 1)::DOUBLE)::BIGINT AS sil_x1e6
+      |FROM ab""".stripMargin
 }

@@ -837,6 +837,86 @@ object Similarity {
           .as("centroid_cos"))
   }
 
+  /** Per-vector SIMPLIFIED SILHOUETTE against group centroids — the
+    * cluster-quality audit for a labeled/clustered embedding corpus:
+    * a = distance to the OWN group's centroid, b = distance to the nearest
+    * OTHER centroid, sil = (b − a) / max(a, b) ∈ [−1e6, 1e6] micro-units.
+    * Negative silhouette rows sit closer to a foreign centroid than their
+    * own — mislabeled documents, drifted clusters, or stale IVF cells
+    * (the audit twin of `centroidCosineMatrix`'s group fingerprint).
+    *
+    * Cross-engine exact: centroids quantize by the `centroidCosineMatrix`
+    * recipe (integer micro-units, exact long sums, one rounded division),
+    * per-row squared distances are EXACT long arithmetic, and the only
+    * float ops are IEEE-exact on both engines — sqrt of an
+    * exactly-representable long (correctly rounded by spec), one double
+    * multiply/divide of exact integers, and a half-away-from-zero round.
+    * No ulp tolerance needed anywhere, unlike the ln-based scores.
+    *
+    * Scale: one posexplode partial-agg shuffle for centroids, a bounded
+    * |groups|×dim driver collect (the k-means-state precedent), then the
+    * scoring pass is a PURE PROJECTION over a centroid literal — zero
+    * shuffle, zero join, codegen-friendly, embarrassingly parallel at any
+    * corpus size. Null-group rows are dropped; with a single group `b_q`
+    * and `sil_x1e6` are null (no "other" centroid exists).
+    */
+  def clusterSilhouette(
+      vecs: DataFrame,
+      groupCol: String,
+      embCol: String,
+      idCol: String = "vec_id",
+      quantum: Double = 1e6): DataFrame = {
+    val rows = vecs.filter(col(groupCol).isNotNull)
+    val cent = rows
+      .select(col(groupCol).cast("long").as("g"), posexplode(col(embCol)))
+      .select(col("g"), col("pos"),
+        round(col("col").cast("double") * quantum).cast("long").as("q"))
+      .groupBy("g", "pos")
+      .agg(sum("q").as("s"), count(lit(1)).as("n"))
+      .select(col("g"), col("pos"),
+        round(col("s").cast("double") / col("n")).cast("long").as("c"))
+      .groupBy("g")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cent"))
+    // bounded driver state: |groups| x dim longs (k-means-centroid class)
+    val cents: Array[(Long, Seq[Long])] = cent
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "clusterSilhouette: no non-null groups")
+    val centLit = array(cents.map { case (g, v) =>
+      struct(lit(g).as("g"), array(v.map(lit(_)): _*).as("cv"))
+    }: _*)
+    val xq = transform(col(embCol),
+      v => round(v.cast("double") * quantum).cast("long"))
+    def distTo(cv: Column): Column =
+      round(sqrt(aggregate(
+        zip_with(col("__xq"), cv, (p, q) => (p - q) * (p - q)),
+        lit(0L), (acc, v) => acc + v).cast("double"))).cast("long")
+    val dists = transform(centLit,
+      c => struct(c.getField("g").as("g"), distTo(c.getField("cv")).as("d")))
+    rows
+      .select(col(idCol), col(groupCol).cast("long").as("label"), xq.as("__xq"))
+      .select(col(idCol), col("label"), dists.as("__d"))
+      .select(
+        col(idCol),
+        col("label"),
+        element_at(filter(col("__d"), s => s.getField("g") === col("label")), 1)
+          .getField("d").as("a_q"),
+        array_min(transform(
+          filter(col("__d"), s => s.getField("g") =!= col("label")),
+          s => s.getField("d"))).as("b_q"))
+      .select(
+        col(idCol),
+        col("label"),
+        col("a_q"),
+        col("b_q"),
+        round((col("b_q") - col("a_q")).cast("double") * lit(1000000d)
+          / greatest(greatest(col("a_q"), col("b_q")), lit(1L)).cast("double"))
+          .cast("long").as("sil_x1e6"))
+  }
+
   def ivfPqTopK(
       emb: DataFrame,
       probePred: Column,

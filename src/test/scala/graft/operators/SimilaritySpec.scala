@@ -218,4 +218,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(m((0, 4)) - math.sqrt(0.5)) < 1e-9,
       "averaged centroid must sit at 45 degrees")
   }
+
+  test("clusterSilhouette: tight clusters near +1e6, planted mislabel negative, exact hand values") {
+    import spark.implicits._
+    // label 0 centroid (0,0); label 1 centroid (10e6, 0) in quanta.
+    // vec 5 carries label 0 but sits AT label 1's centroid-ish -> a >> b.
+    val vecs = Seq(
+      (1L, 0, Seq(0f, 0f)), (2L, 0, Seq(0f, 0f)),
+      (3L, 1, Seq(10f, 0f)), (4L, 1, Seq(10f, 0f)),
+      (5L, 0, Seq(10f, 0f))).toDF("vec_id", "label", "embedding")
+    // centroids: label 0 = mean of (0,0),(0,0),(10e6,0) = (3333333,0)
+    //            label 1 = (10e6, 0)
+    val out = Similarity.clusterSilhouette(vecs, "label", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val a1 = 3333333L             // vec 1: dist to own centroid
+    val b1 = 10000000L            // to label-1 centroid
+    assert(out(1L) === ((a1, b1,
+      Math.round((b1 - a1).toDouble * 1e6 / b1))))
+    assert(out(3L) === ((0L, 6666667L, 1000000L)), "at own centroid: sil = +1e6")
+    val a5 = 6666667L             // vec 5 (mislabeled): own centroid is far
+    val b5 = 0L
+    assert(out(5L) === ((a5, b5, Math.round((b5 - a5).toDouble * 1e6 / a5))),
+      "mislabeled row must score negative")
+    assert(out(5L)._3 === -1000000L)
+  }
+
+  test("clusterSilhouette: single group yields null b/sil; null labels drop; repartition-stable") {
+    import spark.implicits._
+    val one = Seq((1L, 0, Seq(1f, 2f)), (2L, 0, Seq(3f, 4f))).toDF("vec_id", "label", "embedding")
+    val rows = Similarity.clusterSilhouette(one, "label", "embedding").collect()
+    assert(rows.length == 2 && rows.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+    val mixed = Seq(
+      (1L, Some(0), Seq(0f, 0f)), (2L, Some(1), Seq(5f, 5f)),
+      (3L, None, Seq(9f, 9f))).toDF("vec_id", "label", "embedding")
+    val got = Similarity.clusterSilhouette(mixed, "label", "embedding")
+    assert(got.count() == 2, "null-label rows drop")
+    val a = got.collect().map(_.toSeq).toSet
+    val b = Similarity.clusterSilhouette(mixed.repartition(7), "label", "embedding")
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
 }
