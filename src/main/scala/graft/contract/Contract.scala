@@ -3074,6 +3074,23 @@ object Contract {
         Similarity.clusterSilhouette(
           Tables.embeddings(s, d), "label", "embedding"),
       Some(OracleSql.q131)
+    ),
+    Q(
+      "q132_eval_contamination",
+      // reverse contamination report (Corpus.evalContaminationRate): per
+      // EVAL doc, the fraction of its shingles found anywhere in the
+      // train split — q56's mirror; the corpus side never shuffles, the
+      // bench probe set broadcasts. Same q53 splits, same q32 shingles.
+      (s, d) => {
+        import graft.operators.{Corpus, Splits}
+        val docs = Tables.documents(s, d)
+        val split = Splits.splitLabel(
+          col("doc_id"), Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        Corpus.evalContaminationRate(
+          docs.filter(split === "train"), docs.filter(split === "test"),
+          "doc_id", "text", n = 3, threshold = 0.5)
+      },
+      Some(OracleSql.q132)
     )
   )
 

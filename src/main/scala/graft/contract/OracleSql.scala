@@ -1011,4 +1011,28 @@ object OracleSql {
       |  round((b_q - a_q)::DOUBLE * 1000000
       |        / greatest(greatest(a_q, b_q), 1)::DOUBLE)::BIGINT AS sil_x1e6
       |FROM ab""".stripMargin
+
+  /** Eval-side contamination mirror (q132): q56's splits and shingles, the
+    * report keyed by the TEST doc — fraction of its distinct shingles
+    * found anywhere in the train split.
+    */
+  val q132: String =
+    s"""WITH ${shingleCtes()},
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |          ((((doc_id % 1000000007) + 1000000007) % 1000000007) * 2654435761 % 1000000007) % 10000 AS bucket
+       |        FROM documents)),
+       |bn AS (SELECT hs.doc_id AS doc_id, hh FROM hs JOIN sp USING (doc_id) WHERE split = 'test'),
+       |eh AS (SELECT doc_id, unnest(hh) AS h FROM bn),
+       |ch AS (SELECT DISTINCT unnest(hh) AS h FROM hs JOIN sp USING (doc_id) WHERE split = 'train'),
+       |m AS (SELECT eh.doc_id AS doc_id, COUNT(*) AS nm FROM eh JOIN ch USING (h) GROUP BY eh.doc_id)
+       |SELECT bn.doc_id, len(hh)::INTEGER AS n_shingles,
+       |  COALESCE(nm, 0)::BIGINT AS n_matched,
+       |  CASE WHEN len(hh) > 0 THEN COALESCE(nm, 0)::DOUBLE / len(hh) ELSE 0.0 END
+       |    AS contamination_rate,
+       |  (CASE WHEN len(hh) > 0 THEN COALESCE(nm, 0)::DOUBLE / len(hh) ELSE 0.0 END) >= 0.5
+       |    AS contaminated
+       |FROM bn LEFT JOIN m USING (doc_id)""".stripMargin
 }

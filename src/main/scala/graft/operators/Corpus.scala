@@ -56,6 +56,64 @@ object Corpus {
       .withColumn("contaminated", col("overlap") >= threshold)
   }
 
+  /** The REVERSE contamination direction — the GPT-3-style eval-integrity
+    * report: for each BENCHMARK document, the fraction of its distinct
+    * n-gram shingles that appear anywhere in the training corpus. `q56`
+    * answers "which train docs leak eval text" (and drops them); this
+    * answers "how compromised is each eval item" — the number a model card
+    * must report even for the contamination that stays in.
+    *
+    * Scale shape is the MIRROR of `contamination`'s: here the corpus side
+    * is the 100 TB one, so its shingle universe can neither broadcast nor
+    * globally distinct. Instead the (bench_id, shingle) probe set — eval
+    * suites are tiny by construction — broadcasts to a map-side hash join
+    * over the corpus's exploded shingles, and the matches collapse by
+    * (bench_id, shingle) with map-side partial aggregation BEFORE the
+    * per-doc count, so the one shuffle is bounded by the probe set's size
+    * regardless of how hot a shingle is in the corpus. The corpus is
+    * scanned once and never shuffled.
+    *
+    * Output: idCol (bench doc), n_shingles, n_matched, contamination_rate
+    * in [0,1], contaminated (rate >= threshold). Bench docs with fewer
+    * than n tokens report 0 shingles and rate 0.0.
+    */
+  def evalContaminationRate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    val eh = bench
+      .select(col(idCol), Dedup.shingleHashes(col(textCol), n).as("__hh"))
+      .select(
+        col(idCol),
+        size(col("__hh")).as("__ns"),
+        explode_outer(col("__hh")).as("__h"))
+    val probe = eh
+      .filter(col("__h").isNotNull)
+      .select(col(idCol).as("__bid"), col("__h"))
+    val hits = corpus
+      .select(explode(Dedup.shingleHashes(col(textCol), n)).as("__ch"))
+      .join(broadcast(probe), col("__ch") === col("__h"))
+      .groupBy(col("__bid"), col("__h"))
+      .agg(count(lit(1)).as("__dup")) // collapse corpus multiplicity map-side
+      .groupBy(col("__bid"))
+      .agg(count(lit(1)).as("__nhit"))
+    eh.groupBy(col(idCol))
+      .agg(max(col("__ns")).as("n_shingles"))
+      .join(hits, col(idCol) === col("__bid"), "left")
+      .select(
+        col(idCol),
+        col("n_shingles"),
+        coalesce(col("__nhit"), lit(0L)).as("n_matched"),
+        when(col("n_shingles") > 0,
+          coalesce(col("__nhit"), lit(0L)).cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)).as("contamination_rate"))
+      .withColumn("contaminated", col("contamination_rate") >= threshold)
+  }
+
   /** TF-IDF top-k terms per document: tf = occurrences of the term in the
     * doc, df = number of docs containing it, score = tf * (N / df). The idf
     * is kept RATIONAL (one divide, one multiply — bit-identical IEEE ops in

@@ -460,6 +460,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(run(docs.repartition(7)) === out)
   }
 
+  test("evalContaminationRate: full leak 1.0 flagged, partial fraction, short doc 0.0") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "totally unrelated corpus text here")).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "the quick brown fox"),       // both shingles in corpus -> 1.0
+      (11L, "the quick brown zebra leaps"), // 1 of 3 shingles leaked
+      (12L, "hi there")).toDF("doc_id", "text") // < 3 tokens: no shingles
+    val out = Corpus
+      .evalContaminationRate(corpus, bench, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out(10L) === ((2, 2L, 1.0, true)))
+    assert(out(11L) === ((3, 1L, 1.0 / 3, false)))
+    assert(out(12L) === ((0, 0L, 0.0, false)))
+  }
+
   test("bigramNll: corpus-frequent transitions score more fluent than word salad") {
     import spark.implicits._
     val natural = (1L to 30L).map(i => (i, "the cat sat on the mat"))
