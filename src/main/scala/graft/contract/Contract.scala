@@ -3091,6 +3091,44 @@ object Contract {
           "doc_id", "text", n = 3, threshold = 0.5)
       },
       Some(OracleSql.q132)
+    ),
+    Q(
+      "q133_cluster_exemplars",
+      // per-label prototypes (Similarity.clusterExemplars): 3 rows
+      // closest to their own quantized centroid, bounded-heap cut —
+      // exact integer distances, no float tolerance.
+      (s, d) =>
+        Similarity.clusterExemplars(
+          Tables.embeddings(s, d), "label", "embedding", k = 3),
+      Some(OracleSql.q133)
+    ),
+    Q(
+      "q134_hard_negatives",
+      // contrastive hard-negative mining (Similarity.hardNegatives):
+      // top-5 cosine look-alikes under a DIFFERENT label per probe —
+      // q25's broadcast-probe plan with the label inequality fused into
+      // the join; ranks compare (cos carried out of the hash like q25).
+      (s, d) =>
+        Similarity
+          .hardNegatives(Tables.embeddings(s, d), col("vec_id") < 10, "label", 5)
+          .select(col("probe_id"), col("rnk"), col("neighbor_id")),
+      Some("""WITH n AS (
+             |  SELECT vec_id, label, embedding,
+             |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             |                (a, b) -> a + b) AS n2
+             |  FROM embeddings),
+             |pairs AS (
+             |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             |    list_reduce(list_transform(range(1, len(p.embedding) + 1),
+             |                  i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+             |                (a, b) -> a + b) / (sqrt(p.n2) * sqrt(c.n2)) AS cos
+             |  FROM n p, n c
+             |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id AND c.label <> p.label),
+             |ranked AS (
+             |  SELECT probe_id, neighbor_id,
+             |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+             |  FROM pairs)
+             |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin)
     )
   )
 

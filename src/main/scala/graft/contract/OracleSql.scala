@@ -985,8 +985,11 @@ object OracleSql {
     * rounded — identical in both engines), one double multiply/divide of
     * exact integers, half-away-from-zero round. No ulp tolerance needed.
     */
-  val q131: String =
-    """WITH q AS (
+  /** Shared q131/q133 CTEs: quantized embeddings + per-label centroids
+    * (the Spark `quantCentroids` recipe replayed in SQL).
+    */
+  private val centCtes: String =
+    """q AS (
       |  SELECT vec_id, label::BIGINT AS label,
       |         list_transform(embedding, x -> round(x::DOUBLE * 1000000)::BIGINT) AS xq
       |  FROM embeddings WHERE label IS NOT NULL),
@@ -995,7 +998,10 @@ object OracleSql {
       |         round(sum(xq[i])::DOUBLE / count(*))::BIGINT AS c
       |  FROM q, UNNEST(range(1, len(xq) + 1)) AS t(i)
       |  GROUP BY label, i),
-      |cent AS (SELECT g, list(c ORDER BY pos) AS cv FROM cpos GROUP BY g),
+      |cent AS (SELECT g, list(c ORDER BY pos) AS cv FROM cpos GROUP BY g)""".stripMargin
+
+  val q131: String =
+    s"""WITH $centCtes,
       |d AS (
       |  SELECT q.vec_id, q.label, cent.g,
       |    round(sqrt(list_sum(list_transform(range(1, len(q.xq) + 1),
@@ -1035,4 +1041,21 @@ object OracleSql {
        |  (CASE WHEN len(hh) > 0 THEN COALESCE(nm, 0)::DOUBLE / len(hh) ELSE 0.0 END) >= 0.5
        |    AS contaminated
        |FROM bn LEFT JOIN m USING (doc_id)""".stripMargin
+
+  /** Cluster exemplars (q133): own-centroid distance only, ranked
+    * (a_q ASC, vec_id ASC) per label — the mirror of the Spark heap cut.
+    */
+  val q133: String =
+    s"""WITH $centCtes,
+      |a AS (
+      |  SELECT q.vec_id, q.label,
+      |    round(sqrt(list_sum(list_transform(range(1, len(q.xq) + 1),
+      |      i -> (q.xq[i] - cent.cv[i]) * (q.xq[i] - cent.cv[i])))::DOUBLE))::BIGINT
+      |      AS a_q
+      |  FROM q JOIN cent ON cent.g = q.label),
+      |r AS (
+      |  SELECT label, vec_id, a_q,
+      |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY a_q, vec_id) AS rnk
+      |  FROM a)
+      |SELECT label, rnk::INTEGER AS rnk, vec_id, a_q FROM r WHERE rnk <= 3""".stripMargin
 }

@@ -860,14 +860,17 @@ object Similarity {
     * corpus size. Null-group rows are dropped; with a single group `b_q`
     * and `sil_x1e6` are null (no "other" centroid exists).
     */
-  def clusterSilhouette(
-      vecs: DataFrame,
+  /** Quantized per-group centroids collected to BOUNDED driver state
+    * (|groups| x dim longs — the k-means-centroid precedent): the
+    * `centroidCosineMatrix` recipe with the group key canonicalized to
+    * long. Shared by the silhouette/exemplar audits.
+    */
+  private def quantCentroids(
+      rows: DataFrame,
       groupCol: String,
       embCol: String,
-      idCol: String = "vec_id",
-      quantum: Double = 1e6): DataFrame = {
-    val rows = vecs.filter(col(groupCol).isNotNull)
-    val cent = rows
+      quantum: Double): Array[(Long, Seq[Long])] =
+    rows
       .select(col(groupCol).cast("long").as("g"), posexplode(col(embCol)))
       .select(col("g"), col("pos"),
         round(col("col").cast("double") * quantum).cast("long").as("q"))
@@ -879,23 +882,39 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("cent"))
-    // bounded driver state: |groups| x dim longs (k-means-centroid class)
-    val cents: Array[(Long, Seq[Long])] = cent
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
       .sortBy(_._1)
-    require(cents.nonEmpty, "clusterSilhouette: no non-null groups")
-    val centLit = array(cents.map { case (g, v) =>
+
+  private def centroidLit(cents: Array[(Long, Seq[Long])]): Column =
+    array(cents.map { case (g, v) =>
       struct(lit(g).as("g"), array(v.map(lit(_)): _*).as("cv"))
     }: _*)
+
+  /** round(sqrt(Σ (x−c)²)) over quantized components: exact long squared
+    * distance, one IEEE-exact sqrt, one deterministic round — micro-unit
+    * integer distance with zero cross-engine tolerance.
+    */
+  private def quantDist(xq: Column, cv: Column): Column =
+    round(sqrt(aggregate(
+      zip_with(xq, cv, (p, q) => (p - q) * (p - q)),
+      lit(0L), (acc, v) => acc + v).cast("double"))).cast("long")
+
+  def clusterSilhouette(
+      vecs: DataFrame,
+      groupCol: String,
+      embCol: String,
+      idCol: String = "vec_id",
+      quantum: Double = 1e6): DataFrame = {
+    val rows  = vecs.filter(col(groupCol).isNotNull)
+    val cents = quantCentroids(rows, groupCol, embCol, quantum)
+    require(cents.nonEmpty, "clusterSilhouette: no non-null groups")
+    val centLit = centroidLit(cents)
     val xq = transform(col(embCol),
       v => round(v.cast("double") * quantum).cast("long"))
-    def distTo(cv: Column): Column =
-      round(sqrt(aggregate(
-        zip_with(col("__xq"), cv, (p, q) => (p - q) * (p - q)),
-        lit(0L), (acc, v) => acc + v).cast("double"))).cast("long")
     val dists = transform(centLit,
-      c => struct(c.getField("g").as("g"), distTo(c.getField("cv")).as("d")))
+      c => struct(c.getField("g").as("g"),
+        quantDist(col("__xq"), c.getField("cv")).as("d")))
     rows
       .select(col(idCol), col(groupCol).cast("long").as("label"), xq.as("__xq"))
       .select(col(idCol), col("label"), dists.as("__d"))
@@ -915,6 +934,86 @@ object Similarity {
         round((col("b_q") - col("a_q")).cast("double") * lit(1000000d)
           / greatest(greatest(col("a_q"), col("b_q")), lit(1L)).cast("double"))
           .cast("long").as("sil_x1e6"))
+  }
+
+  /** The `k` EXEMPLARS of each group — the rows closest to their own
+    * centroid, rank 1 = closest (ties on id): prototype selection for
+    * few-shot prompt seeds, cluster labeling, and eyeball audits of what
+    * each source/cluster "typically" looks like.
+    *
+    * Same exactness recipe as `clusterSilhouette` (quantized centroids,
+    * exact integer distances — zero float tolerance) and the same
+    * shuffle-free scoring pass over a centroid literal; the top-k cut is
+    * the bounded-heap `TopK.topKPerGroup` (shuffle ~ k x |groups| x
+    * partitions, never a full per-group sort). Output: label, rnk (1..k),
+    * idCol, a_q (micro-unit centroid distance).
+    */
+  def clusterExemplars(
+      vecs: DataFrame,
+      groupCol: String,
+      embCol: String,
+      k: Int,
+      idCol: String = "vec_id",
+      quantum: Double = 1e6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val rows  = vecs.filter(col(groupCol).isNotNull)
+    val cents = quantCentroids(rows, groupCol, embCol, quantum)
+    require(cents.nonEmpty, "clusterExemplars: no non-null groups")
+    val centLit = centroidLit(cents)
+    val xq = transform(col(embCol),
+      v => round(v.cast("double") * quantum).cast("long"))
+    val scored = rows
+      .select(col(idCol), col(groupCol).cast("long").as("label"), xq.as("__xq"))
+      .select(col(idCol), col("label"),
+        element_at(
+          transform(
+            filter(centLit, c => c.getField("g") === col("label")),
+            c => quantDist(col("__xq"), c.getField("cv"))), 1).as("a_q"))
+      .withColumn("__neg", -col("a_q")) // heap ranks DESC; closest = max neg
+    TopK
+      .topKPerGroup(scored, Seq("label"), "__neg", idCol, k)
+      .select(col("label"), col("rnk"), col(idCol), (-col("__neg")).as("a_q"))
+  }
+
+  /** HARD-NEGATIVE mining for contrastive/retrieval training: for each
+    * probe row, the `k` highest-cosine rows carrying a DIFFERENT group
+    * label — near-duplicates are easy positives, random pairs are easy
+    * negatives; the examples that actually train an encoder are these
+    * look-alikes across the label boundary.
+    *
+    * Same plan shape as `bruteForceTopK` (probes broadcast, corpus never
+    * shuffles, bounded-heap top-k) with the label inequality fused into
+    * the join condition, so cross-label pairs are never materialized.
+    * Null-label rows never pair (SQL inequality semantics). This is the
+    * exact baseline; at corpus scale route the candidate generation
+    * through `ivfTopK`'s partition-pruned index and post-filter labels —
+    * same contract, sublinear probes.
+    *
+    * Output: probe_id, rnk (1..k), neighbor_id, cos.
+    */
+  def hardNegatives(
+      emb: DataFrame,
+      probePred: Column,
+      groupCol: String,
+      k: Int): DataFrame = {
+    val withN2 = emb.select(
+      col("vec_id"), col(groupCol).as("__g"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("n2"))
+    val probes = withN2
+      .filter(probePred)
+      .select(
+        col("vec_id").as("probe_id"),
+        col("__g").as("__pg"),
+        col("embedding").as("p_emb"),
+        col("n2").as("p_n2"))
+    val pairs = withN2
+      .join(broadcast(probes),
+        col("vec_id") =!= col("probe_id") && col("__g") =!= col("__pg"))
+      .select(
+        col("probe_id"),
+        col("vec_id").as("neighbor_id"),
+        cosine(dot(col("p_emb"), col("embedding")), col("p_n2"), col("n2")).as("cos"))
+    topKNeighbors(pairs, k)
   }
 
   def ivfPqTopK(

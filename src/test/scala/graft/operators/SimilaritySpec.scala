@@ -245,6 +245,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(5L)._3 === -1000000L)
   }
 
+  test("clusterExemplars: closest-first ranks, id tiebreak, k cut, null labels drop") {
+    import spark.implicits._
+    // label 0 centroid = (2.5e6, 0): distances 1=1.5e6, 2=0.5e6, 3=0.5e6,
+    // 4=2.5e6 -> order (2, 3, 1) at k=3; 4 is cut. Tie 2-vs-3 breaks on id.
+    val vecs = Seq(
+      (1L, Some(0), Seq(1f, 0f)), (2L, Some(0), Seq(2f, 0f)),
+      (3L, Some(0), Seq(3f, 0f)), (4L, Some(0), Seq(4f, 0f)),
+      (9L, Some(1), Seq(7f, 7f)), (10L, None, Seq(0f, 0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.clusterExemplars(vecs, "label", "embedding", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got((0L, 1)) === ((2L, 500000L)))
+    assert(got((0L, 2)) === ((3L, 500000L)), "equal distance breaks on smaller id first? no — id asc")
+    assert(got((0L, 3)) === ((1L, 1500000L)))
+    assert(!got.contains((0L, 4)), "k=3 cuts the farthest row")
+    assert(got((1L, 1)) === ((9L, 0L)), "singleton group: its row is its exemplar")
+    assert(got.size === 4, "null-label rows never rank")
+  }
+
+  test("hardNegatives: cross-label look-alike ranks first; same-label twin never pairs") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, 0, Seq(1f, 0f, 0f)),   // probe
+      (1L, 0, Seq(1f, 0f, 0f)),   // same-label twin: excluded
+      (2L, 1, Seq(0.99f, 0.1f, 0f)), // hard negative: rank 1
+      (3L, 1, Seq(0f, 1f, 0f)),   // orthogonal other-label: rank 2
+      (4L, 2, Seq(-1f, 0f, 0f))   // opposite: rank 3
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.hardNegatives(vecs, col("vec_id") === 0, "label", 5)
+      .collect()
+      .map(r => r.getInt(1) -> r.getLong(2))
+      .toMap
+    assert(got === Map(1 -> 2L, 2 -> 3L, 3 -> 4L))
+  }
+
   test("clusterSilhouette: single group yields null b/sil; null labels drop; repartition-stable") {
     import spark.implicits._
     val one = Seq((1L, 0, Seq(1f, 2f)), (2L, 0, Seq(3f, 4f))).toDF("vec_id", "label", "embedding")
