@@ -3129,6 +3129,23 @@ object Contract {
              |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
              |  FROM pairs)
              |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin)
+    ),
+    Q(
+      "q135_token_entropy",
+      // per-doc token entropy in micro-nats (Corpus.tokenEntropy):
+      // Σ c·ln(n/c) div n over the doc's own distribution — two
+      // partial-agg shuffles, no join-back; q130's quantization recipe.
+      (s, d) =>
+        graft.operators.Corpus.tokenEntropy(Tables.documents(s, d), "doc_id", "text"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tc AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, term),
+             |dn AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS d FROM tc GROUP BY 1)
+             |SELECT tc.doc_id, dn.n AS n_tokens, dn.d AS distinct_tokens,
+             |  (sum(c * round(ln(dn.n::DOUBLE / c::DOUBLE) * 1000000)::BIGINT)::BIGINT) // dn.n
+             |    AS entropy_x1e6
+             |FROM tc JOIN dn USING (doc_id)
+             |GROUP BY tc.doc_id, dn.n, dn.d""".stripMargin)
     )
   )
 

@@ -877,6 +877,48 @@ object Corpus {
           .as("avg_logp"))
   }
 
+  /** Per-document TOKEN ENTROPY in integer micro-nats — the
+    * compression-ratio proxy in the Gopher/C4 quality family:
+    * H = Σ_t (c_t/n)·ln(n/c_t) over the doc's own token distribution.
+    * Near-zero entropy = one token repeated (keyword-stuffed spam, log
+    * spew); maximal entropy = every token distinct. Complements
+    * `dupBigramRatio` (which sees adjacent repetition only — entropy
+    * catches the shuffled kind).
+    *
+    * Cross-engine exactness: per distinct (doc, term), n/c is a division
+    * of two exact small longs (identical IEEE result), one ln (≤ 1 ulp),
+    * rounded to micro-nats; the doc total is an exact integer sum with
+    * ONE final non-negative `div`. Same recipe class as `bigramNll`.
+    *
+    * Scale shape: one partial-agg shuffle to per-(doc, term) counts, then
+    * ONE groupBy(doc) whose per-doc state is the count list — bounded by
+    * the doc's own vocabulary (docs are individually small at any corpus
+    * scale; the corpus dimension stays streaming). No join-back, no
+    * window, no second shuffle.
+    *
+    * Output: idCol, n_tokens, distinct_tokens, entropy_x1e6.
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.Dedup
+      .spread(docs)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        collect_list(col("c")).as("__cs"),
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("distinct_tokens"),
+        expr("""aggregate(
+               |  transform(__cs, c -> c * cast(round(
+               |    ln(cast(n_tokens as double) / cast(c as double)) * 1000000) as bigint)),
+               |  0L, (a, x) -> a + x) div n_tokens""".stripMargin)
+          .as("entropy_x1e6"))
+
   /** Persist the unigram model `unigramLogProb` derives on the fly: the
     * (term, tf) table, parquet at `dir`. Train once on a reference corpus,
     * then score any OTHER corpus (or stream drain) against it with

@@ -480,6 +480,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(12L) === ((0, 0L, 0.0, false)))
   }
 
+  test("tokenEntropy: uniform = ln(n), constant = 0, hand mixture; empty text is one token") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),      // uniform over 4: H = ln(4)
+      (2L, "x x x x"),      // constant: H = 0
+      (3L, "a a b"),        // (2/3)ln(3/2) + (1/3)ln(3)
+      (4L, "")              // one empty token: H = 0
+    ).toDF("doc_id", "text")
+    val out = Corpus.tokenEntropy(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === ((4L, 4L, Math.round(math.log(4.0) * 1e6))))
+    assert(out(2L) === ((4L, 1L, 0L)))
+    val h3 = (2 * Math.round(math.log(1.5) * 1e6) + Math.round(math.log(3.0) * 1e6)) / 3
+    assert(out(3L) === ((3L, 2L, h3)))
+    assert(out(4L) === ((1L, 1L, 0L)))
+  }
+
   test("bigramNll: corpus-frequent transitions score more fluent than word salad") {
     import spark.implicits._
     val natural = (1L to 30L).map(i => (i, "the cat sat on the mat"))
