@@ -3146,6 +3146,28 @@ object Contract {
              |    AS entropy_x1e6
              |FROM tc JOIN dn USING (doc_id)
              |GROUP BY tc.doc_id, dn.n, dn.d""".stripMargin)
+    ),
+    Q(
+      "q136_personalized_pagerank",
+      // TrustRank-style personalized PageRank (LinkGraph.propagate with a
+      // seed restart set, id % 97 == 0): proximity to trusted seeds over
+      // the q106 graph — same exact integer recurrence, unrolled oracle.
+      (s, d) => {
+        val l = Tables
+          .lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        val edges = l
+          .as("a")
+          .join(
+            l.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("b.l_linenumber") === col("a.l_linenumber") + 1)
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        graft.operators.LinkGraph.propagate(
+          edges, "src", "dst", iters = 3,
+          seed = Some(col("id") % 97 === 0))
+      },
+      Some(OracleSql.q136)
     )
   )
 

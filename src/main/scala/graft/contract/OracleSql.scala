@@ -872,6 +872,38 @@ object OracleSql {
        |SELECT id, CAST(score AS BIGINT) AS score FROM s3""".stripMargin
   }
 
+  /** Personalized-PageRank replay (q136): q106's unrolled recurrence with
+    * the restart mass and initial charge gated to the seed set
+    * (id % 97 = 0) — TrustRank-style seed proximity, still exact integers.
+    */
+  val q136: String = {
+    val scale = 1000000000L
+    val d     = 85
+    val base  = (100L - d) * scale / 100L
+    def iter(i: Int): String =
+      s"""m$i AS (SELECT e.dst AS id, sum(s${i - 1}.score // g.d) AS m
+         |  FROM edges e
+         |  JOIN s${i - 1} ON e.src = s${i - 1}.id
+         |  JOIN deg g ON g.src = e.src
+         |  GROUP BY e.dst),
+         |s$i AS (SELECT n.id,
+         |    (CASE WHEN n.id % 97 = 0 THEN $base ELSE 0 END)
+         |      + ($d * coalesce(m$i.m, 0)) // 100 AS score
+         |  FROM nodes n LEFT JOIN m$i ON n.id = m$i.id)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1),
+       |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+       |s0 AS (SELECT id, CASE WHEN id % 97 = 0 THEN $scale ELSE 0 END AS score FROM nodes),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT id, CAST(score AS BIGINT) AS score FROM s3""".stripMargin
+  }
+
   /** HITS hub/authority replay (LinkGraph.hits, 2 rounds, scale 1e6):
     * each half-round is a sum over edges + a max-normalize with one
     * integer multiply-divide — all non-negative, so `//` mirrors Spark's

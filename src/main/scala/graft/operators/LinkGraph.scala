@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph score propagation (PageRank family) for corpus curation:
@@ -38,6 +38,15 @@ object LinkGraph {
   /** Run `iters` propagation rounds over `edges(srcCol, dstCol)`; returns
     * (id, score) for every node in the graph, score in `scale` micro-units.
     * dampingPct is the integer damping percentage (85 = the classic 0.85).
+    *
+    * `seed`: None = classic PageRank (uniform restart — every node gets the
+    * (100−d)% base and starts at `scale`). Some(pred) = PERSONALIZED
+    * PageRank: the restart mass lands ONLY on nodes satisfying `pred`
+    * (a predicate over the node id column, named "id" — e.g.
+    * `col("id") % 97 === 0`), and only seeds start charged — scores then
+    * measure proximity to the seed set along link structure, the
+    * crawl-frontier / trusted-domain prioritization signal (TrustRank).
+    * Same integer recurrence, so the unrolled oracle stays exact.
     */
   def propagate(
       edges: DataFrame,
@@ -45,7 +54,8 @@ object LinkGraph {
       dstCol: String,
       iters: Int,
       dampingPct: Int = 85,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L,
+      seed: Option[Column] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
@@ -56,10 +66,13 @@ object LinkGraph {
       .localCheckpoint(true) // reused every round: materialize once
     val deg = e.groupBy("src").agg(count(lit(1)).as("__deg")).localCheckpoint(true)
     val base = (100L - dampingPct) * scale / 100L
+    // per-node restart mass / initial charge: uniform, or seed-gated
+    val baseCol  = seed.map(p => when(p, lit(base)).otherwise(lit(0L))).getOrElse(lit(base))
+    val scoreCol = seed.map(p => when(p, lit(scale)).otherwise(lit(0L))).getOrElse(lit(scale))
     var scores = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
-      .select(col("id"), lit(scale).as("score"))
+      .select(col("id"), scoreCol.as("score"))
       .localCheckpoint(true)
     var iter = 0
     while (iter < iters) {
@@ -73,7 +86,7 @@ object LinkGraph {
         .select(col("id"))
         .join(inMass, Seq("id"), "left")
         .select(col("id"),
-          (lit(base) + expr(s"$dampingPct * coalesce(__m, 0L) div 100"))
+          (baseCol + expr(s"$dampingPct * coalesce(__m, 0L) div 100"))
             .as("score"))
         .localCheckpoint(true)
       iter += 1

@@ -79,6 +79,19 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got(12L) === ((0L, 666666L)))
   }
 
+  test("personalized propagate: restart mass lands only on seeds; flow reaches the chain") {
+    import spark.implicits._
+    // chain 1 -> 2 -> 3, seed {1}, d=85: s0 = (1e9, 0, 0);
+    // iter1: s(1)=base=1.5e8, s(2)=85%*1e9=8.5e8, s(3)=0;
+    // iter2: s(1)=1.5e8, s(2)=85%*1.5e8=1.275e8, s(3)=85%*8.5e8=7.225e8.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = LinkGraph
+      .propagate(edges, "src", "dst", iters = 2, seed = Some(col("id") === 1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      1L -> 150000000L, 2L -> 127500000L, 3L -> 722500000L))
+  }
+
   test("triangles: hand-computed counts; multi-edges collapse, self-loops drop") {
     import spark.implicits._
     // undirected simple graph after canonicalization:
