@@ -3168,6 +3168,21 @@ object Contract {
           seed = Some(col("id") % 97 === 0))
       },
       Some(OracleSql.q136)
+    ),
+    Q(
+      "q137_cross_source_dups",
+      // exact cross-source duplication census
+      // (Corpus.crossSourceDupMatrix): distinct texts shared by each
+      // source pair — q107's exact companion; digest-grouped self-join,
+      // pairs bounded by |sources|² per distinct text.
+      (s, d) =>
+        graft.operators.Corpus.crossSourceDupMatrix(
+          Tables.documents(s, d), "source", "text"),
+      Some("""WITH ds AS (
+             |  SELECT DISTINCT sha256(text) AS dg, source FROM documents)
+             |SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_shared
+             |FROM ds a JOIN ds b ON a.dg = b.dg AND a.source < b.source
+             |GROUP BY a.source, b.source""".stripMargin)
     )
   )
 

@@ -877,6 +877,38 @@ object Corpus {
           .as("avg_logp"))
   }
 
+  /** EXACT cross-source duplication census: for every source pair, the
+    * number of distinct texts present (at least once) in BOTH — the exact
+    * companion to `Dedup.signatureOverlapMatrix`'s MinHash ESTIMATE, and
+    * the first question of a multi-source merge ("how much of B do I
+    * already have from A?"). Runs on content digests, so two sources
+    * "share" a text iff the bytes match exactly (pair with the normalized
+    * or near-dup miners for fuzzier notions).
+    *
+    * Scale shape: one shuffle to distinct (digest, source) — corpus-sized
+    * but thin — then the self-join happens WITHIN digest groups, whose
+    * width is bounded by |sources|, so candidate pairs are
+    * ≤ C(|sources|, 2) per distinct text regardless of how many rows
+    * duplicate it; the output is |sources|²-bounded. No corpus² anywhere.
+    *
+    * Output: src_a < src_b, n_shared.
+    */
+  def crossSourceDupMatrix(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String): DataFrame = {
+    val ds = docs
+      .select(sha2(col(textCol), 256).as("__dg"), col(sourceCol).as("src_a"))
+      .distinct()
+      .localCheckpoint(false) // two legs of the digest self-join
+    ds.join(
+        ds.select(col("__dg"), col("src_a").as("src_b")),
+        Seq("__dg"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Per-document TOKEN ENTROPY in integer micro-nats — the
     * compression-ratio proxy in the Gopher/C4 quality family:
     * H = Σ_t (c_t/n)·ln(n/c_t) over the doc's own token distribution.

@@ -480,6 +480,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(12L) === ((0, 0L, 0.0, false)))
   }
 
+  test("crossSourceDupMatrix: shared distinct texts per pair; within-source dups don't inflate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha", "A"), (2L, "alpha", "A"), // within-A dup: counts once
+      (3L, "alpha", "B"), (4L, "beta", "B"),
+      (5L, "beta", "C"), (6L, "alpha", "C"),
+      (7L, "gamma", "A")).toDF("doc_id", "text", "source")
+    val got = Corpus.crossSourceDupMatrix(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("A", "B") -> 1L,   // alpha
+      ("A", "C") -> 1L,   // alpha
+      ("B", "C") -> 2L))  // alpha + beta
+  }
+
   test("tokenEntropy: uniform = ln(n), constant = 0, hand mixture; empty text is one token") {
     import spark.implicits._
     val docs = Seq(
