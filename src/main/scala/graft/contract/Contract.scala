@@ -3183,6 +3183,39 @@ object Contract {
              |SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_shared
              |FROM ds a JOIN ds b ON a.dg = b.dg AND a.source < b.source
              |GROUP BY a.source, b.source""".stripMargin)
+    ),
+    Q(
+      "q138_curation_v4",
+      // capstone composing the round-6 quality axes: exact dedup ->
+      // token-entropy floor (anti-spam) -> bigram-LM fluency ceiling
+      // (anti-gibberish, model trained on the deduped corpus itself) ->
+      // per-source card. Each stage is its own certified query (q24/
+      // q135/q130); the oracle composes their SQL verbatim.
+      (s, d) => {
+        import graft.operators.{Corpus, Dedup}
+        val dd = Dedup
+          .exactDedupRows(
+            Tables.documents(s, d).select("doc_id", "text", "source"),
+            sha2(col("text"), 256), col("doc_id"))
+          .localCheckpoint(false) // three consumers: entropy, LM, card
+        val ent = Corpus
+          .tokenEntropy(dd, "doc_id", "text")
+          .filter(col("entropy_x1e6") >= 2500000)
+          .select(col("doc_id"), col("n_tokens"), col("entropy_x1e6"))
+        val fluent = Corpus
+          .bigramNll(dd, "doc_id", "text")
+          .filter(col("nll_x1e6") <= 3450000)
+          .select(col("doc_id"))
+        dd.select(col("doc_id"), col("source"))
+          .join(ent, Seq("doc_id"))
+          .join(fluent, Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            expr("sum(entropy_x1e6) div count(1)").as("mean_entropy_x1e6"))
+      },
+      Some(OracleSql.q138)
     )
   )
 

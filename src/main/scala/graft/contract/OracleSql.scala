@@ -904,6 +904,51 @@ object OracleSql {
        |SELECT id, CAST(score AS BIGINT) AS score FROM s3""".stripMargin
   }
 
+  /** Curation-v4 capstone mirror (q138): exact dedup (smallest doc_id per
+    * sha256) -> token-entropy floor (q135's statistic) -> bigram-LM
+    * fluency ceiling (q130's statistic, model trained on the DEDUPED
+    * corpus) -> per-source card. Every stage is the individually-certified
+    * query's SQL verbatim, composed.
+    */
+  val q138: String =
+    """WITH dd AS (
+      |  SELECT doc_id, text, source FROM (
+      |    SELECT doc_id, text, source,
+      |      ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      |    FROM documents) WHERE rn = 1),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM dd),
+      |t2 AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+      |tc AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM t2 GROUP BY doc_id, term),
+      |dn AS (SELECT doc_id, sum(c)::BIGINT AS n FROM tc GROUP BY 1),
+      |ent AS (
+      |  SELECT tc.doc_id, dn.n AS n_tokens,
+      |    (sum(c * round(ln(dn.n::DOUBLE / c::DOUBLE) * 1000000)::BIGINT)::BIGINT) // dn.n
+      |      AS h
+      |  FROM tc JOIN dn USING (doc_id) GROUP BY tc.doc_id, dn.n),
+      |uni AS (SELECT term, count(*)::BIGINT AS uf FROM t2 GROUP BY 1),
+      |st AS (SELECT (sum(uf) + count(*))::BIGINT AS nv FROM uni),
+      |bg AS (
+      |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      |  FROM toks, UNNEST(range(1, len(tk))) AS t(i) WHERE len(tk) >= 2),
+      |bgc AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS k FROM bg GROUP BY doc_id, w1, w2),
+      |c12 AS (SELECT w1, w2, sum(k)::BIGINT AS cnt12 FROM bgc GROUP BY w1, w2),
+      |c1  AS (SELECT w1, sum(k)::BIGINT AS cnt1 FROM bgc GROUP BY w1),
+      |sc AS (
+      |  SELECT doc_id, k,
+      |    round(ln((100 * cnt1 * nv)::DOUBLE
+      |             / (90 * cnt12 * nv + 10 * cnt1 * (uf + 1))::DOUBLE) * 1000000)::BIGINT
+      |      AS nllq
+      |  FROM bgc JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+      |  JOIN uni ON uni.term = bgc.w2 CROSS JOIN st),
+      |nll AS (SELECT doc_id, (sum(k * nllq)::BIGINT) // (sum(k)::BIGINT) AS v
+      |        FROM sc GROUP BY doc_id)
+      |SELECT dd.source, count(*)::BIGINT AS n_docs,
+      |  sum(ent.n_tokens)::BIGINT AS n_tokens,
+      |  (sum(ent.h)::BIGINT) // (count(*)::BIGINT) AS mean_entropy_x1e6
+      |FROM dd JOIN ent USING (doc_id) JOIN nll USING (doc_id)
+      |WHERE ent.h >= 2500000 AND nll.v <= 3450000
+      |GROUP BY dd.source""".stripMargin
+
   /** HITS hub/authority replay (LinkGraph.hits, 2 rounds, scale 1e6):
     * each half-round is a sum over edges + a max-normalize with one
     * integer multiply-divide — all non-negative, so `//` mirrors Spark's
