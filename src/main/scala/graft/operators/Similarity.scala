@@ -984,10 +984,13 @@ object Similarity {
     * Same plan shape as `bruteForceTopK` (probes broadcast, corpus never
     * shuffles, bounded-heap top-k) with the label inequality fused into
     * the join condition, so cross-label pairs are never materialized.
-    * Null-label rows never pair (SQL inequality semantics). This is the
-    * exact baseline; at corpus scale route the candidate generation
-    * through `ivfTopK`'s partition-pruned index and post-filter labels —
-    * same contract, sublinear probes.
+    * Null-label rows never pair (SQL inequality semantics), and zero-norm
+    * / non-finite vectors are dropped on both sides (the `ivfPqTopK`
+    * guard): a degenerate vector has no cosine, and under ANSI mode its
+    * 0/0 would throw rather than rank. This is the exact baseline; at
+    * corpus scale route the candidate generation through `ivfTopK`'s
+    * partition-pruned index and post-filter labels — same contract,
+    * sublinear probes.
     *
     * Output: probe_id, rnk (1..k), neighbor_id, cos.
     */
@@ -996,9 +999,12 @@ object Similarity {
       probePred: Column,
       groupCol: String,
       k: Int): DataFrame = {
-    val withN2 = emb.select(
-      col("vec_id"), col(groupCol).as("__g"), col("embedding"),
-      dot(col("embedding"), col("embedding")).as("n2"))
+    val n2c = norm2(col("embedding"))
+    val withN2 = emb
+      .filter(n2c > 0 && !isnan(n2c) && n2c < Double.PositiveInfinity)
+      .select(
+        col("vec_id"), col(groupCol).as("__g"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("n2"))
     val probes = withN2
       .filter(probePred)
       .select(

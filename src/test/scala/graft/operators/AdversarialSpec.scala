@@ -178,6 +178,56 @@ class AdversarialSpec extends AnyFunSuite {
     assert(card.getLong(0) === 5L && card.getLong(1) === 2L && card.getLong(5) === 0L)
   }
 
+  test("round-6b ops: degenerate docs through entropy/NLL; zero-norm vectors " +
+    "through silhouette and hard-negative ranking") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ""),
+      (2L, " "),  // two empty tokens
+      (3L, "​"), // zero-width space: one 1-char token
+      (4L, "😀"),
+      (5L, "normal words appear here twice normal words appear here twice"))
+      .toDF("doc_id", "text")
+    // tokenEntropy: single/repeated-token docs are 0; doc 5 is 10 tokens,
+    // 5 distinct x2 -> exactly round(ln(5)*1e6) micro-nats
+    val ent = Corpus.tokenEntropy(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(ent(1L) === ((1L, 1L, 0L)))
+    assert(ent(2L) === ((2L, 1L, 0L)), "whitespace doc: two empty tokens, zero entropy")
+    assert(ent(3L) === ((1L, 1L, 0L)))
+    assert(ent(4L) === ((1L, 1L, 0L)))
+    assert(ent(5L) === ((10L, 5L, Math.round(math.log(5.0) * 1e6))))
+    // bigramNll: only docs with >= 2 tokens emit; NLL is finite and >= 0
+    val nll = Corpus.bigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(nll.keySet === Set(2L, 5L))
+    assert(nll.values.forall(_ >= 0L))
+    // clusterSilhouette: all-zero vectors are ordinary points (exact
+    // integer distances, no NaN anywhere)
+    val vecs = Seq(
+      (1L, 0, Seq(0f, 0f)), (2L, 0, Seq(0f, 0f)),
+      (3L, 1, Seq(1f, 0f)), (4L, 1, Seq(0f, 1f))).toDF("vec_id", "label", "embedding")
+    val sil = Similarity.clusterSilhouette(vecs, "label", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(sil(1L) === 1000000L, "zero vector at its own zero centroid: perfect fit")
+    // hardNegatives: zero-norm and non-finite vectors are DROPPED on both
+    // sides (the ivfPqTopK guard — under ANSI their 0/0 cosine would
+    // throw, and a degenerate "hard negative" is meaningless); finite
+    // cross-label rows still rank
+    val hv = Seq(
+      (0L, 0, Seq(1f, 0f)),
+      (1L, 0, Seq(1f, 0f)),                 // same-label twin: excluded
+      (2L, 1, Seq(0f, 0f)),                 // zero-norm: filtered out
+      (3L, 1, Seq(Float.NaN, 1f)),          // NaN component: filtered out
+      (4L, 1, Seq(0f, 1f)))                 // orthogonal other-label: rank 1
+      .toDF("vec_id", "label", "embedding")
+    val hn = Similarity.hardNegatives(hv, col("vec_id") === 0, "label", 5)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(hn === Map(1 -> 4L))
+  }
+
   test("0-row parquet part file mid-glob neither breaks the scan nor changes results") {
     import spark.implicits._
     val dir = tmp() + "/table"
