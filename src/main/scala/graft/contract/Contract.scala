@@ -3216,6 +3216,81 @@ object Contract {
             expr("sum(entropy_x1e6) div count(1)").as("mean_entropy_x1e6"))
       },
       Some(OracleSql.q138)
+    ),
+    Q(
+      "q139_domain_cap",
+      // RefinedWeb-style per-domain document cap (Corpus.capPerKey):
+      // at most 25 docs per source, chosen by the scrambled-id order —
+      // a reproducible uniform sample per key, cut on the bounded-heap
+      // aggregate (no window sort, hot domains cost cap x partitions).
+      (s, d) =>
+        graft.operators.Corpus.capPerKey(
+          Tables.documents(s, d).select("source", "doc_id"),
+          "source", "doc_id", cap = 25),
+      Some("""WITH h AS (
+             |  SELECT source, doc_id,
+             |    ((doc_id % 1000000007 + 1000000007) % 1000000007)
+             |      * 2654435761 % 1000000007 AS pri
+             |  FROM documents),
+             |r AS (SELECT source, doc_id,
+             |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rnk
+             |  FROM h)
+             |SELECT source, doc_id, rnk::INT AS rnk FROM r WHERE rnk <= 25""".stripMargin)
+    ),
+    Q(
+      "q140_winnowing",
+      // robust winnowing fingerprints (Dedup.winnowing, MOSS k=3 w=4):
+      // per-doc distinct window minima over positional trigram hashes —
+      // the shared-substring detector; all in-row, zero shuffle.
+      (s, d) =>
+        graft.operators.Dedup.winnowing(
+          Tables.documents(s, d), "doc_id", "text", k = 3, w = 4),
+      Some(OracleSql.q140)
+    ),
+    Q(
+      "q141_stratified_shards",
+      // mixture-preserving shard deal (Splits.stratifiedShards): shard =
+      // (per-source scrambled rank - 1) mod 8, so every shard carries
+      // every source within +-1 of its share; result = the (shard,
+      // source) census the guarantee is ABOUT. Two-phase grouped rank —
+      // no partitionless window.
+      (s, d) =>
+        graft.operators.Splits
+          .stratifiedShards(
+            Tables.documents(s, d).select("source", "doc_id"),
+            "source", "doc_id", nShards = 8)
+          .groupBy(col("shard"), col("source"))
+          .agg(count(lit(1)).as("n")),
+      Some("""WITH h AS (
+             |  SELECT source, doc_id,
+             |    ((doc_id % 1000000007 + 1000000007) % 1000000007)
+             |      * 2654435761 % 1000000007 AS pri
+             |  FROM documents),
+             |r AS (SELECT source,
+             |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri DESC, doc_id) AS rn
+             |  FROM h)
+             |SELECT ((rn - 1) % 8)::INT AS shard, source, count(*)::BIGINT AS n
+             |FROM r GROUP BY 1, 2""".stripMargin)
+    ),
+    Q(
+      "q142_ngram_diversity",
+      // per-source distinct-trigram ratio (Corpus.distinctNgramRatio):
+      // cross-document diversity axis — templated sources score low even
+      // when each doc looks fine; grams travel as the engine hash.
+      (s, d) =>
+        graft.operators.Corpus.distinctNgramRatio(
+          Tables.documents(s, d), "source", "text", n = 3),
+      Some(OracleSql.q142)
+    ),
+    Q(
+      "q143_winnow_pairs",
+      // MOSS candidate pairs (Dedup.winnowPairs): docs sharing >= 2
+      // winnowing fingerprints, with the shared count — the copied-span
+      // screen over q140's fingerprints; hot-fp boilerplate guard.
+      (s, d) =>
+        graft.operators.Dedup.winnowPairs(
+          Tables.documents(s, d), "doc_id", "text", k = 3, w = 4, minShared = 2),
+      Some(OracleSql.q143)
     )
   )
 

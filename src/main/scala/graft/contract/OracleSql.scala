@@ -949,6 +949,80 @@ object OracleSql {
       |WHERE ent.h >= 2500000 AND nll.v <= 3450000
       |GROUP BY dd.source""".stripMargin
 
+  /** Robust winnowing (Dedup.winnowing, k=3 w=4): positional trigram
+    * hashes (same polynomial hash), window-of-4 minima, per-doc distinct.
+    * Equal minima are equal HASH VALUES, so no rightmost-tie rule is
+    * needed for set parity (see the Scaladoc).
+    */
+  val q140: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |  WHERE text IS NOT NULL),
+       |ss AS (SELECT doc_id,
+       |  CASE WHEN len(tk) >= 3
+       |    THEN list_transform(range(1, len(tk)-1),
+       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+       |    ELSE CAST([] AS VARCHAR[]) END AS sh
+       |  FROM toks),
+       |hs AS (SELECT doc_id, list_transform(sh, s -> ${polyHash("s")}) AS hh FROM ss),
+       |fps AS (SELECT doc_id,
+       |  CASE WHEN len(hh) >= 4
+       |    THEN list_distinct(list_transform(range(1, len(hh)-2),
+       |           j -> list_min(hh[j:j+3])))
+       |    WHEN len(hh) >= 1 THEN [list_min(hh)]
+       |    ELSE CAST([] AS BIGINT[]) END AS fp
+       |  FROM hs)
+       |SELECT doc_id, unnest(fp) AS fp FROM fps""".stripMargin
+
+  /** Winnowing candidate pairs (Dedup.winnowPairs, minShared=2): the q140
+    * fingerprint sets self-joined — pairs sharing >= 2 selected hashes.
+    * The hot-fp guard (maxBucket=4096) cannot trigger at oracle scale, so
+    * the mirror is the unguarded join.
+    */
+  val q143: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |  WHERE text IS NOT NULL),
+       |ss AS (SELECT doc_id,
+       |  CASE WHEN len(tk) >= 3
+       |    THEN list_transform(range(1, len(tk)-1),
+       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+       |    ELSE CAST([] AS VARCHAR[]) END AS sh
+       |  FROM toks),
+       |hs AS (SELECT doc_id, list_transform(sh, s -> ${polyHash("s")}) AS hh FROM ss),
+       |fps AS (SELECT doc_id,
+       |  CASE WHEN len(hh) >= 4
+       |    THEN list_distinct(list_transform(range(1, len(hh)-2),
+       |           j -> list_min(hh[j:j+3])))
+       |    WHEN len(hh) >= 1 THEN [list_min(hh)]
+       |    ELSE CAST([] AS BIGINT[]) END AS fp
+       |  FROM hs),
+       |f AS (SELECT doc_id, unnest(fp) AS fp FROM fps)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+       |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
+  /** Per-source distinct-trigram diversity (Corpus.distinctNgramRatio):
+    * grams collapse through the same polynomial hash in both engines, so
+    * any collision collapses identically and parity is exact.
+    */
+  val q142: String =
+    s"""WITH toks AS (
+       |  SELECT source, string_split(text, ' ') AS tk FROM documents
+       |  WHERE text IS NOT NULL),
+       |ss AS (SELECT source,
+       |  CASE WHEN len(tk) >= 3
+       |    THEN list_transform(range(1, len(tk)-1),
+       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+       |    ELSE CAST([] AS VARCHAR[]) END AS sh
+       |  FROM toks),
+       |hx AS (SELECT source, unnest(list_transform(sh, s -> ${polyHash("s")})) AS h
+       |       FROM ss)
+       |SELECT source, count(*)::BIGINT AS n_grams,
+       |  count(DISTINCT h)::BIGINT AS n_distinct,
+       |  (count(DISTINCT h) * 1000000 // count(*))::BIGINT AS ratio_x1e6
+       |FROM hx GROUP BY source""".stripMargin
+
   /** HITS hub/authority replay (LinkGraph.hits, 2 rounds, scale 1e6):
     * each half-round is a sum over edges + a max-normalize with one
     * integer multiply-divide — all non-negative, so `//` mirrors Spark's

@@ -909,6 +909,80 @@ object Corpus {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-key document cap — the RefinedWeb/C4 "domain diversity" rule:
+    * keep at most `cap` documents from any one value of `keyCol` (domain,
+    * source, crawl host), so a single over-represented site cannot dominate
+    * the corpus mixture. Survivors are chosen DETERMINISTICALLY by the
+    * scrambled-id order (`Splits.hashOrder` — a fixed pseudo-random
+    * permutation of ids), so the cap is a reproducible uniform sample of
+    * the key's documents, not "whatever sorted first": re-running on any
+    * cluster, any partitioning, keeps exactly the same rows.
+    *
+    * Spelled on the bounded-heap `TopK.topKPerGroup` aggregate, NOT a
+    * window: a hot domain with 10^8 docs costs the shuffle cap·partitions
+    * heap entries, never 10^8 sorted rows through one reducer — the same
+    * hot-group argument as every other per-group cut in this module.
+    *
+    * Output: keyCol, idCol, rnk (1..cap in the kept-order). Join back on
+    * (keyCol, idCol) for payload columns — the heap carries nothing wide.
+    */
+  def capPerKey(
+      docs: DataFrame,
+      keyCol: String,
+      idCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    // order wanted: hashOrder(id) ASC; the heap keeps score-DESC, so feed
+    // the negated hash (exact: hashOrder < P ~ 1e9 fits a double) and drop
+    // the helper score from the output
+    val scored = docs.select(
+      col(keyCol),
+      col(idCol),
+      (-Splits.hashOrder(col(idCol))).cast("double").as("__neg_pri"))
+    TopK
+      .topKPerGroup(scored, Seq(keyCol), "__neg_pri", idCol, cap)
+      .drop("__neg_pri")
+  }
+
+  /** Per-source distinct n-gram ratio — the corpus-level diversity axis
+    * (the "distinct-n" metric of text-generation evals, turned on the
+    * training corpus itself): ratio_x1e6 = distinct n-grams · 1e6 div
+    * total positional n-gram occurrences. A templated or boilerplate-heavy
+    * source re-emits the same n-grams across documents and scores low even
+    * when every individual document looks fine — the cross-document
+    * complement of the per-doc `tokenEntropy` / `dupBigramRatio` axes.
+    *
+    * Grams travel as the engine's polynomial hash (one long vs a 3-token
+    * string through the exchange); the DuckDB oracle applies the same hash,
+    * so the rare collision collapses identically in both engines and
+    * parity is exact. Scale shape: explode to (source, hash), ONE
+    * partial-agg shuffle to per-(source, hash) counts, then a per-source
+    * collapse — distinct-count state never exceeds the source's own gram
+    * vocabulary. No window, no join.
+    *
+    * Output: sourceCol, n_grams, n_distinct, ratio_x1e6.
+    */
+  def distinctNgramRatio(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val grams = transform(
+      Dedup.shingles(graft.functions.TextAnalysis.tokens(col(textCol)), n),
+      s => graft.functions.TextAnalysis.polyHash(s))
+    graft.operators.Dedup
+      .spread(docs.filter(col(textCol).isNotNull))
+      .select(col(sourceCol), explode(grams).as("__h"))
+      .groupBy(col(sourceCol), col("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(sourceCol))
+      .agg(
+        sum(col("__c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"))
+      .withColumn("ratio_x1e6", expr("n_distinct * 1000000 div n_grams"))
+  }
+
   /** Per-document TOKEN ENTROPY in integer micro-nats — the
     * compression-ratio proxy in the Gopher/C4 quality family:
     * H = Σ_t (c_t/n)·ln(n/c_t) over the doc's own token distribution.

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.PolyHashExpr
+
+/** Count-min sketch (Cormode & Muthukrishnan): a FIXED-SIZE mergeable
+  * frequency sketch answering point queries `count(key)` with one-sided
+  * error — estimates never undercount, and overcount by at most
+  * eps * N (eps = e/width) with probability 1 - delta (delta = e^-depth).
+  *
+  * Where it sits among the engine's frequency tools:
+  *  - `groupBy(key).count()` — exact, but shuffles one row per DISTINCT
+  *    key (billions of groups for a token/URL column at 100 TB);
+  *  - `HeavyHitters` (Misra-Gries) — exact top-k membership for the HEAD
+  *    of the distribution, no estimates for arbitrary keys;
+  *  - THIS — O(width*depth) memory total, an estimate for ANY key
+  *    (including tail keys MG evicted), and closed under merge: sketches
+  *    of two corpus halves, two ingestion drains, or two days SUM
+  *    elementwise into the sketch of the union. That merge law is what a
+  *    streaming ingestion keeps in its store where it cannot keep
+  *    per-key state (the `writeTokenBaseline` posture with bounded,
+  *    drift-proof size).
+  *
+  * Row j of the sketch indexes with the engine's (a_j * polyHash(key)
+  * + b_j) mod P family (`Dedup.perm` — pairwise-independent by the same
+  * argument as the MinHash slots), then mod width. The whole sketch
+  * travels as ONE Array[Long] row of width*depth longs through the
+  * aggregation tree — nothing key-shaped ever crosses an exchange.
+  */
+object CountMin {
+
+  val P: Long = PolyHashExpr.P
+
+  /** Slot of `key` in sketch row j (row-local column index). */
+  def slot(key: String, j: Int, width: Int): Int = {
+    val (a, b) = Dedup.perm(j)
+    val h      = PolyHashExpr.hash(UTF8String.fromString(key))
+    (((a * h + b) % P) % width).toInt
+  }
+
+  /** Mergeable CMS Aggregator over a string column: buffer = flattened
+    * depth x width counter grid; reduce = +1 at each row's slot; merge =
+    * elementwise sum (the CMS merge law). NULL keys are ignored, matching
+    * count()'s treatment of NULL groups in the exact baseline.
+    */
+  final class CmsAgg(width: Int, depth: Int)
+      extends Aggregator[String, Array[Long], Array[Long]]
+      with Serializable {
+    require(width >= 1, s"width must be >= 1, got $width")
+    require(depth >= 1 && depth <= 8,
+      s"depth must be in [1, 8] (perm family size), got $depth")
+
+    override def zero: Array[Long] = new Array[Long](width * depth)
+
+    override def reduce(buf: Array[Long], key: String): Array[Long] = {
+      if (key != null) {
+        var j = 0
+        while (j < depth) { buf(j * width + slot(key, j, width)) += 1; j += 1 }
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** One-row sketch of a string column: (width, depth, counters). The
+    * single row is the ENTIRE driver/store state — persist it next to the
+    * corpus (see `updateStore`) and point-query it with `estimate`.
+    */
+  def sketch(df: DataFrame, keyCol: String, width: Int = 2048, depth: Int = 4): DataFrame = {
+    val cms = udaf(new CmsAgg(width, depth), Encoders.STRING)
+    df.select(col(keyCol).cast("string").as("__k"))
+      .agg(cms(col("__k")).as("counters"))
+      .select(
+        lit(width).as("width"),
+        lit(depth).as("depth"),
+        col("counters"))
+  }
+
+  /** Point estimate from a collected sketch row: min over rows of the
+    * key's counter — never below the true count, above it by at most
+    * (e/width) * N w.p. 1 - e^-depth.
+    */
+  def estimate(width: Int, depth: Int, counters: Array[Long], key: String): Long = {
+    require(counters.length == width * depth,
+      s"sketch shape mismatch: ${counters.length} != $width * $depth")
+    var best = Long.MaxValue
+    var j    = 0
+    while (j < depth) {
+      val c = counters(j * width + slot(key, j, width))
+      if (c < best) best = c
+      j += 1
+    }
+    best
+  }
+
+  /** Elementwise-sum merge of two counter grids (same shape). */
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    require(a.length == b.length, s"sketch shape mismatch: ${a.length} != ${b.length}")
+    val out = new Array[Long](a.length)
+    var i   = 0
+    while (i < out.length) { out(i) = a(i) + b(i); i += 1 }
+    out
+  }
+
+  /** Fold a delta sketch into a persisted store — the incremental-drain
+    * pattern (LSH signature store / token baseline twin): read the live
+    * sketch if present, merge, write tmp, two-rename atomic swap. The
+    * merge law makes the fold order-free, so any sequence of drains
+    * converges to the one-shot sketch of their union; a crash before the
+    * final rename leaves the old store intact (re-run the drain).
+    * Shapes must match (width/depth are store identity, not tunables).
+    */
+  def updateStore(spark: SparkSession, dir: String, delta: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(dir)
+    val fs   = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val merged =
+      if (!fs.exists(live)) delta
+      else {
+        val d = delta.head()
+        val s = spark.read.parquet(dir).head()
+        require(
+          s.getInt(0) == d.getInt(0) && s.getInt(1) == d.getInt(1),
+          s"CMS store shape (${s.getInt(0)}x${s.getInt(1)}) != delta shape " +
+            s"(${d.getInt(0)}x${d.getInt(1)})")
+        val summed = merge(
+          s.getSeq[Long](2).toArray,
+          d.getSeq[Long](2).toArray)
+        import spark.implicits._
+        Seq((d.getInt(0), d.getInt(1), summed.toSeq))
+          .toDF("width", "depth", "counters")
+      }
+    val tmp = new Path(live.getParent, s".cms-tmp-${live.getName}")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    merged.coalesce(1).write.parquet(tmp.toString)
+    val trash = new Path(live.getParent, s".cms-old-${live.getName}")
+    if (fs.exists(trash)) fs.delete(trash, true)
+    if (fs.exists(live) && !fs.rename(live, trash))
+      throw new java.io.IOException(s"updateStore: cannot set aside $live")
+    if (!fs.rename(tmp, live)) {
+      if (fs.exists(trash)) fs.rename(trash, live) // roll back
+      throw new java.io.IOException(s"updateStore: cannot promote $tmp")
+    }
+    fs.delete(trash, true)
+  }
+
+  /** Estimates for a column of keys against a COLLECTED sketch (the
+    * sketch is one row — driver state by design): adds `estName` with the
+    * CMS upper-bound count for each row's key; NULL keys get a NULL
+    * estimate (the sketch never counts NULL, so "0" would claim knowledge
+    * it doesn't have). The probe side never shuffles; the sketch rides
+    * into the executors as a literal.
+    */
+  def estimateCol(
+      df: DataFrame,
+      keyCol: String,
+      width: Int,
+      depth: Int,
+      counters: Array[Long],
+      estName: String = "est"): DataFrame = {
+    val grid = typedlit(counters.toSeq)
+    val rows = (0 until depth).map { j =>
+      val (a, b) = Dedup.perm(j)
+      element_at(
+        grid,
+        (lit(j * width) +
+          ((lit(a) * graft.functions.TextAnalysis.polyHash(col(keyCol).cast("string")) + lit(b)) % P) % width + 1)
+          .cast("int"))
+    }
+    df.withColumn(estName, when(col(keyCol).isNotNull, least(rows: _*)))
+  }
+}

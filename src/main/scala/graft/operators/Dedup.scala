@@ -86,6 +86,112 @@ object Dedup {
   def shingleHashesComposed(text: Column, n: Int = 3): Column =
     array_distinct(transform(shingleSet(text, n), s => TextAnalysis.polyHash(s)))
 
+  // ------------------------------------------------------------- winnowing
+
+  /** Robust winnowing fingerprints (Schleimer, Wilkerson, Aiken — the MOSS
+    * algorithm): hash every POSITIONAL k-token shingle, slide a window of
+    * `w` consecutive hashes, keep the minimum of each window, and emit the
+    * per-document distinct set of selected hashes as `(id, fp)` rows.
+    *
+    * The winnowing guarantee: any token run shared by two documents of
+    * length >= w + k - 1 contributes at least one COMMON fingerprint, while
+    * only ~2/(w+1) of all shingles are selected — a fixed-rate sample with
+    * a matching guarantee, which is what makes it the standard local-copy /
+    * plagiarism detector (vs MinHash, which fingerprints whole-document
+    * similarity, not shared substrings). Join fp-to-fp to mine candidate
+    * copied spans; the selected density makes that index ~2/(w+1) the size
+    * of the full positional-shingle index q117/q32 would build.
+    *
+    * Degenerate docs follow the paper's convention: fewer than k tokens ->
+    * no shingles -> no fingerprints; between 1 and w-1 hashes -> one
+    * fingerprint (the global min — every hash window is truncated to the
+    * doc).
+    *
+    * Scale shape: the hash sequence, the window minima and the per-doc
+    * distinct are all IN-ROW projections (zero shuffle, linear in doc
+    * length since the w-slice min re-scan is w*m with constant w); the only
+    * exchange in the plan is whatever the caller does with the exploded
+    * (id, fp) rows. Ties inside a window need no rightmost-rule here
+    * because equal minima select equal HASH VALUES — the emitted set is
+    * identical whichever position wins, so the cross-engine mirror is
+    * exact.
+    */
+  def winnowing(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4): DataFrame = {
+    require(k >= 1, s"shingle size k must be >= 1, got $k")
+    require(w >= 1, s"window w must be >= 1, got $w")
+    val hs = transform(
+      shingles(TextAnalysis.tokens(col(textCol)), k),
+      s => TextAnalysis.polyHash(s))
+    val fps =
+      when(
+        size(hs) >= w,
+        array_distinct(
+          transform(
+            sequence(lit(1), size(hs) - (w - 1)),
+            j => array_min(slice(hs, j, lit(w))))))
+        .when(size(hs) >= 1, array(array_min(hs)))
+        .otherwise(array().cast("array<long>"))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(fps).as("fp"))
+  }
+
+  /** Candidate copied-span pairs from winnowing fingerprints: documents
+    * sharing >= `minShared` selected fingerprints, with the shared count —
+    * the MOSS match-ranking step on top of `winnowing`. By the winnowing
+    * guarantee this finds every pair sharing a token run of length >=
+    * w + k - 1 per shared fingerprint, at index size ~2/(w+1) of the full
+    * positional-shingle index the exact containment join (q117) builds —
+    * this is the cheap screen, containment/Jaccard verify is the exact
+    * confirm.
+    *
+    * HOT-FINGERPRINT GUARD (the bucket-join rule every miner here obeys):
+    * a fingerprint selected by > maxBucket documents is a universal
+    * boilerplate fragment (license header, nav bar) whose bucket would
+    * emit O(m^2) pairs of no evidentiary value — MOSS itself drops
+    * over-shared fingerprints for exactly this reason. Such fps are cut
+    * BEFORE the self-join (aggregate + broadcast anti-join — map-side, no
+    * window): a documented precision-motivated cut, auditable by running
+    * the same groupBy yourself; pairs riding ONLY on dropped boilerplate
+    * disappear, which is the desired behavior (unlike the near-dup miners'
+    * star fallback, where the bucket members really are near-identical).
+    *
+    * Output: id_a < id_b, n_shared (distinct shared fingerprints).
+    */
+  def winnowPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxBucket: Int = 4096): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    // two join legs read the fingerprint table: share one concrete RDD
+    // (lazy — computed inside the query's first job)
+    val fps = winnowing(spread(docs), idCol, textCol, k, w)
+      .withColumnRenamed(idCol, "id")
+      .localCheckpoint(false)
+    val hot = fps
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > maxBucket)
+      .select(col("fp"))
+    val cold = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    cold
+      .as("a")
+      .join(cold.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ---------------------------------------------------------- exact Jaccard
 
   /** All pairs with shingle-set Jaccard >= threshold, mined EXACTLY with

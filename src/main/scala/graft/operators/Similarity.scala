@@ -491,6 +491,76 @@ object Similarity {
     swap(centDir, tmpCent)
   }
 
+  /** Delete vectors from a persisted IVF index by id — the GDPR /
+    * retraction path that completes the index's lifecycle (build:
+    * `writeIvfIndex`, append: `EmbedStreams`, rebalance: `reindexIvf`,
+    * remove: here). Centroids are untouched: remaining rows keep their
+    * cell assignment, so searches stay exact over the survivors.
+    *
+    * Scale shape: delete lists are small (a retraction batch, not a
+    * corpus), so the id set BROADCASTS; the affected cell ids come from
+    * probing the index WITH that broadcast (collected — bounded by the
+    * delete list, the MergeSink dirty-partition pattern), and only those
+    * cell directories are rescanned (partition-pruned literal IN) and
+    * rewritten. Cost ∝ cells touched, never index size. Each leaf swaps
+    * by the two-rename pattern: a crash leaves every cell either fully
+    * old or fully new; re-running the delete heals (deletes are
+    * idempotent). A cell whose every row is deleted ends EMPTY (its
+    * directory is removed) — searches simply stop probing into it.
+    * Bulk deletes (a constant fraction of the index) should use
+    * `reindexIvf` on the filtered corpus instead.
+    *
+    * Returns the number of rows actually removed.
+    */
+  def deleteFromIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      deleteIds: DataFrame,
+      idCol: String = "vec_id"): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.SaveMode
+    val dels = deleteIds
+      .select(col(idCol).cast("long").as("__del"))
+      .distinct()
+      .localCheckpoint(false) // probed twice (affected cells, anti-join)
+    val idx = spark.read.parquet(path)
+    val affected = idx
+      .join(broadcast(dels), idx("vec_id") === col("__del"))
+      .select(col("cell_id").cast("int"))
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .toSeq
+    if (affected.isEmpty) return 0L
+    val sub  = idx.filter(col("cell_id").isin(affected: _*)) // partition-pruned
+    val nDel = sub.join(broadcast(dels), sub("vec_id") === col("__del")).count()
+    val keep = sub
+      .join(broadcast(dels), sub("vec_id") === col("__del"), "left_anti")
+      .repartition(col("cell_id"))
+      .sortWithinPartitions(col("cell_id"), col("vec_id"))
+    val conf    = spark.sessionState.newHadoopConf()
+    val dataDir = new Path(path)
+    val fs      = dataDir.getFileSystem(conf)
+    val tmp     = new Path(dataDir.getParent, s".ivfdel-tmp-${dataDir.getName}")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    keep.write.partitionBy("cell_id").mode(SaveMode.Overwrite).parquet(tmp.toString)
+    affected.foreach { c =>
+      val live    = new Path(dataDir, s"cell_id=$c")
+      val rebuilt = new Path(tmp, s"cell_id=$c")
+      val trash   = new Path(dataDir, s".ivfdel-old-cell_id=$c")
+      if (fs.exists(trash)) fs.delete(trash, true)
+      if (fs.exists(live) && !fs.rename(live, trash))
+        throw new java.io.IOException(s"deleteFromIvfIndex: cannot set aside $live")
+      if (fs.exists(rebuilt) && !fs.rename(rebuilt, live)) {
+        fs.rename(trash, live) // roll back this leaf
+        throw new java.io.IOException(s"deleteFromIvfIndex: cannot promote $rebuilt")
+      }
+      fs.delete(trash, true)
+    }
+    fs.delete(tmp, true)
+    nDel
+  }
+
   /** Top-k search against a persisted IVF index: probe vectors are
     * assigned their `nprobe` nearest cells against the stored centroids,
     * and the index scan carries a LITERAL cell_id predicate, so partition

@@ -631,4 +631,46 @@ object Splits {
       .select(explode(col("__top")).as("__e"))
       .select(cols.map(c => col("__e").getField("__row").getField(c).as(c)): _*)
   }
+
+  /** MIXTURE-PRESERVING shard assignment: shard = (per-`groupCol` rank in
+    * scrambled-`keyCol` order − 1) mod `nShards`. Dealing each source's
+    * rows round-robin guarantees EVERY shard carries every source within
+    * ±1 row of n_source/nShards — so each training file IS the declared
+    * mixture, and a job that reads any subset of shards (curriculum
+    * stages, preemption, partial epochs) still trains on the intended
+    * source proportions. Plain hash-sharding (`shuffleShards`) only gets
+    * this in expectation: at 1024 shards a 50k-doc minority source swings
+    * several percent per shard, and rare sources can miss shards entirely.
+    *
+    * Within a shard the arrival order of a source's rows is the scrambled
+    * hash order — the same deterministic permutation `shuffleShards` uses,
+    * so the round-robin deal adds no order bias. Fully deterministic:
+    * same corpus -> same shard for every row, any cluster, any
+    * partitioning.
+    *
+    * Scale shape: one `rankedPrefixGrouped` pass (two-phase quantile
+    * ranks — no partitionless window, hot sources spread across
+    * reducers). Adds `shard` (int); drop the rank columns it rides on if
+    * unneeded.
+    */
+  def stratifiedShards(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(!df.columns.contains("shard"),
+      "stratifiedShards: input already has a 'shard' column; rename it first")
+    val withPri = df.withColumn("__pri", hashOrder(col(keyCol)).cast("double"))
+    rankedPrefixGrouped(
+      withPri,
+      groupCol,
+      scoreCol = "__pri",
+      idCol = keyCol,
+      costCol = "__pri", // unused; rankedPrefixGrouped needs a cost column
+      rankName = "__shrnk",
+      cumName = "__shcum")
+      .withColumn("shard", ((col("__shrnk") - 1) % nShards).cast("int"))
+      .drop("__pri", "__shrnk", "__shcum")
+  }
 }

@@ -12,6 +12,7 @@ import graft.functions.{Privacy, TextAnalysis}
   */
 class CorpusSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
+  private val sfDir      = "/root/testdata/sf0.001"
 
   test("contamination: identical doc = 1.0, disjoint doc = 0.0, short doc survives with 0 shingles") {
     import spark.implicits._
@@ -560,5 +561,53 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(
       ("a", "b", 3L, 2333333L),
       ("b", "a", 2L, 2333333L)))
+  }
+
+  test("capPerKey: ==naive window cap, per-key bound, partition-stable") {
+    val cap  = 7
+    val docs = graft.core.Tables.documents(spark, sfDir).select("source", "doc_id")
+    val got = Corpus.capPerKey(docs, "source", "doc_id", cap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // bound + exact survivor count per key
+    val perKey = got.toSeq.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val sizes  = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (k, n) =>
+      assert(perKey.getOrElse(k, 0) === math.min(cap.toLong, n).toInt,
+        s"key $k must keep min(cap, n) rows")
+    }
+    // survivors and ranks replay the naive window formulation exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(Splits.hashOrder(col("doc_id")), col("doc_id"))
+    val naive = docs
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= cap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === naive, "heap cap must equal the window cap")
+    // deterministic under physical layout
+    val reGot = Corpus.capPerKey(docs.repartition(11), "source", "doc_id", cap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(reGot === got, "kept set must be partitioning-stable")
+  }
+
+  test("distinctNgramRatio: hand-computed template vs diverse sources") {
+    import spark.implicits._
+    val docs = Seq(
+      // "tmpl": 3 identical docs -> grams {a b c, b c d} x3: 6 total, 2 distinct
+      (1L, "a b c d", "tmpl"),
+      (2L, "a b c d", "tmpl"),
+      (3L, "a b c d", "tmpl"),
+      // "div": every trigram unique -> 4 total, 4 distinct
+      (4L, "p q r s", "div"),
+      (5L, "t u v w", "div"),
+      // short + null rows contribute no grams but must not crash
+      (6L, "x y", "div"),
+      (7L, null.asInstanceOf[String], "div")
+    ).toDF("doc_id", "text", "source")
+    val got = Corpus.distinctNgramRatio(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("tmpl") === ((6L, 2L, 333333L)), "template source: 2/6 in micro-units")
+    assert(got("div") === ((4L, 4L, 1000000L)), "diverse source: every gram distinct")
   }
 }

@@ -508,4 +508,99 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.contains((1L, 2L)), "without the guard the same pair IS found (exactness default)")
   }
+
+  test("winnowing: ==naive replay, shared-run guarantee, degenerate docs, zero shuffle") {
+    import spark.implicits._
+    val P = 1000000007L
+    // the naive reference replays the definition verbatim: positional
+    // trigram poly-hashes, window-of-4 minima, distinct
+    def ph(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+    def naive(text: String, k: Int = 3, w: Int = 4): Set[Long] = {
+      val tk = text.split(" ", -1)
+      val hs = tk.sliding(k).filter(_.length == k).map(sh => ph(sh.mkString(" "))).toVector
+      if (hs.isEmpty) Set.empty
+      else if (hs.length < w) Set(hs.min)
+      else hs.sliding(w).map(_.min).toSet
+    }
+    val run = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, run),                                 // 9 tokens: 7 hashes, 4 windows
+      (2L, s"intro words here $run and a tail"), // shares a 9-token run with doc 1
+      (3L, "too short"),                         // < k tokens -> no fingerprints
+      (4L, "exactly three tokens"),              // one hash -> one fingerprint
+      (5L, "five tokens in this doc")            // 3 hashes < w -> one fp, the min
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowing(docs, "doc_id", "text")
+    val got = out.collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (id, fps) => id -> fps.map(_._2).toSet }
+    val texts = Map(1L -> run, 2L -> s"intro words here $run and a tail",
+      4L -> "exactly three tokens", 5L -> "five tokens in this doc")
+    texts.foreach { case (id, t) =>
+      assert(got(id) === naive(t), s"doc $id must equal the naive replay")
+    }
+    assert(!got.contains(3L), "sub-k docs yield no fingerprints")
+    assert(got(4L).size === 1 && got(5L).size === 1, "short docs: one global-min fp")
+    // the winnowing guarantee: a shared token run of length >= w + k - 1
+    // (here 9 >= 6) forces at least one COMMON selected fingerprint
+    assert((got(1L) & got(2L)).nonEmpty, "shared run must share a fingerprint")
+    // in-row operator: the plan must contain no exchange at all
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"winnowing must be shuffle-free:\n$plan")
+  }
+
+  test("winnowPairs: planted copy found; boilerplate riding only on hot fps is cut") {
+    import spark.implicits._
+    // a 16-token chunk planted in two docs: shared run >= w + k - 1, with
+    // enough interior windows to clear minShared = 2
+    val chunk = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi"
+    val boiler = "license header boilerplate common fragment shared everywhere always"
+    val docs = (Seq(
+      (1L, s"one two three $chunk four five six"),
+      (2L, s"seven eight nine $chunk ten eleven twelve"),
+      (3L, "completely unrelated text about other things entirely here")
+    ) ++ (10L to 30L).map(i => (i, s"$boiler tail$i"))).toDF("doc_id", "text")
+    def pairs(maxBucket: Int) = Dedup
+      .winnowPairs(docs, "doc_id", "text", minShared = 2, maxBucket = maxBucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val unguarded = pairs(4096)
+    assert(unguarded.getOrElse((1L, 2L), 0L) >= 2L, "planted copy must share >= 2 fps")
+    assert(!unguarded.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc must pair with nothing")
+    assert(unguarded.keySet.exists { case (a, b) => a >= 10L && b >= 10L },
+      "boilerplate family pairs exist while unguarded")
+    // guard at maxBucket = 10: the 21-doc boilerplate fps are cut; pairs
+    // riding ONLY on them disappear, the 2-doc planted pair is untouched
+    val guarded = pairs(10)
+    assert(guarded.getOrElse((1L, 2L), 0L) === unguarded((1L, 2L)),
+      "rare planted pair must survive the hot-fp guard unchanged")
+    assert(!guarded.keySet.exists { case (a, b) => a >= 10L && b >= 10L },
+      "boilerplate-only pairs must be cut by the guard")
+  }
+
+  test("winnowing: fixed-rate sampling — far fewer fingerprints than shingles, none invented") {
+    val docs = Tables.documents(spark, sfDir).limit(200).cache()
+    try {
+      val fps = Dedup.winnowing(docs, "doc_id", "text")
+      val perDoc = fps.groupBy("doc_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hashes = docs
+        .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("hh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      perDoc.foreach { case (id, n) =>
+        // selected set is a subset of the doc's own shingle hashes...
+        assert(n <= hashes(id).size.toLong, s"doc $id selected more fps than shingles")
+      }
+      val fpRows = fps.collect().map(r => (r.getLong(0), r.getLong(1)))
+      fpRows.foreach { case (id, fp) =>
+        assert(hashes(id).contains(fp), s"doc $id fingerprint $fp not among its shingle hashes")
+      }
+      // ...and the selection is a genuine sample: ~2/(w+1) of positions, so
+      // well under half the distinct hashes on real 40+-token documents
+      val totalFp = perDoc.values.sum.toDouble
+      val totalSh = hashes.filter { case (k, _) => perDoc.contains(k) }.values.map(_.size).sum.toDouble
+      assert(totalFp < 0.6 * totalSh, f"density ${totalFp / totalSh}%.2f not a sample")
+    } finally docs.unpersist()
+  }
 }

@@ -123,4 +123,44 @@ class IvfIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(full === brute && full.nonEmpty)
   }
+
+  test("deleteFromIvfIndex: search == brute force over survivors; idempotent; empty-cell removal") {
+    val emb  = Tables.embeddings(spark, sfDir)
+    val path = tmp() + "/index"
+    Similarity.writeIvfIndex(emb, path, ncells = 8)
+
+    val delPred = col("vec_id") % 7 === 0
+    val delIds  = emb.filter(delPred).select("vec_id")
+    val nDel    = delIds.count()
+    assert(Similarity.deleteFromIvfIndex(spark, path, delIds) === nDel)
+
+    // deleted rows are gone, survivors and their cells intact
+    val remaining = spark.read.parquet(path)
+    assert(remaining.join(delIds, "vec_id").count() === 0)
+    assert(remaining.count() === emb.count() - nDel)
+
+    // full-probe search over the shrunk index == brute force over survivors
+    val survivors = emb.filter(!delPred)
+    val probes    = survivors.filter(col("vec_id") < 20)
+    val got = Similarity.searchIvfIndex(spark, path, probes, k = 5, nprobe = 8)
+      .select("probe_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = Similarity.bruteForceTopK(survivors, col("vec_id") < 20, k = 5)
+      .select("probe_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want && got.nonEmpty)
+
+    // deletes are idempotent: a replayed batch removes nothing further
+    assert(Similarity.deleteFromIvfIndex(spark, path, delIds) === 0L)
+
+    // deleting an entire cell removes its directory and searches survive
+    val idx = spark.read.parquet(path)
+    val victimCell = idx.select(col("cell_id").cast("int")).head().getInt(0)
+    val cellIds = idx.filter(col("cell_id") === victimCell).select("vec_id")
+    val nCell = cellIds.count()
+    assert(Similarity.deleteFromIvfIndex(spark, path, cellIds) === nCell)
+    val dir = new java.io.File(path, s"cell_id=$victimCell")
+    assert(!dir.exists(), s"emptied cell directory $dir must be removed")
+    assert(spark.read.parquet(path).filter(col("cell_id") === victimCell).count() === 0)
+  }
 }

@@ -343,4 +343,34 @@ class SplitsSpec extends AnyFunSuite {
         s"isolated row $i must hash exactly like assignSplit")
     }
   }
+
+  test("stratifiedShards: ==naive window deal, per-shard mixture within ±1, partition-stable") {
+    val nShards = 8
+    val docs = Tables.documents(spark, sfDir).select("source", "doc_id")
+    val got = Splits
+      .stratifiedShards(docs, "source", "doc_id", nShards)
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(got.values.forall(s => s >= 0 && s < nShards), "shard out of range")
+    // the round-robin deal IS the naive per-group window, replayed
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(Splits.hashOrder(col("doc_id")).desc, col("doc_id"))
+    val naive = docs
+      .withColumn("shard", ((row_number().over(w) - 1) % nShards).cast("int"))
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(got === naive, "two-phase deal must equal the naive window deal")
+    // the guarantee the operator exists for: every shard holds every
+    // source within +-1 row of n_source / nShards (count absent cells as 0)
+    val srcOf = docs.collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    got.toSeq.groupBy { case (id, _) => srcOf(id) }.foreach { case (src, rows) =>
+      val counts = (0 until nShards).map(sh => rows.count(_._2 == sh))
+      assert(counts.max - counts.min <= 1,
+        s"source $src shard counts $counts not a round-robin deal")
+    }
+    // deterministic under physical layout
+    val reGot = Splits
+      .stratifiedShards(docs.repartition(13), "source", "doc_id", nShards)
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(reGot === got, "shard assignment must be partitioning-stable")
+  }
 }
