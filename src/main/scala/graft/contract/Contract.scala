@@ -3291,6 +3291,27 @@ object Contract {
         graft.operators.Dedup.winnowPairs(
           Tables.documents(s, d), "doc_id", "text", k = 3, w = 4, minShared = 2),
       Some(OracleSql.q143)
+    ),
+    Q(
+      "q144_score_percentile",
+      // per-source percentile calibration (Splits.scorePercentileGrouped):
+      // rank-normalize a quality score within each source before any
+      // global cut — cross-source thresholds on raw scores silently gut
+      // whole sources. Grouped two-phase rank + broadcast size table.
+      (s, d) =>
+        graft.operators.Splits
+          .scorePercentileGrouped(
+            Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+            "source", "n_chars", "doc_id")
+          .select("doc_id", "source", "pct_x1e6"),
+      Some("""WITH n AS (
+             |  SELECT source, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+             |r AS (SELECT doc_id, source,
+             |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM documents)
+             |SELECT doc_id, r.source,
+             |  ((cnt - rn) * 1000000 // greatest(cnt - 1, 1))::BIGINT AS pct_x1e6
+             |FROM r JOIN n USING (source)""".stripMargin)
     )
   )
 

@@ -159,6 +159,27 @@ object CountMin {
     fs.delete(trash, true)
   }
 
+  /** Merged view of a per-drain sketch table (one row per drained batch,
+    * written by `CorpusStreams.runTokenCms`): sums every row's grid into
+    * one. Row count is #drains-bounded — a driver fold by design, like
+    * every sketch surface here.
+    */
+  def readMerged(spark: SparkSession, dir: String): (Int, Int, Array[Long]) = {
+    val rows = spark.read.parquet(dir).select("width", "depth", "counters").collect()
+    require(rows.nonEmpty, s"readMerged: no sketches at $dir")
+    val w = rows.head.getInt(0)
+    val d = rows.head.getInt(1)
+    val acc = new Array[Long](w * d)
+    rows.foreach { r =>
+      require(r.getInt(0) == w && r.getInt(1) == d,
+        s"readMerged: drain shape ${r.getInt(0)}x${r.getInt(1)} != store shape ${w}x$d")
+      val c = r.getSeq[Long](2)
+      var i = 0
+      while (i < acc.length) { acc(i) += c(i); i += 1 }
+    }
+    (w, d, acc)
+  }
+
   /** Estimates for a column of keys against a COLLECTED sketch (the
     * sketch is one row — driver state by design): adds `estName` with the
     * CMS upper-bound count for each row's key; NULL keys get a NULL

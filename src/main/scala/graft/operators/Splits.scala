@@ -632,6 +632,48 @@ object Splits {
       .select(cols.map(c => col("__e").getField("__row").getField(c).as(c)): _*)
   }
 
+  /** Within-group PERCENTILE RANK of a score in integer micro-units —
+    * the calibration step before a global quality cut: raw classifier /
+    * heuristic scores are not comparable ACROSS sources (a web crawl's
+    * median quality is a curated archive's floor), so corpus-wide
+    * thresholds silently gut some sources and keep others whole.
+    * Rank-normalizing within each source first makes "keep the top 30%"
+    * mean the same thing everywhere — the mixture-safe form of a global
+    * cut (pair with `alphaMixture` / `mixtureToBudget` for the rates).
+    *
+    * pct_x1e6 = (n_g − rank) · 1e6 div max(n_g − 1, 1): the group's best
+    * row scores 1e6, its worst 0, a singleton group 0 (no distribution to
+    * stand in). Ranks are the deterministic (score DESC NULLS LAST, id
+    * ASC) order, so tied scores get distinct adjacent percentiles — the
+    * oracle's ROW_NUMBER semantics, bit-stable cross-engine.
+    *
+    * Scale shape: one `rankedPrefixGrouped` pass (two-phase quantile
+    * ranks, hot groups spread across reducers) plus a broadcast of the
+    * |groups|-row size table. No partitionless window anywhere.
+    */
+  def scorePercentileGrouped(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      pctName: String = "pct_x1e6"): DataFrame = {
+    require(!df.columns.contains(pctName),
+      s"scorePercentileGrouped: input already has a '$pctName' column")
+    val ranked = rankedPrefixGrouped(
+      df, groupCol, scoreCol, idCol,
+      costCol = scoreCol, // unused; the API needs a cost column
+      rankName = "__sprnk", cumName = "__spcum")
+    val sizes = df
+      .groupBy(col(groupCol).as("__spg"))
+      .agg(count(lit(1)).as("__spn"))
+    ranked
+      .join(broadcast(sizes), col(groupCol) <=> col("__spg"))
+      .withColumn(
+        pctName,
+        expr(s"(__spn - __sprnk) * 1000000 div greatest(__spn - 1, 1)"))
+      .drop("__sprnk", "__spcum", "__spg", "__spn")
+  }
+
   /** MIXTURE-PRESERVING shard assignment: shard = (per-`groupCol` rank in
     * scrambled-`keyCol` order − 1) mod `nShards`. Dealing each source's
     * rows round-robin guarantees EVERY shard carries every source within

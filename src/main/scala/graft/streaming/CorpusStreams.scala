@@ -338,6 +338,42 @@ object CorpusStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming token-frequency sketching: each drain writes its batch's
+    * count-min delta as ONE row keyed by batch_id (MergeSink upsert — a
+    * replayed batch OVERWRITES its own row instead of double-counting,
+    * the idempotence a direct store fold could not promise). The CMS
+    * merge law (`CountMinSpec`) makes the per-batch rows sum to the
+    * one-shot sketch of everything ever drained — read the union with
+    * `CountMin.readMerged`. This is the bounded-memory streaming twin of
+    * `writeTokenBaseline`: per-key state never exists anywhere, only the
+    * fixed width x depth grid per drain.
+    */
+  def runTokenCms(
+      spark: SparkSession,
+      rawDir: String,
+      sketchDir: String,
+      checkpointDir: String,
+      width: Int = 2048,
+      depth: Int = 4,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    docStream(spark, rawDir, maxFilesPerTrigger).writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val toks = batch
+          .filter(col("text").isNotNull)
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val delta = graft.operators.CountMin
+          .sketch(toks, "tok", width, depth)
+          .withColumn("batch_id", lit(batchId))
+        MergeSink.upsert(ss, delta, sketchDir,
+          keyCols = Seq("batch_id"), partitionCols = Seq.empty)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming DRIFT MONITOR: every drained batch scores its per-source
     * token distribution against a FROZEN baseline census
     * (`Corpus.writeTokenBaseline`, trained on a trusted reference corpus)

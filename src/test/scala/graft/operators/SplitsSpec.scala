@@ -344,6 +344,30 @@ class SplitsSpec extends AnyFunSuite {
     }
   }
 
+  test("scorePercentileGrouped: ==naive window percentile; best=1e6, worst=0, singleton=0") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "n_chars")
+    val got = Splits.scorePercentileGrouped(docs, "source", "n_chars", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("pct_x1e6")).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").desc_nulls_last, col("doc_id"))
+    val naive = docs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .withColumn("pct", expr("(n - rn) * 1000000 div greatest(n - 1, 1)"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("pct")).toMap
+    assert(got === naive, "two-phase percentile must equal the naive window form")
+    assert(got.values.max === 1000000L && got.values.min === 0L)
+    // singleton group has no distribution: pct = 0 by the documented rule
+    val single = Seq((1L, "only", 10L), (2L, "both", 5L), (3L, "both", 7L))
+      .toDF("doc_id", "source", "n_chars")
+    val sgot = Splits.scorePercentileGrouped(single, "source", "n_chars", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("pct_x1e6")).toMap
+    assert(sgot === Map(1L -> 0L, 2L -> 0L, 3L -> 1000000L))
+  }
+
   test("stratifiedShards: ==naive window deal, per-shard mixture within ±1, partition-stable") {
     val nShards = 8
     val docs = Tables.documents(spark, sfDir).select("source", "doc_id")

@@ -195,4 +195,35 @@ class CorpusStreamsSpec extends AnyFunSuite {
       .awaitTermination()
     assert(spark.read.parquet(monitor).count() === 2L)
   }
+
+  test("token CMS: drain folds sum to the one-shot sketch; idempotent re-drain") {
+    import graft.operators.CountMin
+    val raw    = tmp("cms-raw")
+    val sketch = tmp("cms-out") + "/sketch"
+    val ckpt   = tmp("cms-ckpt")
+
+    writeDocs(raw, "b0.json", Seq(1L -> good1, 2L -> good2))
+    CorpusStreams.runTokenCms(spark, raw, sketch, ckpt, width = 512, depth = 4)
+      .awaitTermination()
+    writeDocs(raw, "b1.json", Seq(3L -> good1)) // re-post: counts must ADD
+    CorpusStreams.runTokenCms(spark, raw, sketch, ckpt, width = 512, depth = 4)
+      .awaitTermination()
+
+    val (w, d, merged) = CountMin.readMerged(spark, sketch)
+    // the merged drains == the one-shot sketch of every token ever drained
+    import spark.implicits._
+    val allToks = (good1.split(" ") ++ good2.split(" ") ++ good1.split(" ")).toSeq.toDF("tok")
+    val oneShot = CountMin.sketch(allToks, "tok", width = 512, depth = 4)
+      .head().getSeq[Long](2).toArray
+    assert(merged.toSeq === oneShot.toSeq, "drain folds must sum to the one-shot sketch")
+    // point estimates see the doubled doc: 'fox' counted twice, never under
+    assert(CountMin.estimate(w, d, merged, "fox") >= 2L)
+    assert(CountMin.estimate(w, d, merged, "analytics") >= 1L)
+
+    // a drain with nothing new must not change the store (idempotence)
+    CorpusStreams.runTokenCms(spark, raw, sketch, ckpt, width = 512, depth = 4)
+      .awaitTermination()
+    val (_, _, again) = CountMin.readMerged(spark, sketch)
+    assert(again.toSeq === merged.toSeq, "empty re-drain must leave the sketch unchanged")
+  }
 }
