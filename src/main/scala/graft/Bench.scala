@@ -309,12 +309,17 @@ object Bench {
     * two loggers go to FATAL — real failures still surface through the
     * "failed" list and the [bench] stderr lines.
     */
-  private def quietBenignNoise(): Unit =
+  private[graft] def quietBenignNoise(): Unit =
     try {
       import org.apache.logging.log4j.Level
       import org.apache.logging.log4j.core.config.Configurator
-      Configurator.setLevel("org.apache.spark.scheduler.DAGScheduler", Level.FATAL)
-      Configurator.setLevel("org.apache.spark.ContextCleaner", Level.FATAL)
+      Seq(
+        "org.apache.spark.scheduler.DAGScheduler",
+        "org.apache.spark.scheduler.TaskSchedulerImpl",
+        "org.apache.spark.scheduler.TaskSetManager",
+        "org.apache.spark.executor.Executor",
+        "org.apache.spark.ContextCleaner")
+        .foreach(Configurator.setLevel(_, Level.FATAL))
     } catch { case _: Throwable => () } // logging must never kill the bench
 
   // ----------------------------------------------------------------- emit
@@ -325,10 +330,16 @@ object Bench {
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     def line(qs: String, extra: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$extra"sf":"$sfDir","n_queries":${results.size},"failed":$failedJs}"""
-    // Full per-query detail -> the OUT file (local analysis keeps everything)
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      Files.writeString(Paths.get(p), line(fullQs, "") + "\n")
+    // Full per-query detail -> the OUT file. ALWAYS written (default
+    // ./bench.json): round 6 exited 1 on real failures and the driver's
+    // 2000-char stdout tail was consumed by stack traces, so the whole
+    // round's per-query perf record for the 123 healthy queries was lost
+    // (`BENCH_r06.parsed: null`). The file survives any rc.
+    val fullQs  = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    try Files.writeString(Paths.get(outPath), line(fullQs, "") + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] cannot write $outPath: ${e.getMessage}")
     }
     // The harness records only the LAST 2000 chars of stdout, and sbt
     // appends its own "[success] Total time..." line after ours — so the

@@ -26,6 +26,9 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the eager localCheckpoint loops race the ContextCleaner into benign
+    // accumulator-not-found ERROR spray that buries the audit table
+    Bench.quietBenignNoise()
     names.foreach { n =>
       val q = contract.Contract.byName.getOrElse(n, sys.error(s"unknown query: $n"))
       val p = q.run(spark, sfDir).queryExecution.executedPlan.toString

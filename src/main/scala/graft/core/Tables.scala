@@ -5,12 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated test tables (TESTDATA.md / FIXTURES.md §4).
   *
-  * All schemas are fixed by the parquet footers; no inference. `events.ts` is
-  * TIMESTAMP(NANOS) in the file — Spark's TimestampType is µs, so we read it as
-  * a raw Long (nanosAsLong) and expose BOTH:
-  *   - `ts_ns`: the exact int64 epoch nanoseconds (lossless), and
-  *   - `ts`:    TimestampType truncated to µs (for window/date functions).
-  * Queries that need cross-engine-exact values derive from `ts_ns`.
+  * All schemas are fixed by the parquet footers; no inference — EXCEPT
+  * `events.ts`, whose physical type has changed across driver fixture
+  * regenerations (TIMESTAMP(NANOS) through round 5, TIMESTAMP(MICROS,
+  * isAdjustedToUTC=false) from round 6). Hard-coding one vintage cost a full
+  * round (28 queries red on an analysis error), so the loader branches on the
+  * dtype the footer actually yields and normalizes to ONE exposed contract:
+  *   - `ts_ns`: exact int64 epoch nanoseconds (lossless for every vintage —
+  *     a µs fixture's ns value is an exact ×1000), and
+  *   - `ts`:    TimestampType at µs (for window/date functions) — the SAME
+  *     type in every branch, so downstream schemas can't drift with the
+  *     fixture vintage (session TZ is pinned UTC, making the NTZ→TZ cast a
+  *     wall-clock identity).
+  * Queries that need cross-engine-exact values derive from `ts_ns`; the
+  * DuckDB oracles' `epoch_ns(ts)` agrees under both vintages.
   */
 object Tables {
 
@@ -28,10 +36,31 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = parquet(spark, dir, "embeddings")
 
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     GraftSession.tune(spark)
-    parquet(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      // integer div — a double division would lose precision at 1.7e18 ns
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = parquet(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // TIMESTAMP(NANOS) vintage: nanosAsLong yields the raw int64 ns.
+        // Integer div — a double division would lose precision at 1.7e18 ns.
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampType | TimestampNTZType =>
+        // TIMESTAMP(MICROS) vintage: µs → exact ns; normalize ts to the
+        // session-TZ TimestampType AND to the LongType branch's column
+        // layout (ts_ns in the original ts slot, ts appended last) so the
+        // exposed DataFrame is vintage-invariant, not just name/type-equal.
+        val tsT = col("ts").cast(TimestampType)
+        val cols = raw.columns.map {
+          case "ts" => (unix_micros(tsT) * 1000).as("ts_ns")
+          case c    => col(c)
+        } :+ tsT.as("ts")
+        raw.select(cols.toSeq: _*)
+      case other =>
+        throw new IllegalStateException(
+          s"Tables.events: unsupported physical type for events.ts: $other " +
+            "(expected int64 nanos or a timestamp type — did the fixture schema change again?)")
+    }
   }
 }

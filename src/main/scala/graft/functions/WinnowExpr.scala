@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for WINNOWING fingerprint selection (Schleimer/
+  * Wilkerson/Aiken, the MOSS screen): the DISTINCT window-minima of the
+  * text's positional k-shingle hash sequence under a sliding window of `w`,
+  * in first-occurrence order.
+  *
+  * Exists because the composed form
+  * `array_distinct(transform(sequence(1, m-w+1), j => array_min(slice(hs, j, w))))`
+  * splices the whole tokenize→shingle→polyHash chain `hs` into the lambda
+  * BODY, so Spark's interpreted higher-order evaluation re-computes the full
+  * hash array per window position — O(n²) per document (round-6 adjudicated:
+  * 90 s isolated at sf0.1 for 1.5 MB of text). This expression is one pass:
+  * tokenize, rolling shingle hash, monotonic-deque window minimum — O(n) per
+  * document, codegen'd via a static call like the SimHashExpr precedent.
+  *
+  * Exact-parity contract (certified by WinnowExprSpec against the composed
+  * form, transitively by the q140/q143 DuckDB oracles):
+  *  - tokens = split on a single space, leading/trailing empties kept
+  *    (Java `split(" ", -1)` == Spark `split(text, " ")`);
+  *  - shingle = k consecutive tokens joined with " ", hash = PolyHashExpr
+  *    codepoint fold mod 1e9+7 (hash count m = #tokens - k + 1);
+  *  - m == 0 (fewer than k tokens)  => empty array;
+  *  - 1 <= m < w (doc shorter than one window) => [global min] (the paper's
+  *    truncated-window convention, matching the composed when-chain);
+  *  - m >= w => distinct window minima, first occurrence first
+  *    (array_distinct semantics). Ties inside a window need no rightmost
+  *    rule: equal minima are equal VALUES, so the emitted set is identical
+  *    whichever position wins.
+  */
+case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType      = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k >= 1 && w >= 1) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"winnow requires STRING and k >= 1, w >= 1, got ${child.dataType}, k=$k, w=$w")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowExpr.fingerprints(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowExpr.fingerprints($c, $k, $w)")
+}
+
+object WinnowExpr {
+  import PolyHashExpr.P
+
+  private def hashCodepoints(s: CharSequence): Long = {
+    var acc = 0L
+    var i   = 0
+    val len = s.length
+    while (i < len) {
+      val cp = Character.codePointAt(s, i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  def fingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val m    = toks.length - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+
+    // positional shingle-hash sequence (NOT distinct — winnowing windows
+    // run over positions)
+    val hs = new Array[Long](m)
+    val sb = new java.lang.StringBuilder()
+    var i  = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      hs(i) = hashCodepoints(sb)
+      i += 1
+    }
+
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m < w) {
+      // truncated-window convention: the single global minimum
+      var min = hs(0)
+      i = 1
+      while (i < m) { if (hs(i) < min) min = hs(i); i += 1 }
+      seen.add(min)
+    } else {
+      // monotonic deque of INDICES, front = current window minimum — each
+      // index enters and leaves at most once: O(m) total
+      val deque = new Array[Int](m)
+      var head  = 0
+      var tail  = 0 // exclusive
+      i = 0
+      while (i < m) {
+        while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+        deque(tail) = i; tail += 1
+        val lo = i - w + 1
+        if (deque(head) < lo) head += 1
+        if (lo >= 0) seen.add(hs(deque(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it  = seen.iterator()
+    var n   = 0
+    while (it.hasNext) { out(n) = it.next().longValue(); n += 1 }
+    new GenericArrayData(out)
+  }
+}

@@ -107,16 +107,40 @@ object Dedup {
     * fingerprint (the global min — every hash window is truncated to the
     * doc).
     *
-    * Scale shape: the hash sequence, the window minima and the per-doc
-    * distinct are all IN-ROW projections (zero shuffle, linear in doc
-    * length since the w-slice min re-scan is w*m with constant w); the only
-    * exchange in the plan is whatever the caller does with the exploded
-    * (id, fp) rows. Ties inside a window need no rightmost-rule here
-    * because equal minima select equal HASH VALUES — the emitted set is
-    * identical whichever position wins, so the cross-engine mirror is
-    * exact.
+    * Scale shape: selection is ONE native per-row projection (WinnowExpr:
+    * tokenize, rolling shingle hash, monotonic-deque window min — O(n) per
+    * document, codegen'd, zero shuffle); the only exchange in the plan is
+    * whatever the caller does with the exploded (id, fp) rows. Ties inside
+    * a window need no rightmost-rule here because equal minima select
+    * equal HASH VALUES — the emitted set is identical whichever position
+    * wins, so the cross-engine mirror is exact. (The first, composed form
+    * of this operator re-evaluated the hash chain per window position —
+    * O(n²) interpreted work per doc, 90 s for 1.5 MB of sf0.1 text; kept
+    * as `winnowingComposed` strictly as the parity cross-check.)
     */
   def winnowing(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4): DataFrame = {
+    require(k >= 1, s"shingle size k must be >= 1, got $k")
+    require(w >= 1, s"window w must be >= 1, got $w")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val fps = ColumnBridge.column(
+      graft.functions.WinnowExpr(ColumnBridge.expression(col(textCol)), k, w))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(fps).as("fp"))
+  }
+
+  /** The same selection from composed built-ins — two intermediate arrays
+    * and an interpreted window-min lambda per row whose spliced `hs`
+    * subtree RE-EVALUATES the whole hash chain per window position:
+    * O(n²) per document. Exists only to cross-check WinnowExpr
+    * (WinnowExprSpec), the polyHashComposed pattern.
+    */
+  def winnowingComposed(
       docs: DataFrame,
       idCol: String,
       textCol: String,

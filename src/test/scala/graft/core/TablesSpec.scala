@@ -1,0 +1,76 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+import graft.SparkTestSession
+
+/** The `events` loader must survive driver fixture regenerations: the `ts`
+  * column has shipped as TIMESTAMP(NANOS) (loads as raw Long under
+  * nanosAsLong) and as TIMESTAMP(MICROS, NTZ) across vintages. Whatever the
+  * footer says, the exposed contract is fixed: ts_ns LongType (exact epoch
+  * ns), ts TimestampType (µs), same column order, same values.
+  */
+class TablesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** epoch µs values used by both synthetic vintages. */
+  private val micros = Seq(1700000000000000L, 1700000001500000L, 1700003600123456L)
+
+  private def writeNsVintage(dir: String): Unit = {
+    import spark.implicits._
+    // ns-as-long vintage: what nanosAsLong yields for TIMESTAMP(NANOS) —
+    // a raw int64 column named ts (Spark can't write physical NANOS, but
+    // the loader branches on the LOADED dtype, which is LongType either way)
+    micros
+      .map(us => (us * 1000, "click"))
+      .toDF("ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  private def writeUsVintage(dir: String): Unit = {
+    import spark.implicits._
+    // µs-timestamp vintage (round-6 driver fixture): TIMESTAMP_NTZ footer
+    micros
+      .map(us => (us, "click"))
+      .toDF("us", "event_type")
+      .select(
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+        col("event_type"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  test("events loads both fixture vintages to one identical contract") {
+    val nsDir = java.nio.file.Files.createTempDirectory("tables-ns").toString
+    val usDir = java.nio.file.Files.createTempDirectory("tables-us").toString
+    writeNsVintage(nsDir)
+    writeUsVintage(usDir)
+
+    val ns = Tables.events(spark, nsDir)
+    val us = Tables.events(spark, usDir)
+
+    // identical exposed layout: names, order, types — vintage-invariant
+    assert(ns.columns.toSeq === Seq("ts_ns", "event_type", "ts"))
+    assert(us.columns.toSeq === ns.columns.toSeq)
+    assert(ns.schema("ts_ns").dataType === LongType)
+    assert(us.schema("ts_ns").dataType === LongType)
+    assert(ns.schema("ts").dataType === TimestampType)
+    assert(us.schema("ts").dataType === TimestampType)
+
+    // identical values: exact ns, µs-truncated timestamp
+    val nsRows = ns.orderBy("ts_ns").collect().map(r => (r.getLong(0), r.getTimestamp(2)))
+    val usRows = us.orderBy("ts_ns").collect().map(r => (r.getLong(0), r.getTimestamp(2)))
+    assert(nsRows.toSeq === usRows.toSeq)
+    assert(nsRows.map(_._1).toSeq === micros.map(_ * 1000))
+  }
+
+  test("events rejects an unrecognized ts physical type with a clear error") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tables-bad").toString
+    Seq(("2024-01-01", 1L)).toDF("ts", "event_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("events.ts"))
+  }
+}
