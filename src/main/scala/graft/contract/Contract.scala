@@ -3312,6 +3312,129 @@ object Contract {
              |SELECT doc_id, r.source,
              |  ((cnt - rn) * 1000000 // greatest(cnt - 1, 1))::BIGINT AS pct_x1e6
              |FROM r JOIN n USING (source)""".stripMargin)
+    ),
+    Q(
+      "q145_repetition_gopher",
+      // Gopher repetition rules (Corpus.repetitionStats): chars covered
+      // by the top bigram / by duplicated trigrams, per doc, integer
+      // ×1e6 — the template-spam / log-spew axis the entropy and
+      // dup-bigram scores miss. Two (doc, gram) partial-agg shuffles.
+      (s, d) =>
+        graft.operators.Corpus.repetitionStats(Tables.documents(s, d), "doc_id", "text"),
+      Some("""WITH base AS (
+             |  SELECT doc_id, length(text) AS chars, string_split(text, ' ') AS tk
+             |  FROM documents WHERE text IS NOT NULL),
+             |b2 AS (SELECT doc_id, chars,
+             |         unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+             |       FROM base),
+             |c2 AS (SELECT doc_id, chars, g, count(*) AS c FROM b2 GROUP BY 1, 2, 3),
+             |t2 AS (SELECT doc_id, chars, c, g,
+             |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+             |       FROM c2),
+             |top2 AS (SELECT doc_id,
+             |           (c * length(g) * 1000000 // greatest(chars, 1))::BIGINT AS v
+             |         FROM t2 WHERE rn = 1),
+             |b3 AS (SELECT doc_id, chars,
+             |         unnest(list_transform(range(1, len(tk) - 1),
+             |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+             |       FROM base),
+             |c3 AS (SELECT doc_id, chars, g, count(*) AS c FROM b3 GROUP BY 1, 2, 3),
+             |dup3 AS (SELECT doc_id,
+             |           (sum(c * length(g)) * 1000000 // greatest(chars, 1))::BIGINT AS v
+             |         FROM c3 WHERE c > 1 GROUP BY doc_id, chars)
+             |SELECT base.doc_id,
+             |  coalesce(top2.v, 0)::BIGINT AS top_bigram_frac_x1e6,
+             |  coalesce(dup3.v, 0)::BIGINT AS dup_trigram_frac_x1e6
+             |FROM base LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)""".stripMargin)
+    ),
+    Q(
+      "q146_winnow_contamination",
+      // substring-level train/eval leakage (Corpus.winnowContamination):
+      // corpus docs sharing a winnowing fingerprint with the eval slice
+      // (doc_id % 97 = 0) — the copied-span contamination probe; eval
+      // fingerprints broadcast, corpus side never shuffled.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Corpus.winnowContamination(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", k = 3, w = 4)
+      },
+      Some(OracleSql.q146)
+    ),
+    Q(
+      "q147_dsir_importance",
+      // DSIR importance resampling weights (Corpus.dsirWeights): hashed-
+      // unigram log-likelihood ratio of the English slice vs the whole
+      // corpus, per doc — domain-targeted selection scores; the 4096-row
+      // ratio table broadcasts, the corpus is never shuffled.
+      (s, d) =>
+        graft.operators.Corpus.dsirWeights(
+          Tables.documents(s, d), "doc_id", "text", col("lang") === "en"),
+      Some(OracleSql.q147)
+    ),
+    Q(
+      "q148_semdedup",
+      // SemDeDup (Similarity.semanticDedup): cluster-scoped semantic
+      // dedup — the label column plays the paper's k-means cell; keep =
+      // no lower-id cluster-mate at cosine >= 0.25. One cluster-key
+      // shuffle, per-cluster quadratic compare.
+      (s, d) =>
+        graft.operators.Similarity.semanticDedup(
+          Tables.embeddings(s, d), "vec_id", "embedding", "label", tau = 0.25),
+      Some("""WITH n AS (
+             |  SELECT vec_id, label, embedding,
+             |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             |                (a, b) -> a + b) AS n2
+             |  FROM embeddings),
+             |sh AS (SELECT DISTINCT b.vec_id
+             |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+             |  WHERE list_reduce(list_transform(range(1, len(a.embedding) + 1),
+             |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+             |        (x, y) -> x + y) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.25)
+             |SELECT vec_id, label FROM embeddings
+             |WHERE vec_id NOT IN (SELECT vec_id FROM sh)""".stripMargin)
+    ),
+    Q(
+      "q149_luhn_pii",
+      // Luhn-gated PAN detection (Privacy.cardRuns/luhnValidCount): card-
+      // length digit runs + the ISO 7812 checksum that cuts false
+      // positives 10x. The fixture has no card numbers, so each event
+      // carries a deterministic synthetic 16-digit run (hash of user_id)
+      // — ~1 in 10 Luhn-valid, exercising both branches. Zero shuffle.
+      (s, d) => {
+        import graft.functions.Privacy
+        val payload = concat(
+          col("props"), lit(" "),
+          lpad(pmod(col("user_id") * 982451653L, lit(10000000000000000L)).cast("string"),
+            16, "0"))
+        ev(s, d).select(
+          col("event_id"),
+          size(Privacy.cardRuns(payload)).as("n_card_runs"),
+          Privacy.luhnValidCount(payload).as("n_luhn_valid"))
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id,
+             |    props || ' ' || lpad(((user_id * 982451653) % 10000000000000000)::VARCHAR, 16, '0') AS payload
+             |  FROM events),
+             |runs AS (SELECT event_id,
+             |    list_filter(regexp_extract_all(payload, '[0-9]+'),
+             |                r -> length(r) BETWEEN 13 AND 19) AS rs
+             |  FROM p)
+             |SELECT event_id,
+             |  len(rs)::INT AS n_card_runs,
+             |  list_reduce(list_prepend(0::BIGINT, list_transform(rs,
+             |    r -> CASE WHEN list_reduce(list_prepend(0::BIGINT,
+             |           list_transform(range(1, length(r) + 1),
+             |             i -> (CASE WHEN (length(r) - i) % 2 = 1
+             |                   THEN CASE WHEN 2 * (ord(r[i]) - 48) > 9
+             |                        THEN 2 * (ord(r[i]) - 48) - 9
+             |                        ELSE 2 * (ord(r[i]) - 48) END
+             |                   ELSE ord(r[i]) - 48 END)::BIGINT)),
+             |           (a, b) -> a + b) % 10 = 0
+             |         THEN 1::BIGINT ELSE 0::BIGINT END)),
+             |    (a, b) -> a + b) AS n_luhn_valid
+             |FROM runs""".stripMargin)
     )
   )
 

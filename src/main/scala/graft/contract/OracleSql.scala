@@ -1002,6 +1002,59 @@ object OracleSql {
        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
+  /** Winnow-fingerprint eval contamination (Corpus.winnowContamination):
+    * the q140 selection over ALL documents, split by the eval predicate
+    * (doc_id % 97 = 0), corpus rows counted against the eval side's
+    * distinct fingerprints.
+    */
+  val q146: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |  WHERE text IS NOT NULL),
+       |ss AS (SELECT doc_id,
+       |  CASE WHEN len(tk) >= 3
+       |    THEN list_transform(range(1, len(tk)-1),
+       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+       |    ELSE CAST([] AS VARCHAR[]) END AS sh
+       |  FROM toks),
+       |hs AS (SELECT doc_id, list_transform(sh, s -> ${polyHash("s")}) AS hh FROM ss),
+       |fps AS (SELECT doc_id,
+       |  CASE WHEN len(hh) >= 4
+       |    THEN list_distinct(list_transform(range(1, len(hh)-2),
+       |           j -> list_min(hh[j:j+3])))
+       |    WHEN len(hh) >= 1 THEN [list_min(hh)]
+       |    ELSE CAST([] AS BIGINT[]) END AS fp
+       |  FROM hs),
+       |f AS (SELECT doc_id, unnest(fp) AS fp FROM fps),
+       |b AS (SELECT DISTINCT fp FROM f WHERE doc_id % 97 = 0)
+       |SELECT c.doc_id, count(*)::BIGINT AS n_shared_fps
+       |FROM f c JOIN b USING (fp)
+       |WHERE c.doc_id % 97 <> 0
+       |GROUP BY 1""".stripMargin
+
+  /** DSIR importance weights (Corpus.dsirWeights, target = lang 'en',
+    * 4096 hashed-unigram buckets): the identical count → smoothed
+    * log-ratio → per-token sum chain; the long products stay under 2^53
+    * so the double casts are exact and only the single ln can wobble
+    * (≤ 1 ulp, rounded to micro-nats — the tokenEntropy recipe).
+    */
+  val q147: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE text IS NOT NULL),
+       |f AS (SELECT doc_id, lang, ${polyHash("tok")} % 4096 AS f FROM tk),
+       |c AS (SELECT f,
+       |        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS t,
+       |        count(*)::BIGINT AS r
+       |      FROM f GROUP BY 1),
+       |n AS (SELECT sum(t)::BIGINT AS nt, sum(r)::BIGINT AS nr FROM c),
+       |lr AS (SELECT f,
+       |         round(ln(((t + 1) * (nr + 4096))::DOUBLE /
+       |                  ((r + 1) * (nt + 4096))::DOUBLE) * 1000000)::BIGINT AS lr
+       |       FROM c CROSS JOIN n)
+       |SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(lr)::BIGINT AS dsir_x1e6
+       |FROM f JOIN lr USING (f) GROUP BY 1""".stripMargin
+
   /** Per-source distinct-trigram diversity (Corpus.distinctNgramRatio):
     * grams collapse through the same polynomial hash in both engines, so
     * any collision collapses identically and parity is exact.

@@ -27,6 +27,52 @@ object Privacy {
     */
   def pseudonym(id: Column): Column = graft.operators.Splits.hashOrder(id)
 
+  /** Maximal digit runs of payment-card length (`minLen`..`maxLen` digits)
+    * — the PAN-candidate extractor. Maximal runs (not bounded-quantifier
+    * matches) so a 20+-digit run is one too-long non-candidate instead of
+    * a 19-digit prefix match, identically in any regex engine (RE2 has no
+    * lookarounds, so the boundary rule must live in the length filter).
+    */
+  def cardRuns(text: Column, minLen: Int = 13, maxLen: Int = 19): Column = {
+    require(minLen >= 1 && maxLen >= minLen, s"bad card-run bounds [$minLen,$maxLen]")
+    filter(
+      regexp_extract_all(text, lit("[0-9]+"), lit(0)),
+      r => length(r) >= minLen && length(r) <= maxLen)
+  }
+
+  /** Luhn checksum validity of one digit-run column: from the RIGHTMOST
+    * digit, double every second digit (subtracting 9 when the double
+    * exceeds 9) and sum; valid iff the total is ≡ 0 mod 10 — the ISO/IEC
+    * 7812 check every real PAN satisfies, which cuts digit-run false
+    * positives ~10× (a random card-length run passes 1 in 10). Pure
+    * integer fold over codepoints, bit-identical in any engine.
+    */
+  def luhnValid(run: Column): Column = {
+    val total = aggregate(
+      sequence(lit(1), length(run)),
+      lit(0L),
+      (s, i) => {
+        val d   = (ascii(run.substr(i, lit(1))) - 48).cast("long")
+        val dbl = d * 2
+        s + when(
+          ((length(run) - i) % 2) === 1,
+          when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(d)
+      })
+    total % 10 === 0
+  }
+
+  /** Luhn-valid card-candidate count in `text` — the deploy-gate metric a
+    * PII sweep reports per document (candidates alone over-count by the
+    * ~90% of long numbers that are ids/timestamps, not cards). Per-row
+    * projection, zero shuffle; runs are rare so the interpreted inner
+    * fold is off the hot path.
+    */
+  def luhnValidCount(text: Column, minLen: Int = 13, maxLen: Int = 19): Column =
+    aggregate(
+      cardRuns(text, minLen, maxLen),
+      lit(0L),
+      (acc, r) => acc + when(luhnValid(r), lit(1L)).otherwise(lit(0L)))
+
   /** k-anonymity audit over a quasi-identifier combination: every
     * equivalence class (distinct quasi-id tuple) with its population and
     * an `at_risk` flag for classes smaller than `k` — the release gate a

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -112,6 +112,108 @@ object Corpus {
           coalesce(col("__nhit"), lit(0L)).cast("double") / col("n_shingles"))
           .otherwise(lit(0.0)).as("contamination_rate"))
       .withColumn("contaminated", col("contamination_rate") >= threshold)
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * the log-likelihood ratio of a TARGET domain's hashed-unigram
+    * distribution vs the raw corpus's — the principled replacement for
+    * binary quality classifiers when curating toward a domain (keep docs
+    * that LOOK like the target, proportionally, not just top-k by an
+    * opaque score). Features are `polyHash(token) mod buckets` (the
+    * paper's hashed n-gram trick: a FIXED feature space regardless of
+    * vocabulary, so the model is two length-`buckets` count vectors);
+    * weight(doc) = Σ_tokens lr(f(token)) with
+    * lr(f) = round(1e6 · ln( ((t_f+1)(Nr+B)) / ((r_f+1)(Nt+B)) )) —
+    * add-1-smoothed log ratio in integer micro-nats.
+    *
+    * Cross-engine exactness: the tokenEntropy recipe — count products are
+    * exact longs (< 2^53 at oracle scale, so the double casts are exact),
+    * ONE division of two exact doubles (identical IEEE result), one ln
+    * (≤ 1 ulp), rounded to micro-nats, then exact integer sums. Both
+    * engines round half-away-from-zero.
+    *
+    * Scale shape: feature counts are one partial-agg shuffle collapsing
+    * to ≤ `buckets` rows (map-side combine does the heavy lifting — the
+    * shuffle is bucket-count-bounded no matter the corpus size); the
+    * log-ratio table then BROADCASTS back onto the exploded-token scan
+    * (map-side join, corpus never shuffled) and one groupBy(doc) sums the
+    * weight. Two scans of the text — the price of a corpus-derived model.
+    *
+    * Output: idCol, n_tokens, dsir_x1e6 (higher = more target-like).
+    */
+  def dsirWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val toks = Dedup
+      .spread(docs.filter(col(textCol).isNotNull))
+      .select(
+        col(idCol),
+        targetPred.as("__tgt"),
+        explode(graft.functions.TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .select(
+        col(idCol),
+        col("__tgt"),
+        pmod(graft.functions.TextAnalysis.polyHash(col("__tok")), lit(buckets.toLong)).as("__f"))
+    val counts = toks
+      .groupBy(col("__f"))
+      .agg(
+        sum(when(col("__tgt"), lit(1L)).otherwise(lit(0L))).as("__t"),
+        count(lit(1)).as("__r"))
+    val totals = counts.agg(sum(col("__t")).as("__nt"), sum(col("__r")).as("__nr"))
+    val lr = counts
+      .crossJoin(broadcast(totals))
+      .select(
+        col("__f"),
+        expr(s"""cast(round(ln(
+                |  cast((__t + 1) * (__nr + $buckets) as double) /
+                |  cast((__r + 1) * (__nt + $buckets) as double)) * 1000000) as bigint)"""
+          .stripMargin).as("__lr"))
+    toks
+      .join(broadcast(lr), Seq("__f"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lr")).as("dsir_x1e6"))
+  }
+
+  /** SUBSTRING-LEVEL eval contamination — the winnowing upgrade of the
+    * n-gram probes above: a corpus document is flagged when it shares a
+    * WINNOWING fingerprint (Dedup.winnowing — WinnowExpr selection) with
+    * any benchmark document. By the winnowing guarantee, any copied token
+    * run of length >= w + k - 1 between a train doc and an eval doc
+    * yields at least one common selected fingerprint, so this catches the
+    * paraphrase-resistant verbatim-span leakage that whole-shingle-set
+    * overlap underweights in long documents, at ~2/(w+1) the index size
+    * of the full positional-shingle probe.
+    *
+    * Scale shape mirrors `contamination`: the eval side is tiny by
+    * construction, so its distinct fingerprint set BROADCASTS; the corpus
+    * side is one scan-side WinnowExpr projection + explode, map-side
+    * hash-joined against the broadcast probe (never shuffled), then one
+    * groupBy(doc) over the matches only. Output: idCol, n_shared_fps
+    * (fingerprints are per-doc distinct by construction, so the count is
+    * the distinct shared-fingerprint count). Clean corpus docs are absent
+    * (inner match — the caller's anti-join recovers the keep set).
+    */
+  def winnowContamination(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4): DataFrame = {
+    val bfp = Dedup
+      .winnowing(bench, idCol, textCol, k, w)
+      .select(col("fp"))
+      .distinct()
+    Dedup
+      .winnowing(Dedup.spread(corpus), idCol, textCol, k, w)
+      .join(broadcast(bfp), Seq("fp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_fps"))
   }
 
   /** TF-IDF top-k terms per document: tf = occurrences of the term in the
@@ -981,6 +1083,82 @@ object Corpus {
         sum(col("__c")).as("n_grams"),
         count(lit(1)).as("n_distinct"))
       .withColumn("ratio_x1e6", expr("n_distinct * 1000000 div n_grams"))
+  }
+
+  /** Per-document N-GRAM REPETITION fractions — the Gopher repetition
+    * rules (Rae et al. 2021 §A1.1, as reimplemented by Dolma/RedPajama):
+    * a document dominated by one repeated phrase, or whose character mass
+    * sits in n-grams that occur more than once, is template spam / log
+    * spew / keyword stuffing, and the Gopher ablations showed these rules
+    * remove it with near-zero collateral. Two axes per document:
+    *
+    *  - `top_bigram_frac_x1e6`: chars covered by occurrences of the single
+    *    MOST FREQUENT positional bigram / total chars (count × bigram
+    *    length — the standard reimplementation of "fraction of characters
+    *    in the top 2-gram"; ties break lexicographically smallest, so the
+    *    pick is deterministic cross-engine);
+    *  - `dup_trigram_frac_x1e6`: chars covered by ALL positional trigrams
+    *    occurring more than once / total chars ("fraction of characters in
+    *    duplicated 3-grams").
+    *
+    * Both in integer ×1e6 units (count·len·1e6 div chars — exact), so the
+    * DuckDB mirror is bit-identical; thresholding (Gopher: 0.18 / 0.10) is
+    * the caller's cut. Docs with no bigrams/trigrams score 0, not null —
+    * a two-token doc has no repetition evidence either way.
+    *
+    * Scale shape: two explode → partial-agg shuffles on (doc, gram) that
+    * collapse map-side to the doc's distinct grams, one per-doc fold each
+    * (bounded by per-doc vocabulary), then a broadcast-free join of two
+    * one-row-per-doc frames back onto the doc spine. No window, no
+    * driver-side state.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = graft.operators.Dedup
+      .spread(docs.filter(col(textCol).isNotNull))
+      .select(col(idCol), col(textCol).as("__t"))
+      .withColumn("__chars", length(col("__t")))
+
+    def gramCounts(n: Int) = base
+      .select(
+        col(idCol),
+        col("__chars"),
+        explode(Dedup.shingles(graft.functions.TextAnalysis.tokens(col("__t")), n)).as("__g"))
+      .groupBy(col(idCol), col("__chars"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+
+    // top bigram: ONE groupBy(doc) with a min_by struct — no window; the
+    // key (−count, gram) makes min = (count DESC, gram ASC), the
+    // deterministic tie rule
+    val top2 = gramCounts(2)
+      .groupBy(col(idCol))
+      .agg(
+        min_by(
+          struct(col("__c").as("c"), col("__g").as("g")),
+          struct((-col("__c")).as("nc"), col("__g").as("g"))).as("__m"),
+        first(col("__chars")).as("__chars"))
+      .select(
+        col(idCol),
+        expr("(__m.c * length(__m.g) * 1000000L) div greatest(__chars, 1)")
+          .as("top_bigram_frac_x1e6"))
+
+    val dup3 = gramCounts(3)
+      .filter(col("__c") > 1)
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__c") * length(col("__g"))).as("__cov"),
+        first(col("__chars")).as("__chars"))
+      .select(
+        col(idCol),
+        expr("(__cov * 1000000L) div greatest(__chars, 1)").as("dup_trigram_frac_x1e6"))
+
+    base
+      .select(col(idCol))
+      .join(top2, Seq(idCol), "left")
+      .join(dup3, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("top_bigram_frac_x1e6"), lit(0L)).as("top_bigram_frac_x1e6"),
+        coalesce(col("dup_trigram_frac_x1e6"), lit(0L)).as("dup_trigram_frac_x1e6"))
   }
 
   /** Per-document TOKEN ENTROPY in integer micro-nats — the

@@ -316,6 +316,57 @@ object Similarity {
       .withColumn("cell_id", col("__cell.cell_id"))
       .drop("__cell")
 
+  /** SemDeDup (Abbas et al. 2023): SEMANTIC deduplication scoped to
+    * pre-computed clusters — the published recipe for web-scale corpora:
+    * k-means the embeddings (k large enough that clusters are small),
+    * then compare pairs ONLY within a cluster and keep one exemplar per
+    * near-duplicate set. The cluster column is a parameter, not a baked-in
+    * k-means: pass `assignCells`' cell_id (the IVF coarse quantizer IS the
+    * paper's clustering step), a label, or any hash — whatever partitions
+    * the semantic space. The keep rule is deterministic: a vector is
+    * DROPPED iff some LOWER-ID vector in the same cluster has cosine >=
+    * `tau` to it (greedy-by-id against all earlier vectors — exemplar =
+    * the minimum id of its duplicate set, stable under any partitioning
+    * and exactly mirrorable in SQL; the paper keeps a random/centroid-far
+    * member, which no cross-engine hash compare could certify).
+    *
+    * Scale shape: ONE equi-join shuffle on the cluster key, then the
+    * quadratic compare runs per-cluster — which is the paper's entire
+    * point: cluster count grows with the corpus, cluster SIZE stays
+    * bounded (that invariant is the caller's k choice; the degenerate
+    * one-cluster case collapses to q33's all-pairs, by design). The
+    * shadowed-id set collapses map-side via distinct before the anti-join.
+    *
+    * Output: the kept (idCol, clusterCol) rows.
+    */
+  def semanticDedup(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      clusterCol: String,
+      tau: Double): DataFrame = {
+    require(tau >= -1.0 && tau <= 1.0, s"tau must be a cosine in [-1,1], got $tau")
+    val withN2 = vectors.select(
+      col(idCol),
+      col(clusterCol),
+      col(vecCol),
+      norm2(col(vecCol)).as("__n2"))
+    val a = withN2.select(
+      col(idCol).as("__ida"), col(clusterCol).as("__ca"),
+      col(vecCol).as("__ea"), col("__n2").as("__n2a"))
+    val b = withN2.select(
+      col(idCol).as("__idb"), col(clusterCol).as("__cb"),
+      col(vecCol).as("__eb"), col("__n2").as("__n2b"))
+    val shadowed = a
+      .join(b, col("__ca") === col("__cb") && col("__ida") < col("__idb"))
+      .filter(cosine(dot(col("__ea"), col("__eb")), col("__n2a"), col("__n2b")) >= tau)
+      .select(col("__idb").as(idCol))
+      .distinct()
+    vectors
+      .join(shadowed, Seq(idCol), "left_anti")
+      .select(col(idCol), col(clusterCol))
+  }
+
   /** Embedding near-dup pair mining at scale: RANDOM-HYPERPLANE LSH
     * (Charikar) instead of the all-pairs join — the vector-space twin of
     * Dedup.lshNearDupPairs.

@@ -250,4 +250,69 @@ class AdversarialSpec extends AnyFunSuite {
     val kept = Dedup.exactDedupRows(back, sha2(col("text"), 256), col("doc_id"))
     assert(kept.count() === 100)
   }
+
+  test("graph ops: a self-loop-heavy, dangler-heavy graph neither throws nor leaks mass") {
+    import spark.implicits._
+    // every pathology at once: pure self-loops (1,2), a dangling chain
+    // tail (5), a node that is ONLY a self-loop plus dangler (6→6 is its
+    // sole edge), and one real 2-cycle (3↔4) for signal
+    val edges = Seq(
+      (1L, 1L), (2L, 2L), (2L, 2L), // repeated self-loop (multi-edge)
+      (3L, 4L), (4L, 3L),
+      (4L, 5L),                     // 5 dangles: no out-edges
+      (6L, 6L)).toDF("src", "dst")
+
+    // PageRank: every node present, scores non-negative; the 2-cycle pair
+    // symmetric; self-loops legitimately retain their own mass
+    val pr = LinkGraph.propagate(edges, "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(pr.values.forall(_ >= 0L))
+    assert(pr(1L) === pr(6L)) // identical sole-self-loop structure
+
+    // personalized: restart mass gated on a seed none of the self-loopers
+    // satisfy — their score must drain to 0
+    val ppr = LinkGraph.propagate(edges, "src", "dst", iters = 5,
+      seed = Some(col("id") === 3L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr(1L) === 0L && ppr(2L) === 0L && ppr(6L) === 0L)
+    assert(ppr(3L) > 0L && ppr(4L) > 0L && ppr(5L) > 0L) // flow reaches the dangler
+
+    // HITS: converges, max-normalized to scale, no node missing; the pure
+    // dangler (5) is auth-only, never a hub
+    val h = LinkGraph.hits(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(h.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(h.values.forall { case (hub, auth) =>
+      hub >= 0L && hub <= 1000000L && auth >= 0L && auth <= 1000000L })
+    assert(h(5L)._1 === 0L) // no out-edges -> zero hub
+
+    // triangles: self-loops and multi-edges drop; this graph has none
+    val t = LinkGraph.triangles(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(t.values.forall(_ === 0L))
+  }
+
+  test("score calibration: constant-score and singleton sources calibrate deterministically") {
+    import spark.implicits._
+    // constant score within a source = full tie — ROW_NUMBER semantics
+    // must yield distinct adjacent percentiles in deterministic id order,
+    // best (lowest id) = 1e6, worst = 0; a singleton source scores 0
+    val docs = Seq(
+      (1L, "flat", 7L), (2L, "flat", 7L), (3L, "flat", 7L), (4L, "flat", 7L), (5L, "flat", 7L),
+      (6L, "lone", 99L),
+      (7L, "mix", 10L), (8L, "mix", 20L)).toDF("doc_id", "source", "score")
+    val got = Splits
+      .scorePercentileGrouped(docs, "source", "score", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // flat: ranks 1..5 in id order -> (5-r)*1e6 div 4
+    assert(got(1L) === 1000000L)
+    assert(got(2L) === 750000L)
+    assert(got(3L) === 500000L)
+    assert(got(4L) === 250000L)
+    assert(got(5L) === 0L)
+    assert(got(6L) === 0L)      // singleton: no distribution to stand in
+    assert(got(7L) === 0L)      // mix: lower score -> rank 2 -> 0
+    assert(got(8L) === 1000000L)
+  }
 }
