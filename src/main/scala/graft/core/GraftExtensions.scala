@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{MinHashSigExpr, PolyHashExpr, RandomProjectExpr, ShingleHashesExpr, SimHashExpr, VecDotExpr, VecSignExpr}
+import graft.functions.{MinHashSigExpr, PolyHashExpr, RandomProjectExpr, ShingleHashesExpr, SimHashExpr, VecDotExpr, VecSignExpr, WinnowExpr}
 
 /** SparkSessionExtensions hook: registers the engine's native expressions
   * with the SQL function registry, so `spark.sql("... poly_hash(col) ...")`
@@ -67,6 +67,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "simhash_bits takes (hashes, bits)")
         SimHashExpr(children.head, intArg("simhash_bits", "bits", children(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowExpr].getName, "winnow_fps"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "winnow_fps takes (text, k, w)")
+        WinnowExpr(
+          children.head,
+          intArg("winnow_fps", "k", children(1)),
+          intArg("winnow_fps", "w", children(2)))
       }))
     ext.injectFunction((
       FunctionIdentifier("vec_sign_bits"),

@@ -71,6 +71,18 @@ class WinnowExprSpec extends AnyFunSuite {
     assert(fps.count() >= 1)
   }
 
+  test("registered as winnow_fps(text, k, w) in SQL") {
+    val got = spark
+      .sql("SELECT winnow_fps('a b c d e f g h', 3, 4) AS fps")
+      .head().getSeq[Long](0)
+    val want = {
+      import spark.implicits._
+      Dedup.winnowing(Seq((1L, "a b c d e f g h")).toDF("id", "text"), "id", "text")
+        .collect().map(_.getLong(1)).toSeq
+    }
+    assert(got.toSet === want.toSet && got.nonEmpty)
+  }
+
   test("null text yields no rows; array type is non-null long") {
     import spark.implicits._
     val d   = Seq((1L, null.asInstanceOf[String]), (2L, "a b c d e")).toDF("id", "text")
