@@ -3435,6 +3435,71 @@ object Contract {
              |         THEN 1::BIGINT ELSE 0::BIGINT END)),
              |    (a, b) -> a + b) AS n_luhn_valid
              |FROM runs""".stripMargin)
+    ),
+    Q(
+      "q150_curation_v5",
+      // capstone composing the round-7 axes: winnow decontamination (drop
+      // train docs sharing a copied span with the eval slice) -> Gopher
+      // repetition gates -> DSIR target-domain selection -> per-source
+      // card. Each stage is its own certified query (q146/q145/q147); the
+      // oracle composes their SQL verbatim. The DSIR aggregate is a SUM
+      // (negative totals divide differently across engines).
+      (s, d) => {
+        import graft.operators.Corpus
+        val docs   = Tables.documents(s, d).select("doc_id", "text", "source", "lang")
+        val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        val evalSl = docs.filter(col("doc_id") % 97 === 0)
+        val contaminated = Corpus
+          .winnowContamination(corpus, evalSl, "doc_id", "text")
+          .select("doc_id")
+        val rep = Corpus
+          .repetitionStats(docs, "doc_id", "text")
+          .filter(
+            col("top_bigram_frac_x1e6") <= 150000L &&
+              col("dup_trigram_frac_x1e6") <= 100000L)
+          .select("doc_id")
+        val dsir = Corpus
+          .dsirWeights(docs, "doc_id", "text", col("lang") === "en")
+          .filter(col("dsir_x1e6") >= -9000000L)
+        corpus
+          .select(col("doc_id"), col("source"))
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .join(rep, Seq("doc_id"))
+          .join(dsir, Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(col("dsir_x1e6")).as("sum_dsir_x1e6"))
+      },
+      Some(OracleSql.q150)
+    ),
+    Q(
+      "q151_tokenizer_fertility",
+      // per-language tokenizer fertility (subword tokens per whitespace
+      // word, integer ×1e6): the budget-planning number a multilingual
+      // mixture needs — a language whose fertility is 2× consumes 2× the
+      // context window per word, so token-budget mixtures (q98) weighted
+      // by WORDS systematically under-sample it. One partial-agg shuffle
+      // to |langs| rows; both counts are codegen'd regex projections.
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        Tables.documents(s, d)
+          .filter(col("text").isNotNull)
+          .groupBy(col("lang"))
+          .agg(
+            sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("ws_tokens"),
+            sum(TextAnalysis.bpeishCount(col("text")).cast("long")).as("subword_tokens"))
+          .withColumn("fertility_x1e6", expr("subword_tokens * 1000000 div ws_tokens"))
+      },
+      Some("""SELECT lang,
+             |  sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens,
+             |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::BIGINT
+             |    AS subword_tokens,
+             |  (sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+             |    * 1000000 // sum(len(string_split(text, ' '))))::BIGINT AS fertility_x1e6
+             |FROM documents WHERE text IS NOT NULL
+             |GROUP BY lang""".stripMargin)
     )
   )
 

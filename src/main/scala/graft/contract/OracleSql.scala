@@ -1055,6 +1055,86 @@ object OracleSql {
        |SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(lr)::BIGINT AS dsir_x1e6
        |FROM f JOIN lr USING (f) GROUP BY 1""".stripMargin
 
+  /** Curation v5 capstone: the q146 contamination probe, q145 repetition
+    * gates, and q147 DSIR selection composed verbatim (CTEs renamed to
+    * avoid collisions), per-source card on the survivors. The DSIR
+    * aggregate is a SUM, not a mean — sums stay exact while integer
+    * division of NEGATIVE totals rounds differently across engines.
+    */
+  val q150: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |  WHERE text IS NOT NULL),
+       |ss AS (SELECT doc_id,
+       |  CASE WHEN len(tk) >= 3
+       |    THEN list_transform(range(1, len(tk)-1),
+       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+       |    ELSE CAST([] AS VARCHAR[]) END AS sh
+       |  FROM toks),
+       |hs AS (SELECT doc_id, list_transform(sh, s -> ${polyHash("s")}) AS hh FROM ss),
+       |fps AS (SELECT doc_id,
+       |  CASE WHEN len(hh) >= 4
+       |    THEN list_distinct(list_transform(range(1, len(hh)-2),
+       |           j -> list_min(hh[j:j+3])))
+       |    WHEN len(hh) >= 1 THEN [list_min(hh)]
+       |    ELSE CAST([] AS BIGINT[]) END AS fp
+       |  FROM hs),
+       |f AS (SELECT doc_id, unnest(fp) AS fp FROM fps),
+       |bfp AS (SELECT DISTINCT fp FROM f WHERE doc_id % 97 = 0),
+       |contaminated AS (
+       |  SELECT DISTINCT c.doc_id FROM f c JOIN bfp USING (fp)
+       |  WHERE c.doc_id % 97 <> 0),
+       |base AS (
+       |  SELECT doc_id, length(text) AS chars, string_split(text, ' ') AS tk
+       |  FROM documents WHERE text IS NOT NULL),
+       |b2 AS (SELECT doc_id, chars,
+       |         unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+       |       FROM base),
+       |c2 AS (SELECT doc_id, chars, g, count(*) AS c FROM b2 GROUP BY 1, 2, 3),
+       |t2 AS (SELECT doc_id, chars, c, g,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+       |       FROM c2),
+       |top2 AS (SELECT doc_id,
+       |           (c * length(g) * 1000000 // greatest(chars, 1))::BIGINT AS v
+       |         FROM t2 WHERE rn = 1),
+       |b3 AS (SELECT doc_id, chars,
+       |         unnest(list_transform(range(1, len(tk) - 1),
+       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+       |       FROM base),
+       |c3 AS (SELECT doc_id, chars, g, count(*) AS c FROM b3 GROUP BY 1, 2, 3),
+       |dup3 AS (SELECT doc_id,
+       |           (sum(c * length(g)) * 1000000 // greatest(chars, 1))::BIGINT AS v
+       |         FROM c3 WHERE c > 1 GROUP BY doc_id, chars),
+       |rep AS (
+       |  SELECT base.doc_id FROM base
+       |  LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)
+       |  WHERE coalesce(top2.v, 0) <= 150000 AND coalesce(dup3.v, 0) <= 100000),
+       |tkd AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE text IS NOT NULL),
+       |fd AS (SELECT doc_id, lang, ${polyHash("tok")} % 4096 AS f FROM tkd),
+       |cd AS (SELECT f,
+       |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS t,
+       |         count(*)::BIGINT AS r
+       |       FROM fd GROUP BY 1),
+       |nd AS (SELECT sum(t)::BIGINT AS nt, sum(r)::BIGINT AS nr FROM cd),
+       |lrd AS (SELECT f,
+       |          round(ln(((t + 1) * (nr + 4096))::DOUBLE /
+       |                   ((r + 1) * (nt + 4096))::DOUBLE) * 1000000)::BIGINT AS lr
+       |        FROM cd CROSS JOIN nd),
+       |dsir AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(lr)::BIGINT AS w
+       |         FROM fd JOIN lrd USING (f) GROUP BY 1)
+       |SELECT d.source, count(*)::BIGINT AS n_docs,
+       |  sum(dsir.n_tokens)::BIGINT AS n_tokens,
+       |  sum(dsir.w)::BIGINT AS sum_dsir_x1e6
+       |FROM documents d
+       |JOIN rep USING (doc_id)
+       |JOIN dsir USING (doc_id)
+       |WHERE d.doc_id % 97 <> 0
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |  AND dsir.w >= -9000000
+       |GROUP BY d.source""".stripMargin
+
   /** Per-source distinct-trigram diversity (Corpus.distinctNgramRatio):
     * grams collapse through the same polynomial hash in both engines, so
     * any collision collapses identically and parity is exact.

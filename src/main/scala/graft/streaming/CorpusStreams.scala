@@ -64,7 +64,8 @@ object CorpusStreams {
       minTokens: Int = 5,
       maxPunct: Double = 0.2,
       maxDupBigram: Double = 0.5,
-      lateness: String = "10 minutes"): DataFrame =
+      lateness: String = "10 minutes",
+      maxLuhnValid: Long = Long.MaxValue): DataFrame =
     docs
       // watermark BEFORE the gate (the stationarySessionStream rule):
       // gated-out documents must keep advancing event time, else an
@@ -73,7 +74,11 @@ object CorpusStreams {
       .filter(
         TextAnalysis.tokenCount(col("text")) >= minTokens &&
           TextAnalysis.punctRatio(col("text")) <= maxPunct &&
-          TextAnalysis.dupBigramRatio(col("text")) <= maxDupBigram)
+          TextAnalysis.dupBigramRatio(col("text")) <= maxDupBigram &&
+          // PII gate (off by default): a doc carrying more than
+          // `maxLuhnValid` checksum-valid card-length digit runs never
+          // reaches the corpus — per-row projection, stream-safe
+          graft.functions.Privacy.luhnValidCount(col("text")) <= maxLuhnValid)
       .withColumn("digest", sha2(col("text"), 256))
       .dropDuplicatesWithinWatermark("digest")
 
@@ -429,8 +434,9 @@ object CorpusStreams {
       rawDir: String,
       corpusDir: String,
       checkpointDir: String,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
-    curatedStream(docStream(spark, rawDir, maxFilesPerTrigger))
+      maxFilesPerTrigger: Option[Int] = None,
+      maxLuhnValid: Long = Long.MaxValue): StreamingQuery =
+    curatedStream(docStream(spark, rawDir, maxFilesPerTrigger), maxLuhnValid = maxLuhnValid)
       .withColumn("date", to_date(col("ts")))
       .writeStream
       .outputMode(OutputMode.Append)

@@ -62,6 +62,20 @@ class CorpusStreamsSpec extends AnyFunSuite {
     assert(after3.select("digest").distinct().count() === 2)
   }
 
+  test("ingest PII gate: Luhn-valid card number blocks the doc; broken checksum passes") {
+    val raw    = tmp("pii-raw")
+    val corpus = tmp("pii-out") + "/corpus"
+    writeDocs(raw, "b1.json", Seq(
+      1L -> good1,
+      2L -> "please charge my card 4111111111111111 for the premium plan thanks", // valid PAN
+      3L -> "the order reference number is 4111111111111112 for tracking below")) // checksum broken
+    CorpusStreams
+      .runIngest(spark, raw, corpus, tmp("pii-ckpt"), maxLuhnValid = 0L)
+      .awaitTermination()
+    val kept = spark.read.parquet(corpus).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+  }
+
   test("stream surviving digests == batch curation front over the same files") {
     val raw    = tmp("corpus-raw")
     val corpus = tmp("corpus-out") + "/corpus"
