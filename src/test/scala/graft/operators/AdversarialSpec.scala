@@ -251,6 +251,48 @@ class AdversarialSpec extends AnyFunSuite {
     assert(kept.count() === 100)
   }
 
+  test("round-7 ops: empty / whitespace / unicode / emoji docs never throw; " +
+    "degenerate outputs are the documented values") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "", "en"),
+      (2L, "   ", "en"),
+      (3L, "naïve café über straße", "de"),
+      (4L, "🙂 🙂 🙂 🙂 🙂 🙂", "en"),
+      (5L, "日本語 テスト 中文 日本語 テスト 中文", "zh"),
+      (6L, "one normal english sentence with enough tokens", "en"))
+      .toDF("doc_id", "text", "lang")
+
+    val rep = Corpus.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep.keySet === (1L to 6L).toSet)  // every doc present, none null
+    // "🙂"x6: top bigram "🙂 🙂" count 5 (positional), len 3 chars? emoji is
+    // 2 UTF-16 units in Spark's length() — don't hand-compute, just bound it
+    assert(rep(4L)._1 > 0L && rep(5L)._2 > 0L)
+    assert(rep(1L) === ((0L, 0L))) // "" -> one empty token, no bigrams
+    // "   " -> FOUR empty tokens (split keeps empties, mirroring the
+    // oracle's string_split): bigram " " x3 covers all 3 chars -> 1e6;
+    // trigram "  " x2 covers 4 of 3 chars -> 1333333 (overlap counting)
+    assert(rep(2L) === ((1000000L, 1333333L)))
+
+    val dsir = Corpus.dsirWeights(docs, "doc_id", "text", col("lang") === "en")
+      .collect().map(_.getLong(0)).toSet
+    // doc 1 ("" -> one empty token) still scores; all docs present
+    assert(dsir === (1L to 6L).toSet)
+
+    val luhn = docs.select(col("doc_id"),
+      graft.functions.Privacy.luhnValidCount(col("text")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(luhn.values.forall(_ === 0L))
+
+    // winnow contamination of a unicode corpus against a unicode eval doc:
+    // the repeated CJK trigram run is shared; ASCII docs are clean
+    val bench = Seq((100L, "日本語 テスト 中文 日本語 テスト 中文 extra tail")).toDF("doc_id", "text")
+    val flagged = Corpus.winnowContamination(docs, bench, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.contains(5L) && !flagged.contains(6L))
+  }
+
   test("graph ops: a self-loop-heavy, dangler-heavy graph neither throws nor leaks mass") {
     import spark.implicits._
     // every pathology at once: pure self-loops (1,2), a dangling chain
