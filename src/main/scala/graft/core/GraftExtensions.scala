@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{MinHashSigExpr, PolyHashExpr, RandomProjectExpr, ShingleHashesExpr, SimHashExpr, VecDotExpr, VecSignExpr, WinnowExpr}
+import graft.functions.{CollisionCountExpr, MinHashSigExpr, PolyHashExpr, RandomProjectExpr, ShingleHashesExpr, SimHashExpr, VecDotExpr, VecSignExpr, WinnowExpr}
 
 /** SparkSessionExtensions hook: registers the engine's native expressions
   * with the SQL function registry, so `spark.sql("... poly_hash(col) ...")`
@@ -67,6 +67,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "simhash_bits takes (hashes, bits)")
         SimHashExpr(children.head, intArg("simhash_bits", "bits", children(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("collision_count"),
+      new ExpressionInfo(classOf[CollisionCountExpr].getName, "collision_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "collision_count takes exactly one argument")
+        CollisionCountExpr(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("winnow_fps"),

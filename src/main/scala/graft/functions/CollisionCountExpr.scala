@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the Simpson collision count
+  * Σ_v n_v·(n_v − 1) over an ARRAY<STRING>'s value distribution — the
+  * integer numerator of `TextAnalysis.simpsonDiversity`.
+  *
+  * Exists because the composed form (`collisionCountComposed`:
+  * aggregate(transform(array_distinct(arr), d -> size(filter(arr, v ->
+  * v = d)) ...))) walks the whole array once PER DISTINCT VALUE through
+  * interpreted higher-order lambdas — O(d·n) per row, and the char-level
+  * call feeds it the full character array (n ≈ 550, d ≈ 30 at sf0.1),
+  * which round-7 adjudication measured as 9.2 s of the bench for ONE
+  * query. This is one hash-map pass: O(n) per row, codegen'd via a
+  * static call (the WinnowExpr/SimHashExpr precedent).
+  *
+  * Parity contract (certified by the existing CorpusSpec hand-fixtures
+  * plus the q111 DuckDB oracle): null elements collide with nothing
+  * (the composed form's `v === d` is null-safe-false for them), and an
+  * empty array counts 0.
+  */
+case class CollisionCountExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType      = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"collision_count requires ARRAY<STRING>, got $other")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    CollisionCountExpr.count(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CollisionCountExpr.count($c)")
+}
+
+object CollisionCountExpr {
+
+  def count(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n < 2) return 0L
+    val counts = new java.util.HashMap[UTF8String, Long](Math.min(n, 64))
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        // copy: getUTF8String may return a pointer into shared row memory
+        val k = arr.getUTF8String(i).clone()
+        counts.merge(k, 1L, (a, b) => a + b)
+      }
+      i += 1
+    }
+    var total = 0L
+    val it    = counts.values().iterator()
+    while (it.hasNext) { val c = it.next(); total += c * (c - 1) }
+    total
+  }
+}

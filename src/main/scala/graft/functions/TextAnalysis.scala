@@ -207,11 +207,21 @@ object TextAnalysis {
   /** Σ n_v·(n_v−1) over the distinct values of `arr` — the unnormalized
     * collision count behind the Simpson index. Pure INTEGER arithmetic
     * (entropy's cross-engine-safe cousin: no logs to accumulate in
-    * engine-dependent float order), computed fully in-row: distinct values
-    * × a filtered count each — O(d·n) per row, zero shuffle, and an exact
-    * DuckDB mirror via list_distinct/list_filter/list_reduce.
+    * engine-dependent float order), computed fully in-row: one hash-map
+    * pass (native CollisionCountExpr, O(n) per row, codegen'd), zero
+    * shuffle, with an exact DuckDB mirror via
+    * list_distinct/list_filter/list_reduce.
     */
-  def collisionCount(arr: Column): Column =
+  def collisionCount(arr: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(CollisionCountExpr(ColumnBridge.expression(arr)))
+  }
+
+  /** Composed-builtins collision count (O(d·n) interpreted per row — the
+    * round-7 bench measured the char-level call at 9.2 s for one query;
+    * exists to cross-check CollisionCountExpr).
+    */
+  def collisionCountComposed(arr: Column): Column =
     coalesce(
       aggregate(
         transform(array_distinct(arr), d => {

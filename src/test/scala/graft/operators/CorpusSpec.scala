@@ -371,6 +371,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(spam === 0.0)
   }
 
+  test("collisionCount: native == composed on random and adversarial arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split}
+    import graft.functions.TextAnalysis._
+    val rnd = new scala.util.Random(7)
+    val docs = ((1L to 200L).map { id =>
+      id -> (0 until rnd.nextInt(60)).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+    } ++ Seq(201L -> "", 202L -> "naïve🙂日本語🙂naïve", 203L -> "aaaaaaaaaa")).toDF("id", "t")
+    val both = docs.select(
+      collisionCount(split(col("t"), "")).as("native"),
+      collisionCountComposed(split(col("t"), "")).as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() === 0)
+    // registered SQL form
+    assert(spark.sql("SELECT collision_count(split('aabb', '')) AS c").head().getLong(0) === 4L)
+  }
+
   test("lineDedup: corpus-wide duplicate lines cut everywhere, order kept, all-dup docs drop") {
     import spark.implicits._
     // 10-token "lines": L(x) repeats its marker token 10 times
