@@ -3500,6 +3500,113 @@ object Contract {
              |    * 1000000 // sum(len(string_split(text, ' '))))::BIGINT AS fertility_x1e6
              |FROM documents WHERE text IS NOT NULL
              |GROUP BY lang""".stripMargin)
+    ),
+    Q(
+      "q152_cusum_drift",
+      // per-user CUSUM max excursion (Page): division-free (deviations
+      // scaled by n — integer-exact on any engine), one hash shuffle on
+      // user_id shared by every window in the plan. The argmax row is the
+      // estimated changepoint.
+      (s, d) => {
+        import graft.operators.Changepoint
+        Changepoint.cusumExcursion(
+          ev(s, d),
+          "user_id",
+          Seq(col("ts"), col("event_id")),
+          (col("value").cast(Dec) * 100).cast("long"))
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, event_id,
+             |    (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS v,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ord
+             |  FROM events),
+             |w AS (SELECT user_id, ord, v,
+             |        count(*) OVER (PARTITION BY user_id) AS n,
+             |        sum(v) OVER (PARTITION BY user_id) AS tot
+             |      FROM x),
+             |p AS (SELECT user_id, ord, n,
+             |        sum(n * v - tot) OVER (PARTITION BY user_id ORDER BY ord) AS s
+             |      FROM w),
+             |e AS (SELECT user_id, ord, n, s,
+             |        s - min(s) OVER (PARTITION BY user_id ORDER BY ord) AS exc
+             |      FROM p)
+             |SELECT user_id, n::BIGINT AS n, exc::BIGINT AS max_excursion_xn, ord::BIGINT AS at_ord
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY exc DESC, ord) AS r
+             |      FROM e)
+             |WHERE r = 1""".stripMargin)
+    ),
+    Q(
+      "q153_weighted_median",
+      // exact weighted median (weight = quantity) of the price per return
+      // flag: the rational reach test cum*2 >= tot has no FP boundary;
+      // duplicates collapse before the cumulative window so the sort is
+      // over distinct values.
+      (s, d) => {
+        import graft.operators.Profile
+        Profile.weightedPercentile(
+          li(s, d),
+          Seq("l_returnflag"),
+          col("l_extendedprice").cast(Dec) * 100,
+          col("l_quantity"),
+          1, 2)
+      },
+      Some("""WITH c AS (
+             |  SELECT l_returnflag,
+             |         (CAST(l_extendedprice AS DECIMAL(18,2)) * 100)::BIGINT AS v,
+             |         sum(l_quantity::BIGINT) AS w
+             |  FROM lineitem GROUP BY 1, 2),
+             |x AS (SELECT l_returnflag, v, w,
+             |        sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+             |        sum(w) OVER (PARTITION BY l_returnflag) AS tot
+             |      FROM c)
+             |SELECT l_returnflag,
+             |       min(CASE WHEN cum * 2 >= tot THEN v END)::BIGINT AS wp_value,
+             |       min(tot)::BIGINT AS total_w
+             |FROM x GROUP BY 1""".stripMargin)
+    ),
+    Q(
+      "q154_ols_trend",
+      // grouped OLS slope against series position: exact integer
+      // numerator/denominator (DECIMAL(38,0) accumulate), doubles only at
+      // the edge — the same exact integer rounds to the same double in
+      // any engine, so even the quotient is bit-identical.
+      (s, d) => {
+        import graft.operators.Profile
+        Profile.groupedTrend(
+          ev(s, d),
+          Seq("event_type"),
+          Seq(col("ts"), col("event_id")),
+          (col("value").cast(Dec) * 100).cast("long"))
+      },
+      Some("""WITH x AS (
+             |  SELECT event_type,
+             |    (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS y,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS x
+             |  FROM events),
+             |a AS (SELECT event_type, count(*)::BIGINT AS n,
+             |        sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             |        sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx
+             |      FROM x GROUP BY 1)
+             |SELECT event_type, n,
+             |  (n*sxy - sx*sy)::DOUBLE AS slope_num,
+             |  (n*sxx - sx*sx)::DOUBLE AS slope_den,
+             |  CASE WHEN n > 1
+             |    THEN (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE END AS slope
+             |FROM a""".stripMargin)
+    ),
+    Q(
+      "q155_shared_spans",
+      // longest verbatim shared token runs per document pair (the MOSS
+      // "how much was copied" confirm on top of the q143 screen):
+      // positional trigram hashes, hot-hash boilerplate guard, maximal
+      // diagonal runs via the pos - row_number islands window.
+      (s, d) => {
+        import graft.operators.Dedup
+        Dedup.sharedSpans(
+          Tables.documents(s, d), "doc_id", "text",
+          k = 3, minSpanTokens = 8, maxBucket = 4096)
+      },
+      Some(OracleSql.q155)
     )
   )
 

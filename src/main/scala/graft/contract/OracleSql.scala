@@ -1342,4 +1342,35 @@ object OracleSql {
       |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY a_q, vec_id) AS rnk
       |  FROM a)
       |SELECT label, rnk::INTEGER AS rnk, vec_id, a_q FROM r WHERE rnk <= 3""".stripMargin
+
+  /** Longest shared copied spans (Dedup.sharedSpans, k=3, minSpanTokens=8,
+    * maxBucket=4096): POSITIONAL trigram hashes (q140's hash chain, kept
+    * in order with positions), hot-hash guard mirrored verbatim, pairwise
+    * matches grouped into maximal diagonal runs via the pos − row_number
+    * islands trick; span = longest run + k − 1 tokens.
+    */
+  val q155: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |  WHERE text IS NOT NULL),
+       |ss AS (SELECT doc_id,
+       |  CASE WHEN len(tk) >= 3
+       |    THEN list_transform(range(1, len(tk)-1),
+       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+       |    ELSE CAST([] AS VARCHAR[]) END AS sh
+       |  FROM toks),
+       |hs AS (SELECT doc_id, list_transform(sh, s -> ${polyHash("s")}) AS hh FROM ss),
+       |p AS (SELECT doc_id, i - 1 AS pos, hh[i] AS h
+       |      FROM hs, UNNEST(range(1, len(hh)+1)) AS t(i)),
+       |hot AS (SELECT h FROM p GROUP BY h HAVING count(*) > 4096),
+       |cold AS (SELECT * FROM p WHERE h NOT IN (SELECT h FROM hot)),
+       |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos - b.pos AS diag, a.pos AS pa
+       |      FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |r AS (SELECT id_a, id_b, diag, pa,
+       |        pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS grp
+       |      FROM m),
+       |g AS (SELECT id_a, id_b, diag, grp, count(*)::BIGINT AS run
+       |      FROM r GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b, (max(run) + 2)::BIGINT AS span_tokens, sum(run)::BIGINT AS n_matches
+       |FROM g GROUP BY 1, 2 HAVING max(run) + 2 >= 8""".stripMargin
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CollisionCountExpr, MinHashSigExpr, PolyHashExpr, RandomProjectExpr, ShingleHashesExpr, SimHashExpr, VecDotExpr, VecSignExpr, WinnowExpr}
+import graft.functions.{CollisionCountExpr, MinHashSigExpr, PolyHashExpr, PosShingleHashesExpr, RandomProjectExpr, ShingleHashesExpr, SimHashExpr, VecDotExpr, VecSignExpr, WinnowExpr}
 
 /** SparkSessionExtensions hook: registers the engine's native expressions
   * with the SQL function registry, so `spark.sql("... poly_hash(col) ...")`
@@ -84,6 +84,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children.head,
           intArg("winnow_fps", "k", children(1)),
           intArg("winnow_fps", "w", children(2)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_pos_hashes"),
+      new ExpressionInfo(classOf[PosShingleHashesExpr].getName, "shingle_pos_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "shingle_pos_hashes takes (text, k)")
+        PosShingleHashesExpr(children.head, intArg("shingle_pos_hashes", "k", children(1)))
       }))
     ext.injectFunction((
       FunctionIdentifier("vec_sign_bits"),

@@ -71,13 +71,15 @@ object WinnowExpr {
     acc
   }
 
-  def fingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+  /** The positional k-shingle hash sequence (NOT distinct — one hash per
+    * shingle START POSITION, in order). Shared by the winnowing selection
+    * below and by PosShingleHashesExpr, whose diagonal-run consumers need
+    * the positions winnowing throws away.
+    */
+  def positionalHashes(text: UTF8String, k: Int): Array[Long] = {
     val toks = text.toString.split(" ", -1)
     val m    = toks.length - k + 1
-    if (m <= 0) return new GenericArrayData(Array.empty[Any])
-
-    // positional shingle-hash sequence (NOT distinct — winnowing windows
-    // run over positions)
+    if (m <= 0) return Array.empty[Long]
     val hs = new Array[Long](m)
     val sb = new java.lang.StringBuilder()
     var i  = 0
@@ -92,6 +94,14 @@ object WinnowExpr {
       hs(i) = hashCodepoints(sb)
       i += 1
     }
+    hs
+  }
+
+  def fingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val hs = positionalHashes(text, k)
+    val m  = hs.length
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    var i  = 0
 
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     if (m < w) {
@@ -120,6 +130,45 @@ object WinnowExpr {
     val it  = seen.iterator()
     var n   = 0
     while (it.hasNext) { out(n) = it.next().longValue(); n += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Positional k-shingle hash sequence as an array — `WinnowExpr`'s hash
+  * stream WITH positions (index i = shingle starting at token i). Exists
+  * for the diagonal-run consumers (shared copied-span measurement): the
+  * winnowing selection deliberately discards positions, but measuring HOW
+  * LONG a shared run is needs the aligned sequence. Same tokenization and
+  * polynomial hash as WinnowExpr, so fingerprints and positional hashes
+  * are directly comparable. One pass, codegen'd, zero shuffle.
+  */
+case class PosShingleHashesExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType      = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k >= 1) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"shingle_pos_hashes requires STRING and k >= 1, got ${child.dataType}, k=$k")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    PosShingleHashesExpr.hashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PosShingleHashesExpr.hashes($c, $k)")
+}
+
+object PosShingleHashesExpr {
+  def hashes(text: UTF8String, k: Int): ArrayData = {
+    val hs  = WinnowExpr.positionalHashes(text, k)
+    val out = new Array[Any](hs.length)
+    var i   = 0
+    while (i < hs.length) { out(i) = hs(i); i += 1 }
     new GenericArrayData(out)
   }
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Changepoint / drift detection over keyed event series — the monitoring
+  * question a 100 TB ingest asks of every metric: "did this series shift,
+  * and when?". The statistic is the classic CUSUM maximum excursion
+  * (Page 1954): with deviations d_i = x_i - mean, the running sum
+  * S_i = Σ_{j<=i} d_j, and the excursion E_i = S_i - min_{j<=i} S_j; a
+  * series that changed level mid-stream has a large max E_i, a stable one
+  * stays near zero. The position of the max is the estimated changepoint.
+  *
+  * DIVISION-FREE EXACTNESS: the per-key mean is a division that no two
+  * engines round identically. Scaling by n removes it — this computes
+  * d_i = n*x_i - Σx (all integer, assuming an integer-scaled input), so
+  * every statistic is exactly n× the textbook value and bit-identical on
+  * any engine. Callers compare excursions WITHIN a key (same n) or
+  * normalize at the edge.
+  *
+  * Plan shape: one hash shuffle on the key; the per-key aggregates
+  * (count/sum), the ordered prefix sums, and the final argmax rank are
+  * all windows over the SAME partition key, so Catalyst plans a single
+  * Exchange and sorts once per distinct window order. Skewed keys cost
+  * what any per-key sessionization costs — bounded by the largest single
+  * series, not the table.
+  */
+object Changepoint {
+
+  /** Per-key CUSUM max excursion of `valueInt` (an integer-scaled column,
+    * e.g. cents) over the series ordered by `orderCols` (must be a total
+    * order within a key — include a unique id as tiebreak).
+    *
+    * Output, one row per key: keyCol, n, max_excursion_xn (the max CUSUM
+    * excursion ×n — 0 for a constant or monotone-down-then-up-free
+    * series), at_ord (1-based position of the FIRST max — the estimated
+    * changepoint), plus `carry` columns taken from the argmax row.
+    */
+  def cusumExcursion(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[Column],
+      valueInt: Column,
+      carry: Seq[String] = Seq.empty): DataFrame = {
+    require(orderCols.nonEmpty, "cusumExcursion needs at least one ordering column")
+    val wk = Window.partitionBy(col(keyCol))
+    val wo = wk.orderBy(orderCols: _*)
+    val prefix = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = df
+      .withColumn("__v", valueInt)
+      .withColumn("__n", count(lit(1)).over(wk))
+      .withColumn("__tot", sum(col("__v")).over(wk))
+      .withColumn("__s", sum(col("__n") * col("__v") - col("__tot")).over(prefix))
+      .withColumn("__exc", col("__s") - min(col("__s")).over(prefix))
+      .withColumn("__ord", row_number().over(wo))
+    // FIRST max: rank by (excursion desc, position asc) — deterministic,
+    // same partition key, no extra shuffle
+    val pick = Window.partitionBy(col(keyCol)).orderBy(col("__exc").desc, col("__ord").asc)
+    scored
+      .withColumn("__r", row_number().over(pick))
+      .filter(col("__r") === 1)
+      .select(
+        Seq(
+          col(keyCol),
+          col("__n").as("n"),
+          col("__exc").as("max_excursion_xn"),
+          col("__ord").cast("long").as("at_ord")) ++ carry.map(col): _*)
+  }
+}

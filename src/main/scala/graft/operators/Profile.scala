@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-profiling operators — the first pass a pipeline runs over an
@@ -114,6 +114,99 @@ object Profile {
     dev
       .crossJoin(broadcast(madT))
       .withColumn("is_outlier", col("dev") > lit(k) * col("mad"))
+  }
+
+  /** EXACT weighted percentile per group: the smallest value v whose
+    * cumulative weight reaches fraction pNum/pDen of the group's total —
+    * the "token-weighted median document length" class of question, where
+    * an unweighted median misreads a corpus whose long documents carry
+    * most of the mass. The fraction is a RATIONAL (pNum/pDen), and the
+    * reach test is cross-multiplied (cum * pDen >= tot * pNum), so there
+    * is no floating-point boundary anywhere — any engine picks the same
+    * row. Weights must be non-negative integers (integer-scaled).
+    *
+    * Plan shape: duplicates collapse first (groupBy (group, value) with
+    * map-side partial sums — the cumulative window then runs over DISTINCT
+    * values, not rows), then cumulative/total sums and the pick are
+    * windows over the same group key: one hash shuffle on the group, one
+    * sort per group of its distinct values. No driver-side anything.
+    *
+    * Output: groupCols..., wp_value (BIGINT), total_w (BIGINT).
+    */
+  def weightedPercentile(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      weightCol: Column,
+      pNum: Int,
+      pDen: Int): DataFrame = {
+    require(pDen > 0 && pNum > 0 && pNum <= pDen, s"need 0 < pNum <= pDen, got $pNum/$pDen")
+    import org.apache.spark.sql.expressions.Window
+    val collapsed = df
+      .groupBy(groupCols.map(col) :+ valueCol.cast("long").as("__v"): _*)
+      .agg(sum(weightCol.cast("long")).as("__w"))
+    val wg  = Window.partitionBy(groupCols.map(col): _*)
+    val wo  = wg.orderBy(col("__v"))
+    val cum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    collapsed
+      .withColumn("__cum", sum(col("__w")).over(cum))
+      .withColumn("__tot", sum(col("__w")).over(wg))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        min(when(col("__cum") * pDen >= col("__tot") * pNum, col("__v"))).as("wp_value"),
+        first(col("__tot")).as("total_w"))
+  }
+
+  /** Grouped OLS trend over an ordered series: per group, the least-
+    * squares slope of y against the series POSITION x = 1..n (rank under
+    * `orderCols`) — the drift-direction number a monitoring pipeline
+    * wants per metric. Emitted as the EXACT integer numerator/denominator
+    * pair of the closed form
+    *   slope = (n*Σxy − Σx*Σy) / (n*Σx² − (Σx)²)
+    * accumulated in DECIMAL(38,0) (n*Σxy overflows int64 ~1e9 rows/group
+    * earlier than any 100 TB table stops growing), cast to double only at
+    * the edge — both engines round the same exact integer to the same
+    * nearest double, so the quotient is bit-identical too. `yInt` must be
+    * an integer-scaled column (e.g. cents).
+    *
+    * Plan shape: one hash shuffle on the group key for the rank window,
+    * and the final aggregate reuses that partitioning — map-side partial
+    * sums collapse each group to one row.
+    *
+    * Output: groupCols..., n, slope_num, slope_den, slope (doubles; slope
+    * is NULL for degenerate groups with n < 2 where the denominator is 0).
+    */
+  def groupedTrend(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[Column],
+      yInt: Column): DataFrame = {
+    require(orderCols.nonEmpty, "groupedTrend needs at least one ordering column")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val wo  = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    val xy = df
+      .withColumn("__y", yInt.cast("long"))
+      .withColumn("__x", row_number().over(wo).cast("long"))
+    val agg = xy
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast(dec).as("__n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum((col("__x") * col("__y")).cast(dec)).as("__sxy"),
+        sum((col("__x") * col("__x")).cast(dec)).as("__sxx"))
+    agg.select(
+      groupCols.map(col) ++ Seq(
+        col("__n").cast("long").as("n"),
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double").as("slope_num"),
+        (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double").as("slope_den"),
+        when(
+          col("__n") > 1,
+          (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+            (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double"))
+          .as("slope")): _*)
   }
 
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {

@@ -90,4 +90,43 @@ class WinnowExprSpec extends AnyFunSuite {
     assert(res.collect().forall(_.getLong(0) == 2L))
     assert(res.schema("fp").dataType === org.apache.spark.sql.types.LongType)
   }
+
+  test("PosShingleHashesExpr == composed positional shingle hashes; winnow fps are a subset") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions.TextAnalysis
+    for (k <- Seq(1, 2, 3, 5)) {
+      val native = ColumnBridge.column(
+        PosShingleHashesExpr(ColumnBridge.expression(col("text")), k))
+      val composed = transform(
+        Dedup.shingles(TextAnalysis.tokens(col("text")), k),
+        s => TextAnalysis.polyHash(s))
+      val rows = df
+        .select(col("id"), native.as("a"), composed.as("b"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+          s"positional hash mismatch at k=$k id=${r.getLong(0)}")
+      }
+    }
+    // every winnowing fingerprint is one of the doc's positional hashes
+    val pos = df.select(col("id"), ColumnBridge.column(
+      PosShingleHashesExpr(ColumnBridge.expression(col("text")), 3)).as("hh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    Dedup.winnowing(df, "id", "text").collect().foreach { r =>
+      assert(pos(r.getLong(0)).contains(r.getLong(1)))
+    }
+  }
+
+  test("shingle_pos_hashes registered SQL function == the expression") {
+    import spark.implicits._
+    df.createOrReplaceTempView("winnow_pos_docs")
+    val viaSql = spark
+      .sql("SELECT id, shingle_pos_hashes(text, 3) AS hh FROM winnow_pos_docs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaExpr = df.select(col("id"), org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      PosShingleHashesExpr(org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("text")), 3)).as("hh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql === viaExpr)
+  }
 }

@@ -357,4 +357,69 @@ class AdversarialSpec extends AnyFunSuite {
     assert(got(7L) === 0L)      // mix: lower score -> rank 2 -> 0
     assert(got(8L) === 1000000L)
   }
+
+  test("round-7b ops: negative/zero series through CUSUM; all-weight-on-one-row and " +
+    "even-split ties through weightedPercentile; duplicate-x series through groupedTrend") {
+    import spark.implicits._
+    // CUSUM with negatives: 5,-5,5,-5 — alternating, tot=0, dev=4v:
+    // S: 20,0,20,0; runMin: 20,0,0,0; exc: 0,0,20,0 -> max 20 at ord 3
+    val alt = Seq(5L, -5L, 5L, -5L).zipWithIndex
+      .map { case (v, i) => ("k", (i + 1).toLong, v) }.toDF("k", "ord", "v")
+    val ra = Changepoint.cusumExcursion(alt, "k", Seq(col("ord")), col("v")).head()
+    assert(ra.getLong(2) === 20L && ra.getLong(3) === 3L,
+      "alternating series: bounded excursion, deterministic argmax")
+    // single-row series: excursion 0, no window-frame crash
+    val one = Seq(("s", 1L, -17L)).toDF("k", "ord", "v")
+    val ro = Changepoint.cusumExcursion(one, "k", Seq(col("ord")), col("v")).head()
+    assert(ro.getLong(1) === 1L && ro.getLong(2) === 0L && ro.getLong(3) === 1L)
+
+    // weightedPercentile: zero-weight rows shift nothing; all mass on one
+    // value picks it regardless of neighbors
+    val wz = Seq(("g", 1L, 0L), ("g", 2L, 0L), ("g", 3L, 5L), ("g", 9L, 0L))
+      .toDF("g", "v", "w")
+    val rw = Profile.weightedPercentile(wz, Seq("g"), col("v"), col("w"), 1, 2).head()
+    assert(rw.getLong(1) === 3L && rw.getLong(2) === 5L,
+      "zero-weight values never reach; the single massed value is the median")
+    // even split 2|2: cum*2 >= tot already at the FIRST value (4 >= 4)
+    val even = Seq(("g", 10L, 2L), ("g", 20L, 2L)).toDF("g", "v", "w")
+    val re = Profile.weightedPercentile(even, Seq("g"), col("v"), col("w"), 1, 2).head()
+    assert(re.getLong(1) === 10L, "lower-median convention on an even split")
+    // p = 1 (pNum == pDen): always the maximum value
+    val rm = Profile.weightedPercentile(even, Seq("g"), col("v"), col("w"), 1, 1).head()
+    assert(rm.getLong(1) === 20L)
+
+    // groupedTrend on a tie-broken series: duplicate order keys fall back
+    // to the tiebreak column — deterministic rank, deterministic slope
+    val dup = Seq(("g", 1L, 1L, 10L), ("g", 1L, 2L, 20L), ("g", 2L, 3L, 30L))
+      .toDF("g", "ord", "id", "y")
+    val rt = Profile
+      .groupedTrend(dup, Seq("g"), Seq(col("ord"), col("id")), col("y"))
+      .head()
+    assert(rt.getDouble(4) === 10.0, "x=1,2,3 / y=10,20,30: exact slope 10")
+  }
+
+  test("sharedSpans: zero-width-divergent copies split; sub-k docs and self-similar docs are inert") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // same 10 tokens but one has a zero-width space inside token 5: the
+    // diagonal breaks at every trigram touching it (byte-exact hashing)
+    val zw = run.replace("epsilon", "eps​ilon")
+    val docs = Seq(
+      (1L, run), (2L, run),          // verbatim: 8 positions -> span 10
+      (3L, zw),                      // zw-divergent twin of the run
+      (4L, "a b"),                   // sub-k: no shingles at all
+      (5L, "x x x x x x x x x x x") // self-similar but alone: no pair partner
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .sharedSpans(docs, "doc_id", "text", k = 3, minSpanTokens = 4, maxBucket = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) === 10L, "verbatim twin measures the full run")
+    // zw doc: epsilon sits at token index 4; trigrams at positions 2,3,4
+    // touch it. Clean prefix = positions 0..1 (span 4), clean suffix =
+    // positions 5..7 (span 5): longest unbroken shared run is 5
+    assert(got((1L, 3L)) === 5L && got((2L, 3L)) === 5L,
+      "zero-width divergence splits the span at the corrupted trigrams")
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L }, "sub-k doc pairs with nothing")
+    assert(!got.keySet.exists { case (a, b) => a == 5L || b == 5L }, "no self-pairs from within-doc repeats")
+  }
 }

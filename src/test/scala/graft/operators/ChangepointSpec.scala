@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** CUSUM max-excursion semantics: the division-free (×n) statistic against
+  * hand-computed values, a constant series staying at zero, level-shift
+  * localization, and the first-max tie rule.
+  */
+class ChangepointSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("constant series: excursion 0, changepoint at position 1") {
+    import spark.implicits._
+    val df = (1 to 6).map(i => ("k", i.toLong, 5L)).toDF("k", "ord", "v")
+    val r = Changepoint
+      .cusumExcursion(df, "k", Seq(col("ord")), col("v"))
+      .head()
+    assert(r.getLong(1) === 6L)
+    assert(r.getLong(2) === 0L, "dev = n*v - tot = 0 everywhere: no excursion")
+    assert(r.getLong(3) === 1L, "all-zero excursions: FIRST position wins the tie")
+  }
+
+  test("level shift: max excursion at the shift, hand-computed xn value") {
+    import spark.implicits._
+    // 0,0,0 then 10,10,10: n=6, tot=30, dev = 6v-30: -30,-30,-30,+30,+30,+30
+    // S: -30,-60,-90,-60,-30,0; runMin: -30,-60,-90,-90,-90,-90
+    // exc: 0,0,0,30,60,90 -> max 90 at ord 6
+    val df = Seq(0L, 0L, 0L, 10L, 10L, 10L).zipWithIndex
+      .map { case (v, i) => ("k", (i + 1).toLong, v) }
+      .toDF("k", "ord", "v")
+    val r = Changepoint
+      .cusumExcursion(df, "k", Seq(col("ord")), col("v"))
+      .head()
+    assert(r.getLong(2) === 90L, "hand-computed max excursion ×n")
+    assert(r.getLong(3) === 6L)
+  }
+
+  test("down-shift series: excursion peaks where the level DROPS") {
+    import spark.implicits._
+    // 10,10,10,0,0,0: dev = +30×3 then -30×3; S: 30,60,90,60,30,0
+    // runMin: 30,30,30,30,30,0 -> exc: 0,30,60,30,0,0 -> max 60 at ord 3
+    val df = Seq(10L, 10L, 10L, 0L, 0L, 0L).zipWithIndex
+      .map { case (v, i) => ("k", (i + 1).toLong, v) }
+      .toDF("k", "ord", "v")
+    val r = Changepoint
+      .cusumExcursion(df, "k", Seq(col("ord")), col("v"))
+      .head()
+    assert(r.getLong(2) === 60L)
+    assert(r.getLong(3) === 3L, "the last pre-drop position carries the peak")
+  }
+
+  test("keys are independent; carry columns ride the argmax row") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 0L, "r1"), ("a", 2L, 6L, "r2"), ("a", 3L, 0L, "r3"),
+      ("b", 1L, 1L, "s1"), ("b", 2L, 1L, "s2"))
+      .toDF("k", "ord", "v", "tag")
+    val got = Changepoint
+      .cusumExcursion(df, "k", Seq(col("ord")), col("v"), carry = Seq("tag"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getString(4))))
+      .toMap
+    // a: n=3 tot=6, dev: -6,12,-6; S: -6,6,0; runMin: -6,-6,-6; exc: 0,12,6
+    assert(got("a") === ((12L, "r2")), "argmax row's carry column is exposed")
+    assert(got("b") === ((0L, "s1")), "stable series: zero excursion, first row")
+  }
+}

@@ -603,4 +603,35 @@ class DedupSpec extends AnyFunSuite {
       assert(totalFp < 0.6 * totalSh, f"density ${totalFp / totalSh}%.2f not a sample")
     } finally docs.unpersist()
   }
+
+  test("sharedSpans: planted copy measured EXACTLY; split copies don't merge; guard cuts boilerplate") {
+    import spark.implicits._
+    // 16-token chunk => 14 trigram positions => longest run 14, span = 16
+    val chunk = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi"
+    val boiler = "license header boilerplate common fragment shared everywhere always"
+    val docs = (Seq(
+      (1L, s"one two three $chunk four five six"),
+      (2L, s"seven eight nine $chunk ten eleven twelve"),
+      // the same chunk SPLIT by an interruption: two diagonals, neither 14 long
+      (4L, s"alpha beta gamma delta epsilon zeta eta theta XX iota kappa lambda mu nu xi omicron pi"),
+      (3L, "completely unrelated text about other things entirely here")
+    ) ++ (10L to 30L).map(i => (i, s"$boiler tail$i"))).toDF("doc_id", "text")
+    def spans(maxBucket: Int) = Dedup
+      .sharedSpans(docs, "doc_id", "text", k = 3, minSpanTokens = 8, maxBucket = maxBucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val got = spans(4096)
+    assert(got((1L, 2L))._1 === 16L, "verbatim 16-token chunk measures span 16 exactly")
+    // doc 4's interruption caps both halves: 8-token prefix (6 positions ->
+    // span 8) survives minSpanTokens = 8; the full 16 must NOT appear
+    assert(got((1L, 4L))._1 === 8L, "interrupted copy reports the longest UNBROKEN half")
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // the boilerplate family shares a 8-token prefix => span 8 pairs exist
+    // unguarded, and are cut when the guard prices their fps as hot
+    assert(got.keySet.exists { case (a, b) => a >= 10L && b >= 10L })
+    val guarded = spans(10)
+    assert(guarded((1L, 2L)) === got((1L, 2L)), "rare pair unchanged under the guard")
+    assert(!guarded.keySet.exists { case (a, b) => a >= 10L && b >= 10L },
+      "boilerplate-only spans cut by the hot-hash guard")
+  }
 }

@@ -97,4 +97,45 @@ class ProfileSpec extends AnyFunSuite {
     val cg = Profile.madOutliers(const, "v").filter(col("is_outlier")).count()
     assert(cg === 0L, "dev 0 is not > 3*mad(=0): constant columns flag nothing")
   }
+
+  test("weightedPercentile: hand-computed reach, duplicate collapse, unit-weight == plain median rank") {
+    import spark.implicits._
+    // group a: values 10(w=1), 20(w=2), 30(w=6): tot=9, half-reach at cum*2>=9
+    //   cum: 10->1, 20->3, 30->9 => first reach 30
+    // group b: values 5(w=3), 7(w=1): tot=4, cum: 5->3 (6>=4 reach) => 5
+    val df = Seq(
+      ("a", 10L, 1L), ("a", 20L, 2L), ("a", 30L, 3L), ("a", 30L, 3L), // 30 split in two rows: collapse sums to 6
+      ("b", 5L, 3L), ("b", 7L, 1L))
+      .toDF("g", "v", "w")
+    val got = Profile
+      .weightedPercentile(df, Seq("g"), col("v"), col("w"), 1, 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === Map("a" -> ((30L, 9L)), "b" -> ((5L, 4L))))
+
+    // unit weights: wp(1/2) is the ceil(n/2)-th smallest value
+    val u = (1 to 7).map(i => ("g", i.toLong, 1L)).toDF("g", "v", "w")
+    val m = Profile.weightedPercentile(u, Seq("g"), col("v"), col("w"), 1, 2)
+      .head().getLong(1)
+    assert(m === 4L, "7 unit weights: first value with cum*2 >= 7 is the 4th")
+  }
+
+  test("groupedTrend: hand-computed slope, constant series, degenerate n=1") {
+    import spark.implicits._
+    // y = 3x + 5 exactly: slope numerator/denominator reduce to exactly 3
+    val lin = (1 to 5).map(i => ("a", i.toLong, 3L * i + 5)).toDF("g", "ord", "y")
+    val r = Profile.groupedTrend(lin, Seq("g"), Seq(col("ord")), col("y")).head()
+    assert(r.getLong(1) === 5L)
+    assert(r.getDouble(4) === 3.0, "exact linear series recovers the exact slope")
+
+    val const = (1 to 4).map(i => ("c", i.toLong, 9L)).toDF("g", "ord", "y")
+    val rc = Profile.groupedTrend(const, Seq("g"), Seq(col("ord")), col("y")).head()
+    assert(rc.getDouble(2) === 0.0 && rc.getDouble(4) === 0.0, "constant series: zero slope")
+
+    val one = Seq(("d", 1L, 42L)).toDF("g", "ord", "y")
+    val ro = Profile.groupedTrend(one, Seq("g"), Seq(col("ord")), col("y")).head()
+    assert(ro.isNullAt(4), "n=1: denominator 0 -> NULL slope, not a crash")
+    assert(ro.getDouble(3) === 0.0)
+  }
 }
