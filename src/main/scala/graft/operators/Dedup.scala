@@ -231,9 +231,9 @@ object Dedup {
     * shuffle), a hot-hash cut (the winnowPairs boilerplate guard — an
     * over-shared trigram would emit O(df²) matches of no evidentiary
     * value), one hash-bucket self-join bounded by maxBucket², then the
-    * run detection as a per-(pair, diagonal) islands window — the
-    * window's partition key IS the join output key, so Catalyst reuses
-    * the join exchange rather than re-shuffling. Nothing driver-side.
+    * run detection as an islands window partitioned by the PAIR — one
+    * exchange that the per-run and per-pair aggregations both reuse
+    * (their grouping keys are supersets of it). Nothing driver-side.
     *
     * Output: id_a < id_b, span_tokens (longest run + k - 1), n_matches
     * (total matched positions across all diagonals), filtered to
@@ -270,9 +270,15 @@ object Dedup {
         col("b.id").as("id_b"),
         (col("a.pos") - col("b.pos")).as("diag"),
         col("a.pos").as("pa"))
-    // islands: within a (pair, diagonal), consecutive pa values share
-    // pa - row_number — each maximal run collapses to one group
-    val wd = Window.partitionBy(col("id_a"), col("id_b"), col("diag")).orderBy(col("pa"))
+    // islands: within a diagonal, consecutive pa values share
+    // pa - row_number — each maximal run collapses to one group. The
+    // window partitions by the PAIR only and orders by (diag, pa): same-
+    // diag rows stay contiguous and pa-sorted, so the island arithmetic
+    // is unchanged, while the (pair) hash partitioning now satisfies both
+    // downstream aggregations (grouping keys are supersets of the
+    // partition key) — one exchange for window + both aggs instead of
+    // three.
+    val wd = Window.partitionBy(col("id_a"), col("id_b")).orderBy(col("diag"), col("pa"))
     hits
       .withColumn("__grp", col("pa") - row_number().over(wd))
       .groupBy(col("id_a"), col("id_b"), col("diag"), col("__grp"))
