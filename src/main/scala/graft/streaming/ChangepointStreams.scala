@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+final case class CpSample(key: String, ord: Long, v: Long)
+final case class CpState(s: Long, minS: Long, alarms: Long)
+
+/** Streaming CUSUM drift alarms — the monitoring twin of
+  * `operators/Changepoint.cusumExcursion`. A live metric stream can't use
+  * the batch statistic's per-key mean (a moving goalpost that rewrites
+  * history every batch); the streaming convention — same as the token
+  * drift monitor's frozen baseline — is a FIXED integer target from a
+  * calibration window: dev_i = v_i - target, S_i = Σ dev, excursion
+  * E_i = S_i - min S, alarm when E_i crosses the threshold. After each
+  * alarm the accumulator RESETS (Page's restart rule), so a sustained
+  * shift raises a bounded alarm train rather than one alarm then silence.
+  *
+  * Cross-batch state is (S, minS, alarm count) per key — three longs, the
+  * smallest state a stateful operator can carry; within a batch rows sort
+  * by `ord` (micro-batch iterators are unordered), across batches the
+  * carried state continues the series. With in-order per-key arrival the
+  * drained alarm set is EXACTLY the batch replay of the same rule — the
+  * equivalence law ChangepointStreamsSpec certifies.
+  */
+object ChangepointStreams {
+
+  /** Alarm rows (key, ord, excursion, alarm_seq) for every sample whose
+    * post-update excursion reaches `threshold`. `target` and `threshold`
+    * are integer-scaled like the input values.
+    */
+  def cusumAlarms(
+      samples: Dataset[(String, Long, Long)],
+      target: Long,
+      threshold: Long): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples
+      .map { case (k, o, v) => CpSample(k, o, v) }
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[CpSample], state: GroupState[CpState]) =>
+          val sorted = rows.toSeq.sortBy(s => (s.ord, s.v))
+          var st     = state.getOption.getOrElse(CpState(0L, 0L, 0L))
+          val out = sorted.flatMap { smp =>
+            val s2   = st.s + (smp.v - target)
+            val min2 = math.min(st.minS, s2)
+            val exc  = s2 - min2
+            if (exc >= threshold) {
+              st = CpState(0L, 0L, st.alarms + 1) // Page restart
+              Some((key, smp.ord, exc, st.alarms))
+            } else {
+              st = CpState(s2, min2, st.alarms)
+              None
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF("key", "ord", "excursion", "alarm_seq")
+  }
+
+  /** The batch replay of the same rule (a per-key sequential fold) — the
+    * law the stream is certified against, and the backfill path a
+    * monitoring deployment runs over history. One shuffle on the key.
+    */
+  def cusumAlarmsBatch(
+      samples: Dataset[(String, Long, Long)],
+      target: Long,
+      threshold: Long): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples
+      .groupByKey(_._1)
+      .flatMapGroups { (key: String, rows: Iterator[(String, Long, Long)]) =>
+        var s, minS, alarms = 0L
+        rows.toSeq
+          .sortBy(r => (r._2, r._3))
+          .flatMap { case (_, ord, v) =>
+            val s2   = s + (v - target)
+            val min2 = math.min(minS, s2)
+            val exc  = s2 - min2
+            if (exc >= threshold) {
+              s = 0L; minS = 0L; alarms += 1
+              Some((key, ord, exc, alarms))
+            } else {
+              s = s2; minS = min2
+              None
+            }
+          }
+          .iterator
+      }
+      .toDF("key", "ord", "excursion", "alarm_seq")
+  }
+}

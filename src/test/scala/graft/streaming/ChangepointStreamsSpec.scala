@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkTestSession
+
+/** Streaming CUSUM alarm semantics: hand-computed crossings, cross-batch
+  * state carry, the Page restart rule, and the stream == batch-replay
+  * equivalence law.
+  */
+class ChangepointStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("alarm fires at the hand-computed crossing; stable series stays silent") {
+    import spark.implicits._
+    val ms = MemoryStream[(String, Long, Long)](spark)
+    val q = ChangepointStreams
+      .cusumAlarms(ms.toDS(), target = 10L, threshold = 15L)
+      .writeStream.format("memory").queryName("cp_basic").outputMode("append").start()
+    try {
+      // stable around the target: devs -1,+1,-1,+1 -> excursion <= 2
+      ms.addData(("ok", 1L, 9L), ("ok", 2L, 11L), ("ok", 3L, 9L), ("ok", 4L, 11L))
+      // shifted: devs +6,+6,+6 -> S 6,12,18; exc 6,12,18 -> crossing at ord 3
+      ms.addData(("hot", 1L, 16L), ("hot", 2L, 16L), ("hot", 3L, 16L))
+      q.processAllAvailable()
+      val got = spark.table("cp_basic").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSet === Set(("hot", 3L, 18L, 1L)))
+    } finally q.stop()
+  }
+
+  test("state carries ACROSS micro-batches; Page restart re-arms after each alarm") {
+    import spark.implicits._
+    val ms = MemoryStream[(String, Long, Long)](spark)
+    val q = ChangepointStreams
+      .cusumAlarms(ms.toDS(), target = 0L, threshold = 10L)
+      .writeStream.format("memory").queryName("cp_carry").outputMode("append").start()
+    try {
+      ms.addData(("k", 1L, 4L), ("k", 2L, 4L)) // S=8, exc 8: below
+      q.processAllAvailable()
+      assert(spark.table("cp_carry").count() === 0)
+      ms.addData(("k", 3L, 4L)) // carried S=8 -> 12 >= 10: alarm, restart
+      ms.addData(("k", 4L, 5L), ("k", 5L, 6L)) // fresh S: 5, 11 -> second alarm
+      q.processAllAvailable()
+      val got = spark.table("cp_carry").orderBy("ord").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got === Array((3L, 12L, 1L), (5L, 11L, 2L)))
+    } finally q.stop()
+  }
+
+  test("drained stream == batch replay on a multi-key random series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      k <- Seq("a", "b", "c")
+      i <- 1 to 120
+    } yield (k, i.toLong, (rnd.nextInt(21) - 10 + (if (k == "b" && i > 60) 8 else 0)).toLong)
+
+    val batch = ChangepointStreams
+      .cusumAlarmsBatch(rows.toDS(), target = 0L, threshold = 40L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val ms = MemoryStream[(String, Long, Long)](spark)
+    val q = ChangepointStreams
+      .cusumAlarms(ms.toDS(), target = 0L, threshold = 40L)
+      .writeStream.format("memory").queryName("cp_eq").outputMode("append").start()
+    try {
+      // deliver in-order per key but split across three uneven batches
+      val (b1, rest) = rows.splitAt(100)
+      val (b2, b3)   = rest.splitAt(130)
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      ms.addData(b3: _*); q.processAllAvailable()
+      val streamed = spark.table("cp_eq").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed === batch)
+      assert(batch.exists(_._1 == "b"), "the shifted key must alarm somewhere")
+    } finally q.stop()
+  }
+}
