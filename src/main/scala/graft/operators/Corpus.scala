@@ -562,8 +562,14 @@ object Corpus {
       .agg(count(lit(1)).as("uf"))
     val stats = uni.agg(
       (sum(col("uf")) + count(lit(1))).as("nv")) // N + V, one broadcast cell
-    bgc
-      .join(c12, Seq("w1", "w2"))
+    // assemble the MODEL first — c1 and uf2 fold into the (w1,w2)-keyed
+    // count table and the quantized log evaluates once per DISTINCT
+    // bigram, all at model (vocab²-bounded) size. The big per-doc bigram
+    // table then pays exactly ONE join shuffle on (w1,w2) instead of
+    // three (w1,w2)/(w1)/(w2) reshuffles, and never re-evaluates the log
+    // per occurrence. Same integers, same single log per value — the
+    // oracle mirror is unchanged.
+    val model = c12
       .join(c1, Seq("w1"))
       .join(uni.select(col("term").as("w2"), col("uf").as("uf2")), Seq("w2"))
       .crossJoin(broadcast(stats))
@@ -573,6 +579,9 @@ object Corpus {
       .withColumn("__nllq",
         round(log(col("__den").cast("double") / col("__num").cast("double"))
           * lit(1000000d)).cast("long"))
+      .select(col("w1"), col("w2"), col("__nllq"))
+    bgc
+      .join(model, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(
         sum(col("k")).as("n_bigrams"),
