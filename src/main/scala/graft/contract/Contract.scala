@@ -3595,6 +3595,63 @@ object Contract {
              |FROM a""".stripMargin)
     ),
     Q(
+      "q156_markov_transitions",
+      // first-order user-journey transition matrix: counts + integer-
+      // floor-normalized probabilities of event_type -> next event_type
+      // per user sequence. One key shuffle, one states² aggregate.
+      (s, d) => {
+        import graft.operators.Funnel
+        Funnel.markovTransitions(
+          ev(s, d), "user_id", Seq(col("ts"), col("event_id")), col("event_type"))
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |c AS (SELECT prev AS from_state, event_type AS to_state, count(*)::BIGINT AS cnt
+             |      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_state, to_state, cnt,
+             |  (cnt * 1000000 // sum(cnt) OVER (PARTITION BY from_state))::BIGINT AS prob_x1e6
+             |FROM c""".stripMargin)
+    ),
+    Q(
+      "q157_interarrival_median",
+      // exact median inter-arrival gap (µs) per user — the burstiness /
+      // liveness profile of a keyed event stream. Gaps are int64 ns
+      // differences div 1000 (exact); the median is the q153 machinery
+      // with unit weights.
+      (s, d) => {
+        import graft.operators.Profile
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gaps = ev(s, d)
+          .withColumn("__prev_ns", lag(col("ts_ns"), 1).over(w))
+          .filter(col("__prev_ns").isNotNull)
+          .withColumn("__gap_us", expr("(ts_ns - __prev_ns) div 1000"))
+        Profile
+          .weightedPercentile(gaps, Seq("user_id"), col("__gap_us"), lit(1L), 1, 2)
+          .select(
+            col("user_id"),
+            col("wp_value").as("median_gap_us"),
+            col("total_w").as("n_gaps"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |    (epoch_ns(ts) -
+             |       lag(epoch_ns(ts))
+             |         OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000 AS gap
+             |  FROM events),
+             |c AS (SELECT user_id, gap AS v, count(*)::BIGINT AS w
+             |      FROM g WHERE gap IS NOT NULL GROUP BY 1, 2),
+             |x AS (SELECT user_id, v, w,
+             |        sum(w) OVER (PARTITION BY user_id ORDER BY v) AS cum,
+             |        sum(w) OVER (PARTITION BY user_id) AS tot
+             |      FROM c)
+             |SELECT user_id,
+             |       min(CASE WHEN cum * 2 >= tot THEN v END)::BIGINT AS median_gap_us,
+             |       min(tot)::BIGINT AS n_gaps
+             |FROM x GROUP BY 1""".stripMargin)
+    ),
+    Q(
       "q155_shared_spans",
       // longest verbatim shared token runs per document pair (the MOSS
       // "how much was copied" confirm on top of the q143 screen):

@@ -51,4 +51,37 @@ object Funnel {
         stages.tail.map(s => min(col(s._1)).as(s._1)): _*)
       .withColumn("stage", reached)
   }
+
+  /** First-order Markov transition matrix of the per-key event sequence:
+    * counts and row-normalized probabilities (integer ×1e6) of
+    * state_{i} → state_{i+1} steps — the user-journey summary behind
+    * "what do people do after X", next-event prediction baselines, and
+    * journey-drift monitoring (diff two matrices).
+    *
+    * Exactness: probabilities are cnt·1e6 div rowTotal — integer floor
+    * division of positive integers, identical on any engine.
+    *
+    * Plan shape: one key shuffle for the lag window, one (from, to)
+    * aggregation of the step rows (map-side partial), and the row
+    * normalizer is a window over the STATE-PAIR table (states², tiny).
+    * First event per key has no predecessor and is excluded by both
+    * engines' lag semantics.
+    */
+  def markovTransitions(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[Column],
+      stateCol: Column): DataFrame = {
+    require(orderCols.nonEmpty, "markovTransitions needs at least one ordering column")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val wf = Window.partitionBy(col("from_state"))
+    df.withColumn("__s", stateCol)
+      .withColumn("__prev", lag(col("__s"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_state"), col("__s").as("to_state"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__tot", sum(col("cnt")).over(wf))
+      .withColumn("prob_x1e6", expr("cnt * 1000000 div __tot"))
+      .select(col("from_state"), col("to_state"), col("cnt"), col("prob_x1e6"))
+  }
 }

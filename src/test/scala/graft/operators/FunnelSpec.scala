@@ -48,4 +48,28 @@ class FunnelSpec extends AnyFunSuite {
     val got = run(Seq((1L, "a", 5L), (1L, "b", 5L), (1L, "c", 5L)))
     assert(got(1L) === ((Some(5L), Some(5L), Some(5L), 3)))
   }
+
+  test("markovTransitions: hand-computed matrix; first event per key excluded; floor probabilities") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // u1: a->b->a->b  steps: (a,b),(b,a),(a,b)
+    // u2: b->b->c     steps: (b,b),(b,c)
+    // from a: (a,b)=2 of 2 -> 1e6; from b: (b,a)=1, (b,b)=1, (b,c)=1 of 3 -> 333333
+    val rows = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "b"), (2L, 2L, "b"), (2L, 3L, "c"))
+    val got = Funnel
+      .markovTransitions(rows.toDF("k", "ord", "s"), "k", Seq(col("ord")), col("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      ("a", "b") -> ((2L, 1000000L)),
+      ("b", "a") -> ((1L, 333333L)),
+      ("b", "b") -> ((1L, 333333L)),
+      ("b", "c") -> ((1L, 333333L))))
+    // single-event keys contribute nothing
+    val lone = Seq((9L, 1L, "z")).toDF("k", "ord", "s")
+    assert(Funnel.markovTransitions(lone, "k", Seq(col("ord")), col("s")).count() === 0L)
+  }
 }
