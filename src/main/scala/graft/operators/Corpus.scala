@@ -392,13 +392,16 @@ object Corpus {
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens), got $overlap")
     val stride = maxTokens - overlap
-    val toks   = split(col(textCol), " ")
-    val len    = size(toks)
+    // token array materialized behind its own projection — a spliced
+    // split() re-evaluates per lambda position (the q140 O(len²) class)
+    val toks = col("__tk")
+    val len  = size(toks)
     // 1 + ceil(max(0, len - maxTokens) / stride) chunks
     val nChunks =
       when(len <= maxTokens, lit(1L))
         .otherwise(lit(1L) + ceil((len - maxTokens).cast("double") / stride).cast("long"))
     docs
+      .select(col(idCol), split(col(textCol), " ").as("__tk"))
       .select(
         col(idCol),
         posexplode(transform(
@@ -473,20 +476,34 @@ object Corpus {
     * Output: idCol, n_bigrams, coherence_q (mean conditional probability
     * in integer billionths). Documents with < 2 tokens emit nothing.
     */
-  def bigramCoherence(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val bgc = graft.operators.Dedup
+  /** Per-document positional bigram rows (idCol, w1, w2) — the shared
+    * builder behind the bigram LM operators. The token array MATERIALIZES
+    * behind its own projection before the lambda touches it: a split()
+    * subtree spliced into a HOF body re-evaluates per position — the q140
+    * O(len²)-per-doc class, catastrophic at real document lengths — while
+    * an attribute reference is a row-field read. (CollapseProject leaves
+    * the barrier standing: the alias is non-trivial and referenced more
+    * than once.)
+    */
+  private def docBigramPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = col("__tk")
+    graft.operators.Dedup
       .spread(docs)
-      .filter(size(toks) >= 2)
+      .select(col(idCol), split(col(textCol), " ").as("__tk"))
+      .filter(size(tk) >= 2)
       .select(
         col(idCol),
         explode(transform(
-          sequence(lit(1), size(toks) - 1),
+          sequence(lit(1), size(tk) - 1),
           i =>
             struct(
-              element_at(toks, i).as("w1"),
-              element_at(toks, i + 1).as("w2")))).as("b"))
+              element_at(tk, i).as("w1"),
+              element_at(tk, i + 1).as("w2")))).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+  }
+
+  def bigramCoherence(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bgc = docBigramPairs(docs, idCol, textCol)
       .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("k"))
       .localCheckpoint(false)
@@ -538,19 +555,7 @@ object Corpus {
       lambdaPct: Int = 90): DataFrame = {
     require(lambdaPct >= 1 && lambdaPct <= 99,
       s"lambdaPct must be in [1,99], got $lambdaPct")
-    val toks = split(col(textCol), " ")
-    val bgc = graft.operators.Dedup
-      .spread(docs)
-      .filter(size(toks) >= 2)
-      .select(
-        col(idCol),
-        explode(transform(
-          sequence(lit(1), size(toks) - 1),
-          i =>
-            struct(
-              element_at(toks, i).as("w1"),
-              element_at(toks, i + 1).as("w2")))).as("b"))
-      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bgc = docBigramPairs(docs, idCol, textCol)
       .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("k"))
       .localCheckpoint(false)
@@ -708,18 +713,9 @@ object Corpus {
       minSupport: Long = 5L,
       k: Int = 20): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    val toks = split(col(textCol), " ")
-    val c12 = graft.operators.Dedup
-      .spread(docs)
-      .filter(size(toks) >= 2)
-      .select(
-        explode(transform(
-          sequence(lit(1), size(toks) - 1),
-          i =>
-            struct(
-              element_at(toks, i).as("w1"),
-              element_at(toks, i + 1).as("w2")))).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // corpus-global counts need no doc id: a constant stands in for it
+    val c12 = docBigramPairs(docs.withColumn("__cid", lit(0)), "__cid", textCol)
+      .select(col("w1"), col("w2"))
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
       .localCheckpoint(false)
@@ -838,7 +834,9 @@ object Corpus {
   def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     require(k > 0, s"k must be positive, got $k")
-    val tk = split(col(textCol), " ")
+    // token array materialized behind its own projection — a spliced
+    // split() re-evaluates per lambda position (the q140 O(len²) class)
+    val tk = col("__tk")
     val grams =
       if (n == 1) tk
       else
@@ -851,6 +849,7 @@ object Corpus {
           .otherwise(array())
     docs
       .filter(col(textCol).isNotNull)
+      .select(split(col(textCol), " ").as("__tk"))
       .select(explode(grams).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("cnt"))
@@ -1079,9 +1078,13 @@ object Corpus {
       textCol: String,
       n: Int = 3): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
-    val grams = transform(
-      Dedup.shingles(graft.functions.TextAnalysis.tokens(col(textCol)), n),
-      s => graft.functions.TextAnalysis.polyHash(s))
+    // native one-pass positional hashes (codegen'd) — the composed
+    // shingle->polyHash HOF chain pays interpreted lambda evaluation per
+    // gram; counts are over occurrences, so the non-distinct positional
+    // stream is exactly what this ratio wants
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val grams = ColumnBridge.column(
+      graft.functions.PosShingleHashesExpr(ColumnBridge.expression(col(textCol)), n))
     graft.operators.Dedup
       .spread(docs.filter(col(textCol).isNotNull))
       .select(col(sourceCol), explode(grams).as("__h"))
@@ -1122,16 +1125,21 @@ object Corpus {
     * driver-side state.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // token array materialized behind its own projection — a spliced
+    // split() re-evaluates inside the shingle lambda per position (the
+    // q140 O(len²) class)
     val base = graft.operators.Dedup
       .spread(docs.filter(col(textCol).isNotNull))
-      .select(col(idCol), col(textCol).as("__t"))
-      .withColumn("__chars", length(col("__t")))
+      .select(
+        col(idCol),
+        length(col(textCol)).as("__chars"),
+        split(col(textCol), " ").as("__tk"))
 
     def gramCounts(n: Int) = base
       .select(
         col(idCol),
         col("__chars"),
-        explode(Dedup.shingles(graft.functions.TextAnalysis.tokens(col("__t")), n)).as("__g"))
+        explode(Dedup.shingles(col("__tk"), n)).as("__g"))
       .groupBy(col(idCol), col("__chars"), col("__g"))
       .agg(count(lit(1)).as("__c"))
 
