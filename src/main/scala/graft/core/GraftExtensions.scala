@@ -109,5 +109,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // interval-join rescue (OFF unless spark.graft.rangejoin.bucketWidth is
     // set): rewrites BETWEEN-only joins to the bucketed equi-join form
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // ON by default (spark.graft.hoistLambdaInvariants=false to disable):
+    // hoists lambda-invariant tokenize/shingle chains out of HOF bodies —
+    // the O(len²)-per-row interpreted re-evaluation class
+    ext.injectOptimizerRule(_ => graft.plans.HoistLambdaInvariants)
   }
 }

@@ -1,0 +1,154 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Alias, LambdaFunction, StringSplit}
+import org.apache.spark.sql.catalyst.plans.logical.Project
+
+import graft.SparkTestSession
+import graft.operators.Dedup
+
+/** HoistLambdaInvariants: the spliced-subtree rewrite must change the PLAN
+  * (split() moves out of the lambda into its own Project) without changing
+  * any RESULT, must leave throwing expressions alone, and must honor its
+  * kill switch.
+  */
+class HoistLambdaInvariantsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def withRule[A](on: Boolean)(f: => A): A = {
+    val prev = spark.conf.getOption(HoistLambdaInvariants.Conf)
+    spark.conf.set(HoistLambdaInvariants.Conf, on.toString)
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(HoistLambdaInvariants.Conf, v)
+      case None    => spark.conf.unset(HoistLambdaInvariants.Conf)
+    }
+  }
+
+  /** true iff some LambdaFunction in the optimized plan still contains a
+    * StringSplit (i.e. the tokenization would re-run per invocation).
+    */
+  private def splitInsideLambda(df: DataFrame): Boolean = {
+    var dirty = false
+    df.queryExecution.optimizedPlan.foreach { p =>
+      p.expressions.foreach(_.foreach {
+        case lf: LambdaFunction if lf.function.exists(_.isInstanceOf[StringSplit]) =>
+          dirty = true
+          info(s"dirty lambda in ${p.nodeName}: ${lf.simpleString(150)}")
+        case _ => ()
+      })
+    }
+    dirty
+  }
+
+  /** The hoisted chain either survives as its own Project(Alias(split…))
+    * or — over a LocalRelation — ConvertToLocalRelation has already folded
+    * it into materialized __hoist_n columns. Both prove the hoist landed.
+    */
+  private def splitHoistedBelow(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists {
+      case proj: Project =>
+        proj.projectList.exists {
+          case a: Alias => a.child.exists(_.isInstanceOf[StringSplit])
+          case _        => false
+        }
+      case other => other.output.exists(_.name.startsWith("__hoist_"))
+    }
+
+  // the motivating shape: the composed winnowing form, whose lambda body
+  // splices the whole tokenize→shingle→hash chain
+  private def composed = {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, ""),
+      (4L, "x y")).toDF("id", "text")
+    Dedup.winnowingComposed(docs, "id", "text")
+  }
+
+  test("plan: split() leaves the lambda and lands in a projection below") {
+    withRule(on = true) {
+      val df = composed
+      assert(!splitInsideLambda(df), "lambda body must not re-tokenize per invocation")
+      assert(splitHoistedBelow(df), "the hoisted chain must sit in its own Project")
+    }
+  }
+
+  test("kill switch restores the spliced plan") {
+    withRule(on = false) {
+      assert(splitInsideLambda(composed), "disabled rule must leave the lambda as written")
+    }
+  }
+
+  test("semantics: composed winnowing identical with the rule on and off, == native") {
+    import spark.implicits._
+    val rnd  = new scala.util.Random(11)
+    val docs = ((1L to 200L).map { id =>
+      val n = rnd.nextInt(60)
+      (id, (0 until n).map(_ => s"w${rnd.nextInt(9)}").mkString(" "))
+    } :+ ((900L, "naïve café 日本語 🙂 a b c d e f g h"))).toDF("id", "text")
+    def run(on: Boolean) = withRule(on) {
+      Dedup.winnowingComposed(docs, "id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    val hoisted = run(true)
+    val spliced = run(false)
+    assert(hoisted === spliced)
+    val native = withRule(true) {
+      Dedup.winnowing(docs, "id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    assert(hoisted === native)
+  }
+
+  test("throw-safety: a conditionally-guarded division is NOT hoisted (ANSI would raise)") {
+    // spark.range (not a LocalRelation — ConvertToLocalRelation would fold
+    // the whole projection at optimization time and leave no plan to test)
+    val df = spark.range(2).select(
+      when(col("id") === 0, 6L).otherwise(8L).as("y"),
+      when(col("id") === 0, 2L).otherwise(0L).as("x"))
+    // the guard makes the lambda body unreachable when x = 0; hoisting
+    // the division out of it would evaluate eagerly on every row (the
+    // integral form raises under ANSI; the rule doesn't distinguish, so
+    // Divide is simply not on the whitelist)
+    val guarded = df.select(
+      when(
+        col("x") > 0,
+        transform(sequence(lit(1), lit(3)), i => col("y") / col("x") + i))
+        .otherwise(array().cast("array<double>"))
+        .as("r"))
+    val got = guarded.collect().map(_.getSeq[Double](0).toSeq).toSet
+    assert(got === Set(Seq(4.0, 5.0, 6.0), Seq.empty))
+    // and the division stayed inside the lambda
+    val hasDivInLambda = guarded.queryExecution.optimizedPlan.exists { p =>
+      p.expressions.exists(_.exists {
+        case lf: LambdaFunction =>
+          lf.function.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Divide])
+        case _ => false
+      })
+    }
+    assert(hasDivInLambda, "unsafe (throwing) subtrees must stay where they were written")
+  }
+
+  test("nested HOFs: inner-lambda chains hoist only what is invariant everywhere") {
+    import spark.implicits._
+    val df = Seq((1L, "p q r s t u v w")).toDF("id", "text")
+    // outer transform over positions; inner slice over the SAME spliced
+    // token array: the token array is invariant, the slice (uses the
+    // outer lambda var) is not
+    val tk = split(col("text"), " ")
+    val q = df.select(
+      col("id"),
+      transform(
+        sequence(lit(1), size(tk) - 2),
+        j => concat_ws(" ", slice(tk, j, lit(3)))).as("grams"))
+    withRule(on = true) {
+      assert(!splitInsideLambda(q))
+      val got = q.collect().head.getSeq[String](1)
+      assert(got === Seq("p q r", "q r s", "r s t", "s t u", "t u v", "u v w"))
+    }
+  }
+}
