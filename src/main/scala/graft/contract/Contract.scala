@@ -3664,6 +3664,72 @@ object Contract {
           k = 3, minSpanTokens = 8, maxBucket = 4096)
       },
       Some(OracleSql.q155)
+    ),
+    Q(
+      "q160_blocklist",
+      // C4-style token-boundary blocklist gate: occurrence + distinct-term
+      // census and the any-hit drop rule; list rides as a broadcast
+      // literal, scan is one in-row pass.
+      (s, d) =>
+        graft.operators.Corpus.blocklistAudit(
+          Tables.documents(s, d), "doc_id", "text", Seq("slow", "big", "zzz_blocked")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+             |SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+             |  len(list_filter(tk, x -> list_contains(['slow','big','zzz_blocked'], x)))::BIGINT AS n_hits,
+             |  len(list_intersect(list_distinct(tk), ['slow','big','zzz_blocked']))::BIGINT AS n_distinct_hits,
+             |  len(list_filter(tk, x -> list_contains(['slow','big','zzz_blocked'], x))) = 0 AS keep
+             |FROM t""".stripMargin)
+    ),
+    Q(
+      "q161_psi_drift",
+      // Population Stability Index of `value` per event_type between the
+      // first and second half of January — the distribution-level drift
+      // monitor (CUSUM q152 is the series-level one). Micro-nat integer
+      // terms, exact integer sum.
+      (s, d) =>
+        graft.operators.Profile.psiDrift(
+          ev(s, d),
+          Seq("event_type"),
+          col("value"),
+          col("ts") >= lit("2024-01-16").cast("timestamp"),
+          binWidth = 25.0),
+      Some("""WITH b AS (
+             |  SELECT event_type, floor(value / 25.0)::BIGINT AS bin,
+             |    CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS cur
+             |  FROM events WHERE value IS NOT NULL),
+             |c AS (SELECT event_type, bin,
+             |    sum(CASE WHEN cur = 0 THEN 1 ELSE 0 END)::BIGINT AS cb,
+             |    sum(cur)::BIGINT AS cc
+             |  FROM b GROUP BY 1, 2),
+             |t AS (SELECT event_type, bin, cb, cc,
+             |    count(*) OVER (PARTITION BY event_type) AS nb,
+             |    sum(cb) OVER (PARTITION BY event_type) AS tb,
+             |    sum(cc) OVER (PARTITION BY event_type) AS tc
+             |  FROM c)
+             |SELECT event_type, min(nb)::BIGINT AS n_bins, min(tb)::BIGINT AS n_base,
+             |  min(tc)::BIGINT AS n_cur,
+             |  sum(round(((cc+1)::DOUBLE/(tc+nb)::DOUBLE - (cb+1)::DOUBLE/(tb+nb)::DOUBLE)
+             |      * ln(((cc+1)*(tb+nb))::DOUBLE / ((cb+1)*(tc+nb))::DOUBLE) * 1000000))::BIGINT AS psi_x1e6
+             |FROM t GROUP BY 1""".stripMargin)
+    ),
+    Q(
+      "q162_journey_paths",
+      // frequent user-journey prefixes: each user's first 8 events joined
+      // into a '>' path, counted across users — the discovery twin of the
+      // q94 funnel (which measures one hypothesized path) and the q156
+      // Markov matrix (which forgets order beyond one step).
+      (s, d) =>
+        graft.operators.Funnel.journeyPaths(
+          ev(s, d), "user_id", Seq(col("ts"), col("event_id")),
+          col("event_type"), maxSteps = 8),
+      Some("""WITH r AS (
+             |  SELECT user_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |p AS (
+             |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+             |  FROM r WHERE rn <= 8 GROUP BY 1)
+             |SELECT path, count(*)::BIGINT AS n_keys FROM p GROUP BY 1""".stripMargin)
     )
   )
 

@@ -1339,4 +1339,73 @@ object Corpus {
           .otherwise("unchanged"))
       .select(keyCols.map(col) :+ col("status"): _*)
   }
+
+  /** Token-boundary blocklist audit (the C4 "bad words list" gate): per
+    * document, how many token occurrences hit the list, how many DISTINCT
+    * listed terms appear, and the C4 keep rule (any hit → drop). Token
+    * boundaries — not substring match — so "scrape" never trips a "rape"
+    * entry; the list is matched post-tokenization, the same axis every
+    * other text op here uses.
+    *
+    * Scale shape: the list rides as a broadcast literal set and the scan
+    * is one in-row pass — zero shuffle, filter-pushdown friendly. This is
+    * the right plan up to ~10^4 terms (the real C4 list is ~400); for a
+    * 10^6-term blocklist see `blocklistAuditJoin`, which turns the probe
+    * into a broadcast semi-join on exploded tokens instead of an O(terms)
+    * in-row set.
+    *
+    * Output: idCol, n_tokens, n_hits, n_distinct_hits, keep.
+    */
+  def blocklistAudit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "blocklistAudit: empty blocklist")
+    val toks  = split(col(textCol), " ")
+    val tset  = typedlit(terms)
+    df.select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      size(filter(toks, t => array_contains(tset, t))).cast("long").as("n_hits"),
+      size(array_intersect(array_distinct(toks), tset)).cast("long").as("n_distinct_hits"))
+      .withColumn("keep", col("n_hits") === 0L)
+  }
+
+  /** `blocklistAudit` for blocklists too large to evaluate as an in-row
+    * literal: tokens explode, hit-count against the terms table via an
+    * inner join (terms broadcast when small, hash-join when not), and the
+    * per-doc census joins back onto the id spine so hit-free documents
+    * still report zeros. Two shuffles at worst (token join + id group);
+    * the exploded side collapses map-side on (id, token) first, so the
+    * join input is distinct tokens per doc, not raw occurrences.
+    */
+  def blocklistAuditJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      termsDf: DataFrame,
+      termCol: String = "term"): DataFrame = {
+    val base = df.select(
+      col(idCol),
+      split(col(textCol), " ").as("__tk"))
+    val spine = base.select(col(idCol), size(col("__tk")).cast("long").as("n_tokens"))
+    val hits = base
+      .select(col(idCol), explode(col("__tk")).as("__t"))
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("__occ"))
+      .join(termsDf.select(col(termCol).as("__t")).distinct(), Seq("__t"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__occ")).as("n_hits"),
+        count(lit(1)).as("n_distinct_hits"))
+    spine
+      .join(hits, Seq(idCol), "left_outer")
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_distinct_hits"), lit(0L)).as("n_distinct_hits"))
+      .withColumn("keep", col("n_hits") === 0L)
+  }
 }

@@ -84,4 +84,38 @@ object Funnel {
       .withColumn("prob_x1e6", expr("cnt * 1000000 div __tot"))
       .select(col("from_state"), col("to_state"), col("cnt"), col("prob_x1e6"))
   }
+
+  /** Frequent journey paths: each key's first `maxSteps` states in order,
+    * joined into one `>`-separated path string, counted across keys — the
+    * "what do users actually do" mining behind funnel design (the funnel
+    * op measures ONE hypothesized path; this discovers the real ones).
+    *
+    * The prefix cap bounds the path string (`maxSteps`·|state| chars) so a
+    * runaway key cannot build an unbounded row. One key shuffle for the
+    * per-key window + one path-string shuffle for the census; both
+    * map-side combine. Ties between equal-count paths are broken by the
+    * path string itself so the output is total-order deterministic.
+    *
+    * Output: path, n_keys (keys whose prefix-journey is exactly `path`).
+    */
+  def journeyPaths(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[Column],
+      stateCol: Column,
+      maxSteps: Int): DataFrame = {
+    require(maxSteps > 0, s"maxSteps must be positive, got $maxSteps")
+    require(orderCols.nonEmpty, "journeyPaths needs at least one ordering column")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    df.withColumn("__s", stateCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxSteps)
+      // sort_array on (rn, state) structs keeps the join in event order —
+      // collect_list alone is partition-order nondeterministic
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("__rn"), col("__s")))).as("__steps"))
+      .select(array_join(col("__steps.__s"), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
 }

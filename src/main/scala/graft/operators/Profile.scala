@@ -225,4 +225,66 @@ object Profile {
         sum(col("v").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)))
           .cast("double").as("sum_v"))
   }
+
+  /** Population Stability Index between a baseline and a current slice of
+    * the same numeric column, per group — the standard "did this feature's
+    * distribution move" monitor a training pipeline runs between corpus
+    * versions or time windows. PSI = Σ_bins (p_cur − p_base)·ln(p_cur/p_base)
+    * over fixed-width value bins; < 0.1 stable, > 0.25 action.
+    *
+    * Cross-engine exactness: counts bin on floor(v/binWidth) (one double
+    * divide in a fixed order). Each bin's term is add-1-smoothed over the
+    * group's OBSERVED bin union B: p = (c+1)/(tot+|B|) — zero bins on one
+    * side cost mass instead of dividing by zero. The term is computed as
+    * round(1e6·(pC−pB)·ln((cC+1)(totB+|B|) / ((cB+1)(totC+|B|)))) — the
+    * ratio is ONE divide of exact sub-2^53 integer products, ln/multiply
+    * are deterministic per-row IEEE ops, and the per-group PSI is an exact
+    * integer sum of the quantized terms (same micro-nat convention as the
+    * DSIR / bigram-NLL ops).
+    *
+    * Scale shape: one (group, bin, period) count shuffle with map-side
+    * partials, then one (group) aggregate over ≤ bins rows per group —
+    * the heavy pass touches each input row once.
+    *
+    * Output: groupCols..., n_bins, n_base, n_cur, psi_x1e6.
+    */
+  def psiDrift(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      isCurrent: Column,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val gs = groupCols.map(col)
+    val binned = df
+      .filter(valueCol.isNotNull)
+      .select(
+        gs :+ floor(valueCol.cast("double") / binWidth).cast("long").as("__bin")
+           :+ when(isCurrent, 1L).otherwise(0L).as("__cur"): _*)
+    val counts = binned
+      .groupBy(gs :+ col("__bin"): _*)
+      .agg(
+        sum(when(col("__cur") === 0L, 1L).otherwise(0L)).as("__cb"),
+        sum(col("__cur")).as("__cc"))
+    // group totals ride a window over the COLLAPSED counts table
+    // (≤ observed-bins rows per group, not input rows — cheap by design)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)
+    val withTot = counts
+      .withColumn("__nb", count(lit(1)).over(wg))
+      .withColumn("__tb", sum(col("__cb")).over(wg))
+      .withColumn("__tc", sum(col("__cc")).over(wg))
+    val pB   = (col("__cb") + 1).cast("double") / (col("__tb") + col("__nb")).cast("double")
+    val pC   = (col("__cc") + 1).cast("double") / (col("__tc") + col("__nb")).cast("double")
+    val lnArg = ((col("__cc") + 1) * (col("__tb") + col("__nb"))).cast("double") /
+      ((col("__cb") + 1) * (col("__tc") + col("__nb"))).cast("double")
+    val term = round((pC - pB) * log(lnArg) * 1000000d).cast("long")
+    withTot
+      .withColumn("__term", term)
+      .groupBy(gs: _*)
+      .agg(
+        first(col("__nb")).as("n_bins"),
+        first(col("__tb")).as("n_base"),
+        first(col("__tc")).as("n_cur"),
+        sum(col("__term")).as("psi_x1e6"))
+  }
 }

@@ -422,4 +422,35 @@ class AdversarialSpec extends AnyFunSuite {
     assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L }, "sub-k doc pairs with nothing")
     assert(!got.keySet.exists { case (a, b) => a == 5L || b == 5L }, "no self-pairs from within-doc repeats")
   }
+
+  test("round-7c ops: unicode byte-exactness through the blocklist gate; " +
+    "negative values through PSI bins; over-long caps through journey paths") {
+    import spark.implicits._
+
+    // blocklist: byte-exact token match — a zero-width-space variant of a
+    // listed term does NOT trip the gate (no substring surprises)
+    val bl = Corpus.blocklistAudit(
+      Seq((1L, "bad thing"), (2L, "b​ad thing")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("bad"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bl(1L) === 1L && bl(2L) === 0L)
+
+    // psiDrift: negative values floor-bin downward (-0.1 -> bin -1, not 0);
+    // identical negative-heavy halves still score exactly 0
+    val neg = Seq(("g", -0.1, false), ("g", -10.0, false), ("g", 0.1, false),
+      ("g", -0.1, true), ("g", -10.0, true), ("g", 0.1, true)).toDF("g", "v", "cur")
+    val pn = Profile.psiDrift(neg, Seq("g"), col("v"), col("cur"), binWidth = 10.0)
+      .select("n_bins", "psi_x1e6").head()
+    assert(pn.getLong(0) === 2L,
+      "-0.1 and -10.0 both floor to bin -1 (not 0); 0.1 floors to bin 0")
+    assert(pn.getLong(1) === 0L)
+
+    // journeyPaths: cap far beyond the series length keeps the whole
+    // journey; unicode states join byte-exactly
+    val jp = Funnel.journeyPaths(
+      Seq((1L, 1L, "日"), (1L, 2L, "本")).toDF("k", "ord", "s"),
+      "k", Seq(col("ord")), col("s"), maxSteps = 100)
+      .head()
+    assert(jp.getString(0) === "日>本" && jp.getLong(1) === 1L)
+  }
 }

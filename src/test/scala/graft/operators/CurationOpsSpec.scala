@@ -96,4 +96,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(4L) === ((2, 2L)))
     assert(got(5L) === ((0, 0L)))
   }
+
+  test("blocklistAudit: hits / distinct / keep; join path == literal path") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "good text with slow slow words"), // 2 hits, 1 distinct
+      (2L, "clean document here"),            // keep
+      (3L, "big and slow and big")            // 3 hits, 2 distinct
+    ).toDF("doc_id", "text")
+    val terms = Seq("slow", "big", "absent_term")
+    val got = Corpus
+      .blocklistAudit(df, "doc_id", "text", terms)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got(1L) === ((6L, 2L, 1L, false)))
+    assert(got(2L) === ((3L, 0L, 0L, true)))
+    assert(got(3L) === ((5L, 3L, 2L, false)))
+
+    val joined = Corpus.blocklistAuditJoin(df, "doc_id", "text", terms.toDF("term"))
+    val lit    = Corpus.blocklistAudit(df, "doc_id", "text", terms)
+    assert(joined.exceptAll(lit).isEmpty && lit.exceptAll(joined).isEmpty)
+  }
 }

@@ -72,4 +72,23 @@ class FunnelSpec extends AnyFunSuite {
     val lone = Seq((9L, 1L, "z")).toDF("k", "ord", "s")
     assert(Funnel.markovTransitions(lone, "k", Seq(col("ord")), col("s")).count() === 0L)
   }
+
+  test("journeyPaths: order respected, prefix capped, identical journeys merge") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1 and 2 share a journey; order comes from ord, not insertion
+      (1L, 2L, "b"), (1L, 1L, "a"), (1L, 3L, "c"),
+      (2L, 10L, "a"), (2L, 20L, "b"), (2L, 30L, "c"),
+      // user 3: 5 events, cap at 3 keeps the prefix only
+      (3L, 1L, "a"), (3L, 2L, "a"), (3L, 3L, "a"), (3L, 4L, "x"), (3L, 5L, "y"),
+      // user 4: single event
+      (4L, 1L, "z"))
+      .toDF("k", "ord", "s")
+    val got = Funnel
+      .journeyPaths(df, "k", Seq(col("ord")), col("s"), maxSteps = 3)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(got === Map("a>b>c" -> 2L, "a>a>a" -> 1L, "z" -> 1L))
+  }
 }

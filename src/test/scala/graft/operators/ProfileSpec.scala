@@ -138,4 +138,42 @@ class ProfileSpec extends AnyFunSuite {
     assert(ro.isNullAt(4), "n=1: denominator 0 -> NULL slope, not a crash")
     assert(ro.getDouble(3) === 0.0)
   }
+
+  test("psiDrift: identical halves score exactly 0; a shifted distribution scores the closed form") {
+    import spark.implicits._
+    // baseline bins {0:5, 1:5}; current identical -> every ratio is 1
+    val same = (1 to 5).map(_ => ("e", 5.0, false)) ++ (1 to 5).map(_ => ("e", 15.0, false)) ++
+      (1 to 5).map(_ => ("e", 5.0, true)) ++ (1 to 5).map(_ => ("e", 15.0, true))
+    val psi0 = Profile
+      .psiDrift(same.toDF("g", "v", "cur"), Seq("g"), col("v"), col("cur"), binWidth = 10.0)
+      .select("psi_x1e6").head().getLong(0)
+    assert(psi0 === 0L)
+
+    // shifted: baseline {0:5, 1:5}, current {0:2, 1:8} — closed form with
+    // add-1 smoothing over nb=2 observed bins, replayed in plain scala
+    val shifted = (1 to 5).map(_ => ("e", 5.0, false)) ++ (1 to 5).map(_ => ("e", 15.0, false)) ++
+      (1 to 2).map(_ => ("e", 5.0, true)) ++ (1 to 8).map(_ => ("e", 15.0, true))
+    def term(cb: Long, cc: Long, tb: Long, tc: Long, nb: Long): Long = {
+      val pB = (cb + 1).toDouble / (tb + nb)
+      val pC = (cc + 1).toDouble / (tc + nb)
+      math.round((pC - pB) * math.log(((cc + 1) * (tb + nb)).toDouble / ((cb + 1) * (tc + nb))) * 1e6)
+    }
+    val expected = term(5, 2, 10, 10, 2) + term(5, 8, 10, 10, 2)
+    val got = Profile
+      .psiDrift(shifted.toDF("g", "v", "cur"), Seq("g"), col("v"), col("cur"), binWidth = 10.0)
+      .select("n_bins", "n_base", "n_cur", "psi_x1e6").head()
+    assert(got.getLong(0) === 2L && got.getLong(1) === 10L && got.getLong(2) === 10L)
+    assert(got.getLong(3) === expected)
+    assert(got.getLong(3) > 0L)
+  }
+
+  test("psiDrift: a bin observed on one side only still contributes (smoothed), never divides by zero") {
+    import spark.implicits._
+    val rows = Seq(("e", 5.0, false), ("e", 5.0, false), ("e", 25.0, true), ("e", 25.0, true))
+    val got = Profile
+      .psiDrift(rows.toDF("g", "v", "cur"), Seq("g"), col("v"), col("cur"), binWidth = 10.0)
+      .select("n_bins", "psi_x1e6").head()
+    assert(got.getLong(0) === 2L)
+    assert(got.getLong(1) > 0L) // total disagreement -> large positive PSI
+  }
 }
