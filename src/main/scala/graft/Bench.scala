@@ -100,8 +100,8 @@ object Bench {
         case Some(c) => c.contains(_)
         case None    => name => only.forall(_.exists(name.startsWith))
       }
-      val (results, failed) = runQueries(sfDir, wanted)
-      emit(results, failed, sfDir)
+      val (results, failed, calib) = runQueries(sfDir, wanted)
+      emit(results, failed, sfDir, calib.toSeq)
       if (failed.nonEmpty) sys.exit(1)
     }
   }
@@ -113,20 +113,23 @@ object Bench {
     val chunks = SparkEntry.queries.keys.toSeq.sorted.grouped(chunkSize).toSeq :+ pipelineNames
     val acc    = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var failed = List.empty[String]
+    var calibs = List.empty[Double]
     var forkBroken = false
     chunks.foreach { names =>
       val forked = if (forkBroken) None else runChunkForked(names, sfDir)
-      val (res, f) = forked.getOrElse {
+      val (res, f, c) = forked.getOrElse {
         if (!forkBroken)
           System.err.println("[bench] fork produced no parseable output; " +
             "falling back to in-process for the remaining chunks")
         forkBroken = true
-        runQueries(sfDir, names.toSet)
+        val (r, fl, cl) = runQueries(sfDir, names.toSet)
+        (r, fl, cl.toList)
       }
       acc ++= res
       failed :::= f
+      calibs :::= c
     }
-    emit(acc.toSeq, failed, sfDir)
+    emit(acc.toSeq, failed, sfDir, calibs)
     if (failed.nonEmpty) sys.exit(1)
   }
 
@@ -137,7 +140,7 @@ object Bench {
     */
   private def runChunkForked(
       names: Seq[String],
-      sfDir: String): Option[(Seq[(String, Double)], List[String])] = {
+      sfDir: String): Option[(Seq[(String, Double)], List[String], List[Double])] = {
     import scala.jdk.CollectionConverters._
     val out = Files.createTempFile("bench-chunk", ".json")
     val log = Files.createTempFile("bench-chunk", ".log")
@@ -160,7 +163,7 @@ object Bench {
         parseChunk(Files.readString(out), names)
       } catch { case _: java.io.IOException => None }
     parsed match {
-      case Some((_, f)) if f.nonEmpty =>
+      case Some((_, f, _)) if f.nonEmpty =>
         val tail = Files.readString(log)
         System.err.println(s"[bench] chunk with failures $f, child log tail:\n" +
           tail.substring(math.max(0, tail.length - 1500)))
@@ -174,20 +177,23 @@ object Bench {
   }
 
   /** Parse a child's full-detail JSON line (we wrote the format: a flat
-    * "queries" object of name->seconds and a flat "failed" array).
+    * "queries" object of name->seconds, a flat "failed" array, and the
+    * chunk's pinned-calibration median).
     */
   private def parseChunk(
       raw: String,
-      names: Seq[String]): Option[(Seq[(String, Double)], List[String])] = {
+      names: Seq[String]): Option[(Seq[(String, Double)], List[String], List[Double])] = {
     val qrx  = """"queries":\{([^}]*)\}""".r
     val pair = """"([^"]+)":(-?\d+(?:\.\d+)?)""".r
+    val crx  = """"median":(\d+(?:\.\d+)?)""".r
     qrx.findFirstMatchIn(raw).map { m =>
       val got = pair.findAllMatchIn(m.group(1)).map(p => p.group(1) -> p.group(2).toDouble).toMap
       // keep the parent's canonical order; a name the child never reported
       // (crashed mid-chunk) is a failure, not a silent omission
       val res    = names.map(n => n -> got.getOrElse(n, -1.0))
       val failed = res.collect { case (n, v) if v < 0 => n }.toList
-      (res, failed)
+      val calib  = crx.findFirstMatchIn(raw).map(_.group(1).toDouble).toList
+      (res, failed, calib)
     }
   }
 
@@ -198,17 +204,13 @@ object Bench {
     */
   private def runQueries(
       sfDir: String,
-      wanted: String => Boolean): (Seq[(String, Double)], List[String]) = {
+      wanted: String => Boolean): (Seq[(String, Double)], List[String], Option[Double]) = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // GraftSession.local installs GraftExtensions: the benched plans carry
+    // the same optimizer rules + SQL registrations the engine ships with
+    // (measured plans == shipped plans; round-7 verdict item 1).
+    val spark = graft.core.GraftSession.local(cpus, cpus.toInt)
     quietBenignNoise()
 
     var failed = List.empty[String]
@@ -242,6 +244,26 @@ object Bench {
     // warm the JVM/codegen/parquet-footer caches so the first timed query
     // isn't charged session startup (~3 s of JIT + executor spin-up)
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+
+    // CALIBRATION (round-7 verdict item 3): a pinned trivial query at a
+    // pinned scale, measured by every chunk's JVM. The r7 artifact recorded
+    // q138 at 37.6 s where an idle host gave 2.16 s — driver-host
+    // contention, indistinguishable from a plan regression without a
+    // re-run. The calibration median makes the record self-normalizing: if
+    // a chunk's calibration reads k x its quiet-host value (~1 s), that
+    // chunk's query times carry the same contention factor.
+    val calib: Option[Double] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_CALIB").contains("0")) None
+      else try {
+        val calibDir = sys.env.getOrElse("SPARK_GRAFT_CALIB_DIR", "/root/testdata/sf0.01")
+        val fn = SparkEntry.queries("q02_tpch_q1")
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, calibDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        Some(ts.sorted.apply(1))
+      } catch { case _: Throwable => None }
 
     val queryResults = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if wanted(name) =>
@@ -300,7 +322,7 @@ object Bench {
       }
     }
     spark.stop()
-    (queryResults ++ pipelineResults, failed)
+    (queryResults ++ pipelineResults, failed, calib)
   }
 
   /** The eager localCheckpoint loops (star CC, k-means) race the
@@ -324,20 +346,44 @@ object Bench {
 
   // ----------------------------------------------------------------- emit
 
-  private def emit(results: Seq[(String, Double)], failed: List[String], sfDir: String): Unit = {
+  private def emit(
+      results: Seq[(String, Double)],
+      failed: List[String],
+      sfDir: String,
+      calibs: Seq[Double]): Unit = {
     val total    = results.map(_._2).filter(_ >= 0).sum
     val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // self-normalization fields (round-7 verdict item 3): pinned-query
+    // calibration per chunk JVM + a host-load snapshot. README documents
+    // the reading rule (quiet-host calibration ~= its BASELINE value; a
+    // k x calibration means the chunk ran under k x host contention).
+    val calibJs =
+      if (calibs.isEmpty) ""
+      else {
+        val s = calibs.sorted
+        s""""calibration":{"pinned":"q02_tpch_q1@sf0.01","median":${fmt(s(s.size / 2))},"max":${fmt(s.last)},"n":${s.size}},"""
+      }
+    val loadavg =
+      try Files.readString(Paths.get("/proc/loadavg")).trim.split("\\s+").take(3).mkString("[", ",", "]")
+      catch { case _: Exception => "[]" }
     def line(qs: String, extra: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$extra"sf":"$sfDir","n_queries":${results.size},"failed":$failedJs}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$extra$calibJs"loadavg":$loadavg,"sf":"$sfDir","n_queries":${results.size},"failed":$failedJs}"""
     // Full per-query detail -> the OUT file. ALWAYS written (default
     // ./bench.json): round 6 exited 1 on real failures and the driver's
     // 2000-char stdout tail was consumed by stack traces, so the whole
     // round's per-query perf record for the 123 healthy queries was lost
     // (`BENCH_r06.parsed: null`). The file survives any rc.
     val fullQs  = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // fold the committed >=10x soak record (graft.Soak) into the full
+    // artifact so the round's bench JSON carries the sf1 evidence
+    val soak =
+      try {
+        val s = Files.readString(Paths.get("soak_sf1.json")).trim
+        if (s.startsWith("{")) s""""sf1_soak":$s,""" else ""
+      } catch { case _: Exception => "" }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-    try Files.writeString(Paths.get(outPath), line(fullQs, "") + "\n")
+    try Files.writeString(Paths.get(outPath), line(fullQs, soak) + "\n")
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] cannot write $outPath: ${e.getMessage}")
     }
@@ -348,7 +394,7 @@ object Bench {
     // slowest-first (failures always included) until the budget is spent;
     // the omitted fast tail is summed into "rest" so value still equals
     // the sum of everything reported.
-    val budget  = 1700
+    val budget  = 1580 // leave room for the calibration + loadavg fields
     val ordered = results.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
     val picked  = scala.collection.mutable.ListBuffer.empty[(String, Double)]
     var used    = 0

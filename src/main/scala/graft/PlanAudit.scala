@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Plan-shape audit tool: prints, for each named contract query (all when
   * no names are given), the executed-plan operator counts that matter for
   * the 100x-scale review — hash/round-robin exchanges, nested-loop or
@@ -19,12 +17,9 @@ object PlanAudit {
     val names =
       if (args.length > 1) args.tail.toSeq
       else contract.Contract.all.map(_.name)
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GraftSession.local installs GraftExtensions so the audited plans match
+    // the shipped plans (both optimizer rules active).
+    val spark = graft.core.GraftSession.local("8")
     spark.sparkContext.setLogLevel("ERROR")
     // the eager localCheckpoint loops race the ContextCleaner into benign
     // accumulator-not-found ERROR spray that buries the audit table

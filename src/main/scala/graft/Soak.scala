@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+/** >= 10x scale soak (round-7 verdict item 6): build an sf1-equivalent
+  * synthetic volume by replicating sf0.1's `documents`/`embeddings`
+  * `SPARK_GRAFT_SOAK_REPLICAS` (default 10) times, then run the
+  * dedup→curation capstone chain and the IVF/PQ search path against it —
+  * the memory-cliff / skew check the sf0.1 bench cannot see.
+  *
+  * Replication is PERTURBED, not verbatim:
+  *  - documents: doc_id shifts by replica x (max_id+1); each replica's
+  *    text gains a distinct trailing token, so every replica keeps the
+  *    original's internal dup/near-dup structure AND the replicas of one
+  *    doc are mutual near-dups (similarity -> 1). The cross-replica
+  *    near-dup clusters (size = replicas) are intentional stress for the
+  *    LSH bucket mining, connected-components, and survivor stages — a
+  *    10x corpus whose every doc has 9 near-copies is the adversarial
+  *    shape for a dedup pipeline, not the easy one.
+  *  - embeddings: vec_id shifts likewise; every component gets a
+  *    replica-scaled epsilon (i x 1e-3) so replicas are distinct but
+  *    adjacent in cosine space — dense-neighborhood stress for IVF/PQ.
+  * All other tables copy through unchanged so any contract query runs.
+  *
+  * Usage: sbt "runMain graft.Soak [buildDir]"  (default /tmp/graft_sf1)
+  * Writes soak_sf1.json (single line, committed to the repo) with
+  * per-query seconds; Bench folds that file into its OUT record as
+  * "sf1_soak" so the round artifact carries the soak evidence.
+  */
+object Soak {
+
+  /** The shapes the verdict names: composed curation capstones v2-v5 and
+    * the IVF / IVF-index / PQ / IVF-PQ search family.
+    */
+  val soakQueries: Seq[String] = Seq(
+    "q87_curation_v2", "q115_curation_v3", "q138_curation_v4", "q150_curation_v5",
+    "q36_ivf_topk", "q82_ivf_index_search", "q100_pq_topk", "q102_ivfpq_topk")
+
+  def main(args: Array[String]): Unit = {
+    val src      = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")
+    val dir      = args.headOption.getOrElse("/tmp/graft_sf1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPLICAS", "10").toInt.max(2)
+    val spark    = graft.core.GraftSession.local()
+    Bench.quietBenignNoise()
+
+    val marker = Paths.get(dir, s".built_r$replicas")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(Paths.get(dir))
+      val docs   = spark.read.parquet(s"$src/documents.parquet")
+      val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+      (0 until replicas).map { i =>
+        docs.select(
+          (col("doc_id") + lit(i * maxDoc)).as("doc_id"),
+          concat(col("text"), lit(s" zzrep$i")).as("text"),
+          col("lang"), col("source"),
+          (col("n_chars") + lit(7 + i.toString.length)).as("n_chars"))
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val emb    = spark.read.parquet(s"$src/embeddings.parquet")
+      val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+      (0 until replicas).map { i =>
+        emb.select(
+          (col("vec_id") + lit(i * maxVec)).as("vec_id"),
+          transform(col("embedding"), x => x + lit(i * 1e-3f)).as("embedding"),
+          col("label"))
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+      Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events")
+        .foreach { t =>
+          val from = Paths.get(s"$src/$t.parquet")
+          if (Files.exists(from))
+            Files.copy(from, Paths.get(s"$dir/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        }
+      Files.createFile(marker)
+    }
+
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    val nEmb  = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    System.err.println(s"[soak] $dir ready: $nDocs docs, $nEmb embeddings (x$replicas)")
+
+    var failed = List.empty[String]
+    val times = soakQueries.map { name =>
+      val q  = contract.Contract.byName(name)
+      val t0 = System.nanoTime()
+      val t =
+        try {
+          q.run(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[soak] $name FAILED: ${e.getMessage}")
+            failed ::= name
+            -1.0
+        }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+      System.err.println(f"[soak] $name%-22s ${t}%.2f s")
+      name -> t
+    }
+
+    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val loadavg =
+      try Files.readString(Paths.get("/proc/loadavg")).trim.split("\\s+").take(3).mkString("[", ",", "]")
+      catch { case _: Exception => "[]" }
+    val line =
+      s"""{"replicas":$replicas,"docs":$nDocs,"embeddings":$nEmb,"total":${fmt(times.map(_._2).filter(_ >= 0).sum)},"queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"loadavg":$loadavg}"""
+    Files.writeString(Paths.get("soak_sf1.json"), line + "\n")
+    println(line)
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+}

@@ -1348,11 +1348,18 @@ object Corpus {
     * other text op here uses.
     *
     * Scale shape: the list rides as a broadcast literal set and the scan
-    * is one in-row pass — zero shuffle, filter-pushdown friendly. This is
-    * the right plan up to ~10^4 terms (the real C4 list is ~400); for a
-    * 10^6-term blocklist see `blocklistAuditJoin`, which turns the probe
-    * into a broadcast semi-join on exploded tokens instead of an O(terms)
-    * in-row set.
+    * is one in-row pass — zero shuffle, filter-pushdown friendly. The
+    * per-token probe is `isin`, which OptimizeIn rewrites to an InSet
+    * hash-set membership above 10 terms — O(1) per token, so the row cost
+    * is O(n_tokens) regardless of list size (the r7 `array_contains` form
+    * scanned the literal array per token: O(n_tokens x terms)). The
+    * literal form is still bounded ~10^4 terms by PLAN SIZE (the set rides
+    * in the plan/codegen payload); for a 10^6-term blocklist see
+    * `blocklistAuditJoin`, which turns the probe into a broadcast
+    * semi-join on exploded tokens.
+    *
+    * Null text is dropped (same isNotNull gate as every text op here and
+    * as the join twin, so literal == join equivalence holds row-for-row).
     *
     * Output: idCol, n_tokens, n_hits, n_distinct_hits, keep.
     */
@@ -1364,11 +1371,12 @@ object Corpus {
     require(terms.nonEmpty, "blocklistAudit: empty blocklist")
     val toks  = split(col(textCol), " ")
     val tset  = typedlit(terms)
-    df.select(
-      col(idCol),
-      size(toks).cast("long").as("n_tokens"),
-      size(filter(toks, t => array_contains(tset, t))).cast("long").as("n_hits"),
-      size(array_intersect(array_distinct(toks), tset)).cast("long").as("n_distinct_hits"))
+    df.filter(col(textCol).isNotNull)
+      .select(
+        col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => t.isin(terms: _*))).cast("long").as("n_hits"),
+        size(array_intersect(array_distinct(toks), tset)).cast("long").as("n_distinct_hits"))
       .withColumn("keep", col("n_hits") === 0L)
   }
 
@@ -1386,7 +1394,10 @@ object Corpus {
       textCol: String,
       termsDf: DataFrame,
       termCol: String = "term"): DataFrame = {
-    val base = df.select(
+    // same null-text gate as the literal twin: without it the two paths
+    // diverge on null rows (literal: null counts → dropped; join: explode
+    // drops the row but the spine keeps it with 0 hits → kept)
+    val base = df.filter(col(textCol).isNotNull).select(
       col(idCol),
       split(col(textCol), " ").as("__tk"))
     val spine = base.select(col(idCol), size(col("__tk")).cast("long").as("n_tokens"))

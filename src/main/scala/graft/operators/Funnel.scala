@@ -90,11 +90,23 @@ object Funnel {
     * "what do users actually do" mining behind funnel design (the funnel
     * op measures ONE hypothesized path; this discovers the real ones).
     *
-    * The prefix cap bounds the path string (`maxSteps`·|state| chars) so a
-    * runaway key cannot build an unbounded row. One key shuffle for the
-    * per-key window + one path-string shuffle for the census; both
-    * map-side combine. Ties between equal-count paths are broken by the
-    * path string itself so the output is total-order deterministic.
+    * The prefix cut rides the bounded-heap aggregate (TopK.collectTopK,
+    * the house primitive): each task keeps at most `maxSteps` earliest
+    * events per key and the heap emits them ascending — already in event
+    * order — so there is no Window, no per-key full sort, and the key
+    * shuffle carries at most `maxSteps` rows per (key x map partition)
+    * instead of every event (the r7 `row_number` form paid a full per-key
+    * sort for an N-prefix). Ties on `orderCols` break on the state string,
+    * so the prefix is deterministic even with duplicate timestamps.
+    *
+    * Path encoding is injective: a literal `\` in a state is escaped to
+    * `\\` and a literal `>` to `\>` before joining, so a state containing
+    * the separator cannot conflate distinct journeys (['a>b','c'] vs
+    * ['a','b>c']); a NULL state renders as `\0` (impossible as escaped
+    * output) rather than being silently skipped by array_join. The prefix
+    * cap bounds the path string so a runaway key cannot build an unbounded
+    * row. Census row order is partition-dependent, as for any aggregate —
+    * order downstream if needed.
     *
     * Output: path, n_keys (keys whose prefix-journey is exactly `path`).
     */
@@ -106,15 +118,14 @@ object Funnel {
       maxSteps: Int): DataFrame = {
     require(maxSteps > 0, s"maxSteps must be positive, got $maxSteps")
     require(orderCols.nonEmpty, "journeyPaths needs at least one ordering column")
-    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
-    df.withColumn("__s", stateCol)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxSteps)
-      // sort_array on (rn, state) structs keeps the join in event order —
-      // collect_list alone is partition-order nondeterministic
-      .groupBy(col(keyCol))
-      .agg(sort_array(collect_list(struct(col("__rn"), col("__s")))).as("__steps"))
-      .select(array_join(col("__steps.__s"), ">").as("path"))
+    val esc = regexp_replace(
+      regexp_replace(stateCol.cast("string"), "\\\\", "\\\\\\\\"),
+      ">", "\\\\>")
+    val ord   = orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    val entry = struct(ord :+ esc.as("__s"): _*)
+    df.groupBy(col(keyCol))
+      .agg(TopK.collectTopK(entry, maxSteps, reverse = true).as("__steps"))
+      .select(array_join(col("__steps.__s"), ">", "\\0").as("path"))
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_keys"))
   }

@@ -102,7 +102,8 @@ class CurationOpsSpec extends AnyFunSuite {
     val df = Seq(
       (1L, "good text with slow slow words"), // 2 hits, 1 distinct
       (2L, "clean document here"),            // keep
-      (3L, "big and slow and big")            // 3 hits, 2 distinct
+      (3L, "big and slow and big"),           // 3 hits, 2 distinct
+      (4L, null.asInstanceOf[String])         // null text: dropped by BOTH paths
     ).toDF("doc_id", "text")
     val terms = Seq("slow", "big", "absent_term")
     val got = Corpus
@@ -113,6 +114,7 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(1L) === ((6L, 2L, 1L, false)))
     assert(got(2L) === ((3L, 0L, 0L, true)))
     assert(got(3L) === ((5L, 3L, 2L, false)))
+    assert(!got.contains(4L), "null text must be dropped, not kept-with-zeros")
 
     val joined = Corpus.blocklistAuditJoin(df, "doc_id", "text", terms.toDF("term"))
     val lit    = Corpus.blocklistAudit(df, "doc_id", "text", terms)

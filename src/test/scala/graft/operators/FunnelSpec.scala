@@ -91,4 +91,34 @@ class FunnelSpec extends AnyFunSuite {
       .toMap
     assert(got === Map("a>b>c" -> 2L, "a>a>a" -> 1L, "z" -> 1L))
   }
+
+  test("journeyPaths: separator-bearing and null states stay distinguishable; no Window/Sort") {
+    import spark.implicits._
+    // ['a>b','c'] vs ['a','b>c'] conflated to 'a>b>c' by a naive join;
+    // ['a', null, 'b'] silently merged with ['a','b'] by bare array_join
+    val df = Seq(
+      (1L, 1L, "a>b"), (1L, 2L, "c"),
+      (2L, 1L, "a"), (2L, 2L, "b>c"),
+      (3L, 1L, "a"), (3L, 2L, null.asInstanceOf[String]), (3L, 3L, "b"),
+      (4L, 1L, "a"), (4L, 2L, "b"),
+      (5L, 1L, """x\y""")) // literal backslash escapes too
+      .toDF("k", "ord", "s")
+    val got = Funnel
+      .journeyPaths(df, "k", Seq(col("ord")), col("s"), maxSteps = 5)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(got.size === 5, s"all five journeys distinct, got $got")
+    assert(got(s"""a\\>b>c""") === 1L) // key 1: escaped separator
+    assert(got(s"""a>b\\>c""") === 1L) // key 2
+    assert(got(s"""a>\\0>b""") === 1L) // key 3: null sentinel survives
+    assert(got("a>b") === 1L)          // key 4 unchanged
+    assert(got(s"""x\\\\y""") === 1L)  // key 5: backslash doubled
+    // bounded-heap prefix: no Window and no per-key Sort in the plan
+    val plan = Funnel
+      .journeyPaths(df, "k", Seq(col("ord")), col("s"), maxSteps = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "prefix cut must not use a Window")
+    assert(!plan.contains("Sort "), "prefix cut must not sort whole groups")
+  }
 }

@@ -3,16 +3,18 @@ package graft.plans
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.catalyst.expressions.{Alias, LambdaFunction, StringSplit}
+import org.apache.spark.sql.catalyst.expressions.{Alias, ArrayTransform, CreateArray, GetArrayItem, LambdaFunction, StringSplit}
 import org.apache.spark.sql.catalyst.plans.logical.Project
 
 import graft.SparkTestSession
 import graft.operators.Dedup
 
 /** HoistLambdaInvariants: the spliced-subtree rewrite must change the PLAN
-  * (split() moves out of the lambda into its own Project) without changing
-  * any RESULT, must leave throwing expressions alone, and must honor its
-  * kill switch.
+  * (split() moves out of the lambda into its own Project, or into a
+  * let-binding for single-reference / Filter / Aggregate shapes) without
+  * changing any RESULT, must leave throwing expressions alone, must stay
+  * STABLE against CollapseProject/PushDownPredicates in the shared
+  * fixpoint batch, and must honor its kill switch.
   */
 class HoistLambdaInvariantsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -131,6 +133,97 @@ class HoistLambdaInvariantsSpec extends AnyFunSuite {
       })
     }
     assert(hasDivInLambda, "unsafe (throwing) subtrees must stay where they were written")
+  }
+
+  /** A let-binding landed somewhere in the optimized plan:
+    * GetArrayItem(ArrayTransform(CreateArray(...), lambda), 0).
+    */
+  private def bindingPresent(df: DataFrame): Boolean = {
+    var found = false
+    df.queryExecution.optimizedPlan.foreach { p =>
+      p.expressions.foreach(_.foreach {
+        case GetArrayItem(ArrayTransform(_: CreateArray, _), _, _) => found = true
+        case _                                                     => ()
+      })
+    }
+    found
+  }
+
+  private def docs001 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("single-reference chain: let-binding, not a hoist-Project CollapseProject would undo") {
+    // split referenced exactly once, inside the lambda: a child-Project
+    // hoist here ping-pongs against CollapseProject (count==1 inlines
+    // regardless of cost — observed as Max-iterations on both operator
+    // batches before this rule learned the let-binding form)
+    val q = docs001.select(
+      transform(sequence(lit(1), lit(3)), i => element_at(split(col("text"), " "), i)).as("r"))
+    withRule(on = true) {
+      assert(!splitInsideLambda(q), "split must not re-tokenize per element")
+      assert(bindingPresent(q), "single-use chain must land in a let-binding")
+    }
+    val on  = withRule(true)(q.collect().map(_.getSeq[String](0).mkString("|")).sorted.toSeq)
+    val off = withRule(false)(q.collect().map(_.getSeq[String](0).mkString("|")).sorted.toSeq)
+    assert(on === off)
+  }
+
+  test("Filter(exists(...)) with spliced chain: let-binding in place, same rows") {
+    def q = docs001.filter(exists(
+      transform(sequence(lit(1), size(split(col("text"), " "))),
+        i => element_at(split(col("text"), " "), i)),
+      t => length(t) > 3))
+    withRule(on = true) {
+      assert(!splitInsideLambda(q), "filter condition must not re-tokenize per element")
+      assert(bindingPresent(q), "filter chain must land in a let-binding")
+      // no plan-shape change: letting PushDownPredicates see a hoist-Project
+      // below the Filter would re-splice by alias substitution
+      assert(!q.queryExecution.optimizedPlan.exists {
+        case p: Project => p.projectList.exists(_.name.startsWith("__hoist_"))
+        case _          => false
+      }, "Filter path must not create a hoist projection")
+    }
+    val on  = withRule(true)(q.collect().map(_.getLong(0)).sorted.toSeq)
+    val off = withRule(false)(q.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(on === off && on.nonEmpty)
+  }
+
+  test("Aggregate with spliced chain: let-binding in place, same result") {
+    def q = docs001.groupBy(col("lang"))
+      .agg(sum(size(array_distinct(transform(
+        sequence(lit(1), size(split(col("text"), " ")) - 1),
+        i => array_min(slice(split(col("text"), " "), i, lit(2))))))).as("s"))
+    withRule(on = true) {
+      assert(!splitInsideLambda(q), "aggregate argument must not re-tokenize per element")
+      assert(bindingPresent(q), "aggregate chain must land in a let-binding")
+    }
+    val on  = withRule(true)(q.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq)
+    val off = withRule(false)(q.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq)
+    assert(on === off && on.nonEmpty)
+  }
+
+  test("composed winnowing hoists the FULL closed chain (nested lambdas and all)") {
+    // the shingle+polyhash transform binds its own lambda variables — a
+    // CLOSED subtree — so the whole chain hoists level by level: split
+    // into one projection, the shingle-hash transform into another; the
+    // Generate's generator reads only hoisted attributes
+    val q = withRule(on = true)(Dedup.winnowingComposed(docs001, "doc_id", "text"))
+    withRule(on = true) {
+      val gen = q.queryExecution.optimizedPlan.collectFirst {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g.generator
+      }
+      assert(gen.isDefined, "plan must still explode")
+      assert(!gen.get.exists(_.isInstanceOf[StringSplit]),
+        "generator must not re-tokenize")
+      assert(!gen.get.exists(_.isInstanceOf[graft.functions.PolyHashExpr]),
+        "generator must not re-hash — the whole chain hoists")
+      val hoistProjects = q.queryExecution.optimizedPlan.collect {
+        case p: Project if p.projectList.exists {
+          case a: Alias => a.name.startsWith("__hoist_")
+          case _        => false
+        } => p
+      }
+      assert(hoistProjects.size >= 2, s"expected stacked hoist levels, got ${hoistProjects.size}")
+    }
   }
 
   test("nested HOFs: inner-lambda chains hoist only what is invariant everywhere") {

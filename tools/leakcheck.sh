@@ -1,0 +1,47 @@
+#!/usr/bin/env bash
+# Self-evidencing leak scan (round-7 verdict item 7): same hit categories
+# as the driver's LEAKCHECK.json, plus the scan timestamp and the exact
+# commit scanned, so the artifact proves WHAT was checked and WHEN (the
+# driver's file changes only its "round" field between rounds).
+#
+# Usage: tools/leakcheck.sh [out.json]   (default LEAKCHECK_local.json)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+out="${1:-LEAKCHECK_local.json}"
+
+scan() { # $1 = extended regex; newline-separated "file:line" hits, JSON-escaped
+  grep -rInE "$1" src/ Bench.scala Verify.scala 2>/dev/null \
+    | cut -d: -f1,2 | sed 's/.*/"&"/' | paste -sd, - || true
+}
+
+hits_import=$(scan '(^|[^a-zA-Z])(boto3|awswrangler|botocore)([^a-zA-Z]|$)')
+hits_url=$(scan 'https?://[a-z0-9.-]*(internal|corp)[a-z0-9.-]*/')
+hits_pkg2=$(scan 'import +(com|io)\.[a-z]+\.(internal|private)')
+hits_bucket=$(scan 's3a?://[a-zA-Z0-9._-]+')
+hits_slack=$(scan 'slack\.com|#[a-z-]+-(eng|infra|oncall)')
+hits_key=$(scan 'AKIA[0-9A-Z]{16}|aws_secret_access_key')
+hits_env=$(scan 'sys\.env\([^)]*(BUCKET|ARN|ROLE|SECRET)')
+
+n=0
+for h in "$hits_import" "$hits_url" "$hits_pkg2" "$hits_bucket" "$hits_slack" "$hits_key" "$hits_env"; do
+  [ -n "$h" ] && n=$((n + $(echo "$h" | tr -cd ',' | wc -c) + 1))
+done
+
+cat > "$out" <<EOF
+{
+  "scanned_commit": "$(git rev-parse HEAD 2>/dev/null || echo unknown)",
+  "scanned_at": "$(date -u +%Y-%m-%dT%H:%M:%SZ)",
+  "tree_dirty": $(git diff --quiet 2>/dev/null && echo false || echo true),
+  "n_hits": $n,
+  "hits": {
+    "internal-import": [$hits_import],
+    "internal-url": [$hits_url],
+    "internal-pkg2": [$hits_pkg2],
+    "internal-bucket": [$hits_bucket],
+    "slack-link": [$hits_slack],
+    "api-key": [$hits_key],
+    "axon-env": [$hits_env]
+  }
+}
+EOF
+echo "leakcheck: $n hits -> $out"
