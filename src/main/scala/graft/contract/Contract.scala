@@ -3730,6 +3730,32 @@ object Contract {
              |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
              |  FROM r WHERE rn <= 8 GROUP BY 1)
              |SELECT path, count(*)::BIGINT AS n_keys FROM p GROUP BY 1""".stripMargin)
+    ),
+    Q(
+      "q163_blocklist_10k",
+      // the blocklist gate AT its documented literal bound: 10^4 synthetic
+      // terms + two live ones, certifying the InSet O(1)-per-token probe
+      // (the r7 array_contains form was O(terms) per token — 5x slower at
+      // this size) and the null-text gate. The oracle spells the same
+      // census as a join (generate_series builds the list), which is also
+      // the literal==join equivalence check at scale.
+      (s, d) =>
+        graft.operators.Corpus.blocklistAudit(
+          Tables.documents(s, d), "doc_id", "text",
+          (0 until 10000).map(i => s"blk$i") ++ Seq("slow", "big")),
+      Some("""WITH bl AS (SELECT 'blk' || x::VARCHAR AS term FROM generate_series(0, 9999) AS t(x)
+             |       UNION ALL SELECT 'slow' UNION ALL SELECT 'big'),
+             |tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE text IS NOT NULL),
+             |ex AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
+             |hit AS (SELECT ex.doc_id,
+             |          count(*)::BIGINT AS n_hits,
+             |          count(DISTINCT ex.tok)::BIGINT AS n_distinct_hits
+             |        FROM ex JOIN bl ON ex.tok = bl.term GROUP BY 1)
+             |SELECT t.doc_id, len(t.tk)::BIGINT AS n_tokens,
+             |  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+             |  coalesce(h.n_distinct_hits, 0)::BIGINT AS n_distinct_hits,
+             |  coalesce(h.n_hits, 0) = 0 AS keep
+             |FROM tk t LEFT JOIN hit h USING (doc_id)""".stripMargin)
     )
   )
 
