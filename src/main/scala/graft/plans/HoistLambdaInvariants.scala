@@ -390,6 +390,17 @@ object HoistLambdaInvariants extends Rule[LogicalPlan] {
         if (unchanged(newGroup, a.groupingExpressions) &&
           unchanged(newAggs, a.aggregateExpressions)) a
         else a.copy(groupingExpressions = newGroup, aggregateExpressions = newAggs)
+
+      // Window: let-binding ONLY (a child Project would shift the window's
+      // required child distribution bookkeeping for no gain); memo shared
+      // across window and partition expressions
+      case w: Window =>
+        val memo    = mutable.ArrayBuffer.empty[(Expression, Expression)]
+        val newWin  = w.windowExpressions
+          .map(letBindAll(_, w.child.outputSet, memo).asInstanceOf[NamedExpression])
+        val newPart = w.partitionSpec.map(letBindAll(_, w.child.outputSet, memo))
+        if (unchanged(newWin, w.windowExpressions) && unchanged(newPart, w.partitionSpec)) w
+        else w.copy(windowExpressions = newWin, partitionSpec = newPart)
     }
   }
 }

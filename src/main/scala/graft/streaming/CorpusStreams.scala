@@ -65,7 +65,14 @@ object CorpusStreams {
       maxPunct: Double = 0.2,
       maxDupBigram: Double = 0.5,
       lateness: String = "10 minutes",
-      maxLuhnValid: Long = Long.MaxValue): DataFrame =
+      maxLuhnValid: Long = Long.MaxValue,
+      blocklist: Seq[String] = Nil): DataFrame = {
+    // blocklist gate (off by default): the streaming twin of the batch
+    // C4 any-hit rule (Corpus.blocklistAudit) — token-boundary InSet
+    // probe, O(1) per token, per-row projection, stream-safe
+    val blockOk =
+      if (blocklist.isEmpty) lit(true)
+      else size(filter(split(col("text"), " "), t => t.isin(blocklist: _*))) === 0
     docs
       // watermark BEFORE the gate (the stationarySessionStream rule):
       // gated-out documents must keep advancing event time, else an
@@ -78,9 +85,11 @@ object CorpusStreams {
           // PII gate (off by default): a doc carrying more than
           // `maxLuhnValid` checksum-valid card-length digit runs never
           // reaches the corpus — per-row projection, stream-safe
-          graft.functions.Privacy.luhnValidCount(col("text")) <= maxLuhnValid)
+          graft.functions.Privacy.luhnValidCount(col("text")) <= maxLuhnValid &&
+          blockOk)
       .withColumn("digest", sha2(col("text"), 256))
       .dropDuplicatesWithinWatermark("digest")
+  }
 
   /** `runIngest` + incremental NEAR-dedup: each drained batch is mined
     * against the persisted LSH signature store (`Dedup.lshIncrementalStep`
@@ -435,8 +444,11 @@ object CorpusStreams {
       corpusDir: String,
       checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
-      maxLuhnValid: Long = Long.MaxValue): StreamingQuery =
-    curatedStream(docStream(spark, rawDir, maxFilesPerTrigger), maxLuhnValid = maxLuhnValid)
+      maxLuhnValid: Long = Long.MaxValue,
+      blocklist: Seq[String] = Nil): StreamingQuery =
+    curatedStream(
+      docStream(spark, rawDir, maxFilesPerTrigger),
+      maxLuhnValid = maxLuhnValid, blocklist = blocklist)
       .withColumn("date", to_date(col("ts")))
       .writeStream
       .outputMode(OutputMode.Append)

@@ -201,6 +201,25 @@ class HoistLambdaInvariantsSpec extends AnyFunSuite {
     assert(on === off && on.nonEmpty)
   }
 
+  test("Window function argument with spliced chain hoists (via the extracted Project)") {
+    import org.apache.spark.sql.expressions.Window
+    // the analyzer's ExtractWindowExpressions pulls the sum argument into a
+    // Project below the Window, so the PROJECT path hoists it (__hoist_N);
+    // the rule's Window case remains for partitionSpec / non-extracted shapes
+    def q = docs001.withColumn("w",
+      sum(size(filter(split(col("text"), " "), t =>
+        array_contains(split(col("text"), " "), t))))
+        .over(Window.partitionBy(col("lang"))))
+      .select(col("doc_id"), col("w"))
+    withRule(on = true) {
+      assert(!splitInsideLambda(q), "window argument must not re-tokenize per element")
+      assert(splitHoistedBelow(q), "the chain must hoist below the extracted projection")
+    }
+    val on  = withRule(true)(q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    val off = withRule(false)(q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    assert(on === off && on.nonEmpty)
+  }
+
   test("composed winnowing hoists the FULL closed chain (nested lambdas and all)") {
     // the shingle+polyhash transform binds its own lambda variables — a
     // CLOSED subtree — so the whole chain hoists level by level: split

@@ -76,6 +76,20 @@ class CorpusStreamsSpec extends AnyFunSuite {
     assert(kept === Set(1L, 3L))
   }
 
+  test("ingest blocklist gate: any-hit drop matches the batch C4 rule; boundary-exact") {
+    val raw    = tmp("bl-raw")
+    val corpus = tmp("bl-out") + "/corpus"
+    writeDocs(raw, "b1.json", Seq(
+      1L -> good1,
+      2L -> "the scheduler went haywire and dropped every queued stage today", // 'haywire' listed
+      3L -> "scrape the results into the table before the deadline passes now")) // substring of a listed term must NOT trip
+    CorpusStreams
+      .runIngest(spark, raw, corpus, tmp("bl-ckpt"), blocklist = Seq("haywire", "rape"))
+      .awaitTermination()
+    val kept = spark.read.parquet(corpus).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+  }
+
   test("stream surviving digests == batch curation front over the same files") {
     val raw    = tmp("corpus-raw")
     val corpus = tmp("corpus-out") + "/corpus"
