@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CollisionCountExpr, MinHashSigExpr, PolyHashExpr, PosShingleHashesExpr, RandomProjectExpr, ShingleHashesExpr, SimHashExpr, VecDotExpr, VecSignExpr, WinnowExpr}
+import graft.functions.{CollisionCountExpr, MinHashSigExpr, PolyHashExpr, PosShingleHashesExpr, RandomProjectExpr, ShingleHashesExpr, SimHashExpr, SortedIntersectSizeExpr, VecDotExpr, VecSignExpr, WinnowExpr}
 
 /** SparkSessionExtensions hook: registers the engine's native expressions
   * with the SQL function registry, so `spark.sql("... poly_hash(col) ...")`
@@ -98,6 +98,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "vec_sign_bits takes (embedding, bits)")
         VecSignExpr(children.head, intArg("vec_sign_bits", "bits", children(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName, "sorted_intersect_size"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "sorted_intersect_size takes exactly two arguments")
+        SortedIntersectSizeExpr(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("random_project"),

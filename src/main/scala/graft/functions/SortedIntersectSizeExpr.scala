@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native DISTINCT-intersection COUNT of two ascending-sorted ARRAY<LONG>
+  * columns — the exact-verify kernel of the similarity-join family.
+  *
+  * The composed spelling `size(array_intersect(a, b))` materializes the
+  * whole intersection array (hash-set build + result allocation per row
+  * pair) only for `size` to read its length. Candidate verification is the
+  * per-pair hot loop of the PPJoin miners (`Dedup.jaccardPairs`,
+  * `Dedup.containmentPairs`): at the adversarial soak shape (every doc
+  * with 9 near-copies) the verify stage runs millions of intersections, so
+  * the constant factor is the stage. This expression is a counting
+  * two-pointer merge over the unsafe array data: zero allocation, ~10
+  * bytecodes per element, codegen-friendly (constant code size regardless
+  * of array width).
+  *
+  * CONTRACT: both arrays sorted ASCENDING (`sort_array` default). Spark
+  * sorts nulls FIRST ascending; leading nulls are skipped and null
+  * elements never match — identical to array_intersect, which drops a
+  * null-vs-value comparison and keeps at most one null only when BOTH
+  * sides hold one (this kernel counts values only; its producers —
+  * `sort_array(shingleHashes(...))` — are null-free by construction, and
+  * the one-shared-null case cannot reach a Jaccard/containment ratio
+  * anyway). Duplicate runs count ONCE (set semantics, matching
+  * array_intersect). NULL array => NULL.
+  */
+case class SortedIntersectSizeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType      = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_size requires two ARRAY<BIGINT> arguments, got $other")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectSizeExpr.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectSizeExpr.count($a, $b);")
+}
+
+object SortedIntersectSizeExpr {
+
+  /** Counting two-pointer merge; duplicate runs advance wholesale so each
+    * shared VALUE counts once. Static so generated code and interpreted
+    * eval share one JIT-hot body.
+    */
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i  = 0
+    var j  = 0
+    // nulls sort first ascending — skip them (null never matches a value)
+    while (i < na && a.isNullAt(i)) i += 1
+    while (j < nb && b.isNullAt(j)) j += 1
+    var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        n += 1
+        i += 1
+        j += 1
+        while (i < na && a.getLong(i) == x) i += 1
+        while (j < nb && b.getLong(j) == x) j += 1
+      }
+    }
+    n
+  }
+}

@@ -82,6 +82,18 @@ object Dedup {
       graft.functions.ShingleHashesExpr(ColumnBridge.expression(text), n))
   }
 
+  /** Distinct-intersection COUNT of two ascending-sorted ARRAY<BIGINT>
+    * columns (native SortedIntersectSizeExpr): the verify kernel —
+    * `size(array_intersect(...))` without the per-pair hash-set build and
+    * intersection materialization. Inputs MUST be sorted ascending.
+    */
+  def sortedIntersectSize(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.SortedIntersectSizeExpr(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Composed-builtins form of shingleHashes (slow; cross-check only). */
   def shingleHashesComposed(text: Column, n: Int = 3): Column =
     array_distinct(transform(shingleSet(text, n), s => TextAnalysis.polyHash(s)))
@@ -368,7 +380,9 @@ object Dedup {
     cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("nsh").as("na")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("nsh").as("nb")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // sorted two-pointer count (arrays are sort_array'd above): no
+      // hash-set build or intersection materialization per candidate pair
+      .withColumn("inter", sortedIntersectSize(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -445,7 +459,7 @@ object Dedup {
       .join(sets.select(col("id").as("id_dst"), col("sh").as("sh_d")), Seq("id_dst"))
       .withColumn(
         "containment",
-        size(array_intersect(col("sh_s"), col("sh_d"))).cast("double") / col("ns"))
+        sortedIntersectSize(col("sh_s"), col("sh_d")).cast("double") / col("ns"))
       .filter(col("containment") >= threshold)
       .select(col("id_src"), col("id_dst"), col("containment"))
   }
@@ -991,12 +1005,18 @@ object Dedup {
       sigsA: DataFrame,
       sigsB: DataFrame,
       threshold: Double): DataFrame = {
+    // sort ONCE per doc row (signature stores are not guaranteed sorted —
+    // including stores persisted before this change), then the per-PAIR
+    // hot loop is the native two-pointer count: pairs >> docs whenever
+    // verification is the cost, so the per-doc sort amortizes immediately
     def sets(s: DataFrame, side: String) = s.select(
-      col("id").as(s"id_$side"), col("sh").as(s"sh_$side"), size(col("sh")).as(s"n_$side"))
+      col("id").as(s"id_$side"),
+      sort_array(col("sh")).as(s"sh_$side"),
+      size(col("sh")).as(s"n_$side"))
     cand
       .join(sets(sigsA, "a"), Seq("id_a"))
       .join(sets(sigsB, "b"), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", sortedIntersectSize(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
