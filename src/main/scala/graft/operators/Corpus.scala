@@ -1369,14 +1369,17 @@ object Corpus {
       textCol: String,
       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "blocklistAudit: empty blocklist")
-    val toks  = split(col(textCol), " ")
-    val tset  = typedlit(terms)
+    val toks = split(col(textCol), " ")
+    // hits filtered FIRST (InSet O(1) per token), distinct taken over the
+    // hit list only (usually tiny) — the array_intersect spelling paid the
+    // full |terms| literal per row for the distinct census
+    val hits = filter(toks, t => t.isin(terms: _*))
     df.filter(col(textCol).isNotNull)
       .select(
         col(idCol),
         size(toks).cast("long").as("n_tokens"),
-        size(filter(toks, t => t.isin(terms: _*))).cast("long").as("n_hits"),
-        size(array_intersect(array_distinct(toks), tset)).cast("long").as("n_distinct_hits"))
+        size(hits).cast("long").as("n_hits"),
+        size(array_distinct(hits)).cast("long").as("n_distinct_hits"))
       .withColumn("keep", col("n_hits") === 0L)
   }
 
