@@ -100,6 +100,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VecSignExpr(children.head, intArg("vec_sign_bits", "bits", children(1)))
       }))
     ext.injectFunction((
+      FunctionIdentifier("rep_gram_stats"),
+      new ExpressionInfo(classOf[graft.functions.RepGramStatsExpr].getName, "rep_gram_stats"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "rep_gram_stats takes (text, n)")
+        graft.functions.RepGramStatsExpr(children.head, intArg("rep_gram_stats", "n", children(1)))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName, "sorted_intersect_size"),
       (children: Seq[Expression]) => {

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document n-gram repetition statistics in ONE in-row pass — the
+  * Gopher repetition-gate kernel (`Corpus.repetitionStats`).
+  *
+  * Returns STRUCT<top_cov: BIGINT, dup_cov: BIGINT> over the document's
+  * whitespace n-grams (tokens split on a single space, empties kept —
+  * exactly `split(text, ' ')` + the engine's `shingles` join semantics):
+  *
+  *  - top_cov = count(g*) x charlen(g*) for the most frequent gram g*,
+  *    ties broken by gram ascending in binary order (the min_by
+  *    (-count, gram) rule of the previous aggregate spelling, which is
+  *    also how the DuckDB oracle orders);
+  *  - dup_cov = sum of count(g) x charlen(g) over grams with count > 1
+  *    (the duplicate-coverage numerator);
+  *  - fewer than n tokens => (0, 0), matching the empty-shingles case.
+  *
+  * Why native: the aggregate spelling EXPLODED every document's grams and
+  * shuffled the whole corpus token volume to groupBy(doc, gram) — twice
+  * (bigrams + trigrams). Gram statistics never cross document boundaries,
+  * so the shuffle moved data that was already co-located; this expression
+  * computes the same two numbers with a per-row hash map bounded by the
+  * document's own gram vocabulary. At corpus scale: two full-volume
+  * exchanges -> zero.
+  */
+case class RepGramStatsExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"gram size must be >= 1, got $n")
+
+  override def dataType: DataType = RepGramStatsExpr.structType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"rep_gram_stats requires STRING, got $other")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepGramStatsExpr.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RepGramStatsExpr.compute($c, $n);")
+}
+
+object RepGramStatsExpr {
+
+  val structType: StructType = StructType(Seq(
+    StructField("top_cov", LongType, nullable = false),
+    StructField("dup_cov", LongType, nullable = false)))
+
+  private val space = UTF8String.fromString(" ")
+
+  /** One pass: split, join n-token windows, count in a hash map, then one
+    * scan for the (count DESC, gram ASC) argmax and the dup coverage sum.
+    * Static so generated and interpreted eval share one JIT-hot body.
+    */
+  def compute(text: UTF8String, n: Int): InternalRow = {
+    val toks = text.split(space, -1)
+    val out  = new GenericInternalRow(2)
+    if (toks.length < n) {
+      out.update(0, 0L)
+      out.update(1, 0L)
+      return out
+    }
+    val counts = new java.util.HashMap[UTF8String, Integer](toks.length * 2)
+    var i = 0
+    while (i <= toks.length - n) {
+      val gram =
+        if (n == 1) toks(i)
+        else {
+          val parts = new Array[UTF8String](n)
+          var j = 0
+          while (j < n) { parts(j) = toks(i + j); j += 1 }
+          UTF8String.concatWs(space, parts: _*)
+        }
+      val prev = counts.get(gram)
+      counts.put(gram, if (prev == null) Integer.valueOf(1) else Integer.valueOf(prev.intValue + 1))
+      i += 1
+    }
+    var topC: Int            = 0
+    var topG: UTF8String     = null
+    var dupCov: Long         = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val g = e.getKey
+      val c = e.getValue.intValue
+      if (c > topC || (c == topC && (topG == null || g.compareTo(topG) < 0))) {
+        topC = c
+        topG = g
+      }
+      if (c > 1) dupCov += c.toLong * g.numChars()
+    }
+    out.update(0, if (topG == null) 0L else topC.toLong * topG.numChars())
+    out.update(1, dupCov)
+    out
+  }
+}

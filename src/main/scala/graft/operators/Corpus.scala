@@ -1125,57 +1125,26 @@ object Corpus {
     * driver-side state.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // token array materialized behind its own projection — a spliced
-    // split() re-evaluates inside the shingle lambda per position (the
-    // q140 O(len²) class)
-    val base = graft.operators.Dedup
+    // IN-ROW native kernel (RepGramStatsExpr): gram statistics never cross
+    // document boundaries, so the former explode -> groupBy(doc, gram)
+    // spelling shuffled the corpus's whole token volume — twice (bigrams +
+    // trigrams) — to count what each row already held. Same numbers
+    // (same (count DESC, gram ASC) tie rule, same empty-shingles zeros),
+    // zero shuffle, no joins.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def rep(n: Int) = ColumnBridge.column(
+      graft.functions.RepGramStatsExpr(ColumnBridge.expression(col(textCol)), n))
+    graft.operators.Dedup
       .spread(docs.filter(col(textCol).isNotNull))
       .select(
         col(idCol),
-        length(col(textCol)).as("__chars"),
-        split(col(textCol), " ").as("__tk"))
-
-    def gramCounts(n: Int) = base
+        greatest(length(col(textCol)), lit(1)).as("__chars"),
+        rep(2).getField("top_cov").as("__top2"),
+        rep(3).getField("dup_cov").as("__dup3"))
       .select(
         col(idCol),
-        col("__chars"),
-        explode(Dedup.shingles(col("__tk"), n)).as("__g"))
-      .groupBy(col(idCol), col("__chars"), col("__g"))
-      .agg(count(lit(1)).as("__c"))
-
-    // top bigram: ONE groupBy(doc) with a min_by struct — no window; the
-    // key (−count, gram) makes min = (count DESC, gram ASC), the
-    // deterministic tie rule
-    val top2 = gramCounts(2)
-      .groupBy(col(idCol))
-      .agg(
-        min_by(
-          struct(col("__c").as("c"), col("__g").as("g")),
-          struct((-col("__c")).as("nc"), col("__g").as("g"))).as("__m"),
-        first(col("__chars")).as("__chars"))
-      .select(
-        col(idCol),
-        expr("(__m.c * length(__m.g) * 1000000L) div greatest(__chars, 1)")
-          .as("top_bigram_frac_x1e6"))
-
-    val dup3 = gramCounts(3)
-      .filter(col("__c") > 1)
-      .groupBy(col(idCol))
-      .agg(
-        sum(col("__c") * length(col("__g"))).as("__cov"),
-        first(col("__chars")).as("__chars"))
-      .select(
-        col(idCol),
-        expr("(__cov * 1000000L) div greatest(__chars, 1)").as("dup_trigram_frac_x1e6"))
-
-    base
-      .select(col(idCol))
-      .join(top2, Seq(idCol), "left")
-      .join(dup3, Seq(idCol), "left")
-      .select(
-        col(idCol),
-        coalesce(col("top_bigram_frac_x1e6"), lit(0L)).as("top_bigram_frac_x1e6"),
-        coalesce(col("dup_trigram_frac_x1e6"), lit(0L)).as("dup_trigram_frac_x1e6"))
+        expr("(__top2 * 1000000L) div __chars").as("top_bigram_frac_x1e6"),
+        expr("(__dup3 * 1000000L) div __chars").as("dup_trigram_frac_x1e6"))
   }
 
   /** Per-document TOKEN ENTROPY in integer micro-nats — the
