@@ -107,6 +107,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.RepGramStatsExpr(children.head, intArg("rep_gram_stats", "n", children(1)))
       }))
     ext.injectFunction((
+      FunctionIdentifier("token_entropy"),
+      new ExpressionInfo(classOf[graft.functions.TokenEntropyExpr].getName, "token_entropy"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "token_entropy takes exactly one argument")
+        graft.functions.TokenEntropyExpr(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName, "sorted_intersect_size"),
       (children: Seq[Expression]) => {

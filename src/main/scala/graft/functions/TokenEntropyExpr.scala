@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document token entropy in integer micro-nats, in ONE in-row pass —
+  * the kernel behind `Corpus.tokenEntropy` (the compression-ratio quality
+  * proxy of the Gopher/C4 family).
+  *
+  * Returns STRUCT<n_tokens, distinct_tokens, entropy_x1e6> over the
+  * document's whitespace tokens (split on a single space, empties kept).
+  * The arithmetic is EXACTLY the former aggregate spelling's — per
+  * distinct term with count c: `c * round(ln(n/c) * 1e6)` as an exact
+  * long, integer-summed (order-free), one final truncating division by n
+  * — so results are bit-identical to the explode → groupBy(doc, term) →
+  * groupBy(doc) form this replaces, and to the DuckDB oracle that mirrors
+  * the same recipe. ln(n/c) >= 0, so Math.round == HALF_UP == Spark
+  * `round`, and `/` == `div` on the non-negative sum.
+  *
+  * Why native: per-document entropy never crosses document boundaries;
+  * the aggregate spelling shuffled the corpus's whole token volume to
+  * per-(doc, term) counts, then shuffled again to re-assemble documents.
+  * This expression is a per-row hash map bounded by the doc's own
+  * vocabulary: two full-volume exchanges -> zero.
+  */
+case class TokenEntropyExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = TokenEntropyExpr.structType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"token_entropy requires STRING, got $other")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenEntropyExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenEntropyExpr.compute($c);")
+}
+
+object TokenEntropyExpr {
+
+  val structType: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("distinct_tokens", LongType, nullable = false),
+    StructField("entropy_x1e6", LongType, nullable = false)))
+
+  private val space = UTF8String.fromString(" ")
+
+  def compute(text: UTF8String): InternalRow = {
+    val toks   = text.split(space, -1)
+    val counts = new java.util.HashMap[UTF8String, Integer](toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      val prev = counts.get(toks(i))
+      counts.put(toks(i), if (prev == null) Integer.valueOf(1) else Integer.valueOf(prev.intValue + 1))
+      i += 1
+    }
+    val n   = toks.length.toLong
+    var sum = 0L
+    val it  = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().intValue.toLong
+      sum += c * Math.round(Math.log(n.toDouble / c.toDouble) * 1000000d)
+    }
+    val out = new GenericInternalRow(3)
+    out.update(0, n)
+    out.update(1, counts.size.toLong)
+    out.update(2, if (n == 0L) 0L else sum / n)
+    out
+  }
+}

@@ -1168,26 +1168,24 @@ object Corpus {
     *
     * Output: idCol, n_tokens, distinct_tokens, entropy_x1e6.
     */
-  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // IN-ROW native kernel (TokenEntropyExpr): per-document entropy never
+    // crosses document boundaries — the former explode -> groupBy(doc,
+    // term) -> groupBy(doc) spelling shuffled the corpus's token volume
+    // twice to count what each row already held. Same integer micro-nat
+    // recipe (order-free long sum, one truncating div), zero shuffle.
+    // isNotNull matches the explode form (explode of null emits nothing).
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val e = ColumnBridge.column(
+      graft.functions.TokenEntropyExpr(ColumnBridge.expression(col(textCol))))
     graft.operators.Dedup
-      .spread(docs)
-      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol))
-      .agg(
-        collect_list(col("c")).as("__cs"),
-        sum(col("c")).as("n_tokens"),
-        count(lit(1)).as("distinct_tokens"))
+      .spread(docs.filter(col(textCol).isNotNull))
       .select(
         col(idCol),
-        col("n_tokens"),
-        col("distinct_tokens"),
-        expr("""aggregate(
-               |  transform(__cs, c -> c * cast(round(
-               |    ln(cast(n_tokens as double) / cast(c as double)) * 1000000) as bigint)),
-               |  0L, (a, x) -> a + x) div n_tokens""".stripMargin)
-          .as("entropy_x1e6"))
+        e.getField("n_tokens").as("n_tokens"),
+        e.getField("distinct_tokens").as("distinct_tokens"),
+        e.getField("entropy_x1e6").as("entropy_x1e6"))
+  }
 
   /** Persist the unigram model `unigramLogProb` derives on the fly: the
     * (term, tf) table, parquet at `dir`. Train once on a reference corpus,
