@@ -107,6 +107,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.RepGramStatsExpr(children.head, intArg("rep_gram_stats", "n", children(1)))
       }))
     ext.injectFunction((
+      FunctionIdentifier("token_tf"),
+      new ExpressionInfo(classOf[graft.functions.TokenTfExpr].getName, "token_tf"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "token_tf takes exactly one argument")
+        graft.functions.TokenTfExpr(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("token_entropy"),
       new ExpressionInfo(classOf[graft.functions.TokenEntropyExpr].getName, "token_entropy"),
       (children: Seq[Expression]) => {

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document term-frequency table in ONE in-row pass:
+  * ARRAY<STRUCT<term: STRING, tf: INT>> over the whitespace tokens (split
+  * on a single space, empties kept), entries in first-occurrence order
+  * (deterministic).
+  *
+  * `explode(token_tf(text))` replaces the
+  * `explode(tokens) -> groupBy(doc, term).count()` spelling in the
+  * retrieval scorers (`Corpus.bm25TopK`, `Corpus.tfidfTopK`): the tf
+  * counts are identical integers, but the (doc, term) EXCHANGE — whose
+  * volume is the corpus's distinct-(doc, term) table, roughly the token
+  * volume itself — disappears entirely; explode is a per-partition
+  * operator. Only the genuinely cross-document aggregates (document
+  * frequency, corpus stats) still shuffle.
+  */
+case class TokenTfExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = TokenTfExpr.arrayType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"token_tf requires STRING, got $other")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenTfExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenTfExpr.compute($c);")
+}
+
+object TokenTfExpr {
+
+  val entryType: StructType = StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", IntegerType, nullable = false)))
+
+  val arrayType: ArrayType = ArrayType(entryType, containsNull = false)
+
+  private val space = UTF8String.fromString(" ")
+
+  def compute(text: UTF8String): ArrayData = {
+    val toks   = text.split(space, -1)
+    // LinkedHashMap: first-occurrence iteration order, so the emitted
+    // array (and any plan built on it) is deterministic
+    val counts = new java.util.LinkedHashMap[UTF8String, Integer](toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      val prev = counts.get(toks(i))
+      counts.put(toks(i), if (prev == null) Integer.valueOf(1) else Integer.valueOf(prev.intValue + 1))
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it  = counts.entrySet().iterator()
+    var j   = 0
+    while (it.hasNext) {
+      val e   = it.next()
+      val row = new GenericInternalRow(2)
+      row.update(0, e.getKey)
+      row.update(1, e.getValue.intValue)
+      out(j) = row
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}

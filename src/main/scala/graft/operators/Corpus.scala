@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Per-document term-frequency table, IN-ROW (native TokenTfExpr):
+    * ARRAY<STRUCT<term, tf>> in first-occurrence order. `explode(tokenTf)`
+    * replaces the `explode(tokens) -> groupBy(doc, term)` spelling in the
+    * retrieval scorers — identical tf integers, one less corpus-sized
+    * exchange (explode is per-partition; the groupBy shuffled the whole
+    * distinct-(doc, term) table).
+    */
+  def tokenTf(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.TokenTfExpr(ColumnBridge.expression(text)))
+  }
+
   /** Per-document contamination report of `train` against `bench`: the
     * fraction of a training document's distinct n-token shingles that also
     * appear anywhere in the benchmark set — the standard n-gram-overlap
@@ -879,13 +892,18 @@ object Corpus {
       b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     import graft.functions.TextAnalysis
-    val toks = docs.select(
-      col(idCol),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("__dl"),
-      explode(split(col(textCol), " ")).as("term"))
-    val tf = toks
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"), max(col("__dl")).as("dl"))
+    // per-doc tf computed IN-ROW (token_tf) and exploded: identical tf
+    // integers, but the (doc, term) exchange the groupBy spelling paid —
+    // volume ~ the corpus's distinct-(doc, term) table — disappears;
+    // only df and the one-row corpus stats still shuffle
+    val tf = docs
+      .select(
+        col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"),
+        explode(tokenTf(col(textCol))).as("__e"))
+      .select(
+        col(idCol), col("dl"),
+        col("__e.term").as("term"), col("__e.tf").cast("long").as("tf"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = docs.agg(
       sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("__sumdl"),
@@ -908,9 +926,11 @@ object Corpus {
 
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
-    val tf   = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfT  = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // in-row tf (token_tf) — see bm25TopK: same integers, one less exchange
+    val tf = docs
+      .select(col(idCol), explode(tokenTf(col(textCol))).as("__e"))
+      .select(col(idCol), col("__e.term").as("term"), col("__e.tf").cast("long").as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDoc = docs.agg(count(lit(1)).cast("double").as("__n"))
     val scored = tf
       .join(broadcast(dfT), "term")

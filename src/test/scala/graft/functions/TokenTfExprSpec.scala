@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.operators.Corpus
+
+/** TokenTfExpr: exploded entries == the groupBy(doc, term) counts, order
+  * is first-occurrence, and the retrieval scorers built on it keep their
+  * exchange budget (tf leg shuffle-free).
+  */
+class TokenTfExprSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("exploded tf == groupBy counts on a mixed fixture") {
+    import spark.implicits._
+    val df = Seq("a a b", "the quick the lazy the", "solo", "", "x y x y z z z")
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val fast = df.select(col("doc_id"), explode(Corpus.tokenTf(col("text"))).as("e"))
+      .select(col("doc_id"), col("e.term"), col("e.tf").cast("long").as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ref = df.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(fast === ref)
+  }
+
+  test("first-occurrence order is deterministic") {
+    import spark.implicits._
+    val terms = Seq("b a b c a").toDF("text")
+      .select(Corpus.tokenTf(col("text")).as("tf"))
+      .select(col("tf.term")).collect().head.getSeq[String](0)
+    assert(terms === Seq("b", "a", "c"))
+  }
+
+  test("tfidf/bm25 tf leg plans with NO exchange before the df aggregate") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    // the full op has df + topk exchanges (inherent); assert the TF SIDE
+    // itself is exchange-free by planning just the exploded projection
+    val p = df.select(col("doc_id"), explode(Corpus.tokenTf(col("text"))).as("e"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"tf leg must not shuffle:\n$p")
+  }
+}
