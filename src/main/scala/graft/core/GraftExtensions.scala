@@ -107,6 +107,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.RepGramStatsExpr(children.head, intArg("rep_gram_stats", "n", children(1)))
       }))
     ext.injectFunction((
+      FunctionIdentifier("bigram_tf"),
+      new ExpressionInfo(classOf[graft.functions.BigramTfExpr].getName, "bigram_tf"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "bigram_tf takes exactly one argument")
+        graft.functions.BigramTfExpr(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("token_tf"),
       new ExpressionInfo(classOf[graft.functions.TokenTfExpr].getName, "token_tf"),
       (children: Seq[Expression]) => {

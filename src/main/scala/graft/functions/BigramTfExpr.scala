@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document ADJACENT-bigram frequency table in ONE in-row pass:
+  * ARRAY<STRUCT<w1, w2, k>> over the whitespace tokens (split on a single
+  * space, empties kept), entries in first-occurrence order; fewer than two
+  * tokens yields an empty array (explode then drops the doc, matching the
+  * `filter(size >= 2)` of the exploded spelling).
+  *
+  * `explode(bigram_tf(text))` replaces
+  * `explode(adjacent pairs) -> groupBy(doc, w1, w2).count()` in the
+  * bigram-LM family (`Corpus.bigramCoherence`, `bigramNll`,
+  * `collocations`): identical k integers, but the (doc, w1, w2) EXCHANGE
+  * — volume ~ the corpus's distinct-(doc, bigram) table — disappears;
+  * only the genuinely cross-document model aggregates still shuffle.
+  */
+case class BigramTfExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BigramTfExpr.arrayType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"bigram_tf requires STRING, got $other")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    BigramTfExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BigramTfExpr.compute($c);")
+}
+
+object BigramTfExpr {
+
+  val entryType: StructType = StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false),
+    StructField("k", IntegerType, nullable = false)))
+
+  val arrayType: ArrayType = ArrayType(entryType, containsNull = false)
+
+  private val space = UTF8String.fromString(" ")
+
+  def compute(text: UTF8String): ArrayData = {
+    val toks = text.split(space, -1)
+    if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
+    val counts =
+      new java.util.LinkedHashMap[(UTF8String, UTF8String), Integer](toks.length * 2)
+    var i = 0
+    while (i < toks.length - 1) {
+      val key  = (toks(i), toks(i + 1))
+      val prev = counts.get(key)
+      counts.put(key, if (prev == null) Integer.valueOf(1) else Integer.valueOf(prev.intValue + 1))
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it  = counts.entrySet().iterator()
+    var j   = 0
+    while (it.hasNext) {
+      val e   = it.next()
+      val row = new GenericInternalRow(3)
+      row.update(0, e.getKey._1)
+      row.update(1, e.getKey._2)
+      row.update(2, e.getValue.intValue)
+      out(j) = row
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}

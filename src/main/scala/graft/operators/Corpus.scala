@@ -498,27 +498,27 @@ object Corpus {
     * the barrier standing: the alias is non-trivial and referenced more
     * than once.)
     */
-  private def docBigramPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tk = col("__tk")
+  /** Per-(doc, w1, w2) adjacent-bigram counts, IN-ROW (native
+    * BigramTfExpr + explode — no exchange; the former explode-pairs ->
+    * groupBy(doc, w1, w2) spelling shuffled the corpus's distinct-
+    * (doc, bigram) table to count what each row already held). Docs with
+    * fewer than two tokens emit nothing, as before.
+    */
+  private def docBigramCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bt = ColumnBridge.column(
+      graft.functions.BigramTfExpr(ColumnBridge.expression(col(textCol))))
     graft.operators.Dedup
       .spread(docs)
-      .select(col(idCol), split(col(textCol), " ").as("__tk"))
-      .filter(size(tk) >= 2)
+      .select(col(idCol), explode(bt).as("__b"))
       .select(
         col(idCol),
-        explode(transform(
-          sequence(lit(1), size(tk) - 1),
-          i =>
-            struct(
-              element_at(tk, i).as("w1"),
-              element_at(tk, i + 1).as("w2")))).as("b"))
-      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        col("__b.w1").as("w1"), col("__b.w2").as("w2"),
+        col("__b.k").cast("long").as("k"))
   }
 
   def bigramCoherence(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bgc = docBigramPairs(docs, idCol, textCol)
-      .groupBy(col(idCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("k"))
+    val bgc = docBigramCounts(docs, idCol, textCol)
       .localCheckpoint(false)
     val c12 = bgc.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("cnt12"))
     val c1  = bgc.groupBy(col("w1")).agg(sum(col("k")).as("cnt1"))
@@ -568,9 +568,7 @@ object Corpus {
       lambdaPct: Int = 90): DataFrame = {
     require(lambdaPct >= 1 && lambdaPct <= 99,
       s"lambdaPct must be in [1,99], got $lambdaPct")
-    val bgc = docBigramPairs(docs, idCol, textCol)
-      .groupBy(col(idCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("k"))
+    val bgc = docBigramCounts(docs, idCol, textCol)
       .localCheckpoint(false)
     val c12 = bgc.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("cnt12"))
     val c1  = bgc.groupBy(col("w1")).agg(sum(col("k")).as("cnt1"))
@@ -726,11 +724,12 @@ object Corpus {
       minSupport: Long = 5L,
       k: Int = 20): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    // corpus-global counts need no doc id: a constant stands in for it
-    val c12 = docBigramPairs(docs.withColumn("__cid", lit(0)), "__cid", textCol)
-      .select(col("w1"), col("w2"))
+    // corpus-global counts need no doc id: a constant stands in for it;
+    // the in-row counts pre-collapse each row's repeats so the (w1, w2)
+    // shuffle carries per-row-distinct bigrams, not occurrences
+    val c12 = docBigramCounts(docs.withColumn("__cid", lit(0)), "__cid", textCol)
       .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
+      .agg(sum(col("k")).as("c12"))
       .localCheckpoint(false)
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1s"))
     val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2e"))

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.SparkTestSession
+
+/** BigramTfExpr: exploded entries == the exploded-pairs groupBy counts,
+  * short docs drop, order is first-occurrence.
+  */
+class BigramTfExprSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def bt = ColumnBridge.column(BigramTfExpr(ColumnBridge.expression(col("text"))))
+
+  test("exploded bigram tf == groupBy of exploded adjacent pairs") {
+    import spark.implicits._
+    val df = Seq("a b a b c", "x", "", "p p p p", "é ü é ü")
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val fast = df.select(col("doc_id"), explode(bt).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"), col("b.k").cast("long").as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    val tk = split(col("text"), " ")
+    val ref = df.filter(size(tk) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(tk) - 1),
+        i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2")))).as("b"))
+      .groupBy(col("doc_id"), col("b.w1"), col("b.w2")).agg(count(lit(1)).as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(fast === ref)
+    assert(ref.nonEmpty)
+  }
+
+  test("short and single-token docs emit nothing; order first-occurrence") {
+    import spark.implicits._
+    val none = Seq("solo", "").toDF("text").select(explode(bt)).count()
+    assert(none === 0L)
+    val order = Seq("b a b a").toDF("text")
+      .select(bt.getField("w1").as("w1s")).collect().head.getSeq[String](0)
+    assert(order === Seq("b", "a")) // ("b","a") first, then ("a","b")
+  }
+}
