@@ -31,12 +31,17 @@ import org.apache.spark.sql.functions._
   */
 object Soak {
 
-  /** The shapes the verdict names: composed curation capstones v2-v5 and
-    * the IVF / IVF-index / PQ / IVF-PQ search family.
+  /** The shapes the round-7 verdict names — composed curation capstones
+    * v2-v5 and the IVF / IVF-index / PQ / IVF-PQ search family — plus the
+    * kernel-heavy retrieval/LM queries the round-8 native expressions
+    * rewired (exact-Jaccard mining, TF-IDF/BM25, bigram coherence/NLL,
+    * token entropy, Gopher repetition).
     */
   val soakQueries: Seq[String] = Seq(
     "q87_curation_v2", "q115_curation_v3", "q138_curation_v4", "q150_curation_v5",
-    "q36_ivf_topk", "q82_ivf_index_search", "q100_pq_topk", "q102_ivfpq_topk")
+    "q36_ivf_topk", "q82_ivf_index_search", "q100_pq_topk", "q102_ivfpq_topk",
+    "q32_ngram_jaccard", "q59_tfidf", "q80_bm25", "q119_bigram_coherence",
+    "q130_bigram_nll", "q135_token_entropy", "q145_repetition_gopher")
 
   def main(args: Array[String]): Unit = {
     val src      = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")
