@@ -453,7 +453,7 @@ object Corpus {
       .select(explode(split(col(textCol), " ")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val ranked = Splits.rankedPrefix(census, "cnt", "token", "cnt")
     val totals =
       census.agg(sum(col("cnt")).as("total_mass"), count(lit(1)).as("vocab_size"))
@@ -519,7 +519,7 @@ object Corpus {
 
   def bigramCoherence(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bgc = docBigramCounts(docs, idCol, textCol)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val c12 = bgc.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("cnt12"))
     val c1  = bgc.groupBy(col("w1")).agg(sum(col("k")).as("cnt1"))
     bgc
@@ -569,7 +569,7 @@ object Corpus {
     require(lambdaPct >= 1 && lambdaPct <= 99,
       s"lambdaPct must be in [1,99], got $lambdaPct")
     val bgc = docBigramCounts(docs, idCol, textCol)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val c12 = bgc.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("cnt12"))
     val c1  = bgc.groupBy(col("w1")).agg(sum(col("k")).as("cnt1"))
     val uni = docs
@@ -636,7 +636,7 @@ object Corpus {
       .select(col(groupCol), explode(split(col(textCol), " ")).as("token"))
       .groupBy(col(groupCol), col("token"))
       .agg(count(lit(1)).as("o"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val ct = oc.groupBy(col("token")).agg(sum(col("o")).as("ct"))
     val ts = oc.groupBy(col(groupCol)).agg(sum(col("o")).as("ts"))
     val ta = oc.agg(sum(col("o")).as("ta"))
@@ -686,7 +686,7 @@ object Corpus {
       .select(col(groupCol), explode(split(col(textCol), " ")).as("token"))
       .groupBy(col(groupCol), col("token"))
       .agg(count(lit(1)).as("o"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val ts = oc.groupBy(col(groupCol)).agg(sum(col("o")).as("ts"))
     val ta = baseline.agg(sum(col("ct")).as("ta"))
     val d  = (col("o") * col("ta") - col("ct") * col("ts")).cast("double")
@@ -730,7 +730,7 @@ object Corpus {
     val c12 = docBigramCounts(docs.withColumn("__cid", lit(0)), "__cid", textCol)
       .groupBy(col("w1"), col("w2"))
       .agg(sum(col("k")).as("c12"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1s"))
     val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2e"))
     val nt = c12.agg(sum(col("c12")).as("n"))
@@ -811,7 +811,7 @@ object Corpus {
     val ex = train
       .select(col(idCol), Dedup.shingleHashes(col(textCol), n).as("__hh"))
       .select(col(idCol), size(col("__hh")).as("__ns"), explode_outer(col("__hh")).as("__h"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // per-doc totals BEFORE the bloom cut (docs whose every shingle the
     // sketch rejects must still report n_matched = 0)
     val base = ex.groupBy(col(idCol)).agg(max(col("__ns")).as("n_shingles"))
@@ -1029,7 +1029,7 @@ object Corpus {
     val ds = docs
       .select(sha2(col(textCol), 256).as("__dg"), col(sourceCol).as("src_a"))
       .distinct()
-      .localCheckpoint(false) // two legs of the digest self-join
+      .localCheckpoint(true) // two legs of the digest self-join
     ds.join(
         ds.select(col("__dg"), col("src_a").as("src_b")),
         Seq("__dg"))

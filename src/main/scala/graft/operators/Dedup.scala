@@ -209,11 +209,13 @@ object Dedup {
       maxBucket: Int = 4096): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    // two join legs read the fingerprint table: share one concrete RDD
-    // (lazy — computed inside the query's first job)
+    // two join legs read the fingerprint table: share one concrete RDD,
+    // EAGERLY materialized (see jaccardPairs' lifecycle note: a lazy
+    // checkpoint whose first materializer is a broadcast-exchange thread —
+    // `broadcast(hot)` below — deadlocks the driver on RDDCheckpointData)
     val fps = winnowing(spread(docs), idCol, textCol, k, w)
       .withColumnRenamed(idCol, "id")
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val hot = fps
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("__cnt"))
@@ -267,7 +269,7 @@ object Dedup {
     val ph = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), posexplode(hashes).as(Seq("pos", "h")))
-      .localCheckpoint(false) // two legs + the hot census read this once
+      .localCheckpoint(true) // two legs + the hot census read this once
     val hot = ph
       .groupBy(col("h"))
       .agg(count(lit(1)).as("__cnt"))
@@ -319,11 +321,11 @@ object Dedup {
     * (a pair can only reach J >= t if min(|A|,|B|) >= t * max(|A|,|B|)),
     * and the verify step touches only surviving candidates.
     *
-    * NOTE: the returned plan contains a lazy `localCheckpoint` of the
+    * NOTE: the returned plan contains an EAGER `localCheckpoint` of the
     * shingle-set table — a concrete-RDD barrier. Constructing the DataFrame
-    * runs no job, but the plan is batch-only (not usable on a streaming
-    * input) and filters applied by the caller do not push below the
-    * checkpoint into the document scan.
+    * therefore runs the shingle-hash job immediately; the plan is
+    * batch-only (not usable on a streaming input) and filters applied by
+    * the caller do not push below the checkpoint into the document scan.
     *
     * Output: id_a < id_b, jaccard.
     */
@@ -337,11 +339,20 @@ object Dedup {
     // fraction of the ~n-word shingle strings (collision noise ~1e-9 at
     // P≈1e9 per doc pair)
     // The hashed set table feeds FOUR consumers (two prefix-index sides, two
-    // verify fetches), so it is materialized once with a LAZY
+    // verify fetches), so it is materialized once with an EAGER
     // localCheckpoint: the returned plan is a single concrete RDD that every
-    // consumer shares — partitions are hashed once (on first computation,
-    // inside the query's own first job, with no separate materialization
-    // job) and replayed from storage by the other three. Unlike
+    // consumer shares — partitions are hashed once, here, on the calling
+    // thread, and replayed from storage by all four. Eager (not lazy) is a
+    // hard correctness requirement, not a tuning choice: with a lazy
+    // checkpoint the first materializer can be a broadcast-exchange or AQE
+    // stage thread running concurrently with a DAGScheduler plan walk of
+    // the same RDD, and RDD.doCheckpoint (holds RDDCheckpointData$ class
+    // lock, wants the RDD monitor in markCheckpointed) deadlocks against
+    // DAGScheduler.getCacheLocs (holds the RDD monitor via RDD.partitions,
+    // wants RDDCheckpointData$) — a silent, permanent driver hang observed
+    // under jstack in round 8. Materializing on the calling thread before
+    // any consumer job exists removes the race; the cost is one dedicated
+    // job whose work would have been done anyway. Unlike
     // Dataset.persist (whose CacheManager entry is never reclaimed without
     // an explicit unpersist), a local checkpoint is RDD-level storage that
     // the ContextCleaner unpersists once the returned plan is
@@ -358,7 +369,7 @@ object Dedup {
     val sets = spread(docs)
       .select(col(idCol).as("id"), sort_array(shingleHashes(col(textCol), n)).as("sh"))
       .withColumn("nsh", size(col("sh")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val prefixLen = (col("nsh") - floor(lit(threshold) * col("nsh")).cast("int") + 1)
     val pref =
       sets.select(col("id"), col("nsh"), explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
@@ -428,7 +439,7 @@ object Dedup {
     val sets = spread(docs)
       .select(col(idCol).as("id"), sort_array(shingleHashes(col(textCol), n)).as("sh"))
       .withColumn("nsh", size(col("sh")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val prefixLen = (col("nsh") - floor(lit(threshold) * col("nsh")).cast("int") + 1)
     val pref = sets
       .select(col("id").as("id_src"), explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
@@ -871,11 +882,11 @@ object Dedup {
     * k minhash slots in bands of `rowsPerBand`; a pair is a candidate iff
     * one full band matches (standard banding: P(candidate) = 1-(1-j^r)^b).
     *
-    * NOTE: the returned plan contains a lazy `localCheckpoint` of the
+    * NOTE: the returned plan contains an EAGER `localCheckpoint` of the
     * signature table — a concrete-RDD barrier. Constructing the DataFrame
-    * runs no job, but the plan is batch-only (not usable on a streaming
-    * input) and caller filters do not push below the checkpoint into the
-    * document scan.
+    * runs the signature job immediately; the plan is batch-only (not
+    * usable on a streaming input) and caller filters do not push below the
+    * checkpoint into the document scan.
     *
     * Output: id_a < id_b, jaccard (exact, verified).
     */
@@ -895,11 +906,12 @@ object Dedup {
     // independent of document length. Jaccard runs on hash sets; at P≈1e9 a
     // colliding shingle pair per doc-pair is ~1e-9 noise.
     // three consumers (band explode + two verify fetches): share one
-    // concrete RDD via a LAZY localCheckpoint — computed once inside the
-    // query's first job, no separate materialization job; same lifecycle
-    // rationale as jaccardPairs' set table (exchange reuse is unreliable;
-    // persist leaks)
-    val sigs  = lshSignatures(docs, idCol, textCol, k, n).localCheckpoint(false)
+    // concrete RDD via an EAGER localCheckpoint — materialized here on the
+    // calling thread; same lifecycle + deadlock rationale as jaccardPairs'
+    // set table (exchange reuse is unreliable; persist leaks; lazy
+    // checkpoints race broadcast/AQE materializer threads into a driver
+    // deadlock)
+    val sigs  = lshSignatures(docs, idCol, textCol, k, n).localCheckpoint(true)
     val bands = bandBuckets(sigs, k, rowsPerBand).withColumnRenamed("bucket", "key")
     verifyPairs(bandCandidates(bands, maxBucket), sigs, sigs, threshold)
   }
@@ -910,6 +922,13 @@ object Dedup {
     * per-row projection (parquet-friendly: two BIGINT arrays). Docs with
     * fewer than n tokens carry no signature and are excluded — they cannot
     * near-dup.
+    *
+    * STORE FORMAT CONTRACT: `sh` is emitted in ASCENDING order — the
+    * verify step's two-pointer intersection kernel consumes it without a
+    * per-pair (or per-doc) re-sort. Minhash is order-independent, so the
+    * sort changes nothing else. Stores persisted by a pre-contract build
+    * must be re-sorted once on load (`sort_array`) before feeding
+    * `lshIncrementalStep`.
     */
   def lshSignatures(
       docs: DataFrame,
@@ -918,7 +937,7 @@ object Dedup {
       k: Int = 8,
       n: Int = 3): DataFrame =
     spread(docs)
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
+      .select(col(idCol).as("id"), sort_array(shingleHashes(col(textCol), n)).as("sh"))
       .withColumn("sig", minHashSigCol(col("sh"), k))
       .filter(col("sig").isNotNull)
 
@@ -998,20 +1017,20 @@ object Dedup {
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against the
-    * signature tables holding their hash sets.
+    * signature tables holding their hash sets. Requires `sh` ascending —
+    * the `lshSignatures` store contract — so the per-PAIR hot loop is the
+    * native two-pointer count with no re-sort anywhere (the round-8 form
+    * re-sorted per doc row per side, which at pair-sparse scale factors
+    * doubled the verify stage's per-doc cost: the q52 +50% regression).
     */
   private def verifyPairs(
       cand: DataFrame,
       sigsA: DataFrame,
       sigsB: DataFrame,
       threshold: Double): DataFrame = {
-    // sort ONCE per doc row (signature stores are not guaranteed sorted —
-    // including stores persisted before this change), then the per-PAIR
-    // hot loop is the native two-pointer count: pairs >> docs whenever
-    // verification is the cost, so the per-doc sort amortizes immediately
     def sets(s: DataFrame, side: String) = s.select(
       col("id").as(s"id_$side"),
-      sort_array(col("sh")).as(s"sh_$side"),
+      col("sh").as(s"sh_$side"),
       size(col("sh")).as(s"n_$side"))
     cand
       .join(sets(sigsA, "a"), Seq("id_a"))
@@ -1051,7 +1070,7 @@ object Dedup {
       threshold: Double = 0.8,
       maxBucket: Int = 4096): (DataFrame, DataFrame) = {
     require(k % rowsPerBand == 0, "k must divide into bands")
-    val newSigs = lshSignatures(newDocs, idCol, textCol, k, n).localCheckpoint(false)
+    val newSigs = lshSignatures(newDocs, idCol, textCol, k, n).localCheckpoint(true)
     // partner side = corpus so far + this batch (in-batch pairs count too)
     val all = store.fold(newSigs)(_.unionByName(newSigs))
     // hot-bucket guard, store-vs-delta shape: an oversized PARTNER bucket
@@ -1129,10 +1148,11 @@ object Dedup {
     val nChunks = maxHamming + 1
     val bounds  = (0 to nChunks).map(c => c * bits / nChunks) // contiguous splits
     // the fingerprint table feeds the band explode AND both verify fetches;
-    // a lazy localCheckpoint shares one concrete RDD (round-robin exchanges
-    // are not deduped, so without it the per-row fingerprint projection
-    // runs repeatedly over the corpus)
-    val simCk = sim.localCheckpoint(false)
+    // an eager localCheckpoint shares one concrete RDD (round-robin
+    // exchanges are not deduped, so without it the per-row fingerprint
+    // projection runs repeatedly over the corpus; eager per jaccardPairs'
+    // deadlock note)
+    val simCk = sim.localCheckpoint(true)
     val bands = simCk.select(
       col("id"),
       explode(array((0 until nChunks).map { c =>

@@ -210,7 +210,7 @@ object Retrieval {
       .select(col("id"), col("rel_q"), col("e"), col("n2"))
       .orderBy(col("rel_q").desc, col("id"))
       .limit(m)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val a = rel.select(col("id").as("ia"), col("e").as("ea"), col("n2").as("na"))
     val b = rel.select(col("id").as("ib"), col("e").as("eb"), col("n2").as("nb"))
     val sim = a

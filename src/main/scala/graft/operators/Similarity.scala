@@ -387,9 +387,10 @@ object Similarity {
     * pipeline (fingerprints, banding, verify) against a DuckDB mirror built
     * from the same hyperplane constants.
     *
-    * NOTE: the returned plan contains a lazy `localCheckpoint` of the
+    * NOTE: the returned plan contains an EAGER `localCheckpoint` of the
     * signature table (concrete-RDD barrier; batch-only, no pushdown below
-    * it), shared by the band explode and both verify fetches.
+    * it), shared by the band explode and both verify fetches — eager per
+    * the deadlock note on `Dedup.jaccardPairs`.
     *
     * Output: id_a < id_b, cos.
     */
@@ -425,7 +426,7 @@ object Similarity {
         sig.as("__sig"))
       .filter(col("__sig").isNotNull &&
         col("n2") > 0 && col("n2") < lit(Double.PositiveInfinity))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val bands = sigs.select(
       col("id"),
       explode(array((0 until nBands).map { b =>
@@ -573,7 +574,7 @@ object Similarity {
     val dels = deleteIds
       .select(col(idCol).cast("long").as("__del"))
       .distinct()
-      .localCheckpoint(false) // probed twice (affected cells, anti-join)
+      .localCheckpoint(true) // probed twice (affected cells, anti-join)
     val idx = spark.read.parquet(path)
     val affected = idx
       .join(broadcast(dels), idx("vec_id") === col("__del"))

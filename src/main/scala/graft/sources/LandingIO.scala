@@ -162,7 +162,7 @@ object LandingIO {
       // referenced, and filtering the SAME scan on it requires a
       // materialization barrier — cache would leak across calls, so read
       // once into a concrete RDD
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val good = raw.filter(col("_corrupt").isNull).drop("_corrupt", "file")
     val bad = raw
       .filter(col("_corrupt").isNotNull)
