@@ -382,6 +382,23 @@ object Bench {
         val s = Files.readString(Paths.get("soak_sf1.json")).trim
         if (s.startsWith("{")) s""""sf1_soak":$s,""" else ""
       } catch { case _: Exception => "" }
+    // ...and a two-number summary into the BUDGETED stdout line (round-8
+    // verdict item 5): the driver artifact is built from the stdout tail,
+    // which previously carried no soak evidence at all
+    val soakSummary =
+      try {
+        val s = Files.readString(Paths.get("soak_sf1.json")).trim
+        val totalRe = """"total":([0-9.]+)""".r
+        val qRe     = """"(q[0-9]+[a-z_0-9]*)":([0-9.]+)""".r
+        (for (t <- totalRe.findFirstMatchIn(s)) yield {
+          val worst = qRe
+            .findAllMatchIn(s)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .maxByOption(_._2)
+          val w = worst.map { case (n, v) => s""","sf1_worst":"$n","sf1_worst_sec":${fmt(v)}""" }.getOrElse("")
+          s""""sf1_total":${t.group(1)}$w,"""
+        }).getOrElse("")
+      } catch { case _: Exception => "" }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try Files.writeString(Paths.get(outPath), line(fullQs, soak) + "\n")
     catch { case e: java.io.IOException =>
@@ -394,7 +411,7 @@ object Bench {
     // slowest-first (failures always included) until the budget is spent;
     // the omitted fast tail is summed into "rest" so value still equals
     // the sum of everything reported.
-    val budget  = 1580 // leave room for the calibration + loadavg fields
+    val budget  = 1500 // leave room for calibration + loadavg + sf1 summary
     val ordered = results.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
     val picked  = scala.collection.mutable.ListBuffer.empty[(String, Double)]
     var used    = 0
@@ -407,6 +424,6 @@ object Bench {
       if (picked.size == results.size) ""
       else s""""rest":${fmt(rest)},"omitted":${results.size - picked.size},"""
     val qs = picked.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(line(qs, restJs))
+    println(line(qs, restJs + soakSummary))
   }
 }

@@ -35,13 +35,20 @@ object Soak {
     * v2-v5 and the IVF / IVF-index / PQ / IVF-PQ search family — plus the
     * kernel-heavy retrieval/LM queries the round-8 native expressions
     * rewired (exact-Jaccard mining, TF-IDF/BM25, bigram coherence/NLL,
-    * token entropy, Gopher repetition).
+    * token entropy, Gopher repetition), the round-9 LSH capstone twin
+    * (q164 — the documented 100-TB mitigation for q87's exact miner, now
+    * itself scale-certified), and the graph/split family over the
+    * replicated events table (q106/q128/q129/q136 + q123 — the top bench
+    * costs, previously never run above sf0.1).
     */
   val soakQueries: Seq[String] = Seq(
     "q87_curation_v2", "q115_curation_v3", "q138_curation_v4", "q150_curation_v5",
+    "q164_curation_v2_lsh",
     "q36_ivf_topk", "q82_ivf_index_search", "q100_pq_topk", "q102_ivfpq_topk",
     "q32_ngram_jaccard", "q59_tfidf", "q80_bm25", "q119_bigram_coherence",
-    "q130_bigram_nll", "q135_token_entropy", "q145_repetition_gopher")
+    "q130_bigram_nll", "q135_token_entropy", "q145_repetition_gopher",
+    "q106_link_pagerank", "q128_hits", "q129_triangles", "q136_personalized_pagerank",
+    "q123_leakfree_split")
 
   def main(args: Array[String]): Unit = {
     val src      = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")
@@ -50,7 +57,10 @@ object Soak {
     val spark    = graft.core.GraftSession.local()
     Bench.quietBenignNoise()
 
-    val marker = Paths.get(dir, s".built_r$replicas")
+    // v2: round-9 rebuild marker — the layout changed (events is now
+    // replicated, n_chars delta corrected), so a round-8 build must not
+    // satisfy the probe
+    val marker = Paths.get(dir, s".built_r${replicas}_v2")
     if (!Files.exists(marker)) {
       Files.createDirectories(Paths.get(dir))
       val docs   = spark.read.parquet(s"$src/documents.parquet")
@@ -60,7 +70,7 @@ object Soak {
           (col("doc_id") + lit(i * maxDoc)).as("doc_id"),
           concat(col("text"), lit(s" zzrep$i")).as("text"),
           col("lang"), col("source"),
-          (col("n_chars") + lit(7 + i.toString.length)).as("n_chars"))
+          (col("n_chars") + lit(s" zzrep$i".length)).as("n_chars"))
       }.reduce(_ unionAll _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -76,7 +86,34 @@ object Soak {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
-      Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events")
+      // events replicates too (round-8 verdict item 4): the graph census
+      // queries (PageRank/HITS/triangles/PPR) source their edges from
+      // events, so an unreplicated copy would leave them untested above
+      // sf0.1. Per-replica perturbation keeps every window/graph shape
+      // valid: event_id and user_id shift by replica x (max+1) — 10
+      // structurally-identical disjoint user populations, 10x nodes and
+      // edges — and ts shifts by i seconds so timestamps stay distinct
+      // across replicas without reordering any user's event sequence.
+      val evr    = spark.read.parquet(s"$src/events.parquet")
+      val maxEv  = evr.agg(max("event_id")).head().getLong(0) + 1
+      val maxUsr = evr.agg(max("user_id")).head().getLong(0) + 1
+      // ts shift honors both fixture vintages (see Tables.events): a
+      // TIMESTAMP(NANOS) file loads as raw int64 ns under nanosAsLong
+      def tsShift(i: Int) = evr.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts") + lit(i * 1000000000L)
+        case _                                   => col("ts") + expr(s"INTERVAL '$i' SECOND")
+      }
+      (0 until replicas).map { i =>
+        evr.select(
+          (col("event_id") + lit(i * maxEv)).as("event_id"),
+          tsShift(i).as("ts"),
+          (col("user_id") + lit(i * maxUsr)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+      Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
         .foreach { t =>
           val from = Paths.get(s"$src/$t.parquet")
           if (Files.exists(from))

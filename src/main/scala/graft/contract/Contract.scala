@@ -3197,7 +3197,7 @@ object Contract {
           .exactDedupRows(
             Tables.documents(s, d).select("doc_id", "text", "source"),
             sha2(col("text"), 256), col("doc_id"))
-          .localCheckpoint(false) // three consumers: entropy, LM, card
+          .localCheckpoint(true) // three consumers: entropy, LM, card
         val ent = Corpus
           .tokenEntropy(dd, "doc_id", "text")
           .filter(col("entropy_x1e6") >= 2500000)
@@ -3666,14 +3666,88 @@ object Contract {
       Some(OracleSql.q155)
     ),
     Q(
+      "q158_countmin_bounds",
+      // count-min point-query laws against the exact per-key counts: the
+      // one-sided bound (estimates NEVER undercount — a sketch-algebra
+      // guarantee, not a probabilistic one) and the eps overcount envelope
+      // (e/width x N; deterministic here for the fixed perm family + data).
+      // The sketch is one Array[Long] row collected to the driver —
+      // bounded control-plane state, the operator's designed shape; the
+      // probe side estimates in-row against the literal grid, no shuffle
+      // beyond the exact-count groupBy the oracle needs anyway.
+      (s, d) => {
+        import graft.operators.CountMin
+        val e     = ev(s, d).filter(col("event_type").isNotNull)
+        val width = 2048
+        val depth = 4
+        val row   = CountMin.sketch(e, "event_type", width, depth).head()
+        val grid  = row.getSeq[Long](2).toArray
+        val n     = grid.slice(0, width).sum // row 0 counts every key once
+        val eps   = math.E / width
+        CountMin
+          .estimateCol(
+            e.groupBy(col("event_type")).agg(count(lit(1)).as("exact_cnt")),
+            "event_type", width, depth, grid, "est")
+          .select(
+            col("event_type"),
+            col("exact_cnt"),
+            (col("est") >= col("exact_cnt")).as("never_under"),
+            ((col("est") - col("exact_cnt")).cast("double") <= lit(eps * n)).as("within_eps"))
+      },
+      Some("""SELECT event_type, count(*)::BIGINT AS exact_cnt,
+             |  TRUE AS never_under, TRUE AS within_eps
+             |FROM events WHERE event_type IS NOT NULL GROUP BY 1""".stripMargin)
+    ),
+    Q(
+      "q159_ivf_delete_search",
+      // the IVF deletion path end-to-end: build the persisted index,
+      // retract every vec_id ≡ 0 (mod 7), search the survivors with
+      // nprobe == ncells — exact over the remaining corpus, so the oracle
+      // is q36's brute force with the deleted ids filtered from the
+      // NEIGHBOR side only (a deleted vector can still be a query; it no
+      // longer exists as an answer). Certifies the delete's cell rewrite,
+      // the two-rename swap, and that searches never resurrect removed
+      // rows.
+      (s, d) => {
+        import graft.operators.Similarity
+        val emb  = Tables.embeddings(s, d)
+        val path = s"$scratchRoot/ivf_index_q159"
+        Similarity.writeIvfIndex(emb, path, ncells = 8)
+        Similarity.deleteFromIvfIndex(s, path, emb.filter(col("vec_id") % 7 === 0))
+        Similarity
+          .searchIvfIndex(s, path, emb.filter(col("vec_id") < 10), k = 5, nprobe = 8)
+          .select(col("probe_id"), col("rnk"), col("neighbor_id"))
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             |                (a, b) -> a + b) AS n2
+             |  FROM embeddings),
+             |pairs AS (
+             |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             |    list_reduce(list_transform(range(1, len(p.embedding) + 1),
+             |                  i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+             |                (a, b) -> a + b) / (sqrt(p.n2) * sqrt(c.n2)) AS cos
+             |  FROM n p, n c
+             |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id AND c.vec_id % 7 <> 0),
+             |ranked AS (
+             |  SELECT probe_id, neighbor_id,
+             |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+             |  FROM pairs)
+             |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin)
+    ),
+    Q(
       "q160_blocklist",
       // C4-style token-boundary blocklist gate: occurrence + distinct-term
       // census and the any-hit drop rule; list rides as a broadcast
-      // literal, scan is one in-row pass.
+      // literal, scan is one in-row pass. The implementation drops
+      // null-text rows (they have no tokens to gate), so the oracle scopes
+      // to text IS NOT NULL the same way q163's does.
       (s, d) =>
         graft.operators.Corpus.blocklistAudit(
           Tables.documents(s, d), "doc_id", "text", Seq("slow", "big", "zzz_blocked")),
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+             |           WHERE text IS NOT NULL)
              |SELECT doc_id, len(tk)::BIGINT AS n_tokens,
              |  len(list_filter(tk, x -> list_contains(['slow','big','zzz_blocked'], x)))::BIGINT AS n_hits,
              |  len(list_intersect(list_distinct(tk), ['slow','big','zzz_blocked']))::BIGINT AS n_distinct_hits,
@@ -3756,6 +3830,47 @@ object Contract {
              |  coalesce(h.n_distinct_hits, 0)::BIGINT AS n_distinct_hits,
              |  coalesce(h.n_hits, 0) = 0 AS keep
              |FROM tk t LEFT JOIN hit h USING (doc_id)""".stripMargin)
+    ),
+    Q(
+      "q164_curation_v2_lsh",
+      // q87's capstone composition with the exact all-pairs near-dedup
+      // miner swapped for the banded-LSH miner (q52's machinery) — the
+      // sublinear mining path the 100-TB deployment runs (the exact miner
+      // is documented superlinear at adversarial near-dup density). Same
+      // quality gate, normalized-digest exact dedup, split, and
+      // decontamination stages; the oracle mirrors the banding + verify +
+      // greedy drop inside the identical composition, so this certifies
+      // the scale path end to end, not just its pieces.
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        import graft.operators.{Corpus, Dedup, Splits}
+        val q = Tables
+          .documents(s, d)
+          .filter(
+            TextAnalysis.tokenCount(col("text")) >= 5 &&
+              TextAnalysis.punctRatio(col("text")) <= 0.2)
+          .select(col("doc_id"), col("lang"), col("text"))
+        val e = Dedup.exactDedupRows(
+          q, sha2(TextAnalysis.normalize(col("text")), 256), col("doc_id"))
+        val surv = Dedup.lshNearDedupRows(
+          e, "doc_id", "text", n = 3, threshold = 0.8, k = 8, rowsPerBand = 2)
+        val split = Splits.assignSplit(
+          surv, "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        val contaminated = Corpus
+          .contamination(
+            split.filter(col("split") === "train"),
+            split.filter(col("split") === "test"),
+            "doc_id", "text", n = 3, threshold = 0.5)
+          .filter(col("contaminated"))
+          .select(col("doc_id"))
+        split
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .groupBy(col("split"), col("lang"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(TextAnalysis.tokenCount(col("text")).cast("bigint")).as("sum_tokens"))
+      },
+      Some(OracleSql.q164)
     )
   )
 

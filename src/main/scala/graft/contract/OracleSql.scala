@@ -1373,4 +1373,72 @@ object OracleSql {
        |      FROM r GROUP BY 1, 2, 3, 4)
        |SELECT id_a, id_b, (max(run) + 2)::BIGINT AS span_tokens, sum(run)::BIGINT AS n_matches
        |FROM g GROUP BY 1, 2 HAVING max(run) + 2 >= 8""".stripMargin
+
+  /** Capstone curation mirror, LSH edition (q164): q87's exact chain with
+    * the all-pairs near-dedup stage replaced by the banded-LSH miner
+    * (q52's banding + verify + greedy drop over the quality-gated,
+    * exact-deduped `e` view) — the sublinear mining the 100-TB deployment
+    * actually runs, certified in the same composition as the exact twin.
+    */
+  val q164: String = {
+    val bandCond = (0 until 4)
+      .map(b => s"(a.mh${2 * b} = b.mh${2 * b} AND a.mh${2 * b + 1} = b.mh${2 * b + 1})")
+      .mkString(" OR ")
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 5
+       |    AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / length(text) <= 0.2),
+       |e AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT doc_id, lang, text,
+       |      ROW_NUMBER() OVER (
+       |        PARTITION BY sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+       |        ORDER BY doc_id) AS rn
+       |    FROM q) WHERE rn = 1),
+       |toks AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM e),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(tk) >= 3
+       |    THEN list_distinct(list_transform(range(1, len(tk)-1),
+       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+       |    ELSE CAST([] AS VARCHAR[]) END AS ss
+       |  FROM toks),
+       |hs AS (SELECT doc_id, list_distinct(list_transform(ss, s -> ${polyHash("s")})) AS hh FROM sh),
+       |$mhCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND ($bandCond)),
+       |v AS (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_intersect(ha.hh, hb.hh)) AS inter, len(ha.hh) AS na, len(hb.hh) AS nb
+       |  FROM cand c
+       |  JOIN hs ha ON ha.doc_id = c.id_a
+       |  JOIN hs hb ON hb.doc_id = c.id_b),
+       |drops AS (
+       |  SELECT DISTINCT id_b AS id FROM v
+       |  WHERE inter::DOUBLE / (na + nb - inter) >= 0.8),
+       |surv AS (
+       |  SELECT e.doc_id, e.lang, e.text, hs.hh FROM e JOIN hs USING (doc_id)
+       |  WHERE e.doc_id NOT IN (SELECT id FROM drops)),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |          ((((doc_id % 1000000007) + 1000000007) % 1000000007) * 2654435761 % 1000000007) % 10000 AS bucket
+       |        FROM surv)),
+       |bh AS (SELECT DISTINCT unnest(hh) AS h FROM surv JOIN sp USING (doc_id) WHERE split = 'test'),
+       |ex AS (SELECT surv.doc_id AS doc_id, unnest(hh) AS h
+       |       FROM surv JOIN sp USING (doc_id) WHERE split = 'train'),
+       |m AS (SELECT ex.doc_id AS doc_id, COUNT(*) AS nm FROM ex JOIN bh USING (h) GROUP BY ex.doc_id),
+       |contaminated AS (
+       |  SELECT surv.doc_id FROM surv JOIN sp USING (doc_id) LEFT JOIN m USING (doc_id)
+       |  WHERE split = 'train' AND len(hh) > 0
+       |    AND COALESCE(nm, 0)::DOUBLE / len(hh) >= 0.5),
+       |clean AS (
+       |  SELECT surv.doc_id, surv.lang, surv.text, sp.split
+       |  FROM surv JOIN sp USING (doc_id)
+       |  WHERE surv.doc_id NOT IN (SELECT doc_id FROM contaminated))
+       |SELECT split, lang, COUNT(*) AS cnt,
+       |  SUM(len(string_split(text, ' ')))::BIGINT AS sum_tokens
+       |FROM clean GROUP BY 1, 2""".stripMargin
+  }
 }

@@ -121,12 +121,66 @@ object Funnel {
     val esc = regexp_replace(
       regexp_replace(stateCol.cast("string"), "\\\\", "\\\\\\\\"),
       ">", "\\\\>")
-    val ord   = orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    // orderCols may carry SortOrder wrappers (col("ts").desc) — Unevaluable
+    // inside a struct, so unwrap them into plain heap-key fields: a
+    // null-class field encodes the null ordering and desc flips the key by
+    // a type-safe monotone inversion (bitwise NOT for integrals/temporals —
+    // negation overflows on Long.MinValue — and negation for fractionals).
+    // Window-based siblings (markovTransitions) take SortOrder natively;
+    // this keeps the two call surfaces interchangeable.
+    val ord   = orderCols.zipWithIndex.flatMap { case (c, i) => heapKeyFields(df, c, i) }
     val entry = struct(ord :+ esc.as("__s"): _*)
     df.groupBy(col(keyCol))
       .agg(TopK.collectTopK(entry, maxSteps, reverse = true).as("__steps"))
       .select(array_join(col("__steps.__s"), ">", "\\0").as("path"))
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_keys"))
+  }
+
+  /** Struct-orderable heap-key fields for one ordering column. A plain
+    * column passes through (struct ordering ranks nulls first — Spark's
+    * ASC default). A SortOrder is unwrapped: a null-class field encodes
+    * NULLS FIRST/LAST, and DESC flips the key with a monotone inversion —
+    * bitwise NOT for integral/temporal types (total on the full range,
+    * where negation overflows Long.MinValue) and negation for fractional
+    * types (caveat: NaN, ranked largest by Spark's DESC, stays largest
+    * after negation and therefore ranks last here). DESC on other types
+    * (string, binary, struct) has no order-reversing scalar encoding and
+    * is rejected — use a numeric rank column instead.
+    */
+  private def heapKeyFields(df: DataFrame, c: Column, i: Int): Seq[Column] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types._
+    ColumnBridge.sortOrder(c) match {
+      case Some((child, desc, nullsLast)) =>
+        val nullClass =
+          if (nullsLast) when(child.isNull, lit(1)).otherwise(lit(0))
+          else when(child.isNull, lit(0)).otherwise(lit(1))
+        val key =
+          if (!desc) child
+          else
+            df.select(child).schema.head.dataType match {
+              case ByteType | ShortType | IntegerType | LongType =>
+                bitwise_not(child.cast("long"))
+              case DateType =>
+                bitwise_not(child.cast("int").cast("long"))
+              case TimestampType | TimestampNTZType =>
+                bitwise_not(child.cast("long"))
+              case FloatType | DoubleType => -child
+              case _: DecimalType         => -child
+              case BooleanType            => !child
+              case other =>
+                throw new IllegalArgumentException(
+                  s"journeyPaths: DESC ordering on type $other has no " +
+                    "order-reversing scalar encoding for the bounded-heap " +
+                    "prefix; order by a numeric rank of it instead")
+            }
+        // a null child yields a null key under every inversion above, and
+        // the null-class field already fixed nulls' rank vs non-nulls, so
+        // null keys only ever compare against each other (equal) — no
+        // coalesce needed
+        Seq(nullClass.as(s"__oc$i"), key.as(s"__o$i"))
+      case None => Seq(c.as(s"__o$i"))
+    }
   }
 }

@@ -125,7 +125,7 @@ object HoistLambdaInvariants extends Rule[LogicalPlan] {
     * made of, the conditional/HOF scaffolding that composed operators wrap
     * them in, and this engine's own native expressions.
     */
-  private def safeNode(e: Expression): Boolean = e match {
+  private def safeNode(e: Expression, guarded: Boolean): Boolean = e match {
     case _: Attribute | _: Literal                     => true
     case _: NamedLambdaVariable | _: LambdaFunction    => true
     case _: StringSplit | _: Length | _: Size          => true
@@ -154,12 +154,20 @@ object HoistLambdaInvariants extends Rule[LogicalPlan] {
     case _: Crc32                                      => true
     // raise under ANSI (invalid index / missing key), null otherwise
     case _: ElementAt | _: GetArrayItem                => !ansi
-    // slice raises on start = 0 or length < 0 in BOTH modes: only a
-    // statically-valid shape, or a start bound by the chain's own
-    // iteration lambda (whose guards travel with the subtree), is safe
+    // slice raises on start = 0 or length < 0 in BOTH modes: only the
+    // statically-valid shape, or a lambda-bound start in a GUARDED
+    // (conditionally-evaluated) position of the candidate subtree, is
+    // safe. The guarded requirement is the round-8 advice fix: a closed
+    // nested HOF whose sequence lower bound is row-dependent (hits 0 only
+    // on rows an OUTER when() excludes) must not hoist out of that guard —
+    // but when the protecting conditional travels INSIDE the hoisted
+    // subtree (the composed-winnowing shape: when(size >= w,
+    // transform(sequence(1, size-w+1), j => slice(hs, j, w)))), the
+    // hoisted unit keeps its lazy branch evaluation and the slice runs
+    // under exactly the runtime conditions it had in place.
     case Slice(_, start, len) =>
       foldableNonNegInt(len) &&
-        (foldableNonZeroInt(start) || start.isInstanceOf[NamedLambdaVariable])
+        (foldableNonZeroInt(start) || (guarded && start.isInstanceOf[NamedLambdaVariable]))
     // ANSI overflow needs a ~2^31-sized operand — the giant-input class
     // the chain's own split/sequence raises on first; require one foldable
     // side so this stays the size-arithmetic shape (size(x) - (k-1))
@@ -176,10 +184,23 @@ object HoistLambdaInvariants extends Rule[LogicalPlan] {
 
   /** Every node throw-free; foldable subtrees pass as a unit (they
     * evaluate to the same constant anywhere — ConstantFolding runs before
-    * this rule in the same batch).
+    * this rule in the same batch). `guarded` tracks whether the current
+    * position is conditionally evaluated WITHIN the subtree (a non-
+    * predicate branch of If/CaseWhen): hoisting preserves internal lazy
+    * branch evaluation, so nodes whose safety rides on an in-subtree
+    * guard (the lambda-bound Slice start) are accepted only there.
     */
-  private def safeTree(e: Expression): Boolean =
-    e.foldable || (safeNode(e) && e.children.forall(safeTree))
+  private def safeTree(e: Expression, guarded: Boolean = false): Boolean =
+    e.foldable || (safeNode(e, guarded) && (e match {
+      case i: If =>
+        safeTree(i.predicate, guarded) &&
+          safeTree(i.trueValue, guarded = true) && safeTree(i.falseValue, guarded = true)
+      case cw: CaseWhen =>
+        cw.branches.forall { case (c, v) =>
+          safeTree(c, guarded) && safeTree(v, guarded = true)
+        } && cw.elseValue.forall(safeTree(_, guarded = true))
+      case _ => e.children.forall(safeTree(_, guarded))
+    }))
 
   /** Mirror of CollapseProject.isCheap: attribute / foldable /
     * ExtractValue compositions. Hoisting these is profitless, and
@@ -393,14 +414,20 @@ object HoistLambdaInvariants extends Rule[LogicalPlan] {
 
       // Window: let-binding ONLY (a child Project would shift the window's
       // required child distribution bookkeeping for no gain); memo shared
-      // across window and partition expressions
+      // across window, partition, and order expressions (a lambda-invariant
+      // chain in ORDER BY re-evaluates per compared row pair otherwise)
       case w: Window =>
         val memo    = mutable.ArrayBuffer.empty[(Expression, Expression)]
         val newWin  = w.windowExpressions
           .map(letBindAll(_, w.child.outputSet, memo).asInstanceOf[NamedExpression])
         val newPart = w.partitionSpec.map(letBindAll(_, w.child.outputSet, memo))
-        if (unchanged(newWin, w.windowExpressions) && unchanged(newPart, w.partitionSpec)) w
-        else w.copy(windowExpressions = newWin, partitionSpec = newPart)
+        val newOrd  = w.orderSpec.map { so =>
+          val nc = letBindAll(so.child, w.child.outputSet, memo)
+          if (nc.fastEquals(so.child)) so else so.copy(child = nc)
+        }
+        if (unchanged(newWin, w.windowExpressions) && unchanged(newPart, w.partitionSpec) &&
+          unchanged(newOrd, w.orderSpec)) w
+        else w.copy(windowExpressions = newWin, partitionSpec = newPart, orderSpec = newOrd)
     }
   }
 }

@@ -23,6 +23,21 @@ object ColumnBridge {
       org.apache.spark.sql.catalyst.expressions.aggregate.GraftTopK
         .collectTopK(expression(child), k, reverse))
 
+  /** (child, isDescending, nullsLast) when `c` wraps a sort-order node
+    * (col.desc / asc_nulls_last / ...). Spark 4's Column wraps a lazy
+    * ColumnNode, so SortOrder detection must match the node, not the
+    * (unconverted) catalyst expression.
+    */
+  def sortOrder(c: Column): Option[(Column, Boolean, Boolean)] = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder =>
+      import org.apache.spark.sql.internal.{SortOrder => SO}
+      Some((
+        new Column(so.child),
+        so.sortDirection == SO.Descending,
+        so.nullOrdering == SO.NullsLast))
+    case _ => None
+  }
+
   /** Standard non-foldable-argument AnalysisException (QueryCompilationErrors
     * is private[sql]; surfaced here for registered-function builders).
     */

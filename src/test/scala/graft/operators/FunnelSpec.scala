@@ -121,4 +121,41 @@ class FunnelSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "prefix cut must not use a Window")
     assert(!plan.contains("Sort "), "prefix cut must not sort whole groups")
   }
+
+  test("journeyPaths: SortOrder order columns (desc / asc_nulls_last) are honored, " +
+    "matching the Window-based ordering semantics") {
+    import spark.implicits._
+    val df = Seq(
+      // desc on ord: journey reads c,b,a
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
+      // long-range keys: bitwise-NOT inversion must survive extremes
+      (2L, Long.MaxValue, "last"), (2L, Long.MinValue, "first"), (2L, 0L, "mid"))
+      .toDF("k", "ord", "s")
+    val desc = Funnel
+      .journeyPaths(df, "k", Seq(col("ord").desc), col("s"), maxSteps = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(desc === Map("c>b>a" -> 1L, "last>mid>first" -> 1L))
+
+    // null ordering: asc_nulls_last pushes the null-ord event to the end
+    val dfn = Seq(
+      (1L, java.lang.Long.valueOf(2L), "b"),
+      (1L, null.asInstanceOf[java.lang.Long], "n"),
+      (1L, java.lang.Long.valueOf(1L), "a"))
+      .toDF("k", "ord", "s")
+    val nl = Funnel
+      .journeyPaths(dfn, "k", Seq(col("ord").asc_nulls_last), col("s"), maxSteps = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nl === Map("a>b>n" -> 1L))
+    val nf = Funnel
+      .journeyPaths(dfn, "k", Seq(col("ord").asc_nulls_first), col("s"), maxSteps = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nf === Map("n>a>b" -> 1L))
+
+    // desc on an unencodable type is rejected with a clear message
+    val ex = intercept[IllegalArgumentException] {
+      Funnel.journeyPaths(df.withColumn("os", col("s")), "k",
+        Seq(col("os").desc), col("s"), maxSteps = 3)
+    }
+    assert(ex.getMessage.contains("DESC ordering"))
+  }
 }

@@ -220,6 +220,27 @@ class HoistLambdaInvariantsSpec extends AnyFunSuite {
     assert(on === off && on.nonEmpty)
   }
 
+  test("Window orderSpec with spliced chain: no lambda re-tokenization, on/off equal") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      (1L, "en", "c b a"), (2L, "en", "b a"), (3L, "es", "z y x w"), (4L, "es", "k"))
+      .toDF("id", "lang", "text")
+    // the ordering key splices split() into the filter lambda — without
+    // orderSpec coverage the chain re-evaluates per compared row
+    def q = df.withColumn("rn",
+      row_number().over(Window.partitionBy(col("lang")).orderBy(
+        size(filter(split(col("text"), " "), t =>
+          array_contains(split(col("text"), " "), t))),
+        col("id"))))
+    withRule(on = true) {
+      assert(!splitInsideLambda(q), "window ORDER BY must not re-tokenize per element")
+    }
+    val on  = withRule(true)(q.collect().map(r => (r.getLong(0), r.getInt(3))).sorted.toSeq)
+    val off = withRule(false)(q.collect().map(r => (r.getLong(0), r.getInt(3))).sorted.toSeq)
+    assert(on === off && on.nonEmpty)
+  }
+
   test("composed winnowing hoists the FULL closed chain (nested lambdas and all)") {
     // the shingle+polyhash transform binds its own lambda variables — a
     // CLOSED subtree — so the whole chain hoists level by level: split
