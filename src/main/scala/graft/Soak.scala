@@ -54,6 +54,14 @@ object Soak {
     val src      = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")
     val dir      = args.headOption.getOrElse("/tmp/graft_sf1")
     val replicas = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPLICAS", "10").toInt.max(2)
+    // scaling-curve mode: SPARK_GRAFT_SOAK_ONLY=q87,q164 (prefix match)
+    // subsets the query list and SPARK_GRAFT_SOAK_OUT redirects the record
+    // so curve points at replicas 2/5/10 don't clobber the committed
+    // soak_sf1.json the bench folds into the round artifact
+    val only = sys.env
+      .get("SPARK_GRAFT_SOAK_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val out  = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "soak_sf1.json")
     val spark    = graft.core.GraftSession.local()
     Bench.quietBenignNoise()
 
@@ -127,7 +135,8 @@ object Soak {
     System.err.println(s"[soak] $dir ready: $nDocs docs, $nEmb embeddings (x$replicas)")
 
     var failed = List.empty[String]
-    val times = soakQueries.map { name =>
+    val picked = soakQueries.filter(n => only.forall(_.exists(n.startsWith)))
+    val times = picked.map { name =>
       val q  = contract.Contract.byName(name)
       val t0 = System.nanoTime()
       val t =
@@ -154,7 +163,7 @@ object Soak {
       catch { case _: Exception => "[]" }
     val line =
       s"""{"replicas":$replicas,"docs":$nDocs,"embeddings":$nEmb,"total":${fmt(times.map(_._2).filter(_ >= 0).sum)},"queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"loadavg":$loadavg}"""
-    Files.writeString(Paths.get("soak_sf1.json"), line + "\n")
+    Files.writeString(Paths.get(out), line + "\n")
     println(line)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -3871,6 +3871,58 @@ object Contract {
             sum(TextAnalysis.tokenCount(col("text")).cast("bigint")).as("sum_tokens"))
       },
       Some(OracleSql.q164)
+    ),
+    Q(
+      "q165_approx_percentile_rank",
+      // Mergeable quantile sketch (percentile_approx / GK) certified by
+      // its RANK law, the q35/q158 tolerance pattern: with accuracy A the
+      // returned value's rank interval [#lt + 1, #le] must land within
+      // n/A (+1 slack) of the target rank p*n. The sketch value itself is
+      // engine-specific and never compared — the law is. Sketch agg is
+      // one partial-merged pass; the rank census re-reads the table once
+      // with the 3-row sketch result broadcast.
+      (s, d) => {
+        val l = li(s, d)
+        val ap = l
+          .groupBy(col("l_returnflag"))
+          .agg(
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(100)).as("__ap"),
+            count(lit(1)).as("n"))
+        l.join(broadcast(ap), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            first(col("n")).as("n"),
+            sum(when(col("l_extendedprice") <= col("__ap"), 1L).otherwise(0L)).as("__le"),
+            sum(when(col("l_extendedprice") < col("__ap"), 1L).otherwise(0L)).as("__lt"))
+          .select(
+            col("l_returnflag"),
+            col("n"),
+            ((col("__le").cast("double") >= lit(0.5) * col("n") - col("n") / lit(100.0) - 1) &&
+              ((col("__lt") + 1).cast("double") <= lit(0.5) * col("n") + col("n") / lit(100.0) + 1))
+              .as("rank_ok"))
+      },
+      Some("""SELECT l_returnflag, count(*)::BIGINT AS n, TRUE AS rank_ok
+             |FROM lineitem GROUP BY 1""".stripMargin)
+    ),
+    Q(
+      "q166_ewma_level",
+      // Per-key EWMA level (drift-monitor smoothing): the sequential
+      // recurrence folds inside one row over the key's sorted event
+      // array — Profile.ewmaLevel. alpha = 0.25 is an exact binary
+      // fraction and both engines run the identical left fold (seed =
+      // first observation; a*x + (1-a)*acc), so the doubles match
+      // bit-for-bit under the hash compare.
+      (s, d) =>
+        graft.operators.Profile.ewmaLevel(
+          ev(s, d), Seq("user_id"), Seq("ts_ns", "event_id"), col("value"), 0.25),
+      Some("""WITH e AS (SELECT user_id, ts, event_id, value::DOUBLE AS v
+             |           FROM events WHERE value IS NOT NULL),
+             |g AS (SELECT user_id, count(*)::BIGINT AS n,
+             |        list_transform(list_sort(list({'t': ts, 'e': event_id, 'v': v})),
+             |                       s -> s.v) AS vs
+             |      FROM e GROUP BY user_id)
+             |SELECT user_id, n, list_reduce(vs, (acc, x) -> 0.25*x + 0.75*acc) AS ewma
+             |FROM g""".stripMargin)
     )
   )
 

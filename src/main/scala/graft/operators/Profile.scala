@@ -287,4 +287,48 @@ object Profile {
         first(col("__tc")).as("n_cur"),
         sum(col("__term")).as("psi_x1e6"))
   }
+
+  /** Final exponentially-weighted moving average (EWMA) level of
+    * `valueCol` per key — the smoothed "current level" a drift monitor
+    * compares fresh batches against (the exponential-decay companion of
+    * groupedTrend's OLS slope and psiDrift's distribution diff). Seeded
+    * at the key's first observation in event order, then folded:
+    * level = alpha * x + (1 - alpha) * level.
+    *
+    * The recurrence is inherently sequential, so it runs INSIDE one row:
+    * sort_array(collect_list(struct(order..., value))) per key, then a
+    * single `aggregate` fold over the sorted array — one hash shuffle on
+    * the key, per-key state bounded by that key's event count (the same
+    * envelope as the landing pivot's channel-array build; a key with
+    * pathological cardinality caps with windowed sub-sampling upstream).
+    * No window function, no per-row pow() decay chain (whose (1-a)^i
+    * factors under/overflow on long series).
+    *
+    * The fold order (a*x, then (1-a)*level, then add; first element as
+    * the seed) is exactly the left fold of a SQL list_reduce, so results
+    * are bit-identical cross-engine when alpha is an exact binary
+    * fraction (0.25, 0.5, 0.75, ...).
+    *
+    * Output: keyCols..., n (observations folded), ewma.
+    */
+  def ewmaLevel(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: Column,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val ks    = keyCols.map(col)
+    val entry = struct(orderCols.map(col) :+ valueCol.cast("double").as("__v"): _*)
+    df.filter(valueCol.isNotNull)
+      .groupBy(ks: _*)
+      .agg(sort_array(collect_list(entry)).as("__s"), count(lit(1)).as("n"))
+      .select(
+        ks :+ col("n") :+
+          aggregate(
+            slice(col("__s"), lit(2), size(col("__s")) - 1),
+            element_at(col("__s"), 1).getField("__v"),
+            (acc, e) => lit(alpha) * e.getField("__v") + lit(1 - alpha) * acc)
+            .as("ewma"): _*)
+  }
 }

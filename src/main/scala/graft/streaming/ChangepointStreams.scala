@@ -5,6 +5,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 final case class CpSample(key: String, ord: Long, v: Long)
 final case class CpState(s: Long, minS: Long, alarms: Long)
+final case class EwmaSample(key: String, ord: Long, v: Double)
+final case class EwmaState(level: Double, n: Long)
 
 /** Streaming CUSUM drift alarms — the monitoring twin of
   * `operators/Changepoint.cusumExcursion`. A live metric stream can't use
@@ -59,6 +61,50 @@ object ChangepointStreams {
           out.iterator
       }
       .toDF("key", "ord", "excursion", "alarm_seq")
+  }
+
+  /** Streaming EWMA level — the incremental twin of
+    * `operators/Profile.ewmaLevel`. EWMA is the canonical streaming
+    * statistic: the whole history folds into ONE double per key
+    * (level = α·x + (1−α)·level, seeded at the key's first observation),
+    * so cross-batch state is (level, n) — against the batch op's
+    * collect-and-sort this is the form that never re-reads history.
+    * Emits one (key, n, ewma) row per key per micro-batch that touched
+    * it (the post-batch level); the LATEST row per key is the live
+    * drift level a monitor compares against.
+    *
+    * Within a batch rows sort by (ord, v) (micro-batch iterators are
+    * unordered); with in-order per-key arrival across batches the final
+    * emitted level is BIT-IDENTICAL to the batch fold — the same IEEE
+    * left fold in the same order, the equivalence law the spec drains.
+    */
+  def ewmaLevels(
+      samples: Dataset[(String, Long, Double)],
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples
+      .map { case (k, o, v) => EwmaSample(k, o, v) }
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[EwmaSample], state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(s => (s.ord, s.v))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption
+            sorted.foreach { s =>
+              st = Some(st match {
+                case None              => EwmaState(s.v, 1L)
+                case Some(EwmaState(l, n)) =>
+                  EwmaState(alpha * s.v + (1 - alpha) * l, n + 1L)
+              })
+            }
+            state.update(st.get)
+            Iterator((key, st.get.n, st.get.level))
+          }
+      }
+      .toDF("key", "n", "ewma")
   }
 
   /** The batch replay of the same rule (a per-key sequential fold) — the

@@ -176,4 +176,36 @@ class ProfileSpec extends AnyFunSuite {
     assert(got.getLong(0) === 2L)
     assert(got.getLong(1) > 0L) // total disagreement -> large positive PSI
   }
+
+  test("ewmaLevel: hand-computed fold, event-order seed, null exclusion, singleton key") {
+    import spark.implicits._
+    // key a: values 10, 20, 40 in ts order (ts deliberately unsorted in
+    // the input); alpha=0.5 -> seed 10, then 0.5*20+0.5*10=15, then
+    // 0.5*40+0.5*15=27.5. key b: single observation -> ewma == value.
+    // key c: only null values -> no output row.
+    val df = Seq(
+      ("a", 3L, 3L, Some(40.0)),
+      ("a", 1L, 1L, Some(10.0)),
+      ("a", 2L, 2L, Some(20.0)),
+      ("b", 1L, 4L, Some(7.0)),
+      ("c", 1L, 5L, None)
+    ).toDF("k", "t", "eid", "v")
+    val got = Profile
+      .ewmaLevel(df, Seq("k"), Seq("t", "eid"), col("v"), alpha = 0.5)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got === Map("a" -> ((3L, 27.5)), "b" -> ((1L, 7.0))))
+  }
+
+  test("ewmaLevel: order ties broken by the full order-column struct, alpha bounds enforced") {
+    import spark.implicits._
+    // same ts, distinct eid: eid decides the fold order
+    val df  = Seq(("a", 1L, 2L, 100.0), ("a", 1L, 1L, 0.0)).toDF("k", "t", "eid", "v")
+    val got = Profile.ewmaLevel(df, Seq("k"), Seq("t", "eid"), col("v"), alpha = 0.25)
+    assert(got.head().getDouble(2) === 25.0) // seed 0, then 0.25*100
+    intercept[IllegalArgumentException] {
+      Profile.ewmaLevel(df, Seq("k"), Seq("t"), col("v"), alpha = 0.0)
+    }
+  }
 }

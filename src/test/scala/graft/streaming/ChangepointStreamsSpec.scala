@@ -78,4 +78,50 @@ class ChangepointStreamsSpec extends AnyFunSuite {
       assert(batch.exists(_._1 == "b"), "the shifted key must alarm somewhere")
     } finally q.stop()
   }
+
+  test("ewmaLevels: seed + cross-batch carry hand-computed; untouched keys stay silent") {
+    import spark.implicits._
+    val ms = MemoryStream[(String, Long, Double)](spark)
+    val q = ChangepointStreams
+      .ewmaLevels(ms.toDS(), alpha = 0.5)
+      .writeStream.format("memory").queryName("ewma_carry").outputMode("append").start()
+    try {
+      // batch 1: k seed 10, then 0.5*20+0.5*10 = 15
+      ms.addData(("k", 1L, 10.0), ("k", 2L, 20.0)); q.processAllAvailable()
+      // batch 2: carried level 15 -> 0.5*40+0.5*15 = 27.5; key j seeds at 7
+      ms.addData(("k", 3L, 40.0), ("j", 1L, 7.0)); q.processAllAvailable()
+      val got = spark.table("ewma_carry").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === Set(("k", 2L, 15.0), ("k", 3L, 27.5), ("j", 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("ewmaLevels: final drained level == Profile.ewmaLevel batch fold, bit-exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd  = new scala.util.Random(11)
+    val rows = for { k <- Seq("a", "b"); i <- 1 to 90 }
+      yield (k, i.toLong, rnd.nextDouble() * 100 - 50)
+
+    val batch = graft.operators.Profile
+      .ewmaLevel(rows.toDF("k", "ord", "v"), Seq("k"), Seq("ord"), col("v"), alpha = 0.25)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    val ms = MemoryStream[(String, Long, Double)](spark)
+    val q = ChangepointStreams
+      .ewmaLevels(ms.toDS(), alpha = 0.25)
+      .writeStream.format("memory").queryName("ewma_eq").outputMode("append").start()
+    try {
+      val (b1, rest) = rows.splitAt(70)
+      val (b2, b3)   = rest.splitAt(60)
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      ms.addData(b3: _*); q.processAllAvailable()
+      // latest row per key = the one with the largest n
+      val streamed = spark.table("ewma_eq").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (k, v) => k -> { val m = v.maxBy(_._2); (m._2, m._3) } }
+      assert(streamed === batch) // exact double equality: same IEEE left fold
+    } finally q.stop()
+  }
 }
