@@ -3923,6 +3923,106 @@ object Contract {
              |      FROM e GROUP BY user_id)
              |SELECT user_id, n, list_reduce(vs, (acc, x) -> 0.25*x + 0.75*acc) AS ewma
              |FROM g""".stripMargin)
+    ),
+    Q(
+      "q167_ccnet_buckets",
+      // CCNet perplexity buckets (Wenzek et al. 2020): score every doc
+      // with the q130 bigram LM (integer micro-nats), then cut each
+      // SOURCE's score order into equal-population head/middle/tail via
+      // Splits.rankBuckets — rank semantics, so bucket populations are
+      // exact and ties can't swallow a bucket. Census output (n_docs +
+      // integer nll sum per source x bucket) — all-integer, zero float
+      // tolerance. One ranked pass, no per-source window.
+      (s, d) => {
+        import graft.operators.{Corpus, Splits}
+        val docs = Tables.documents(s, d)
+        val scored = docs
+          .select(col("doc_id"), col("source"))
+          .join(
+            Corpus.bigramNll(docs, "doc_id", "text")
+              .select(col("doc_id"), col("nll_x1e6")),
+            Seq("doc_id"))
+        Splits
+          .rankBuckets(scored, "source", "nll_x1e6", "doc_id", nBuckets = 3)
+          .groupBy(col("source"), col("bucket"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("nll_x1e6")).as("sum_nll_x1e6"))
+      },
+      Some(OracleSql.q167)
+    ),
+    Q(
+      "q168_ivf_merge",
+      // IVF index MERGE end-to-end: build two independent indexes over
+      // disjoint halves of the corpus (deliberately different ncells, so
+      // the other index's geometry must be discarded), merge the odd half
+      // into the even half's coordinate system, and search the merged
+      // index at full probe — exact over the UNION, so the oracle is
+      // q159's brute force without the delete filter. Certifies the
+      // re-assignment against base centroids, the cell-partitioned
+      // rewrite, and that the merged index answers for both halves.
+      (s, d) => {
+        import graft.operators.Similarity
+        val emb = Tables.embeddings(s, d)
+        val pa  = s"$scratchRoot/ivf_merge_base_q168"
+        val pb  = s"$scratchRoot/ivf_merge_other_q168"
+        val pm  = s"$scratchRoot/ivf_merge_out_q168"
+        Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), pa, ncells = 8)
+        Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 =!= 0), pb, ncells = 5)
+        Similarity.mergeIvfIndexes(s, pa, pb, pm)
+        Similarity
+          .searchIvfIndex(s, pm, emb.filter(col("vec_id") < 10), k = 5, nprobe = 8)
+          .select(col("probe_id"), col("rnk"), col("neighbor_id"))
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             |                (a, b) -> a + b) AS n2
+             |  FROM embeddings),
+             |pairs AS (
+             |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             |    list_reduce(list_transform(range(1, len(p.embedding) + 1),
+             |                  i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+             |                (a, b) -> a + b) / (sqrt(p.n2) * sqrt(c.n2)) AS cos
+             |  FROM n p, n c
+             |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+             |ranked AS (
+             |  SELECT probe_id, neighbor_id,
+             |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+             |  FROM pairs)
+             |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin)
+    ),
+    Q(
+      "q169_curriculum_interleave",
+      // weighted-fair mixing schedule (Splits.interleaveSchedule): deal 20
+      // sources into one global training order at weight-proportional
+      // rates (w = source index mod 5 + 1) and take the first 200
+      // positions. Exact integer virtual times, ROW_NUMBER-mirrorable;
+      // the per-group rank cut keeps the global sort bounded by
+      // limit x |sources|.
+      (s, d) => {
+        import graft.operators.Splits
+        val weights = (0 until 20).map(i => (s"src$i", (i % 5 + 1).toLong))
+        Splits
+          .interleaveSchedule(
+            Tables.documents(s, d).select(col("doc_id"), col("source")),
+            "source", "doc_id", weights, limit = 200)
+          .select(col("pos"), col("source"), col("doc_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT source, doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |v AS (
+             |  SELECT source, doc_id,
+             |    (rn * 1000000) // (CAST(substring(source, 4) AS BIGINT) % 5 + 1) AS vt
+             |  FROM r),
+             |sched AS (
+             |  SELECT source, doc_id,
+             |    ROW_NUMBER() OVER (ORDER BY vt, source, doc_id) AS pos
+             |  FROM v)
+             |SELECT pos::INTEGER AS pos, source, doc_id
+             |FROM sched WHERE pos <= 200""".stripMargin)
     )
   )
 

@@ -1441,4 +1441,43 @@ object OracleSql {
        |  SUM(len(string_split(text, ' ')))::BIGINT AS sum_tokens
        |FROM clean GROUP BY 1, 2""".stripMargin
   }
+
+  /** q167_ccnet_buckets: the q130 bigram-LM per-doc nll, then per-source
+    * equal-population rank terciles (ROW_NUMBER semantics = rankBuckets)
+    * and an all-integer census.
+    */
+  val q167: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |uni AS (
+      |  SELECT term, count(*)::BIGINT AS uf
+      |  FROM (SELECT unnest(tk) AS term FROM toks) GROUP BY 1),
+      |st AS (SELECT (sum(uf) + count(*))::BIGINT AS nv FROM uni),
+      |bg AS (
+      |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      |  FROM toks, UNNEST(range(1, len(tk))) AS t(i)
+      |  WHERE len(tk) >= 2),
+      |bgc AS (
+      |  SELECT doc_id, w1, w2, count(*)::BIGINT AS k
+      |  FROM bg GROUP BY doc_id, w1, w2),
+      |c12 AS (SELECT w1, w2, sum(k)::BIGINT AS cnt12 FROM bgc GROUP BY w1, w2),
+      |c1  AS (SELECT w1, sum(k)::BIGINT AS cnt1 FROM bgc GROUP BY w1),
+      |sc AS (
+      |  SELECT doc_id, k,
+      |    round(ln((100 * cnt1 * nv)::DOUBLE
+      |             / (90 * cnt12 * nv + 10 * cnt1 * (uf + 1))::DOUBLE)
+      |          * 1000000)::BIGINT AS nllq
+      |  FROM bgc JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+      |  JOIN uni ON uni.term = bgc.w2 CROSS JOIN st),
+      |nll AS (
+      |  SELECT doc_id, (sum(k * nllq)::BIGINT) // (sum(k)::BIGINT) AS nll_x1e6
+      |  FROM sc GROUP BY doc_id),
+      |scored AS (
+      |  SELECT d.source, d.doc_id, nll.nll_x1e6,
+      |    ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY nll.nll_x1e6, d.doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY d.source) AS n
+      |  FROM nll JOIN documents d USING (doc_id))
+      |SELECT source, ((3 * (rn - 1)) // n)::BIGINT AS bucket,
+      |  count(*)::BIGINT AS n_docs, sum(nll_x1e6)::BIGINT AS sum_nll_x1e6
+      |FROM scored GROUP BY 1, 2""".stripMargin
 }

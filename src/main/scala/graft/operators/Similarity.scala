@@ -613,6 +613,52 @@ object Similarity {
     nDel
   }
 
+  /** Merge a second persisted IVF index into the BASE index's coordinate
+    * system — the FAISS merge shape (two indexes combine only under one
+    * quantizer): `otherPath`'s stored vectors are re-assigned to the base
+    * centroids (one pass against the broadcast centroid row; the other
+    * index's own centroids and cell layout are discarded) and unioned with
+    * the base rows into a fresh index at `outPath`, which keeps the base
+    * centroid table. The shard-consolidation path that completes the
+    * lifecycle sideways: two epochs / two shards built independently
+    * become one searchable index without re-clustering either corpus.
+    *
+    * vec_ids are expected disjoint (two shards of one corpus); rows keep
+    * their exact embeddings and precomputed norms, so post-merge searches
+    * are exact over the union — recall shifts only through the coarse
+    * geometry, the same trade `reindexIvf` exists to heal.
+    *
+    * Scale shape: cost = one in-row assignment over |other| + one
+    * cell-partitioned write of |base| + |other|. No pairwise work, no
+    * driver data path, one shuffle (the write's cell co-location).
+    */
+  def mergeIvfIndexes(
+      spark: org.apache.spark.sql.SparkSession,
+      basePath: String,
+      otherPath: String,
+      outPath: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val cents = spark.read.parquet(s"$basePath.centroids")
+    val base = spark.read.parquet(basePath)
+      .select(
+        col("vec_id"), col("embedding"), col("n2"),
+        col("cell_id").cast("long").as("cell_id"))
+    val moved = assignCells(
+      spark.read.parquet(otherPath).select(col("vec_id"), col("embedding"), col("n2")),
+      cents, 1)
+      .select(
+        col("vec_id"), col("embedding"), col("n2"),
+        col("cell_id").cast("long").as("cell_id"))
+    base.unionByName(moved)
+      .repartition(col("cell_id"))
+      .sortWithinPartitions(col("cell_id"), col("vec_id"))
+      .write
+      .partitionBy("cell_id")
+      .mode(SaveMode.Overwrite)
+      .parquet(outPath)
+    cents.write.mode(SaveMode.Overwrite).parquet(s"$outPath.centroids")
+  }
+
   /** Top-k search against a persisted IVF index: probe vectors are
     * assigned their `nprobe` nearest cells against the stored centroids,
     * and the index scan carries a LITERAL cell_id predicate, so partition

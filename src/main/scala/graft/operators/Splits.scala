@@ -715,4 +715,120 @@ object Splits {
       .withColumn("shard", ((col("__shrnk") - 1) % nShards).cast("int"))
       .drop("__pri", "__shrnk", "__shcum")
   }
+
+  /** Per-group RANK-QUANTILE bucketing — the CCNet recipe (Wenzek et al.
+    * 2020): order each group's rows by a model score and cut the ORDER into
+    * `nBuckets` equal-population buckets (head/middle/tail at nBuckets = 3),
+    * so "the best third of every source" means the same thing in a web
+    * crawl and a curated archive. The rank form (not value thresholds)
+    * makes bucket populations exact — per group, bucket sizes differ by at
+    * most one row — and sidesteps the tie pathology of threshold cuts,
+    * where one repeated score value swallows a whole bucket.
+    *
+    * bucket = (nBuckets * (rank - 1)) div n_g with rank the row's 1-based
+    * position in (score ASC, id ASC) order within its group (score DESC
+    * when ascending = false). Deterministic: same corpus -> same bucket for
+    * every row, any cluster, any partitioning — and exactly ROW_NUMBER
+    * semantics, so an oracle mirrors it verbatim.
+    *
+    * Scale shape: one `rankedPrefixGrouped` pass (two-phase quantile ranks;
+    * hot groups spread across reducers — NO per-group single-partition
+    * window) plus a broadcast of the |groups|-row size table.
+    */
+  def rankBuckets(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      nBuckets: Int,
+      ascending: Boolean = true,
+      bucketName: String = "bucket"): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    Seq(bucketName, "__rbs", "__rbrnk", "__rbcum", "__rbg", "__rbn").foreach(n =>
+      require(!df.columns.contains(n), s"rankBuckets: input already has a '$n' column"))
+    // rankedPrefixGrouped ranks (score DESC, id ASC); ascending order rides
+    // the negated score (ties keep the same id ASC tie-break either way)
+    val scored = df.withColumn(
+      "__rbs",
+      if (ascending) -col(scoreCol).cast("double") else col(scoreCol).cast("double"))
+    val ranked = rankedPrefixGrouped(
+      scored, groupCol, "__rbs", idCol,
+      costCol = "__rbs", // unused; the API needs a cost column
+      rankName = "__rbrnk", cumName = "__rbcum")
+    val sizes = df
+      .groupBy(col(groupCol).as("__rbg"))
+      .agg(count(lit(1)).as("__rbn"))
+    ranked
+      .join(broadcast(sizes), col(groupCol) <=> col("__rbg"))
+      .withColumn(bucketName, expr(s"($nBuckets * (__rbrnk - 1)) div __rbn"))
+      .drop("__rbs", "__rbrnk", "__rbcum", "__rbg", "__rbn")
+  }
+
+  /** Deterministic weighted-fair interleave of per-group streams into ONE
+    * global order — the training-data MIXING SCHEDULE: each source's rows
+    * are dealt into the global sequence at a rate proportional to its
+    * weight (w=3 web rows between consecutive w=1 wiki rows, ±1), so a
+    * loader that reads the schedule front-to-back consumes the declared
+    * mixture at every prefix — curriculum stages, partial epochs, and
+    * preempted jobs all train on the intended proportions. The static-file
+    * complement of `stratifiedShards` (which balances ACROSS shards; this
+    * orders WITHIN the stream) and of `alphaMixture` (which picks the
+    * rates; this realizes them as an order).
+    *
+    * Weighted-fair-queuing form, exact integers: a group's r-th row
+    * (1-based rank in (idCol ASC) order within the group) gets virtual
+    * time vt = (r * 1e6) div w; the schedule is the first `limit` rows of
+    * the (vt ASC, group ASC, id ASC) total order, tagged with 1-based
+    * `pos`. Fully deterministic on any cluster; rows of groups absent from
+    * `weights` are excluded (the schedule is scoped to the declared mix).
+    *
+    * Scale shape: one `rankedPrefixGrouped` pass for the per-group ranks
+    * (no per-group single-partition window), a broadcast of the weight
+    * table, then a TakeOrdered global cut at `limit` — the full corpus is
+    * never globally sorted. The `pos` tag is a window over the ALREADY
+    * LIMITED rows (<= limit, driver-bounded by construction).
+    */
+  def interleaveSchedule(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weights: Seq[(String, Long)],
+      limit: Int,
+      posName: String = "pos"): DataFrame = {
+    require(limit >= 1, s"limit must be >= 1, got $limit")
+    require(weights.nonEmpty, "interleaveSchedule: weights must be non-empty")
+    require(weights.forall(_._2 > 0), "interleaveSchedule: weights must be positive")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "interleaveSchedule: duplicate group in weights")
+    Seq(posName, "__iws", "__iwrnk", "__iwcum", "__iwg", "__iww", "__iwvt").foreach(n =>
+      require(!df.columns.contains(n), s"interleaveSchedule: input already has a '$n' column"))
+    val ss = df.sparkSession
+    import ss.implicits._
+    val wDf = weights.toDF("__iwg", "__iww")
+    // rank r = position in (idCol ASC) within the group: rankedPrefixGrouped
+    // orders (score DESC, id ASC), so the negated id is the score
+    val ranked = rankedPrefixGrouped(
+      df.withColumn("__iws", -col(idCol).cast("double")),
+      groupCol, "__iws", idCol,
+      costCol = "__iws", // unused; the API needs a cost column
+      rankName = "__iwrnk", cumName = "__iwcum")
+    val cut = ranked
+      .join(broadcast(wDf), col(groupCol) === col("__iwg"))
+      // within a group vt is nondecreasing in rank, and the (vt, group, id)
+      // tie-break preserves group-internal order — so no row with per-group
+      // rank > limit can reach the first `limit` global positions. The
+      // filter bounds the sort input to <= limit * |groups| rows; the
+      // global cut never sorts the corpus.
+      .filter(col("__iwrnk") <= limit)
+      .withColumn("__iwvt", expr("(__iwrnk * 1000000) div __iww"))
+      .orderBy(col("__iwvt"), col(groupCol), col(idCol))
+      .limit(limit)
+    cut
+      .withColumn(
+        posName,
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("__iwvt"), col(groupCol), col(idCol))))
+      .drop("__iws", "__iwrnk", "__iwcum", "__iwg", "__iww", "__iwvt")
+  }
 }

