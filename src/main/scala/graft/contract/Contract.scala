@@ -4023,6 +4023,38 @@ object Contract {
              |  FROM v)
              |SELECT pos::INTEGER AS pos, source, doc_id
              |FROM sched WHERE pos <= 200""".stripMargin)
+    ),
+    Q(
+      "q170_epoch_upsample",
+      // deterministic epoch upsampling (Splits.epochUpsample): the
+      // data-mixing UPWEIGHT path — rate = (src idx mod 4)*110 + 45 percent
+      // epochs, so the fixture exercises fractional-only (0.45), the
+      // exact-1.0 boundary-free case (1.55), and multi-epoch (2.65/3.75)
+      // rates. The fractional copy falls on the q53 hash-bucket subset —
+      // pure integer arithmetic, zero shuffle, and the census (rows +
+      // id-sum per source x epoch) proves copy COUNTS and copy IDENTITY.
+      (s, d) => {
+        import graft.operators.Splits
+        val rates = (0 until 20).map(i => (s"src$i", (i % 4) * 110 + 45))
+        Splits
+          .epochUpsample(
+            Tables.documents(s, d).select(col("doc_id"), col("source")),
+            "doc_id", "source", rates)
+          .groupBy(col("source"), col("epoch"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_doc_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, source,
+             |    (CAST(substring(source, 4) AS BIGINT) % 4) * 110 + 45 AS rate,
+             |    ((((doc_id % 1000000007) + 1000000007) % 1000000007) * 2654435761 % 1000000007) % 10000 AS bucket
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source,
+             |    rate // 100 + CASE WHEN bucket < (rate % 100) * 100 THEN 1 ELSE 0 END AS copies
+             |  FROM r),
+             |e AS (SELECT doc_id, source, unnest(range(copies)) AS epoch FROM c)
+             |SELECT source, epoch, count(*)::BIGINT AS n_rows, sum(doc_id)::BIGINT AS sum_doc_id
+             |FROM e GROUP BY 1, 2""".stripMargin)
     )
   )
 

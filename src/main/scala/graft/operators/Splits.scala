@@ -831,4 +831,47 @@ object Splits {
             .orderBy(col("__iwvt"), col(groupCol), col(idCol))))
       .drop("__iws", "__iwrnk", "__iwcum", "__iwg", "__iww", "__iwvt")
   }
+
+  /** Deterministic EPOCH UPSAMPLING — the data-mixing UPWEIGHT path
+    * (books x3.2 epochs while web runs once): the complement of
+    * `weightedSample`, which can only thin. `rates` are per-group integer
+    * percent epochs (320 = 3.2 epochs): every row is emitted
+    * rate div 100 times, plus once more iff its key's hash bucket (of
+    * 10000) < (rate mod 100) * 100 — the fractional epoch falls on a
+    * deterministic, partition-stable key subset (the SAME rows every run,
+    * any cluster), so reruns and resumed jobs see one dataset, not a
+    * resample. Each copy carries a 0-based `epoch` index so packing /
+    * shard shuffling can interleave copies instead of emitting them
+    * back-to-back. Rows of groups absent from `rates` are dropped (the
+    * mix is scoped); rate 0 drops the group.
+    *
+    * Scale shape: broadcast rates join + one in-row sequence explode —
+    * ZERO shuffle; the output growth IS the semantic (sum over groups of
+    * n_g * rate_g / 100, within one hash-quantum per group).
+    */
+  def epochUpsample(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      rates: Seq[(String, Int)],
+      epochName: String = "epoch"): DataFrame = {
+    require(rates.nonEmpty, "epochUpsample: rates must be non-empty")
+    require(rates.forall(_._2 >= 0), "epochUpsample: rates must be >= 0")
+    require(rates.map(_._1).distinct.size == rates.size,
+      "epochUpsample: duplicate group in rates")
+    Seq(epochName, "__eug", "__eur", "__euc").foreach(n =>
+      require(!df.columns.contains(n), s"epochUpsample: input already has a '$n' column"))
+    val ss = df.sparkSession
+    import ss.implicits._
+    val rDf = rates.toDF("__eug", "__eur")
+    df.join(broadcast(rDf), col(groupCol) === col("__eug"))
+      .withColumn(
+        "__euc",
+        expr("__eur div 100") +
+          when(bucketOf(col(keyCol), 10000) < (col("__eur") % 100) * 100, 1L)
+          .otherwise(0L))
+      .filter(col("__euc") > 0)
+      .withColumn(epochName, explode(expr("sequence(0L, __euc - 1)")))
+      .drop("__eug", "__eur", "__euc")
+  }
 }

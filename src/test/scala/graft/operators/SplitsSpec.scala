@@ -470,4 +470,32 @@ class SplitsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
     assert(re.toSeq === want)
   }
+
+  test("epochUpsample: per-key copy law from bucketOf, epoch indexing, scoping, stability") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, if (i <= 20) "a" else if (i <= 35) "b" else "zz"))
+      .toDF("id", "g")
+    val rates = Seq(("a", 250), ("b", 100), ("c", 0))
+    val got = Splits.epochUpsample(df, "id", "g", rates)
+      .select("g", "id", "epoch")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exact per-key law: copies = rate div 100 + [bucket < (rate mod 100)*100]
+    val buckets = df
+      .withColumn("b", Splits.bucketOf(org.apache.spark.sql.functions.col("id"), 10000))
+      .select("id", "b").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byKey = got.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    (1L to 20L).foreach { i =>
+      val want = 2L + (if (buckets(i) < 5000) 1L else 0L)
+      assert(byKey(("a", i)) === (0L until want), s"key $i bucket ${buckets(i)}")
+    }
+    // rate 100: exactly one copy, epoch 0, regardless of bucket
+    (21L to 35L).foreach(i => assert(byKey(("b", i)) === Seq(0L)))
+    // unlisted group and rate-0 group are dropped
+    assert(!got.exists(_._1 == "zz"))
+    // partition-stable
+    val re = Splits.epochUpsample(df.repartition(7), "id", "g", rates)
+      .select("g", "id", "epoch")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(re.sorted.toSeq === got.sorted.toSeq)
+  }
 }
