@@ -4055,6 +4055,38 @@ object Contract {
              |e AS (SELECT doc_id, source, unnest(range(copies)) AS epoch FROM c)
              |SELECT source, epoch, count(*)::BIGINT AS n_rows, sum(doc_id)::BIGINT AS sum_doc_id
              |FROM e GROUP BY 1, 2""".stripMargin)
+    ),
+    Q(
+      "q171_length_batches",
+      // length-bucketed batch assembly (Corpus.lengthBucketBatches): fixed
+      // edges 200/400/800 chars, 16-row batches dealt in (len, id) order
+      // inside each bucket — ROW_NUMBER-deterministic, certified by the
+      // all-integer batch census (rows + max/sum length per batch, from
+      // which padding waste = 16*max_len - sum_len is derivable).
+      (s, d) =>
+        graft.operators.Corpus
+          .lengthBucketBatches(
+            Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+            "doc_id", "n_chars", Seq(200L, 400L, 800L), batchSize = 16)
+          .groupBy(col("len_bucket"), col("batch"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            max(col("n_chars")).as("max_len"),
+            sum(col("n_chars")).as("sum_len")),
+      Some("""WITH b AS (
+             |  SELECT doc_id, n_chars,
+             |    (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END +
+             |     CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END +
+             |     CASE WHEN n_chars >= 800 THEN 1 ELSE 0 END) AS len_bucket
+             |  FROM documents),
+             |r AS (
+             |  SELECT len_bucket, doc_id, n_chars,
+             |    ROW_NUMBER() OVER (PARTITION BY len_bucket ORDER BY n_chars, doc_id) AS rn
+             |  FROM b)
+             |SELECT len_bucket::INTEGER AS len_bucket, ((rn - 1) // 16)::BIGINT AS batch,
+             |  count(*)::BIGINT AS n_rows, max(n_chars)::BIGINT AS max_len,
+             |  sum(n_chars)::BIGINT AS sum_len
+             |FROM r GROUP BY 1, 2""".stripMargin)
     )
   )
 

@@ -626,4 +626,42 @@ class CorpusSpec extends AnyFunSuite {
     assert(got("tmpl") === ((6L, 2L, 333333L)), "template source: 2/6 in micro-units")
     assert(got("div") === ((4L, 4L, 1000000L)), "diverse source: every gram distinct")
   }
+
+  test("lengthBucketBatches: bucket edges, tight batch deal, ROW_NUMBER determinism") {
+    import spark.implicits._
+    // bucket 0: lens 5,10,10,20 (tie on 10 breaks by id); bucket 1: 3 rows
+    val df = Seq(
+      (1L, 10L), (2L, 5L), (3L, 20L), (4L, 10L),
+      (10L, 250L), (11L, 300L), (12L, 210L)
+    ).toDF("doc_id", "n_chars")
+    val got = Corpus.lengthBucketBatches(df, "doc_id", "n_chars", Seq(200L), batchSize = 2)
+      .select("doc_id", "len_bucket", "batch")
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    // bucket 0 order: (5,2) (10,1) (10,4) (20,3) -> batches 0,0,1,1
+    assert(got(2L) === ((0, 0L)) && got(1L) === ((0, 0L)))
+    assert(got(4L) === ((0, 1L)) && got(3L) === ((0, 1L)))
+    // bucket 1 order: (210,12) (250,10) (300,11) -> batches 0,0,1
+    assert(got(12L) === ((1, 0L)) && got(10L) === ((1, 0L)) && got(11L) === ((1, 1L)))
+    // partition-stable
+    val re = Corpus.lengthBucketBatches(
+      df.repartition(5), "doc_id", "n_chars", Seq(200L), batchSize = 2)
+      .select("doc_id", "len_bucket", "batch")
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    assert(re === got)
+    // in-bucket sorting tightens padding vs the id-order deal
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("n_chars"))
+    val batched = Corpus.lengthBucketBatches(docs, "doc_id", "n_chars", Seq(200L, 400L, 800L), 16)
+    val waste = batched.groupBy("len_bucket", "batch")
+      .agg((max("n_chars") * count(lit(1)) - sum("n_chars")).as("w"))
+      .agg(sum("w")).head().getLong(0)
+    val idOrderWaste = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      docs.withColumn("b",
+        ((org.apache.spark.sql.functions.row_number().over(w) - 1).cast("long") / 16).cast("long"))
+        .groupBy("b").agg((max("n_chars") * count(lit(1)) - sum("n_chars")).as("w"))
+        .agg(sum("w")).head().getLong(0)
+    }
+    assert(waste < idOrderWaste, s"bucketed waste $waste !< id-order waste $idOrderWaste")
+  }
 }
