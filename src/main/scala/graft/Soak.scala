@@ -48,7 +48,9 @@ object Soak {
     "q32_ngram_jaccard", "q59_tfidf", "q80_bm25", "q119_bigram_coherence",
     "q130_bigram_nll", "q135_token_entropy", "q145_repetition_gopher",
     "q106_link_pagerank", "q128_hits", "q129_triangles", "q136_personalized_pagerank",
-    "q123_leakfree_split")
+    "q123_leakfree_split",
+    "q167_ccnet_buckets", "q169_curriculum_interleave", "q170_epoch_upsample",
+    "q171_length_batches")
 
   def main(args: Array[String]): Unit = {
     val src      = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")
