@@ -453,4 +453,40 @@ class AdversarialSpec extends AnyFunSuite {
       .head()
     assert(jp.getString(0) === "日>本" && jp.getLong(1) === 1L)
   }
+
+  test("round-9 mixing/batching ops: constant-score rank degeneracy, unicode groups, " +
+    "negative keys, edge-boundary lengths") {
+    import spark.implicits._
+    // rankBuckets under a CONSTANT score: ranks fall back to pure id order
+    // (the degenerate-group id-sub-bucket path) and tercile populations
+    // stay exact
+    val const = (1L to 9L).map(i => ("g", i, 7L)).toDF("g", "id", "s")
+    val rb = Splits.rankBuckets(const, "g", "s", "id", nBuckets = 3)
+      .select("id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (1L to 9L).foreach(i => assert(rb(i) === (i - 1) / 3, s"id $i"))
+    // interleaveSchedule: unicode group names order by their UTF8 string
+    // order on vt ties — deterministic, never throws
+    val uni = Seq(("\u00e9", 1L), ("\u00e9", 2L), ("e\u0301", 10L), ("\u7fd4", 20L))
+      .toDF("g", "id")
+    val sched = Splits.interleaveSchedule(
+      uni, "g", "id",
+      Seq(("\u00e9", 1L), ("e\u0301", 1L), ("\u7fd4", 1L)), limit = 10)
+      .select("pos", "g", "id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(sched.length === 4)
+    // vt=1e6 tie: "e\u0301" (ASCII 'e' = 0x65) < "\u00e9" (0xc3a9) < "\u7fd4"
+    assert(sched.take(3).map(_._2).toSeq === Seq("e\u0301", "\u00e9", "\u7fd4"))
+    // epochUpsample: negative keys bucket safely (reduce-mod-P), huge rates
+    // explode to exactly rate div 100 (+0/1) copies
+    val neg = Seq((-5L, "a"), (-1000000009L, "a"), (3L, "a")).toDF("id", "g")
+    val up = Splits.epochUpsample(neg, "id", "g", Seq(("a", 1000)))
+      .groupBy("id").count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    up.foreach { case (id, n) => assert(n === 10L, s"id $id got $n copies") }
+    // lengthBucketBatches: a length exactly AT an edge lands in the upper
+    // bucket (>= semantics), one below stays under
+    val edge = Seq((1L, 199L), (2L, 200L), (3L, 201L)).toDF("doc_id", "n_chars")
+    val lb = Corpus.lengthBucketBatches(edge, "doc_id", "n_chars", Seq(200L), 16)
+      .select("doc_id", "len_bucket").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(lb(1L) === 0 && lb(2L) === 1 && lb(3L) === 1)
+  }
 }
