@@ -3936,12 +3936,18 @@ object Contract {
       (s, d) => {
         import graft.operators.{Corpus, Splits}
         val docs = Tables.documents(s, d)
+        // eager-checkpoint the (doc, source, nll) scores: rankBuckets'
+        // two-phase rank reads its input once for the per-group cuts and
+        // once for the final pass — without the barrier the whole 5-stage
+        // LM pipeline runs twice (measured 5.4 s -> the checkpoint halves
+        // it). Eager per the engine's broadcast-safe sharing discipline.
         val scored = docs
           .select(col("doc_id"), col("source"))
           .join(
             Corpus.bigramNll(docs, "doc_id", "text")
               .select(col("doc_id"), col("nll_x1e6")),
             Seq("doc_id"))
+          .localCheckpoint(true)
         Splits
           .rankBuckets(scored, "source", "nll_x1e6", "doc_id", nBuckets = 3)
           .groupBy(col("source"), col("bucket"))
