@@ -498,4 +498,68 @@ class SplitsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(re.sorted.toSeq === got.sorted.toSeq)
   }
+
+  test("round-9 rank family == naive window spellings on a 400-row mixed corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deterministic mixed fixture: 7 groups of uneven sizes, scores with
+    // heavy ties (i % 6), ids unique
+    val rows = (1L to 400L).map(i => (i, s"s${i % 7}", (i % 6).toDouble * 10))
+    val df = rows.toDF("id", "g", "score").repartition(9)
+
+    // rankBuckets(ascending) == bucket from ROW_NUMBER over (score, id)
+    val rb = Splits.rankBuckets(df, "g", "score", "id", nBuckets = 4)
+      .select("id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val wRb = Window.partitionBy(col("g")).orderBy(col("score"), col("id"))
+    val naiveRb = df
+      .withColumn("rn", row_number().over(wRb))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .withColumn("b", expr("(4 * (rn - 1)) div n"))
+      .select("id", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rb === naiveRb)
+
+    // interleaveSchedule == naive global sort of the vt order
+    val weights = Seq(("s0", 3L), ("s1", 1L), ("s2", 2L), ("s3", 5L))
+    val il = Splits.interleaveSchedule(df, "g", "id", weights, limit = 150)
+      .select("pos", "id").collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val wIl = Window.partitionBy(col("g")).orderBy(col("id"))
+    val naiveIl = df
+      .join(broadcast(weights.toDF("g", "w")), "g")
+      .withColumn("rn", row_number().over(wIl))
+      .withColumn("vt", expr("(rn * 1000000) div w"))
+      .orderBy(col("vt"), col("g"), col("id"))
+      .limit(150)
+      .select("id").collect().map(_.getLong(0))
+    assert(il.map(_._2).toSeq === naiveIl.toSeq)
+    assert(il.map(_._1).toSeq === (1 to 150))
+
+    // lengthBucketBatches == naive bucket + ROW_NUMBER deal
+    val lb = graft.operators.Corpus
+      .lengthBucketBatches(df.withColumnRenamed("score", "len"), "id", "len", Seq(20L, 40L), 8)
+      .select("id", "len_bucket", "batch")
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    val naiveLb = df
+      .withColumn("lb",
+        when(col("score") >= 40, 2).when(col("score") >= 20, 1).otherwise(0))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lb")).orderBy(col("score"), col("id"))))
+      .withColumn("b", expr("(rn - 1) div 8"))
+      .select("id", "lb", "b")
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    assert(lb === naiveLb)
+
+    // epochUpsample == per-row closed form
+    val up = Splits.epochUpsample(df, "id", "g", Seq(("s0", 230), ("s1", 99)))
+      .groupBy("id").count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bks = df.withColumn("b", Splits.bucketOf(col("id"), 10000))
+      .select("id", "g", "b").collect().map(r => (r.getLong(0), (r.getString(1), r.getInt(2)))).toMap
+    rows.foreach { case (i, g, _) =>
+      val want = g match {
+        case "s0" => 2L + (if (bks(i)._2 < 3000) 1L else 0L)
+        case "s1" => if (bks(i)._2 < 9900) 1L else 0L
+        case _    => 0L
+      }
+      assert(up.getOrElse(i, 0L) === want, s"id $i g $g bucket ${bks(i)._2}")
+    }
+  }
 }
