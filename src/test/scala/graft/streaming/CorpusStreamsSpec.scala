@@ -254,4 +254,49 @@ class CorpusStreamsSpec extends AnyFunSuite {
     val (_, _, again) = CountMin.readMerged(spark, sketch)
     assert(again.toSeq === merged.toSeq, "empty re-drain must leave the sketch unchanged")
   }
+
+  test("stateless mixing ops run UNCHANGED on a stream: drained == batch " +
+    "(epochUpsample, splitLabel)") {
+    // the mixing upweight and split assignment are pure hash projections
+    // (broadcast-rate join + in-row explode; multiplicative-hash bucket) —
+    // no state, no watermark, no ordering assumption — so the SAME
+    // operator call works at ingest time on an unbounded stream. This is
+    // the certified claim that the mixing stage needs no batch barrier.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Splits
+    val sq = spark
+    import sq.implicits._
+    val rows  = (1L to 60L).map(i => (i, s"src${i % 3}"))
+    val rates = Seq(("src0", 250), ("src1", 95), ("src2", 0))
+    val fr    = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+
+    def transform(df: org.apache.spark.sql.DataFrame) =
+      Splits.epochUpsample(df, "id", "g", rates)
+        .withColumn("split", Splits.splitLabel(col("id"), fr))
+
+    val ms = MemoryStream[(Long, String)](sq)
+    ms.addData(rows.take(25): _*)
+    ms.addData(rows.drop(25): _*)
+    val out = tmp("mix-sink")
+    val q = transform(ms.toDF.toDF("id", "g"))
+      .writeStream
+      .format("parquet")
+      .option("path", out + "/data")
+      .option("checkpointLocation", out + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = sq.read.parquet(out + "/data")
+      .select("id", "g", "epoch", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sorted
+    val batch = transform(rows.toDF("id", "g"))
+      .select("id", "g", "epoch", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sorted
+    assert(streamed.toSeq === batch.toSeq && batch.nonEmpty)
+    // the rate-0 source is dropped in both worlds
+    assert(!batch.exists(_._2 == "src2"))
+  }
 }
