@@ -816,20 +816,18 @@ object Similarity {
 
   /** PQ code array for the row's `embedding` (norm `nrm` in scope):
     * per-subspace argmin of l2OrderScore against the codebook literal.
+    * NATIVE (PqEncodeExpr): the composed `transform(sequence(...))` form
+    * runs as interpreted lambdas — ~0.4 ms/row at m=8, kCodes=16, dim=64,
+    * which made the encode pass cost more than the search it fed (the r9
+    * q100 bisect). Bit-identical arithmetic; PqExprsSpec pins native ==
+    * composed on random and degenerate inputs.
     */
   private def pqCodesExpr(cb: Seq[Seq[Seq[Double]]], nrm: Column): Column = {
-    val m     = cb.length
-    val sub   = cb.head.head.length
-    val cbL   = typedlit(cb)
-    val cn2L  = typedlit(centroidN2(cb))
-    transform(sequence(lit(0), lit(m - 1)), j => {
-      val subv = slice(col("embedding"), j * sub + 1, lit(sub))
-      val dists = transform(sequence(lit(1), lit(cb.head.length)), c =>
-        l2OrderScore(subv, nrm,
-          element_at(element_at(cbL, j + 1), c),
-          element_at(element_at(cn2L, j + 1), c)))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    })
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.PqEncodeExpr(
+      ColumnBridge.expression(col("embedding")),
+      ColumnBridge.expression(nrm.cast("double")),
+      cb))
   }
 
   /** Per-probe ADC table expression: table[j][c] = l2OrderScore of the
@@ -850,15 +848,18 @@ object Similarity {
     })
   }
 
-  /** Negated ADC sum for a (codes, __table) row pair — higher = closer. */
-  private def negAdcExpr(m: Int): Column =
-    lit(0.0) - aggregate(
-      sequence(lit(0), lit(m - 1)),
-      lit(0.0),
-      (acc, j) =>
-        acc + element_at(
-          element_at(col("__table"), j + 1),
-          element_at(col("codes"), j + 1) + 1))
+  /** Negated ADC sum for a (codes, __table) row pair — higher = closer.
+    * NATIVE (PqAdcExpr): one flat loop per candidate row instead of the
+    * interpreted `aggregate` lambda tree (same FP association, same
+    * `0.0 - acc` tail — bit-identical; see PqExprsSpec).
+    */
+  private def negAdcExpr(m: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val _ = m // size rides in the arrays themselves
+    ColumnBridge.column(graft.functions.PqAdcExpr(
+      ColumnBridge.expression(col("codes")),
+      ColumnBridge.expression(col("__table"))))
+  }
 
   /** Exact-cosine re-rank of a (probe_id, neighbor_id) shortlist to top-k. */
   private def exactRerank(

@@ -1,0 +1,180 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.SparkTestSession
+
+/** The native PQ kernels must be BIT-identical to the composed
+  * higher-order spellings they replaced on the q100/q102 hot path:
+  *  - PqEncodeExpr == transform(sequence) / slice / array_min /
+  *    array_position argmin (first-min ties, -0.0 < 0.0, null codes where
+  *    a subspace slice runs short or holds a null element);
+  *  - PqAdcExpr == 0.0 - aggregate(sequence, element_at(element_at)) (same
+  *    left-to-right FP association from the 0.0 seed).
+  */
+class PqExprsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def nativeEncode(cb: Seq[Seq[Seq[Double]]], nrm: Column): Column =
+    ColumnBridge.column(PqEncodeExpr(
+      ColumnBridge.expression(col("embedding")),
+      ColumnBridge.expression(nrm.cast("double")), cb))
+
+  /** The exact composed spelling Similarity.pqCodesExpr used through r9. */
+  private def composedEncode(cb: Seq[Seq[Seq[Double]]], nrm: Column): Column = {
+    val m    = cb.length
+    val sub  = cb.head.head.length
+    val cbL  = typedlit(cb)
+    val cn2L = typedlit(cb.map(_.map(c => c.map(x => x * x).sum)))
+    def dot(a: Column, b: Column): Column =
+      ColumnBridge.column(VecDotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    transform(sequence(lit(0), lit(m - 1)), j => {
+      val subv = slice(col("embedding"), j * sub + 1, lit(sub))
+      val dists = transform(sequence(lit(1), lit(cb.head.length)), c =>
+        element_at(element_at(cn2L, j + 1), c)
+          - lit(2.0) * dot(subv, element_at(element_at(cbL, j + 1), c)) / nrm)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+  }
+
+  private def nativeAdc: Column =
+    ColumnBridge.column(PqAdcExpr(
+      ColumnBridge.expression(col("codes")), ColumnBridge.expression(col("__table"))))
+
+  /** The exact composed spelling Similarity.negAdcExpr used through r9. */
+  private def composedAdc(m: Int): Column =
+    lit(0.0) - aggregate(
+      sequence(lit(0), lit(m - 1)),
+      lit(0.0),
+      (acc, j) => acc + element_at(element_at(col("__table"), j + 1), element_at(col("codes"), j + 1) + 1))
+
+  private def randCb(m: Int, k: Int, sub: Int, seed: Long): Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(m)(Seq.fill(k)(Seq.fill(sub)(rnd.nextDouble() * 2 - 1)))
+  }
+
+  test("encode: native == composed, bit-exact, random float vectors") {
+    import spark.implicits._
+    val rnd  = new scala.util.Random(42)
+    val vecs = Seq.fill(200)(Seq.fill(64)(rnd.nextFloat() * 2f - 1f))
+    val cb   = randCb(8, 16, 8, 7)
+    val rows = vecs.toDF("embedding")
+      .withColumn("nrm", sqrt(aggregate(col("embedding"),
+        lit(0.0), (a, x) => a + x.cast("double") * x.cast("double"))))
+      .select(
+        nativeEncode(cb, col("nrm")).as("n"),
+        composedEncode(cb, col("nrm")).as("c"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) === r.getSeq[Int](1))
+    }
+  }
+
+  test("encode: tied distances keep the first code (array_position parity)") {
+    import spark.implicits._
+    // two identical centroids => argmin tie => first index
+    val cb = Seq(Seq(Seq(0.5, 0.5), Seq(0.5, 0.5), Seq(9.0, 9.0)))
+    val r = Seq(Seq(1.0f, 1.0f)).toDF("embedding")
+      .select(
+        nativeEncode(cb, lit(1.0)).as("n"),
+        composedEncode(cb, lit(1.0)).as("c"))
+      .head()
+    assert(r.getSeq[Int](0) === Seq(0))
+    assert(r.getSeq[Int](0) === r.getSeq[Int](1))
+  }
+
+  test("encode: short vector => null code where the slice runs out") {
+    import spark.implicits._
+    val cb = randCb(2, 4, 3, 11) // needs dim 6; give dim 4
+    val r = Seq(Seq(1.0f, 2.0f, 3.0f, 4.0f)).toDF("embedding")
+      .select(
+        nativeEncode(cb, lit(2.0)).as("n"),
+        composedEncode(cb, lit(2.0)).as("c"))
+      .head()
+    val n = r.getSeq[java.lang.Integer](0)
+    val c = r.getSeq[java.lang.Integer](1)
+    assert(n === c)
+    assert(n(0) ne null)
+    assert(n(1) eq null)
+  }
+
+  test("encode: null element poisons only its subspace") {
+    import spark.implicits._
+    val cb = randCb(2, 4, 2, 13)
+    val r = Seq(Seq[java.lang.Float](1.0f, 2.0f, null, 4.0f)).toDF("embedding")
+      .select(
+        nativeEncode(cb, lit(2.0)).as("n"),
+        composedEncode(cb, lit(2.0)).as("c"))
+      .head()
+    val n = r.getSeq[java.lang.Integer](0)
+    val c = r.getSeq[java.lang.Integer](1)
+    assert(n === c)
+    assert(n(0) ne null)
+    assert(n(1) eq null)
+  }
+
+  test("encode: null embedding / null nrm => NULL") {
+    import spark.implicits._
+    val cb = randCb(1, 2, 2, 17)
+    val r = Seq((Option.empty[Seq[Float]], Option(1.0)), (Option(Seq(1.0f, 2.0f)), Option.empty[Double]))
+      .toDF("embedding", "nrmIn")
+      .select(nativeEncode(cb, col("nrmIn")).as("n"))
+      .collect()
+    assert(r.forall(_.isNullAt(0)))
+  }
+
+  test("adc: native == composed, bit-exact, random tables") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(100) {
+      val codes = Seq.fill(8)(rnd.nextInt(16))
+      val table = Seq.fill(8)(Seq.fill(16)(rnd.nextDouble() * 10 - 5))
+      (codes, table)
+    }
+    val got = rows.toDF("codes", "__table")
+      .select(nativeAdc.as("n"), composedAdc(8).as("c"))
+      .collect()
+    got.foreach { r =>
+      assert(
+        java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("adc: null codes / out-of-range code => NULL") {
+    import spark.implicits._
+    val table = Seq(Seq(1.0, 2.0))
+    val df = Seq(
+      (Seq[java.lang.Integer](null), table),
+      (Seq[java.lang.Integer](5), table))
+      .toDF("codes", "__table")
+      .select(nativeAdc.as("n"))
+    assert(df.collect().forall(_.isNullAt(0)))
+  }
+
+  test("q100-shaped end-to-end: native pqTopK matches brute-force order") {
+    // shortlist >= corpus makes pqTopK exact for ANY codebook; the native
+    // kernels must preserve that (the q100 oracle's own argument)
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(5)
+    val emb = Seq.tabulate(80)(i => (i.toLong, Seq.fill(16)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .pqTopK(emb, col("vec_id") < 3, k = 4, m = 4, kCodes = 8, shortlist = 128)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val brute = graft.operators.Similarity
+      .bruteForceTopK(emb, col("vec_id") < 3, k = 4)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(got === brute)
+  }
+}
