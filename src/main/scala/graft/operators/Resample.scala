@@ -40,16 +40,32 @@ object Resample {
       .withColumn("__bin", window(col(tsCol), step).getField("start"))
       .groupBy(key, col("__bin"))
       .agg(max(struct(col(tsCol), col(valCol))).getField(valCol).as("__vobs"))
-    val grid = perBin
-      .groupBy(key)
-      .agg(min(col("__bin")).as("__lo"), max(col("__bin")).as("__hi"))
-      .select(key, explode(expr(s"sequence(__lo, __hi, interval $step)")).as("__bin"))
+    // Segment spelling of LOCF: each OBSERVED bin owns the grid rows up to
+    // (exclusive) the key's next observed bin — lead() hands every row its
+    // successor, and the row explodes its own [bin, next) span carrying its
+    // value with it. Two exchanges total ((key,bin) aggregate; key window)
+    // versus the naive grid-join form's four (per-key lo/hi re-aggregate,
+    // grid-to-observation join, fill window over the EXPLODED grid): no
+    // join, and the only window runs over per-bin rows, not grid rows.
+    // Same scale posture: the explode still materializes only each key's
+    // own span, after the window. window() only accepts fixed-width steps,
+    // so observed bins always sit on one arithmetic progression and the
+    // per-segment sequences reproduce exactly sequence(lo, hi, step).
     val w = Window.partitionBy(key).orderBy(col("__bin"))
-    grid
-      .join(perBin, Seq(keyCol, "__bin"), "left")
-      .withColumn("value", last(col("__vobs"), ignoreNulls = true).over(w))
-      .withColumn("observed", col("__vobs").isNotNull)
-      .select(key, col("__bin").as("bin"), col("value"), col("observed"))
+    perBin
+      .withColumn("__next", lead(col("__bin"), 1).over(w))
+      .select(
+        key,
+        col("__vobs"),
+        col("__bin"),
+        explode(expr(
+          s"sequence(__bin, coalesce(__next - interval $step, __bin), interval $step)"))
+          .as("bin"))
+      .select(
+        key,
+        col("bin"),
+        col("__vobs").as("value"),
+        (col("bin") === col("__bin")).as("observed"))
   }
 
   /** Gap report over the same grid: per key, the count and fraction of
