@@ -308,20 +308,18 @@ object Corpus {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     require(edges.nonEmpty && edges == edges.sorted && edges.distinct == edges,
       s"edges must be non-empty, strictly increasing: $edges")
-    Seq("len_bucket", "batch", "__lbs", "__lbrnk", "__lbcum").foreach(n =>
+    Seq("len_bucket", "batch", "__lbs", "__lbrnk").foreach(n =>
       require(!docs.columns.contains(n), s"lengthBucketBatches: input already has a '$n' column"))
     val bucket = edges.foldLeft(lit(0)) { case (acc, e) =>
       acc + when(col(lenCol) >= e, 1).otherwise(0)
     }
     graft.operators.Splits
-      .rankedPrefixGrouped(
+      .rankedGrouped(
         docs.withColumn("len_bucket", bucket)
           .withColumn("__lbs", -col(lenCol).cast("double")),
-        "len_bucket", "__lbs", idCol,
-        costCol = "__lbs", // unused; the API needs a cost column
-        rankName = "__lbrnk", cumName = "__lbcum")
+        "len_bucket", "__lbs", idCol, rankName = "__lbrnk")
       .withColumn("batch", expr(s"(__lbrnk - 1) div $batchSize"))
-      .drop("__lbs", "__lbrnk", "__lbcum")
+      .drop("__lbs", "__lbrnk")
   }
 
   /** C4-style LINE-level corpus dedup: every "line" that occurs more than

@@ -210,14 +210,13 @@ object Splits {
       .select(col("__src"),
         round(lit(totalN.toDouble) * col("__n").cast("double")
           / col("__t").cast("double")).cast("long").as("__alloc"))
-    val ranked = rankedPrefixGrouped(
+    val ranked = rankedGrouped(
       df.withColumn("__score", hashOrder(col(keyCol)).cast("double")),
-      strataCol, "__score", keyCol, costCol = keyCol,
-      rankName = "__rnk", cumName = "__cum")
+      strataCol, "__score", keyCol, rankName = "__rnk")
     ranked
       .join(broadcast(alloc), col(strataCol) === col("__src"))
       .filter(col("__rnk") <= col("__alloc"))
-      .drop("__score", "__src", "__alloc", "__rnk", "__cum")
+      .drop("__score", "__src", "__alloc", "__rnk")
   }
 
   /** Deterministic weighted EXACT-N sampling without replacement
@@ -476,21 +475,50 @@ object Splits {
       costCol: String,
       rankName: String = "rnk",
       cumName: String = "cum_cost",
-      buckets: Int = 32): DataFrame = {
+      buckets: Int = 32): DataFrame =
+    rankedGroupedCore(df, groupCol, scoreCol, idCol, Some(costCol), rankName, cumName, buckets)
+
+  /** RANK-ONLY `rankedPrefixGrouped`: the same two-phase per-group quantile
+    * rank with no prefix-sum machinery — no cost column, no cum output, no
+    * per-row running-sum window. This is the hot primitive of the mixing/
+    * batching tier (`rankBuckets`, `interleaveSchedule`,
+    * `lengthBucketBatches`, `stratifiedShards`, `scorePercentileGrouped`
+    * all need ONLY the rank); through round 9 each of them fed a dummy
+    * cost column and paid a running-sum aggregate it immediately dropped.
+    */
+  def rankedGrouped(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      rankName: String = "rnk",
+      buckets: Int = 32): DataFrame =
+    rankedGroupedCore(df, groupCol, scoreCol, idCol, None, rankName, "__unused_cum", buckets)
+
+  private def rankedGroupedCore(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      costOpt: Option[String],
+      rankName: String,
+      cumName: String,
+      buckets: Int): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    Seq(rankName, cumName, "__g", "__b").foreach(n =>
+    (Seq(rankName, "__g", "__b") ++ costOpt.map(_ => cumName)).foreach(n =>
       require(!df.columns.contains(n), s"rankedPrefixGrouped: input already has a '$n' column"))
-    val cost = coalesce(col(costCol).cast("long"), lit(0L))
+    val cost = costOpt.map(c => coalesce(col(c).cast("long"), lit(0L)))
     val ss   = df.sparkSession
     import ss.implicits._
     // null-safe internal group key (a plain join on a null key would
     // silently drop the null group's rows)
     val gkey = coalesce(col(groupCol).cast("string"), lit("\u0000<null>"))
+    // cuts/sub-cuts only read (group, score, id) — cost stays out of the
+    // cached projection (it was dead weight there even on the prefix path)
     val slim = df
       .select(
         gkey.as("__g"),
         col(scoreCol).cast("double").as("__score"),
-        cost.as("__cost"),
         col(idCol).cast("double").as("__id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (cutsRows, heavyRows) =
@@ -577,11 +605,12 @@ object Splits {
       .drop("__cuts", "__mult", "__hg", "__hv", "__hsub")
 
     // per-(group, bucket) totals -> per-group descending-bucket offsets
+    // (the cost leg exists only on the prefix path)
     val totals = withB
       .groupBy(col("__g"), col("__b"))
-      .agg(count(lit(1)).as("n"), sum(cost).as("c"))
+      .agg(count(lit(1)).as("n"), cost.map(c => sum(c).as("c")).toSeq: _*)
       .collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), if (cost.isDefined) r.getLong(3) else 0L))
       .toSeq
     val offsets = totals
       .groupBy(_._1)
@@ -599,10 +628,12 @@ object Splits {
       .orderBy(col(scoreCol).desc_nulls_last, col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    withB
+    val ranked = withB
       .join(broadcast(offDf), Seq("__g", "__b"))
       .withColumn(rankName, col("__cntoff") + row_number().over(w))
-      .withColumn(cumName, col("__costoff") + sum(cost).over(w))
+    cost
+      .map(c => ranked.withColumn(cumName, col("__costoff") + sum(c).over(w)))
+      .getOrElse(ranked)
       .drop("__g", "__b", "__cntoff", "__costoff")
   }
 
@@ -659,10 +690,8 @@ object Splits {
       pctName: String = "pct_x1e6"): DataFrame = {
     require(!df.columns.contains(pctName),
       s"scorePercentileGrouped: input already has a '$pctName' column")
-    val ranked = rankedPrefixGrouped(
-      df, groupCol, scoreCol, idCol,
-      costCol = scoreCol, // unused; the API needs a cost column
-      rankName = "__sprnk", cumName = "__spcum")
+    val ranked = rankedGrouped(
+      df, groupCol, scoreCol, idCol, rankName = "__sprnk")
     val sizes = df
       .groupBy(col(groupCol).as("__spg"))
       .agg(count(lit(1)).as("__spn"))
@@ -671,7 +700,7 @@ object Splits {
       .withColumn(
         pctName,
         expr(s"(__spn - __sprnk) * 1000000 div greatest(__spn - 1, 1)"))
-      .drop("__sprnk", "__spcum", "__spg", "__spn")
+      .drop("__sprnk", "__spg", "__spn")
   }
 
   /** MIXTURE-PRESERVING shard assignment: shard = (per-`groupCol` rank in
@@ -704,16 +733,14 @@ object Splits {
     require(!df.columns.contains("shard"),
       "stratifiedShards: input already has a 'shard' column; rename it first")
     val withPri = df.withColumn("__pri", hashOrder(col(keyCol)).cast("double"))
-    rankedPrefixGrouped(
+    rankedGrouped(
       withPri,
       groupCol,
       scoreCol = "__pri",
       idCol = keyCol,
-      costCol = "__pri", // unused; rankedPrefixGrouped needs a cost column
-      rankName = "__shrnk",
-      cumName = "__shcum")
+      rankName = "__shrnk")
       .withColumn("shard", ((col("__shrnk") - 1) % nShards).cast("int"))
-      .drop("__pri", "__shrnk", "__shcum")
+      .drop("__pri", "__shrnk")
   }
 
   /** Per-group RANK-QUANTILE bucketing — the CCNet recipe (Wenzek et al.
@@ -744,24 +771,22 @@ object Splits {
       ascending: Boolean = true,
       bucketName: String = "bucket"): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
-    Seq(bucketName, "__rbs", "__rbrnk", "__rbcum", "__rbg", "__rbn").foreach(n =>
+    Seq(bucketName, "__rbs", "__rbrnk", "__rbg", "__rbn").foreach(n =>
       require(!df.columns.contains(n), s"rankBuckets: input already has a '$n' column"))
     // rankedPrefixGrouped ranks (score DESC, id ASC); ascending order rides
     // the negated score (ties keep the same id ASC tie-break either way)
     val scored = df.withColumn(
       "__rbs",
       if (ascending) -col(scoreCol).cast("double") else col(scoreCol).cast("double"))
-    val ranked = rankedPrefixGrouped(
-      scored, groupCol, "__rbs", idCol,
-      costCol = "__rbs", // unused; the API needs a cost column
-      rankName = "__rbrnk", cumName = "__rbcum")
+    val ranked = rankedGrouped(
+      scored, groupCol, "__rbs", idCol, rankName = "__rbrnk")
     val sizes = df
       .groupBy(col(groupCol).as("__rbg"))
       .agg(count(lit(1)).as("__rbn"))
     ranked
       .join(broadcast(sizes), col(groupCol) <=> col("__rbg"))
       .withColumn(bucketName, expr(s"($nBuckets * (__rbrnk - 1)) div __rbn"))
-      .drop("__rbs", "__rbrnk", "__rbcum", "__rbg", "__rbn")
+      .drop("__rbs", "__rbrnk", "__rbg", "__rbn")
   }
 
   /** Deterministic weighted-fair interleave of per-group streams into ONE
@@ -800,18 +825,16 @@ object Splits {
     require(weights.forall(_._2 > 0), "interleaveSchedule: weights must be positive")
     require(weights.map(_._1).distinct.size == weights.size,
       "interleaveSchedule: duplicate group in weights")
-    Seq(posName, "__iws", "__iwrnk", "__iwcum", "__iwg", "__iww", "__iwvt").foreach(n =>
+    Seq(posName, "__iws", "__iwrnk", "__iwg", "__iww", "__iwvt").foreach(n =>
       require(!df.columns.contains(n), s"interleaveSchedule: input already has a '$n' column"))
     val ss = df.sparkSession
     import ss.implicits._
     val wDf = weights.toDF("__iwg", "__iww")
     // rank r = position in (idCol ASC) within the group: rankedPrefixGrouped
     // orders (score DESC, id ASC), so the negated id is the score
-    val ranked = rankedPrefixGrouped(
+    val ranked = rankedGrouped(
       df.withColumn("__iws", -col(idCol).cast("double")),
-      groupCol, "__iws", idCol,
-      costCol = "__iws", // unused; the API needs a cost column
-      rankName = "__iwrnk", cumName = "__iwcum")
+      groupCol, "__iws", idCol, rankName = "__iwrnk")
     val cut = ranked
       .join(broadcast(wDf), col(groupCol) === col("__iwg"))
       // within a group vt is nondecreasing in rank, and the (vt, group, id)
@@ -829,7 +852,7 @@ object Splits {
         row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("__iwvt"), col(groupCol), col(idCol))))
-      .drop("__iws", "__iwrnk", "__iwcum", "__iwg", "__iww", "__iwvt")
+      .drop("__iws", "__iwrnk", "__iwg", "__iww", "__iwvt")
   }
 
   /** Deterministic EPOCH UPSAMPLING — the data-mixing UPWEIGHT path
