@@ -3970,9 +3970,14 @@ object Contract {
       (s, d) => {
         import graft.operators.Similarity
         val emb = Tables.embeddings(s, d)
-        val pa  = s"$scratchRoot/ivf_merge_base_q168"
-        val pb  = s"$scratchRoot/ivf_merge_other_q168"
-        val pm  = s"$scratchRoot/ivf_merge_out_q168"
+        // scratchRoot is already per-process (a fresh temp dir per JVM);
+        // the per-call token additionally keeps concurrent in-process
+        // invocations (or an overlapped rerun) off each other's
+        // directories. Paths never affect results.
+        val tok = java.lang.Long.toHexString(System.nanoTime())
+        val pa  = s"$scratchRoot/ivf_merge_base_q168_$tok"
+        val pb  = s"$scratchRoot/ivf_merge_other_q168_$tok"
+        val pm  = s"$scratchRoot/ivf_merge_out_q168_$tok"
         Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), pa, ncells = 8)
         Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 =!= 0), pb, ncells = 5)
         Similarity.mergeIvfIndexes(s, pa, pb, pm)

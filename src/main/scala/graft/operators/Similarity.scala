@@ -623,14 +623,21 @@ object Similarity {
     * lifecycle sideways: two epochs / two shards built independently
     * become one searchable index without re-clustering either corpus.
     *
-    * vec_ids are expected disjoint (two shards of one corpus); rows keep
-    * their exact embeddings and precomputed norms, so post-merge searches
-    * are exact over the union — recall shifts only through the coarse
-    * geometry, the same trade `reindexIvf` exists to heal.
+    * vec_ids MUST be disjoint (two shards of one corpus) and the other
+    * index's vectors must match the base quantizer's dimension — both are
+    * CHECKED, not assumed: a shared id would silently duplicate rows and
+    * skew every downstream top-k, and a mismatched dimension would store
+    * vectors no probe can ever score. Rows keep their exact embeddings and
+    * precomputed norms, so post-merge searches are exact over the union —
+    * recall shifts only through the coarse geometry, the same trade
+    * `reindexIvf` exists to heal.
     *
     * Scale shape: cost = one in-row assignment over |other| + one
-    * cell-partitioned write of |base| + |other|. No pairwise work, no
-    * driver data path, one shuffle (the write's cell co-location).
+    * cell-partitioned write of |base| + |other|. The guards add one
+    * early-exit projection scan over |other| (dimension) and one thin
+    * id-column intersect (collision; distinct + hash join on ids, a few
+    * bytes per row). No pairwise work, no driver data path beyond the
+    * ≤5-row collision sample.
     */
   def mergeIvfIndexes(
       spark: org.apache.spark.sql.SparkSession,
@@ -643,9 +650,29 @@ object Similarity {
       .select(
         col("vec_id"), col("embedding"), col("n2"),
         col("cell_id").cast("long").as("cell_id"))
-    val moved = assignCells(
-      spark.read.parquet(otherPath).select(col("vec_id"), col("embedding"), col("n2")),
-      cents, 1)
+    val other = spark.read.parquet(otherPath)
+      .select(col("vec_id"), col("embedding"), col("n2"))
+    val centDim = cents
+      .select(size(element_at(col("cents"), 1).getField("c_emb")))
+      .first()
+      .getInt(0)
+    val badDim = other
+      .select(col("vec_id"), size(col("embedding")).as("__d"))
+      .filter(col("__d") =!= centDim)
+      .limit(1)
+      .collect()
+    require(badDim.isEmpty,
+      s"mergeIvfIndexes: $otherPath stores dim ${badDim.headOption.map(_.getInt(1)).getOrElse(-1)} " +
+        s"vectors (e.g. vec_id ${badDim.headOption.map(_.get(0)).getOrElse("?")}) but the base " +
+        s"quantizer at $basePath.centroids is dim $centDim")
+    val collide = base.select(col("vec_id"))
+      .intersect(other.select(col("vec_id")))
+      .limit(5)
+      .collect()
+    require(collide.isEmpty,
+      s"mergeIvfIndexes: vec_ids are not disjoint between $basePath and $otherPath " +
+        s"(e.g. ${collide.map(_.get(0)).mkString(", ")}); merging would silently duplicate rows")
+    val moved = assignCells(other, cents, 1)
       .select(
         col("vec_id"), col("embedding"), col("n2"),
         col("cell_id").cast("long").as("cell_id"))

@@ -205,4 +205,40 @@ class IvfIndexSpec extends AnyFunSuite {
     val oddInMerged = merged.filter(col("vec_id") % 2 =!= 0).count()
     assert(oddInMerged === emb.filter(col("vec_id") % 2 =!= 0).count())
   }
+
+  test("mergeIvfIndexes: colliding vec_ids are rejected, not silently duplicated") {
+    val emb  = Tables.embeddings(spark, sfDir)
+    val root = tmp()
+    val pa   = root + "/base"
+    val pb   = root + "/other"
+    // overlap: [0, 20) in base, [10, 30) in other -> ids 10..18 (even/odd
+    // mix on both sides) collide
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 20), pa, ncells = 4)
+    Similarity.writeIvfIndex(
+      emb.filter(col("vec_id") >= 10 && col("vec_id") < 30), pb, ncells = 4)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mergeIvfIndexes(spark, pa, pb, root + "/merged")
+    }
+    assert(e.getMessage.contains("not disjoint"))
+    assert(!new java.io.File(root, "merged").exists(),
+      "a rejected merge must not leave a partial output index")
+  }
+
+  test("mergeIvfIndexes: mismatched embedding dimension is rejected") {
+    val spark2 = spark
+    import spark2.implicits._
+    val emb  = Tables.embeddings(spark, sfDir)
+    val root = tmp()
+    val pa   = root + "/base"
+    val pb   = root + "/other"
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 50), pa, ncells = 4)
+    // an index of truncated vectors: disjoint ids, wrong dimensionality
+    val shortEmb = emb.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+      .select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding"))
+    Similarity.writeIvfIndex(shortEmb, pb, ncells = 2)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mergeIvfIndexes(spark, pa, pb, root + "/merged")
+    }
+    assert(e.getMessage.contains("dim"))
+  }
 }
