@@ -50,7 +50,11 @@ object Soak {
     "q106_link_pagerank", "q128_hits", "q129_triangles", "q136_personalized_pagerank",
     "q123_leakfree_split",
     "q167_ccnet_buckets", "q169_curriculum_interleave", "q170_epoch_upsample",
-    "q171_length_batches")
+    "q171_length_batches",
+    // time-series family over the replicated events table (round-9 verdict
+    // item 4 — the one family previously never run above sf0.1): regular-
+    // grid resample+ffill, both as-of join directions, the funnel
+    "q93_resample_ffill", "q67_asof_tolerance", "q68_asof_forward", "q69_funnel")
 
   def main(args: Array[String]): Unit = {
     val src      = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")
@@ -138,6 +142,15 @@ object Soak {
 
     var failed = List.empty[String]
     val picked = soakQueries.filter(n => only.forall(_.exists(n.startsWith)))
+    // a typo'd SOAK_ONLY must not produce an all-green zero-query record
+    // (total 0, failed [] reads as a passing artifact)
+    if (picked.isEmpty) {
+      System.err.println(
+        s"[soak] SPARK_GRAFT_SOAK_ONLY=${only.map(_.mkString(",")).getOrElse("")} " +
+          s"matches none of ${soakQueries.size} soak queries — refusing to write an empty record")
+      spark.stop()
+      sys.exit(2)
+    }
     val times = picked.map { name =>
       val q  = contract.Contract.byName(name)
       val t0 = System.nanoTime()
@@ -167,6 +180,25 @@ object Soak {
       s"""{"replicas":$replicas,"docs":$nDocs,"embeddings":$nEmb,"total":${fmt(times.map(_._2).filter(_ >= 0).sum)},"queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"loadavg":$loadavg}"""
     Files.writeString(Paths.get(out), line + "\n")
     println(line)
+    // scaling-curve mode (round-9 verdict item 5): with
+    // SPARK_GRAFT_SOAK_CURVE=<file>, this run's record also lands as a
+    // POINT in a committed multi-replica curve artifact — one JSON line
+    // per replica count, replacing any previous point at the same count —
+    // so the 2x/5x/10x/20x table is machine-checkable, not README prose.
+    sys.env.get("SPARK_GRAFT_SOAK_CURVE").foreach { curvePath =>
+      val p = Paths.get(curvePath)
+      val existing =
+        if (Files.exists(p))
+          Files.readAllLines(p).toArray(Array.empty[String]).toSeq
+            .filter(_.trim.nonEmpty)
+            .filterNot(_.contains(s""""replicas":$replicas,"""))
+        else Seq.empty
+      val merged = (existing :+ line).sortBy { l =>
+        """"replicas":(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toInt).getOrElse(0)
+      }
+      Files.writeString(p, merged.mkString("", "\n", "\n"))
+      System.err.println(s"[soak] curve point x$replicas merged into $curvePath")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -1985,8 +1985,13 @@ object Contract {
         val e = Dedup.exactDedupRows(
           q, sha2(TextAnalysis.normalize(col("text")), 256), col("doc_id"))
         val surv = Dedup.nearDedupRows(e, "doc_id", "text", n = 3, threshold = 0.8)
+        // `split` feeds THREE consumers (train filter, test filter, final
+        // join): without a barrier each re-executes the whole gate ->
+        // exact-dedup -> near-dedup pipeline above. One eager checkpoint
+        // runs it once (the q138 shared-frame pattern).
         val split = Splits.assignSplit(
           surv, "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+          .localCheckpoint(true)
         val contaminated = Corpus
           .contamination(
             split.filter(col("split") === "train"),
@@ -3854,8 +3859,12 @@ object Contract {
           q, sha2(TextAnalysis.normalize(col("text")), 256), col("doc_id"))
         val surv = Dedup.lshNearDedupRows(
           e, "doc_id", "text", n = 3, threshold = 0.8, k = 8, rowsPerBand = 2)
+        // the three consumers of `split` (train/test filters, final join)
+        // otherwise re-run the six-stage LSH pipeline each — the round-9
+        // 23-exchange plan; the eager checkpoint runs it once
         val split = Splits.assignSplit(
           surv, "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+          .localCheckpoint(true)
         val contaminated = Corpus
           .contamination(
             split.filter(col("split") === "train"),

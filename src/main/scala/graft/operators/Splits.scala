@@ -761,6 +761,18 @@ object Splits {
     * Scale shape: one `rankedPrefixGrouped` pass (two-phase quantile ranks;
     * hot groups spread across reducers — NO per-group single-partition
     * window) plus a broadcast of the |groups|-row size table.
+    *
+    * Precision envelope: ranking casts the score to DOUBLE (the engine's
+    * rank primitive keys on it), so integer scores with |s| > 2^53 lose
+    * distinctness — two such scores that differ only below the double ULP
+    * collapse to a tie and fall back to the id order, deviating from exact
+    * ROW_NUMBER semantics an integer-keyed oracle would compute. Long
+    * scores from counters/sizes/micro-unit quantizations sit far inside
+    * the envelope; micro-unit scores OVER ~9e15 (or raw 64-bit hashes as
+    * scores) do not — rescale them, or split into (high, low) and rank on
+    * the high part with the low part folded into the id tiebreak. The same
+    * envelope applies to `lengthBucketBatches` (length cast) and every
+    * other rank consumer.
     */
   def rankBuckets(
       df: DataFrame,
