@@ -1,0 +1,196 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native IVF cell-assignment kernel: for one row's (embedding, n2) against
+  * the broadcast centroid array `cents` (array of struct(cell_id, c_emb,
+  * c_n2)), the FULL ascending (negcos, cell_id) ranking — exactly what the
+  * composed `array_sort(transform(cents, c => struct(-cosine(...), cell_id)))`
+  * spelling produced, evaluated as one flat loop + one primitive sort per
+  * row instead of ncells interpreted lambda/struct evaluations (the q100
+  * PqEncodeExpr argument applied to the IVF family: every corpus row of
+  * every index build/search pays this projection).
+  *
+  * Arithmetic is bit-identical to the composed form: negcos =
+  * -1.0 * (dot / (sqrt(n2) * sqrt(c_n2))) with the native `VecDotExpr`
+  * left-to-right dot; the sort comparator mirrors Spark's struct ordering
+  * (negcos ascending with SQL double semantics — `a == b` ties -0.0 with
+  * 0.0, NaN greatest, NULL first — then cell_id ascending, NULL first). A
+  * NULL embedding/n2/cents input yields NULL (the composed form instead
+  * filed a NULL embedding under the id-smallest cell — an artifact, not a
+  * contract; no fixture or caller feeds NULL embeddings). Zero-norm rows
+  * (0.0 divisor): Spark SQL division is NULL there (non-ANSI) or an error
+  * (ANSI) — never IEEE Inf; the native kernel implements the NULL
+  * semantics, so a degenerate row ranks exactly as the composed non-ANSI
+  * form did (null negcos first, then cell_id) instead of throwing.
+  *
+  * Output: array<struct<negcos double, cell_id bigint>>, sorted; callers
+  * slice the first `keep` entries (unchanged plan shape downstream).
+  */
+case class NearestCellsExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = NearestCellsExpr.outType
+  override def nullable: Boolean  = true
+
+  private def embOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _                                                  => false
+  }
+
+  private lazy val centFields: Option[(Int, Int, Int, Boolean)] = third.dataType match {
+    case ArrayType(st: StructType, _) =>
+      val ci = st.fieldNames.indexOf("cell_id")
+      val ei = st.fieldNames.indexOf("c_emb")
+      val ni = st.fieldNames.indexOf("c_n2")
+      if (ci < 0 || ei < 0 || ni < 0) None
+      else
+        (st.fields(ci).dataType, st.fields(ei).dataType, st.fields(ni).dataType) match {
+          case (LongType, ArrayType(FloatType, _), DoubleType)  => Some((ci, ei, ni, true))
+          case (LongType, ArrayType(DoubleType, _), DoubleType) => Some((ci, ei, ni, false))
+          case _                                                => None
+        }
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (embOk(first.dataType) && second.dataType == DoubleType && centFields.isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        "nearest_cells requires (ARRAY<FLOAT|DOUBLE> embedding, DOUBLE n2, " +
+          s"ARRAY<STRUCT<cell_id BIGINT, c_emb ARRAY<FLOAT|DOUBLE>, c_n2 DOUBLE>>), got " +
+          s"${first.dataType}, ${second.dataType}, ${third.dataType}")
+
+  private lazy val embFloat = first.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  // (cellIdx, embIdx, n2Idx, centFloat) packed for the static kernel
+  @transient private lazy val layout: Array[Int] = {
+    val (ci, ei, ni, cf) = centFields.get
+    Array(ci, ei, ni, if (cf) 1 else 0, if (embFloat) 1 else 0)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override protected def nullSafeEval(emb: Any, n2: Any, cents: Any): Any =
+    NearestCellsExpr.rank(
+      emb.asInstanceOf[ArrayData], n2.asInstanceOf[Double], cents.asInstanceOf[ArrayData], layout)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val layoutRef = ctx.addReferenceObj("ncLayout", layout, "int[]")
+    nullSafeCodeGen(ctx, ev, (emb, n2, cents) => {
+      val tmp = ctx.freshName("ncRes")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.NearestCellsExpr.rank($emb, $n2, $cents, $layoutRef);
+         |${ev.value} = $tmp;
+       """.stripMargin
+    })
+  }
+}
+
+object NearestCellsExpr {
+  val outType: ArrayType = ArrayType(
+    StructType(Seq(
+      StructField("negcos", DoubleType, nullable = true),
+      StructField("cell_id", LongType, nullable = true))),
+    containsNull = false)
+
+  /** SQL double comparison (SQLOrderingUtil semantics): primitive == first
+    * (ties -0.0 with 0.0 and NaN with itself), else Double.compare (NaN
+    * greatest).
+    */
+  private def cmpD(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  def rank(emb: ArrayData, n2: Double, cents: ArrayData, layout: Array[Int]): ArrayData = {
+    val ci        = layout(0)
+    val ei        = layout(1)
+    val ni        = layout(2)
+    val centFloat = layout(3) == 1
+    val embFloat  = layout(4) == 1
+    val n         = cents.numElements()
+    val dim       = emb.numElements()
+    val sqrtN2    = Math.sqrt(n2)
+    // (negcosIsNull, negcos, cellIsNull, cellId) packed per candidate
+    val negcos  = new Array[Double](n)
+    val negNull = new Array[Boolean](n)
+    val cellId  = new Array[Long](n)
+    val cidNull = new Array[Boolean](n)
+    val order   = new Array[Integer](n)
+    var i = 0
+    while (i < n) {
+      order(i) = i
+      if (cents.isNullAt(i)) { negNull(i) = true; cidNull(i) = true }
+      else {
+        val row = cents.getStruct(i, 3)
+        if (row.isNullAt(ci)) cidNull(i) = true else cellId(i) = row.getLong(ci)
+        if (row.isNullAt(ei) || row.isNullAt(ni)) negNull(i) = true
+        else {
+          val ce = row.getArray(ei)
+          if (ce.numElements() != dim) negNull(i) = true
+          else {
+            var d     = 0.0
+            var valid = true
+            var j     = 0
+            while (valid && j < dim) {
+              if (emb.isNullAt(j) || ce.isNullAt(j)) valid = false
+              else {
+                val x = if (embFloat) emb.getFloat(j).toDouble else emb.getDouble(j)
+                val y = if (centFloat) ce.getFloat(j).toDouble else ce.getDouble(j)
+                d += x * y
+              }
+              j += 1
+            }
+            if (!valid) negNull(i) = true
+            else {
+              val div = sqrtN2 * Math.sqrt(row.getDouble(ni))
+              // Spark SQL division: a 0.0 divisor is NULL (non-ANSI) /
+              // an error (ANSI) — never IEEE Inf. NULL here, so the
+              // degenerate row ranks exactly as the composed non-ANSI
+              // form did (null negcos first, then cell_id).
+              if (div == 0.0) negNull(i) = true
+              else negcos(i) = -1.0 * (d / div)
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(
+      order,
+      new java.util.Comparator[Integer] {
+        override def compare(a: Integer, b: Integer): Int = {
+          val c =
+            if (negNull(a) && negNull(b)) 0
+            else if (negNull(a)) -1 // NULL first, Spark ascending-struct order
+            else if (negNull(b)) 1
+            else cmpD(negcos(a), negcos(b))
+          if (c != 0) c
+          else if (cidNull(a) && cidNull(b)) 0
+          else if (cidNull(a)) -1
+          else if (cidNull(b)) 1
+          else java.lang.Long.compare(cellId(a), cellId(b))
+        }
+      })
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      val s = order(i).intValue()
+      out(i) = InternalRow(
+        if (negNull(s)) null else java.lang.Double.valueOf(negcos(s)),
+        if (cidNull(s)) null else java.lang.Long.valueOf(cellId(s)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

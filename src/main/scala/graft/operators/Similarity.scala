@@ -297,24 +297,27 @@ object Similarity {
 
   /** Nearest `keep` cells per row, computed INSIDE the row against the
     * broadcast single-row centroid array — zero shuffle, zero inflation.
-    * `df` must carry `embedding` and `n2`.
+    * `df` must carry `embedding` and `n2`. NATIVE (NearestCellsExpr): the
+    * former `array_sort(transform(cents, ...))` spelling evaluated ncells
+    * interpreted lambda/struct trees per corpus row; the native kernel is
+    * one flat loop + primitive sort with bit-identical negcos arithmetic
+    * and sort order (NearestCellsExprSpec pins native == composed).
     */
-  private def assignCells(df: DataFrame, centArr: DataFrame, keep: Int): DataFrame =
+  private def assignCells(df: DataFrame, centArr: DataFrame, keep: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     df.crossJoin(broadcast(centArr))
       .withColumn(
         "__ranked",
-        array_sort(transform(
-          col("cents"),
-          c =>
-            struct(
-              (lit(-1.0) * cosine(dot(col("embedding"), c.getField("c_emb")), col("n2"), c.getField("c_n2")))
-                .as("negcos"),
-              c.getField("cell_id").as("cell_id")))))
+        ColumnBridge.column(graft.functions.NearestCellsExpr(
+          ColumnBridge.expression(col("embedding")),
+          ColumnBridge.expression(col("n2").cast("double")),
+          ColumnBridge.expression(col("cents")))))
       .select(
         df.columns.map(col) :+
           explode(slice(col("__ranked"), 1, keep)).as("__cell"): _*)
       .withColumn("cell_id", col("__cell.cell_id"))
       .drop("__cell")
+  }
 
   /** SemDeDup (Abbas et al. 2023): SEMANTIC deduplication scoped to
     * pre-computed clusters — the published recipe for web-scale corpora:

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.SparkTestSession
+import graft.operators.Similarity
+
+/** The native cell-assignment kernel must be BIT-identical to the composed
+  * `array_sort(transform(cents, c => struct(-cosine(...), cell_id)))`
+  * spelling it replaced in `assignCells`: same negcos doubles, same sort
+  * order (SQL double semantics incl. NaN-greatest, null-field-first), same
+  * null propagation per centroid element — and the IVF search built on it
+  * must still match brute force.
+  */
+class NearestCellsExprSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def native: Column =
+    ColumnBridge.column(NearestCellsExpr(
+      ColumnBridge.expression(col("embedding")),
+      ColumnBridge.expression(col("n2").cast("double")),
+      ColumnBridge.expression(col("cents"))))
+
+  /** The exact composed spelling assignCells used through r10. */
+  private def composed: Column =
+    array_sort(transform(
+      col("cents"),
+      c =>
+        struct(
+          (lit(-1.0) * (Similarity.dot(col("embedding"), c.getField("c_emb"))
+            / (sqrt(col("n2")) * sqrt(c.getField("c_n2"))))).as("negcos"),
+          c.getField("cell_id").as("cell_id"))))
+
+  private def centsDf(cents: Seq[(Long, Seq[Double])]) = {
+    val spark2 = spark
+    import spark2.implicits._
+    cents.toDF("cell_id", "c_emb")
+      .withColumn("c_n2", Similarity.norm2(col("c_emb")))
+      .agg(collect_list(struct(col("cell_id"), col("c_emb"), col("c_n2"))).as("cents"))
+  }
+
+  private def assertSame(rows: Seq[Seq[Float]], cents: Seq[(Long, Seq[Double])]): Unit = {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = rows.toDF("embedding")
+      .withColumn("n2", Similarity.norm2(col("embedding")))
+      .crossJoin(broadcast(centsDf(cents)))
+      .select(native.as("n"), composed.as("c"))
+    df.collect().foreach { r =>
+      val n = r.getSeq[org.apache.spark.sql.Row](0)
+      val c = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(n.size === c.size)
+      n.zip(c).foreach { case (a, b) =>
+        assert(a.isNullAt(0) === b.isNullAt(0))
+        if (!a.isNullAt(0))
+          assert(
+            java.lang.Double.doubleToLongBits(a.getDouble(0)) ===
+              java.lang.Double.doubleToLongBits(b.getDouble(0)))
+        assert(a.isNullAt(1) === b.isNullAt(1))
+        if (!a.isNullAt(1)) assert(a.getLong(1) === b.getLong(1))
+      }
+    }
+  }
+
+  test("native == composed on random vectors and centroids, bit-exact order") {
+    val rnd   = new scala.util.Random(21)
+    val rows  = Seq.fill(100)(Seq.fill(16)(rnd.nextFloat() * 2f - 1f))
+    val cents = Seq.tabulate(8)(i => (i.toLong, Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+    assertSame(rows, cents)
+  }
+
+  test("degenerate vectors: zero norm (NaN/Inf cosines) sort identically under IEEE semantics") {
+    // Under ANSI the COMPOSED form throws DIVIDE_BY_ZERO on a zero-norm
+    // row; the native kernel keeps IEEE arithmetic (NaN/Inf negcos) — a
+    // documented, strictly-more-graceful divergence. Equivalence is
+    // asserted in the IEEE (non-ANSI) semantics both forms then share.
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val rnd   = new scala.util.Random(22)
+      val rows  = Seq(Seq.fill(8)(0.0f), Seq.fill(8)(1.0f))
+      val cents = Seq.tabulate(4)(i => (i.toLong, Seq.fill(8)(rnd.nextDouble()))) :+
+        (4L, Seq.fill(8)(0.0)) // zero-norm centroid too
+      assertSame(rows, cents)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
+  test("dimension-mismatched centroid yields a null negcos ranked first") {
+    val rows  = Seq(Seq.fill(8)(1.0f))
+    val cents = Seq((0L, Seq.fill(8)(0.5)), (1L, Seq.fill(4)(0.5)))
+    assertSame(rows, cents)
+    val spark2 = spark
+    import spark2.implicits._
+    val first = rows.toDF("embedding")
+      .withColumn("n2", Similarity.norm2(col("embedding")))
+      .crossJoin(broadcast(centsDf(cents)))
+      .select(native.getItem(0).getField("cell_id").as("c"))
+      .head()
+    assert(first.getLong(0) === 1L) // the null-negcos (mismatched) cell sorts first
+  }
+
+  test("ivfTopK over the native kernel still matches brute force at full probe") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(23)
+    val emb = Seq.tabulate(120)(i => (i.toLong, Seq.fill(16)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(emb, col("vec_id") < 5, k = 4, ncells = 6, nprobe = 6)
+      .select("probe_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = Similarity.bruteForceTopK(emb, col("vec_id") < 5, k = 4)
+      .select("probe_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want && got.nonEmpty)
+  }
+}

@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Render the README scaling-curve table from soak_scaling.json.
+
+The artifact is one JSON line per replica count (graft.Soak with
+SPARK_GRAFT_SOAK_CURVE); this script is the single source of the README's
+markdown table, so the prose can never drift from the measurement.
+
+Usage: python3 tools/scaling_table.py [soak_scaling.json]
+"""
+import json
+import sys
+
+
+def main() -> None:
+    path = sys.argv[1] if len(sys.argv) > 1 else "soak_scaling.json"
+    points = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                points.append(json.loads(line))
+    points.sort(key=lambda p: p["replicas"])
+    cols = [
+        ("q87_curation_v2", "q87 exact capstone"),
+        ("q164_curation_v2_lsh", "q164 LSH capstone"),
+        ("q106_link_pagerank", "pagerank"),
+        ("q128_hits", "HITS"),
+        ("q129_triangles", "triangles"),
+        ("q136_personalized_pagerank", "PPR"),
+    ]
+    present = [(k, label) for k, label in cols if any(k in p["queries"] for p in points)]
+    print("| replicas (docs) | " + " | ".join(label for _, label in present) + " |")
+    print("|---|" + "|".join("---" for _ in present) + "|")
+    for p in points:
+        cells = []
+        for k, _ in present:
+            v = p["queries"].get(k)
+            cells.append(f"{v:.1f} s" if isinstance(v, (int, float)) and v >= 0 else "—")
+        print(f"| {p['replicas']}x ({p['docs'] // 1000}k) | " + " | ".join(cells) + " |")
+
+
+if __name__ == "__main__":
+    main()
