@@ -1,0 +1,138 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+final case class ResObs(key: String, sec: Long, value: Double, ts: java.sql.Timestamp)
+
+/** Per-key resample state: at most one OPEN bin (its best observation so
+  * far) plus the last SEALED observed bin and its value, which future
+  * gap-fills carry forward. Two longs + two doubles + flags — bounded per
+  * key regardless of history length.
+  */
+final case class ResState(
+    hasOpen: Boolean, openBin: Long, bestSec: Long, bestVal: Double,
+    hasClosed: Boolean, closedBin: Long, closedVal: Double)
+
+/** Streaming regular-grid resample + forward fill — the ingest-path twin of
+  * `operators/Resample.resampleFill` (telematics normalization AS the data
+  * lands, instead of a nightly batch over the closed day).
+  *
+  * Semantics per key, identical to the batch operator on the drained
+  * stream: one row per `stepSec` bin between the key's first and last
+  * observed bin; a bin's value is its LAST observation ((ts, value) max —
+  * same tie rule as the batch `max(struct(ts, value))`), gaps carry the
+  * previous value with `observed = false`.
+  *
+  * Emission discipline (Append-mode-safe: a bin emits exactly once, when
+  * nothing can change it anymore):
+  *  - an observed bin SEALS when a later-bin observation arrives for the
+  *    key, emitting the bin plus the gap-fill rows up to (exclusive) the
+  *    new bin;
+  *  - the key's final open bin seals via EVENT-TIME TIMEOUT when the
+  *    watermark (advanced by any key's traffic) passes binEnd +
+  *    `closeAfterSec` — no trailing fills, exactly the batch grid's
+  *    last-observed-bin edge. Fills resume from the sealed bin if the key
+  *    later wakes up.
+  *
+  * Divergence from batch, the watermark contract both streams in this
+  * module document: an observation arriving AFTER its bin sealed (later
+  * than `closeAfterSec` out of order) is dropped — batch, which sees all
+  * data at once, would have merged it. In-order feeds drain bit-identical
+  * to the batch operator (the law ResampleStreamsSpec certifies).
+  */
+object ResampleStreams {
+
+  def resampleFillStream(
+      samples: Dataset[(String, Long, Double)],
+      stepSec: Long,
+      closeAfterSec: Long = 30L,
+      latenessSec: Long = 10L): DataFrame = {
+    require(stepSec > 0, s"stepSec must be positive, got $stepSec")
+    require(closeAfterSec >= 0 && latenessSec >= 0, "closeAfterSec/latenessSec must be >= 0")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples
+      .toDF("key", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", s"$latenessSec seconds")
+      .as[ResObs]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[ResObs], state: GroupState[ResState]) =>
+          def fills(fromBin: Long, untilBin: Long, v: Double): Seq[(String, Long, Double, Boolean)] =
+            (fromBin until untilBin by stepSec).map(b => (key, b, v, false))
+          if (state.hasTimedOut) {
+            val st = state.get
+            val out =
+              if (st.hasOpen) {
+                // seal the final open bin; keep the carried value so a key
+                // that wakes up later fills the silence from here
+                state.update(ResState(
+                  hasOpen = false, 0L, 0L, 0.0,
+                  hasClosed = true, st.openBin, st.bestVal))
+                Seq((key, st.openBin, st.bestVal, true))
+              } else Seq.empty
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(o => (o.sec, o.value))
+            var st = state.getOption.getOrElse(
+              ResState(hasOpen = false, 0L, 0L, 0.0, hasClosed = false, 0L, 0.0))
+            val out = Seq.newBuilder[(String, Long, Double, Boolean)]
+            sorted.foreach { o =>
+              val b = Math.floorDiv(o.sec, stepSec) * stepSec
+              if (st.hasOpen) {
+                if (b == st.openBin) {
+                  // same bin: keep the (sec, value) max — the batch tie rule
+                  if (o.sec > st.bestSec || (o.sec == st.bestSec && o.value > st.bestVal))
+                    st = st.copy(bestSec = o.sec, bestVal = o.value)
+                } else if (b > st.openBin) {
+                  out += ((key, st.openBin, st.bestVal, true))
+                  out ++= fills(st.openBin + stepSec, b, st.bestVal)
+                  st = ResState(hasOpen = true, b, o.sec, o.value,
+                    hasClosed = true, st.openBin, st.bestVal)
+                }
+                // b < openBin: out-of-order past the open bin — dropped
+                // (the documented watermark contract)
+              } else if (st.hasClosed) {
+                if (b > st.closedBin) {
+                  out ++= fills(st.closedBin + stepSec, b, st.closedVal)
+                  st = st.copy(hasOpen = true, openBin = b, bestSec = o.sec, bestVal = o.value)
+                }
+                // b <= closedBin: bin already sealed and emitted — dropped
+              } else {
+                st = ResState(hasOpen = true, b, o.sec, o.value,
+                  hasClosed = false, 0L, 0.0)
+              }
+            }
+            state.update(st)
+            if (st.hasOpen)
+              state.setTimeoutTimestamp(math.max(
+                (st.openBin + stepSec + closeAfterSec) * 1000L,
+                state.getCurrentWatermarkMs + 1))
+            out.result().iterator
+          }
+      }
+      .toDF("key", "bin_sec", "value", "observed")
+  }
+
+  /** The batch law the stream is certified against: `Resample.resampleFill`
+    * on the same rows, projected to the stream's (key, bin_sec, value,
+    * observed) shape. Also the backfill path over history.
+    */
+  def resampleFillBatch(
+      samples: Dataset[(String, Long, Double)],
+      stepSec: Long): DataFrame = {
+    val df = samples
+      .toDF("key", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    graft.operators.Resample
+      .resampleFill(df.select(col("key"), col("ts"), col("value")), "key", "ts", "value",
+        step = s"$stepSec seconds")
+      .select(
+        col("key"),
+        unix_timestamp(col("bin")).as("bin_sec"),
+        col("value"), col("observed"))
+  }
+}

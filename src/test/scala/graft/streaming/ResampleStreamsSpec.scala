@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** The streaming LOCF resample must drain to EXACTLY the batch operator's
+  * output on in-order feeds (the stream==batch law every streaming twin in
+  * this module carries), seal end-of-data bins on event-time timeout, and
+  * resume gap-fills after a timeout-sealed silence.
+  */
+class ResampleStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def drained(name: String): Set[(String, Long, Double, Boolean)] =
+    spark.table(name).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toSet
+
+  test("drained stream == batch resampleFill (multi-key, gaps, in-bin ties)") {
+    import spark.implicits._
+    val ms = MemoryStream[(String, Long, Double)](spark)
+    val q = ResampleStreams
+      .resampleFillStream(ms.toDS(), stepSec = 10L, closeAfterSec = 30L)
+      .writeStream.format("memory").queryName("res_out").outputMode("append").start()
+    try {
+      val data = Seq(
+        ("a", 100L, 1.0), ("a", 104L, 2.0),          // bin 100: last obs wins
+        ("a", 131L, 5.0),                            // gap: bins 110,120 fill with 2.0
+        ("b", 205L, 7.0), ("b", 205L, 6.5),          // tie on sec: larger value wins
+        ("b", 212L, 8.0))
+      // two batches, in order per key
+      ms.addData(data.take(3): _*)
+      q.processAllAvailable()
+      ms.addData(data.drop(3): _*)
+      q.processAllAvailable()
+      // far-future unrelated key advances the watermark past every open bin
+      ms.addData(("zz", 10000L, 0.0))
+      q.processAllAvailable()
+      ms.addData(("zz", 20000L, 0.0)) // second advance seals zz's own first bin too
+      q.processAllAvailable()
+
+      val want = ResampleStreams
+        .resampleFillBatch(data.toDS(), stepSec = 10L)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        .toSet
+      val got = drained("res_out").filterNot(_._1 == "zz")
+      assert(got === want)
+      assert(got(("a", 110L, 2.0, false)) && got(("a", 120L, 2.0, false))) // fills carried
+      assert(got(("b", 200L, 7.0, true)))                                  // (sec,value) max
+    } finally q.stop()
+  }
+
+  test("end-of-data bin seals on timeout; fills resume after the silence") {
+    import spark.implicits._
+    val ms = MemoryStream[(String, Long, Double)](spark)
+    val q = ResampleStreams
+      .resampleFillStream(ms.toDS(), stepSec = 10L, closeAfterSec = 20L)
+      .writeStream.format("memory").queryName("res_eod").outputMode("append").start()
+    try {
+      ms.addData(("k", 100L, 3.0))
+      q.processAllAvailable()
+      assert(drained("res_eod").isEmpty) // bin still open
+      ms.addData(("adv", 500L, 0.0))     // watermark -> 490 > 100+10+20
+      q.processAllAvailable()
+      assert(drained("res_eod").contains(("k", 100L, 3.0, true))) // sealed, no trailing fills
+      assert(!drained("res_eod").exists(r => r._1 == "k" && r._2 > 100L))
+      // the key wakes up: fills resume FROM the sealed bin's value
+      ms.addData(("k", 531L, 9.0))
+      q.processAllAvailable()
+      ms.addData(("adv", 1000L, 0.0))
+      q.processAllAvailable()
+      val got = drained("res_eod").filter(_._1 == "k")
+      assert(got(("k", 530L, 9.0, true)))
+      assert(got(("k", 110L, 3.0, false)) && got(("k", 520L, 3.0, false))) // silence filled
+      assert(got.count(r => r._2 > 100L && r._2 < 530L && !r._4) === 42)   // bins 110..520
+    } finally q.stop()
+  }
+
+  test("late observation past its sealed bin is dropped (watermark contract)") {
+    import spark.implicits._
+    val ms = MemoryStream[(String, Long, Double)](spark)
+    val q = ResampleStreams
+      .resampleFillStream(ms.toDS(), stepSec = 10L, closeAfterSec = 20L)
+      .writeStream.format("memory").queryName("res_late").outputMode("append").start()
+    try {
+      ms.addData(("k", 100L, 1.0), ("k", 125L, 2.0))
+      q.processAllAvailable()
+      ms.addData(("k", 101L, 99.0)) // bin 100 already sealed by bin 120's arrival
+      q.processAllAvailable()
+      ms.addData(("adv", 500L, 0.0))
+      q.processAllAvailable()
+      val got = drained("res_late").filter(_._1 == "k")
+      assert(got(("k", 100L, 1.0, true))) // 99.0 never rewrote history
+      assert(got(("k", 120L, 2.0, true)))
+    } finally q.stop()
+  }
+}
