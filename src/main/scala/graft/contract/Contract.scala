@@ -4107,6 +4107,67 @@ object Contract {
              |  count(*)::BIGINT AS n_rows, max(n_chars)::BIGINT AS max_len,
              |  sum(n_chars)::BIGINT AS sum_len
              |FROM r GROUP BY 1, 2""".stripMargin)
+    ),
+    Q(
+      "q172_pca_gram",
+      // PCA raw moments, cross-engine EXACT (Pca.gramQuantized): components
+      // quantize to integer micro-units, every cell is an exact int64 sum —
+      // one row per unordered index pair with the product sum plus both
+      // marginal sums and the count, i.e. everything the covariance matrix
+      // needs. The certified diagnostic form of Pca.fit's constant-size
+      // moment aggregator (the 100-TB path, which never explodes pairs).
+      (s, d) =>
+        graft.operators.Pca
+          .gramQuantized(Tables.embeddings(s, d)),
+      Some("""WITH q AS (
+             |  SELECT list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+             |  FROM embeddings),
+             |idx AS (SELECT unnest(range(1, 65)) AS i),
+             |cells AS (
+             |  SELECT a.i - 1 AS i, b.i - 1 AS j,
+             |    SUM(qe[a.i] * qe[b.i])::BIGINT AS sum_prod
+             |  FROM q, idx a, idx b WHERE b.i >= a.i GROUP BY 1, 2),
+             |sums AS (
+             |  SELECT a.i - 1 AS i, SUM(qe[a.i])::BIGINT AS s, COUNT(*)::BIGINT AS cnt
+             |  FROM q, idx a GROUP BY 1)
+             |SELECT c.i::INTEGER AS i, c.j::INTEGER AS j, c.sum_prod,
+             |  si.s AS sum_i, sj.s AS sum_j, si.cnt AS n_rows
+             |FROM cells c
+             |JOIN sums si ON si.i = c.i
+             |JOIN sums sj ON sj.i = c.j""".stripMargin)
+    ),
+    Q(
+      "q173_pca_topk",
+      // trained-PCA ANN (Pca.pcaTopK): fit on the direction cloud, project
+      // probes + corpus onto the trained axes, projected-L2 shortlist,
+      // exact cosine re-rank. kcomp = dim makes the projection a rotation
+      // (shortlist order already exact) and shortlist >= corpus passes
+      // everything to the re-rank — certifying the whole
+      // fit/project/shortlist/re-rank pipeline against the q25 brute-force
+      // oracle; recall under real truncation is PcaSpec's planted-cluster
+      // law (the q100/q102 certification pattern).
+      (s, d) =>
+        graft.operators.Pca
+          .pcaTopK(Tables.embeddings(s, d), col("vec_id") < 10, k = 5,
+            kcomp = 64, shortlist = 1 << 20)
+          .select(col("probe_id"), col("rnk"), col("neighbor_id")),
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             |                (a, b) -> a + b) AS n2
+             |  FROM embeddings),
+             |pairs AS (
+             |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             |    list_reduce(list_transform(range(1, len(p.embedding) + 1),
+             |                  i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+             |                (a, b) -> a + b) / (sqrt(p.n2) * sqrt(c.n2)) AS cos
+             |  FROM n p, n c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+             |ranked AS (
+             |  SELECT probe_id, neighbor_id,
+             |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+             |  FROM pairs)
+             |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin)
     )
   )
 

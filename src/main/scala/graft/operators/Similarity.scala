@@ -892,7 +892,7 @@ object Similarity {
   }
 
   /** Exact-cosine re-rank of a (probe_id, neighbor_id) shortlist to top-k. */
-  private def exactRerank(
+  private[operators] def exactRerank(
       short: DataFrame,
       emb: DataFrame,
       probePred: Column,
