@@ -605,11 +605,18 @@ object Dedup {
       idB: String = "id_b",
       maxIters: Int = 20,
       smallGraphThreshold: Long = 1L << 17): DataFrame = {
-    val nodes = pairs
-      .select(col(idA).as("id"))
-      .union(pairs.select(col(idB).as("id")))
-      .distinct()
+    // materialize the PAIR PROJECTION once, up front: nodes and edges both
+    // derive from it, and without the cut each would re-execute the whole
+    // upstream miner (the LSH pipeline behind q91 ran 3x here — twice for
+    // the nodes union, once for edges). nodes itself stays lazy: single
+    // consumer, plain shuffle join, nothing to share.
+    val raw = pairs
+      .select(col(idA).as("u"), col(idB).as("v"))
       .localCheckpoint(true)
+    val nodes = raw
+      .select(col("u").as("id"))
+      .union(raw.select(col("v").as("id")))
+      .distinct()
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym
@@ -643,8 +650,7 @@ object Dedup {
         coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(P))), lit(0L)).as("h")).head()
       (r.getLong(0), r.getLong(1))
     }
-    var edges = pairs
-      .select(col(idA).as("u"), col(idB).as("v"))
+    var edges = raw
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
