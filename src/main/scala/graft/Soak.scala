@@ -54,7 +54,11 @@ object Soak {
     // time-series family over the replicated events table (round-9 verdict
     // item 4 — the one family previously never run above sf0.1): regular-
     // grid resample+ffill, both as-of join directions, the funnel
-    "q93_resample_ffill", "q67_asof_tolerance", "q68_asof_forward", "q69_funnel")
+    "q93_resample_ffill", "q67_asof_tolerance", "q68_asof_forward", "q69_funnel",
+    // round-10 additions: the trained-PCA family (moment pass + projected
+    // ANN) and the CC-based embedding dedup whose pair projection is now
+    // materialized once
+    "q172_pca_gram", "q173_pca_topk", "q91_embed_dedup_rows")
 
   def main(args: Array[String]): Unit = {
     val src      = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")

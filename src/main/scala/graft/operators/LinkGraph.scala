@@ -47,6 +47,23 @@ object LinkGraph {
     * measure proximity to the seed set along link structure, the
     * crawl-frontier / trusted-domain prioritization signal (TrustRank).
     * Same integer recurrence, so the unrolled oracle stays exact.
+    *
+    * `prePartition` picks the loop-invariant edge frame's materialization:
+    * - false (default): eager localCheckpoint. Right when the node-score
+    *   frame fits the broadcast threshold — AQE turns every iteration's
+    *   e⋈scores join into a runtime broadcast and the edge frame streams
+    *   straight from its checkpoint blocks, no per-round exchange at all.
+    * - true: hash-repartition on src + persist. The 1000-executor posture
+    *   for graphs whose NODE frame is itself too big to broadcast: a
+    *   cached plan keeps its HashPartitioning visible to
+    *   EnsureRequirements (a checkpointed LogicalRDD reports
+    *   UnknownPartitioning under AQE), so each iteration's SMJ shuffles
+    *   only the node-sized scores frame — the edge frame, the dominant
+    *   cost, is shuffled exactly once up front. Loop-invariant + plain
+    *   shuffle-join consumers = the sanctioned persist case (no lineage
+    *   cut needed, no broadcast-consumer deadlock precondition).
+    * Both paths compute the identical integer recurrence
+    * (LinkGraphSpec certifies equality).
     */
   def propagate(
       edges: DataFrame,
@@ -55,16 +72,27 @@ object LinkGraph {
       iters: Int,
       dampingPct: Int = 85,
       scale: Long = 1000000000L,
-      seed: Option[Column] = None): DataFrame = {
+      seed: Option[Column] = None,
+      prePartition: Boolean = false): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
     // long-sum headroom: total mass is ~|nodes|*scale and a single hub can
     // receive a large share of it; keep |nodes|*scale under 2^62
-    val e = edges
+    val eProj = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .localCheckpoint(true) // reused every round: materialize once
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg")).localCheckpoint(true)
+    val e =
+      if (prePartition)
+        eProj.repartition(col("src"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else eProj.localCheckpoint(true) // reused every round: materialize once
+    // derived from e: under prePartition the groupBy is shuffle-free and
+    // deg comes out co-partitioned on src for the loop joins
+    val deg0 = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val deg =
+      if (prePartition)
+        deg0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else deg0.localCheckpoint(true)
     val base = (100L - dampingPct) * scale / 100L
     // per-node restart mass / initial charge: uniform, or seed-gated
     val baseCol  = seed.map(p => when(p, lit(base)).otherwise(lit(0L))).getOrElse(lit(base))
@@ -91,6 +119,9 @@ object LinkGraph {
         .localCheckpoint(true)
       iter += 1
     }
+    // scores is materialized (eager checkpoint) — the cached edge frame is
+    // no longer reachable from the returned plan
+    if (prePartition) { e.unpersist(false); deg.unpersist(false) }
     scores
   }
 
@@ -112,21 +143,39 @@ object LinkGraph {
     * Per half-round: one shuffle join + one partial-agg on edges, a one-
     * row max broadcast, checkpointed flat. Output: id, hub, auth — both
     * in [0, scale], max node = scale.
+    *
+    * `prePartition` (see `propagate` for the full rationale): false =
+    * eager checkpoint, the local/broadcastable-node-frame path; true =
+    * the 1000-executor posture — the loop joins e on src (hub half) AND
+    * on dst (auth half), so carry the edge frame CACHED BOTH WAYS (space
+    * for shuffle, the right trade when the loop re-reads it 2×iters
+    * times); each half-round then shuffles only the node-sized score
+    * frame.
     */
   def hits(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       iters: Int,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      prePartition: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(scale >= 1, s"scale must be positive, got $scale")
-    val e = edges
+    val eProj = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .localCheckpoint(true)
-    val nodes = e
+    val eSrc =
+      if (prePartition)
+        eProj.repartition(col("src"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else eProj.localCheckpoint(true)
+    val eDst =
+      if (prePartition)
+        eSrc.repartition(col("dst"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else eSrc
+    val nodes = eSrc
       .select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
+      .union(eSrc.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint(true)
     def norm(raw: DataFrame, valCol: String, outCol: String): DataFrame = {
@@ -144,18 +193,21 @@ object LinkGraph {
     var auth = nodes.select(col("id"), lit(scale).as("auth"))
     var iter = 0
     while (iter < iters) {
-      val ar = e
+      val ar = eSrc
         .join(hub.select(col("id").as("src"), col("hub").as("__h")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("__h")).as("__ar"))
       auth = norm(ar, "__ar", "auth")
-      val hr = e
+      val hr = eDst
         .join(auth.select(col("id").as("dst"), col("auth").as("__a")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(sum(col("__a")).as("__hr"))
       hub = norm(hr, "__hr", "hub")
       iter += 1
     }
+    // hub/auth are materialized (eager checkpoints) — the cached edge
+    // frames are no longer reachable from the returned plan
+    if (prePartition) { eSrc.unpersist(false); eDst.unpersist(false) }
     nodes.join(hub, Seq("id")).join(auth, Seq("id"))
   }
 

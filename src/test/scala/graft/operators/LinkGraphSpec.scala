@@ -128,4 +128,63 @@ class LinkGraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(a === b)
   }
+
+  test("prePartition=true computes the identical recurrence (propagate, PPR, hits)") {
+    import spark.implicits._
+    val edges = (1L to 300L).map(i => (i % 29, (i * 11) % 31 + 1)).toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(
+      rows(LinkGraph.propagate(edges, "src", "dst", 3, prePartition = true)) ===
+        rows(LinkGraph.propagate(edges, "src", "dst", 3)))
+    assert(
+      rows(LinkGraph.propagate(edges, "src", "dst", 3,
+        seed = Some(col("id") % 5 === 0), prePartition = true)) ===
+        rows(LinkGraph.propagate(edges, "src", "dst", 3,
+          seed = Some(col("id") % 5 === 0))))
+    assert(
+      rows(LinkGraph.hits(edges, "src", "dst", 2, prePartition = true)) ===
+        rows(LinkGraph.hits(edges, "src", "dst", 2)))
+  }
+
+  test("cached repartition(col) partitioning is reused: probe join shuffles only the probe side") {
+    // the planner law the prePartition posture rests on: a plain-shuffle
+    // join against a repartition(col)+persist frame must not re-exchange
+    // the cached side (a checkpointed frame would — LogicalRDD reports
+    // UnknownPartitioning under AQE). Broadcast disabled so the shuffle
+    // structure is visible.
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = (1L to 5000L).map(i => (i % 97, i)).toDF("k", "v")
+        .repartition(col("k"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      big.count() // materialize the cache
+      val probe  = (1L to 50L).map(i => (i, i * 2)).toDF("k", "p")
+      val joined = big.join(probe, Seq("k"))
+      joined.collect()
+      // count ENSURE_REQUIREMENTS shuffles in the FINAL adaptive plan by
+      // tree walk (the toString dump would double-count: it prints the
+      // initial plan section too, and InMemoryTableScan is a leaf so the
+      // walk never descends into the cached REPARTITION_BY_COL exchange)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.{ShuffleExchangeExec, ENSURE_REQUIREMENTS}
+      var ensures = 0
+      def walk(s: SparkPlan): Unit = s match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case st: QueryStageExec       => walk(st.plan)
+        case ex: ShuffleExchangeExec =>
+          if (ex.shuffleOrigin == ENSURE_REQUIREMENTS) ensures += 1
+          walk(ex.child)
+        case other => other.children.foreach(walk)
+      }
+      walk(joined.queryExecution.executedPlan)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(ensures == 1, s"expected exactly 1 ENSURE_REQUIREMENTS (probe side), plan:\n$plan")
+      assert(plan.contains("InMemoryTableScan"), s"cache not used, plan:\n$plan")
+      big.unpersist()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
