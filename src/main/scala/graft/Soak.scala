@@ -58,7 +58,11 @@ object Soak {
     // round-10 additions: the trained-PCA family (moment pass + projected
     // ANN) and the CC-based embedding dedup whose pair projection is now
     // materialized once
-    "q172_pca_gram", "q173_pca_topk", "q91_embed_dedup_rows")
+    "q172_pca_gram", "q173_pca_topk", "q91_embed_dedup_rows",
+    // the auto-banded scale twin of q91 (band width grows with the corpus;
+    // the pinned-width q91 is the one that cliffs 7.7 s -> 260 s at
+    // 10x -> 20x, which is why the CURVE carries q174, not q91)
+    "q174_embed_dedup_auto")
 
   def main(args: Array[String]): Unit = {
     val src      = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")

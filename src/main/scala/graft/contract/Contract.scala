@@ -4168,6 +4168,28 @@ object Contract {
              |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
              |  FROM pairs)
              |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin)
+    ),
+    Q(
+      "q174_embed_dedup_auto",
+      // q91's composition with the band width AUTO-SIZED from the corpus
+      // (bandBits = 0 → Similarity.effectiveBandBits' divisor ladder,
+      // first d with n <= 32·2^d): the scale twin, same relationship to
+      // q91 as q164 to q87. Candidate generation under a FIXED band width
+      // is Θ(n²/2^bandBits) — measured cliff 7.7 s → 260 s from 20k to
+      // 40k vectors at the pinned 6 bits — so the width must grow with
+      // the corpus; the oracle replays the ladder pick from COUNT(*).
+      (s, d) => {
+        import graft.operators.{Dedup, Similarity}
+        val emb = Tables.embeddings(s, d)
+        val pairs = Similarity.embedNearDupPairs(
+          emb, "vec_id", "embedding", threshold = 0.45, bits = 60, bandBits = 0)
+        Dedup
+          .ccNearDedupRowsFromLabels(
+            emb, "vec_id",
+            Dedup.connectedComponentsStar(pairs))
+          .select(col("vec_id"))
+      },
+      Some(OracleSql.q174)
     )
   )
 

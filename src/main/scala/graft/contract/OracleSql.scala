@@ -401,6 +401,64 @@ object OracleSql {
     s"""WITH ${embedPairCtes()}
        |SELECT id_a, id_b, cos FROM v WHERE cos >= 0.45""".stripMargin
 
+  /** q174 variant of the chain: the band width is AUTO-SIZED from the
+    * corpus count by Similarity.effectiveBandBits' ladder (first divisor d
+    * of 60 with n <= 32 * 2^d) — mirrored here as a CASE on COUNT(*) over
+    * the valid-signature set, with the banded self-join condition emitted
+    * for every ladder value the oracle SFs (and 64x headroom) can reach:
+    * d in {4, 5, 6, 10, 12} covers n in (256, 131072].
+    */
+  private def embedPairCtesAuto(bits: Int = 60, dim: Int = 64): String = {
+    val mask = (d: Int) => (1 << d) - 1
+    def bandCond(d: Int): String = (0 until bits / d)
+      .map(b => s"((a.sig >> ${b * d}) & ${mask(d)}) = ((b.sig >> ${b * d}) & ${mask(d)})")
+      .mkString("(", " OR ", ")")
+    val dynCond = Seq(4, 5, 6, 10, 12)
+      .map(d => s"(nn.bb = $d AND ${bandCond(d)})")
+      .mkString("(", " OR ", ")")
+    // sig/n2 identical to embedPairCtes; n counts the same valid-signature
+    // population the Spark side sizes from (degenerate vectors excluded)
+    val base = embedPairCtes(bits, 6, dim)
+    val sCte = base.substring(0, base.indexOf("cand AS ("))
+    s"""${sCte}nn AS (
+       |  SELECT CASE WHEN cnt <= ${32L * (1L << 4)} THEN 4
+       |              WHEN cnt <= ${32L * (1L << 5)} THEN 5
+       |              WHEN cnt <= ${32L * (1L << 6)} THEN 6
+       |              WHEN cnt <= ${32L * (1L << 10)} THEN 10
+       |              ELSE 12 END AS bb
+       |  FROM (SELECT COUNT(*) AS cnt FROM s
+       |        WHERE n2 > 0 AND isfinite(n2))),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM s a JOIN s b ON a.vec_id < b.vec_id, nn
+       |  WHERE $dynCond),
+       |v AS (
+       |  SELECT c.id_a, c.id_b,
+       |    list_reduce(list_transform(range(1, len(sa.embedding) + 1),
+       |                  i -> CAST(sa.embedding[i] AS DOUBLE) * CAST(sb.embedding[i] AS DOUBLE)),
+       |                (x, y) -> x + y) / (sqrt(sa.n2) * sqrt(sb.n2)) AS cos
+       |  FROM cand c
+       |  JOIN s sa ON sa.vec_id = c.id_a
+       |  JOIN s sb ON sb.vec_id = c.id_b)""".stripMargin
+  }
+
+  /** Auto-banded embedding dedup rows (q174): q91 with the band width
+    * sized from the corpus — identical CC + min-id survivor policy.
+    */
+  val q174: String =
+    s"""WITH RECURSIVE ${embedPairCtesAuto()},
+       |pairs AS (SELECT id_a, id_b FROM v WHERE cos >= 0.45),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |walk(src, reach) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+       |label AS (SELECT src AS id, MIN(reach) AS label FROM walk GROUP BY src),
+       |drops AS (SELECT id FROM label WHERE label <> id)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM drops)""".stripMargin
+
   /** Embedding dedup ROWS (q91): q46's pair graph + q48's recursive
     * min-label walk — survivors are the min vec_id per component.
     */

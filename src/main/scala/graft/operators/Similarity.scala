@@ -397,6 +397,34 @@ object Similarity {
     *
     * Output: id_a < id_b, cos.
     */
+  /** The auto-banding ladder (bandBits = 0): the divisors of `bits` in
+    * ascending order; `effectiveBandBits` picks the first whose band space
+    * keeps the EXPECTED bucket size at or under `targetBucket` vectors.
+    * Candidate generation is Θ(n² / 2^bandBits) — a fixed band width that
+    * is fine at 10⁴ vectors is quadratic junk at 10⁵ (measured: the 6-bit
+    * default cliffs 7.7 s → 260 s from 20k to 40k vectors at 10× → 20×
+    * soak) — so the band width, not the implementation, is the scale knob.
+    * Widening bands trades boundary-cosine recall (the documented LSH
+    * tradeoff, p^bandBits per band) for candidate precision; near-identical
+    * dup clusters (p → 1) are unaffected, which is the dedup use case.
+    * Deterministic given (bits, n), so an oracle can replay the pick from
+    * COUNT(*). Floored at 4 bits: a band space under 16 buckets mines
+    * near-all-pairs regardless, and the floor keeps the oracle's CASE
+    * ladder finite.
+    */
+  def bandLadder(bits: Int): Seq[Int] = {
+    val ds = (1 to bits).filter(bits % _ == 0)
+    val floored = ds.filter(_ >= 4)
+    if (floored.nonEmpty) floored else ds.takeRight(1)
+  }
+
+  def effectiveBandBits(bits: Int, n: Long, targetBucket: Int = 32): Int = {
+    val ladder = bandLadder(bits)
+    ladder
+      .find(d => d >= 63 || n <= targetBucket.toLong * (1L << d))
+      .getOrElse(ladder.last)
+  }
+
   def embedNearDupPairs(
       emb: DataFrame,
       idCol: String,
@@ -406,9 +434,8 @@ object Similarity {
       bandBits: Int = 6,
       maxBucket: Int = 4096): DataFrame = {
     require(bits >= 1 && bits <= 62, "bits in [1, 62]")
-    require(bandBits >= 1 && bits % bandBits == 0, "bandBits must divide bits")
-    val nBands = bits / bandBits
-    val mask   = (1L << bandBits) - 1
+    require(bandBits == 0 || (bandBits >= 1 && bits % bandBits == 0),
+      "bandBits must divide bits (0 = auto-size from the corpus count)")
     val sig = vecSimHash(col(vecCol), bits)
     // one-file corpus: hash on all cores; already-wide inputs keep their
     // layout and pay no shuffle (Dedup.spread is conditional)
@@ -430,12 +457,18 @@ object Similarity {
       .filter(col("__sig").isNotNull &&
         col("n2") > 0 && col("n2") < lit(Double.PositiveInfinity))
       .localCheckpoint(true)
+    // auto mode: one bounded control-plane count over the materialized
+    // signature table sizes the band space to the corpus
+    val effBandBits =
+      if (bandBits == 0) effectiveBandBits(bits, sigs.count()) else bandBits
+    val nBands = bits / effBandBits
+    val mask   = (1L << effBandBits) - 1
     val bands = sigs.select(
       col("id"),
       explode(array((0 until nBands).map { b =>
         struct(
           lit(b).as("band"),
-          shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
+          shiftright(col("__sig"), b * effBandBits).bitwiseAND(lit(mask)).as("key"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.key").as("key"))
     // hot-bucket guard (Dedup.bandCandidates): an embedding cluster of

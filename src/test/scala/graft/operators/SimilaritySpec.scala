@@ -297,4 +297,51 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("effectiveBandBits ladder: divisor-of-bits, floored at 4, first fit of n <= 32*2^d") {
+    assert(Similarity.bandLadder(60) === Seq(4, 5, 6, 10, 12, 15, 20, 30, 60))
+    assert(Similarity.effectiveBandBits(60, 100) === 4)
+    assert(Similarity.effectiveBandBits(60, 500) === 4)   // 32*16=512 >= 500
+    assert(Similarity.effectiveBandBits(60, 513) === 5)
+    assert(Similarity.effectiveBandBits(60, 2000) === 6)  // 32*64=2048 >= 2000
+    assert(Similarity.effectiveBandBits(60, 2049) === 10)
+    assert(Similarity.effectiveBandBits(60, 40000) === 12)
+    assert(Similarity.effectiveBandBits(60, 1L << 40) === 60) // capped at the widest divisor
+  }
+
+  test("auto banding (bandBits=0): still a subset of brute force; planted near-dups fully recalled") {
+    // the auto pick must preserve the two LSH laws the pinned width is
+    // certified under: precision is exact (every mined pair is a true
+    // threshold pair) and near-identical clusters (p -> 1) never lose a pair
+    val n = 80
+    val base = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 31 + j * 7).toFloat))
+    }
+    // plant 3 near-identical twins (tiny perturbation of ids 0..2)
+    val twins = (0 until 3).map { i =>
+      ((1000 + i).toLong, base(i)._2.map(x => x + 1e-4f))
+    }
+    val df = spark.createDataFrame(base ++ twins).toDF("vec_id", "embedding")
+    val auto = Similarity
+      .embedNearDupPairs(df, "vec_id", "embedding", threshold = 0.95, bits = 60, bandBits = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force truth
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d  = a.indices.map(i => a(i).toDouble * b(i)).sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      d / (na * nb)
+    }
+    val all = (base ++ twins)
+    val truth = (for {
+      x <- all; y <- all if x._1 < y._1 && cos(x._2, y._2) >= 0.95
+    } yield (x._1, y._1)).toSet
+    assert(auto.subsetOf(truth.flatMap { case (a, b) => Set((a, b), (b, a)) }),
+      "auto-banded pairs must be true threshold pairs")
+    (0 until 3).foreach { i =>
+      assert(auto.exists { case (a, b) =>
+        Set(a, b) == Set(i.toLong, (1000 + i).toLong)
+      }, s"planted twin $i not recalled under auto banding")
+    }
+  }
 }

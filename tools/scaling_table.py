@@ -27,6 +27,8 @@ def main() -> None:
         ("q128_hits", "HITS"),
         ("q129_triangles", "triangles"),
         ("q136_personalized_pagerank", "PPR"),
+        ("q91_embed_dedup_rows", "q91 embed dedup (pinned 6-bit)"),
+        ("q174_embed_dedup_auto", "q174 embed dedup (auto band)"),
     ]
     present = [(k, label) for k, label in cols if any(k in p["queries"] for p in points)]
     print("| replicas (docs) | " + " | ".join(label for _, label in present) + " |")
