@@ -121,7 +121,7 @@ object LinkGraph {
     }
     // scores is materialized (eager checkpoint) — the cached edge frame is
     // no longer reachable from the returned plan
-    if (prePartition) { e.unpersist(false); deg.unpersist(false) }
+    if (prePartition) { deg.unpersist(false); e.unpersist(false) }
     scores
   }
 
@@ -207,7 +207,7 @@ object LinkGraph {
     }
     // hub/auth are materialized (eager checkpoints) — the cached edge
     // frames are no longer reachable from the returned plan
-    if (prePartition) { eSrc.unpersist(false); eDst.unpersist(false) }
+    if (prePartition) { eDst.unpersist(false); eSrc.unpersist(false) }
     nodes.join(hub, Seq("id")).join(auth, Seq("id"))
   }
 
