@@ -60,7 +60,7 @@ object Soak {
     // materialized once
     "q172_pca_gram", "q173_pca_topk", "q91_embed_dedup_rows",
     // the auto-banded scale twin of q91 (band width grows with the corpus;
-    // the pinned-width q91 is the one that cliffs 7.7 s -> 260 s at
+    // the pinned-width q91 is the one that cliffs 8.1 s -> 338 s at
     // 10x -> 20x, which is why the CURVE carries q174, not q91)
     "q174_embed_dedup_auto")
 

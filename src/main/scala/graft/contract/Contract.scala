@@ -4175,7 +4175,7 @@ object Contract {
       // (bandBits = 0 → Similarity.effectiveBandBits' divisor ladder,
       // first d with n <= 32·2^d): the scale twin, same relationship to
       // q91 as q164 to q87. Candidate generation under a FIXED band width
-      // is Θ(n²/2^bandBits) — measured cliff 7.7 s → 260 s from 20k to
+      // is Θ(n²/2^bandBits) — measured cliff 8.1 s → 338 s from 20k to
       // 40k vectors at the pinned 6 bits — so the width must grow with
       // the corpus; the oracle replays the ladder pick from COUNT(*).
       (s, d) => {

@@ -402,7 +402,7 @@ object Similarity {
     * keeps the EXPECTED bucket size at or under `targetBucket` vectors.
     * Candidate generation is Θ(n² / 2^bandBits) — a fixed band width that
     * is fine at 10⁴ vectors is quadratic junk at 10⁵ (measured: the 6-bit
-    * default cliffs 7.7 s → 260 s from 20k to 40k vectors at 10× → 20×
+    * default cliffs 8.1 s → 338 s from 20k to 40k vectors at 10× → 20×
     * soak) — so the band width, not the implementation, is the scale knob.
     * Widening bands trades boundary-cosine recall (the documented LSH
     * tradeoff, p^bandBits per band) for candidate precision; near-identical
