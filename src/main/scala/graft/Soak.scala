@@ -58,11 +58,13 @@ object Soak {
     // round-10 additions: the trained-PCA family (moment pass + projected
     // ANN) and the CC-based embedding dedup whose pair projection is now
     // materialized once
-    "q172_pca_gram", "q173_pca_topk", "q91_embed_dedup_rows",
-    // the auto-banded scale twin of q91 (band width grows with the corpus;
-    // the pinned-width q91 is the one that cliffs 8.1 s -> 338 s at
-    // 10x -> 20x, which is why the CURVE carries q174, not q91)
-    "q174_embed_dedup_auto")
+    // q91 is the AUTO-banded embedding dedup since the round-11 role swap
+    // (band width grows with the corpus — flat on the curve). Its pinned-
+    // width frozen diagnostic (q174_embed_dedup_pinned) is deliberately
+    // NOT soaked: a fixed band width is the measured 8.1 s -> 338 s cliff
+    // at 10x -> 20x, and re-paying that point on every curve refresh is
+    // exactly what the role swap retired.
+    "q172_pca_gram", "q173_pca_topk", "q91_embed_dedup_rows")
 
   def main(args: Array[String]): Unit = {
     val src      = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")

@@ -2078,17 +2078,24 @@ object Contract {
     ),
     Q(
       "q91_embed_dedup_rows",
-      // vector-level dedup SURVIVORS: connected components over the q46
+      // vector-level dedup SURVIVORS: connected components over the
       // banded-LSH pair graph, keep the min vec_id per component — the
       // embedding twin of q48/q81's text policy, closing the vector dedup
-      // story from pair mining (q33/q46) to dropped rows. The star CC's
-      // size-gated driver fallback handles the (tiny) mined graph; at
-      // corpus scale the distributed log-round contraction takes over.
+      // story from pair mining (q33/q46) to dropped rows. Runs the
+      // DEFAULT-ARGUMENT path: since round 11 the default band width is
+      // the AUTO ladder (Similarity.effectiveBandBits — candidate volume
+      // under a fixed width is Θ(n²/2^bandBits), the measured 8.1→338 s
+      // cliff at 20k→40k vectors), so this entry certifies exactly what a
+      // user calling the API with defaults gets; the oracle replays the
+      // ladder pick from COUNT(*). The pinned-width diagnostic twin is
+      // q174. The star CC's size-gated driver fallback handles the (tiny)
+      // mined graph; at corpus scale the distributed log-round contraction
+      // takes over.
       (s, d) => {
         import graft.operators.{Dedup, Similarity}
         val emb = Tables.embeddings(s, d)
         val pairs = Similarity.embedNearDupPairs(
-          emb, "vec_id", "embedding", threshold = 0.45, bits = 60, bandBits = 6)
+          emb, "vec_id", "embedding", threshold = 0.45)
         Dedup
           .ccNearDedupRowsFromLabels(
             emb, "vec_id",
@@ -4170,19 +4177,21 @@ object Contract {
              |SELECT probe_id, rnk::INTEGER AS rnk, neighbor_id FROM ranked WHERE rnk <= 5""".stripMargin)
     ),
     Q(
-      "q174_embed_dedup_auto",
-      // q91's composition with the band width AUTO-SIZED from the corpus
-      // (bandBits = 0 → Similarity.effectiveBandBits' divisor ladder,
-      // first d with n <= 32·2^d): the scale twin, same relationship to
-      // q91 as q164 to q87. Candidate generation under a FIXED band width
-      // is Θ(n²/2^bandBits) — measured cliff 8.1 s → 338 s from 20k to
-      // 40k vectors at the pinned 6 bits — so the width must grow with
-      // the corpus; the oracle replays the ladder pick from COUNT(*).
+      "q174_embed_dedup_pinned",
+      // FROZEN DIAGNOSTIC (role swap with q91 in round 11): the same CC +
+      // min-id survivor composition with the band width PINNED at the
+      // historical 6 bits. This is deliberately NOT the production posture
+      // — a fixed width is Θ(n²/2^bandBits) in candidates (the committed
+      // scaling curve measured its 8.1 s → 338 s cliff at 20k→40k vectors)
+      // and is excluded from the soak/scaling set for exactly that reason
+      // — it exists to (a) certify the explicit-bandBits code path stays
+      // correct and (b) reproduce pre-round-11 runs bit-for-bit at small
+      // fixed SF. The auto-ladder path is q91, the default.
       (s, d) => {
         import graft.operators.{Dedup, Similarity}
         val emb = Tables.embeddings(s, d)
         val pairs = Similarity.embedNearDupPairs(
-          emb, "vec_id", "embedding", threshold = 0.45, bits = 60, bandBits = 0)
+          emb, "vec_id", "embedding", threshold = 0.45, bits = 60, bandBits = 6)
         Dedup
           .ccNearDedupRowsFromLabels(
             emb, "vec_id",

@@ -442,10 +442,11 @@ object OracleSql {
        |  JOIN s sb ON sb.vec_id = c.id_b)""".stripMargin
   }
 
-  /** Auto-banded embedding dedup rows (q174): q91 with the band width
-    * sized from the corpus — identical CC + min-id survivor policy.
+  /** Auto-banded embedding dedup rows (q91 — the DEFAULT path since round
+    * 11): the band width is sized from the corpus by the effectiveBandBits
+    * ladder, replayed here from COUNT(*); CC + min-id survivor policy.
     */
-  val q174: String =
+  val q91: String =
     s"""WITH RECURSIVE ${embedPairCtesAuto()},
        |pairs AS (SELECT id_a, id_b FROM v WHERE cos >= 0.45),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
@@ -459,10 +460,11 @@ object OracleSql {
        |SELECT vec_id FROM embeddings
        |WHERE vec_id NOT IN (SELECT id FROM drops)""".stripMargin
 
-  /** Embedding dedup ROWS (q91): q46's pair graph + q48's recursive
-    * min-label walk — survivors are the min vec_id per component.
+  /** Embedding dedup ROWS at the PINNED 6-bit band width (q174, the frozen
+    * diagnostic since the round-11 role swap): q46's pair graph + q48's
+    * recursive min-label walk — survivors are the min vec_id per component.
     */
-  val q91: String =
+  val q174: String =
     s"""WITH RECURSIVE ${embedPairCtes()},
        |pairs AS (SELECT id_a, id_b FROM v WHERE cos >= 0.45),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

@@ -379,7 +379,13 @@ object Similarity {
     *  - candidates: banding over `bandBits`-bit chunks of the fingerprint —
     *    a pair is a candidate iff ANY chunk matches (bucket equality join;
     *    shuffle volume = nBands rows/vector, cost scales with bucket
-    *    collisions, not corpus^2);
+    *    collisions, not corpus^2). The DEFAULT (`bandBits = 0`) auto-sizes
+    *    the band width from the corpus count via `effectiveBandBits`:
+    *    candidate volume under a FIXED width is Θ(n²/2^bandBits) — the
+    *    pinned 6-bit width was measured to cliff 8.1 s → 338 s from 20k to
+    *    40k vectors (soak_scaling.json) while the ladder stays flat — so a
+    *    fixed width is strictly a frozen-diagnostic / reproduce-old-runs
+    *    knob, never the production posture;
     *  - verify: exact cosine on candidates only; output pairs all satisfy
     *    cos >= threshold.
     *
@@ -420,8 +426,10 @@ object Similarity {
 
   def effectiveBandBits(bits: Int, n: Long, targetBucket: Int = 32): Int = {
     val ladder = bandLadder(bits)
+    // guard at 58: targetBucket * 2^d must stay inside Long (32 * 2^58 =
+    // 2^63) — at or past that width any corpus count fits the bucket target
     ladder
-      .find(d => d >= 63 || n <= targetBucket.toLong * (1L << d))
+      .find(d => d >= 58 || n <= targetBucket.toLong * (1L << d))
       .getOrElse(ladder.last)
   }
 
@@ -431,7 +439,7 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       bits: Int = 60,
-      bandBits: Int = 6,
+      bandBits: Int = 0,
       maxBucket: Int = 4096): DataFrame = {
     require(bits >= 1 && bits <= 62, "bits in [1, 62]")
     require(bandBits == 0 || (bandBits >= 1 && bits % bandBits == 0),
@@ -669,11 +677,11 @@ object Similarity {
     * `reindexIvf` exists to heal.
     *
     * Scale shape: cost = one in-row assignment over |other| + one
-    * cell-partitioned write of |base| + |other|. The guards add one
-    * early-exit projection scan over |other| (dimension) and one thin
-    * id-column intersect (collision; distinct + hash join on ids, a few
-    * bytes per row). No pairwise work, no driver data path beyond the
-    * ≤5-row collision sample.
+    * cell-partitioned write of |base| + |other|. The guards cost ONE extra
+    * job: a thin (id, dim) projection of |other| left-joined against the
+    * base id column checks dimension and disjointness together (a few bytes
+    * per row, hash join on ids). No pairwise work, no driver data path
+    * beyond the ≤5-row offending-row sample.
     */
   def mergeIvfIndexes(
       spark: org.apache.spark.sql.SparkSession,
@@ -692,19 +700,22 @@ object Similarity {
       .select(size(element_at(col("cents"), 1).getField("c_emb")))
       .first()
       .getInt(0)
-    val badDim = other
+    // BOTH guards in ONE job (was two — round-10 verdict item 3): a thin
+    // (id, size) projection of `other` left-joined against the base id
+    // column; a surviving row is either a wrong-dimension vector or an id
+    // collision (≤5-row driver sample, failure diagnostics only)
+    val offending = other
       .select(col("vec_id"), size(col("embedding")).as("__d"))
-      .filter(col("__d") =!= centDim)
-      .limit(1)
+      .join(base.select(col("vec_id"), lit(true).as("__dup")), Seq("vec_id"), "left_outer")
+      .filter(col("__d") =!= centDim || col("__dup"))
+      .limit(5)
       .collect()
+    val badDim  = offending.filter(_.getInt(1) != centDim)
+    val collide = offending.filter(r => !r.isNullAt(2))
     require(badDim.isEmpty,
       s"mergeIvfIndexes: $otherPath stores dim ${badDim.headOption.map(_.getInt(1)).getOrElse(-1)} " +
         s"vectors (e.g. vec_id ${badDim.headOption.map(_.get(0)).getOrElse("?")}) but the base " +
         s"quantizer at $basePath.centroids is dim $centDim")
-    val collide = base.select(col("vec_id"))
-      .intersect(other.select(col("vec_id")))
-      .limit(5)
-      .collect()
     require(collide.isEmpty,
       s"mergeIvfIndexes: vec_ids are not disjoint between $basePath and $otherPath " +
         s"(e.g. ${collide.map(_.get(0)).mkString(", ")}); merging would silently duplicate rows")

@@ -307,6 +307,10 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.effectiveBandBits(60, 2049) === 10)
     assert(Similarity.effectiveBandBits(60, 40000) === 12)
     assert(Similarity.effectiveBandBits(60, 1L << 40) === 60) // capped at the widest divisor
+    // overflow guard (r10 ADVICE): targetBucket * 2^d must never wrap Long —
+    // at d >= 58 the guard short-circuits before the shift arithmetic
+    assert(Similarity.effectiveBandBits(60, Long.MaxValue) === 60)
+    assert(Similarity.effectiveBandBits(62, Long.MaxValue) === 62)
   }
 
   test("auto banding (bandBits=0): still a subset of brute force; planted near-dups fully recalled") {

@@ -27,8 +27,13 @@ def main() -> None:
         ("q128_hits", "HITS"),
         ("q129_triangles", "triangles"),
         ("q136_personalized_pagerank", "PPR"),
-        ("q91_embed_dedup_rows", "q91 embed dedup (pinned 6-bit)"),
-        ("q174_embed_dedup_auto", "q174 embed dedup (auto band)"),
+        ("q172_pca_gram", "PCA gram"),
+        ("q173_pca_topk", "PCA top-k"),
+        # q91 is the AUTO-banded path since the round-11 role swap; the
+        # pinned-width diagnostic (q174_embed_dedup_pinned) is not soaked —
+        # its 337.9 s 20x cliff is frozen in soak_pinned_cliff_r10.json
+        ("q91_embed_dedup_rows", "q91 embed dedup (auto band)"),
+        ("q174_embed_dedup_auto", "embed dedup auto (pre-r11 artifact)"),
     ]
     present = [(k, label) for k, label in cols if any(k in p["queries"] for p in points)]
     print("| replicas (docs) | " + " | ".join(label for _, label in present) + " |")
