@@ -110,26 +110,54 @@ object Bench {
 
   private def parentMain(sfDir: String): Unit = {
     val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK_SIZE", "12").toInt.max(1)
+    // CALIBRATION GATE (round-10 verdict item 2): the r10 driver artifact
+    // recorded apparent 2x per-query "regressions" that were really ONE
+    // chunk landing on a ~2x degraded host slice (chunk calibration 0.992 s
+    // vs the 0.52-0.57 quiet-host band) — adjudicating that by hand cost a
+    // round. A chunk whose pinned-calibration median exceeds the gate is
+    // re-run ONCE and the lower-calibration pair is kept; BOTH calibration
+    // values land in the artifact ("recalibrated") so round-over-round
+    // diffs are self-explaining.
+    val calibGate =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB_GATE", "0.7").toDouble
     val chunks = SparkEntry.queries.keys.toSeq.sorted.grouped(chunkSize).toSeq :+ pipelineNames
     val acc    = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var failed = List.empty[String]
-    var calibs = List.empty[Double]
+    val calibs = scala.collection.mutable.ListBuffer.empty[Double]
+    val recals = scala.collection.mutable.ListBuffer.empty[(Int, Double, Double)]
     var forkBroken = false
-    chunks.foreach { names =>
-      val forked = if (forkBroken) None else runChunkForked(names, sfDir)
-      val (res, f, c) = forked.getOrElse {
-        if (!forkBroken)
-          System.err.println("[bench] fork produced no parseable output; " +
-            "falling back to in-process for the remaining chunks")
-        forkBroken = true
-        val (r, fl, cl) = runQueries(sfDir, names.toSet)
-        (r, fl, cl.toList)
+    chunks.zipWithIndex.foreach { case (names, ci) =>
+      def runOnce(): (Seq[(String, Double)], List[String], List[Double]) = {
+        val forked = if (forkBroken) None else runChunkForked(names, sfDir)
+        forked.getOrElse {
+          if (!forkBroken)
+            System.err.println("[bench] fork produced no parseable output; " +
+              "falling back to in-process for the remaining chunks")
+          forkBroken = true
+          val (r, fl, cl) = runQueries(sfDir, names.toSet)
+          (r, fl, cl.toList)
+        }
       }
+      val first = runOnce()
+      val noisy = first._3.headOption.exists(_ > calibGate)
+      val (res, f, c) =
+        if (noisy && !forkBroken && first._2.isEmpty) {
+          System.err.println(f"[bench] chunk $ci calibration ${first._3.head}%.3f s " +
+            f"> gate $calibGate%.2f s — re-running once on the chance the host settles")
+          val second = runOnce()
+          recals += ((ci, first._3.headOption.getOrElse(-1.0),
+            second._3.headOption.getOrElse(-1.0)))
+          // keep the quieter-host run; a retry with failures never wins
+          if (second._2.isEmpty &&
+              second._3.headOption.exists(c2 => first._3.headOption.forall(c2 < _)))
+            second
+          else first
+        } else first
       acc ++= res
       failed :::= f
-      calibs :::= c
+      calibs ++= c
     }
-    emit(acc.toSeq, failed, sfDir, calibs)
+    emit(acc.toSeq, failed, sfDir, calibs.toList, recals.toList)
     if (failed.nonEmpty) sys.exit(1)
   }
 
@@ -350,7 +378,8 @@ object Bench {
       results: Seq[(String, Double)],
       failed: List[String],
       sfDir: String,
-      calibs: Seq[Double]): Unit = {
+      calibs: Seq[Double],
+      recals: List[(Int, Double, Double)] = Nil): Unit = {
     val total    = results.map(_._2).filter(_ >= 0).sum
     val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
@@ -358,11 +387,19 @@ object Bench {
     // calibration per chunk JVM + a host-load snapshot. README documents
     // the reading rule (quiet-host calibration ~= its BASELINE value; a
     // k x calibration means the chunk ran under k x host contention).
+    // "recalibrated" (round-10 item 2) lists every chunk the calibration
+    // gate re-ran, with both measured calibrations — the kept run's value
+    // is the one folded into median/max.
+    val recalJs =
+      if (recals.isEmpty) ""
+      else recals
+        .map { case (ci, a, b) => s"""{"chunk":$ci,"first":${fmt(a)},"retry":${fmt(b)}}""" }
+        .mkString(""""recalibrated":[""", ",", "],")
     val calibJs =
       if (calibs.isEmpty) ""
       else {
         val s = calibs.sorted
-        s""""calibration":{"pinned":"q02_tpch_q1@sf0.01","median":${fmt(s(s.size / 2))},"max":${fmt(s.last)},"n":${s.size}},"""
+        s""""calibration":{"pinned":"q02_tpch_q1@sf0.01","median":${fmt(s(s.size / 2))},"max":${fmt(s.last)},"n":${s.size}},$recalJs"""
       }
     val loadavg =
       try Files.readString(Paths.get("/proc/loadavg")).trim.split("\\s+").take(3).mkString("[", ",", "]")
