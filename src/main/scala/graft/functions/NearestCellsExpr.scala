@@ -43,7 +43,12 @@ case class NearestCellsExpr(first: Expression, second: Expression, third: Expres
     case _                                                  => false
   }
 
-  private lazy val centFields: Option[(Int, Int, Int, Boolean)] = third.dataType match {
+  // (cell_id idx, c_emb idx, c_n2 idx, centFloat, struct arity) — the
+  // arity rides along so the kernel decodes with the struct's REAL field
+  // count: getStruct with a hardcoded 3 would mis-read UnsafeArrayData
+  // rows whose struct carries extra fields (garbage field reads), which
+  // the name-based index resolution here would otherwise happily accept.
+  private lazy val centFields: Option[(Int, Int, Int, Boolean, Int)] = third.dataType match {
     case ArrayType(st: StructType, _) =>
       val ci = st.fieldNames.indexOf("cell_id")
       val ei = st.fieldNames.indexOf("c_emb")
@@ -51,8 +56,8 @@ case class NearestCellsExpr(first: Expression, second: Expression, third: Expres
       if (ci < 0 || ei < 0 || ni < 0) None
       else
         (st.fields(ci).dataType, st.fields(ei).dataType, st.fields(ni).dataType) match {
-          case (LongType, ArrayType(FloatType, _), DoubleType)  => Some((ci, ei, ni, true))
-          case (LongType, ArrayType(DoubleType, _), DoubleType) => Some((ci, ei, ni, false))
+          case (LongType, ArrayType(FloatType, _), DoubleType)  => Some((ci, ei, ni, true, st.length))
+          case (LongType, ArrayType(DoubleType, _), DoubleType) => Some((ci, ei, ni, false, st.length))
           case _                                                => None
         }
     case _ => None
@@ -71,10 +76,11 @@ case class NearestCellsExpr(first: Expression, second: Expression, third: Expres
     case ArrayType(FloatType, _) => true
     case _                       => false
   }
-  // (cellIdx, embIdx, n2Idx, centFloat) packed for the static kernel
+  // (cellIdx, embIdx, n2Idx, centFloat, embFloat, structArity) packed for
+  // the static kernel
   @transient private lazy val layout: Array[Int] = {
-    val (ci, ei, ni, cf) = centFields.get
-    Array(ci, ei, ni, if (cf) 1 else 0, if (embFloat) 1 else 0)
+    val (ci, ei, ni, cf, nf) = centFields.get
+    Array(ci, ei, ni, if (cf) 1 else 0, if (embFloat) 1 else 0, nf)
   }
 
   override protected def withNewChildrenInternal(
@@ -118,6 +124,7 @@ object NearestCellsExpr {
     val ni        = layout(2)
     val centFloat = layout(3) == 1
     val embFloat  = layout(4) == 1
+    val arity     = layout(5)
     val n         = cents.numElements()
     val dim       = emb.numElements()
     val sqrtN2    = Math.sqrt(n2)
@@ -132,7 +139,7 @@ object NearestCellsExpr {
       order(i) = i
       if (cents.isNullAt(i)) { negNull(i) = true; cidNull(i) = true }
       else {
-        val row = cents.getStruct(i, 3)
+        val row = cents.getStruct(i, arity)
         if (row.isNullAt(ci)) cidNull(i) = true else cellId(i) = row.getLong(ci)
         if (row.isNullAt(ei) || row.isNullAt(ni)) negNull(i) = true
         else {

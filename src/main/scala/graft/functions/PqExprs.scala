@@ -32,6 +32,13 @@ case class PqEncodeExpr(
     codebooks: Seq[Seq[Seq[Double]]])
     extends BinaryExpression {
 
+  // the encode kernel derives subvector offsets as j * (j-th codebook's own
+  // width) — only valid when every entry of every codebook has ONE width; a
+  // ragged codebook would silently encode garbage, so it fails loudly here
+  require(codebooks.flatMap(_.map(_.length)).distinct.size <= 1,
+    s"pq_encode requires all codebook subspace widths equal, got " +
+      s"${codebooks.map(_.map(_.length).distinct.mkString("{", ",", "}")).mkString(", ")}")
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
   override def nullable: Boolean  = true
 

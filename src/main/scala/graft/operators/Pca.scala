@@ -34,11 +34,17 @@ final case class PcaModel(
   *
   * Scale shape:
   *  - `fit` is ONE corpus pass through a mergeable moment Aggregator
-  *    (count + d sums + d(d+1)/2 upper-triangular product sums ≈ 17 KB at
-  *    d=64) with map-side partial aggregation — the only thing that crosses
-  *    an exchange is one buffer per partition, never a row. The d x d
+  *    (count + d sums + d(d+1)/2 upper-triangular product sums) with
+  *    map-side partial aggregation — the only thing that crosses an
+  *    exchange is one buffer per partition, never a row. The buffer is
+  *    8 * d(d+1)/2 bytes PER PARTIAL, merged up the tree: ≈ 17 KB at d=64,
+  *    ≈ 264 KB at d=256, ≈ 4.2 MB at d=1024, ≈ 67 MB at the enforced
+  *    ceiling d=4096 — beyond that a quadratic-in-d driver/exchange buffer
+  *    stops being a rounding error, so `fit` REFUSES dim > 4096 rather
+  *    than degrade silently (at those widths reduce dimensionality first:
+  *    `randomProject` is the linear-memory path). The d x d
   *    eigendecomposition runs on the driver (cyclic Jacobi — d is the
-  *    EMBEDDING dimension, 64–1024, never the corpus size).
+  *    EMBEDDING dimension, 64–1024 in practice, never the corpus size).
   *  - `project` folds centering into constants: out[c] = <x, W_c> - <mean,
   *    W_c>, so each component is one native `VecDotExpr` loop against a
   *    literal axis — pure per-row projection, zero shuffle, no interpreted
@@ -64,6 +70,11 @@ final case class PcaModel(
   */
 object Pca {
 
+  /** Hard ceiling on the embedding dimension `fit` accepts — the moment
+    * buffer is quadratic in d (8 * d(d+1)/2 bytes per partial).
+    */
+  val MaxDim: Int = 4096
+
   /** (count, per-dim sums, upper-triangular product sums) — exactly the
     * moments covariance needs, mergeable by elementwise addition.
     */
@@ -84,6 +95,11 @@ object Pca {
         inv = 1.0 / math.sqrt(s)
       }
       if (b.n == 0L && b.sum.isEmpty) {
+        // documented refusal (see object doc): the moment buffer is
+        // d(d+1)/2 doubles per partial — quadratic in d, ~67 MB at 4096
+        require(d <= Pca.MaxDim,
+          s"Pca.fit: embedding dimension $d exceeds the supported ${Pca.MaxDim} " +
+            s"(moment buffer is 8*d(d+1)/2 bytes per partial — reduce with randomProject first)")
         b.sum = new Array[Double](d)
         b.prod = new Array[Double](d * (d + 1) / 2)
       }

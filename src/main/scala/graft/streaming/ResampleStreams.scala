@@ -44,13 +44,28 @@ final case class ResState(
   */
 object ResampleStreams {
 
+  /** @param maxSilenceSec optional state TTL: with None (the default) a
+    *   sealed key's ResState is kept FOREVER so a key that wakes up after
+    *   any silence resumes its gap fills — but state-store size then grows
+    *   with the total distinct-key cardinality over the stream's LIFETIME,
+    *   with no eviction for permanently dead keys. With Some(ttl), a key
+    *   whose final bin sealed re-registers one long timeout and its state
+    *   is REMOVED once the watermark passes seal + ttl with no new traffic
+    *   — bounding the store to keys active within the TTL window, at the
+    *   documented cost that a key waking after the TTL restarts fresh (no
+    *   fills across the evicted silence; batch, which sees all data, would
+    *   have filled it — the same class of divergence as the watermark
+    *   contract above, and the right trade for unbounded key churn).
+    */
   def resampleFillStream(
       samples: Dataset[(String, Long, Double)],
       stepSec: Long,
       closeAfterSec: Long = 30L,
-      latenessSec: Long = 10L): DataFrame = {
+      latenessSec: Long = 10L,
+      maxSilenceSec: Option[Long] = None): DataFrame = {
     require(stepSec > 0, s"stepSec must be positive, got $stepSec")
     require(closeAfterSec >= 0 && latenessSec >= 0, "closeAfterSec/latenessSec must be >= 0")
+    require(maxSilenceSec.forall(_ > 0), "maxSilenceSec must be positive when set")
     val spark = samples.sparkSession
     import spark.implicits._
     samples
@@ -72,8 +87,20 @@ object ResampleStreams {
                 state.update(ResState(
                   hasOpen = false, 0L, 0L, 0.0,
                   hasClosed = true, st.openBin, st.bestVal))
+                // TTL mode: one more (long) timeout — if it fires with no
+                // new traffic the sealed state is evicted below
+                maxSilenceSec.foreach { ttl =>
+                  state.setTimeoutTimestamp(math.max(
+                    (st.openBin + stepSec + closeAfterSec + ttl) * 1000L,
+                    state.getCurrentWatermarkMs + 1))
+                }
                 Seq((key, st.openBin, st.bestVal, true))
-              } else Seq.empty
+              } else {
+                // reachable only via the TTL re-registration: the key has
+                // been silent past maxSilenceSec since sealing — evict
+                state.remove()
+                Seq.empty
+              }
             out.iterator
           } else {
             val sorted = rows.toSeq.sortBy(o => (o.sec, o.value))

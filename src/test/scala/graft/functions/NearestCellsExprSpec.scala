@@ -102,6 +102,38 @@ class NearestCellsExprSpec extends AnyFunSuite {
     assert(first.getLong(0) === 1L) // the null-negcos (mismatched) cell sorts first
   }
 
+  test("a centroid struct with EXTRA fields decodes by arity, not a hardcoded 3 (r10 ADVICE)") {
+    // extra field FIRST so the resolved indices also shift — a hardcoded
+    // getStruct(i, 3) would mis-read every field under UnsafeArrayData
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd   = new scala.util.Random(24)
+    val rows  = Seq.fill(20)(Seq.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val cents = Seq.tabulate(5)(i => (i.toLong, Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+    val wide = cents.toDF("cell_id", "c_emb")
+      .withColumn("c_n2", Similarity.norm2(col("c_emb")))
+      .withColumn("extra", col("cell_id") * 1000)
+      .agg(collect_list(
+        struct(col("extra"), col("cell_id"), col("c_emb"), col("c_n2"))).as("cents"))
+    val df = rows.toDF("embedding")
+      .withColumn("n2", Similarity.norm2(col("embedding")))
+      .crossJoin(broadcast(wide))
+      .select(native.as("n"), composed.as("c"))
+    df.collect().foreach { r =>
+      val n = r.getSeq[org.apache.spark.sql.Row](0)
+      val c = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(n.size === c.size && n.nonEmpty)
+      n.zip(c).foreach { case (a, b) =>
+        assert(a.isNullAt(0) === b.isNullAt(0))
+        if (!a.isNullAt(0))
+          assert(
+            java.lang.Double.doubleToLongBits(a.getDouble(0)) ===
+              java.lang.Double.doubleToLongBits(b.getDouble(0)))
+        assert(a.getLong(1) === b.getLong(1))
+      }
+    }
+  }
+
   test("ivfTopK over the native kernel still matches brute force at full probe") {
     val spark2 = spark
     import spark2.implicits._

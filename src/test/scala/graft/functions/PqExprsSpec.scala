@@ -177,4 +177,18 @@ class PqExprsSpec extends AnyFunSuite {
       .toSet
     assert(got === brute)
   }
+
+  test("ragged codebooks are rejected at construction, not silently mis-encoded (r10 ADVICE)") {
+    // the kernel derives the j-th subvector offset as j * (codebook j's own
+    // width) — only sound when all widths agree, so raggedness must fail loudly
+    val ragged = Seq(
+      Seq(Seq(0.1, 0.2), Seq(0.3, 0.4)),
+      Seq(Seq(0.5, 0.6, 0.7), Seq(0.8, 0.9, 1.0)))
+    val e = intercept[IllegalArgumentException] {
+      PqEncodeExpr(
+        ColumnBridge.expression(col("embedding")),
+        ColumnBridge.expression(col("nrm")), ragged)
+    }
+    assert(e.getMessage.contains("subspace widths"))
+  }
 }

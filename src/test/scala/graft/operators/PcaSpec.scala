@@ -175,4 +175,16 @@ class PcaSpec extends AnyFunSuite {
     }
     assert(got.size === 6)
   }
+
+  test("fit refuses dim > MaxDim — the quadratic moment-buffer envelope is a documented refusal") {
+    val spark2 = spark
+    import spark2.implicits._
+    val wide = Seq.fill(3)((1L, Array.fill(Pca.MaxDim + 1)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Throwable] { Pca.fit(wide) }
+    def all(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ all(t.getCause)
+    assert(all(e).exists(_.contains("exceeds the supported")),
+      s"expected the MaxDim refusal, got: ${all(e).mkString(" | ")}")
+  }
 }

@@ -80,6 +80,32 @@ class ResampleStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxSilenceSec TTL: sealed state evicts after the silence; a waking key starts FRESH") {
+    import spark.implicits._
+    val ms = MemoryStream[(String, Long, Double)](spark)
+    val q = ResampleStreams
+      .resampleFillStream(ms.toDS(), stepSec = 10L, closeAfterSec = 20L,
+        maxSilenceSec = Some(50L))
+      .writeStream.format("memory").queryName("res_ttl").outputMode("append").start()
+    try {
+      ms.addData(("k", 100L, 3.0))
+      q.processAllAvailable()
+      ms.addData(("adv", 500L, 0.0)) // watermark 490: seals bin 100, arms the TTL
+      q.processAllAvailable()
+      assert(drained("res_ttl").contains(("k", 100L, 3.0, true)))
+      ms.addData(("adv", 1000L, 0.0)) // watermark past seal+TTL: k's state evicts
+      q.processAllAvailable()
+      ms.addData(("k", 1031L, 9.0))   // wakes AFTER eviction
+      q.processAllAvailable()
+      ms.addData(("adv", 2000L, 0.0)) // seals the fresh bin
+      q.processAllAvailable()
+      val got = drained("res_ttl").filter(_._1 == "k")
+      // no resume fills across the evicted silence (the no-TTL test above
+      // proves the opposite default) — the documented TTL trade
+      assert(got === Set(("k", 100L, 3.0, true), ("k", 1030L, 9.0, true)))
+    } finally q.stop()
+  }
+
   test("late observation past its sealed bin is dropped (watermark contract)") {
     import spark.implicits._
     val ms = MemoryStream[(String, Long, Double)](spark)
