@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Pca
+
+/** Streaming PCA moment accumulation — the ingest-path twin of
+  * `Pca.gramQuantized` (train the projection AS the corpus lands, instead
+  * of a batch pass over the closed corpus).
+  *
+  * Shape: the two halves of the gram assembly are each ONE streaming
+  * aggregation over the same quantized projection the batch form uses
+  * (shared code, so the twin law is structural, not coincidental):
+  *  - `gramCellsStream`: (i, j, sum_prod) upper-triangular integer product
+  *    sums — aggregation state is d(d+1)/2 rows, bounded by the embedding
+  *    DIMENSION, never by ingest volume (2,080 rows at d=64);
+  *  - `gramDimsStream`: (i, sum_i, n_rows) per-dimension sums — d rows.
+  * Both run in Complete/Update output mode (tiny snapshots by
+  * construction); `Pca.gramJoin`-via-`gramSnapshot` assembles any pair of
+  * drained snapshots into the exact `gramQuantized` schema, and
+  * `Pca.modelFromMoments` turns that into a trained PcaModel without
+  * re-reading the corpus.
+  *
+  * Two separate queries (not one) because the assembly join of two
+  * streaming aggregates is not expressible in one streaming plan —
+  * the join is a BATCH combinator over snapshots, which is also exactly
+  * the right consistency unit: snapshots taken after the same drained
+  * input produce bit-identical integer moments to the batch pass
+  * (PcaStreamsSpec's law; all sums are integers, so there is no FP
+  * merge-order noise to tolerate — this is why the streaming fit twin
+  * rides the QUANTIZED gram, not the float moment aggregator).
+  *
+  * Batch ≡ stream divergence: none on drained input. A snapshot taken
+  * mid-stream is the moments of the rows ingested so far — a valid model
+  * of the prefix corpus (monotone refinement), not an approximation.
+  */
+object PcaStreams {
+
+  /** Streaming upper-triangular product sums; Complete/Update sink. */
+  def gramCellsStream(
+      emb: DataFrame,
+      embCol: String = "embedding",
+      quantum: Double = 1e6): DataFrame =
+    Pca.gramCells(Pca.quantizedCol(emb, embCol, quantum))
+
+  /** Streaming per-dimension sums + row count; Complete/Update sink. */
+  def gramDimsStream(
+      emb: DataFrame,
+      embCol: String = "embedding",
+      quantum: Double = 1e6): DataFrame =
+    Pca.gramDims(Pca.quantizedCol(emb, embCol, quantum))
+
+  /** Assemble two drained snapshots into the `gramQuantized` schema
+    * (feed the result to `Pca.modelFromMoments`).
+    */
+  def gramSnapshot(cells: DataFrame, dims: DataFrame): DataFrame =
+    Pca.gramJoin(cells, dims)
+}

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.operators.Pca
+
+/** The streaming gram twin must drain to BIT-IDENTICAL integer moments to
+  * the batch `Pca.gramQuantized` (all sums are integers — exact equality,
+  * no FP tolerance), and `modelFromMoments` over the drained snapshot must
+  * reproduce the batch-fitted model up to the quantization grid.
+  */
+class PcaStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def syntheticRows(n: Int, d: Int, seed: Long): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val v = Seq.tabulate(d) { j =>
+        val sd = if (j == 0) 10.0 else if (j == 1) 3.0 else 0.3
+        (rnd.nextGaussian() * sd + (if (j == 0) 5.0 else 0.0)).toFloat
+      }
+      (i.toLong, v)
+    }
+  }
+
+  test("drained gram snapshots == batch gramQuantized, bit-identical integers") {
+    import spark.implicits._
+    val rows = syntheticRows(200, 8, seed = 31)
+    val ms   = MemoryStream[(Long, Seq[Float])](spark)
+    val df   = ms.toDS().toDF("vec_id", "embedding")
+    val qc = PcaStreams.gramCellsStream(df)
+      .writeStream.format("memory").queryName("pca_cells").outputMode("complete").start()
+    val qd = PcaStreams.gramDimsStream(df)
+      .writeStream.format("memory").queryName("pca_dims").outputMode("complete").start()
+    try {
+      // three uneven batches: merge order differs from any batch plan
+      ms.addData(rows.take(50): _*)
+      qc.processAllAvailable(); qd.processAllAvailable()
+      ms.addData(rows.slice(50, 51): _*)
+      qc.processAllAvailable(); qd.processAllAvailable()
+      ms.addData(rows.drop(51): _*)
+      qc.processAllAvailable(); qd.processAllAvailable()
+
+      val streamed = PcaStreams
+        .gramSnapshot(spark.table("pca_cells"), spark.table("pca_dims"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toSet
+      val batch = Pca
+        .gramQuantized(rows.toDF("vec_id", "embedding"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toSet
+      assert(streamed === batch)
+      assert(streamed.size === 8 * 9 / 2) // full upper triangle at d=8
+    } finally { qc.stop(); qd.stop() }
+  }
+
+  test("a MID-STREAM snapshot is the exact moments of the prefix corpus") {
+    import spark.implicits._
+    val rows = syntheticRows(120, 6, seed = 32)
+    val ms   = MemoryStream[(Long, Seq[Float])](spark)
+    val df   = ms.toDS().toDF("vec_id", "embedding")
+    val qc = PcaStreams.gramCellsStream(df)
+      .writeStream.format("memory").queryName("pca_cells_mid").outputMode("complete").start()
+    val qd = PcaStreams.gramDimsStream(df)
+      .writeStream.format("memory").queryName("pca_dims_mid").outputMode("complete").start()
+    try {
+      ms.addData(rows.take(70): _*)
+      qc.processAllAvailable(); qd.processAllAvailable()
+      val mid = PcaStreams
+        .gramSnapshot(spark.table("pca_cells_mid"), spark.table("pca_dims_mid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toSet
+      val prefix = Pca
+        .gramQuantized(rows.take(70).toDF("vec_id", "embedding"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toSet
+      assert(mid === prefix)
+    } finally { qc.stop(); qd.stop() }
+  }
+
+  test("modelFromMoments over the drained snapshot ~= batch fit (quantization grid)") {
+    import spark.implicits._
+    val rows  = syntheticRows(300, 8, seed = 33)
+    val batch = rows.toDF("vec_id", "embedding")
+    val fromMoments = Pca.modelFromMoments(Pca.gramQuantized(batch))
+    val fitted      = Pca.fit(batch)
+    assert(fromMoments.nRows === fitted.nRows)
+    fromMoments.mean.zip(fitted.mean).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-5, s"mean $a vs $b") // 0.5/quantum per component
+    }
+    // anisotropic cloud (sd 10/3/0.3): eigengaps dwarf the grid error
+    fromMoments.eigenvalues.take(3).zip(fitted.eigenvalues.take(3)).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-3 * math.max(1.0, b), s"eig $a vs $b")
+    }
+    (0 until 2).foreach { c =>
+      val dot = fromMoments.components(c).zip(fitted.components(c)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot) > 1.0 - 1e-6, s"axis $c misaligned: |dot| = ${math.abs(dot)}")
+    }
+  }
+
+  test("modelFromMoments rejects inconsistent or incomplete snapshots") {
+    import spark.implicits._
+    val rows = syntheticRows(50, 4, seed = 34)
+    val gram = Pca.gramQuantized(rows.toDF("vec_id", "embedding"))
+    val holed = gram.filter(!(col("i") === 1 && col("j") === 2))
+    val e = intercept[IllegalArgumentException] { Pca.modelFromMoments(holed) }
+    assert(e.getMessage.contains("missing upper-triangular"))
+    val mixed = gram.withColumn("n_rows",
+      when(col("i") === 0 && col("j") === 0, col("n_rows") + 1).otherwise(col("n_rows")))
+    val e2 = intercept[IllegalArgumentException] { Pca.modelFromMoments(mixed) }
+    assert(e2.getMessage.contains("inconsistent n_rows"))
+  }
+}
