@@ -297,11 +297,14 @@ object Pca {
     * a streaming frame unchanged.
     */
   private[graft] def quantizedCol(
-      emb: DataFrame, embCol: String, quantum: Double): DataFrame =
+      emb: DataFrame, embCol: String, quantum: Double): DataFrame = {
+    require(quantum > 0 && !quantum.isInfinity,
+      s"quantum must be positive and finite, got $quantum")
     emb
       .filter(col(embCol).isNotNull)
       .select(
         transform(col(embCol), x => round(x.cast("double") * quantum).cast("long")).as("qe"))
+  }
 
   /** Upper-triangular integer product sums per (i, j) over a quantized
     * frame. ONE aggregation whose state is d(d+1)/2 rows — bounded by the
@@ -348,6 +351,8 @@ object Pca {
     * 0.5/quantum per component).
     */
   def modelFromMoments(gram: DataFrame, quantum: Double = 1e6): PcaModel = {
+    require(quantum > 0 && !quantum.isInfinity,
+      s"quantum must be positive and finite, got $quantum")
     val rows = gram
       .select(col("i"), col("j"), col("sum_prod"), col("sum_i"), col("sum_j"), col("n_rows"))
       .collect()

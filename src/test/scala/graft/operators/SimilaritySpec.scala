@@ -313,6 +313,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.effectiveBandBits(62, Long.MaxValue) === 62)
   }
 
+  test("effectiveBandBits laws hold exhaustively over bits in [1,62] x a 64-order n sweep") {
+    val ns = (0 to 62).map(1L << _) ++ (0 to 62).map(d => (1L << d) - 1) :+ Long.MaxValue
+    (1 to 62).foreach { bits =>
+      val ladder = Similarity.bandLadder(bits)
+      var prev   = 0
+      ns.sorted.foreach { n =>
+        val d = Similarity.effectiveBandBits(bits, n)
+        assert(bits % d === 0, s"bits=$bits n=$n: $d does not divide")
+        assert(ladder.contains(d), s"bits=$bits n=$n: $d not on the ladder")
+        assert(d >= prev, s"bits=$bits: width must be non-decreasing in n ($prev -> $d)")
+        // the pick is sufficient: expected bucket size <= 32 whenever any
+        // ladder width could achieve it (i.e. unless d is the ladder max)
+        if (d < ladder.last && d < 58)
+          assert(n <= 32L * (1L << d), s"bits=$bits n=$n: $d too narrow")
+        prev = d
+      }
+    }
+  }
+
   test("auto banding (bandBits=0): still a subset of brute force; planted near-dups fully recalled") {
     // the auto pick must preserve the two LSH laws the pinned width is
     // certified under: precision is exact (every mined pair is a true
