@@ -4199,6 +4199,34 @@ object Contract {
           .select(col("vec_id"))
       },
       Some(OracleSql.q174)
+    ),
+    Q(
+      "q175_ranking_metrics",
+      // retrieval EVALUATION: nDCG@10 / MRR / recall / precision of exact
+      // cosine top-k against label-match judgments — the quality loop a
+      // retrieval pipeline closes after ranking (is cosine search finding
+      // same-label items?). All-integer outputs (q135's micro-unit
+      // discipline): the DCG weight quantizes PER POSITION before any sum,
+      // everything after is integer sums and positive truncating division,
+      // so the oracle hash-matches with zero float tolerance.
+      (s, d) => {
+        import graft.operators.{Retrieval, Similarity}
+        val emb = Tables.embeddings(s, d)
+        val ranked = Similarity
+          .bruteForceTopK(emb, col("vec_id") < 20, k = 10, dim = 64)
+          .select(col("probe_id"), col("neighbor_id"), col("rnk"))
+        val judged = emb
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("probe_id"), col("label").as("__l"))
+          .join(
+            emb.select(col("vec_id").as("neighbor_id"), col("label").as("__l")),
+            Seq("__l"))
+          .filter(col("probe_id") =!= col("neighbor_id"))
+          .select(col("probe_id"), col("neighbor_id"))
+        Retrieval.rankingMetrics(
+          ranked, judged, "probe_id", "neighbor_id", "rnk", k = 10)
+      },
+      Some(OracleSql.q175)
     )
   )
 

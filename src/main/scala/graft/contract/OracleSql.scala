@@ -460,6 +460,62 @@ object OracleSql {
        |SELECT vec_id FROM embeddings
        |WHERE vec_id NOT IN (SELECT id FROM drops)""".stripMargin
 
+  /** Ranking-quality metrics (q175): exact cosine top-10 (q25's ranked
+    * CTE) scored against label-match judgments. Mirrors
+    * Retrieval.rankingMetrics' integer discipline exactly: per-position
+    * round(1e6/log2(r+1))::BIGINT weights, integer sums, positive
+    * truncating division (`//` == Spark `div` on non-negatives).
+    */
+  val q175: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |                (a, b) -> a + b) AS n2
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(range(1, len(p.embedding) + 1),
+       |                  i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+       |                (a, b) -> a + b) / (sqrt(p.n2) * sqrt(c.n2)) AS cos
+       |  FROM n p, n c WHERE p.vec_id < 20 AND c.vec_id <> p.vec_id),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM pairs),
+       |topk AS (SELECT probe_id, neighbor_id, rnk FROM ranked WHERE rnk <= 10),
+       |rel AS (
+       |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id
+       |  FROM embeddings a JOIN embeddings b ON b.label = a.label AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 20),
+       |nr AS (SELECT probe_id, COUNT(*)::BIGINT AS n_rel FROM rel GROUP BY 1),
+       |j AS (
+       |  SELECT t.probe_id, t.rnk, (r.neighbor_id IS NOT NULL) AS is_rel
+       |  FROM topk t LEFT JOIN rel r
+       |    ON r.probe_id = t.probe_id AND r.neighbor_id = t.neighbor_id),
+       |pq AS (
+       |  SELECT probe_id,
+       |    SUM(CASE WHEN is_rel THEN 1 ELSE 0 END)::BIGINT AS hits,
+       |    MIN(CASE WHEN is_rel THEN rnk END) AS first_rel,
+       |    SUM(CASE WHEN is_rel THEN round(1000000.0 / log2(rnk + 1.0))::BIGINT ELSE 0 END)::BIGINT
+       |      AS dcg_x1e6
+       |  FROM j GROUP BY 1),
+       |m AS (
+       |  SELECT nr.probe_id, nr.n_rel,
+       |    COALESCE(pq.hits, 0)::BIGINT AS hits,
+       |    COALESCE(pq.first_rel, 0)::INTEGER AS first_rel_rank,
+       |    COALESCE(pq.dcg_x1e6, 0)::BIGINT AS dcg_x1e6,
+       |    list_sum(list_transform(range(1, least(10, nr.n_rel)::INTEGER + 1),
+       |             i -> round(1000000.0 / log2(i + 1.0))::BIGINT))::BIGINT AS idcg_x1e6
+       |  FROM nr LEFT JOIN pq USING (probe_id))
+       |SELECT probe_id, n_rel, hits, first_rel_rank,
+       |  (CASE WHEN first_rel_rank > 0 THEN 1000000 // first_rel_rank ELSE 0 END)::BIGINT
+       |    AS mrr_x1e6,
+       |  dcg_x1e6, idcg_x1e6,
+       |  ((dcg_x1e6 * 1000000) // idcg_x1e6)::BIGINT AS ndcg_x1e6,
+       |  ((hits * 1000000) // n_rel)::BIGINT AS recall_x1e6,
+       |  ((hits * 1000000) // 10)::BIGINT AS precision_x1e6
+       |FROM m""".stripMargin
+
   /** Embedding dedup ROWS at the PINNED 6-bit band width (q174, the frozen
     * diagnostic since the round-11 role swap): q46's pair graph + q48's
     * recursive min-label walk — survivors are the min vec_id per component.

@@ -245,4 +245,75 @@ object Retrieval {
       .map { case ((id, rq, mmr), i) => (i + 1, id, rq, mmr) }
       .toDF("rnk", idCol, "rel_q", "mmr_q")
   }
+
+  /** Ranking-quality metrics at cutoff `k` — the evaluation half a
+    * retrieval pipeline needs next to its rankers (BM25 / hybrid / ANN):
+    * per judged query, nDCG@k, MRR, recall@k, precision@k against a
+    * relevant-document judgment table.
+    *
+    * ALL outputs are integers (the q135 micro-unit discipline), so a SQL
+    * oracle hash-matches with zero float tolerance:
+    *  - the only transcendental — the DCG position weight — quantizes
+    *    PER POSITION: w(r) = round(1e6 / log2(r + 1)), a BIGINT, before
+    *    any summation (last-ulp libm differences vanish at micro-unit
+    *    rounding);
+    *  - DCG/IDCG are integer sums of those weights; IDCG takes positions
+    *    1..min(k, n_rel) (the ideal ranking's reachable prefix);
+    *  - ndcg_x1e6 = (dcg * 1e6) div idcg, mrr_x1e6 = 1e6 div first_rel,
+    *    recall_x1e6 = (hits * 1e6) div n_rel, precision_x1e6 =
+    *    (hits * 1e6) div k — all-positive truncating division, which
+    *    Spark `div` and DuckDB `//` agree on.
+    *
+    * Scale shape: one hash join of the top-k slice against the judgment
+    * table on (query, doc) + two partial-aggregated groupBys on the query
+    * key — cost is |topk| + |judgments|, never corpus-sized; no windows,
+    * no driver state. Queries absent from `relevant` are not scored
+    * (evaluating an unjudged query is undefined, not zero); a judged
+    * query with no ranked rows scores zeros — the honest miss.
+    *
+    * `ranked` must carry a 1-based dense rank unique per query (the
+    * contract of every ranker in this module); `relevant` rows are
+    * deduplicated defensively.
+    */
+  def rankingMetrics(
+      ranked: DataFrame,
+      relevant: DataFrame,
+      queryCol: String,
+      docCol: String,
+      rankCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val wAt = round(lit(1000000.0) / log2(col(rankCol).cast("double") + lit(1.0))).cast("long")
+    val rel  = relevant.select(col(queryCol), col(docCol)).distinct()
+    val nrel = rel.groupBy(col(queryCol)).agg(count(lit(1)).as("n_rel"))
+    val perQuery = ranked
+      .filter(col(rankCol) <= k)
+      .join(rel.withColumn("__rel", lit(1)), Seq(queryCol, docCol), "left")
+      .groupBy(col(queryCol))
+      .agg(
+        sum(when(col("__rel").isNotNull, 1L).otherwise(0L)).as("hits"),
+        min(when(col("__rel").isNotNull, col(rankCol))).as("__first"),
+        sum(when(col("__rel").isNotNull, wAt).otherwise(0L)).as("dcg_x1e6"))
+    nrel
+      .join(perQuery, Seq(queryCol), "left")
+      .select(
+        col(queryCol),
+        col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("__first"), lit(0)).cast("int").as("first_rel_rank"),
+        coalesce(col("dcg_x1e6"), lit(0L)).as("dcg_x1e6"),
+        expr(
+          s"""aggregate(
+             |  sequence(1, int(least($k, n_rel))), 0L,
+             |  (acc, i) -> acc + cast(round(1000000.0d / log2(cast(i as double) + 1.0d)) as long))"""
+            .stripMargin).as("idcg_x1e6"))
+      .select(
+        col(queryCol), col("n_rel"), col("hits"), col("first_rel_rank"),
+        when(col("first_rel_rank") > 0, expr("1000000L div cast(first_rel_rank as long)"))
+          .otherwise(lit(0L)).as("mrr_x1e6"),
+        col("dcg_x1e6"), col("idcg_x1e6"),
+        expr("(dcg_x1e6 * 1000000L) div idcg_x1e6").as("ndcg_x1e6"),
+        expr("(hits * 1000000L) div n_rel").as("recall_x1e6"),
+        expr(s"(hits * 1000000L) div ${k}L").as("precision_x1e6"))
+  }
 }

@@ -102,4 +102,46 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(1)._2 === 3L,
       s"MMR must pick the diverse candidate over the redundant twin, got ${out.toSeq}")
   }
+
+  test("rankingMetrics: hand-computed nDCG/MRR/recall/precision integers at k=3") {
+    // hand math: w(1) = round(1e6/log2(2)) = 1000000, w(2) = round(1e6/
+    // log2(3)) = 630930, w(3) = round(1e6/2) = 500000
+    val ranked = Seq(
+      ("q1", "A", 1), ("q1", "B", 2), ("q1", "C", 3),
+      ("q2", "X", 1), ("q2", "Y", 2),
+      ("q4", "Z", 1) // ranked but UNJUDGED: must not appear in the output
+    ).toDF("query", "doc", "rnk")
+    val judged = Seq(
+      ("q1", "A"), ("q1", "C"), ("q1", "D"), ("q1", "E"),
+      ("q2", "Z"),
+      ("q3", "Q") // judged but NEVER RANKED: scores zeros
+    ).toDF("query", "doc")
+    val got = Retrieval
+      .rankingMetrics(ranked, judged, "query", "doc", "rnk", k = 3)
+      .collect()
+      .map(r => (r.getString(0), (
+        r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))))
+      .toMap
+    assert(got.keySet === Set("q1", "q2", "q3"))
+    // q1: hits A@1 + C@3; dcg = 1000000 + 500000; idcg = w1+w2+w3 (min(3,4)
+    // positions); ndcg = 1500000000000 div 2130930 = 703918
+    assert(got("q1") === ((4L, 2L, 1, 1000000L,
+      1500000L, 2130930L, 703918L, 500000L, 666666L)))
+    // q2: judged doc never retrieved; idcg over min(3, 1) = 1 position
+    assert(got("q2") === ((1L, 0L, 0, 0L, 0L, 1000000L, 0L, 0L, 0L)))
+    // q3: judged, no ranked rows at all — zero row, not an absent row
+    assert(got("q3") === ((1L, 0L, 0, 0L, 0L, 1000000L, 0L, 0L, 0L)))
+  }
+
+  test("rankingMetrics: a perfect prefix ranking scores ndcg == mrr == 1e6") {
+    val ranked = Seq(("q", "a", 1), ("q", "b", 2), ("q", "c", 3))
+      .toDF("query", "doc", "rnk")
+    val judged = Seq(("q", "a"), ("q", "b"), ("q", "c")).toDF("query", "doc")
+    val r = Retrieval.rankingMetrics(ranked, judged, "query", "doc", "rnk", k = 3).head()
+    assert(r.getAs[Long]("ndcg_x1e6") === 1000000L)
+    assert(r.getAs[Long]("mrr_x1e6") === 1000000L)
+    assert(r.getAs[Long]("recall_x1e6") === 1000000L)
+    assert(r.getAs[Long]("precision_x1e6") === 1000000L)
+  }
 }
