@@ -492,18 +492,25 @@ object OracleSql {
        |  SELECT t.probe_id, t.rnk, (r.neighbor_id IS NOT NULL) AS is_rel
        |  FROM topk t LEFT JOIN rel r
        |    ON r.probe_id = t.probe_id AND r.neighbor_id = t.neighbor_id),
+       |jc AS (
+       |  SELECT probe_id, rnk, is_rel,
+       |    SUM(CASE WHEN is_rel THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY probe_id ORDER BY rnk) AS cum
+       |  FROM j),
        |pq AS (
        |  SELECT probe_id,
        |    SUM(CASE WHEN is_rel THEN 1 ELSE 0 END)::BIGINT AS hits,
        |    MIN(CASE WHEN is_rel THEN rnk END) AS first_rel,
        |    SUM(CASE WHEN is_rel THEN round(1000000.0 / log2(rnk + 1.0))::BIGINT ELSE 0 END)::BIGINT
-       |      AS dcg_x1e6
-       |  FROM j GROUP BY 1),
+       |      AS dcg_x1e6,
+       |    SUM(CASE WHEN is_rel THEN (cum * 1000000) // rnk ELSE 0 END)::BIGINT AS sum_prec
+       |  FROM jc GROUP BY 1),
        |m AS (
        |  SELECT nr.probe_id, nr.n_rel,
        |    COALESCE(pq.hits, 0)::BIGINT AS hits,
        |    COALESCE(pq.first_rel, 0)::INTEGER AS first_rel_rank,
        |    COALESCE(pq.dcg_x1e6, 0)::BIGINT AS dcg_x1e6,
+       |    COALESCE(pq.sum_prec, 0)::BIGINT AS sum_prec,
        |    list_sum(list_transform(range(1, least(10, nr.n_rel)::INTEGER + 1),
        |             i -> round(1000000.0 / log2(i + 1.0))::BIGINT))::BIGINT AS idcg_x1e6
        |  FROM nr LEFT JOIN pq USING (probe_id))
@@ -512,6 +519,7 @@ object OracleSql {
        |    AS mrr_x1e6,
        |  dcg_x1e6, idcg_x1e6,
        |  ((dcg_x1e6 * 1000000) // idcg_x1e6)::BIGINT AS ndcg_x1e6,
+       |  (sum_prec // least(10, n_rel))::BIGINT AS ap_x1e6,
        |  ((hits * 1000000) // n_rel)::BIGINT AS recall_x1e6,
        |  ((hits * 1000000) // 10)::BIGINT AS precision_x1e6
        |FROM m""".stripMargin

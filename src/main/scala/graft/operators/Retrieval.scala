@@ -262,7 +262,13 @@ object Retrieval {
     *  - ndcg_x1e6 = (dcg * 1e6) div idcg, mrr_x1e6 = 1e6 div first_rel,
     *    recall_x1e6 = (hits * 1e6) div n_rel, precision_x1e6 =
     *    (hits * 1e6) div k — all-positive truncating division, which
-    *    Spark `div` and DuckDB `//` agree on.
+    *    Spark `div` and DuckDB `//` agree on;
+    *  - ap_x1e6 (average precision @ k): precision-at-each-relevant-rank
+    *    quantizes FIRST (cum_hits * 1e6 div rank, a running count over the
+    *    ≤k slice — the only window here, bounded at k rows per query),
+    *    then sums and divides by min(k, n_rel), the reachable ideal — the
+    *    same per-atom-then-aggregate order as the DCG weights, so AP is as
+    *    oracle-exact as the rest.
     *
     * Scale shape: one hash join of the top-k slice against the judgment
     * table on (query, doc) + two partial-aggregated groupBys on the query
@@ -283,17 +289,28 @@ object Retrieval {
       rankCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
     val wAt = round(lit(1000000.0) / log2(col(rankCol).cast("double") + lit(1.0))).cast("long")
     val rel  = relevant.select(col(queryCol), col(docCol)).distinct()
     val nrel = rel.groupBy(col(queryCol)).agg(count(lit(1)).as("n_rel"))
+    val cum = Window
+      .partitionBy(col(queryCol))
+      .orderBy(col(rankCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val perQuery = ranked
       .filter(col(rankCol) <= k)
       .join(rel.withColumn("__rel", lit(1)), Seq(queryCol, docCol), "left")
+      .withColumn("__cum", sum(when(col("__rel").isNotNull, 1L).otherwise(0L)).over(cum))
+      .withColumn(
+        "__prec",
+        when(col("__rel").isNotNull,
+          expr(s"(__cum * 1000000L) div cast($rankCol as long)")).otherwise(lit(0L)))
       .groupBy(col(queryCol))
       .agg(
         sum(when(col("__rel").isNotNull, 1L).otherwise(0L)).as("hits"),
         min(when(col("__rel").isNotNull, col(rankCol))).as("__first"),
-        sum(when(col("__rel").isNotNull, wAt).otherwise(0L)).as("dcg_x1e6"))
+        sum(when(col("__rel").isNotNull, wAt).otherwise(0L)).as("dcg_x1e6"),
+        sum(col("__prec")).as("__sum_prec"))
     nrel
       .join(perQuery, Seq(queryCol), "left")
       .select(
@@ -302,6 +319,7 @@ object Retrieval {
         coalesce(col("hits"), lit(0L)).as("hits"),
         coalesce(col("__first"), lit(0)).cast("int").as("first_rel_rank"),
         coalesce(col("dcg_x1e6"), lit(0L)).as("dcg_x1e6"),
+        coalesce(col("__sum_prec"), lit(0L)).as("__sum_prec"),
         expr(
           s"""aggregate(
              |  sequence(1, int(least($k, n_rel))), 0L,
@@ -313,6 +331,7 @@ object Retrieval {
           .otherwise(lit(0L)).as("mrr_x1e6"),
         col("dcg_x1e6"), col("idcg_x1e6"),
         expr("(dcg_x1e6 * 1000000L) div idcg_x1e6").as("ndcg_x1e6"),
+        expr(s"__sum_prec div least(${k}L, n_rel)").as("ap_x1e6"),
         expr("(hits * 1000000L) div n_rel").as("recall_x1e6"),
         expr(s"(hits * 1000000L) div ${k}L").as("precision_x1e6"))
   }

@@ -121,17 +121,19 @@ class RetrievalSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getString(0), (
         r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4),
-        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))))
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getLong(9), r.getLong(10))))
       .toMap
     assert(got.keySet === Set("q1", "q2", "q3"))
     // q1: hits A@1 + C@3; dcg = 1000000 + 500000; idcg = w1+w2+w3 (min(3,4)
-    // positions); ndcg = 1500000000000 div 2130930 = 703918
+    // positions); ndcg = 1500000000000 div 2130930 = 703918; ap = (prec@1 +
+    // prec@3) div min(3,4) = (1000000 + 2000000 div 3) div 3 = 555555
     assert(got("q1") === ((4L, 2L, 1, 1000000L,
-      1500000L, 2130930L, 703918L, 500000L, 666666L)))
+      1500000L, 2130930L, 703918L, 555555L, 500000L, 666666L)))
     // q2: judged doc never retrieved; idcg over min(3, 1) = 1 position
-    assert(got("q2") === ((1L, 0L, 0, 0L, 0L, 1000000L, 0L, 0L, 0L)))
+    assert(got("q2") === ((1L, 0L, 0, 0L, 0L, 1000000L, 0L, 0L, 0L, 0L)))
     // q3: judged, no ranked rows at all — zero row, not an absent row
-    assert(got("q3") === ((1L, 0L, 0, 0L, 0L, 1000000L, 0L, 0L, 0L)))
+    assert(got("q3") === ((1L, 0L, 0, 0L, 0L, 1000000L, 0L, 0L, 0L, 0L)))
   }
 
   test("rankingMetrics: a perfect prefix ranking scores ndcg == mrr == 1e6") {
@@ -141,6 +143,7 @@ class RetrievalSpec extends AnyFunSuite {
     val r = Retrieval.rankingMetrics(ranked, judged, "query", "doc", "rnk", k = 3).head()
     assert(r.getAs[Long]("ndcg_x1e6") === 1000000L)
     assert(r.getAs[Long]("mrr_x1e6") === 1000000L)
+    assert(r.getAs[Long]("ap_x1e6") === 1000000L)
     assert(r.getAs[Long]("recall_x1e6") === 1000000L)
     assert(r.getAs[Long]("precision_x1e6") === 1000000L)
   }
