@@ -155,6 +155,11 @@ object CanStreams {
     * Input: (key, tsSec, code) — within a micro-batch rows are sorted per
     * key (bounded by batch size); across batches the carried state provides
     * the `prev`.
+    *
+    * State-store envelope: one int per DEVICE — the fleet catalog, not a
+    * data-driven key space — so NoTimeout is deliberate (evicting an idle
+    * device would drop the edge spanning its next wake-up, the exact
+    * reference defect this operator fixes).
     */
   def transitionsStream(samples: Dataset[(String, Double, Int)]): DataFrame = {
     val spark = samples.sparkSession

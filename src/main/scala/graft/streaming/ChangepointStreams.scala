@@ -24,6 +24,15 @@ final case class EwmaState(level: Double, n: Long)
   * carried state continues the series. With in-order per-key arrival the
   * drained alarm set is EXACTLY the batch replay of the same rule — the
   * equivalence law ChangepointStreamsSpec certifies.
+  *
+  * State-store envelope (both ops here): keys are MONITORED METRICS — a
+  * deployment's metric catalog, fixed by configuration — so total state is
+  * |catalog| x a few machine words, and NoTimeout is deliberate: evicting
+  * an idle metric would silently restart its baseline. This is the
+  * opposite cardinality class from data-driven keys (ResampleStreams'
+  * telemetry keys), where the optional maxSilenceSec TTL exists for
+  * exactly that reason; monitor a DATA-keyed series through that operator
+  * family, not this one.
   */
 object ChangepointStreams {
 
