@@ -4227,6 +4227,37 @@ object Contract {
           ranked, judged, "probe_id", "neighbor_id", "rnk", k = 10)
       },
       Some(OracleSql.q175)
+    ),
+    Q(
+      "q176_projection_quality",
+      // ANN QUALITY MEASUREMENT, the standard protocol: search in the
+      // REDUCED space (q76's 64→16 JL projection), judge against exact
+      // full-dimension top-10 as ground truth — recall@10 / nDCG@10 of
+      // the cheap index vs the true neighbors, per probe. This is the
+      // number an operator reads before trading 4x dot-work for recall
+      // at 100 TB; both rankings and the integer metric assembly are
+      // individually proven (q76, q25, q175), composed here end to end.
+      // The measured value on this corpus (~0.04 recall@10 at sf0.1) is
+      // itself the finding: the synthetic embeddings' top-10 cosine gaps
+      // are far below the 64→16 JL distortion, so rank recall collapses —
+      // JL preserves distances within ε, never orderings tighter than ε.
+      // Exactly the decision signal this op exists to surface (the PCA
+      // tier q173 and IVF full-probe keep recall 1.0 on the same corpus).
+      (s, d) => {
+        import graft.operators.{Retrieval, Similarity}
+        val emb = Tables.embeddings(s, d)
+        val proj = emb.select(
+          col("vec_id"), Similarity.randomProject(col("embedding"), 16).as("embedding"))
+        val ranked = Similarity
+          .bruteForceTopK(proj, col("vec_id") < 10, k = 10)
+          .select(col("probe_id"), col("neighbor_id"), col("rnk"))
+        val truth = Similarity
+          .bruteForceTopK(emb, col("vec_id") < 10, k = 10, dim = 64)
+          .select(col("probe_id"), col("neighbor_id"))
+        Retrieval.rankingMetrics(
+          ranked, truth, "probe_id", "neighbor_id", "rnk", k = 10)
+      },
+      Some(OracleSql.q176)
     )
   )
 

@@ -487,7 +487,16 @@ object OracleSql {
        |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id
        |  FROM embeddings a JOIN embeddings b ON b.label = a.label AND b.vec_id <> a.vec_id
        |  WHERE a.vec_id < 20),
-       |nr AS (SELECT probe_id, COUNT(*)::BIGINT AS n_rel FROM rel GROUP BY 1),
+       |${rankingMetricsTail(10)}""".stripMargin
+
+  /** The integer metric assembly shared by every ranking-eval mirror:
+    * expects upstream CTEs `topk(probe_id, neighbor_id, rnk)` (the ≤k
+    * slice) and `rel(probe_id, neighbor_id)` (the judgment pairs).
+    * Mirrors Retrieval.rankingMetrics exactly (per-position quantized DCG
+    * weight, running-hits AP, positive truncating division).
+    */
+  private def rankingMetricsTail(k: Int): String =
+    s"""nr AS (SELECT probe_id, COUNT(*)::BIGINT AS n_rel FROM rel GROUP BY 1),
        |j AS (
        |  SELECT t.probe_id, t.rnk, (r.neighbor_id IS NOT NULL) AS is_rel
        |  FROM topk t LEFT JOIN rel r
@@ -511,7 +520,7 @@ object OracleSql {
        |    COALESCE(pq.first_rel, 0)::INTEGER AS first_rel_rank,
        |    COALESCE(pq.dcg_x1e6, 0)::BIGINT AS dcg_x1e6,
        |    COALESCE(pq.sum_prec, 0)::BIGINT AS sum_prec,
-       |    list_sum(list_transform(range(1, least(10, nr.n_rel)::INTEGER + 1),
+       |    list_sum(list_transform(range(1, least($k, nr.n_rel)::INTEGER + 1),
        |             i -> round(1000000.0 / log2(i + 1.0))::BIGINT))::BIGINT AS idcg_x1e6
        |  FROM nr LEFT JOIN pq USING (probe_id))
        |SELECT probe_id, n_rel, hits, first_rel_rank,
@@ -519,10 +528,52 @@ object OracleSql {
        |    AS mrr_x1e6,
        |  dcg_x1e6, idcg_x1e6,
        |  ((dcg_x1e6 * 1000000) // idcg_x1e6)::BIGINT AS ndcg_x1e6,
-       |  (sum_prec // least(10, n_rel))::BIGINT AS ap_x1e6,
+       |  (sum_prec // least($k, n_rel))::BIGINT AS ap_x1e6,
        |  ((hits * 1000000) // n_rel)::BIGINT AS recall_x1e6,
-       |  ((hits * 1000000) // 10)::BIGINT AS precision_x1e6
+       |  ((hits * 1000000) // $k)::BIGINT AS precision_x1e6
        |FROM m""".stripMargin
+
+  /** Projection-quality eval (q176): JL-projected search (q76's fold CTEs,
+    * 64→16 dims) JUDGED AGAINST exact full-dimension top-10 — the standard
+    * ANN quality protocol (recall@10 of the reduced index vs ground truth),
+    * expressed as the same integer metric assembly as q175.
+    */
+  val q176: String = {
+    val outDim = 16
+    s"""WITH p AS (
+       |  SELECT vec_id, ${projFolds(outDim, 64)} AS p FROM embeddings),
+       |pn AS (
+       |  SELECT vec_id, p,
+       |    list_reduce(list_transform(p, x -> x * x), (a, b) -> a + b) AS n2
+       |  FROM p),
+       |ppairs AS (
+       |  SELECT pr.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(range(1, ${outDim + 1}), i -> pr.p[i] * c.p[i]),
+       |                (x, y) -> x + y) / (sqrt(pr.n2) * sqrt(c.n2)) AS cos
+       |  FROM pn pr, pn c WHERE pr.vec_id < 10 AND c.vec_id <> pr.vec_id),
+       |topk AS (
+       |  SELECT probe_id, neighbor_id, rnk FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |    FROM ppairs) WHERE rnk <= 10),
+       |en AS (
+       |  SELECT vec_id, embedding,
+       |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |                (a, b) -> a + b) AS n2
+       |  FROM embeddings),
+       |epairs AS (
+       |  SELECT pe.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(range(1, len(pe.embedding) + 1),
+       |                  i -> CAST(pe.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+       |                (a, b) -> a + b) / (sqrt(pe.n2) * sqrt(c.n2)) AS cos
+       |  FROM en pe, en c WHERE pe.vec_id < 10 AND c.vec_id <> pe.vec_id),
+       |rel AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |    FROM epairs) WHERE rnk <= 10),
+       |${rankingMetricsTail(10)}""".stripMargin
+  }
 
   /** Embedding dedup ROWS at the PINNED 6-bit band width (q174, the frozen
     * diagnostic since the round-11 role swap): q46's pair graph + q48's
