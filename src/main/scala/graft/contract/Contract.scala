@@ -4258,6 +4258,31 @@ object Contract {
           ranked, truth, "probe_id", "neighbor_id", "rnk", k = 10)
       },
       Some(OracleSql.q176)
+    ),
+    Q(
+      "q177_ivf_partial_probe_quality",
+      // the APPROXIMATE IVF path finally under an oracle: q36's mirror is
+      // full-probe (exact for any centroids), so the recall-trading
+      // configuration — nprobe < ncells, the entire point of the coarse
+      // quantizer at 100 TB — was only ever spec-covered. Here ivfTopK at
+      // ncells=8 / nprobe=2 is replayed in SQL (seed centroids, nearest-
+      // cell tie rule, probed-cell candidate set, cosine top-10) and
+      // judged against exact top-10 through the shared metric assembly:
+      // one query certifies both the approximate ranking AND its measured
+      // recall, per probe.
+      (s, d) => {
+        import graft.operators.{Retrieval, Similarity}
+        val emb = Tables.embeddings(s, d)
+        val ranked = Similarity
+          .ivfTopK(emb, col("vec_id") < 10, k = 10, ncells = 8, nprobe = 2, dim = 64)
+          .select(col("probe_id"), col("neighbor_id"), col("rnk"))
+        val truth = Similarity
+          .bruteForceTopK(emb, col("vec_id") < 10, k = 10, dim = 64)
+          .select(col("probe_id"), col("neighbor_id"))
+        Retrieval.rankingMetrics(
+          ranked, truth, "probe_id", "neighbor_id", "rnk", k = 10)
+      },
+      Some(OracleSql.q177)
     )
   )
 

@@ -575,6 +575,67 @@ object OracleSql {
        |${rankingMetricsTail(10)}""".stripMargin
   }
 
+  /** Partial-probe IVF quality (q177): the APPROXIMATE search path itself
+    * — seed centroids (first 8 vec_ids, cell_id = vec_id rank), nearest-
+    * cell assignment with the (negcos asc, cell_id asc) tie rule, nprobe=2
+    * probed cells, candidate cosine top-10 — replayed in SQL and judged
+    * against exact full-probe top-10 through the shared metric tail. q36
+    * only ever certified FULL probe (exact for any centroids); this is the
+    * first oracle over the recall-trading configuration.
+    */
+  val q177: String =
+    s"""WITH en AS (
+       |  SELECT vec_id, embedding,
+       |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |                (a, b) -> a + b) AS n2
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::BIGINT AS cell_id,
+       |    embedding AS c_emb, n2 AS c_n2
+       |  FROM (SELECT vec_id, embedding, n2 FROM en ORDER BY vec_id LIMIT 8)),
+       |vc AS (
+       |  SELECT e.vec_id, c.cell_id,
+       |    list_reduce(list_transform(range(1, len(e.embedding) + 1),
+       |                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)),
+       |                (a, b) -> a + b) / (sqrt(e.n2) * sqrt(c.c_n2)) AS ccos
+       |  FROM en e, cents c),
+       |assign AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) AS r
+       |    FROM vc) WHERE r = 1),
+       |pcells AS (
+       |  SELECT vec_id AS probe_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) AS r
+       |    FROM vc WHERE vec_id < 10) WHERE r <= 2),
+       |cpairs AS (
+       |  SELECT pc.probe_id, asg.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(range(1, len(pe.embedding) + 1),
+       |                  i -> CAST(pe.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE)),
+       |                (x, y) -> x + y) / (sqrt(pe.n2) * sqrt(ne.n2)) AS cos
+       |  FROM pcells pc
+       |  JOIN assign asg ON asg.cell_id = pc.cell_id AND asg.vec_id <> pc.probe_id
+       |  JOIN en pe ON pe.vec_id = pc.probe_id
+       |  JOIN en ne ON ne.vec_id = asg.vec_id),
+       |topk AS (
+       |  SELECT probe_id, neighbor_id, rnk FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |    FROM cpairs) WHERE rnk <= 10),
+       |epairs AS (
+       |  SELECT pe.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(range(1, len(pe.embedding) + 1),
+       |                  i -> CAST(pe.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+       |                (a, b) -> a + b) / (sqrt(pe.n2) * sqrt(c.n2)) AS cos
+       |  FROM en pe, en c WHERE pe.vec_id < 10 AND c.vec_id <> pe.vec_id),
+       |rel AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |    FROM epairs) WHERE rnk <= 10),
+       |${rankingMetricsTail(10)}""".stripMargin
+
   /** Embedding dedup ROWS at the PINNED 6-bit band width (q174, the frozen
     * diagnostic since the round-11 role swap): q46's pair graph + q48's
     * recursive min-label walk — survivors are the min vec_id per component.
