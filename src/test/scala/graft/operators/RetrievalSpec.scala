@@ -136,6 +136,46 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got("q3") === ((1L, 0L, 0, 0L, 0L, 1000000L, 0L, 0L, 0L, 0L)))
   }
 
+  test("rankingMetrics bounds hold on randomized rankings (seeded sweep)") {
+    // algebraic laws of the integer assembly: every *_x1e6 metric lives in
+    // [0, 1e6] (ndcg because DCG's hit positions are >= the ideal prefix's
+    // and weights decrease in position, so dcg <= idcg term by term), hits
+    // is capped by both cutoff and judgment size, and first_rel is a real
+    // rank or 0
+    val rnd = new scala.util.Random(77)
+    (1 to 5).foreach { trial =>
+      val k       = 1 + rnd.nextInt(8)
+      val queries = (1 to 6).map(q => s"t$trial-q$q")
+      val docs    = ('a' to 'z').map(_.toString)
+      val ranked = queries.flatMap { q =>
+        rnd.shuffle(docs).take(1 + rnd.nextInt(docs.size)).zipWithIndex
+          .map { case (dd, i) => (q, dd, i + 1) }
+      }
+      val judged = queries.flatMap { q =>
+        rnd.shuffle(docs).take(1 + rnd.nextInt(8)).map(dd => (q, dd))
+      }
+      val out = Retrieval
+        .rankingMetrics(ranked.toDF("query", "doc", "rnk"),
+          judged.toDF("query", "doc"), "query", "doc", "rnk", k)
+        .collect()
+      assert(out.nonEmpty)
+      out.foreach { r =>
+        val nRel = r.getAs[Long]("n_rel"); val hits = r.getAs[Long]("hits")
+        assert(nRel >= 1)
+        assert(hits >= 0 && hits <= math.min(k.toLong, nRel), s"k=$k $r")
+        assert(r.getAs[Long]("dcg_x1e6") <= r.getAs[Long]("idcg_x1e6"), s"$r")
+        Seq("mrr_x1e6", "ndcg_x1e6", "ap_x1e6", "recall_x1e6", "precision_x1e6")
+          .foreach { c =>
+            val v = r.getAs[Long](c)
+            assert(v >= 0L && v <= 1000000L, s"$c=$v out of range: $r")
+          }
+        val fr = r.getAs[Int]("first_rel_rank")
+        assert((fr == 0) == (hits == 0L))
+        assert(fr >= 0 && fr <= k)
+      }
+    }
+  }
+
   test("rankingMetrics: a perfect prefix ranking scores ndcg == mrr == 1e6") {
     val ranked = Seq(("q", "a", 1), ("q", "b", 2), ("q", "c", 3))
       .toDF("query", "doc", "rnk")
