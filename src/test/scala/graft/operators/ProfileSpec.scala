@@ -208,4 +208,40 @@ class ProfileSpec extends AnyFunSuite {
       Profile.ewmaLevel(df, Seq("k"), Seq("t"), col("v"), alpha = 0.0)
     }
   }
+
+  test("classifierMetrics: hand-computed confusion integers, incl. pred-only and label-only classes") {
+    import spark.implicits._
+    val scored = Seq(
+      ("en", "en"), ("en", "en"), ("en", "unk"),
+      ("es", "en"), ("es", "es"),
+      ("de", "unk"), ("de", "es"),
+      ("fr", null) // null prediction: excluded, never a class
+    ).toDF("label", "pred")
+    val got = Profile.classifierMetrics(scored, "label", "pred")
+      .collect()
+      .map(r => (r.getString(0), (
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getLong(8))))
+      .toMap
+    assert(got.keySet === Set("en", "es", "de", "unk"))
+    // en: support 3, predicted 3, tp 2 -> P = R = F1 = 2e6 div 3
+    assert(got("en") === ((3L, 3L, 2L, 1L, 1L, 666666L, 666666L, 666666L)))
+    // es: support 2, predicted 2, tp 1
+    assert(got("es") === ((2L, 2L, 1L, 1L, 1L, 500000L, 500000L, 500000L)))
+    // de: labeled but never predicted -> zero precision denominator scores 0
+    assert(got("de") === ((2L, 0L, 0L, 0L, 2L, 0L, 0L, 0L)))
+    // unk: predicted but never labeled -> zero support scores 0
+    assert(got("unk") === ((0L, 2L, 0L, 2L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("classifierMetrics: a perfect classifier scores 1e6 across every class") {
+    import spark.implicits._
+    val scored = Seq(("a", "a"), ("b", "b"), ("b", "b")).toDF("label", "pred")
+    Profile.classifierMetrics(scored, "label", "pred").collect().foreach { r =>
+      assert(r.getAs[Long]("precision_x1e6") === 1000000L)
+      assert(r.getAs[Long]("recall_x1e6") === 1000000L)
+      assert(r.getAs[Long]("f1_x1e6") === 1000000L)
+      assert(r.getAs[Long]("fp") === 0L && r.getAs[Long]("fn") === 0L)
+    }
+  }
 }
