@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
 import graft.operators.Pca
 
@@ -55,4 +56,80 @@ object PcaStreams {
     */
   def gramSnapshot(cells: DataFrame, dims: DataFrame): DataFrame =
     Pca.gramJoin(cells, dims)
+
+  /** Runnable DURABLE ingest (the `EmbedStreams.runEmbedIngest` posture):
+    * watch a directory of raw embedding parquet files and maintain the two
+    * moment snapshots as parquet at `<snapshotDir>/cells` and
+    * `<snapshotDir>/dims`. Each trigger's Complete-mode snapshot replaces
+    * the live directory via the engine's two-rename swap (write tmp →
+    * set live aside → promote → drop trash), so a reader never sees a
+    * partial table and a crash leaves the previous snapshot intact;
+    * foreachBatch's at-least-once replay just rewrites the same snapshot
+    * (idempotent by construction). Offsets + aggregation state live in
+    * `checkpointDir`, so a restarted runner resumes the MOMENTS, not just
+    * the file list — exactly-once accumulation across restarts
+    * (PcaStreamsSpec drains two waves through two runner generations and
+    * matches the batch gram of the union bit for bit).
+    *
+    * Consistency unit: the two directories are each atomic but mutually
+    * consistent only at idle (both queries drained — what the AvailableNow
+    * trigger + awaitTermination gives). A mid-trigger read can pair a
+    * newer cells snapshot with an older dims snapshot; readers that need
+    * a coherent model read after a drain, the same closed-snapshot rule
+    * as every rank-based batch stage.
+    */
+  def runGramIngest(
+      spark: SparkSession,
+      rawDir: String,
+      snapshotDir: String,
+      checkpointDir: String,
+      quantum: Double = 1e6,
+      maxFilesPerTrigger: Option[Int] = None): (StreamingQuery, StreamingQuery) = {
+    val src = EmbedStreams.embStream(spark, rawDir, maxFilesPerTrigger)
+    def run(agg: DataFrame, leaf: String): StreamingQuery =
+      agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .foreachBatch { (snapshot: DataFrame, _: Long) =>
+          swapWrite(snapshot, s"$snapshotDir/$leaf")
+        }
+        .option("checkpointLocation", s"$checkpointDir/$leaf")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    (
+      run(Pca.gramCells(Pca.quantizedCol(src, "embedding", quantum)), "cells"),
+      run(Pca.gramDims(Pca.quantizedCol(src, "embedding", quantum)), "dims"))
+  }
+
+  /** Read the persisted snapshots back as the `gramQuantized` schema —
+    * `Pca.modelFromMoments` on the result is the trained model of
+    * everything ingested so far.
+    */
+  def readGramSnapshot(spark: SparkSession, snapshotDir: String): DataFrame =
+    gramSnapshot(
+      spark.read.parquet(s"$snapshotDir/cells"),
+      spark.read.parquet(s"$snapshotDir/dims"))
+
+  /** Two-rename atomic replace (the reindex/delete swap applied to a
+    * snapshot table): a crash at any step leaves either the old or the
+    * new snapshot fully live, never a partial directory.
+    */
+  private def swapWrite(snapshot: DataFrame, dest: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val ss   = snapshot.sparkSession
+    val live = new Path(dest)
+    val fs   = live.getFileSystem(ss.sessionState.newHadoopConf())
+    val tmp  = new Path(live.getParent, s".gram-tmp-${live.getName}")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    snapshot.write.mode("overwrite").parquet(tmp.toString)
+    val trash = new Path(live.getParent, s".gram-old-${live.getName}")
+    if (fs.exists(trash)) fs.delete(trash, true)
+    if (fs.exists(live) && !fs.rename(live, trash))
+      throw new java.io.IOException(s"gram ingest: cannot set aside $live")
+    if (!fs.rename(tmp, live)) {
+      if (fs.exists(trash)) fs.rename(trash, live) // roll back
+      throw new java.io.IOException(s"gram ingest: cannot promote $tmp")
+    }
+    fs.delete(trash, true)
+    ()
+  }
 }

@@ -85,6 +85,41 @@ class PcaStreamsSpec extends AnyFunSuite {
     } finally { qc.stop(); qd.stop() }
   }
 
+  test("runGramIngest: durable snapshots resume across runner restarts == batch gram of the union") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("gramingest").toString
+    val raw  = s"$root/raw"; val snap = s"$root/snap"; val cp = s"$root/cp"
+
+    val wave1 = syntheticRows(80, 6, seed = 41)
+    wave1.toDF("vec_id", "embedding").write.mode("append").parquet(raw)
+    val (c1, d1) = PcaStreams.runGramIngest(spark, raw, snap, cp)
+    c1.awaitTermination(); d1.awaitTermination()
+    val got1 = PcaStreams.readGramSnapshot(spark, snap).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    val want1 = Pca.gramQuantized(wave1.toDF("vec_id", "embedding")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got1 === want1)
+
+    // second wave through a FRESH runner on the same checkpoint: only the
+    // new files replay, and the aggregation STATE resumes — the snapshot
+    // must equal the batch gram of the UNION, exactly once
+    val wave2 = syntheticRows(60, 6, seed = 42).map { case (i, v) => (i + 1000L, v) }
+    wave2.toDF("vec_id", "embedding").write.mode("append").parquet(raw)
+    val (c2, d2) = PcaStreams.runGramIngest(spark, raw, snap, cp)
+    c2.awaitTermination(); d2.awaitTermination()
+    val got2 = PcaStreams.readGramSnapshot(spark, snap).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    val want2 = Pca.gramQuantized((wave1 ++ wave2).toDF("vec_id", "embedding")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got2 === want2)
+    // ...and the persisted snapshot is a trainable model of everything so far
+    assert(Pca.modelFromMoments(PcaStreams.readGramSnapshot(spark, snap)).nRows === 140L)
+  }
+
   test("modelFromMoments over the drained snapshot ~= batch fit (quantization grid)") {
     import spark.implicits._
     val rows  = syntheticRows(300, 8, seed = 33)
