@@ -4133,13 +4133,14 @@ object Contract {
              |idx AS (SELECT unnest(range(1, 65)) AS i),
              |cells AS (
              |  SELECT a.i - 1 AS i, b.i - 1 AS j,
-             |    SUM(qe[a.i] * qe[b.i])::BIGINT AS sum_prod
+             |    SUM(qe[a.i] * qe[b.i])::BIGINT AS sum_prod,
+             |    COUNT(*)::BIGINT AS cnt_cells
              |  FROM q, idx a, idx b WHERE b.i >= a.i GROUP BY 1, 2),
              |sums AS (
              |  SELECT a.i - 1 AS i, SUM(qe[a.i])::BIGINT AS s, COUNT(*)::BIGINT AS cnt
              |  FROM q, idx a GROUP BY 1)
              |SELECT c.i::INTEGER AS i, c.j::INTEGER AS j, c.sum_prod,
-             |  si.s AS sum_i, sj.s AS sum_j, si.cnt AS n_rows
+             |  si.s AS sum_i, sj.s AS sum_j, si.cnt AS n_rows, c.cnt_cells
              |FROM cells c
              |JOIN sums si ON si.i = c.i
              |JOIN sums sj ON sj.i = c.j""".stripMargin)

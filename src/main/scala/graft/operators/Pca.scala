@@ -320,7 +320,11 @@ object Pca {
         .as(Seq("jp", "vj")))
     .select(col("i"), (col("i") + col("jp")).as("j"), (col("vi") * col("vj")).as("p"))
     .groupBy(col("i"), col("j"))
-    .agg(sum(col("p")).as("sum_prod"))
+    // cnt_cells rides along so a cells snapshot carries its own row count:
+    // modelFromMoments requires it to equal the dims snapshot's n_rows, so
+    // a cells/dims pair drained from DIFFERENT triggers fails loudly
+    // instead of silently training a wrong covariance
+    .agg(sum(col("p")).as("sum_prod"), count(lit(1)).as("cnt_cells"))
 
   /** Per-dimension integer sums + row count over a quantized frame —
     * d rows of state, the other half the covariance assembly needs.
@@ -338,7 +342,8 @@ object Pca {
       .join(dims.select(col("i"), col("s").as("sum_i"), col("cnt").as("n_rows")), Seq("i"))
       .join(dims.select(col("i").as("j"), col("s").as("sum_j")), Seq("j"))
       .select(
-        col("i"), col("j"), col("sum_prod"), col("sum_i"), col("sum_j"), col("n_rows"))
+        col("i"), col("j"), col("sum_prod"), col("sum_i"), col("sum_j"), col("n_rows"),
+        col("cnt_cells"))
 
   /** Rebuild a PcaModel from a gram-moments snapshot (the `gramQuantized`
     * schema) — the consumer that closes the STREAMING fit loop: accumulate
@@ -353,8 +358,17 @@ object Pca {
   def modelFromMoments(gram: DataFrame, quantum: Double = 1e6): PcaModel = {
     require(quantum > 0 && !quantum.isInfinity,
       s"quantum must be positive and finite, got $quantum")
+    // cnt_cells (when the snapshot carries it — gramQuantized/gramJoin
+    // output does) is the cells half's OWN row count: n_rows alone comes
+    // solely from the dims half, so without this cross-check a cells
+    // snapshot drained from a newer trigger paired with an older dims
+    // snapshot would pass the n_rows consistency test and silently train
+    // a wrong covariance (round-11 advice)
+    val hasCellCnt = gram.columns.contains("cnt_cells")
+    val baseCols = Seq(
+      col("i"), col("j"), col("sum_prod"), col("sum_i"), col("sum_j"), col("n_rows"))
     val rows = gram
-      .select(col("i"), col("j"), col("sum_prod"), col("sum_i"), col("sum_j"), col("n_rows"))
+      .select(baseCols ++ (if (hasCellCnt) Seq(col("cnt_cells")) else Nil): _*)
       .collect()
     require(rows.nonEmpty, "modelFromMoments: empty gram snapshot")
     val d = rows.iterator.map(_.getInt(1)).max + 1
@@ -362,6 +376,9 @@ object Pca {
     val n = rows.head.getLong(5)
     require(n > 0L && rows.forall(_.getLong(5) == n),
       "modelFromMoments: inconsistent n_rows across cells (mixed snapshots?)")
+    require(!hasCellCnt || rows.forall(_.getLong(6) == n),
+      "modelFromMoments: cells snapshot row count disagrees with dims n_rows " +
+        "(cells and dims drained from different triggers?)")
     val sums = new Array[Double](d)
     val prod = Array.ofDim[Double](d, d)
     val seen = Array.ofDim[Boolean](d, d)

@@ -85,6 +85,9 @@ object PcaStreams {
       checkpointDir: String,
       quantum: Double = 1e6,
       maxFilesPerTrigger: Option[Int] = None): (StreamingQuery, StreamingQuery) = {
+    // heal a swap interrupted between its two renames by a process death:
+    // promote the set-aside copy back to live before the first trigger
+    Seq("cells", "dims").foreach(leaf => healSnapshot(spark, s"$snapshotDir/$leaf"))
     val src = EmbedStreams.embStream(spark, rawDir, maxFilesPerTrigger)
     def run(agg: DataFrame, leaf: String): StreamingQuery =
       agg.writeStream
@@ -102,18 +105,63 @@ object PcaStreams {
 
   /** Read the persisted snapshots back as the `gramQuantized` schema —
     * `Pca.modelFromMoments` on the result is the trained model of
-    * everything ingested so far.
+    * everything ingested so far. When a live directory is absent because a
+    * writer died between `swapWrite`'s two renames, the read falls back to
+    * the `.gram-old-` set-aside copy (the last committed snapshot — the
+    * swap order guarantees it survives until the next promote succeeds),
+    * so a reader sees a committed snapshot at every instant of the swap.
     */
   def readGramSnapshot(spark: SparkSession, snapshotDir: String): DataFrame =
     gramSnapshot(
-      spark.read.parquet(s"$snapshotDir/cells"),
-      spark.read.parquet(s"$snapshotDir/dims"))
+      readLeaf(spark, s"$snapshotDir/cells"),
+      readLeaf(spark, s"$snapshotDir/dims"))
+
+  private def readLeaf(spark: SparkSession, dest: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(dest)
+    val fs   = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val path =
+      if (fs.exists(live)) live
+      else {
+        val trash = new Path(live.getParent, s".gram-old-${live.getName}")
+        require(fs.exists(trash),
+          s"gram ingest: no snapshot at $live and no set-aside copy — nothing was ever committed")
+        trash
+      }
+    spark.read.parquet(path.toString)
+  }
+
+  /** Promote a set-aside snapshot back to live after a death between the
+    * two renames (live absent, `.gram-old-` present). Idempotent; called
+    * by `runGramIngest` before the first trigger so a restarted runner
+    * starts from a live tree. No-op when live exists.
+    */
+  private[graft] def healSnapshot(spark: SparkSession, dest: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live  = new Path(dest)
+    val fs    = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val trash = new Path(live.getParent, s".gram-old-${live.getName}")
+    if (!fs.exists(live) && fs.exists(trash) && !fs.rename(trash, live))
+      throw new java.io.IOException(s"gram ingest: cannot promote set-aside $trash")
+    ()
+  }
 
   /** Two-rename atomic replace (the reindex/delete swap applied to a
-    * snapshot table): a crash at any step leaves either the old or the
-    * new snapshot fully live, never a partial directory.
+    * snapshot table): at every instant a committed snapshot exists on
+    * disk — at the live path, or (only in the window between the two
+    * renames) at the `.gram-old-` set-aside path, which `readLeaf` falls
+    * back to and `healSnapshot` re-promotes on runner restart. The
+    * set-aside copy of the PREVIOUS snapshot is only deleted after the new
+    * one is fully promoted; in particular a swap that finds live already
+    * absent (a predecessor died mid-swap) must NOT touch the set-aside
+    * copy until its own promote succeeds — deleting it first would leave a
+    * window holding zero committed snapshots (the round-11 defect).
+    * `failpoint` is a test seam invoked inside the between-renames window.
     */
-  private def swapWrite(snapshot: DataFrame, dest: String): Unit = {
+  private[graft] def swapWrite(
+      snapshot: DataFrame,
+      dest: String,
+      failpoint: () => Unit = () => ()): Unit = {
     import org.apache.hadoop.fs.Path
     val ss   = snapshot.sparkSession
     val live = new Path(dest)
@@ -122,9 +170,13 @@ object PcaStreams {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     snapshot.write.mode("overwrite").parquet(tmp.toString)
     val trash = new Path(live.getParent, s".gram-old-${live.getName}")
-    if (fs.exists(trash)) fs.delete(trash, true)
-    if (fs.exists(live) && !fs.rename(live, trash))
-      throw new java.io.IOException(s"gram ingest: cannot set aside $live")
+    if (fs.exists(live)) {
+      if (fs.exists(trash)) fs.delete(trash, true)
+      if (!fs.rename(live, trash))
+        throw new java.io.IOException(s"gram ingest: cannot set aside $live")
+    }
+    // live is absent here; trash (if present) is the last committed snapshot
+    failpoint()
     if (!fs.rename(tmp, live)) {
       if (fs.exists(trash)) fs.rename(trash, live) // roll back
       throw new java.io.IOException(s"gram ingest: cannot promote $tmp")

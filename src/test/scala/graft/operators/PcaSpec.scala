@@ -165,13 +165,15 @@ class PcaSpec extends AnyFunSuite {
       .gramQuantized(df)
       .collect()
       .map(r => ((r.getInt(0), r.getInt(1)),
-        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
       .toMap
     for (i <- 0 until 3; j <- i until 3) {
       val sp = q.map(v => v(i) * v(j)).sum
       val si = q.map(v => v(i)).sum
       val sj = q.map(v => v(j)).sum
-      assert(got((i, j)) === ((sp, si, sj, 3L)), s"cell ($i,$j)")
+      // last field: cnt_cells, the cells half's own row count (= n_rows
+      // whenever the pair came from the same drained input)
+      assert(got((i, j)) === ((sp, si, sj, 3L, 3L)), s"cell ($i,$j)")
     }
     assert(got.size === 6)
   }

@@ -307,10 +307,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.effectiveBandBits(60, 2049) === 10)
     assert(Similarity.effectiveBandBits(60, 40000) === 12)
     assert(Similarity.effectiveBandBits(60, 1L << 40) === 60) // capped at the widest divisor
-    // overflow guard (r10 ADVICE): targetBucket * 2^d must never wrap Long —
-    // at d >= 58 the guard short-circuits before the shift arithmetic
+    // overflow guard (r10 ADVICE): targetBucket * 2^d must never wrap Long
     assert(Similarity.effectiveBandBits(60, Long.MaxValue) === 60)
     assert(Similarity.effectiveBandBits(62, Long.MaxValue) === 62)
+    // r11 ADVICE: the guard must be sound for NON-default targetBucket too —
+    // the old `d >= 58` short-circuit let targetBucket=2^20 wrap
+    // `targetBucket * (1L << 57)` and skip a valid width. The comparison is
+    // now division-based (no multiply), so a huge target accepts the first
+    // ladder width and a huge n with a big target still lands exactly.
+    assert(Similarity.effectiveBandBits(60, Long.MaxValue, 1 << 20) === 60)
+    assert(Similarity.effectiveBandBits(60, 1L << 24, 1 << 20) === 4)  // 2^20*2^4 = 2^24 fits
+    assert(Similarity.effectiveBandBits(60, (1L << 24) + 1, 1 << 20) === 5)
+    // bits=57 (floored ladder {19, 57}): widths in 33..57 are exactly the
+    // range where the old multiply could wrap for a large target
+    assert(Similarity.effectiveBandBits(57, 1L << 19, 1 << 20) === 19)
+    assert(Similarity.effectiveBandBits(57, 1L << 40, 1 << 20) === 57)
+    intercept[IllegalArgumentException] { Similarity.effectiveBandBits(60, 100, 0) }
   }
 
   test("effectiveBandBits laws hold exhaustively over bits in [1,62] x a 64-order n sweep") {

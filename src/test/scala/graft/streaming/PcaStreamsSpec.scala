@@ -140,6 +140,66 @@ class PcaStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("swapWrite killed between renames: reader falls back to the set-aside copy; heal promotes it") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val snap = java.nio.file.Files.createTempDirectory("gramswap").toString + "/snap"
+    def halves(rows: Seq[(Long, Seq[Float])]) = {
+      val q = Pca.quantizedCol(rows.toDF("vec_id", "embedding"), "embedding", 1e6)
+      (Pca.gramCells(q), Pca.gramDims(q))
+    }
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Int, Int, Long)] =
+      df.select("i", "j", "sum_prod").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val rows1 = syntheticRows(40, 4, seed = 51)
+    val rows2 = syntheticRows(60, 4, seed = 52)
+    val (c1, d1) = halves(rows1)
+    PcaStreams.swapWrite(c1, s"$snap/cells")
+    PcaStreams.swapWrite(d1, s"$snap/dims")
+    val want1 = key(Pca.gramQuantized(rows1.toDF("vec_id", "embedding")))
+    assert(key(PcaStreams.readGramSnapshot(spark, snap)) === want1)
+
+    // kill the writer INSIDE the between-renames window: the live cells
+    // dir is gone, but the set-aside copy holds the committed snapshot
+    val (c2, d2) = halves(rows2)
+    val fs = new Path(snap).getFileSystem(spark.sessionState.newHadoopConf())
+    val boom = intercept[RuntimeException] {
+      PcaStreams.swapWrite(c2, s"$snap/cells", () => throw new RuntimeException("kill -9"))
+    }
+    assert(boom.getMessage === "kill -9")
+    assert(!fs.exists(new Path(s"$snap/cells")))
+    assert(key(PcaStreams.readGramSnapshot(spark, snap)) === want1)
+
+    // a SECOND mid-swap death must not delete the set-aside copy (the
+    // round-11 defect: the next swap deleted trash before promoting,
+    // leaving a window with zero committed snapshots)
+    intercept[RuntimeException] {
+      PcaStreams.swapWrite(c2, s"$snap/cells", () => throw new RuntimeException("kill again"))
+    }
+    assert(key(PcaStreams.readGramSnapshot(spark, snap)) === want1)
+
+    // heal (what runGramIngest does before its first trigger) promotes the
+    // set-aside copy back to live; idempotent
+    PcaStreams.healSnapshot(spark, s"$snap/cells")
+    PcaStreams.healSnapshot(spark, s"$snap/cells")
+    assert(fs.exists(new Path(s"$snap/cells")))
+    assert(key(PcaStreams.readGramSnapshot(spark, snap)) === want1)
+
+    // a clean swap of ONLY the cells leaf yields a mixed cells/dims pair —
+    // modelFromMoments must refuse it via the cnt_cells cross-check
+    PcaStreams.swapWrite(c2, s"$snap/cells")
+    val eMixed = intercept[IllegalArgumentException] {
+      Pca.modelFromMoments(PcaStreams.readGramSnapshot(spark, snap))
+    }
+    assert(eMixed.getMessage.contains("disagrees with dims n_rows"))
+
+    // swapping the dims leaf too restores coherence at the new snapshot
+    PcaStreams.swapWrite(d2, s"$snap/dims")
+    val want2 = key(Pca.gramQuantized(rows2.toDF("vec_id", "embedding")))
+    assert(key(PcaStreams.readGramSnapshot(spark, snap)) === want2)
+    assert(Pca.modelFromMoments(PcaStreams.readGramSnapshot(spark, snap)).nRows === 60L)
+  }
+
   test("modelFromMoments rejects inconsistent or incomplete snapshots") {
     import spark.implicits._
     val rows = syntheticRows(50, 4, seed = 34)
