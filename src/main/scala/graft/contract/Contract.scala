@@ -4309,6 +4309,55 @@ object Contract {
         graft.operators.Profile.classifierMetrics(scored, "label", "pred")
       },
       Some(OracleSql.q178)
+    ),
+    Q(
+      "q179_curation_v6",
+      // curation v6 (round 12): the q178 eval loop wired in as a pipeline
+      // CONTROL, not a report. Per-class precision of the langid heuristic
+      // — measured by Profile.classifierMetrics over the same corpus —
+      // gates which PREDICTED languages the downstream mixture may key on:
+      // a class under the 0.40 precision floor is demoted to 'und'
+      // (untrusted) instead of routing 59%-wrong labels into a lang-keyed
+      // cap. On this corpus the gate trusts only 'en' (precision 0.437 at
+      // sf0.01) and demotes the 'unk' bucket (precision 0) — exactly the
+      // decision a 100-TB curation run makes before letting a cheap filter
+      // model route data. Downstream is the standard mixture posture: each
+      // gated language capped at its 150 longest docs (ties doc_id asc)
+      // via the distributed two-phase rank (no global window sort), with
+      // the kept mass and the selection threshold (min kept length) per
+      // class. Scale shape: the metric/gate legs collapse to a ≤|classes|-
+      // row broadcast; the corpus pays one projection + the rank.
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        val scored = Tables
+          .documents(s, d)
+          .select(
+            col("doc_id"),
+            col("lang").as("label"),
+            TextAnalysis.langGuess(col("text")).as("pred"),
+            length(col("text")).cast("long").as("n_chars"))
+          .filter(col("label").isNotNull && col("pred").isNotNull)
+        val trusted = graft.operators.Profile
+          .classifierMetrics(scored, "label", "pred")
+          .filter(col("precision_x1e6") >= 400000L)
+          .select(col("class").as("pred"), lit(true).as("__trusted"))
+        val gated = scored
+          .join(broadcast(trusted), Seq("pred"), "left_outer")
+          .select(
+            col("doc_id"),
+            when(col("__trusted").isNotNull, col("pred"))
+              .otherwise(lit("und")).as("lang_gated"),
+            col("n_chars"))
+        graft.operators.Splits
+          .rankedGrouped(gated, "lang_gated", "n_chars", "doc_id")
+          .groupBy(col("lang_gated"))
+          .agg(
+            count(lit(1)).as("n_candidates"),
+            sum(when(col("rnk") <= 150, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("rnk") <= 150, col("n_chars")).otherwise(0L)).as("kept_chars"),
+            min(when(col("rnk") <= 150, col("n_chars"))).as("min_kept_chars"))
+      },
+      Some(OracleSql.q179)
     )
   )
 

@@ -675,6 +675,51 @@ object OracleSql {
        |        ELSE 0 END)::BIGINT AS f1_x1e6
        |FROM jj""".stripMargin
 
+  /** Curation v6 (q179): the q178 eval loop wired in as a pipeline CONTROL.
+    * Replays the langid CASE per doc, measures per-class precision over the
+    * same corpus, demotes predictions of any class under the 0.40 precision
+    * floor to 'und', then caps each gated language at its 150 longest docs
+    * (ties doc_id ascending) and reports the kept mass + selection
+    * threshold per gated class.
+    */
+  val q179: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, length(text)::BIGINT AS n_chars,
+       |    string_split(text, ' ') AS tk
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang AS label, n_chars,
+       |    CASE WHEN len(list_filter(tk, t -> list_contains(['the','a','of'], t)))
+       |           >= len(list_filter(tk, t -> list_contains(['el','la','de'], t)))
+       |          AND len(list_filter(tk, t -> list_contains(['the','a','of'], t))) > 0 THEN 'en'
+       |         WHEN len(list_filter(tk, t -> list_contains(['el','la','de'], t)))
+       |           > len(list_filter(tk, t -> list_contains(['the','a','of'], t))) THEN 'es'
+       |         ELSE 'unk' END AS pred
+       |  FROM toks
+       |  WHERE lang IS NOT NULL),
+       |prec AS (
+       |  SELECT pred AS class,
+       |    (SUM(CASE WHEN label = pred THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+       |      AS precision_x1e6
+       |  FROM g GROUP BY 1),
+       |trusted AS (SELECT class FROM prec WHERE precision_x1e6 >= 400000),
+       |gated AS (
+       |  SELECT doc_id, n_chars,
+       |    CASE WHEN pred IN (SELECT class FROM trusted) THEN pred
+       |         ELSE 'und' END AS lang_gated
+       |  FROM g),
+       |r AS (
+       |  SELECT lang_gated, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY lang_gated
+       |                       ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM gated)
+       |SELECT lang_gated,
+       |  COUNT(*)::BIGINT AS n_candidates,
+       |  SUM(CASE WHEN rn <= 150 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  SUM(CASE WHEN rn <= 150 THEN n_chars ELSE 0 END)::BIGINT AS kept_chars,
+       |  MIN(CASE WHEN rn <= 150 THEN n_chars END)::BIGINT AS min_kept_chars
+       |FROM r GROUP BY 1""".stripMargin
+
   /** Embedding dedup ROWS at the PINNED 6-bit band width (q174, the frozen
     * diagnostic since the round-11 role swap): q46's pair graph + q48's
     * recursive min-label walk — survivors are the min vec_id per component.
