@@ -4358,6 +4358,33 @@ object Contract {
             min(when(col("rnk") <= 150, col("n_chars"))).as("min_kept_chars"))
       },
       Some(OracleSql.q179)
+    ),
+    Q(
+      "q180_duplicated_spans",
+      // exact duplicated-SPAN mining (round 12) — the within-document
+      // counterpart of whole-doc dedup the engine lacked: every maximal
+      // token range covered by 8-grams occurring >= 2 times anywhere in
+      // the corpus (the k-gram form of Lee et al. 2022's exact-substring
+      // pass; boundaries resolve to gram granularity, every duplicated
+      // run of >= k tokens is caught, within-doc repeats count). Spark
+      // groups grams by XXHASH64 (the 100-TB posture — never shuffles
+      // gram strings); the oracle replays on raw gram strings, so the
+      // hash-keyed path is certified collision-free on this corpus.
+      (s, d) =>
+        graft.operators.Corpus
+          .duplicatedSpans(Tables.documents(s, d), "doc_id", "text", k = 8),
+      Some(OracleSql.q180)
+    ),
+    Q(
+      "q181_span_census",
+      // doc-level duplication census over q180's spans: duplicated token
+      // mass + integer micro-unit fraction per doc — the decision stat a
+      // curation pass thresholds before stripping or dropping (RefinedWeb
+      // drops past ~50% duplicated mass rather than patching holes).
+      (s, d) =>
+        graft.operators.Corpus
+          .duplicatedSpanCensus(Tables.documents(s, d), "doc_id", "text", k = 8),
+      Some(OracleSql.q181)
     )
   )
 

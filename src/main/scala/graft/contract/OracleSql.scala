@@ -720,6 +720,56 @@ object OracleSql {
        |  MIN(CASE WHEN rn <= 150 THEN n_chars END)::BIGINT AS min_kept_chars
        |FROM r GROUP BY 1""".stripMargin
 
+  /** Duplicated-span mining (q180): maximal token ranges covered by
+    * 8-grams occurring >= 2 times anywhere in the corpus. The SQL replays
+    * the miner on RAW GRAM STRINGS (the Spark side groups by xxhash64 —
+    * equality of the two certifies the hash-keyed path collision-free on
+    * this corpus) and the gap-merge window (break when pos > prev + k).
+    */
+  private def dupSpanCtes(k: Int): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+${k - 1}], ' ') AS gram
+       |  FROM toks, unnest(range(1, len(tk) - $k + 2)) AS t(i)
+       |  WHERE len(tk) >= $k),
+       |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+       |occ AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+       |m AS (SELECT doc_id, pos,
+       |        CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + $k
+       |             THEN 1 ELSE 0 END AS brk
+       |      FROM occ WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |s AS (SELECT doc_id, pos,
+       |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       |      FROM m),
+       |spans AS (
+       |  SELECT doc_id, span_id::BIGINT AS span_id,
+       |    MIN(pos)::BIGINT AS span_start,
+       |    (MAX(pos) + $k - 1)::BIGINT AS span_end,
+       |    (MAX(pos) + $k - MIN(pos))::BIGINT AS span_toks
+       |  FROM s GROUP BY doc_id, span_id)""".stripMargin
+
+  val q180: String =
+    s"""WITH ${dupSpanCtes(8)}
+       |SELECT doc_id, span_id, span_start, span_end, span_toks FROM spans""".stripMargin
+
+  /** Doc-level duplication census (q181): duplicated token mass per doc
+    * over the q180 spans, all-integer fraction in micro-units; every doc
+    * appears (shorter-than-k docs carry 0).
+    */
+  val q181: String =
+    s"""WITH ${dupSpanCtes(8)},
+       |census AS (SELECT doc_id, SUM(span_toks)::BIGINT AS dup_toks
+       |           FROM spans GROUP BY doc_id),
+       |spine AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_toks
+       |          FROM documents)
+       |SELECT sp.doc_id, sp.n_toks,
+       |  COALESCE(c.dup_toks, 0)::BIGINT AS dup_toks,
+       |  (sp.n_toks - COALESCE(c.dup_toks, 0))::BIGINT AS kept_toks,
+       |  (CASE WHEN sp.n_toks > 0
+       |        THEN (COALESCE(c.dup_toks, 0) * 1000000) // sp.n_toks
+       |        ELSE 0 END)::BIGINT AS dup_frac_x1e6
+       |FROM spine sp LEFT JOIN census c ON c.doc_id = sp.doc_id""".stripMargin
+
   /** Embedding dedup ROWS at the PINNED 6-bit band width (q174, the frozen
     * diagnostic since the round-11 role swap): q46's pair graph + q48's
     * recursive min-label walk — survivors are the min vec_id per component.

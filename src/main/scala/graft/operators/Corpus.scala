@@ -1451,4 +1451,151 @@ object Corpus {
         coalesce(col("n_distinct_hits"), lit(0L)).as("n_distinct_hits"))
       .withColumn("keep", col("n_hits") === 0L)
   }
+
+  /** Exact duplicated-SPAN mining (the within-document counterpart of
+    * whole-doc dedup): every maximal token range covered by k-grams that
+    * occur >= `minCount` times ANYWHERE in the corpus — the practical
+    * k-gram form of exact-substring dedup (Lee et al. 2022's suffix-array
+    * pass; the k-gram grid trades their byte-exact boundaries for a
+    * shuffle-shaped plan, detecting every duplicated run of >= k tokens
+    * with start/end resolved to gram granularity). Within-doc repeats
+    * count toward `minCount` — a doc that repeats its own boilerplate
+    * twice is flagged without a second doc.
+    *
+    * Output: (doc_id, span_id, span_start, span_end, span_toks) — span_id
+    * is the 1-based ordinal of the span within its doc, positions are
+    * 0-based token indexes, inclusive.
+    *
+    * Scale shape: one posexplode projection (|corpus tokens| rows — no
+    * pair blowup), ONE partial-aggregated groupBy on the 64-bit gram hash,
+    * one shuffle join of occurrences against the duplicated-hash set keyed
+    * on the hash, then a per-doc window (partitioned by doc — no global
+    * sort) to merge overlapping ranges. Grams are compared BY XXHASH64:
+    * at 2^64 buckets a corpus of 10^9 distinct grams carries ~3e-2 ppm
+    * collision odds; a collision can only ADD a false span, never drop a
+    * real one.
+    */
+  def duplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minCount: Long = 2L): DataFrame = {
+    require(k >= 2, s"duplicatedSpans: k must be >= 2, got $k")
+    require(minCount >= 2L, s"duplicatedSpans: minCount must be >= 2, got $minCount")
+    val occ = dupGramOccurrences(docs, idCol, textCol, k, minCount)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    occ
+      .withColumn("__brk",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") > lag(col("pos"), 1).over(w) + k, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("__brk")).over(w))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        (max(col("pos")) + k - min(col("pos"))).as("span_toks"))
+  }
+
+  /** Shared miner: 0-based start positions of k-grams whose corpus-wide
+    * occurrence count reaches `minCount`, as (doc_id, pos). A gram covers
+    * tokens [pos, pos+k-1].
+    */
+  private def dupGramOccurrences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minCount: Long): DataFrame = {
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__tk"))
+      .filter(size(col("__tk")) >= k)
+    val grams = toks
+      .select(
+        col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("__tk")) - k),
+          i => concat_ws(" ", slice(col("__tk"), i + 1, lit(k))))).as(Seq("pos", "__gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), xxhash64(col("__gram")).as("__gh"))
+    val dup = grams
+      .groupBy(col("__gh"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("__gh"))
+    grams.join(dup, Seq("__gh")).select(col("doc_id"), col("pos"))
+  }
+
+  /** Doc-level duplication census over `duplicatedSpans`: how much of each
+    * document is covered by corpus-duplicated runs — the decision stat a
+    * curation pass thresholds before stripping or dropping (RefinedWeb
+    * drops docs past ~50% duplicated mass rather than patching holes).
+    * All-integer: dup_frac_x1e6 = dup_toks * 1e6 div n_toks (q135
+    * discipline). Every doc appears, including those shorter than k
+    * (dup_toks 0). Cost: the miner + one per-doc partial agg + one
+    * left join back onto the token-count spine.
+    */
+  def duplicatedSpanCensus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minCount: Long = 2L): DataFrame = {
+    val spine = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__tk"))
+      .select(col("doc_id"), size(col("__tk")).cast("long").as("n_toks"))
+    val perDoc = duplicatedSpans(docs, idCol, textCol, k, minCount)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_toks")).as("dup_toks"))
+    spine
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        coalesce(col("dup_toks"), lit(0L)).as("dup_toks"),
+        (col("n_toks") - coalesce(col("dup_toks"), lit(0L))).as("kept_toks"),
+        when(col("n_toks") > 0,
+          expr("(coalesce(dup_toks, 0L) * 1000000L) div n_toks"))
+          .otherwise(lit(0L)).as("dup_frac_x1e6"))
+  }
+
+  /** The strip ACTION over `duplicatedSpans`: rebuild each document's text
+    * with every duplicated span removed (all occurrences — the aggressive
+    * form; pair with `duplicatedSpanCensus` thresholds to DROP
+    * mostly-duplicate docs instead of hollowing them out). Token order is
+    * preserved; docs whose every token is covered survive with empty text.
+    *
+    * Scale shape: covered positions come from exploding each span's range
+    * (|covered tokens| rows, bounded by corpus token volume), anti-joined
+    * against the positional token table, then one per-doc
+    * sort_array(collect_list(struct(pos, tok))) re-assembly — the q18
+    * channel-array pattern, no window over the full corpus.
+    */
+  def stripDuplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minCount: Long = 2L): DataFrame = {
+    val base = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__tk"))
+    val toks = base.select(
+      col("doc_id"),
+      posexplode(col("__tk")).as(Seq("pos", "__tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("__tok"))
+    val covered = duplicatedSpans(docs, idCol, textCol, k, minCount)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val kept = toks
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        transform(sort_array(collect_list(struct(col("pos"), col("__tok")))),
+          s => s.getField("__tok"))).as("kept_text"))
+    base
+      .select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
 }

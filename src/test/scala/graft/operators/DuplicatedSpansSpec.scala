@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Duplicated-span mining semantics (Corpus.duplicatedSpans /
+  * duplicatedSpanCensus / stripDuplicatedSpans): hand-computed fixture
+  * covering cross-doc sharing, within-doc repetition (self-duplication
+  * needs no second doc), adjacent-gram merging across the k gap, and the
+  * strip/census consistency law.
+  */
+class DuplicatedSpansSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  // k=3 fixture, worked by hand:
+  //  d1 "a b c d e f g h"  — shares "a b c d" with d2: dup gram starts
+  //     {0,1} -> one span [0,3], 4 tokens
+  //  d2 "x y z a b c d q"  — dup gram starts {3,4} -> span [3,6], 4 tokens
+  //  d3 "p q r s p q r s"  — WITHIN-doc repeat: "p q r" at {0,4},
+  //     "q r s" at {1,5}; gaps (1->4) == k so the ranges chain into ONE
+  //     span [0,7] covering the whole doc
+  //  d4 "m n o u v w"      — unique; no spans
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y z a b c d q"),
+      (3L, "p q r s p q r s"),
+      (4L, "m n o u v w")).toDF("doc_id", "text")
+  }
+
+  test("duplicatedSpans: cross-doc span, within-doc repeat, gap merge — hand fixture") {
+    val got = Corpus.duplicatedSpans(fixture, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === Set(
+      (1L, 1L, 0L, 3L, 4L),
+      (2L, 1L, 3L, 6L, 4L),
+      (3L, 1L, 0L, 7L, 8L)))
+  }
+
+  test("two separated spans in one doc get distinct ordinals; k boundary splits at gap > k") {
+    import spark.implicits._
+    // d5 repeats "a b c" (as a gram) at starts 0 and 6 — gap 6 > k=3, so
+    // TWO spans [0,2] and [6,8]; filler tokens are unique
+    val docs = Seq(
+      (5L, "a b c u1 u2 u3 a b c"),
+      (6L, "a b c z9")).toDF("doc_id", "text")
+    val got = Corpus.duplicatedSpans(docs, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === Set(
+      (5L, 1L, 0L, 2L, 3L),
+      (5L, 2L, 6L, 8L, 3L),
+      (6L, 1L, 0L, 2L, 3L)))
+  }
+
+  test("duplicatedSpanCensus: integer micro-unit fractions; every doc appears") {
+    val got = Corpus.duplicatedSpanCensus(fixture, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === Map(
+      1L -> ((8L, 4L, 4L, 500000L)),
+      2L -> ((8L, 4L, 4L, 500000L)),
+      3L -> ((8L, 8L, 0L, 1000000L)),
+      4L -> ((6L, 0L, 6L, 0L))))
+  }
+
+  test("stripDuplicatedSpans: order-preserving removal; fully-covered doc -> empty text") {
+    val got = Corpus.stripDuplicatedSpans(fixture, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toMap
+    assert(got === Map(
+      1L -> "e f g h",
+      2L -> "x y z q",
+      3L -> "",
+      4L -> "m n o u v w"))
+  }
+
+  test("law: strip output token count == census kept_toks on real data") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val census = Corpus.duplicatedSpanCensus(docs, "doc_id", "text", k = 8)
+      .select(col("doc_id"), col("kept_toks"))
+    val stripped = Corpus.stripDuplicatedSpans(docs, "doc_id", "text", k = 8)
+      .select(col("doc_id"),
+        when(col("kept_text") === "", lit(0L))
+          .otherwise(size(split(col("kept_text"), " ")).cast("long")).as("strip_toks"))
+    val joined = census.join(stripped, Seq("doc_id"))
+    assert(joined.count() === docs.count())
+    assert(joined.filter(col("kept_toks") =!= col("strip_toks")).count() === 0L)
+  }
+
+  test("a gram occurring >= minCount times only under a higher threshold is not flagged at it") {
+    import spark.implicits._
+    // "a b c" occurs exactly twice: flagged at minCount=2, not at 3
+    val docs = Seq(
+      (7L, "a b c p1 p2"),
+      (8L, "q1 a b c q2")).toDF("doc_id", "text")
+    assert(Corpus.duplicatedSpans(docs, "doc_id", "text", k = 3).count() === 2L)
+    assert(Corpus.duplicatedSpans(docs, "doc_id", "text", k = 3, minCount = 3L).count() === 0L)
+  }
+}
