@@ -4385,6 +4385,28 @@ object Contract {
         graft.operators.Corpus
           .duplicatedSpanCensus(Tables.documents(s, d), "doc_id", "text", k = 8),
       Some(OracleSql.q181)
+    ),
+    Q(
+      "q182_decontam_spans",
+      // span-level decontamination (round 12) — the SURGICAL form of the
+      // q56/q132 doc-level checks: for each train-split doc, the maximal
+      // token ranges covered by 8-grams appearing anywhere in the test
+      // split; a pipeline excises exactly these with Corpus.stripSpans
+      // instead of dropping a 10k-token doc for quoting one eval
+      // question. Bench gram set DISTINCT'd at benchmark scale and
+      // broadcast; the corpus side is a map-side gram projection probed
+      // against it — no corpus-sized shuffle before the per-doc merge.
+      (s, d) => {
+        import graft.operators.{Corpus, Splits}
+        val docs = Tables.documents(s, d)
+        val split = Splits.splitLabel(
+          col("doc_id"), Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        Corpus.contaminatedSpans(
+          docs.filter(split === "train"), "doc_id", "text",
+          docs.filter(split === "test"), "doc_id", "text",
+          k = 8)
+      },
+      Some(OracleSql.q182)
     )
   )
 

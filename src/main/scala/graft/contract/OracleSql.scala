@@ -726,15 +726,12 @@ object OracleSql {
     * equality of the two certifies the hash-keyed path collision-free on
     * this corpus) and the gap-merge window (break when pos > prev + k).
     */
-  private def dupSpanCtes(k: Int): String =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-       |g AS (
-       |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+${k - 1}], ' ') AS gram
-       |  FROM toks, unnest(range(1, len(tk) - $k + 2)) AS t(i)
-       |  WHERE len(tk) >= $k),
-       |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
-       |occ AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
-       |m AS (SELECT doc_id, pos,
+  /** Gap-merge tail shared by every span miner: turns an `occ (doc_id,
+    * pos)` CTE of flagged gram starts into a `spans` CTE of maximal
+    * merged ranges (break when pos > prev + k).
+    */
+  private def spanMergeTail(k: Int): String =
+    s"""m AS (SELECT doc_id, pos,
        |        CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + $k
        |             THEN 1 ELSE 0 END AS brk
        |      FROM occ WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
@@ -747,6 +744,16 @@ object OracleSql {
        |    (MAX(pos) + $k - 1)::BIGINT AS span_end,
        |    (MAX(pos) + $k - MIN(pos))::BIGINT AS span_toks
        |  FROM s GROUP BY doc_id, span_id)""".stripMargin
+
+  private def dupSpanCtes(k: Int): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+${k - 1}], ' ') AS gram
+       |  FROM toks, unnest(range(1, len(tk) - $k + 2)) AS t(i)
+       |  WHERE len(tk) >= $k),
+       |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+       |occ AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+       |${spanMergeTail(k)}""".stripMargin
 
   val q180: String =
     s"""WITH ${dupSpanCtes(8)}
@@ -769,6 +776,29 @@ object OracleSql {
        |        THEN (COALESCE(c.dup_toks, 0) * 1000000) // sp.n_toks
        |        ELSE 0 END)::BIGINT AS dup_frac_x1e6
        |FROM spine sp LEFT JOIN census c ON c.doc_id = sp.doc_id""".stripMargin
+
+  /** Span-level decontamination (q182): the q132 split replayed, then the
+    * train docs' maximal token ranges covered by 8-grams appearing
+    * anywhere in the test split — the surgical excision list.
+    */
+  val q182: String =
+    s"""WITH sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |          ((((doc_id % 1000000007) + 1000000007) % 1000000007) * 2654435761 % 1000000007) % 10000 AS bucket
+       |        FROM documents)),
+       |toks AS (
+       |  SELECT d.doc_id, string_split(d.text, ' ') AS tk, sp.split
+       |  FROM documents d JOIN sp USING (doc_id)),
+       |g AS (
+       |  SELECT doc_id, split, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS gram
+       |  FROM toks, unnest(range(1, len(tk) - 8 + 2)) AS t(i)
+       |  WHERE len(tk) >= 8),
+       |bg AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+       |occ AS (SELECT g.doc_id, g.pos FROM g JOIN bg USING (gram) WHERE g.split = 'train'),
+       |${spanMergeTail(8)}
+       |SELECT doc_id, span_id, span_start, span_end, span_toks FROM spans""".stripMargin
 
   /** Embedding dedup ROWS at the PINNED 6-bit band width (q174, the frozen
     * diagnostic since the round-11 role swap): q46's pair graph + q48's

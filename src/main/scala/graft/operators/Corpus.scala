@@ -1483,7 +1483,52 @@ object Corpus {
       minCount: Long = 2L): DataFrame = {
     require(k >= 2, s"duplicatedSpans: k must be >= 2, got $k")
     require(minCount >= 2L, s"duplicatedSpans: minCount must be >= 2, got $minCount")
-    val occ = dupGramOccurrences(docs, idCol, textCol, k, minCount)
+    mergeSpans(dupGramOccurrences(docs, idCol, textCol, k, minCount), k)
+  }
+
+  /** Positional k-gram table: (doc_id, pos, __gh) — one row per 0-based
+    * gram start, hash = xxhash64 of the space-joined token window. A gram
+    * covers tokens [pos, pos+k-1]. The shared projection under every
+    * span miner; map-side only.
+    */
+  private def gramTable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__tk"))
+      .filter(size(col("__tk")) >= k)
+      .select(
+        col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("__tk")) - k),
+          i => concat_ws(" ", slice(col("__tk"), i + 1, lit(k))))).as(Seq("pos", "__gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), xxhash64(col("__gram")).as("__gh"))
+
+  /** Shared miner: 0-based start positions of k-grams whose corpus-wide
+    * occurrence count reaches `minCount`, as (doc_id, pos).
+    */
+  private def dupGramOccurrences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minCount: Long): DataFrame = {
+    val grams = gramTable(docs, idCol, textCol, k)
+    val dup = grams
+      .groupBy(col("__gh"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("__gh"))
+    grams.join(dup, Seq("__gh")).select(col("doc_id"), col("pos"))
+  }
+
+  /** Merge flagged gram-start positions into maximal spans per doc:
+    * ranges [pos, pos+k-1] chain while the gap between consecutive starts
+    * is <= k. Output (doc_id, span_id, span_start, span_end, span_toks).
+    */
+  private def mergeSpans(occ: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     occ
       .withColumn("__brk",
@@ -1497,32 +1542,36 @@ object Corpus {
         (max(col("pos")) + k - min(col("pos"))).as("span_toks"))
   }
 
-  /** Shared miner: 0-based start positions of k-grams whose corpus-wide
-    * occurrence count reaches `minCount`, as (doc_id, pos). A gram covers
-    * tokens [pos, pos+k-1].
+  /** Span-level decontamination (the SURGICAL form of the q56/q132
+    * doc-level checks): for each training document, every maximal token
+    * range covered by k-grams that appear ANYWHERE in the benchmark set —
+    * the ranges a pipeline excises with `stripSpans` instead of dropping
+    * the whole document (how production decontamination actually treats
+    * a 10k-token doc quoting one eval question). Same output schema as
+    * `duplicatedSpans`.
+    *
+    * Scale shape: the benchmark gram set is DISTINCT'd at benchmark scale
+    * and BROADCAST (benchmarks are orders of magnitude smaller than the
+    * corpus); the corpus side is the map-side gram projection probed
+    * against the broadcast — no corpus-sized shuffle before the per-doc
+    * window merge.
     */
-  private def dupGramOccurrences(
-      docs: DataFrame,
+  def contaminatedSpans(
+      train: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int,
-      minCount: Long): DataFrame = {
-    val toks = docs
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__tk"))
-      .filter(size(col("__tk")) >= k)
-    val grams = toks
-      .select(
-        col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("__tk")) - k),
-          i => concat_ws(" ", slice(col("__tk"), i + 1, lit(k))))).as(Seq("pos", "__gram")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), xxhash64(col("__gram")).as("__gh"))
-    val dup = grams
-      .groupBy(col("__gh"))
-      .agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= minCount)
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"contaminatedSpans: k must be >= 2, got $k")
+    val benchGrams = gramTable(bench, benchIdCol, benchTextCol, k)
       .select(col("__gh"))
-    grams.join(dup, Seq("__gh")).select(col("doc_id"), col("pos"))
+      .distinct()
+    val occ = gramTable(train, idCol, textCol, k)
+      .join(broadcast(benchGrams), Seq("__gh"))
+      .select(col("doc_id"), col("pos"))
+    mergeSpans(occ, k)
   }
 
   /** Doc-level duplication census over `duplicatedSpans`: how much of each
@@ -1576,7 +1625,21 @@ object Corpus {
       idCol: String,
       textCol: String,
       k: Int,
-      minCount: Long = 2L): DataFrame = {
+      minCount: Long = 2L): DataFrame =
+    stripSpans(docs, idCol, textCol, duplicatedSpans(docs, idCol, textCol, k, minCount))
+
+  /** Excise arbitrary token spans from documents: `spans` is any frame in
+    * the (doc_id, span_start, span_end) schema — `duplicatedSpans` output,
+    * `contaminatedSpans` output, or a hand-curated excision list. Token
+    * order is preserved; a fully-covered doc survives with empty text;
+    * docs with no spans pass through verbatim (modulo the single-space
+    * token rejoin).
+    */
+  def stripSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spans: DataFrame): DataFrame = {
     val base = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__tk"))
@@ -1584,7 +1647,7 @@ object Corpus {
       col("doc_id"),
       posexplode(col("__tk")).as(Seq("pos", "__tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("__tok"))
-    val covered = duplicatedSpans(docs, idCol, textCol, k, minCount)
+    val covered = spans
       .select(col("doc_id"),
         explode(sequence(col("span_start"), col("span_end"))).as("pos"))
     val kept = toks

@@ -97,6 +97,34 @@ class DuplicatedSpansSpec extends AnyFunSuite {
     assert(joined.filter(col("kept_toks") =!= col("strip_toks")).count() === 0L)
   }
 
+  test("contaminatedSpans: only bench-shared ranges flag; train-internal dups do not") {
+    import spark.implicits._
+    // t1 quotes the bench doc's "e1 e2 e3" run; t2/t3 share a train-only
+    // 3-gram ("d1 d2 d3") which must NOT flag (not in the bench set)
+    val train = Seq(
+      (1L, "a b e1 e2 e3 c d"),
+      (2L, "d1 d2 d3 x y"),
+      (3L, "z w d1 d2 d3")).toDF("doc_id", "text")
+    val bench = Seq((100L, "q r e1 e2 e3 s")).toDF("doc_id", "text")
+    val got = Corpus.contaminatedSpans(train, "doc_id", "text", bench, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === Set((1L, 1L, 2L, 4L, 3L)))
+  }
+
+  test("stripSpans excises an arbitrary span list; contaminated doc loses exactly the quoted run") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "a b e1 e2 e3 c d"),
+      (2L, "d1 d2 d3 x y")).toDF("doc_id", "text")
+    val bench = Seq((100L, "q r e1 e2 e3 s")).toDF("doc_id", "text")
+    val spans = Corpus.contaminatedSpans(train, "doc_id", "text", bench, "doc_id", "text", k = 3)
+    val got = Corpus.stripSpans(train, "doc_id", "text", spans)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(1L -> "a b c d", 2L -> "d1 d2 d3 x y"))
+  }
+
   test("a gram occurring >= minCount times only under a higher threshold is not flagged at it") {
     import spark.implicits._
     // "a b c" occurs exactly twice: flagged at minCount=2, not at 3
