@@ -129,6 +129,17 @@ object CountMin {
     import org.apache.hadoop.fs.Path
     val live = new Path(dir)
     val fs   = live.getFileSystem(spark.sessionState.newHadoopConf())
+    // heal a predecessor that died between its two renames (live set
+    // aside, replacement not yet promoted): the trash IS the store —
+    // restore it before the exists(live) branch below, else this fold
+    // would treat the store as fresh and silently RESTART the count
+    // history from the delta while deleting the only surviving copy
+    // (the CorpusStreams.ingest / PcaStreams.healSnapshot rule)
+    locally {
+      val trash = new Path(live.getParent, s".cms-old-${live.getName}")
+      if (!fs.exists(live) && fs.exists(trash) && !fs.rename(trash, live))
+        throw new java.io.IOException(s"updateStore: cannot restore $trash to $live")
+    }
     val merged =
       if (!fs.exists(live)) delta
       else {
@@ -165,7 +176,19 @@ object CountMin {
     * every sketch surface here.
     */
   def readMerged(spark: SparkSession, dir: String): (Int, Int, Array[Long]) = {
-    val rows = spark.read.parquet(dir).select("width", "depth", "counters").collect()
+    import org.apache.hadoop.fs.Path
+    val live = new Path(dir)
+    val fs   = live.getFileSystem(spark.sessionState.newHadoopConf())
+    // read-side fallback for a writer that died between its two renames:
+    // the set-aside copy is the last committed store (PcaStreams.readLeaf
+    // rule; the next updateStore heals the tree itself)
+    val src =
+      if (fs.exists(live)) dir
+      else {
+        val trash = new Path(live.getParent, s".cms-old-${live.getName}")
+        if (fs.exists(trash)) trash.toString else dir
+      }
+    val rows = spark.read.parquet(src).select("width", "depth", "counters").collect()
     require(rows.nonEmpty, s"readMerged: no sketches at $dir")
     val w = rows.head.getInt(0)
     val d = rows.head.getInt(1)

@@ -580,17 +580,57 @@ object Similarity {
     cents.write.mode(SaveMode.Overwrite).parquet(tmpCent.toString)
     def swap(live: Path, tmp: Path): Unit = {
       val trash = new Path(live.getParent, s".reindex-old-${live.getName}")
-      if (fs.exists(trash)) fs.delete(trash, true)
-      if (!fs.rename(live, trash))
-        throw new java.io.IOException(s"reindexIvf: cannot set aside $live")
+      // clear the set-aside only when live exists — when it does not, the
+      // set-aside IS the last committed copy (a predecessor died between
+      // its two renames; entry-time healIvfLeaves promotes it, so this
+      // branch is belt-and-braces)
+      if (fs.exists(live)) {
+        if (fs.exists(trash)) fs.delete(trash, true)
+        if (!fs.rename(live, trash))
+          throw new java.io.IOException(s"reindexIvf: cannot set aside $live")
+      }
       if (!fs.rename(tmp, live)) {
-        fs.rename(trash, live) // roll back
+        if (fs.exists(trash)) fs.rename(trash, live) // roll back
         throw new java.io.IOException(s"reindexIvf: cannot promote $tmp")
       }
       fs.delete(trash, true)
     }
+    // the two swaps are each atomic-with-recovery, but a death BETWEEN
+    // them leaves new data with old centroids for the gap's duration:
+    // searches then route probes with the old quantizer against new cell
+    // ids (degraded, not corrupt — cell routing only affects recall).
+    // Re-running reindexIvf converges the pair; the gap cannot lose rows.
     swap(dataDir, tmpData)
     swap(centDir, tmpCent)
+  }
+
+  /** Crash-window repair for a persisted IVF tree, run by every API entry
+    * that reads it (`searchIvfIndex` / `deleteFromIvfIndex` /
+    * `mergeIvfIndexes`): promote any set-aside copy whose live directory
+    * is absent — `.reindex-old-*` beside the index root (a reindex died
+    * between its two renames) and `.ivfdel-old-cell_id=*` inside it (a
+    * delete died mid-leaf-swap). Without this a reader silently misses
+    * the set-aside rows (a PARTIAL index, not an error — the failure mode
+    * that matters); with it every crash state re-reads as the last
+    * committed tree. Idempotent; one parent stat + one index listing.
+    */
+  private def healIvfLeaves(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dataDir = new Path(path)
+    val fs      = dataDir.getFileSystem(spark.sessionState.newHadoopConf())
+    def promote(trash: Path, live: Path): Unit =
+      if (!fs.exists(live) && fs.exists(trash) && !fs.rename(trash, live))
+        throw new java.io.IOException(s"ivf heal: cannot promote $trash to $live")
+    promote(new Path(dataDir.getParent, s".reindex-old-${dataDir.getName}"), dataDir)
+    val centDir = new Path(s"$path.centroids")
+    promote(new Path(centDir.getParent, s".reindex-old-${centDir.getName}"), centDir)
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".ivfdel-old-"))
+          promote(st.getPath, new Path(dataDir, n.stripPrefix(".ivfdel-old-")))
+      }
   }
 
   /** Delete vectors from a persisted IVF index by id — the GDPR /
@@ -606,7 +646,10 @@ object Similarity {
     * cell directories are rescanned (partition-pruned literal IN) and
     * rewritten. Cost ∝ cells touched, never index size. Each leaf swaps
     * by the two-rename pattern: a crash leaves every cell either fully
-    * old or fully new; re-running the delete heals (deletes are
+    * old, fully new, or parked at its set-aside path for the instant
+    * between the two renames — and every reading entry point promotes
+    * set-asides first (`healIvfLeaves`), so no crash state reads as a
+    * PARTIAL index; re-running the delete heals (deletes are
     * idempotent). A cell whose every row is deleted ends EMPTY (its
     * directory is removed) — searches simply stop probing into it.
     * Bulk deletes (a constant fraction of the index) should use
@@ -621,6 +664,7 @@ object Similarity {
       idCol: String = "vec_id"): Long = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.SaveMode
+    healIvfLeaves(spark, path)
     val dels = deleteIds
       .select(col(idCol).cast("long").as("__del"))
       .distinct()
@@ -650,9 +694,16 @@ object Similarity {
       val live    = new Path(dataDir, s"cell_id=$c")
       val rebuilt = new Path(tmp, s"cell_id=$c")
       val trash   = new Path(dataDir, s".ivfdel-old-cell_id=$c")
-      if (fs.exists(trash)) fs.delete(trash, true)
-      if (fs.exists(live) && !fs.rename(live, trash))
-        throw new java.io.IOException(s"deleteFromIvfIndex: cannot set aside $live")
+      // only clear the set-aside copy when the live leaf exists — when it
+      // does not, the set-aside IS the last committed leaf (a predecessor
+      // died between its two renames) and deleting it first would leave a
+      // window holding zero copies (the PcaStreams swap rule; entry-time
+      // healIvfLeaves makes this branch unreachable in practice)
+      if (fs.exists(live)) {
+        if (fs.exists(trash)) fs.delete(trash, true)
+        if (!fs.rename(live, trash))
+          throw new java.io.IOException(s"deleteFromIvfIndex: cannot set aside $live")
+      }
       if (fs.exists(rebuilt) && !fs.rename(rebuilt, live)) {
         fs.rename(trash, live) // roll back this leaf
         throw new java.io.IOException(s"deleteFromIvfIndex: cannot promote $rebuilt")
@@ -695,6 +746,7 @@ object Similarity {
       otherPath: String,
       outPath: String): Unit = {
     import org.apache.spark.sql.SaveMode
+    healIvfLeaves(spark, basePath)
     val cents = spark.read.parquet(s"$basePath.centroids")
     val base = spark.read.parquet(basePath)
       .select(
@@ -761,6 +813,7 @@ object Similarity {
       probes: DataFrame,
       k: Int,
       nprobe: Int): DataFrame = {
+    healIvfLeaves(spark, path)
     val centArr = spark.read.parquet(s"$path.centroids")
     val p = assignCells(
       probes.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2")),

@@ -94,4 +94,34 @@ class CountMinSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] { CountMin.updateStore(spark, dir, bad) }
     } finally toks.unpersist()
   }
+
+  test("a store parked mid-swap heals: the fold resumes the history instead of restarting it") {
+    val toks = tokens().cache()
+    try {
+      val root = Files.createTempDirectory("cmscrash").toString
+      val dir  = root + "/store"
+      val d1   = CountMin.sketch(toks.filter(col("doc_id") % 2 === 0), "tok", 1024, 4)
+      val d2   = CountMin.sketch(toks.filter(col("doc_id") % 2 =!= 0), "tok", 1024, 4)
+      CountMin.updateStore(spark, dir, d1)
+
+      // simulate a writer killed between its two renames: live store gone,
+      // set-aside copy holds the whole count history
+      val live   = new java.io.File(dir)
+      val parked = new java.io.File(root, ".cms-old-store")
+      assert(live.renameTo(parked), "could not park the store")
+
+      // the read side falls back to the set-aside copy
+      val (_, _, viaFallback) = CountMin.readMerged(spark, dir)
+      val (_, _, wantD1)      = grid(d1)
+      assert(viaFallback.toSeq === wantD1.toSeq, "readMerged must see the parked store")
+
+      // the next fold heals the tree and RESUMES: store == union sketch
+      // (pre-fix it restarted from d2 and deleted the parked history)
+      CountMin.updateStore(spark, dir, d2)
+      val (_, _, stored) = grid(spark.read.parquet(dir))
+      val (_, _, whole)  = grid(CountMin.sketch(toks, "tok", 1024, 4))
+      assert(stored.toSeq === whole.toSeq, "healed fold must equal the one-shot union sketch")
+      assert(!parked.exists(), "completed fold clears the set-aside copy")
+    } finally toks.unpersist()
+  }
 }

@@ -164,6 +164,44 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).filter(col("cell_id") === victimCell).count() === 0)
   }
 
+  test("a leaf parked mid-swap (writer died between renames) heals on read: no partial index") {
+    val emb  = Tables.embeddings(spark, sfDir)
+    val path = tmp() + "/index"
+    Similarity.writeIvfIndex(emb, path, ncells = 8)
+    val probes = emb.filter(col("vec_id") < 20)
+    def search() = Similarity.searchIvfIndex(spark, path, probes, k = 5, nprobe = 8)
+      .select("probe_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val before = search()
+
+    // simulate a deleter killed between a leaf's two renames: the live
+    // cell dir is gone, only the set-aside copy remains
+    val victim = spark.read.parquet(path).select(col("cell_id").cast("int")).head().getInt(0)
+    val live   = new java.io.File(path, s"cell_id=$victim")
+    val parked = new java.io.File(path, s".ivfdel-old-cell_id=$victim")
+    assert(live.renameTo(parked), s"could not park $live")
+
+    // WITHOUT healing this search would silently miss the cell's rows;
+    // with entry-time healIvfLeaves it reproduces the committed index
+    assert(search() === before)
+    assert(live.exists() && !parked.exists(), "heal must promote the set-aside leaf")
+
+    // same for the whole-tree reindex set-aside: park the centroids dir
+    val centLive   = new java.io.File(path + ".centroids")
+    val centParked = new java.io.File(
+      centLive.getParentFile, s".reindex-old-${centLive.getName}")
+    assert(centLive.renameTo(centParked), s"could not park $centLive")
+    assert(search() === before)
+    assert(centLive.exists() && !centParked.exists())
+
+    // and a delete against a parked tree sees the full committed index
+    val parked2 = new java.io.File(path, s".ivfdel-old-cell_id=$victim")
+    assert(new java.io.File(path, s"cell_id=$victim").renameTo(parked2))
+    val delIds = emb.filter(col("vec_id") % 11 === 0).select("vec_id")
+    assert(Similarity.deleteFromIvfIndex(spark, path, delIds) === delIds.count())
+    assert(spark.read.parquet(path).count() === emb.count() - delIds.count())
+  }
+
   test("mergeIvfIndexes: merged full-probe search == brute force over the union; base geometry kept") {
     val emb  = Tables.embeddings(spark, sfDir)
     val root = tmp()
