@@ -4407,6 +4407,29 @@ object Contract {
           k = 8)
       },
       Some(OracleSql.q182)
+    ),
+    Q(
+      "q183_span_incremental",
+      // the INCREMENTAL ingest path for span mining (round 12): gram
+      // counts are additive, so a landing wave folds into a persisted
+      // (k, gh, c) store at delta cost instead of recounting the corpus —
+      // here the documents table lands as two waves (doc_id parity), then
+      // spans are mined AGAINST THE STORE. Folds covering exactly this
+      // corpus must reproduce q180's batch miner bit for bit, so the
+      // oracle IS q180's SQL — cross-engine certification that the
+      // incremental path loses nothing. Store swaps by the healed
+      // two-rename pattern (no crash state restarts the count history).
+      (s, d) => {
+        import graft.operators.Corpus
+        val docs = Tables.documents(s, d)
+        val path = s"$scratchRoot/gram_counts_q183"
+        Corpus.writeGramCounts(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", k = 8, path)
+        Corpus.updateGramCounts(
+          docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", k = 8, path)
+        Corpus.duplicatedSpansAgainstCounts(docs, "doc_id", "text", path)
+      },
+      Some(OracleSql.q180)
     )
   )
 

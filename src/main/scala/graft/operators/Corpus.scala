@@ -1542,6 +1542,124 @@ object Corpus {
         (max(col("pos")) + k - min(col("pos"))).as("span_toks"))
   }
 
+  /** Build a FRESH persisted gram-count store at `path` from `docs` —
+    * deletes any existing store (and set-aside copy) first, then folds
+    * the corpus in as one wave. See `updateGramCounts` for the schema and
+    * the incremental contract.
+    */
+  def writeGramCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val fs   = live.getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
+    Seq(live, new Path(live.getParent, s".gramcnt-old-${live.getName}"))
+      .foreach(p => if (fs.exists(p)) fs.delete(p, true))
+    updateGramCounts(docs, idCol, textCol, k, path)
+  }
+
+  /** Fold a landing wave into a persisted gram-count store — the
+    * INCREMENTAL ingest path for span mining: gram counts are additive,
+    * so each wave costs one delta aggregation + one hash-keyed merge of
+    * store and delta instead of recounting the corpus per wave (the
+    * `CountMin.updateStore` posture applied to exact gram counts; any
+    * sequence of folds converges to the one-shot count of the union).
+    * Store schema: (k, gh, c) — k is store IDENTITY, not a tunable; a
+    * fold with a different k is refused. The store swaps by the healed
+    * two-rename pattern: a writer killed between renames leaves the
+    * set-aside copy, which the next fold promotes and readers fall back
+    * to — no crash state restarts the count history.
+    */
+  def updateGramCounts(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(k >= 2, s"updateGramCounts: k must be >= 2, got $k")
+    val spark = newDocs.sparkSession
+    val live  = new Path(path)
+    val fs    = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val trash = new Path(live.getParent, s".gramcnt-old-${live.getName}")
+    // heal a predecessor killed between its two renames (the
+    // CountMin.updateStore rule: the set-aside IS the store)
+    if (!fs.exists(live) && fs.exists(trash) && !fs.rename(trash, live))
+      throw new java.io.IOException(s"updateGramCounts: cannot restore $trash to $live")
+    val delta = gramTable(newDocs, idCol, textCol, k)
+      .groupBy(col("__gh").as("gh"))
+      .agg(count(lit(1)).as("c"))
+    val merged =
+      if (!fs.exists(live)) delta.select(lit(k).as("k"), col("gh"), col("c"))
+      else {
+        val stored  = spark.read.parquet(path)
+        val storedK = stored.select(col("k")).head().getInt(0)
+        require(storedK == k,
+          s"updateGramCounts: store at $path was built with k=$storedK, fold passed k=$k " +
+            "(k is store identity — rebuild with writeGramCounts to change it)")
+        stored.select(col("gh"), col("c"))
+          .unionByName(delta)
+          .groupBy(col("gh"))
+          .agg(sum(col("c")).as("c"))
+          .select(lit(k).as("k"), col("gh"), col("c"))
+      }
+    val tmp = new Path(live.getParent, s".gramcnt-tmp-${live.getName}")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    merged.write.parquet(tmp.toString)
+    if (fs.exists(live)) {
+      if (fs.exists(trash)) fs.delete(trash, true)
+      if (!fs.rename(live, trash))
+        throw new java.io.IOException(s"updateGramCounts: cannot set aside $live")
+    }
+    if (!fs.rename(tmp, live)) {
+      if (fs.exists(trash)) fs.rename(trash, live) // roll back
+      throw new java.io.IOException(s"updateGramCounts: cannot promote $tmp")
+    }
+    fs.delete(trash, true)
+    ()
+  }
+
+  /** `duplicatedSpans` against a PERSISTED gram-count store instead of a
+    * same-pass corpus count: the consumer of the incremental ingest path.
+    * When the store's folds cover exactly `docs`, the result is
+    * bit-identical to `duplicatedSpans(docs, ..)` (the spec law); when the
+    * store covers MORE ingested history, spans reflect duplication against
+    * everything ever folded — which is the point at 100 TB (each wave is
+    * mined against the full corpus history at delta cost). k comes from
+    * the store (it is store identity); reads fall back to the set-aside
+    * copy when a writer died mid-swap.
+    */
+  def duplicatedSpansAgainstCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      countsPath: String,
+      minCount: Long = 2L): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    require(minCount >= 2L, s"duplicatedSpansAgainstCounts: minCount must be >= 2, got $minCount")
+    val spark = docs.sparkSession
+    val live  = new Path(countsPath)
+    val fs    = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val src =
+      if (fs.exists(live)) countsPath
+      else {
+        val trash = new Path(live.getParent, s".gramcnt-old-${live.getName}")
+        if (fs.exists(trash)) trash.toString else countsPath
+      }
+    val counts = spark.read.parquet(src)
+    val k      = counts.select(col("k")).head().getInt(0)
+    val dup = counts
+      .filter(col("c") >= minCount)
+      .select(col("gh").as("__gh"))
+    val occ = gramTable(docs, idCol, textCol, k)
+      .join(dup, Seq("__gh"))
+      .select(col("doc_id"), col("pos"))
+    mergeSpans(occ, k)
+  }
+
   /** Span-level decontamination (the SURGICAL form of the q56/q132
     * doc-level checks): for each training document, every maximal token
     * range covered by k-grams that appear ANYWHERE in the benchmark set —

@@ -125,6 +125,47 @@ class DuplicatedSpansSpec extends AnyFunSuite {
     assert(got === Map(1L -> "a b c d", 2L -> "d1 d2 d3 x y"))
   }
 
+  test("incremental gram-count store: wave folds == batch miner; parked store resumes; k refused") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("gramcnt").toString
+    val path = s"$root/counts"
+    val docs = fixture
+    Corpus.writeGramCounts(docs.filter(col("doc_id") <= 2), "doc_id", "text", k = 3, path)
+    Corpus.updateGramCounts(docs.filter(col("doc_id") > 2), "doc_id", "text", k = 3, path)
+    def spans(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val want = spans(Corpus.duplicatedSpans(docs, "doc_id", "text", k = 3))
+    assert(spans(Corpus.duplicatedSpansAgainstCounts(docs, "doc_id", "text", path)) === want)
+
+    // a writer killed between its two renames parks the store; the miner
+    // falls back to the set-aside copy and the next fold resumes the
+    // history (no silent restart — the CountMin.updateStore rule)
+    val live   = new java.io.File(path)
+    val parked = new java.io.File(root, ".gramcnt-old-counts")
+    assert(live.renameTo(parked), "could not park the store")
+    assert(spans(Corpus.duplicatedSpansAgainstCounts(docs, "doc_id", "text", path)) === want)
+    Corpus.updateGramCounts(
+      Seq((9L, "w1 w2 w3 w4")).toDF("doc_id", "text"), "doc_id", "text", k = 3, path)
+    assert(live.exists() && !parked.exists(), "fold must heal and clear the set-aside")
+    assert(spans(Corpus.duplicatedSpansAgainstCounts(docs, "doc_id", "text", path)) === want)
+
+    // k is store identity, not a tunable
+    val e = intercept[IllegalArgumentException] {
+      Corpus.updateGramCounts(docs, "doc_id", "text", k = 4, path)
+    }
+    assert(e.getMessage.contains("store identity"))
+
+    // a store covering MORE history mines docs against everything folded:
+    // a new doc quoting d4's (so-far-unique) text makes d4's grams
+    // duplicated in the STORE even though `docs` alone has no second copy
+    Corpus.updateGramCounts(
+      Seq((10L, "m n o u v w")).toDF("doc_id", "text"), "doc_id", "text", k = 3, path)
+    val withHistory =
+      spans(Corpus.duplicatedSpansAgainstCounts(docs, "doc_id", "text", path))
+    assert(withHistory.contains((4L, 1L, 0L, 5L, 6L)), "history duplication must surface")
+    assert((withHistory -- want) === Set((4L, 1L, 0L, 5L, 6L)))
+  }
+
   test("a gram occurring >= minCount times only under a higher threshold is not flagged at it") {
     import spark.implicits._
     // "a b c" occurs exactly twice: flagged at minCount=2, not at 3
