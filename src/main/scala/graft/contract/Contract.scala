@@ -4430,6 +4430,47 @@ object Contract {
         Corpus.duplicatedSpansAgainstCounts(docs, "doc_id", "text", path)
       },
       Some(OracleSql.q180)
+    ),
+    Q(
+      "q184_curation_v7",
+      // curation v7 (round 12) — the span family as a CHAIN: (1) census
+      // gate drops docs past 50% corpus-duplicated mass (the RefinedWeb
+      // rule — drop, don't hollow out); (2) the q53 split assigns the
+      // survivors; (3) test-split leakage is SURGICALLY excised from the
+      // surviving train docs (contaminatedSpans — the doc keeps its clean
+      // mass instead of dying for one quoted eval question); (4) per-lang
+      // token yield: raw vs cut vs kept. Every stage reuses a fragment
+      // certified on its own (q181 census, q132 split, q182 spans); the
+      // oracle composes their SQL. Scale: two gram passes (census,
+      // decontam probe) + broadcast bench grams + per-doc windows — no
+      // corpus pair blowup at any stage.
+      (s, d) => {
+        import graft.operators.{Corpus, Splits}
+        val docs = Tables.documents(s, d)
+        val surv = docs.join(
+          Corpus.duplicatedSpanCensus(docs, "doc_id", "text", k = 8)
+            .filter(col("dup_frac_x1e6") <= 500000L)
+            .select(col("doc_id"), col("n_toks")),
+          Seq("doc_id"))
+        val split = Splits.splitLabel(
+          col("doc_id"), Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        val train = surv.filter(split === "train")
+        val bench = surv.filter(split === "test")
+        val cut = Corpus
+          .contaminatedSpans(train, "doc_id", "text", bench, "doc_id", "text", k = 8)
+          .groupBy(col("doc_id"))
+          .agg(sum(col("span_toks")).as("cut_toks"))
+        train
+          .select(col("doc_id"), col("lang"), col("n_toks"))
+          .join(cut, Seq("doc_id"), "left_outer")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("raw_toks"),
+            sum(coalesce(col("cut_toks"), lit(0L))).as("cut_toks"),
+            sum(col("n_toks") - coalesce(col("cut_toks"), lit(0L))).as("kept_toks"))
+      },
+      Some(OracleSql.q184)
     )
   )
 

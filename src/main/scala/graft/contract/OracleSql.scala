@@ -800,6 +800,62 @@ object OracleSql {
        |${spanMergeTail(8)}
        |SELECT doc_id, span_id, span_start, span_end, span_toks FROM spans""".stripMargin
 
+  /** Curation v7 (q184): span-census gate (drop docs past 50% duplicated
+    * mass) -> split -> surgical test-leak excision from the surviving
+    * train docs -> per-lang token yield. Composes the q181 census, the
+    * q132 split and the q182 contaminated-span machinery in one chain.
+    */
+  val q184: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS gram
+       |  FROM toks, unnest(range(1, len(tk) - 8 + 2)) AS t(i)
+       |  WHERE len(tk) >= 8),
+       |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+       |occ AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+       |m AS (SELECT doc_id, pos,
+       |        CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+       |             THEN 1 ELSE 0 END AS brk
+       |      FROM occ WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |s AS (SELECT doc_id, pos,
+       |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       |      FROM m),
+       |dspans AS (SELECT doc_id, span_id, MIN(pos) AS st, MAX(pos) + 7 AS en
+       |           FROM s GROUP BY doc_id, span_id),
+       |cens AS (SELECT doc_id, SUM(en - st + 1) AS dup_toks FROM dspans GROUP BY doc_id),
+       |spine AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks FROM documents),
+       |surv AS (
+       |  SELECT sp.doc_id, sp.lang, sp.n_toks
+       |  FROM spine sp LEFT JOIN cens c ON c.doc_id = sp.doc_id
+       |  WHERE (COALESCE(c.dup_toks, 0) * 1000000) // sp.n_toks <= 500000),
+       |splt AS (
+       |  SELECT doc_id,
+       |    CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |          ((((doc_id % 1000000007) + 1000000007) % 1000000007) * 2654435761 % 1000000007) % 10000 AS bucket
+       |        FROM documents)),
+       |tr AS (SELECT surv.* FROM surv JOIN splt USING (doc_id) WHERE split = 'train'),
+       |te AS (SELECT surv.doc_id FROM surv JOIN splt USING (doc_id) WHERE split = 'test'),
+       |tg AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN tr USING (doc_id)),
+       |bg AS (SELECT DISTINCT g.gram FROM g JOIN te ON g.doc_id = te.doc_id),
+       |cocc AS (SELECT tg.doc_id, tg.pos FROM tg JOIN bg USING (gram)),
+       |cm AS (SELECT doc_id, pos,
+       |        CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+       |             THEN 1 ELSE 0 END AS brk
+       |      FROM cocc WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |cs AS (SELECT doc_id, pos,
+       |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       |      FROM cm),
+       |cspans AS (SELECT doc_id, span_id, MIN(pos) AS st, MAX(pos) + 7 AS en
+       |           FROM cs GROUP BY doc_id, span_id),
+       |cut AS (SELECT doc_id, SUM(en - st + 1) AS cut_toks FROM cspans GROUP BY doc_id)
+       |SELECT tr.lang, COUNT(*)::BIGINT AS n_docs,
+       |  SUM(tr.n_toks)::BIGINT AS raw_toks,
+       |  SUM(COALESCE(cut.cut_toks, 0))::BIGINT AS cut_toks,
+       |  SUM(tr.n_toks - COALESCE(cut.cut_toks, 0))::BIGINT AS kept_toks
+       |FROM tr LEFT JOIN cut ON cut.doc_id = tr.doc_id
+       |GROUP BY tr.lang""".stripMargin
+
   /** Embedding dedup ROWS at the PINNED 6-bit band width (q174, the frozen
     * diagnostic since the round-11 role swap): q46's pair graph + q48's
     * recursive min-label walk — survivors are the min vec_id per component.
