@@ -69,7 +69,15 @@ object Soak {
     // |judgments| joins, never a corpus pass) — soaked so the claim is
     // measured, not asserted
     "q175_ranking_metrics", "q176_projection_quality",
-    "q177_ivf_partial_probe_quality")
+    "q177_ivf_partial_probe_quality",
+    // round-12 span family: the gram explode is corpus-token-shaped and
+    // the replica construction is its adversary (every replica shares
+    // every gram with its siblings — near-total duplicated mass), so the
+    // curve measures the miner under maximal dup density. q183 exercises
+    // the incremental store fold at volume; q184 chains census gate +
+    // surgical decontamination; q179 is the eval-gated mixture.
+    "q179_curation_v6", "q180_duplicated_spans", "q181_span_census",
+    "q182_decontam_spans", "q183_span_incremental", "q184_curation_v7")
 
   def main(args: Array[String]): Unit = {
     val src      = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")

@@ -4471,6 +4471,35 @@ object Contract {
             sum(col("n_toks") - coalesce(col("cut_toks"), lit(0L))).as("kept_toks"))
       },
       Some(OracleSql.q184)
+    ),
+    Q(
+      "q185_naive_bayes",
+      // the TRAINABLE filter model (round 12), completing the eval arc:
+      // q178 measured the langid heuristic (0.41 precision on 'en'), q179
+      // gated on the measurement — this TRAINS the replacement from
+      // labeled data. Multinomial NB with add-one smoothing: training is
+      // two token-keyed partial aggs (NB's sufficient statistics ARE
+      // counts — the classic cheap corpus filter); log-likelihoods
+      // quantize to micro-nats at train time (q130 rule) so scoring is
+      // integer sums + an integer argmax (ties class-asc) and the whole
+      // train -> predict -> eval loop hash-matches the oracle. Output:
+      // per-class metrics of the trained model on the held-out test
+      // split — directly comparable against q178's heuristic row for
+      // row, which is how a pipeline decides the heuristic's successor.
+      (s, d) => {
+        import graft.operators.{NaiveBayes, Profile, Splits}
+        val docs = Tables.documents(s, d)
+        val split = Splits.splitLabel(
+          col("doc_id"), Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        val model = NaiveBayes.train(docs.filter(split === "train"), "lang", "text")
+        val test  = docs.filter(split === "test")
+        val scored = test
+          .select(col("doc_id"), col("lang").as("label"))
+          .join(NaiveBayes.score(test, "doc_id", "text", model)
+            .select(col("doc_id"), col("pred")), Seq("doc_id"))
+        Profile.classifierMetrics(scored, "label", "pred")
+      },
+      Some(OracleSql.q185)
     )
   )
 

@@ -856,6 +856,81 @@ object OracleSql {
        |FROM tr LEFT JOIN cut ON cut.doc_id = tr.doc_id
        |GROUP BY tr.lang""".stripMargin
 
+  /** Trained-classifier loop (q185): multinomial Naive Bayes with add-one
+    * smoothing trained on the train split's lang labels, scored over the
+    * test split (micro-nat quantized log-likelihoods, integer argmax,
+    * ties class-ascending), then the q178 per-class metric tail over the
+    * predictions.
+    */
+  val q185: String =
+    s"""WITH sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |          ((((doc_id % 1000000007) + 1000000007) % 1000000007) * 2654435761 % 1000000007) % 10000 AS bucket
+       |        FROM documents)),
+       |tr AS (
+       |  SELECT d.lang AS class, string_split(d.text, ' ') AS tk
+       |  FROM documents d JOIN sp USING (doc_id)
+       |  WHERE sp.split = 'train' AND d.lang IS NOT NULL AND d.text IS NOT NULL),
+       |toks AS (SELECT class, unnest(tk) AS token FROM tr),
+       |v AS (SELECT COUNT(DISTINCT token) AS vv FROM toks),
+       |ct AS (SELECT class, COUNT(*) AS t FROM toks GROUP BY 1),
+       |lik AS (
+       |  SELECT toks.class, toks.token,
+       |    CAST(round(ln((COUNT(*) + 1)::DOUBLE / (ct.t + v.vv)) * 1000000) AS BIGINT) AS lp
+       |  FROM toks JOIN ct ON ct.class = toks.class CROSS JOIN v
+       |  GROUP BY toks.class, toks.token, ct.t, v.vv),
+       |oov AS (
+       |  SELECT class, CAST(round(ln(1.0 / (t + vv)) * 1000000) AS BIGINT) AS lp
+       |  FROM ct CROSS JOIN v),
+       |pri AS (
+       |  SELECT class,
+       |    CAST(round(ln(n::DOUBLE / (SELECT COUNT(*) FROM tr)) * 1000000) AS BIGINT) AS lp
+       |  FROM (SELECT class, COUNT(*) AS n FROM tr GROUP BY 1)),
+       |te AS (
+       |  SELECT d.doc_id, d.lang AS label, string_split(d.text, ' ') AS tk
+       |  FROM documents d JOIN sp USING (doc_id)
+       |  WHERE sp.split = 'test' AND d.text IS NOT NULL),
+       |ttoks AS (SELECT doc_id, unnest(tk) AS token FROM te),
+       |pc AS (
+       |  SELECT tt.doc_id, o.class, SUM(COALESCE(l.lp, o.lp)) AS toksum
+       |  FROM ttoks tt CROSS JOIN oov o
+       |  LEFT JOIN lik l ON l.class = o.class AND l.token = tt.token
+       |  GROUP BY tt.doc_id, o.class),
+       |sc AS (SELECT pc.doc_id, pc.class, pc.toksum + pri.lp AS score
+       |       FROM pc JOIN pri ON pri.class = pc.class),
+       |prd AS (
+       |  SELECT doc_id, class AS pred FROM (
+       |    SELECT doc_id, class,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, class) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |g AS (
+       |  SELECT te.label, prd.pred FROM te JOIN prd USING (doc_id)
+       |  WHERE te.label IS NOT NULL),
+       |bl AS (
+       |  SELECT label AS class, COUNT(*)::BIGINT AS support,
+       |    SUM(CASE WHEN pred = label THEN 1 ELSE 0 END)::BIGINT AS tp
+       |  FROM g GROUP BY 1),
+       |bp AS (SELECT pred AS class, COUNT(*)::BIGINT AS predicted FROM g GROUP BY 1),
+       |jj AS (
+       |  SELECT COALESCE(bl.class, bp.class) AS class,
+       |    COALESCE(support, 0)::BIGINT AS support,
+       |    COALESCE(predicted, 0)::BIGINT AS predicted,
+       |    COALESCE(tp, 0)::BIGINT AS tp
+       |  FROM bl FULL OUTER JOIN bp ON bl.class = bp.class)
+       |SELECT class, support, predicted, tp,
+       |  (predicted - tp)::BIGINT AS fp,
+       |  (support - tp)::BIGINT AS fn,
+       |  (CASE WHEN predicted > 0 THEN (tp * 1000000) // predicted ELSE 0 END)::BIGINT
+       |    AS precision_x1e6,
+       |  (CASE WHEN support > 0 THEN (tp * 1000000) // support ELSE 0 END)::BIGINT
+       |    AS recall_x1e6,
+       |  (CASE WHEN 2 * tp + (predicted - tp) + (support - tp) > 0
+       |        THEN (2 * tp * 1000000) // (2 * tp + (predicted - tp) + (support - tp))
+       |        ELSE 0 END)::BIGINT AS f1_x1e6
+       |FROM jj""".stripMargin
+
   /** Embedding dedup ROWS at the PINNED 6-bit band width (q174, the frozen
     * diagnostic since the round-11 role swap): q46's pair graph + q48's
     * recursive min-label walk — survivors are the min vec_id per component.

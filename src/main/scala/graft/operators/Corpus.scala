@@ -1572,6 +1572,13 @@ object Corpus {
     * two-rename pattern: a writer killed between renames leaves the
     * set-aside copy, which the next fold promotes and readers fall back
     * to — no crash state restarts the count history.
+    *
+    * Ingest posture: one fold per DRAINED wave (the drain-then-fold rule
+    * every rank-based stage follows). The fold is additive, NOT
+    * idempotent — do not call it from a foreachBatch sink, where
+    * at-least-once replay would double-count a micro-batch; a streaming
+    * ingest should write batch_id-keyed delta rows (the
+    * `CorpusStreams.runTokenCms` pattern) and fold at drain.
     */
   def updateGramCounts(
       newDocs: DataFrame,

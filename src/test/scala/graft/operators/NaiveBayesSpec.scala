@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Naive Bayes semantics against a hand-computed fixture: quantized
+  * micro-nat log-likelihoods, OOV fallback, prior arithmetic, integer
+  * argmax with the class-ascending tie rule, and the
+  * train->predict->eval loop against Profile.classifierMetrics.
+  *
+  * Fixture (worked by hand): class a trains on "x x y" (T_a=3), class b
+  * on "z z" (T_b=2), vocabulary V=3. With add-one smoothing:
+  *   lik(a,x)=ln(3/6)  -> -693147    lik(a,y)=ln(2/6) -> -1098612
+  *   oov(a)  =ln(1/6)  -> -1791759
+  *   lik(b,z)=ln(3/5)  -> -510826    oov(b)  =ln(1/5) -> -1609438
+  *   priors  =ln(1/2)  -> -693147 each
+  */
+class NaiveBayesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def model = {
+    import spark.implicits._
+    NaiveBayes.train(
+      Seq(("a", "x x y"), ("b", "z z")).toDF("lang", "text"), "lang", "text")
+  }
+
+  test("train: quantized micro-nat likelihoods, OOV and priors match hand values") {
+    val rows = model.collect()
+      .map(r => ((r.getString(0), r.getString(1), Option(r.getString(2))), r.getLong(3)))
+      .toMap
+    assert(rows === Map(
+      (("a", "lik", Some("x")))   -> -693147L,
+      (("a", "lik", Some("y")))   -> -1098612L,
+      (("b", "lik", Some("z")))   -> -510826L,
+      (("a", "oov", None))        -> -1791759L,
+      (("b", "oov", None))        -> -1609438L,
+      (("a", "prior", None))      -> -693147L,
+      (("b", "prior", None))      -> -693147L))
+  }
+
+  test("score: integer sums with OOV fallback; argmax picks the hand-computed winner") {
+    import spark.implicits._
+    val docs = Seq((1L, "x z"), (2L, "y")).toDF("doc_id", "text")
+    val got = NaiveBayes.score(docs, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    // doc 1 "x z": a = -693147 - 693147 - 1791759 = -3178053
+    //              b = -693147 - 1609438 - 510826  = -2813411  -> b
+    // doc 2 "y":   a = -693147 - 1098612 = -1791759
+    //              b = -693147 - 1609438 = -2302585            -> a
+    assert(got === Map(1L -> (("b", -2813411L)), 2L -> (("a", -1791759L))))
+  }
+
+  test("exact score tie breaks by class ascending") {
+    import spark.implicits._
+    // symmetric training: both classes see exactly "p" once -> identical
+    // likelihoods and priors, every score ties
+    val m = NaiveBayes.train(
+      Seq(("b2", "p"), ("a2", "p")).toDF("lang", "text"), "lang", "text")
+    val got = NaiveBayes.score(Seq((7L, "p q")).toDF("doc_id", "text"), "doc_id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(7L -> "a2"))
+  }
+
+  test("trained on the real corpus, NB beats the q178 heuristic on its own eval") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m      = NaiveBayes.train(docs, "lang", "text")
+    val scored = docs.select(col("doc_id"), col("lang").as("label"))
+      .join(NaiveBayes.score(docs, "doc_id", "text", m)
+        .select(col("doc_id"), col("pred")), Seq("doc_id"))
+    val metrics = Profile.classifierMetrics(scored, "label", "pred")
+      .collect().map(r => r.getString(0) -> r.getLong(6)).toMap // precision_x1e6
+    // resubstitution accuracy is an upper bound, but the point stands:
+    // every labeled class is predicted with high precision, where the
+    // heuristic never predicted 'es' at all and held 0.41 on 'en'
+    metrics.foreach { case (cls, p) =>
+      assert(p >= 900000L, s"class $cls precision ${p / 1e6} below 0.9")
+    }
+  }
+}

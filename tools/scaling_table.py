@@ -34,6 +34,11 @@ def main() -> None:
         # its 337.9 s 20x cliff is frozen in soak_pinned_cliff_r10.json
         ("q91_embed_dedup_rows", "q91 embed dedup (auto band)"),
         ("q174_embed_dedup_auto", "embed dedup auto (pre-r11 artifact)"),
+        # round-12 span family: the replica construction is its adversary
+        # (every replica shares every gram with its siblings)
+        ("q180_duplicated_spans", "span miner"),
+        ("q183_span_incremental", "span incr store"),
+        ("q184_curation_v7", "q184 census gate"),
     ]
     present = [(k, label) for k, label in cols if any(k in p["queries"] for p in points)]
     print("| replicas (docs) | " + " | ".join(label for _, label in present) + " |")
