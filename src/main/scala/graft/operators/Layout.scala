@@ -292,9 +292,24 @@ object Layout {
     val conf = spark.sessionState.newHadoopConf()
     val dir  = new Path(path)
     val fs   = dir.getFileSystem(conf)
+    // heal any dir parked by a compactor killed between its two renames
+    // (the PcaStreams/CountMin swap rule): without this, a parked ROOT
+    // fails the walk on a missing dir and a parked hive LEAF is silently
+    // SKIPPED by the dot-filter below — its data one rename away while the
+    // table reads as if the partition never existed
+    def promote(trash: Path, live: Path): Unit =
+      if (!fs.exists(live) && fs.exists(trash) && !fs.rename(trash, live))
+        throw new java.io.IOException(s"compact: cannot restore $trash to $live")
+    promote(new Path(dir.getParent, s".compact-old-${dir.getName}"), dir)
     // a partition leaf is reached by following `name=value` subdirectories;
     // a directory with none of those is itself a (flat) leaf
     def leaves(d: Path): Seq[Path] = {
+      val all = fs.listStatus(d)
+      all.foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory && n.startsWith(".compact-old-"))
+          promote(s.getPath, new Path(d, n.stripPrefix(".compact-old-")))
+      }
       val parts = fs
         .listStatus(d)
         .filter(s =>
@@ -311,16 +326,22 @@ object Layout {
       dir: org.apache.hadoop.fs.Path,
       targetBytes: Long): Long = {
     import org.apache.hadoop.fs.Path
+    val tmp   = new Path(dir.getParent, s".compact-tmp-${dir.getName}")
+    val trash = new Path(dir.getParent, s".compact-old-${dir.getName}")
+    // heal a predecessor killed between its two renames: the set-aside IS
+    // the partition (the PcaStreams/CountMin swap rule) — promote before
+    // listing, else the re-run fails on a missing dir with the data
+    // parked one rename away
+    if (!fs.exists(dir) && fs.exists(trash) && !fs.rename(trash, dir))
+      throw new java.io.IOException(s"compact: cannot restore $trash to $dir")
     val dataFiles = fs
       .listStatus(dir)
       .filter(s => s.isFile && !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
     if (dataFiles.isEmpty) return 0L // empty partition: nothing to rewrite
     val totalBytes = dataFiles.map(_.getLen).sum
     val nFiles     = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp   = new Path(dir.getParent, s".compact-tmp-${dir.getName}")
-    val trash = new Path(dir.getParent, s".compact-old-${dir.getName}")
     if (fs.exists(tmp)) fs.delete(tmp, true)     // stale crashed attempt
-    if (fs.exists(trash)) fs.delete(trash, true)
+    if (fs.exists(trash)) fs.delete(trash, true) // stale completed swap (dir exists here)
     spark.read.parquet(dir.toString).repartition(nFiles).write.parquet(tmp.toString)
     // two-rename swap (MergeSink's commit shape): a crash between the
     // renames is healed by re-running compact (tmp is rebuilt, trash is

@@ -63,6 +63,40 @@ class LayoutSpec extends AnyFunSuite {
     assert(after.as[(Long, String)].collect().toSet === df.as[(Long, String)].collect().toSet)
   }
 
+  test("compact: a leaf parked mid-swap (writer died between renames) heals on re-run") {
+    import spark.implicits._
+    val path = tmp() + "/fragheal"
+    val df   = (1 to 200).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    df.repartition(8).write.parquet(path)
+
+    // simulate a compactor killed between its two renames: the data dir is
+    // gone, the set-aside copy holds the whole partition
+    val live   = new java.io.File(path)
+    val parked = new java.io.File(live.getParentFile, s".compact-old-${live.getName}")
+    assert(live.renameTo(parked), "could not park the partition")
+
+    // pre-fix this threw FileNotFound on the missing dir with the data one
+    // rename away; now the re-run promotes the set-aside copy and compacts
+    val n = Layout.compact(spark, path, targetBytes = Long.MaxValue)
+    assert(n === 1)
+    assert(!parked.exists(), "completed compact clears the set-aside copy")
+    val after = spark.read.parquet(path)
+    assert(after.count() === 200)
+    assert(after.as[(Long, String)].collect().toSet === df.as[(Long, String)].collect().toSet)
+
+    // parked HIVE LEAF: pre-fix the dot-filter silently SKIPPED it — the
+    // partition read as nonexistent with its data one rename away
+    val hp  = tmp() + "/fraghp"
+    val hdf = (1 to 300).map(i => (i.toLong, s"d${i % 3}", s"row$i")).toDF("id", "date", "s")
+    hdf.repartition(4).write.partitionBy("date").parquet(hp)
+    val leafLive   = new java.io.File(hp, "date=d1")
+    val leafParked = new java.io.File(hp, ".compact-old-date=d1")
+    assert(leafLive.renameTo(leafParked), "could not park the leaf")
+    assert(Layout.compact(spark, hp, targetBytes = Long.MaxValue) === 3)
+    assert(!leafParked.exists() && leafLive.exists(), "walk must promote the parked leaf")
+    assert(spark.read.parquet(hp).count() === 300)
+  }
+
   test("compact: hive-partitioned table compacts per leaf; pruning and rows survive") {
     import spark.implicits._
     val path = tmp() + "/fragp"
