@@ -77,7 +77,10 @@ object Soak {
     // the incremental store fold at volume; q184 chains census gate +
     // surgical decontamination; q179 is the eval-gated mixture.
     "q179_curation_v6", "q180_duplicated_spans", "q181_span_census",
-    "q182_decontam_spans", "q183_span_incremental", "q184_curation_v7")
+    "q182_decontam_spans", "q183_span_incremental", "q184_curation_v7",
+    // q185: NB scoring is |corpus tokens| x |classes| through one keyed
+    // join; q186: the strip action's positional anti-join + reassembly
+    "q185_naive_bayes", "q186_span_strip")
 
   def main(args: Array[String]): Unit = {
     val src      = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")

@@ -4506,6 +4506,20 @@ object Contract {
         Profile.classifierMetrics(scored, "label", "pred")
       },
       Some(OracleSql.q185)
+    ),
+    Q(
+      "q186_span_strip",
+      // the strip ACTION certified cross-engine (round 12): every doc
+      // rebuilt with its corpus-duplicated spans excised — positional
+      // anti-join + ordered per-doc reassembly (the q18 channel-array
+      // pattern, no corpus-wide window); fully-covered docs survive with
+      // empty text, span-free docs pass through verbatim. Completes the
+      // span family's oracle coverage: mine (q180), census (q181),
+      // decontaminate (q182), incremental (q183), STRIP (here).
+      (s, d) =>
+        graft.operators.Corpus
+          .stripDuplicatedSpans(Tables.documents(s, d), "doc_id", "text", k = 8),
+      Some(OracleSql.q186)
     )
   )
 

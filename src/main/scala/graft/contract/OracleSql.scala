@@ -931,6 +931,26 @@ object OracleSql {
        |        ELSE 0 END)::BIGINT AS f1_x1e6
        |FROM jj""".stripMargin
 
+  /** Span strip (q186): the excision ACTION certified cross-engine —
+    * q180's spans, then each doc rebuilt from its uncovered token
+    * positions in order (fully-covered docs survive with empty text).
+    */
+  val q186: String =
+    s"""WITH ${dupSpanCtes(8)},
+       |cov AS (
+       |  SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos
+       |  FROM spans),
+       |ptoks AS (
+       |  SELECT doc_id, i - 1 AS pos, tk[i] AS token
+       |  FROM toks, unnest(range(1, len(tk) + 1)) AS t(i)),
+       |kept AS (
+       |  SELECT p.doc_id, string_agg(p.token, ' ' ORDER BY p.pos) AS kept_text
+       |  FROM ptoks p LEFT JOIN cov ON cov.doc_id = p.doc_id AND cov.pos = p.pos
+       |  WHERE cov.pos IS NULL
+       |  GROUP BY p.doc_id)
+       |SELECT t.doc_id, COALESCE(k.kept_text, '') AS kept_text
+       |FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin
+
   /** Embedding dedup ROWS at the PINNED 6-bit band width (q174, the frozen
     * diagnostic since the round-11 role swap): q46's pair graph + q48's
     * recursive min-label walk — survivors are the min vec_id per component.
