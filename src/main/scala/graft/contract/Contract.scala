@@ -4520,6 +4520,49 @@ object Contract {
         graft.operators.Corpus
           .stripDuplicatedSpans(Tables.documents(s, d), "doc_id", "text", k = 8),
       Some(OracleSql.q186)
+    ),
+    Q(
+      "q187_l_diversity",
+      // l-diversity release audit (round 12) — k-anonymity's required
+      // companion (q126 counts class POPULATION; a 50-member class whose
+      // sensitive column is constant still discloses it with certainty):
+      // per (lang, len_bucket) equivalence class, the distinct non-null
+      // `source` count with the < l at-risk flag. One partial-agg
+      // shuffle; count-distinct partials collapse map-side.
+      (s, d) =>
+        graft.functions.Privacy.lDiversityAudit(
+          Tables
+            .documents(s, d)
+            .select(col("lang"), expr("n_chars div 256").as("len_bucket"), col("source")),
+          Seq("lang", "len_bucket"),
+          "source",
+          l = 3L),
+      Some("""SELECT lang, n_chars // 256 AS len_bucket,
+             |  count(*)::BIGINT AS n_rows,
+             |  count(DISTINCT source)::BIGINT AS n_sensitive,
+             |  count(DISTINCT source) < 3 AS at_risk
+             |FROM documents
+             |GROUP BY 1, 2""".stripMargin)
+    ),
+    Q(
+      "q188_t_closeness",
+      // t-closeness release audit (round 12) — l-diversity's refinement
+      // (a class can be "diverse" yet leak by SKEW: 99% one source where
+      // the corpus holds 20%): per equivalence class, the total-variation
+      // distance between the class's and the corpus's `source`
+      // distributions, in EXACT integer micro-units — cross-multiplied
+      // |c·N − g·n_c| terms plus an absent-values fold, ONE truncating
+      // division per class, so the audit hash-matches the oracle with
+      // zero float tolerance. At-risk past t = 0.1.
+      (s, d) =>
+        graft.functions.Privacy.tClosenessAudit(
+          Tables
+            .documents(s, d)
+            .select(col("lang"), expr("n_chars div 256").as("len_bucket"), col("source")),
+          Seq("lang", "len_bucket"),
+          "source",
+          tX1e6 = 100000L),
+      Some(OracleSql.q188)
     )
   )
 

@@ -951,6 +951,33 @@ object OracleSql {
        |SELECT t.doc_id, COALESCE(k.kept_text, '') AS kept_text
        |FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin
 
+  /** t-closeness audit (q188): exact integer TVD of each (lang,
+    * len_bucket) class's source distribution against the corpus's —
+    * the Privacy.tClosenessAudit cross-multiplied form replayed in SQL.
+    */
+  val q188: String =
+    s"""WITH b AS (
+       |  SELECT lang, n_chars // 256 AS len_bucket, source AS s
+       |  FROM documents WHERE source IS NOT NULL),
+       |g AS (SELECT s, COUNT(*) AS gc FROM b GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n FROM b),
+       |ct AS (SELECT lang, len_bucket, COUNT(*) AS n_rows FROM b GROUP BY 1, 2),
+       |cv AS (SELECT lang, len_bucket, s, COUNT(*) AS c FROM b GROUP BY 1, 2, 3),
+       |t AS (
+       |  SELECT cv.lang, cv.len_bucket,
+       |    MAX(ct.n_rows) AS n_rows, MAX(tot.n) AS n,
+       |    SUM(ABS(cv.c * tot.n - g.gc * ct.n_rows)) AS present,
+       |    SUM(g.gc) AS gpres
+       |  FROM cv
+       |  JOIN g USING (s)
+       |  JOIN ct USING (lang, len_bucket)
+       |  CROSS JOIN tot
+       |  GROUP BY 1, 2)
+       |SELECT lang, len_bucket, n_rows::BIGINT AS n_rows,
+       |  (((present + (n - gpres) * n_rows) * 500000) // (n_rows * n))::BIGINT AS tvd_x1e6,
+       |  ((((present + (n - gpres) * n_rows) * 500000) // (n_rows * n)) > 100000) AS at_risk
+       |FROM t""".stripMargin
+
   /** Embedding dedup ROWS at the PINNED 6-bit band width (q174, the frozen
     * diagnostic since the round-11 role swap): q46's pair graph + q48's
     * recursive min-label walk — survivors are the min vec_id per component.

@@ -91,4 +91,88 @@ object Privacy {
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("at_risk", col("n_rows") < k)
   }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    * required companion: a 50-member equivalence class whose SENSITIVE
+    * column is constant still discloses it with certainty, which the
+    * population count cannot see. Distinct-l is the standard first-tier
+    * check: per quasi-id class, the count of distinct non-null sensitive
+    * values, at-risk when under `l`. One partial-agg shuffle on the
+    * quasi-id tuple (the count-distinct partials collapse map-side).
+    * Output: quasiCols + n_rows + n_sensitive + at_risk.
+    */
+  def lDiversityAudit(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversityAudit needs at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+  }
+
+  /** t-closeness audit (Li et al. 2007) via total-variation distance —
+    * l-diversity's refinement: a class can be "diverse" yet still leak by
+    * SKEW (99% one disease where the corpus holds 1%). Reports, per
+    * quasi-id class, TVD(class distribution, corpus distribution) of the
+    * sensitive column in EXACT integer micro-units:
+    *
+    *   tvd = (1/2) Σ_v |c_v/n_c − g_v/N|
+    *       = [ Σ_{v∈class} |c_v·N − g_v·n_c| + (N − Σ_{v∈class} g_v)·n_c ]
+    *         / (2·n_c·N)
+    *
+    * — the second term folds every corpus value ABSENT from the class
+    * without materializing the class × vocabulary grid, so the join is
+    * only over values each class actually has. All-integer cross-
+    * multiplied form (no per-value division), then ONE truncating
+    * integer division per class: tvd_x1e6 = (num·500000) div (n_c·N).
+    * Envelope: num ≤ 2·n_c·N, so num·500000 needs n_c·N ≤ 9.2e12 —
+    * holds for any real release audit (equivalence classes are small by
+    * construction; a class of 10^4 rows allows a 9·10^8-row corpus), and
+    * past it pre-bucket the sensitive column. Null sensitive values are
+    * excluded (the lDiversityAudit rule).
+    *
+    * Cost: two grouped passes over a (quasi, sensitive) projection + one
+    * value-keyed join of class rows against the |values|-sized global
+    * frame (broadcast — a sensitive column's support is small). Output:
+    * quasiCols + n_rows + tvd_x1e6 + at_risk (tvd_x1e6 > tX1e6).
+    */
+  def tClosenessAudit(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      tX1e6: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "tClosenessAudit needs at least one quasi-identifier column")
+    require(tX1e6 >= 0 && tX1e6 <= 1000000L, s"tX1e6 must be in [0, 1e6], got $tX1e6")
+    val qs = quasiCols.map(col)
+    val base = df
+      .filter(col(sensitiveCol).isNotNull)
+      .select(qs :+ col(sensitiveCol).as("__s"): _*)
+    val global = base.groupBy(col("__s")).agg(count(lit(1)).as("__g"))
+    val totalN = base.select(count(lit(1)).as("__N"))
+    // per (class, value) counts carry the global count of their value and
+    // the class total, so the |c·N − g·n_c| terms are pure projections
+    val classTot = base.groupBy(qs: _*).agg(count(lit(1)).as("n_rows"))
+    val terms = base
+      .groupBy(qs :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .join(broadcast(global), Seq("__s"))
+      .join(classTot, quasiCols)
+      .crossJoin(broadcast(totalN))
+      .groupBy(qs: _*)
+      .agg(
+        first(col("n_rows")).as("n_rows"),
+        first(col("__N")).as("__N"),
+        sum(abs(col("__c") * col("__N") - col("__g") * col("n_rows"))).as("__present"),
+        sum(col("__g")).as("__gpres"))
+    terms
+      .withColumn("tvd_x1e6",
+        expr("((__present + (__N - __gpres) * n_rows) * 500000L) div (n_rows * __N)"))
+      .withColumn("at_risk", col("tvd_x1e6") > tX1e6)
+      .drop("__N", "__present", "__gpres")
+  }
 }

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Release-audit semantics beyond k-anonymity: distinct-l diversity and
+  * the exact-integer total-variation t-closeness, against hand-computed
+  * fixtures.
+  *
+  * t-closeness fixture (worked by hand): class A holds sensitive values
+  * [x, x, y], class B holds [y, z]; corpus N=5 with g(x)=2, g(y)=2,
+  * g(z)=1.
+  *   A: present = |2·5−2·3| + |1·5−2·3| = 4+1 = 5, gpres = 4,
+  *      num = 5 + (5−4)·3 = 8, tvd = 8/(2·3·5) = 0.2667 → 266666
+  *      (true TVD: ½(|⅔−.4| + |⅓−.4| + |0−.2|) = 0.2667 ✓)
+  *   B: present = |1·5−2·2| + |1·5−1·2| = 1+3 = 4, gpres = 3,
+  *      num = 4 + (5−3)·2 = 8, tvd = 8/(2·2·5) = 0.4 → 400000
+  */
+class PrivacyAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      ("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "y"), ("B", "z")).toDF("grp", "s")
+  }
+
+  test("lDiversityAudit: distinct sensitive counts per class; nulls excluded from diversity") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", Option("x")), ("A", Option("x")), ("A", Option("y")),
+      ("B", Option("z")), ("B", None)).toDF("grp", "s")
+    val got = Privacy.lDiversityAudit(df, Seq("grp"), "s", l = 2)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // A: 3 rows, 2 distinct -> safe at l=2; B: 2 rows but ONE distinct
+    // non-null value -> at risk (the constant-sensitive leak k-anonymity
+    // cannot see)
+    assert(got === Map("A" -> ((3L, 2L, false)), "B" -> ((2L, 1L, true))))
+  }
+
+  test("tClosenessAudit: exact integer TVD micro-units match the hand fixture") {
+    val got = Privacy.tClosenessAudit(fixture, Seq("grp"), "s", tX1e6 = 300000)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got === Map(
+      "A" -> ((3L, 266666L, false)),
+      "B" -> ((2L, 400000L, true))))
+  }
+
+  test("tClosenessAudit: a class mirroring the corpus distribution scores zero") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", "x"), ("A", "y"),
+      ("B", "x"), ("B", "y")).toDF("grp", "s")
+    val got = Privacy.tClosenessAudit(df, Seq("grp"), "s", tX1e6 = 0)
+      .collect().map(r => (r.getString(0), (r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got === Map("A" -> ((0L, false)), "B" -> ((0L, false))))
+  }
+}
