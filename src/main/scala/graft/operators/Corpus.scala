@@ -1646,7 +1646,6 @@ object Corpus {
       countsPath: String,
       minCount: Long = 2L): DataFrame = {
     import org.apache.hadoop.fs.Path
-    require(minCount >= 2L, s"duplicatedSpansAgainstCounts: minCount must be >= 2, got $minCount")
     val spark = docs.sparkSession
     val live  = new Path(countsPath)
     val fs    = live.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1656,8 +1655,22 @@ object Corpus {
         val trash = new Path(live.getParent, s".gramcnt-old-${live.getName}")
         if (fs.exists(trash)) trash.toString else countsPath
       }
-    val counts = spark.read.parquet(src)
-    val k      = counts.select(col("k")).head().getInt(0)
+    spansAgainstCounts(docs, idCol, textCol, spark.read.parquet(src), minCount)
+  }
+
+  /** Frame-taking core of `duplicatedSpansAgainstCounts`: mine `docs`
+    * against ANY (k, gh, c) counts frame — the persisted batch store, a
+    * streaming store fold (`CorpusStreams.readGramCountStore`), or an
+    * ad-hoc union of both. k comes from the frame (store identity).
+    */
+  def spansAgainstCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      counts: DataFrame,
+      minCount: Long = 2L): DataFrame = {
+    require(minCount >= 2L, s"spansAgainstCounts: minCount must be >= 2, got $minCount")
+    val k = counts.select(col("k")).head().getInt(0)
     val dup = counts
       .filter(col("c") >= minCount)
       .select(col("gh").as("__gh"))
@@ -1666,6 +1679,21 @@ object Corpus {
       .select(col("doc_id"), col("pos"))
     mergeSpans(occ, k)
   }
+
+  /** One wave's gram-count delta in the store schema (k, gh, c) — the
+    * additive unit both ingest paths fold: `updateGramCounts` merges it
+    * into the batch store, `CorpusStreams.runGramCountIngest` lands it
+    * keyed by batch id for exactly-once streaming accumulation.
+    */
+  private[graft] def gramCountDelta(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame =
+    gramTable(docs, idCol, textCol, k)
+      .groupBy(col("__gh").as("gh"))
+      .agg(count(lit(1)).as("c"))
+      .select(lit(k).as("k"), col("gh"), col("c"))
 
   /** Span-level decontamination (the SURGICAL form of the q56/q132
     * doc-level checks): for each training document, every maximal token

@@ -468,4 +468,64 @@ object CorpusStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming ingest for the span miner's gram-count store — the
+    * EXACTLY-ONCE twin of `Corpus.updateGramCounts` (which is additive,
+    * not idempotent, and therefore documented drain-only): each drained
+    * micro-batch lands its gram-count delta as rows keyed by
+    * (batch_id, gh) in a batch_id-partitioned table via MergeSink.upsert,
+    * so an at-least-once foreachBatch replay REPLACES its own delta
+    * partition instead of double-counting it (the runTokenCms /
+    * runDriftMonitor posture), and each trigger rewrites only its own
+    * partition (the dirty-partition rule). Offsets live in
+    * `checkpointDir`, so a restarted runner resumes the remaining files —
+    * `readGramCountStore` over any drained store folds to the exact
+    * one-shot gram counts of everything ingested (spec law).
+    *
+    * Scale shape: delta state is per-batch and the store is append-shaped
+    * (one partition per batch); read amplification of the fold is
+    * #batches-bounded — compact a long-lived store by folding it through
+    * `Corpus.writeGramCounts` into the batch store and re-pointing.
+    */
+  def runGramCountIngest(
+      spark: SparkSession,
+      rawDir: String,
+      deltaDir: String,
+      checkpointDir: String,
+      k: Int,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    require(k >= 2, s"runGramCountIngest: k must be >= 2, got $k")
+    docStream(spark, rawDir, maxFilesPerTrigger).writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = graft.operators.Corpus
+          .gramCountDelta(batch, "doc_id", "text", k)
+          .withColumn("batch_id", lit(batchId))
+        MergeSink.upsert(
+          batch.sparkSession, delta, deltaDir,
+          keyCols = Seq("batch_id", "gh"),
+          partitionCols = Seq("batch_id"))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Fold a streaming gram-count store back into the (k, gh, c) schema —
+    * the frame `Corpus.spansAgainstCounts` consumes. Refuses a store whose
+    * deltas were written with mixed k (store identity, the
+    * updateGramCounts rule).
+    */
+  def readGramCountStore(spark: SparkSession, deltaDir: String): DataFrame = {
+    val deltas = spark.read.parquet(deltaDir)
+    val ks     = deltas.select(col("k")).distinct().collect().map(_.getInt(0))
+    require(ks.length == 1,
+      s"readGramCountStore: store at $deltaDir holds mixed k {${ks.sorted.mkString(",")}} " +
+        "(k is store identity — rebuild to change it)")
+    deltas
+      .groupBy(col("gh"))
+      .agg(sum(col("c")).as("c"))
+      .select(lit(ks.head).as("k"), col("gh"), col("c"))
+  }
 }

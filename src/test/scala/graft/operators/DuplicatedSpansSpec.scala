@@ -166,6 +166,46 @@ class DuplicatedSpansSpec extends AnyFunSuite {
     assert((withHistory -- want) === Set((4L, 1L, 0L, 5L, 6L)))
   }
 
+  test("streaming gram-count ingest: drained store folds == batch counts; resumes across runners") {
+    import spark.implicits._
+    import graft.streaming.CorpusStreams
+    val root  = java.nio.file.Files.createTempDirectory("gramstream").toString
+    val raw   = s"$root/raw"; val store = s"$root/store"; val cp = s"$root/cp"
+    val wave1 = fixture
+    wave1.write.mode("append").json(raw)
+    CorpusStreams.runGramCountIngest(spark, raw, store, cp, k = 3).awaitTermination()
+    def foldSet(): Set[(Int, Long, Long)] = CorpusStreams
+      .readGramCountStore(spark, store)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    def batchSet(df: org.apache.spark.sql.DataFrame): Set[(Int, Long, Long)] = Corpus
+      .gramCountDelta(df, "doc_id", "text", 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(foldSet() === batchSet(fixture))
+
+    // second wave through a FRESH runner on the same checkpoint: only the
+    // new files land, and the fold equals the one-shot counts of the union
+    val wave2 = Seq((11L, "a b c w9 w8")).toDF("doc_id", "text")
+    wave2.write.mode("append").json(raw)
+    CorpusStreams.runGramCountIngest(spark, raw, store, cp, k = 3).awaitTermination()
+    val union = fixture.select("doc_id", "text").unionByName(wave2)
+    assert(foldSet() === batchSet(union))
+
+    // the streamed store drives the miner exactly like the batch count
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(
+      key(Corpus.spansAgainstCounts(union, "doc_id", "text",
+        CorpusStreams.readGramCountStore(spark, store))) ===
+        key(Corpus.duplicatedSpans(union, "doc_id", "text", k = 3)))
+
+    // mixed-k stores are refused (k is store identity)
+    CorpusStreams.runGramCountIngest(spark, raw, store, s"$root/cp4", k = 4).awaitTermination()
+    val e = intercept[IllegalArgumentException] {
+      CorpusStreams.readGramCountStore(spark, store)
+    }
+    assert(e.getMessage.contains("mixed k"))
+  }
+
   test("a gram occurring >= minCount times only under a higher threshold is not flagged at it") {
     import spark.implicits._
     // "a b c" occurs exactly twice: flagged at minCount=2, not at 3
