@@ -4553,7 +4553,9 @@ object Contract {
       // distributions, in EXACT integer micro-units — cross-multiplied
       // |c·N − g·n_c| terms plus an absent-values fold, ONE truncating
       // division per class, so the audit hash-matches the oracle with
-      // zero float tolerance. At-risk past t = 0.1.
+      // zero float tolerance. At-risk past t = 0.1. Null-safe class
+      // inventory (round 13): window-derived class totals, so null-quasi
+      // and all-null-sensitive classes appear in both engines.
       (s, d) =>
         graft.functions.Privacy.tClosenessAudit(
           Tables

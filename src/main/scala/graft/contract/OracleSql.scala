@@ -746,7 +746,8 @@ object OracleSql {
        |  FROM s GROUP BY doc_id, span_id)""".stripMargin
 
   private def dupSpanCtes(k: Int): String =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+       |         FROM documents WHERE text IS NOT NULL),
        |g AS (
        |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+${k - 1}], ' ') AS gram
        |  FROM toks, unnest(range(1, len(tk) - $k + 2)) AS t(i)
@@ -761,14 +762,16 @@ object OracleSql {
 
   /** Doc-level duplication census (q181): duplicated token mass per doc
     * over the q180 spans, all-integer fraction in micro-units; every doc
-    * appears (shorter-than-k docs carry 0).
+    * with non-null text appears (shorter-than-k docs carry 0; null-text
+    * docs are excluded in BOTH engines — the Spark spine's rule, aligned
+    * round 13).
     */
   val q181: String =
     s"""WITH ${dupSpanCtes(8)},
        |census AS (SELECT doc_id, SUM(span_toks)::BIGINT AS dup_toks
        |           FROM spans GROUP BY doc_id),
        |spine AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_toks
-       |          FROM documents)
+       |          FROM documents WHERE text IS NOT NULL)
        |SELECT sp.doc_id, sp.n_toks,
        |  COALESCE(c.dup_toks, 0)::BIGINT AS dup_toks,
        |  (sp.n_toks - COALESCE(c.dup_toks, 0))::BIGINT AS kept_toks,
@@ -954,28 +957,40 @@ object OracleSql {
   /** t-closeness audit (q188): exact integer TVD of each (lang,
     * len_bucket) class's source distribution against the corpus's —
     * the Privacy.tClosenessAudit cross-multiplied form replayed in SQL.
+    * Null-safe class inventory (round 13): class totals come from a
+    * window, never a quasi-keyed join, so null quasi values and
+    * all-null-sensitive classes survive in BOTH engines (the latter
+    * flagged at_risk with NULL tvd).
     */
   val q188: String =
     s"""WITH b AS (
-       |  SELECT lang, n_chars // 256 AS len_bucket, source AS s
-       |  FROM documents WHERE source IS NOT NULL),
-       |g AS (SELECT s, COUNT(*) AS gc FROM b GROUP BY 1),
-       |tot AS (SELECT COUNT(*) AS n FROM b),
-       |ct AS (SELECT lang, len_bucket, COUNT(*) AS n_rows FROM b GROUP BY 1, 2),
+       |  SELECT lang, n_chars // 256 AS len_bucket, source AS s FROM documents),
+       |g AS (SELECT s, COUNT(*) AS gc FROM b WHERE s IS NOT NULL GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n FROM b WHERE s IS NOT NULL),
        |cv AS (SELECT lang, len_bucket, s, COUNT(*) AS c FROM b GROUP BY 1, 2, 3),
+       |cv2 AS (
+       |  SELECT *,
+       |    SUM(CASE WHEN s IS NOT NULL THEN c ELSE 0 END)
+       |      OVER (PARTITION BY lang, len_bucket) AS nc,
+       |    SUM(c) OVER (PARTITION BY lang, len_bucket) AS nall
+       |  FROM cv),
        |t AS (
-       |  SELECT cv.lang, cv.len_bucket,
-       |    MAX(ct.n_rows) AS n_rows, MAX(tot.n) AS n,
-       |    SUM(ABS(cv.c * tot.n - g.gc * ct.n_rows)) AS present,
-       |    SUM(g.gc) AS gpres
-       |  FROM cv
-       |  JOIN g USING (s)
-       |  JOIN ct USING (lang, len_bucket)
+       |  SELECT cv2.lang, cv2.len_bucket,
+       |    MAX(nall) AS n_rows, MAX(nc) AS n_scored, MAX(tot.n) AS n,
+       |    SUM(CASE WHEN cv2.s IS NOT NULL
+       |             THEN ABS(cv2.c * tot.n - g.gc * cv2.nc) ELSE 0 END) AS present,
+       |    SUM(CASE WHEN cv2.s IS NOT NULL THEN g.gc ELSE 0 END) AS gpres
+       |  FROM cv2
+       |  LEFT JOIN g ON cv2.s = g.s
        |  CROSS JOIN tot
        |  GROUP BY 1, 2)
-       |SELECT lang, len_bucket, n_rows::BIGINT AS n_rows,
-       |  (((present + (n - gpres) * n_rows) * 500000) // (n_rows * n))::BIGINT AS tvd_x1e6,
-       |  ((((present + (n - gpres) * n_rows) * 500000) // (n_rows * n)) > 100000) AS at_risk
+       |SELECT lang, len_bucket, n_rows::BIGINT AS n_rows, n_scored::BIGINT AS n_scored,
+       |  CASE WHEN n_scored > 0
+       |       THEN (((present + (n - gpres) * n_scored) * 500000) // (n_scored * n))::BIGINT
+       |       ELSE NULL END AS tvd_x1e6,
+       |  CASE WHEN n_scored = 0 THEN TRUE
+       |       ELSE (((present + (n - gpres) * n_scored) * 500000) // (n_scored * n)) > 100000
+       |       END AS at_risk
        |FROM t""".stripMargin
 
   /** Embedding dedup ROWS at the PINNED 6-bit band width (q174, the frozen

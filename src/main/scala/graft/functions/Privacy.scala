@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** PII-minimization primitives for corpus preparation: numeric-run
@@ -136,10 +137,22 @@ object Privacy {
     * past it pre-bucket the sensitive column. Null sensitive values are
     * excluded (the lDiversityAudit rule).
     *
-    * Cost: two grouped passes over a (quasi, sensitive) projection + one
-    * value-keyed join of class rows against the |values|-sized global
-    * frame (broadcast — a sensitive column's support is small). Output:
-    * quasiCols + n_rows + tvd_x1e6 + at_risk (tvd_x1e6 > tX1e6).
+    * NULL discipline (the two tiers must agree on the class inventory —
+    * an audit that silently omits classes is a completeness hole): the
+    * quasi-identifier grouping keeps NULL quasi values as their own
+    * classes (groupBy/window semantics, never a null-rejecting self-join),
+    * and a class whose sensitive column is ENTIRELY null still appears —
+    * flagged at_risk with tvd_x1e6 null and n_scored 0, because a class
+    * the audit cannot score is a class the release cannot certify. The
+    * TVD itself is over non-null sensitive rows (`n_scored` of the
+    * class's `n_rows`; `n_rows` counts ALL rows, matching
+    * lDiversityAudit's spine).
+    *
+    * Cost: one grouped pass over the (quasi, sensitive) projection, a
+    * quasi-keyed window for the class totals (no join back on the quasi
+    * tuple), and one value-keyed broadcast join against the
+    * |values|-sized global frame. Output: quasiCols + n_rows + n_scored
+    * + tvd_x1e6 + at_risk (tvd_x1e6 > tX1e6, or unscoreable).
     */
   def tClosenessAudit(
       df: DataFrame,
@@ -148,31 +161,36 @@ object Privacy {
       tX1e6: Long): DataFrame = {
     require(quasiCols.nonEmpty, "tClosenessAudit needs at least one quasi-identifier column")
     require(tX1e6 >= 0 && tX1e6 <= 1000000L, s"tX1e6 must be in [0, 1e6], got $tX1e6")
-    val qs = quasiCols.map(col)
-    val base = df
-      .filter(col(sensitiveCol).isNotNull)
-      .select(qs :+ col(sensitiveCol).as("__s"): _*)
-    val global = base.groupBy(col("__s")).agg(count(lit(1)).as("__g"))
-    val totalN = base.select(count(lit(1)).as("__N"))
-    // per (class, value) counts carry the global count of their value and
-    // the class total, so the |c·N − g·n_c| terms are pure projections
-    val classTot = base.groupBy(qs: _*).agg(count(lit(1)).as("n_rows"))
-    val terms = base
+    val qs   = quasiCols.map(col)
+    val base = df.select(qs :+ col(sensitiveCol).as("__s"): _*)
+    val nn     = base.filter(col("__s").isNotNull)
+    val global = nn.groupBy(col("__s")).agg(count(lit(1)).as("__g"))
+    val totalN = nn.select(count(lit(1)).as("__N"))
+    // per (class, value) counts — null sensitive values kept as one group
+    // so every class row survives; class totals come from a quasi-keyed
+    // WINDOW (null-safe by construction), never a join on the quasi tuple
+    val w = Window.partitionBy(qs: _*)
+    val cv = base
       .groupBy(qs :+ col("__s"): _*)
       .agg(count(lit(1)).as("__c"))
-      .join(broadcast(global), Seq("__s"))
-      .join(classTot, quasiCols)
+      .withColumn("__nc", sum(when(col("__s").isNotNull, col("__c")).otherwise(lit(0L))).over(w))
+      .withColumn("__nall", sum(col("__c")).over(w))
+    cv
+      .join(broadcast(global), Seq("__s"), "left_outer")
       .crossJoin(broadcast(totalN))
       .groupBy(qs: _*)
       .agg(
-        first(col("n_rows")).as("n_rows"),
-        first(col("__N")).as("__N"),
-        sum(abs(col("__c") * col("__N") - col("__g") * col("n_rows"))).as("__present"),
-        sum(col("__g")).as("__gpres"))
-    terms
+        max(col("__nall")).as("n_rows"),
+        max(col("__nc")).as("n_scored"),
+        max(col("__N")).as("__N"),
+        sum(when(col("__s").isNotNull,
+          abs(col("__c") * col("__N") - col("__g") * col("__nc"))).otherwise(lit(0L)))
+          .as("__present"),
+        sum(when(col("__s").isNotNull, col("__g")).otherwise(lit(0L))).as("__gpres"))
       .withColumn("tvd_x1e6",
-        expr("((__present + (__N - __gpres) * n_rows) * 500000L) div (n_rows * __N)"))
-      .withColumn("at_risk", col("tvd_x1e6") > tX1e6)
+        when(col("n_scored") > 0,
+          expr("((__present + (__N - __gpres) * n_scored) * 500000L) div (n_scored * __N)")))
+      .withColumn("at_risk", col("n_scored") === 0 || col("tvd_x1e6") > tX1e6)
       .drop("__N", "__present", "__gpres")
   }
 }

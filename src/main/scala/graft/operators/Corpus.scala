@@ -1602,11 +1602,14 @@ object Corpus {
     val merged =
       if (!fs.exists(live)) delta.select(lit(k).as("k"), col("gh"), col("c"))
       else {
-        val stored  = spark.read.parquet(path)
-        val storedK = stored.select(col("k")).head().getInt(0)
-        require(storedK == k,
-          s"updateGramCounts: store at $path was built with k=$storedK, fold passed k=$k " +
-            "(k is store identity — rebuild with writeGramCounts to change it)")
+        val stored = spark.read.parquet(path)
+        // a ZERO-ROW store is legal (every folded doc shorter than k) and
+        // carries no identity to conflict with — only a non-empty store
+        // pins k
+        val storedK = stored.select(col("k")).limit(1).collect().headOption.map(_.getInt(0))
+        storedK.foreach(sk => require(sk == k,
+          s"updateGramCounts: store at $path was built with k=$sk, fold passed k=$k " +
+            "(k is store identity — rebuild with writeGramCounts to change it)"))
         stored.select(col("gh"), col("c"))
           .unionByName(delta)
           .groupBy(col("gh"))
@@ -1659,9 +1662,12 @@ object Corpus {
   }
 
   /** Frame-taking core of `duplicatedSpansAgainstCounts`: mine `docs`
-    * against ANY (k, gh, c) counts frame — the persisted batch store, a
-    * streaming store fold (`CorpusStreams.readGramCountStore`), or an
-    * ad-hoc union of both. k comes from the frame (store identity).
+    * against ANY gh-UNIQUE (k, gh, c) counts frame — the persisted batch
+    * store, a streaming store fold (`CorpusStreams.readGramCountStore`),
+    * or a union of both FOLDED through `unionGramCounts` (a raw unionByName
+    * holds split per-store counts for shared grams, which the per-row
+    * minCount filter would under-mine; the fold re-sums them). k comes
+    * from the frame (store identity) and mixed-k frames are refused.
     */
   def spansAgainstCounts(
       docs: DataFrame,
@@ -1670,7 +1676,19 @@ object Corpus {
       counts: DataFrame,
       minCount: Long = 2L): DataFrame = {
     require(minCount >= 2L, s"spansAgainstCounts: minCount must be >= 2, got $minCount")
-    val k = counts.select(col("k")).head().getInt(0)
+    // one partial-agg column scan: k is frame identity, and a UNION of
+    // stores (batch + streaming) is only meaningful when they agree on it —
+    // a mixed-k union would mine k-grams against counts of other-length
+    // grams, silently
+    val ks = counts.select(col("k")).distinct().collect().map(_.getInt(0))
+    require(ks.nonEmpty,
+      "spansAgainstCounts: the gram-count store is EMPTY — no k to mine against " +
+        "(nothing was ever folded, or every folded doc was shorter than k); " +
+        "fold a non-empty wave or mine with duplicatedSpans directly")
+    require(ks.length == 1,
+      s"spansAgainstCounts: counts frame holds mixed k {${ks.sorted.mkString(",")}} — " +
+        "only stores built with the SAME k may be unioned (k is store identity)")
+    val k = ks.head
     val dup = counts
       .filter(col("c") >= minCount)
       .select(col("gh").as("__gh"))
@@ -1678,6 +1696,30 @@ object Corpus {
       .join(dup, Seq("__gh"))
       .select(col("doc_id"), col("pos"))
     mergeSpans(occ, k)
+  }
+
+  /** Fold two or more gram-count stores into ONE gh-unique (k, gh, c)
+    * frame — the certified way to mine against `batch store ∪ streaming
+    * store` (each store is gh-unique on its own, so a shared gram's count
+    * is SPLIT across the union's rows; this re-sums them, making
+    * `spansAgainstCounts(docs, unionGramCounts(Seq(a, b)))` equal the
+    * one-shot mine over the concatenated corpus — the spec law). Stores
+    * must agree on k (store identity — mixed-k stores count different
+    * objects and are refused). One partial-agg shuffle on the 8-byte gram
+    * hash; count partials collapse map-side.
+    */
+  def unionGramCounts(stores: Seq[DataFrame]): DataFrame = {
+    require(stores.nonEmpty, "unionGramCounts: need at least one store frame")
+    val u  = stores.map(_.select(col("k"), col("gh"), col("c"))).reduce(_.unionByName(_))
+    val ks = u.select(col("k")).distinct().collect().map(_.getInt(0))
+    require(ks.nonEmpty,
+      "unionGramCounts: every store is EMPTY (nothing folded, or every doc shorter than k)")
+    require(ks.length == 1,
+      s"unionGramCounts: stores disagree on k {${ks.sorted.mkString(",")}} " +
+        "(k is store identity — only same-k stores may be unioned)")
+    u.groupBy(col("gh"))
+      .agg(sum(col("c")).as("c"))
+      .select(lit(ks.head).as("k"), col("gh"), col("c"))
   }
 
   /** One wave's gram-count delta in the store schema (k, gh, c) — the
@@ -1732,9 +1774,11 @@ object Corpus {
     * curation pass thresholds before stripping or dropping (RefinedWeb
     * drops docs past ~50% duplicated mass rather than patching holes).
     * All-integer: dup_frac_x1e6 = dup_toks * 1e6 div n_toks (q135
-    * discipline). Every doc appears, including those shorter than k
-    * (dup_toks 0). Cost: the miner + one per-doc partial agg + one
-    * left join back onto the token-count spine.
+    * discipline). Every doc with non-null text appears, including those
+    * shorter than k (dup_toks 0); null-text docs are excluded — they have
+    * no token spine to census (the oracle side filters identically).
+    * Cost: the miner + one per-doc partial agg + one left join back onto
+    * the token-count spine.
     */
   def duplicatedSpanCensus(
       docs: DataFrame,
@@ -1786,7 +1830,9 @@ object Corpus {
     * `contaminatedSpans` output, or a hand-curated excision list. Token
     * order is preserved; a fully-covered doc survives with empty text;
     * docs with no spans pass through verbatim (modulo the single-space
-    * token rejoin).
+    * token rejoin); null-text docs are excluded from the output — there
+    * is no token sequence to rebuild (the oracle side filters
+    * identically).
     */
   def stripSpans(
       docs: DataFrame,

@@ -554,6 +554,13 @@ object Similarity {
       iters: Int = 5): Unit = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.SaveMode
+    // promote any parked root/centroids/leaf FIRST (every reading entry's
+    // rule): without this a `.reindex-old-*` root from a predecessor killed
+    // between its renames reads as a missing path, and a parked
+    // `.ivfdel-old-cell_id=*` leaf (dot-prefixed — spark.read skips it)
+    // would be silently DROPPED from the rebuild and then deleted with the
+    // old tree — the one crash shape that loses rows
+    healIvfLeaves(spark, path)
     val stored = spark.read.parquet(path).select("vec_id", "embedding")
     val ncells = spark.read.parquet(s"$path.centroids")
       .select(size(col("cents"))).head().getInt(0)
@@ -735,10 +742,13 @@ object Similarity {
     *
     * Scale shape: cost = one in-row assignment over |other| + one
     * cell-partitioned write of |base| + |other|. The guards cost ONE extra
-    * job: a thin (id, dim) projection of |other| left-joined against the
-    * base id column checks dimension and disjointness together (a few bytes
-    * per row, hash join on ids). No pairwise work, no driver data path
-    * beyond the ≤5-row offending-row sample.
+    * data-scale job: a thin (id, dim) projection of |other| left-joined
+    * against the base id column checks dimension and disjointness together
+    * (a few bytes per row, hash join on ids), preceded by a metadata-scale
+    * probe of the 1-row centroid parquet (an empty/corrupt quantizer must
+    * fail fast — an empty centroids frame would otherwise empty the fused
+    * probe and pass both guards vacuously). No pairwise work, no driver
+    * data path beyond the ≤5-row offending-row sample.
     */
   def mergeIvfIndexes(
       spark: org.apache.spark.sql.SparkSession,
@@ -765,6 +775,13 @@ object Similarity {
     val centDimFrame = cents
       .select(size(element_at(col("cents"), 1).getField("c_emb")).as("__cent_dim"))
       .limit(1)
+    // the fused guards below probe `other` AGAINST the quantizer row — an
+    // empty/corrupt centroids table would empty the probe and pass both
+    // guards vacuously, so the quantizer itself is checked first (one
+    // metadata-scale action over the 1-row centroid parquet)
+    require(!centDimFrame.filter(col("__cent_dim").isNotNull).isEmpty,
+      s"mergeIvfIndexes: base quantizer at $basePath.centroids is empty or corrupt " +
+        "(no centroid row / empty centroid array) — rebuild the base index before merging")
     val offending = other
       .select(col("vec_id"), size(col("embedding")).as("__d"))
       .crossJoin(broadcast(centDimFrame))

@@ -520,6 +520,9 @@ object CorpusStreams {
   def readGramCountStore(spark: SparkSession, deltaDir: String): DataFrame = {
     val deltas = spark.read.parquet(deltaDir)
     val ks     = deltas.select(col("k")).distinct().collect().map(_.getInt(0))
+    require(ks.nonEmpty,
+      s"readGramCountStore: store at $deltaDir is EMPTY — no batch ever landed a delta " +
+        "(nothing ingested, or every drained doc was shorter than k)")
     require(ks.length == 1,
       s"readGramCountStore: store at $deltaDir holds mixed k {${ks.sorted.mkString(",")}} " +
         "(k is store identity — rebuild to change it)")

@@ -42,10 +42,12 @@ class PrivacyAuditSpec extends AnyFunSuite {
 
   test("tClosenessAudit: exact integer TVD micro-units match the hand fixture") {
     val got = Privacy.tClosenessAudit(fixture, Seq("grp"), "s", tX1e6 = 300000)
-      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
     assert(got === Map(
-      "A" -> ((3L, 266666L, false)),
-      "B" -> ((2L, 400000L, true))))
+      "A" -> ((3L, 3L, 266666L, false)),
+      "B" -> ((2L, 2L, 400000L, true))))
   }
 
   test("tClosenessAudit: a class mirroring the corpus distribution scores zero") {
@@ -54,7 +56,41 @@ class PrivacyAuditSpec extends AnyFunSuite {
       ("A", "x"), ("A", "y"),
       ("B", "x"), ("B", "y")).toDF("grp", "s")
     val got = Privacy.tClosenessAudit(df, Seq("grp"), "s", tX1e6 = 0)
-      .collect().map(r => (r.getString(0), (r.getLong(2), r.getBoolean(3)))).toMap
+      .collect().map(r => (r.getString(0), (r.getLong(3), r.getBoolean(4)))).toMap
     assert(got === Map("A" -> ((0L, false)), "B" -> ((0L, false))))
+  }
+
+  test("tClosenessAudit: null quasi values and all-null-sensitive classes survive, " +
+    "and the class inventory agrees with lDiversityAudit") {
+    import spark.implicits._
+    // class NULL: non-null sensitive (scoreable); class C: entirely null
+    // sensitive (unscoreable — must appear, flagged); class A: mixed nulls
+    // (n_rows counts all rows, TVD over the non-null 2)
+    val df = Seq(
+      (Option("A"), Option("x")), (Option("A"), Option("y")), (Option("A"), None),
+      (Option.empty[String], Option("x")),
+      (Option("C"), None), (Option("C"), None)).toDF("grp", "s")
+    val tc = Privacy.tClosenessAudit(df, Seq("grp"), "s", tX1e6 = 500000).collect()
+    val byGrp = tc.map(r => (Option(r.getString(0)), r)).toMap
+    assert(byGrp.keySet === Set(Some("A"), None, Some("C")))
+    // the two audit tiers report the SAME class inventory
+    val ld = Privacy.lDiversityAudit(df, Seq("grp"), "s", l = 2).collect()
+      .map(r => Option(r.getString(0))).toSet
+    assert(ld === byGrp.keySet)
+    val a = byGrp(Some("A"))
+    assert((a.getLong(1), a.getLong(2)) === ((3L, 2L))) // n_rows ALL rows, n_scored non-null
+    // A's scored distribution {x:1, y:1} vs corpus {x:2, y:1} (N=3):
+    // present = |1*3-2*2| + |1*3-1*2| = 1+1 = 2, gpres = 3,
+    // num = 2 + (3-3)*2 = 2, tvd = 2/(2*2*3) = 1/6 -> 166666
+    assert(a.getLong(3) === 166666L)
+    val c = byGrp(Some("C"))
+    assert((c.getLong(1), c.getLong(2)) === ((2L, 0L)))
+    assert(c.isNullAt(3), "unscoreable class carries NULL tvd")
+    assert(c.getBoolean(4), "a class the audit cannot score is at risk")
+    val n = byGrp(None)
+    assert((n.getLong(1), n.getLong(2)) === ((1L, 1L)))
+    // {x:1} vs corpus {x:2/3, y:1/3}: present = |1*3-2*1| = 1, gpres = 2,
+    // num = 1 + (3-2)*1 = 2, tvd = 2/(2*1*3) = 1/3 -> 333333
+    assert(n.getLong(3) === 333333L)
   }
 }

@@ -206,6 +206,103 @@ class DuplicatedSpansSpec extends AnyFunSuite {
     assert(e.getMessage.contains("mixed k"))
   }
 
+  test("null-text docs are excluded from census and strip (no token spine to rebuild)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Option("a b c d a b c d")),
+      (2L, Option.empty[String]),
+      (3L, Option("x y z"))).toDF("doc_id", "text")
+    val census = Corpus.duplicatedSpanCensus(docs, "doc_id", "text", k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(census === Set(1L, 3L))
+    val strip = Corpus.stripDuplicatedSpans(docs, "doc_id", "text", k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strip === Set(1L, 3L))
+  }
+
+  test("empty gram-count store: clear refusal from every reader; a fold into it is legal") {
+    import spark.implicits._
+    val root  = java.nio.file.Files.createTempDirectory("gramempty").toString
+    val path  = s"$root/counts"
+    // legal empty store: every doc shorter than k
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+    Corpus.writeGramCounts(short, "doc_id", "text", k = 3, path)
+    assert(spark.read.parquet(path).count() === 0L)
+    val e1 = intercept[IllegalArgumentException] {
+      Corpus.duplicatedSpansAgainstCounts(fixture, "doc_id", "text", path).collect()
+    }
+    assert(e1.getMessage.contains("EMPTY"))
+    // an empty store carries no k identity — folding real docs in is legal
+    // (pre-guard this threw a bare NoSuchElementException from .head())
+    Corpus.updateGramCounts(fixture, "doc_id", "text", k = 3, path)
+    val got = Corpus.duplicatedSpansAgainstCounts(fixture, "doc_id", "text", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val want = Corpus.duplicatedSpans(fixture, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got === want && got.nonEmpty)
+
+    // the streaming reader refuses an empty delta store by name, not with
+    // a misleading 'mixed k {}' message
+    val streamStore = s"$root/stream"
+    Corpus.gramCountDelta(short, "doc_id", "text", 3)
+      .withColumn("batch_id", lit(0L)).write.parquet(streamStore)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.CorpusStreams.readGramCountStore(spark, streamStore)
+    }
+    assert(e2.getMessage.contains("EMPTY"))
+  }
+
+  test("union of batch + streaming stores: unionGramCounts law and the k-agreement guard") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("gramunion").toString
+    // d1 and d2 share 'a b c d' and land in DIFFERENT stores, so the shared
+    // grams carry count 1 in EACH store: a raw union holds split counts the
+    // per-row minCount filter would miss — the fold must re-sum them
+    val first  = fixture.filter(col("doc_id") === 1)
+    val second = fixture.filter(col("doc_id") > 1)
+    val batchPath = s"$root/batch"
+    Corpus.writeGramCounts(first, "doc_id", "text", k = 3, batchPath)
+    val raw = s"$root/raw"
+    second.write.mode("append").json(raw)
+    graft.streaming.CorpusStreams
+      .runGramCountIngest(spark, raw, s"$root/stream", s"$root/cp", k = 3)
+      .awaitTermination()
+    val unioned = Corpus.unionGramCounts(Seq(
+      spark.read.parquet(batchPath),
+      graft.streaming.CorpusStreams.readGramCountStore(spark, s"$root/stream")))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // the law: mining against the union == the one-shot mine over the
+    // concatenated corpus
+    val want1 = key(Corpus.duplicatedSpans(fixture, "doc_id", "text", k = 3))
+    assert(key(Corpus.spansAgainstCounts(fixture, "doc_id", "text", unioned)) === want1)
+    // ...and the fold is LOAD-BEARING: the raw union (same k, split counts)
+    // under-mines — the cross-store d1/d2 span vanishes
+    val rawUnion = spark.read.parquet(batchPath)
+      .unionByName(graft.streaming.CorpusStreams.readGramCountStore(spark, s"$root/stream"))
+    val rawMined = key(Corpus.spansAgainstCounts(fixture, "doc_id", "text", rawUnion))
+    assert(rawMined != want1)
+    assert(!rawMined.exists(_._1 == 1L))
+    // and the union itself folds to the one-shot counts
+    val oneShot = Corpus.gramCountDelta(fixture, "doc_id", "text", 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(unioned.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet === oneShot)
+
+    // mixed-k unions are refused at the fold AND at the miner
+    val k4Path = s"$root/batch4"
+    Corpus.writeGramCounts(first, "doc_id", "text", k = 4, k4Path)
+    val e = intercept[IllegalArgumentException] {
+      Corpus.unionGramCounts(Seq(
+        spark.read.parquet(batchPath), spark.read.parquet(k4Path)))
+    }
+    assert(e.getMessage.contains("disagree on k"))
+    val e2 = intercept[IllegalArgumentException] {
+      Corpus.spansAgainstCounts(fixture, "doc_id", "text",
+        spark.read.parquet(batchPath).unionByName(spark.read.parquet(k4Path))).collect()
+    }
+    assert(e2.getMessage.contains("mixed k"))
+  }
+
   test("a gram occurring >= minCount times only under a higher threshold is not flagged at it") {
     import spark.implicits._
     // "a b c" occurs exactly twice: flagged at minCount=2, not at 3

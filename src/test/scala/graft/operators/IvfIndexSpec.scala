@@ -202,6 +202,61 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() === emb.count() - delIds.count())
   }
 
+  test("reindexIvf heals a parked tree first: no row of a parked leaf is lost by the rebuild") {
+    val emb  = Tables.embeddings(spark, sfDir)
+    val path = tmp() + "/index"
+    Similarity.writeIvfIndex(emb, path, ncells = 8)
+    val total = emb.count()
+
+    // park one leaf the way a deleter killed between renames leaves it:
+    // live dir gone, only the dot-prefixed set-aside remains — which
+    // spark.read.parquet SKIPS, so an unhealed reindex would rebuild
+    // without these rows and then delete the old tree (permanent loss)
+    val victim = spark.read.parquet(path).select(col("cell_id").cast("int")).head().getInt(0)
+    val live   = new java.io.File(path, s"cell_id=$victim")
+    val parked = new java.io.File(path, s".ivfdel-old-cell_id=$victim")
+    assert(live.renameTo(parked), s"could not park $live")
+    // and park the index ROOT the way a dead reindex leaves it, so the
+    // documented recovery path (re-run reindexIvf) is exercised end to end
+    val root       = new java.io.File(path)
+    val rootParked = new java.io.File(root.getParentFile, s".reindex-old-${root.getName}")
+    assert(root.renameTo(rootParked), s"could not park $root")
+
+    Similarity.reindexIvf(spark, path, iters = 5)
+
+    // every row survived the rebuild, and search is still exact
+    assert(spark.read.parquet(path).count() === total)
+    val got = Similarity
+      .searchIvfIndex(spark, path, emb.filter(col("vec_id") < 10), k = 5, nprobe = 8)
+      .select("probe_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = Similarity.bruteForceTopK(emb, col("vec_id") < 10, k = 5)
+      .select("probe_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("mergeIvfIndexes: an empty/corrupt base quantizer is rejected, never merged against") {
+    val emb  = Tables.embeddings(spark, sfDir)
+    val root = tmp()
+    val pa   = root + "/base"
+    val pb   = root + "/other"
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 50), pa, ncells = 4)
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") >= 50), pb, ncells = 2)
+    // corrupt the base quantizer: zero-row centroids table, schema intact —
+    // pre-guard, the fused probe went vacuously empty and the merge
+    // proceeded against a quantizer no search can ever route with
+    val centPath = s"$pa.centroids"
+    val schema   = spark.read.parquet(centPath).schema
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(centPath)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mergeIvfIndexes(spark, pa, pb, root + "/merged")
+    }
+    assert(e.getMessage.contains("empty or corrupt"))
+    assert(!new java.io.File(root, "merged").exists())
+  }
+
   test("mergeIvfIndexes: merged full-probe search == brute force over the union; base geometry kept") {
     val emb  = Tables.embeddings(spark, sfDir)
     val root = tmp()
