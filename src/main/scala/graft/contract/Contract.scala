@@ -4491,13 +4491,20 @@ object Contract {
       // collapses to 'en' at 0.407 precision — this corpus's lang labels
       // are near-independent of the text, so NO classifier generalizes,
       // and the eval tier is what proves the labels (not the model) are
-      // the bottleneck before anyone ships the filter.
+      // the bottleneck before anyone ships the filter. Round 13: the
+      // score path consumes the PERSISTED model (writeModel/readModel,
+      // the frozen-model production posture) — score slices the model
+      // frame three times (lik/oov/prior), and against a live train
+      // lineage that re-ran the two training shuffles per slice (18
+      // exchanges in the r12 executed plan; ~8 against the parquet frame).
       (s, d) => {
         import graft.operators.{NaiveBayes, Profile, Splits}
         val docs = Tables.documents(s, d)
         val split = Splits.splitLabel(
           col("doc_id"), Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
-        val model = NaiveBayes.train(docs.filter(split === "train"), "lang", "text")
+        val modelDir = s"$scratchRoot/nb_model"
+        NaiveBayes.writeModel(docs.filter(split === "train"), "lang", "text", modelDir)
+        val model = NaiveBayes.readModel(s, modelDir)
         val test  = docs.filter(split === "test")
         val scored = test
           .select(col("doc_id"), col("lang").as("label"))

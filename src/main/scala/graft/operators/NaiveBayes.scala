@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -67,12 +67,40 @@ object NaiveBayes {
     lik.unionByName(oov).unionByName(prior)
   }
 
+  /** Train and PERSIST the model frame at `dir` (parquet, overwrite) —
+    * the frozen-model posture (`Corpus.writeUnigramModel`): train once on
+    * labeled reference data, then every consumer scores against the
+    * persisted frame instead of re-evaluating the training lineage (two
+    * corpus-token-keyed shuffles) once per model slice — `score` reads the
+    * model three times (lik/oov/prior), so an unpersisted training DAG
+    * triples the training cost, which at corpus scale is the whole bill.
+    * Freezing is also the SEMANTIC requirement for gating streaming
+    * ingest: per-batch re-training would let one junk-heavy drain redefine
+    * every class (the runIngestLmGated rule).
+    */
+  def writeModel(
+      docs: DataFrame,
+      labelCol: String,
+      textCol: String,
+      dir: String): Unit = {
+    train(docs, labelCol, textCol).write.mode("overwrite").parquet(dir)
+    ()
+  }
+
+  /** The persisted model frame (see `writeModel`) — pass to `score`. */
+  def readModel(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
   /** Score every doc under every trained class and keep the argmax:
     * output (idCol, pred, score_x1e6) with score = prior + Σ per-token
     * quantized log-likelihood (OOV fallback for unseen tokens); ties
     * break by class ascending. Docs predict only among TRAINED classes
     * (a class absent from training has no prior — it cannot win, in
     * either engine).
+    *
+    * `model` is consumed THREE times (lik/oov/prior slices) — pass the
+    * persisted frame (`writeModel`/`readModel`), not a live `train`
+    * lineage, or the training shuffles re-run per slice.
     */
   def score(
       docs: DataFrame,

@@ -352,6 +352,57 @@ object CorpusStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** `runIngest` + a FROZEN trainable-classifier gate — the NaiveBayes
+    * completion of the filter-model arc (train from labels →
+    * `NaiveBayes.writeModel` freezes → THIS gates production ingest on
+    * the measurement): each drained batch is scored against the persisted
+    * model and only documents whose argmax class lands in `keepClasses`
+    * merge into the corpus — the "keep the languages/domains the
+    * classifier recognizes as wanted" rule a 100-TB ingest actually runs.
+    * The model is frozen by design (the runIngestLmGated /
+    * fixed-centroid posture): per-batch re-training would let one
+    * junk-heavy drain redefine every class boundary. Scoring is batch
+    * machinery inside foreachBatch (token explode + model join + per-doc
+    * argmax), so the replay/idempotence contract is runIngest's
+    * unchanged — a re-delivered batch re-scores identically (the model
+    * is integer-quantized and frozen) and the digest-keyed upsert
+    * replaces its own rows.
+    */
+  def runIngestNbGated(
+      spark: SparkSession,
+      rawDir: String,
+      corpusDir: String,
+      modelDir: String,
+      checkpointDir: String,
+      keepClasses: Seq[String],
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    require(keepClasses.nonEmpty, "runIngestNbGated: keepClasses must be non-empty")
+    curatedStream(docStream(spark, rawDir, maxFilesPerTrigger))
+      .withColumn("date", to_date(col("ts")))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss     = batch.sparkSession
+        val cached = batch.cache()
+        try if (!cached.isEmpty) {
+          val keep = graft.operators.NaiveBayes
+            .score(cached, "doc_id", "text",
+              graft.operators.NaiveBayes.readModel(ss, modelDir))
+            .filter(col("pred").isin(keepClasses: _*))
+            .select(col("doc_id"))
+          val gated = cached.join(keep, Seq("doc_id"), "left_semi").cache()
+          try MergeSink.upsert(
+            ss, gated, corpusDir,
+            keyCols = Seq("digest"), partitionCols = Seq("date"))
+          finally gated.unpersist()
+        } finally { cached.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming token-frequency sketching: each drain writes its batch's
     * count-min delta as ONE row keyed by batch_id (MergeSink upsert — a
     * replayed batch OVERWRITES its own row instead of double-counting,

@@ -63,6 +63,26 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(got === Map(7L -> "a2"))
   }
 
+  test("writeModel/readModel: the persisted frame scores identically to the live lineage") {
+    import spark.implicits._
+    val dir   = java.nio.file.Files.createTempDirectory("nbmodel").toString + "/model"
+    val train = Seq(("a", "x x y"), ("b", "z z")).toDF("lang", "text")
+    NaiveBayes.writeModel(train, "lang", "text", dir)
+    val persisted = NaiveBayes.readModel(spark, dir)
+    // the model rows round-trip exactly (quantized longs — no float drift)
+    val live = model.collect()
+      .map(r => ((r.getString(0), r.getString(1), Option(r.getString(2))), r.getLong(3))).toSet
+    val back = persisted.collect()
+      .map(r => ((r.getString(0), r.getString(1), Option(r.getString(2))), r.getLong(3))).toSet
+    assert(back === live)
+    // and scoring through the persisted frame is bit-identical
+    val docs = Seq((1L, "x z"), (2L, "y")).toDF("doc_id", "text")
+    def key(m: org.apache.spark.sql.DataFrame) =
+      NaiveBayes.score(docs, "doc_id", "text", m)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(key(persisted) === key(model))
+  }
+
   test("trained on the real corpus, NB closes the heuristic's never-predicts-a-class failure") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val m      = NaiveBayes.train(docs, "lang", "text")

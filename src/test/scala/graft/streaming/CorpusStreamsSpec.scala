@@ -183,6 +183,51 @@ class CorpusStreamsSpec extends AnyFunSuite {
     assert(spark.read.parquet(corpus).count() === 2)
   }
 
+  test("NB-gated ingest: frozen classifier keeps only wanted classes; gate == batch score; replay converges") {
+    import spark.implicits._
+    val raw    = tmp("nb-raw")
+    val corpus = tmp("nb-out") + "/corpus"
+    val model  = tmp("nb-model") + "/model"
+
+    // train once from labels, freeze: 'en' on the clean phrases, 'zz' on
+    // gibberish — the completed filter-model arc (train -> writeModel ->
+    // gate) the q178->q179->q185 eval tier built toward
+    val junkA = "zzqx9 vvkw7 qqmmz8 xxj3 wwp5 vkz2"
+    val junkB = "vvkw7 xxj3 zzqx9 wwp5 qqmmz8 vkz2 vvkw7"
+    graft.operators.NaiveBayes.writeModel(
+      Seq(("en", good1), ("en", good2), ("zz", junkA), ("zz", junkB))
+        .toDF("lang", "text"),
+      "lang", "text", model)
+
+    // the junk doc passes every surface gate (tokens/punct/bigrams) but
+    // its tokens are the zz class's — only the classifier can drop it
+    val junkC = "qqmmz8 zzqx9 vkz2 vvkw7 xxj3 wwp5"
+    writeDocs(raw, "b1.json", Seq(1L -> good1, 2L -> junkC, 3L -> good2))
+    CorpusStreams
+      .runIngestNbGated(spark, raw, corpus, model, tmp("nb-ckpt"), keepClasses = Seq("en"))
+      .awaitTermination()
+    val got = spark.read.parquet(corpus).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L), s"expected the zz-class doc gated out, got $got")
+
+    // gate law: the streamed survivors == the batch score-filter over the
+    // same quality-surviving docs against the same frozen model
+    val batchPred = graft.operators.NaiveBayes
+      .score(
+        spark.read.schema(CorpusStreams.DocSchema).json(raw)
+          .filter(graft.functions.TextAnalysis.tokenCount(col("text")) >= 5),
+        "doc_id", "text", graft.operators.NaiveBayes.readModel(spark, model))
+      .filter(col("pred") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === batchPred)
+
+    // replay from a fresh checkpoint converges (digest-idempotent upsert;
+    // the frozen integer-quantized model re-scores identically)
+    CorpusStreams
+      .runIngestNbGated(spark, raw, corpus, model, tmp("nb-ckpt2"), keepClasses = Seq("en"))
+      .awaitTermination()
+    assert(spark.read.parquet(corpus).count() === 2)
+  }
+
   test("drift monitor: in-distribution batch scores 0, drifted batch alarms; " +
     "re-drain with no new files adds nothing") {
     import spark.implicits._
