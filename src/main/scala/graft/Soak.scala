@@ -80,7 +80,13 @@ object Soak {
     "q182_decontam_spans", "q183_span_incremental", "q184_curation_v7",
     // q185: NB scoring is |corpus tokens| x |classes| through one keyed
     // join; q186: the strip action's positional anti-join + reassembly
-    "q185_naive_bayes", "q186_span_strip")
+    "q185_naive_bayes", "q186_span_strip",
+    // round-13: the LSH edition of the leak-free split — soaked NEXT TO
+    // q123 so the curve shows the exact-vs-sublinear pair (the q87/q164
+    // story applied to split hygiene): q123's all-pairs clique term grows
+    // ~(replicas)^2 under the replica construction, q189's banded miner
+    // stays near-linear
+    "q189_leakfree_split_lsh")
 
   def main(args: Array[String]): Unit = {
     val src      = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")

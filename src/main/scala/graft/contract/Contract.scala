@@ -4572,6 +4572,27 @@ object Contract {
           "source",
           tX1e6 = 100000L),
       Some(OracleSql.q188)
+    ),
+    Q(
+      "q189_leakfree_split_lsh",
+      // leak-free split, LSH edition (round 13, closing the q123 scale
+      // question): q123 mines the near-dup pair graph with the EXACT
+      // all-pairs Jaccard scan, whose clique-pair output term is the
+      // adversarial-density cost driver at 40x; this is the SAME split
+      // semantics (component closure -> hashed representative -> q53
+      // buckets) over Dedup.lshNearDupPairs — banded candidates + exact
+      // verify, the sublinear mining a 100-TB split actually runs (the
+      // q164-vs-q87 precedent, applied to split hygiene).
+      (s, d) => {
+        val docs  = Tables.documents(s, d)
+        val pairs = graft.operators.Dedup.lshNearDupPairs(docs, "doc_id", "text")
+        graft.operators.Splits
+          .leakFreeSplit(
+            docs.select(col("doc_id"), col("source")), pairs, "doc_id",
+            Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+          .select(col("doc_id"), col("source"), col("group_key"), col("split"))
+      },
+      Some(OracleSql.q189)
     )
   )
 

@@ -1967,6 +1967,39 @@ object OracleSql {
        |SELECT id_a, id_b, (max(run) + 2)::BIGINT AS span_tokens, sum(run)::BIGINT AS n_matches
        |FROM g GROUP BY 1, 2 HAVING max(run) + 2 >= 8""".stripMargin
 
+  /** Leakage-free split, LSH edition (q189): q123's semantics — component
+    * closure over the near-dup pair graph, split by the hashed component
+    * representative — with the pair graph mined by banded LSH instead of
+    * the all-pairs Jaccard scan (the q164 precedent: identical banding,
+    * identical exact verify). The recursive CTE replays the closure over
+    * the LSH-mined edges; the split rule is the q53 hash unchanged.
+    */
+  val q189: String =
+    s"""WITH RECURSIVE $lshPairCtes,
+       |pairs AS (
+       |  SELECT id_a, id_b FROM v
+       |  WHERE inter::DOUBLE / (na + nb - inter) >= 0.8),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |walk(src, reach) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+       |label AS (SELECT src AS id, MIN(reach) AS label FROM walk GROUP BY src),
+       |gk AS (
+       |  SELECT d.doc_id, d.source, coalesce(l.label, d.doc_id) AS group_key
+       |  FROM documents d LEFT JOIN label l ON l.id = d.doc_id),
+       |b AS (
+       |  SELECT doc_id, source, group_key,
+       |    ((((group_key % 1000000007) + 1000000007) % 1000000007)
+       |      * 2654435761 % 1000000007) % 10000 AS bucket
+       |  FROM gk)
+       |SELECT doc_id, source, group_key,
+       |  CASE WHEN bucket < 8000 THEN 'train'
+       |       WHEN bucket < 9000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b""".stripMargin
+
   /** Capstone curation mirror, LSH edition (q164): q87's exact chain with
     * the all-pairs near-dedup stage replaced by the banded-LSH miner
     * (q52's banding + verify + greedy drop over the quality-gated,
