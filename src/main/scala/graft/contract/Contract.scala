@@ -4593,6 +4593,32 @@ object Contract {
           .select(col("doc_id"), col("source"), col("group_key"), col("split"))
       },
       Some(OracleSql.q189)
+    ),
+    Q(
+      "q190_span_store_union",
+      // union-of-stores span mining (round 13, certifying what r12 only
+      // documented): a batch gram-count store and a second independently
+      // built store — the streaming-ingest shape: each gh-unique on its
+      // own, sharing grams whose counts are therefore SPLIT across the
+      // union — folded through unionGramCounts (re-sums split counts,
+      // refuses mixed k) and mined against. Stores covering exactly this
+      // corpus must reproduce q180's one-shot miner bit for bit, so the
+      // oracle IS q180's SQL (the q183 precedent). The raw unionByName
+      // would under-mine every cross-store span — the spec proves that
+      // negative; this entry certifies the fold cross-engine.
+      (s, d) => {
+        import graft.operators.Corpus
+        val docs = Tables.documents(s, d)
+        val dir  = s"$scratchRoot/gram_union_q190"
+        Corpus.writeGramCounts(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", k = 8, s"$dir/a")
+        Corpus.writeGramCounts(
+          docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", k = 8, s"$dir/b")
+        Corpus.spansAgainstCounts(docs, "doc_id", "text",
+          Corpus.unionGramCounts(Seq(
+            s.read.parquet(s"$dir/a"), s.read.parquet(s"$dir/b"))))
+      },
+      Some(OracleSql.q180)
     )
   )
 
