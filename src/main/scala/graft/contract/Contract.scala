@@ -4619,6 +4619,27 @@ object Contract {
             s.read.parquet(s"$dir/a"), s.read.parquet(s"$dir/b"))))
       },
       Some(OracleSql.q180)
+    ),
+    Q(
+      "q191_auc_exact",
+      // exact ROC-AUC (round 13) — the THRESHOLD-FREE member of the eval
+      // tier: classifierMetrics (q176/q178/q185) grades one chosen cut,
+      // AUC grades the whole ranking (P(random positive outscores random
+      // negative), ties half credit — Mann-Whitney U), which is what a
+      // pipeline measures BEFORE it picks a gate threshold. Scored here:
+      // does q135's token-entropy score separate lang='en' docs? Never
+      // pairwise — per-score (pos, neg) grouping, one cumulative window
+      // over |distinct scores| rows, ONE truncating division (micro-unit
+      // rule), so the whole fold hash-matches the oracle exactly.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Profile.aucExact(
+          graft.operators.Corpus.tokenEntropy(docs, "doc_id", "text")
+            .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+              Seq("doc_id")),
+          "is_en", "entropy_x1e6")
+      },
+      Some(OracleSql.q191)
     )
   )
 

@@ -2000,6 +2000,41 @@ object OracleSql {
        |       ELSE 'test' END AS split
        |FROM b""".stripMargin
 
+  /** Exact ROC-AUC (q191): Profile.aucExact replayed — q135's integer
+    * entropy score, per-score (pos, neg) grouping, cumulative-negative
+    * window over distinct scores, Mann-Whitney fold with half-credit
+    * ties, ONE truncating division into micro-units. Window SUM casts
+    * ::BIGINT (DuckDB windows promote to HUGEINT).
+    */
+  val q191: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tc AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, term),
+       |dn AS (SELECT doc_id, sum(c)::BIGINT AS n FROM tc GROUP BY 1),
+       |ent AS (
+       |  SELECT tc.doc_id,
+       |    (sum(c * round(ln(dn.n::DOUBLE / c::DOUBLE) * 1000000)::BIGINT)::BIGINT) // dn.n
+       |      AS s
+       |  FROM tc JOIN dn USING (doc_id) GROUP BY tc.doc_id, dn.n),
+       |b AS (
+       |  SELECT ent.s, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM ent JOIN documents d USING (doc_id)
+       |  WHERE d.lang IS NOT NULL),
+       |ps AS (SELECT s, SUM(y)::BIGINT AS pos, (COUNT(*) - SUM(y))::BIGINT AS neg
+       |       FROM b GROUP BY s),
+       |t AS (
+       |  SELECT *,
+       |    COALESCE(SUM(neg) OVER
+       |      (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |      AS cumneg
+       |  FROM ps)
+       |SELECT SUM(pos)::BIGINT AS n_pos, SUM(neg)::BIGINT AS n_neg,
+       |  CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0
+       |       THEN (((2 * SUM(pos * cumneg) + SUM(pos * neg)) * 500000)
+       |             // (SUM(pos) * SUM(neg)))::BIGINT
+       |       ELSE NULL END AS auc_x1e6
+       |FROM t""".stripMargin
+
   /** Capstone curation mirror, LSH edition (q164): q87's exact chain with
     * the all-pairs near-dedup stage replaced by the banded-LSH miner
     * (q52's banding + verify + greedy drop over the quality-gated,

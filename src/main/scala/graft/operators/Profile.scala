@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-profiling operators — the first pass a pipeline runs over an
@@ -385,5 +386,54 @@ object Profile {
         when(expr("2 * tp + fp + fn") > 0,
           expr("(2 * tp * 1000000L) div (2 * tp + fp + fn)"))
           .otherwise(lit(0L)).as("f1_x1e6"))
+  }
+
+  /** Exact ROC-AUC of a score against a boolean label — the
+    * THRESHOLD-FREE companion of `classifierMetrics`: precision/recall
+    * grade one chosen cut; AUC grades the score's whole ranking (the
+    * probability a random positive outscores a random negative, ties at
+    * half credit — the Mann-Whitney U form), which is what a pipeline
+    * reads BEFORE it picks a gate threshold (a score with AUC ~0.5 has no
+    * usable cut; the q178→q179 arc chose its precision floor only after
+    * the measurement said one existed).
+    *
+    * Exactness: concordant/tied pair counts are integers; the single
+    * division is one truncating `div` into micro-units (q135 rule) —
+    * auc_x1e6 = (2·concordant + ties)·500000 div (n_pos·n_neg).
+    * Envelope: the numerator needs n_pos·n_neg ≤ 9.2e12 (the
+    * tClosenessAudit envelope) — an eval set of 3M balanced rows; past
+    * it, sample or pre-bucket the score.
+    *
+    * Scale shape: NEVER pairwise — one partial-agg shuffle groups rows by
+    * score value into (pos, neg) counts, then the cumulative-negative
+    * window runs over |distinct scores| rows (bounded by the score's
+    * support, not the corpus; an unpartitioned window is safe at that
+    * cardinality and the plan's only serial point). Null labels/scores
+    * are excluded. Output: one row (n_pos, n_neg, auc_x1e6; auc null
+    * when either class is empty — an unmeasurable ranking, the
+    * tClosenessAudit unscoreable rule).
+    */
+  def aucExact(scored: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val base = scored
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(
+        col(scoreCol).as("__s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+    val perScore = base
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).as("__pos"), (count(lit(1)) - sum(col("__y"))).as("__neg"))
+    val w = Window.orderBy(col("__s")).rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("__cumneg", coalesce(sum(col("__neg")).over(w), lit(0L)))
+      .agg(
+        sum(col("__pos")).as("n_pos"),
+        sum(col("__neg")).as("n_neg"),
+        sum(col("__pos") * col("__cumneg")).as("__conc"),
+        sum(col("__pos") * col("__neg")).as("__ties"))
+      .select(
+        col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("((2 * __conc + __ties) * 500000L) div (n_pos * n_neg)"))
+          .as("auc_x1e6"))
   }
 }

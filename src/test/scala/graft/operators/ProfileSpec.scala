@@ -244,4 +244,32 @@ class ProfileSpec extends AnyFunSuite {
       assert(r.getAs[Long]("fp") === 0L && r.getAs[Long]("fn") === 0L)
     }
   }
+
+  test("aucExact: separation=1e6, inversion=0, ties at half credit, hand-mixed value, null guard") {
+    import spark.implicits._
+    def auc(rows: Seq[(Boolean, Long)]): Option[Long] = {
+      val r = Profile
+        .aucExact(rows.toDF("y", "s"), "y", "s")
+        .collect().head
+      if (r.isNullAt(2)) None else Some(r.getLong(2))
+    }
+    // perfect separation and its inversion
+    assert(auc(Seq((true, 10L), (true, 9L), (false, 2L), (false, 1L))) === Some(1000000L))
+    assert(auc(Seq((false, 10L), (false, 9L), (true, 2L), (true, 1L))) === Some(0L))
+    // every score tied: all pairs at half credit -> exactly 0.5
+    assert(auc(Seq((true, 5L), (false, 5L), (true, 5L), (false, 5L))) === Some(500000L))
+    // hand-mixed: pos {3, 1}, neg {2, 2}. pairs: (3 vs 2,2) concordant x2;
+    // (1 vs 2,2) discordant x2 -> auc = 2/4 = 0.5... make it asymmetric:
+    // pos {3, 2}, neg {2, 1}: (3>2),(3>1),(2>1) concordant=3, (2,2) tie=1
+    // -> (2*3 + 1) * 500000 / 4 = 875000
+    assert(auc(Seq((true, 3L), (true, 2L), (false, 2L), (false, 1L))) === Some(875000L))
+    // one class absent -> unmeasurable, NULL (never a division by zero)
+    assert(auc(Seq((true, 3L), (true, 1L))) === None)
+    // null labels and scores are excluded before counting
+    val withNulls = Seq(
+      (Option(true), Option(10L)), (Option(true), None),
+      (Option(false), Option(1L)), (None, Option(99L))).toDF("y", "s")
+    val r = Profile.aucExact(withNulls, "y", "s").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 1L, 1000000L)))
+  }
 }
