@@ -4640,6 +4640,34 @@ object Contract {
           "is_en", "entropy_x1e6")
       },
       Some(OracleSql.q191)
+    ),
+    Q(
+      "q192_nb_score_auc",
+      // the filter-model arc measured THRESHOLD-FREE (round 13): q185
+      // showed held-out NB collapsing to 'en' at 0.407 precision — but
+      // precision grades the argmax, one implied cut. This asks the prior
+      // question a pipeline must answer before gating on ANY cut: is the
+      // NB 'en'-class score (NaiveBayes.scoreAll, persisted model) even a
+      // usable RANKING of English-ness on held-out docs? AUC ~0.5 is the
+      // quantified form of the q185 finding (labels near-independent of
+      // text — no cut exists); integer scores through the q191 fold, so
+      // the measurement hash-matches the oracle.
+      (s, d) => {
+        import graft.operators.{NaiveBayes, Profile, Splits}
+        val docs = Tables.documents(s, d)
+        val split = Splits.splitLabel(
+          col("doc_id"), Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        val modelDir = s"$scratchRoot/nb_model_q192"
+        NaiveBayes.writeModel(docs.filter(split === "train"), "lang", "text", modelDir)
+        val test = docs.filter(split === "test")
+        Profile.aucExact(
+          NaiveBayes.scoreAll(test, "doc_id", "text", NaiveBayes.readModel(s, modelDir))
+            .filter(col("class") === "en")
+            .join(test.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+              Seq("doc_id")),
+          "is_en", "score_x1e6")
+      },
+      Some(OracleSql.q192)
     )
   )
 

@@ -865,8 +865,12 @@ object OracleSql {
     * ties class-ascending), then the q178 per-class metric tail over the
     * predictions.
     */
-  val q185: String =
-    s"""WITH sp AS (
+  /** Shared NB CTE chain (q185/q192): deterministic split → train-split
+    * quantized model (lik/oov/pri) → the test split's full (doc, class)
+    * score grid `sc(doc_id, class, score)`; `te` carries held-out labels.
+    */
+  private val nbScoreCtes: String =
+    s"""sp AS (
        |  SELECT doc_id,
        |    CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
        |  FROM (SELECT doc_id,
@@ -902,7 +906,10 @@ object OracleSql {
        |  LEFT JOIN lik l ON l.class = o.class AND l.token = tt.token
        |  GROUP BY tt.doc_id, o.class),
        |sc AS (SELECT pc.doc_id, pc.class, pc.toksum + pri.lp AS score
-       |       FROM pc JOIN pri ON pri.class = pc.class),
+       |       FROM pc JOIN pri ON pri.class = pc.class)""".stripMargin
+
+  val q185: String =
+    s"""WITH $nbScoreCtes,
        |prd AS (
        |  SELECT doc_id, class AS pred FROM (
        |    SELECT doc_id, class,
@@ -2020,6 +2027,31 @@ object OracleSql {
        |  SELECT ent.s, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
        |  FROM ent JOIN documents d USING (doc_id)
        |  WHERE d.lang IS NOT NULL),
+       |ps AS (SELECT s, SUM(y)::BIGINT AS pos, (COUNT(*) - SUM(y))::BIGINT AS neg
+       |       FROM b GROUP BY s),
+       |t AS (
+       |  SELECT *,
+       |    COALESCE(SUM(neg) OVER
+       |      (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |      AS cumneg
+       |  FROM ps)
+       |SELECT SUM(pos)::BIGINT AS n_pos, SUM(neg)::BIGINT AS n_neg,
+       |  CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0
+       |       THEN (((2 * SUM(pos * cumneg) + SUM(pos * neg)) * 500000)
+       |             // (SUM(pos) * SUM(neg)))::BIGINT
+       |       ELSE NULL END AS auc_x1e6
+       |FROM t""".stripMargin
+
+  /** NB-score AUC (q192): the q185 score grid's 'en' column graded as a
+    * detector on the held-out labels — nbScoreCtes through `sc`, then the
+    * q191 Mann-Whitney fold over the integer scores.
+    */
+  val q192: String =
+    s"""WITH $nbScoreCtes,
+       |b AS (
+       |  SELECT sc.score AS s, CASE WHEN te.label = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM sc JOIN te USING (doc_id)
+       |  WHERE sc.class = 'en' AND te.label IS NOT NULL),
        |ps AS (SELECT s, SUM(y)::BIGINT AS pos, (COUNT(*) - SUM(y))::BIGINT AS neg
        |       FROM b GROUP BY s),
        |t AS (

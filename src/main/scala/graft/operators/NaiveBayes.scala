@@ -107,6 +107,26 @@ object NaiveBayes {
       idCol: String,
       textCol: String,
       model: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score_x1e6").desc, col("class").asc)
+    scoreAll(docs, idCol, textCol, model)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("class").as("pred"), col("score_x1e6"))
+  }
+
+  /** The full (doc x class) score grid BEFORE the argmax — (idCol, class,
+    * score_x1e6), one row per doc per trained class. `score` keeps only
+    * each doc's winner; this exposes the per-class posterior scores the
+    * eval tier measures directly (e.g. `Profile.aucExact` of one class's
+    * score as a detector — the threshold-free question "is this score
+    * USABLE as a gate", asked before anyone picks a cut). Same model
+    * contract as `score` (pass the persisted frame).
+    */
+  def scoreAll(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DataFrame): DataFrame = {
     val base = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol), split(col(textCol), " ").as("__tk"))
@@ -117,7 +137,7 @@ object NaiveBayes {
       .select(col("class"), col("logp_x1e6").as("__oov"))
     val prior = model.filter(col("kind") === "prior")
       .select(col("class"), col("logp_x1e6").as("__prior"))
-    val perClass = toks
+    toks
       .crossJoin(broadcast(oov)) // |tokens| x |classes|, the NB score grid
       .join(lik, Seq("class", "token"), "left_outer")
       .select(col(idCol), col("class"), coalesce(col("logp_x1e6"), col("__oov")).as("__lp"))
@@ -125,10 +145,5 @@ object NaiveBayes {
       .agg(sum(col("__lp")).as("__toksum"))
       .join(broadcast(prior), Seq("class"))
       .select(col(idCol), col("class"), (col("__toksum") + col("__prior")).as("score_x1e6"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("score_x1e6").desc, col("class").asc)
-    perClass
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("class").as("pred"), col("score_x1e6"))
   }
 }
