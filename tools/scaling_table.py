@@ -39,6 +39,11 @@ def main() -> None:
         ("q180_duplicated_spans", "span miner"),
         ("q183_span_incremental", "span incr store"),
         ("q184_curation_v7", "q184 census gate"),
+        # round-13: the split-hygiene exact-vs-sublinear pair (the q87/q164
+        # story applied to leakFreeSplit) — q123's all-pairs clique term vs
+        # q189's banded-LSH miner
+        ("q123_leakfree_split", "q123 exact split"),
+        ("q189_leakfree_split_lsh", "q189 LSH split"),
     ]
     present = [(k, label) for k, label in cols if any(k in p["queries"] for p in points)]
     print("| replicas (docs) | " + " | ".join(label for _, label in present) + " |")
