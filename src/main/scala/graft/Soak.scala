@@ -86,7 +86,13 @@ object Soak {
     // story applied to split hygiene): q123's all-pairs clique term grows
     // ~(replicas)^2 under the replica construction, q189's banded miner
     // stays near-linear
-    "q189_leakfree_split_lsh")
+    "q189_leakfree_split_lsh",
+    // round-13: BPE train (4 merges over the replicated corpus) +
+    // learned-tokenizer fertility — one corpus word-count pass, then
+    // vocab-sized merge steps; the replica construction grows the corpus
+    // 40x but the vocab only by the zzrepN suffix words, so the curve
+    // should show the corpus pass dominating and the merge loop flat
+    "q198_bpe_fertility")
 
   def main(args: Array[String]): Unit = {
     val src      = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")

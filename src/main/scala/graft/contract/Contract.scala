@@ -4668,6 +4668,123 @@ object Contract {
           "is_en", "score_x1e6")
       },
       Some(OracleSql.q192)
+    ),
+    Q(
+      "q193_threshold_sweep",
+      // the table a pipeline reads to CHOOSE its gate cut (round 13):
+      // q191 said whether the entropy score ranks 'en' docs at all; this
+      // materializes every candidate threshold (each distinct score, rule
+      // score >= t) with its exact confusion counts and integer
+      // precision/recall/F1 — the generalized form of how q179's 0.40
+      // precision floor was picked. One partial-agg shuffle to |distinct
+      // scores| rows + the one serial window at that bounded cardinality.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Profile.thresholdSweep(
+          graft.operators.Corpus.tokenEntropy(docs, "doc_id", "text")
+            .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+              Seq("doc_id")),
+          "is_en", "entropy_x1e6")
+      },
+      Some(OracleSql.q193)
+    ),
+    Q(
+      "q194_auc_by_source",
+      // q191 sliced per source (round 13) — the fairness/debugging form:
+      // a corpus-wide AUC partly measures "which source is this?" when
+      // sources differ in base rate; a per-source gate is only defensible
+      // if the WITHIN-source ranking carries signal. Same Mann-Whitney
+      // fold, cumulative window partitioned by source so groups rank in
+      // parallel and the serial point is per-group score support.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Profile.aucByGroup(
+          graft.operators.Corpus.tokenEntropy(docs, "doc_id", "text")
+            .join(docs.select(col("doc_id"), col("source"),
+              (col("lang") === "en").as("is_en")), Seq("doc_id")),
+          "source", "is_en", "entropy_x1e6")
+      },
+      Some(OracleSql.q194)
+    ),
+    Q(
+      "q195_average_precision",
+      // exact average precision (round 13) — ROC-AUC's companion for the
+      // imbalanced case, the NORMAL case for a corpus filter: AUC is
+      // dominated by plentiful negatives and can read high while
+      // precision is unusable at every cut; AP weights each cut by recall
+      // gained (sklearn step convention, tie-aware at distinct-score
+      // groups), answering "of what the gate keeps, how much is right"
+      // across all cuts at once. Integer counts, two documented
+      // truncating divisions, the aucExact plan shape.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Profile.averagePrecision(
+          graft.operators.Corpus.tokenEntropy(docs, "doc_id", "text")
+            .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+              Seq("doc_id")),
+          "is_en", "entropy_x1e6")
+      },
+      Some(OracleSql.q195)
+    ),
+    Q(
+      "q196_classifier_kappa",
+      // Cohen's kappa of the q178 langid heuristic vs the ground-truth
+      // label (round 13) — chance-corrected agreement: raw accuracy
+      // flatters any classifier that shares the corpus's majority class
+      // (q178 showed the heuristic calling 'en' on 91% of docs; on an
+      // 'en'-heavy corpus that agrees with the truth plenty by luck
+      // alone). Kappa subtracts the marginal-product chance agreement —
+      // the honest single number for comparing a cheap heuristic against
+      // a trained replacement before swapping gates. Exact integers
+      // through the |classes|^2 confusion matrix; the one scaled division
+      // truncates toward zero on the absolute value with the sign applied
+      // after (Spark div truncates, DuckDB // floors — kappa is
+      // legitimately negative for worse-than-chance, so the sign-split
+      // form is the cross-engine-stable one).
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        graft.operators.Profile.cohenKappa(
+          Tables.documents(s, d)
+            .select(col("lang"), TextAnalysis.langGuess(col("text")).as("pred")),
+          "lang", "pred")
+      },
+      Some(OracleSql.q196)
+    ),
+    Q(
+      "q197_bpe_train",
+      // BPE tokenizer TRAINING (round 13) — the tokenizer side the engine
+      // previously only measured (q151 grades a fixed tokenizer; this
+      // LEARNS the merge table, Sennrich 2016). The published algorithm's
+      // own scale posture: the corpus is touched ONCE (one partial-agg
+      // shuffle to word frequencies); every merge step runs on the
+      // vocab-sized frame with a 1-row driver collect (the
+      // kmeansCentroids control-plane posture), localCheckpointed so
+      // lineage stays one merge deep. The oracle replays the loop as an
+      // UNROLLED CTE chain (list_zip pair counts, argmax with the
+      // deterministic tie rule, list_reduce greedy merge application) —
+      // certifying the trainer itself cross-engine, early stop included
+      // (an empty step empties all later legs).
+      (s, d) =>
+        graft.operators.Bpe.train(Tables.documents(s, d), "text", numMerges = 4),
+      Some(OracleSql.q197)
+    ),
+    Q(
+      "q198_bpe_fertility",
+      // fertility of the LEARNED tokenizer per language (round 13) — the
+      // q151 measurement closed into a train→measure loop: the number a
+      // pipeline reads to decide whether numMerges was enough and whether
+      // any language is over-fragmented relative to the rest (the
+      // multilingual-tokenizer equity check). One corpus pass to (lang,
+      // word, count), vocab-sized segmentation (merges applied in rank
+      // order inside the row), one hash join back, one rollup with one
+      // truncating micro-unit division per language.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Bpe.fertility(
+          docs, "lang", "text",
+          graft.operators.Bpe.train(docs, "text", numMerges = 4))
+      },
+      Some(OracleSql.q198)
     )
   )
 

@@ -2067,6 +2067,230 @@ object OracleSql {
        |       ELSE NULL END AS auc_x1e6
        |FROM t""".stripMargin
 
+  /** Shared q193/q194/q195 prefix: q135's integer token-entropy score per
+    * doc (the q191 scored frame, before the label join).
+    */
+  private val entropyCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tc AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, term),
+       |dn AS (SELECT doc_id, sum(c)::BIGINT AS n FROM tc GROUP BY 1),
+       |ent AS (
+       |  SELECT tc.doc_id,
+       |    (sum(c * round(ln(dn.n::DOUBLE / c::DOUBLE) * 1000000)::BIGINT)::BIGINT) // dn.n
+       |      AS s
+       |  FROM tc JOIN dn USING (doc_id) GROUP BY tc.doc_id, dn.n)""".stripMargin
+
+  /** Threshold sweep (q193): Profile.thresholdSweep replayed — per-score
+    * (pos, neg) grouping, cumulative tp/fp in DESCENDING score order
+    * (rule: predict positive when score >= t), grand totals over the
+    * whole sweep, then the classifierMetrics micro-unit ratios. Window
+    * SUMs cast ::BIGINT (DuckDB promotes to HUGEINT).
+    */
+  val q193: String =
+    s"""WITH $entropyCtes,
+       |b AS (
+       |  SELECT ent.s, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM ent JOIN documents d USING (doc_id)
+       |  WHERE d.lang IS NOT NULL),
+       |ps AS (SELECT s, SUM(y)::BIGINT AS pos, (COUNT(*) - SUM(y))::BIGINT AS neg
+       |       FROM b GROUP BY s),
+       |t AS (
+       |  SELECT s AS threshold,
+       |    SUM(pos) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS tp,
+       |    SUM(neg) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS fp,
+       |    SUM(pos) OVER ()::BIGINT AS allpos,
+       |    SUM(neg) OVER ()::BIGINT AS allneg
+       |  FROM ps)
+       |SELECT threshold, tp, fp,
+       |  (allpos - tp)::BIGINT AS fn, (allneg - fp)::BIGINT AS tn,
+       |  (CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) ELSE 0 END)::BIGINT
+       |    AS precision_x1e6,
+       |  (CASE WHEN allpos > 0 THEN (tp * 1000000) // allpos ELSE 0 END)::BIGINT
+       |    AS recall_x1e6,
+       |  (CASE WHEN 2 * tp + fp + (allpos - tp) > 0
+       |        THEN (2 * tp * 1000000) // (2 * tp + fp + (allpos - tp))
+       |        ELSE 0 END)::BIGINT AS f1_x1e6
+       |FROM t""".stripMargin
+
+  /** Per-source AUC (q194): the q191 Mann-Whitney fold with the per-score
+    * grouping keyed (source, s) and the cumulative-negative window
+    * PARTITIONED by source.
+    */
+  val q194: String =
+    s"""WITH $entropyCtes,
+       |b AS (
+       |  SELECT d.source AS grp, ent.s,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM ent JOIN documents d USING (doc_id)
+       |  WHERE d.lang IS NOT NULL AND d.source IS NOT NULL),
+       |ps AS (SELECT grp, s, SUM(y)::BIGINT AS pos,
+       |              (COUNT(*) - SUM(y))::BIGINT AS neg
+       |       FROM b GROUP BY grp, s),
+       |t AS (
+       |  SELECT *,
+       |    COALESCE(SUM(neg) OVER (PARTITION BY grp ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cumneg
+       |  FROM ps)
+       |SELECT grp AS "group", SUM(pos)::BIGINT AS n_pos, SUM(neg)::BIGINT AS n_neg,
+       |  CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0
+       |       THEN (((2 * SUM(pos * cumneg) + SUM(pos * neg)) * 500000)
+       |             // (SUM(pos) * SUM(neg)))::BIGINT
+       |       ELSE NULL END AS auc_x1e6
+       |FROM t GROUP BY grp""".stripMargin
+
+  /** Exact average precision (q195): Profile.averagePrecision replayed —
+    * per-score (pos, n) groups, INCLUSIVE cumulative counts in descending
+    * score order, per-term truncating micro-unit precision, final
+    * truncating division by n_pos (the documented two-div form).
+    */
+  val q195: String =
+    s"""WITH $entropyCtes,
+       |b AS (
+       |  SELECT ent.s, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM ent JOIN documents d USING (doc_id)
+       |  WHERE d.lang IS NOT NULL),
+       |ps AS (SELECT s, SUM(y)::BIGINT AS pos, COUNT(*)::BIGINT AS cnt
+       |       FROM b GROUP BY s),
+       |t AS (
+       |  SELECT pos, cnt,
+       |    SUM(pos) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumpos,
+       |    SUM(cnt) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumall
+       |  FROM ps)
+       |SELECT SUM(pos)::BIGINT AS n_pos, SUM(cnt)::BIGINT AS n,
+       |  CASE WHEN SUM(pos) > 0
+       |       THEN (SUM(pos * ((cumpos * 1000000) // cumall)) // SUM(pos))::BIGINT
+       |       ELSE NULL END AS ap_x1e6
+       |FROM t""".stripMargin
+
+  /** Cohen's kappa of the langid heuristic vs truth (q196): q178's
+    * lang_guess CASE per doc, the |classes|^2 confusion matrix, marginal
+    * products over the JOINT class set (full outer join), and the
+    * sign-split truncating division (DuckDB // floors on negatives; the
+    * CASE applies the sign after dividing absolute values, matching
+    * Spark's toward-zero div).
+    */
+  val q196: String =
+    s"""WITH toks AS (SELECT lang, string_split(text, ' ') AS tk FROM documents),
+       |g AS (
+       |  SELECT lang AS a,
+       |    CASE WHEN len(list_filter(tk, t -> list_contains(['the','a','of'], t)))
+       |           >= len(list_filter(tk, t -> list_contains(['el','la','de'], t)))
+       |          AND len(list_filter(tk, t -> list_contains(['the','a','of'], t))) > 0 THEN 'en'
+       |         WHEN len(list_filter(tk, t -> list_contains(['el','la','de'], t)))
+       |           > len(list_filter(tk, t -> list_contains(['the','a','of'], t))) THEN 'es'
+       |         ELSE 'unk' END AS b
+       |  FROM toks
+       |  WHERE lang IS NOT NULL),
+       |cells AS (SELECT a, b, COUNT(*)::BIGINT AS c FROM g GROUP BY a, b),
+       |att AS (SELECT a AS k, SUM(c)::BIGINT AS t FROM cells GROUP BY 1),
+       |btt AS (SELECT b AS k, SUM(c)::BIGINT AS t FROM cells GROUP BY 1),
+       |chance AS (
+       |  SELECT SUM(COALESCE(att.t, 0) * COALESCE(btt.t, 0))::BIGINT AS s
+       |  FROM att FULL OUTER JOIN btt USING (k)),
+       |m AS (SELECT SUM(c)::BIGINT AS n,
+       |             SUM(CASE WHEN a = b THEN c ELSE 0 END)::BIGINT AS agree
+       |      FROM cells)
+       |SELECT n, agree,
+       |  CASE WHEN n * n - chance.s <> 0
+       |       THEN (CASE WHEN n * agree >= chance.s
+       |                  THEN ((n * agree - chance.s) * 1000000) // (n * n - chance.s)
+       |                  ELSE -(((chance.s - n * agree) * 1000000) // (n * n - chance.s))
+       |             END)::BIGINT
+       |       ELSE NULL END AS kappa_x1e6
+       |FROM m, chance""".stripMargin
+
+  /** Unrolled BPE-training CTE chain (q197/q198): the Sennrich loop
+    * replayed step by step in SQL — wc (whitespace word frequencies), s0
+    * (initial symbols: chars, last suffixed "</w>", singleton-wrapped so
+    * list_reduce's accumulator and elements share a type), then per step
+    * i: p_i (adjacent-pair counts via list_zip of the shifted views,
+    * weighted by word count), m_i (argmax under the count DESC / left ASC
+    * / right ASC tie rule, WRAPPED with the minPairCount >= 2 floor — an
+    * empty m_i empties every later s/p/m through the cross join, which is
+    * exactly the trainer's early stop), s_i (the greedy leftmost
+    * non-overlapping merge applied via list_reduce: tail == l && next ==
+    * r replaces, else appends — a just-merged symbol can never re-match
+    * as l within the step since merged is strictly longer).
+    * `throughStep` controls how many s_i are emitted (q197 needs s_{k-1},
+    * q198 applies the last merge too).
+    */
+  private def bpeTrainCtes(k: Int, throughStep: Int): String = {
+    val steps = (1 to k).flatMap { i =>
+      val p =
+        s"""p$i AS (
+           |  SELECT z[1][1] AS l, z[2][1] AS r, SUM(cnt)::BIGINT AS c
+           |  FROM s${i - 1}, unnest(list_zip(syms[:-2], syms[2:])) AS u(z)
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT * FROM
+           |  (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1) WHERE c >= 2)""".stripMargin
+      val s =
+        if (i <= throughStep)
+          Seq(s"""s$i AS (
+                 |  SELECT word, cnt,
+                 |    CASE WHEN len(syms) >= 2 THEN
+                 |      list_transform(
+                 |        list_reduce(syms, (acc, x) ->
+                 |          CASE WHEN acc[-1] = m$i.l AND x[1] = m$i.r
+                 |               THEN acc[:-2] || [m$i.l || m$i.r]
+                 |               ELSE acc || x END),
+                 |        s -> [s])
+                 |    ELSE syms END AS syms
+                 |  FROM s${i - 1}, m$i)""".stripMargin)
+        else Seq.empty
+      p +: s
+    }
+    s"""wc AS (
+       |  SELECT word, COUNT(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |        FROM documents WHERE text IS NOT NULL)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |s0 AS (
+       |  SELECT word, cnt,
+       |    list_transform(
+       |      string_split(word, '')[:-2] || [string_split(word, '')[-1] || '</w>'],
+       |      s -> [s]) AS syms
+       |  FROM wc),
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  /** BPE merge table (q197): Bpe.train at numMerges=4 replayed by the
+    * unrolled chain; each leg is empty when its step stopped early, so
+    * the row count itself certifies the stop rule.
+    */
+  val q197: String = {
+    val legs = (1 to 4)
+      .map(i =>
+        s"""SELECT ${i}::BIGINT AS rank, l AS "left", r AS "right",
+           |  l || r AS merged, c AS pair_count FROM m$i""".stripMargin)
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeTrainCtes(4, 3)}
+       |SELECT * FROM ($legs) ORDER BY rank""".stripMargin
+  }
+
+  /** Per-language fertility under the 4-merge learned tokenizer (q198):
+    * the chain through s4 (all four merges applied), token count =
+    * final symbol-array length per word, then the per-lang rollup with
+    * one truncating micro-unit division.
+    */
+  val q198: String =
+    s"""WITH ${bpeTrainCtes(4, 4)},
+       |wl AS (
+       |  SELECT lang, word, COUNT(*)::BIGINT AS w_cnt
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+       |        FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL)
+       |  WHERE length(word) > 0 GROUP BY lang, word)
+       |SELECT lang, SUM(w_cnt)::BIGINT AS n_words,
+       |  SUM(w_cnt * len(s4.syms))::BIGINT AS n_tokens,
+       |  ((SUM(w_cnt * len(s4.syms)) * 1000000) // SUM(w_cnt))::BIGINT
+       |    AS fertility_x1e6
+       |FROM wl JOIN s4 USING (word)
+       |GROUP BY lang""".stripMargin
+
   /** Capstone curation mirror, LSH edition (q164): q87's exact chain with
     * the all-pairs near-dedup stage replaced by the banded-LSH miner
     * (q52's banding + verify + greedy drop over the quality-gated,

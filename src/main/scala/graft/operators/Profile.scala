@@ -436,4 +436,194 @@ object Profile {
           expr("((2 * __conc + __ties) * 500000L) div (n_pos * n_neg)"))
           .as("auc_x1e6"))
   }
+
+  /** `aucExact` sliced per group — the fairness/debugging form: a score
+    * can rank well corpus-wide yet be at-chance INSIDE one source (the
+    * global AUC is then partly "which source is this?" rather than the
+    * property being scored), and a per-source gate threshold is only
+    * defensible if the within-source ranking carries signal. Same
+    * Mann-Whitney fold as `aucExact`, with the per-score grouping keyed
+    * (group, score) and the cumulative-negative window PARTITIONED by the
+    * group — so the serial point is |distinct scores WITHIN a group|, and
+    * groups rank in parallel. One partial-agg shuffle; groups with an
+    * empty class report NULL (unmeasurable, the aucExact rule).
+    *
+    * Output: group, n_pos, n_neg, auc_x1e6 — one row per group value.
+    */
+  def aucByGroup(
+      scored: DataFrame,
+      groupCol: String,
+      labelCol: String,
+      scoreCol: String): DataFrame = {
+    val base = scored
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull && col(groupCol).isNotNull)
+      .select(
+        col(groupCol).as("group"),
+        col(scoreCol).as("__s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+    val perScore = base
+      .groupBy(col("group"), col("__s"))
+      .agg(sum(col("__y")).as("__pos"), (count(lit(1)) - sum(col("__y"))).as("__neg"))
+    val w = Window.partitionBy(col("group")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("__cumneg", coalesce(sum(col("__neg")).over(w), lit(0L)))
+      .groupBy(col("group"))
+      .agg(
+        sum(col("__pos")).as("n_pos"),
+        sum(col("__neg")).as("n_neg"),
+        sum(col("__pos") * col("__cumneg")).as("__conc"),
+        sum(col("__pos") * col("__neg")).as("__ties"))
+      .select(
+        col("group"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("((2 * __conc + __ties) * 500000L) div (n_pos * n_neg)"))
+          .as("auc_x1e6"))
+  }
+
+  /** Full threshold sweep — the table a pipeline reads to CHOOSE its gate
+    * cut once `aucExact` says a usable ranking exists: one row per
+    * candidate threshold t (every distinct score value; the classifier
+    * "predict positive" rule is score >= t), carrying the exact confusion
+    * counts and integer precision/recall/F1 at that cut. q179's 0.40
+    * precision floor was picked from exactly this view of q178; this op
+    * generalizes it to any scored frame, so threshold choice is a
+    * measurement, not a guess.
+    *
+    * Exactness: tp/fp at cut t are cumulative (pos, neg) counts over
+    * scores >= t — integer window sums in DESCENDING score order; the
+    * ratios are the classifierMetrics micro-unit forms (F1 via
+    * 2tp/(2tp+fp+fn), no intermediate ratio). Scale shape: identical to
+    * aucExact — one partial-agg shuffle to |distinct scores| rows, then
+    * the one serial window at that bounded cardinality. Output rows =
+    * |distinct scores| (score support, not corpus size).
+    *
+    * Output: threshold, tp, fp, fn, tn, precision_x1e6, recall_x1e6,
+    * f1_x1e6 — sorted consumers pick argmax F1 (or the recall at a
+    * precision floor) downstream.
+    */
+  def thresholdSweep(scored: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val base = scored
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(
+        col(scoreCol).as("threshold"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+    val perScore = base
+      .groupBy(col("threshold"))
+      .agg(sum(col("__y")).as("__pos"), (count(lit(1)) - sum(col("__y"))).as("__neg"))
+    val cum = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perScore
+      .withColumn("tp", sum(col("__pos")).over(cum))
+      .withColumn("fp", sum(col("__neg")).over(cum))
+      .withColumn("fn", sum(col("__pos")).over(all) - col("tp"))
+      .withColumn("tn", sum(col("__neg")).over(all) - col("fp"))
+      .select(
+        col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0, expr("(tp * 1000000L) div (tp + fp)"))
+          .otherwise(lit(0L)).as("precision_x1e6"),
+        when(col("tp") + col("fn") > 0, expr("(tp * 1000000L) div (tp + fn)"))
+          .otherwise(lit(0L)).as("recall_x1e6"),
+        when(expr("2 * tp + fp + fn") > 0,
+          expr("(2 * tp * 1000000L) div (2 * tp + fp + fn)"))
+          .otherwise(lit(0L)).as("f1_x1e6"))
+  }
+
+  /** Exact average precision (area under the precision-recall curve, step
+    * form) — ROC-AUC's companion for the IMBALANCED case, which is the
+    * normal case for a corpus filter (the class being gated for is rare):
+    * ROC-AUC is dominated by the plentiful negatives and can read high
+    * while precision is unusable at every cut; AP weights each point by
+    * recall gained, so it answers "of what the gate keeps, how much is
+    * right" across all cuts at once.
+    *
+    * Definition (the sklearn step convention, tie-aware): over distinct
+    * scores in DESCENDING order, AP = Σ_t (ΔR_t · P_t) where P_t, R_t are
+    * precision/recall with all rows scoring >= t predicted positive —
+    * algebraically Σ_t pos_t · (cumpos_t / cumall_t) / n_pos with
+    * INCLUSIVE cumulative counts, so ties contribute at their group
+    * boundary. Exactness: integer counts; per-term precision is one
+    * truncating div into micro-units, the final division by n_pos a
+    * second (documented two-div form — each replayed identically by the
+    * oracle). Scale shape: the aucExact plan — one partial-agg shuffle,
+    * one serial window over |distinct scores| rows. NULL when no
+    * positives exist (unmeasurable).
+    *
+    * Output: one row — n_pos, n, ap_x1e6.
+    */
+  def averagePrecision(scored: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val base = scored
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(
+        col(scoreCol).as("__s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+    val perScore = base
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).as("__pos"), count(lit(1)).as("__n"))
+    val cum = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perScore
+      .withColumn("__cumpos", sum(col("__pos")).over(cum))
+      .withColumn("__cumall", sum(col("__n")).over(cum))
+      .agg(
+        sum(col("__pos")).as("n_pos"),
+        sum(col("__n")).as("n"),
+        sum(col("__pos") * expr("(__cumpos * 1000000L) div __cumall")).as("__apnum"))
+      .select(
+        col("n_pos"), col("n"),
+        when(col("n_pos") > 0, expr("__apnum div n_pos")).as("ap_x1e6"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two label columns
+    * (rater form: two classifiers over the same rows, or a classifier vs
+    * the truth). Raw accuracy flatters any pair that shares a majority
+    * class (two filters that both say "keep" 95% of the time agree 90%+
+    * by luck alone); kappa subtracts the agreement their marginals would
+    * produce by chance, which is the honest way to compare a cheap
+    * heuristic against a trained replacement before swapping one for the
+    * other in a gate.
+    *
+    * Exact integer form: with n rows, `agree` diagonal count, and
+    * S = Σ_c rowtotal_c · coltotal_c (the chance-agreement numerator over
+    * the joint class set), kappa = (n·agree − S) / (n² − S). Both
+    * numerator and denominator are exact integers; the single scaled
+    * division truncates TOWARD ZERO on |numerator| with the sign applied
+    * after (Spark `div` truncates, DuckDB `//` floors — they disagree on
+    * negatives, and kappa is legitimately negative for worse-than-chance
+    * agreement, so the sign-split form is the cross-engine-stable one).
+    * NULL when n² == S (a degenerate marginal — e.g. either column
+    * constant — makes chance agreement total and kappa undefined).
+    *
+    * Scale shape: one partial-agg shuffle to the |classes|² confusion
+    * matrix, then marginal folds over that tiny frame. Null rows in
+    * either column are excluded (the classifierMetrics rule).
+    *
+    * Output: one row — n, agree, kappa_x1e6.
+    */
+  def cohenKappa(frame: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = frame
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val aTot = cells.groupBy(col("__a").as("__k")).agg(sum(col("__c")).as("__at"))
+    val bTot = cells.groupBy(col("__b").as("__k")).agg(sum(col("__c")).as("__bt"))
+    val chance = aTot
+      .join(bTot, Seq("__k"), "full_outer")
+      .agg(sum(coalesce(col("__at"), lit(0L)) * coalesce(col("__bt"), lit(0L))).as("__s"))
+    cells
+      .agg(
+        sum(col("__c")).as("n"),
+        sum(when(col("__a") === col("__b"), col("__c")).otherwise(lit(0L))).as("agree"))
+      .crossJoin(broadcast(chance))
+      .select(
+        col("n"), col("agree"),
+        when(expr("n * n - __s") =!= 0L,
+          expr("""CASE WHEN n * agree >= __s
+                 |  THEN ((n * agree - __s) * 1000000L) div (n * n - __s)
+                 |  ELSE -(((__s - n * agree) * 1000000L) div (n * n - __s))
+                 |END""".stripMargin))
+          .as("kappa_x1e6"))
+  }
 }

@@ -272,4 +272,95 @@ class ProfileSpec extends AnyFunSuite {
     val r = Profile.aucExact(withNulls, "y", "s").collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 1L, 1000000L)))
   }
+
+  test("aucByGroup: per-group separation/inversion, one-class group NULL, null group excluded") {
+    import spark.implicits._
+    val rows = Seq(
+      // g1: perfect separation
+      (Option("g1"), true, 10L), (Option("g1"), true, 9L),
+      (Option("g1"), false, 2L), (Option("g1"), false, 1L),
+      // g2: perfect inversion
+      (Option("g2"), false, 10L), (Option("g2"), true, 1L),
+      // g3: one class only -> unmeasurable
+      (Option("g3"), true, 5L), (Option("g3"), true, 4L),
+      // null group -> excluded entirely
+      (None, true, 7L), (None, false, 3L))
+      .toDF("g", "y", "s")
+    val got = Profile.aucByGroup(rows, "g", "y", "s").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+    assert(got === Map(
+      "g1" -> ((2L, 2L, Some(1000000L))),
+      "g2" -> ((1L, 1L, Some(0L))),
+      "g3" -> ((2L, 0L, None))))
+  }
+
+  test("thresholdSweep: hand-computed confusion at every cut, tie grouping, totals") {
+    import spark.implicits._
+    // pos scores {5, 3}, neg scores {4, 1}: cuts at each distinct score desc
+    val rows = Seq((true, 5L), (false, 4L), (true, 3L), (false, 1L)).toDF("y", "s")
+    val got = Profile.thresholdSweep(rows, "y", "s").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    assert(got === Map(
+      5L -> ((1L, 0L, 1L, 2L, 1000000L, 500000L, 666666L)),
+      4L -> ((1L, 1L, 1L, 1L, 500000L, 500000L, 500000L)),
+      3L -> ((2L, 1L, 0L, 1L, 666666L, 1000000L, 800000L)),
+      1L -> ((2L, 2L, 0L, 0L, 500000L, 1000000L, 666666L))))
+    // ties collapse to ONE candidate cut carrying both rows
+    val tied = Seq((true, 5L), (false, 5L), (true, 2L)).toDF("y", "s")
+    val tg = Profile.thresholdSweep(tied, "y", "s").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(tg === Map(5L -> ((1L, 1L)), 2L -> ((2L, 1L))))
+  }
+
+  test("averagePrecision: sklearn step value, perfect=1e6, ties at group boundary, no-pos NULL") {
+    import spark.implicits._
+    def ap(rows: Seq[(Boolean, Long)]): (Long, Long, Option[Long]) = {
+      val r = Profile.averagePrecision(rows.toDF("y", "s"), "y", "s").collect().head
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }
+    // pos {5,3}, neg {4,1}: AP = (0.5*1 + 0.5*(2/3)) = 0.8333 -> 833333
+    // (term1: 1*(1e6 div 1)=1000000; term2: 1*(2e6 div 3)=666666; div 2)
+    assert(ap(Seq((true, 5L), (false, 4L), (true, 3L), (false, 1L)))
+      === ((2L, 4L, Some(833333L))))
+    // perfect ranking
+    assert(ap(Seq((true, 9L), (true, 8L), (false, 2L))) === ((2L, 3L, Some(1000000L))))
+    // tie group: pos and neg share the top score -> precision at the
+    // group BOUNDARY (1 of 2), AP = 500000
+    assert(ap(Seq((true, 5L), (false, 5L))) === ((1L, 2L, Some(500000L))))
+    // no positives -> unmeasurable
+    assert(ap(Seq((false, 5L), (false, 1L))) === ((0L, 2L, None)))
+  }
+
+  test("cohenKappa: textbook 0.4, chance-floor negative, degenerate NULL, joint-class marginals, null exclusion") {
+    import spark.implicits._
+    // the classic 2x2: (yes,yes)=20 (yes,no)=5 (no,yes)=10 (no,no)=15
+    // n=50 agree=35, S = 25*30 + 25*20 = 1250, kappa = 500/1250 = 0.4
+    val classic =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+        Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val r1 = Profile.cohenKappa(classic.toDF("a", "b"), "a", "b").collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) === ((50L, 35L, 400000L)))
+    // systematic disagreement with symmetric marginals -> kappa = -1
+    // (exercises the sign-split truncating division on a negative value)
+    val anti = (Seq.fill(3)(("x", "y")) ++ Seq.fill(3)(("y", "x"))).toDF("a", "b")
+    assert(Profile.cohenKappa(anti, "a", "b").collect().head.getLong(2) === -1000000L)
+    // both columns constant -> n^2 == S, chance agreement is total: NULL
+    val const = Seq.fill(4)(("k", "k")).toDF("a", "b")
+    assert(Profile.cohenKappa(const, "a", "b").collect().head.isNullAt(2))
+    // class present on one side only: marginal product coalesces to 0,
+    // kappa exactly 0 here ((6-6)/(9-6))
+    val oneSided = Seq(("a", "a"), ("a", "a"), ("c", "a")).toDF("a", "b")
+    val r2 = Profile.cohenKappa(oneSided, "a", "b").collect().head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((3L, 2L, 0L)))
+    // null on either side drops the row
+    val withNulls = Seq(
+      (Option("p"), Option("p")), (Option("p"), None), (None, Option("q")),
+      (Option("q"), Option("q")))
+      .toDF("a", "b")
+    assert(Profile.cohenKappa(withNulls, "a", "b").collect().head.getLong(0) === 2L)
+  }
 }
