@@ -4785,6 +4785,51 @@ object Contract {
           graft.operators.Bpe.train(docs, "text", numMerges = 4))
       },
       Some(OracleSql.q198)
+    ),
+    Q(
+      "q199_lift_gains",
+      // lift/gains table (round 13) — the population view of the entropy
+      // score's usefulness, the one a BUDGETED pipeline reads: if the
+      // gate can only afford the top decile, what share of the 'en' docs
+      // does each ranked prefix capture, and how much better than random?
+      // Equal-population deciles via the rank-only rankedGrouped pass
+      // (ROW_NUMBER semantics, id-ascending tie deal — no global window
+      // sort), then the serial window over 10 bucket rows only. Gain one
+      // truncating micro-unit division; lift the documented two-division
+      // form (overflow-safe to n ≈ 9.2e12).
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Profile.liftGains(
+          graft.operators.Corpus.tokenEntropy(docs, "doc_id", "text")
+            .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+              Seq("doc_id")),
+          "is_en", "entropy_x1e6", "doc_id", nBuckets = 10)
+      },
+      Some(OracleSql.q199)
+    ),
+    Q(
+      "q200_gram_novelty",
+      // wave novelty against the gram-count store (round 13) — the
+      // freshness measurement an incremental corpus reads per landing
+      // wave: what fraction of the wave's distinct 8-grams (and of its
+      // gram OCCURRENCES, the mass dedup actually saves) has the corpus
+      // never seen? Novelty collapsing toward zero = re-crawl sludge to
+      // route to dedup; a spike = distribution shift (the chi²/PSI
+      // monitors grade tokens, this grades k-gram CONTEXTS). Store from
+      // the even docs, wave = odd docs; grams travel as xxhash64 while
+      // the oracle replays RAW gram strings — certifying the hash path
+      // collision-free (the q180 convention).
+      (s, d) => {
+        import graft.operators.Corpus
+        val docs = Tables.documents(s, d)
+        val dir  = s"$scratchRoot/gram_novelty_q200"
+        Corpus.writeGramCounts(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", k = 8, dir)
+        Corpus.gramNovelty(
+          docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+          s.read.parquet(dir))
+      },
+      Some(OracleSql.q200)
     )
   )
 

@@ -2291,6 +2291,79 @@ object OracleSql {
        |FROM wl JOIN s4 USING (word)
        |GROUP BY lang""".stripMargin
 
+  /** Lift/gains table (q199): Profile.liftGains replayed — ROW_NUMBER
+    * over (score DESC, id ASC) matching rankBuckets' rank rule, bucket =
+    * (10·(rank−1)) div n, cumulative fold over the 10 bucket rows, gain
+    * one micro-unit division, lift the two-division form.
+    */
+  val q199: String =
+    s"""WITH $entropyCtes,
+       |b AS (
+       |  SELECT ent.doc_id, ent.s, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM ent JOIN documents d USING (doc_id)
+       |  WHERE d.lang IS NOT NULL),
+       |r AS (
+       |  SELECT y,
+       |    ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rnk,
+       |    COUNT(*) OVER () AS n
+       |  FROM b),
+       |bk AS (
+       |  SELECT ((10 * (rnk - 1)) // n)::BIGINT AS bucket,
+       |    COUNT(*)::BIGINT AS n_rows, SUM(y)::BIGINT AS n_pos
+       |  FROM r GROUP BY 1),
+       |t AS (
+       |  SELECT *,
+       |    SUM(n_rows) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumn,
+       |    SUM(n_pos) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cump,
+       |    SUM(n_rows) OVER ()::BIGINT AS totn,
+       |    SUM(n_pos) OVER ()::BIGINT AS totp
+       |  FROM bk)
+       |SELECT bucket, n_rows, n_pos,
+       |  CASE WHEN totp > 0 THEN ((cump * 1000000) // totp)::BIGINT
+       |       ELSE NULL END AS cum_gain_x1e6,
+       |  CASE WHEN totp > 0
+       |       THEN ((((cump * 1000000) // totp) * 1000000)
+       |             // ((cumn * 1000000) // totn))::BIGINT
+       |       ELSE NULL END AS lift_x1e6
+       |FROM t""".stripMargin
+
+  /** Wave novelty vs the gram-count store (q200): store = distinct
+    * 8-grams of the even docs, wave = odd docs' gram occurrence counts,
+    * left join on RAW gram strings (Spark joins on xxhash64 — the raw
+    * replay certifies the hash path collision-free, the q180 rule), then
+    * the one-row fold with two micro-unit truncating divisions.
+    */
+  val q200: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+       |              FROM documents WHERE text IS NOT NULL),
+       |g AS (
+       |  SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS gram
+       |  FROM toks, unnest(range(1, len(tk) - 8 + 2)) AS t(i)
+       |  WHERE len(tk) >= 8),
+       |store AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+       |wave AS (SELECT gram, COUNT(*)::BIGINT AS occ
+       |         FROM g WHERE doc_id % 2 <> 0 GROUP BY gram),
+       |j AS (
+       |  SELECT w.occ, (s.gram IS NOT NULL) AS seen
+       |  FROM wave w LEFT JOIN store s USING (gram))
+       |SELECT CAST(8 AS INTEGER) AS k,
+       |  COUNT(*)::BIGINT AS wave_grams,
+       |  SUM(CASE WHEN seen THEN 0 ELSE 1 END)::BIGINT AS novel_grams,
+       |  COALESCE(SUM(occ), 0)::BIGINT AS wave_occurrences,
+       |  COALESCE(SUM(CASE WHEN seen THEN 0 ELSE occ END), 0)::BIGINT
+       |    AS novel_occurrences,
+       |  CASE WHEN COUNT(*) > 0
+       |       THEN ((SUM(CASE WHEN seen THEN 0 ELSE 1 END) * 1000000)
+       |             // COUNT(*))::BIGINT
+       |       ELSE NULL END AS novelty_x1e6,
+       |  CASE WHEN COALESCE(SUM(occ), 0) > 0
+       |       THEN ((SUM(CASE WHEN seen THEN 0 ELSE occ END) * 1000000)
+       |             // SUM(occ))::BIGINT
+       |       ELSE NULL END AS novel_mass_x1e6
+       |FROM j""".stripMargin
+
   /** Capstone curation mirror, LSH edition (q164): q87's exact chain with
     * the all-pairs near-dedup stage replaced by the banded-LSH miner
     * (q52's banding + verify + greedy drop over the quality-gated,

@@ -1722,6 +1722,58 @@ object Corpus {
       .select(lit(ks.head).as("k"), col("gh"), col("c"))
   }
 
+  /** Novelty of a landing wave against the gram-count store — the
+    * freshness measurement an incremental corpus reads per wave: what
+    * fraction of the wave's distinct k-grams (and of its gram
+    * OCCURRENCES — the mass-weighted view, which is what dedup actually
+    * saves) has the corpus never seen? A wave whose novelty collapses
+    * toward zero is re-crawl/replay sludge to route to dedup before it
+    * costs storage; a spike is distribution shift worth a drift look
+    * (the chi²/PSI monitors grade tokens; this grades k-gram CONTEXTS).
+    *
+    * k comes from the store (store identity, the spansAgainstCounts
+    * rule); empty and mixed-k stores are refused by name. Scale shape:
+    * one partial-agg gram pass over the wave (grams travel as xxhash64,
+    * the store posture), one left join against the gh-unique store, one
+    * fold to a single row. Output: k, wave_grams, novel_grams,
+    * wave_occurrences, novel_occurrences, novelty_x1e6,
+    * novel_mass_x1e6 (micro-unit truncating divisions; NULL when the
+    * wave has no k-grams — an unmeasurable wave, not a zero-novelty one).
+    */
+  def gramNovelty(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      counts: DataFrame): DataFrame = {
+    val ks = counts.select(col("k")).distinct().collect().map(_.getInt(0))
+    require(ks.nonEmpty,
+      "gramNovelty: the gram-count store is EMPTY — no k to measure against " +
+        "(nothing was ever folded, or every folded doc was shorter than k)")
+    require(ks.length == 1,
+      s"gramNovelty: counts frame holds mixed k {${ks.sorted.mkString(",")}} — " +
+        "only stores built with the SAME k may be unioned (k is store identity)")
+    val k = ks.head
+    gramTable(docs, idCol, textCol, k)
+      .groupBy(col("__gh"))
+      .agg(count(lit(1)).as("__occ"))
+      .join(counts.select(col("gh").as("__gh"), lit(1).as("__seen")), Seq("__gh"), "left")
+      .agg(
+        count(lit(1)).as("wave_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("novel_grams"),
+        sum(col("__occ")).as("wave_occurrences"),
+        sum(when(col("__seen").isNull, col("__occ")).otherwise(0L)).as("novel_occurrences"))
+      .select(
+        lit(k).as("k"),
+        col("wave_grams"),
+        col("novel_grams"),
+        coalesce(col("wave_occurrences"), lit(0L)).as("wave_occurrences"),
+        coalesce(col("novel_occurrences"), lit(0L)).as("novel_occurrences"),
+        when(col("wave_grams") > 0,
+          expr("(novel_grams * 1000000L) div wave_grams")).as("novelty_x1e6"),
+        when(coalesce(col("wave_occurrences"), lit(0L)) > 0,
+          expr("(novel_occurrences * 1000000L) div wave_occurrences")).as("novel_mass_x1e6"))
+  }
+
   /** One wave's gram-count delta in the store schema (k, gh, c) — the
     * additive unit both ingest paths fold: `updateGramCounts` merges it
     * into the batch store, `CorpusStreams.runGramCountIngest` lands it

@@ -626,4 +626,63 @@ object Profile {
                  |END""".stripMargin))
           .as("kappa_x1e6"))
   }
+
+  /** Lift/gains table — the population view of a score's usefulness, the
+    * one a budgeted pipeline reads: "if the gate can only afford the top
+    * 10% / 20% / … of the corpus, what share of the positives does each
+    * prefix capture, and how much better than random is that?" Buckets
+    * are equal-population deciles of the score RANKING (ROW_NUMBER
+    * semantics via `Splits.rankBuckets` — descending score, id-ascending
+    * tie deal, so ties can't swallow a bucket and the table is
+    * partition-stable); cumulative gain = captured-positive share at
+    * each prefix, lift = that share over the prefix's population share.
+    *
+    * Exactness: all counts integer; gain is one truncating micro-unit
+    * division, lift the documented TWO-division form lift_x1e6 =
+    * (gain_x1e6 · 1e6) div pop_x1e6 (the averagePrecision rule — the
+    * cross-multiplied single-div form cum_pos·n·1e6 overflows past
+    * n ≈ 3e6, this form is safe to n ≤ 9.2e12). NULL gain/lift when no
+    * positives exist (unmeasurable). Scale shape: the rank-only
+    * rankedGrouped pass (no global window sort), one partial-agg fold to
+    * nBuckets rows, the serial window over those nBuckets rows only.
+    *
+    * Output: bucket (0 = best-scored), n_rows, n_pos, cum_gain_x1e6,
+    * lift_x1e6.
+    */
+  def liftGains(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      idCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    val base = scored
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(
+        col(idCol).as("__id"),
+        col(scoreCol).as("__s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"),
+        lit(0).as("__lg_all"))
+    val bucketed = graft.operators.Splits
+      .rankBuckets(base, "__lg_all", "__s", "__id", nBuckets, ascending = false)
+    val perBucket = bucketed
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__y")).as("n_pos"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perBucket
+      .withColumn("__cumn", sum(col("n_rows")).over(cum))
+      .withColumn("__cump", sum(col("n_pos")).over(cum))
+      .withColumn("__totn", sum(col("n_rows")).over(all))
+      .withColumn("__totp", sum(col("n_pos")).over(all))
+      .select(
+        col("bucket"), col("n_rows"), col("n_pos"),
+        when(col("__totp") > 0, expr("(__cump * 1000000L) div __totp"))
+          .as("cum_gain_x1e6"),
+        when(col("__totp") > 0,
+          expr("""(((__cump * 1000000L) div __totp) * 1000000L)
+                 |  div ((__cumn * 1000000L) div __totn)""".stripMargin))
+          .as("lift_x1e6"))
+  }
 }

@@ -484,6 +484,60 @@ object CorpusStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming fertility monitor — the drift posture applied to the
+    * LEARNED tokenizer (the runDriftMonitor shape, but grading k-gram
+    * fragmentation instead of token distribution): each drained batch is
+    * segmented per language under a FROZEN merge table (`Bpe.train`
+    * persisted as parquet at `mergesDir` — frozen by design, per-batch
+    * retraining would let one junk drain redefine the vocabulary) and its
+    * tokens-per-word compared against the per-language baseline fertility
+    * recorded at train time. A batch whose fertility exceeds baseline by
+    * more than `alarmMarginX1e6` micro-units is over-fragmenting — text
+    * the vocabulary has never seen (new language, encoding junk,
+    * adversarial spam), exactly what should page BEFORE the corpus eats
+    * it. Languages ABSENT from the baseline alarm unconditionally (an
+    * unbaselined language is the finding, not a gap to default).
+    *
+    * Audit rows are (lang, batch_id)-keyed and upserted idempotently
+    * (MergeSink) — an at-least-once replay converges. Per batch the cost
+    * is the `Bpe.fertility` shape: one batch-sized word-count pass, a
+    * vocab-sized segmentation, one broadcast-sized baseline join.
+    */
+  def runFertilityMonitor(
+      spark: SparkSession,
+      rawDir: String,
+      monitorDir: String,
+      mergesDir: String,
+      baselineDir: String,
+      checkpointDir: String,
+      alarmMarginX1e6: Long,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    docStream(spark, rawDir, maxFilesPerTrigger).writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss     = batch.sparkSession
+        val cached = batch.cache()
+        try if (!cached.isEmpty) {
+          val baseline = ss.read.parquet(baselineDir)
+            .select(col("lang"), col("fertility_x1e6").as("baseline_x1e6"))
+          val audit = graft.operators.Bpe
+            .fertility(cached, "lang", "text", ss.read.parquet(mergesDir))
+            .join(broadcast(baseline), Seq("lang"), "left")
+            .withColumn("batch_id", lit(batchId))
+            .withColumn(
+              "alarm",
+              col("baseline_x1e6").isNull ||
+                col("fertility_x1e6") - col("baseline_x1e6") > alarmMarginX1e6)
+          MergeSink.upsert(
+            ss, audit, monitorDir,
+            keyCols = Seq("lang", "batch_id"), partitionCols = Seq("lang"))
+        } finally { cached.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Runnable ingest job: raw JSON docs -> curated, exact-deduped,
     * date-partitioned parquet corpus, merged idempotently on the digest
     * (a replayed batch converges instead of duplicating — MergeSink's

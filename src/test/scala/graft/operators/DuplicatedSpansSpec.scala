@@ -312,4 +312,39 @@ class DuplicatedSpansSpec extends AnyFunSuite {
     assert(Corpus.duplicatedSpans(docs, "doc_id", "text", k = 3).count() === 2L)
     assert(Corpus.duplicatedSpans(docs, "doc_id", "text", k = 3, minCount = 3L).count() === 0L)
   }
+
+  test("gramNovelty: hand-computed gram/mass fractions; empty and mixed-k stores refused") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("gramnovel").toString
+    val path = s"$root/counts"
+    // store corpus: "a b c" -> 2-grams {"a b", "b c"}
+    Corpus.writeGramCounts(Seq((1L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 2, path)
+    // wave "a b a b": grams (a b), (b a), (a b) -> 2 distinct / 3
+    // occurrences; novel = {"b a"}: 1 of 2 grams (500000), 1 of 3
+    // occurrences (333333)
+    val wave = Seq((2L, "a b a b")).toDF("doc_id", "text")
+    val r = Corpus.gramNovelty(wave, "doc_id", "text", spark.read.parquet(path))
+      .collect().head
+    assert((r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) === ((2, 2L, 1L, 3L, 1L, 500000L, 333333L)))
+    // an all-seen wave scores exactly zero novelty
+    val seen = Corpus.gramNovelty(Seq((3L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", "text", spark.read.parquet(path)).collect().head
+    assert((seen.getLong(5), seen.getLong(6)) === ((0L, 0L)))
+    // empty store refused by name; mixed-k union refused
+    val e1 = intercept[IllegalArgumentException] {
+      Corpus.gramNovelty(wave, "doc_id", "text",
+        spark.read.parquet(path).filter(lit(false)))
+    }
+    assert(e1.getMessage.contains("EMPTY"))
+    val other = s"$root/counts3"
+    Corpus.writeGramCounts(Seq((1L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 3, other)
+    val e2 = intercept[IllegalArgumentException] {
+      Corpus.gramNovelty(wave, "doc_id", "text",
+        spark.read.parquet(path).unionByName(spark.read.parquet(other)))
+    }
+    assert(e2.getMessage.contains("mixed k"))
+  }
 }

@@ -335,6 +335,34 @@ class ProfileSpec extends AnyFunSuite {
     assert(ap(Seq((false, 5L), (false, 1L))) === ((0L, 2L, None)))
   }
 
+  test("liftGains: hand-computed deciles, tie deal straddles buckets, no-positives NULL") {
+    import spark.implicits._
+    // n=4, 2 buckets. scores 40/30/20/10, y 1/1/0/1 (3 positives):
+    // bucket 0 = {40,30} pos 2 -> gain 2e6 div 3 = 666666,
+    //   pop 500000 -> lift 666666*1e6 div 500000 = 1333332
+    // bucket 1 cumulative: gain 1e6, lift 1e6
+    val rows = Seq((1L, 40L, true), (2L, 30L, true), (3L, 20L, false), (4L, 10L, true))
+      .toDF("id", "s", "y")
+    val got = Profile.liftGains(rows, "y", "s", "id", nBuckets = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === Map(
+      0L -> ((2L, 2L, 666666L, 1333332L)),
+      1L -> ((2L, 1L, 1000000L, 1000000L))))
+    // tied scores deal by id ascending: the two 30s straddle the bucket
+    // boundary deterministically (id 2 into bucket 0, id 3 into bucket 1)
+    val tied = Seq((1L, 40L, true), (2L, 30L, false), (3L, 30L, true), (4L, 10L, false))
+      .toDF("id", "s", "y")
+    val tg = Profile.liftGains(tied, "y", "s", "id", nBuckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tg === Map(0L -> 1L, 1L -> 1L))
+    // no positives -> unmeasurable gain/lift, NULL (never a div by zero)
+    val nopos = Seq((1L, 9L, false), (2L, 3L, false)).toDF("id", "s", "y")
+    assert(Profile.liftGains(nopos, "y", "s", "id", nBuckets = 2)
+      .collect().forall(r => r.isNullAt(3) && r.isNullAt(4)))
+  }
+
   test("cohenKappa: textbook 0.4, chance-floor negative, degenerate NULL, joint-class marginals, null exclusion") {
     import spark.implicits._
     // the classic 2x2: (yes,yes)=20 (yes,no)=5 (no,yes)=10 (no,no)=15

@@ -269,6 +269,61 @@ class CorpusStreamsSpec extends AnyFunSuite {
     assert(spark.read.parquet(monitor).count() === 2L)
   }
 
+  test("fertility monitor: in-vocabulary batch quiet, fragmenting batch alarms, " +
+    "unbaselined language alarms unconditionally") {
+    import graft.operators.Bpe
+    import spark.implicits._
+    val raw      = tmp("fert-raw")
+    val monitor  = tmp("fert-out") + "/monitor"
+    val merges   = tmp("fert-model") + "/merges"
+    val baseline = tmp("fert-model") + "/baseline"
+    val ckpt     = tmp("fert-ckpt")
+
+    // train on a corpus BPE collapses fully (every word -> 1 token), so
+    // baseline fertility is exactly 1e6 and the hand numbers are exact
+    val train = Seq(("en", "aaaa bbbb aaaa bbbb")).toDF("lang", "text")
+    val m     = Bpe.train(train, "text", numMerges = 10)
+    m.write.parquet(merges)
+    Bpe.fertility(train, "lang", "text", m).write.parquet(baseline)
+
+    // batch 0: the training text itself -> fertility == baseline, quiet
+    writeDocs(raw, "b0.json", Seq(1L -> "aaaa bbbb aaaa bbbb"))
+    CorpusStreams
+      .runFertilityMonitor(spark, raw, monitor, merges, baseline, ckpt,
+        alarmMarginX1e6 = 500000L)
+      .awaitTermination()
+    // batch 1: unseen characters fragment to 1 token/char -> 4e6, alarm
+    writeDocs(raw, "b1.json", Seq(2L -> "zqxw vkpm"))
+    CorpusStreams
+      .runFertilityMonitor(spark, raw, monitor, merges, baseline, ckpt,
+        alarmMarginX1e6 = 500000L)
+      .awaitTermination()
+    // batch 2: a language the baseline never saw -> alarm by definition
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(raw, "b2.json"),
+      s"""{"doc_id":3,"text":"aaaa","lang":"xx","source":"s0","ts":"$T"}"""
+        .getBytes("UTF-8"))
+    CorpusStreams
+      .runFertilityMonitor(spark, raw, monitor, merges, baseline, ckpt,
+        alarmMarginX1e6 = 500000L)
+      .awaitTermination()
+
+    val got = spark.read.parquet(monitor)
+      .select("lang", "batch_id", "fertility_x1e6", "alarm")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      ("en", 0L, 1000000L, false),
+      ("en", 1L, 4000000L, true),
+      ("xx", 2L, 1000000L, true)), s"unexpected audit: $got")
+
+    // re-drain with no new files: nothing fires, the audit is unchanged
+    CorpusStreams
+      .runFertilityMonitor(spark, raw, monitor, merges, baseline, ckpt,
+        alarmMarginX1e6 = 500000L)
+      .awaitTermination()
+    assert(spark.read.parquet(monitor).count() === 3L)
+  }
+
   test("token CMS: drain folds sum to the one-shot sketch; idempotent re-drain") {
     import graft.operators.CountMin
     val raw    = tmp("cms-raw")

@@ -44,6 +44,9 @@ def main() -> None:
         # q189's banded-LSH miner
         ("q123_leakfree_split", "q123 exact split"),
         ("q189_leakfree_split_lsh", "q189 LSH split"),
+        # round-13: learned-tokenizer fertility — one corpus word-count
+        # pass + vocab-sized merge loop, so the curve should stay flat
+        ("q198_bpe_fertility", "q198 BPE fertility"),
     ]
     present = [(k, label) for k, label in cols if any(k in p["queries"] for p in points)]
     print("| replicas (docs) | " + " | ".join(label for _, label in present) + " |")
