@@ -538,6 +538,54 @@ object CorpusStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming novelty monitor — the third member of the monitor tier
+    * (runDriftMonitor grades token DISTRIBUTION, runFertilityMonitor
+    * grades tokenizer FRAGMENTATION, this grades k-gram CONTEXT
+    * freshness): each drained batch is measured with `Corpus.gramNovelty`
+    * against a FROZEN reference gram-count store (`writeGramCounts` at
+    * `storeDir` — frozen like the drift baselines: measuring against a
+    * live accumulating store would make a replayed batch score
+    * differently, breaking idempotence). A batch whose novel-gram
+    * fraction falls BELOW `alarmBelowX1e6` is re-crawl/replay sludge to
+    * route to dedup before it costs storage — the routing decision this
+    * monitor exists to automate. Batches with NO k-grams (all docs
+    * shorter than k) land with NULL novelty and alarm=true: an
+    * unmeasurable drain is a finding, not a pass.
+    *
+    * One (batch_id)-keyed audit row per drain, upserted idempotently.
+    * Per-batch cost: one batch-sized gram pass (8-byte hashes) + one
+    * join against the gh-unique store.
+    */
+  def runNoveltyMonitor(
+      spark: SparkSession,
+      rawDir: String,
+      monitorDir: String,
+      storeDir: String,
+      checkpointDir: String,
+      alarmBelowX1e6: Long,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    docStream(spark, rawDir, maxFilesPerTrigger).writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss     = batch.sparkSession
+        val cached = batch.cache()
+        try if (!cached.isEmpty) {
+          val audit = graft.operators.Corpus
+            .gramNovelty(cached, "doc_id", "text", ss.read.parquet(storeDir))
+            .withColumn("batch_id", lit(batchId))
+            .withColumn(
+              "alarm",
+              col("novelty_x1e6").isNull || col("novelty_x1e6") < alarmBelowX1e6)
+          MergeSink.upsert(
+            ss, audit, monitorDir,
+            keyCols = Seq("batch_id"), partitionCols = Seq("batch_id"))
+        } finally { cached.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Runnable ingest job: raw JSON docs -> curated, exact-deduped,
     * date-partitioned parquet corpus, merged idempotently on the digest
     * (a replayed batch converges instead of duplicating — MergeSink's

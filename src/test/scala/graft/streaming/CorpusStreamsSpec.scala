@@ -324,6 +324,51 @@ class CorpusStreamsSpec extends AnyFunSuite {
     assert(spark.read.parquet(monitor).count() === 3L)
   }
 
+  test("novelty monitor: all-seen batch alarms as sludge, fresh batch quiet, " +
+    "gram-less batch alarms as unmeasurable") {
+    import spark.implicits._
+    val raw     = tmp("novel-raw")
+    val monitor = tmp("novel-out") + "/monitor"
+    val store   = tmp("novel-model") + "/store"
+    val ckpt    = tmp("novel-ckpt")
+
+    // frozen reference store: 2-grams of "a b c" = {a b, b c}
+    graft.operators.Corpus.writeGramCounts(
+      Seq((100L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", k = 2, store)
+
+    def drain(): Unit =
+      CorpusStreams
+        .runNoveltyMonitor(spark, raw, monitor, store, ckpt, alarmBelowX1e6 = 300000L)
+        .awaitTermination()
+
+    // batch 0: exactly the reference text -> novelty 0 -> sludge alarm
+    writeDocs(raw, "b0.json", Seq(1L -> "a b c"))
+    drain()
+    // batch 1: entirely fresh grams -> novelty 1e6 -> quiet
+    writeDocs(raw, "b1.json", Seq(2L -> "x y z"))
+    drain()
+    // batch 2: a single-token doc has no 2-grams -> NULL novelty -> alarm
+    writeDocs(raw, "b2.json", Seq(3L -> "q"))
+    drain()
+
+    // batch_id is the PARTITION column, so parquet reads it back with the
+    // narrowest inferred type — cast for a stable comparison
+    val got = spark.read.parquet(monitor)
+      .select(col("batch_id").cast("long"), col("novelty_x1e6"), col("alarm"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getBoolean(2)))
+      .toMap
+    assert(got === Map(
+      0L -> ((Some(0L), true)),
+      1L -> ((Some(1000000L), false)),
+      2L -> ((None, true))), s"unexpected audit: $got")
+
+    // re-drain with no new files: unchanged
+    drain()
+    assert(spark.read.parquet(monitor).count() === 3L)
+  }
+
   test("token CMS: drain folds sum to the one-shot sketch; idempotent re-drain") {
     import graft.operators.CountMin
     val raw    = tmp("cms-raw")
