@@ -110,21 +110,29 @@ object Bench {
 
   private def parentMain(sfDir: String): Unit = {
     val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK_SIZE", "12").toInt.max(1)
-    // CALIBRATION GATE (round-10 verdict item 2): the r10 driver artifact
-    // recorded apparent 2x per-query "regressions" that were really ONE
-    // chunk landing on a ~2x degraded host slice (chunk calibration 0.992 s
-    // vs the 0.52-0.57 quiet-host band) — adjudicating that by hand cost a
-    // round. A chunk whose pinned-calibration median exceeds the gate is
-    // re-run ONCE and the lower-calibration pair is kept; BOTH calibration
-    // values land in the artifact ("recalibrated") so round-over-round
-    // diffs are self-explaining.
+    // CALIBRATION GATE (round-10 verdict item 2) + WAIT LOOP (round-13
+    // item 1 — the Soak posture ported here): the r10 artifact recorded
+    // apparent 2x per-query "regressions" that were really ONE chunk on a
+    // ~2x degraded host slice; r13's closing artifact was worse — 8/19
+    // chunks over the gate with two immediate retries coming back WORSE
+    // than their firsts (an immediate retry re-samples the SAME loaded
+    // host). A chunk over the gate now WAITS 60 s before each retry (up
+    // to a GLOBAL budget of SPARK_GRAFT_BENCH_CALIB_WAITS, default 8,
+    // shared across chunks so a permanently loaded host bounds the run at
+    // +8 min instead of hanging), keeps the quietest successful run, and
+    // records every (first, retry) calibration pair plus the total
+    // calib_waits in the artifact — a closing bench that never settled is
+    // self-declaring, not silently noisy.
     val calibGate =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB_GATE", "0.7").toDouble
+    val maxWaits =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB_WAITS", "8").toInt.max(0)
     val chunks = SparkEntry.queries.keys.toSeq.sorted.grouped(chunkSize).toSeq :+ pipelineNames
     val acc    = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var failed = List.empty[String]
     val calibs = scala.collection.mutable.ListBuffer.empty[Double]
     val recals = scala.collection.mutable.ListBuffer.empty[(Int, Double, Double)]
+    var waitsUsed  = 0
     var forkBroken = false
     chunks.zipWithIndex.foreach { case (names, ci) =>
       def runOnce(): (Seq[(String, Double)], List[String], List[Double]) = {
@@ -138,26 +146,28 @@ object Bench {
           (r, fl, cl.toList)
         }
       }
-      val first = runOnce()
-      val noisy = first._3.headOption.exists(_ > calibGate)
-      val (res, f, c) =
-        if (noisy && !forkBroken && first._2.isEmpty) {
-          System.err.println(f"[bench] chunk $ci calibration ${first._3.head}%.3f s " +
-            f"> gate $calibGate%.2f s — re-running once on the chance the host settles")
-          val second = runOnce()
-          recals += ((ci, first._3.headOption.getOrElse(-1.0),
-            second._3.headOption.getOrElse(-1.0)))
-          // keep the quieter-host run; a retry with failures never wins
-          if (second._2.isEmpty &&
-              second._3.headOption.exists(c2 => first._3.headOption.forall(c2 < _)))
-            second
-          else first
-        } else first
+      var best = runOnce()
+      while (best._3.headOption.exists(_ > calibGate) && !forkBroken &&
+             best._2.isEmpty && waitsUsed < maxWaits) {
+        waitsUsed += 1
+        System.err.println(f"[bench] chunk $ci calibration ${best._3.head}%.3f s " +
+          f"> gate $calibGate%.2f s — waiting 60 s for the host to settle " +
+          f"($waitsUsed/$maxWaits global waits) before re-running")
+        Thread.sleep(60000L)
+        val retry = runOnce()
+        recals += ((ci, best._3.headOption.getOrElse(-1.0),
+          retry._3.headOption.getOrElse(-1.0)))
+        // keep the quieter-host run; a retry with failures never wins
+        if (retry._2.isEmpty &&
+            retry._3.headOption.exists(c2 => best._3.headOption.forall(c2 < _)))
+          best = retry
+      }
+      val (res, f, c) = best
       acc ++= res
       failed :::= f
       calibs ++= c
     }
-    emit(acc.toSeq, failed, sfDir, calibs.toList, recals.toList)
+    emit(acc.toSeq, failed, sfDir, calibs.toList, recals.toList, waitsUsed)
     if (failed.nonEmpty) sys.exit(1)
   }
 
@@ -379,7 +389,8 @@ object Bench {
       failed: List[String],
       sfDir: String,
       calibs: Seq[Double],
-      recals: List[(Int, Double, Double)] = Nil): Unit = {
+      recals: List[(Int, Double, Double)] = Nil,
+      calibWaits: Int = 0): Unit = {
     val total    = results.map(_._2).filter(_ >= 0).sum
     val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
@@ -399,7 +410,7 @@ object Bench {
       if (calibs.isEmpty) ""
       else {
         val s = calibs.sorted
-        s""""calibration":{"pinned":"q02_tpch_q1@sf0.01","median":${fmt(s(s.size / 2))},"max":${fmt(s.last)},"n":${s.size}},$recalJs"""
+        s""""calibration":{"pinned":"q02_tpch_q1@sf0.01","median":${fmt(s(s.size / 2))},"max":${fmt(s.last)},"n":${s.size},"calib_waits":$calibWaits},$recalJs"""
       }
     val loadavg =
       try Files.readString(Paths.get("/proc/loadavg")).trim.split("\\s+").take(3).mkString("[", ",", "]")
@@ -448,7 +459,7 @@ object Bench {
     // slowest-first (failures always included) until the budget is spent;
     // the omitted fast tail is summed into "rest" so value still equals
     // the sum of everything reported.
-    val budget  = 1500 // leave room for calibration + loadavg + sf1 summary
+    val budget  = 1100 // leave tail room for the compact headline LAST line
     val ordered = results.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
     val picked  = scala.collection.mutable.ListBuffer.empty[(String, Double)]
     var used    = 0
@@ -462,5 +473,19 @@ object Bench {
       else s""""rest":${fmt(rest)},"omitted":${results.size - picked.size},"""
     val qs = picked.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     println(line(qs, restJs + soakSummary))
+    // COMPACT HEADLINE, ALWAYS THE LAST LINE (round-13 verdict item 1):
+    // the r13 driver capture kept only the stdout tail and the detailed
+    // line's HEAD — "metric":"total" and the worst queries — fell off,
+    // leaving parsed:null. This line is ~350 chars of complete JSON (the
+    // 5 worst queries + the calibration/settledness facts), so a 2000-char
+    // tail capture can never truncate the headline again, and it is a
+    // fully parseable {"metric":"total",...} record on its own.
+    val worst5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$worst5,""" +
+        s""""rest":${fmt(total - results.filter(_._2 >= 0).sortBy(-_._2).take(5).map(_._2).sum)},""" +
+        calibJs + soakSummary +
+        s""""sf":"$sfDir","n_queries":${results.size},"failed":$failedJs}""")
   }
 }

@@ -92,7 +92,12 @@ object Soak {
     // vocab-sized merge steps; the replica construction grows the corpus
     // 40x but the vocab only by the zzrepN suffix words, so the curve
     // should show the corpus pass dominating and the merge loop flat
-    "q198_bpe_fertility")
+    "q198_bpe_fertility",
+    // round-14: the novelty→dedup routing loop — store build + wave
+    // novelty probe + (alarmed branch) span excision; under the replica
+    // construction the replay wave is maximal-duplication sludge, so the
+    // curve measures the alarm path's mine+strip at volume
+    "q201_novelty_routed")
 
   def main(args: Array[String]): Unit = {
     val src      = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")

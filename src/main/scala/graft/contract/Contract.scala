@@ -4830,6 +4830,41 @@ object Contract {
           s.read.parquet(dir))
       },
       Some(OracleSql.q200)
+    ),
+    Q(
+      "q201_novelty_routed",
+      // the novelty alarm ACTING on ingest (round 14 — closes the r13
+      // "measure but never act" gap): two waves route through
+      // Corpus.noveltyRoutedExcision against the frozen even-doc store.
+      // The replay wave (doc_id % 10 == 0, a strict subset of the store
+      // corpus) measures novelty 0, ALARMS, and lands with its
+      // store-duplicated (c >= 2) spans excised; the odd-doc wave
+      // measures ~0.96 fresh, stays quiet, and passes through verbatim
+      // at probe-only cost (the routing is a 1-row driver probe — only
+      // the chosen branch's plan is built). The oracle recomputes the
+      // routing decision from the data and replays BOTH branches'
+      // machinery declaratively, so whichever branch Spark chose must
+      // match cross-engine — the routing rule itself is what's certified.
+      (s, d) => {
+        import graft.operators.Corpus
+        val docs = Tables.documents(s, d)
+        val dir  = s"$scratchRoot/gram_novelty_q201"
+        Corpus.writeGramCounts(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", k = 8, dir)
+        val store = s.read.parquet(dir)
+        Corpus
+          .noveltyRoutedExcision(
+            docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+            store, alarmBelowX1e6 = 500000L)
+          .withColumn("wave", lit("replay"))
+          .unionByName(
+            Corpus
+              .noveltyRoutedExcision(
+                docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+                store, alarmBelowX1e6 = 500000L)
+              .withColumn("wave", lit("fresh")))
+      },
+      Some(OracleSql.q201)
     )
   )
 

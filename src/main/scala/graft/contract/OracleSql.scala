@@ -2211,11 +2211,17 @@ object OracleSql {
     * i: p_i (adjacent-pair counts via list_zip of the shifted views,
     * weighted by word count), m_i (argmax under the count DESC / left ASC
     * / right ASC tie rule, WRAPPED with the minPairCount >= 2 floor — an
-    * empty m_i empties every later s/p/m through the cross join, which is
-    * exactly the trainer's early stop), s_i (the greedy leftmost
-    * non-overlapping merge applied via list_reduce: tail == l && next ==
-    * r replaces, else appends — a just-merged symbol can never re-match
-    * as l within the step since merged is strictly longer).
+    * empty m_i leaves s_i a PASS-THROUGH of s_{i-1}: s_i LEFT-JOINs m_i
+    * ON TRUE, so NULL l/r makes the lambda condition falsy and every
+    * symbol appends unchanged. That mirrors the trainer's early stop
+    * exactly — the symbol state freezes, every later p_i re-derives the
+    * same sub-floor argmax, every later m_i stays empty (q197's legs
+    * still certify the stop), and q198's s4 is the state under the
+    * merges ACTUALLY learned instead of an empty frame), s_i (the greedy
+    * leftmost non-overlapping merge applied via list_reduce: tail == l
+    * && next == r replaces, else appends — a just-merged symbol can
+    * never re-match as l within the step since merged is strictly
+    * longer).
     * `throughStep` controls how many s_i are emitted (q197 needs s_{k-1},
     * q198 applies the last merge too).
     */
@@ -2240,7 +2246,7 @@ object OracleSql {
                  |               ELSE acc || x END),
                  |        s -> [s])
                  |    ELSE syms END AS syms
-                 |  FROM s${i - 1}, m$i)""".stripMargin)
+                 |  FROM s${i - 1} LEFT JOIN m$i ON TRUE)""".stripMargin)
         else Seq.empty
       p +: s
     }
@@ -2363,6 +2369,81 @@ object OracleSql {
        |             // SUM(occ))::BIGINT
        |       ELSE NULL END AS novel_mass_x1e6
        |FROM j""".stripMargin
+
+  /** One wave of q201's routed excision: novelty vs the store (distinct
+    * grams, the q200 form), the routing CASE on the ORACLE'S OWN
+    * measurement (so whichever branch Spark's driver probe chose must
+    * match cross-engine), and the conditional excision — store-duplicated
+    * (c >= 2) span mining + positional anti-join strip, applied only when
+    * the wave alarms.
+    */
+  private def noveltyRouteCtes(p: String, pred: String, threshold: Long): String =
+    s"""${p}_wg AS (SELECT doc_id, pos, gram FROM g WHERE $pred),
+       |${p}_nv AS (
+       |  SELECT CASE WHEN COUNT(*) > 0
+       |         THEN ((SUM(CASE WHEN s.gram IS NULL THEN 1 ELSE 0 END) * 1000000)
+       |               // COUNT(*))::BIGINT
+       |         ELSE NULL END AS novelty_x1e6
+       |  FROM (SELECT DISTINCT gram FROM ${p}_wg) w
+       |  LEFT JOIN store s USING (gram)),
+       |${p}_al AS (
+       |  SELECT novelty_x1e6,
+       |    (novelty_x1e6 IS NULL OR novelty_x1e6 < $threshold) AS alarm
+       |  FROM ${p}_nv),
+       |${p}_occ AS (
+       |  SELECT wg.doc_id, wg.pos FROM ${p}_wg wg
+       |  JOIN (SELECT gram FROM store WHERE c >= 2) dp USING (gram)),
+       |${p}_m AS (SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM ${p}_occ WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |${p}_sq AS (SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       |  FROM ${p}_m),
+       |${p}_spans AS (SELECT doc_id, span_id, MIN(pos) AS st, MAX(pos) + 7 AS en
+       |  FROM ${p}_sq GROUP BY doc_id, span_id),
+       |${p}_cov AS (SELECT doc_id, unnest(range(st, en + 1)) AS pos FROM ${p}_spans),
+       |${p}_pt AS (SELECT doc_id, i - 1 AS pos, tk[i] AS token
+       |  FROM toks, unnest(range(1, len(tk) + 1)) AS t(i) WHERE $pred),
+       |${p}_kept AS (
+       |  SELECT pp.doc_id, string_agg(pp.token, ' ' ORDER BY pp.pos) AS kept_text
+       |  FROM ${p}_pt pp LEFT JOIN ${p}_cov cv ON cv.doc_id = pp.doc_id AND cv.pos = pp.pos
+       |  WHERE cv.pos IS NULL GROUP BY pp.doc_id),
+       |${p}_cut AS (SELECT doc_id, SUM(en - st + 1)::BIGINT AS cut
+       |  FROM ${p}_spans GROUP BY doc_id),
+       |${p}_out AS (
+       |  SELECT t.doc_id, len(t.tk)::BIGINT AS n_toks,
+       |    (CASE WHEN a.alarm THEN COALESCE(c.cut, 0) ELSE 0 END)::BIGINT AS cut_toks,
+       |    CASE WHEN a.alarm THEN COALESCE(k.kept_text, '') ELSE d.text END AS kept_text,
+       |    a.novelty_x1e6, a.alarm
+       |  FROM toks t
+       |  JOIN documents d USING (doc_id)
+       |  LEFT JOIN ${p}_cut c ON c.doc_id = t.doc_id
+       |  LEFT JOIN ${p}_kept k ON k.doc_id = t.doc_id
+       |  CROSS JOIN ${p}_al a
+       |  WHERE $pred)""".stripMargin
+
+  /** Novelty-routed excision (q201): store = even docs' 8-gram counts;
+    * the replay wave (doc_id % 10 = 0, a subset of the store corpus)
+    * measures novelty 0 and alarms into excision, the odd-doc wave
+    * measures fresh and passes through verbatim — both branches replayed
+    * declaratively (the oracle recomputes the routing decision from the
+    * data, never trusting Spark's driver probe).
+    */
+  val q201: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+       |              FROM documents WHERE text IS NOT NULL),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS gram
+       |  FROM toks, unnest(range(1, len(tk) - 8 + 2)) AS t(i)
+       |  WHERE len(tk) >= 8),
+       |store AS (SELECT gram, COUNT(*)::BIGINT AS c FROM g
+       |          WHERE doc_id % 2 = 0 GROUP BY gram),
+       |${noveltyRouteCtes("r", "doc_id % 10 = 0", 500000L)},
+       |${noveltyRouteCtes("f", "doc_id % 2 <> 0", 500000L)}
+       |SELECT 'replay' AS wave, * FROM r_out
+       |UNION ALL
+       |SELECT 'fresh' AS wave, * FROM f_out""".stripMargin
 
   /** Capstone curation mirror, LSH edition (q164): q87's exact chain with
     * the all-pairs near-dedup stage replaced by the banded-LSH miner

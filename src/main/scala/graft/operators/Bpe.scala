@@ -91,6 +91,27 @@ object Bpe {
     * that occur once memorizes the corpus tail instead of learning
     * subword structure).
     *
+    * Two execution paths, one algorithm:
+    *
+    *  - **Collected-dictionary fast path** (default when the dictionary
+    *    is at most `collectDictThreshold` distinct words): the corpus is
+    *    still touched exactly once (the one partial-agg shuffle to
+    *    (word, count)), but the merge LOOP runs driver-side over the
+    *    collected dictionary — the posture every published BPE trainer
+    *    actually uses, because a production 32k-merge vocab as 32k
+    *    sequential Spark jobs is hours of pure scheduler latency while
+    *    the dictionary it iterates is a few million strings. Character
+    *    splitting is by CODE POINT (matching UTF8String.substring
+    *    semantics on the distributed path), and the pair count / argmax /
+    *    greedy-leftmost apply are line-for-line the same rules, so the
+    *    two paths are certifiably bit-equal (BpeSpec law
+    *    `fastPath == distributed`).
+    *  - **Distributed loop** (dictionary above the threshold, or
+    *    `collectDictThreshold = 0` to force it): one vocab-frame Spark
+    *    job per merge, per-step localCheckpoint so lineage stays one
+    *    merge deep. Unbounded in dictionary size; pays `numMerges`
+    *    scheduler round-trips.
+    *
     * Output: rank (1-based merge priority), left, right, merged,
     * pair_count — the merge table `segmentWords`/`fertility` consume,
     * and the frame a caller persists to freeze the tokenizer (the
@@ -102,13 +123,34 @@ object Bpe {
       textCol: String,
       numMerges: Int,
       minPairCount: Long = 2L,
-      endOfWord: Boolean = true): DataFrame = {
+      endOfWord: Boolean = true,
+      collectDictThreshold: Long = 4000000L): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(minPairCount >= 1L, s"minPairCount must be >= 1, got $minPairCount")
     val spark = docs.sparkSession
     import spark.implicits._
 
-    var vocab = wordCounts(docs, textCol)
+    val wc = wordCounts(docs, textCol).localCheckpoint(true)
+    val merges =
+      if (collectDictThreshold > 0L && wc.count() <= collectDictThreshold)
+        trainDictionary(
+          wc.collect().map(r => (r.getString(0), r.getLong(1))),
+          numMerges, minPairCount, endOfWord)
+      else
+        trainDistributed(wc, numMerges, minPairCount, endOfWord)
+    merges.toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** The distributed merge loop over the (word, cnt) frame — one Spark
+    * job + localCheckpoint per merge. Dictionary-size-unbounded; the
+    * scale escape hatch when the vocabulary itself won't collect.
+    */
+  private def trainDistributed(
+      wc: DataFrame,
+      numMerges: Int,
+      minPairCount: Long,
+      endOfWord: Boolean): Seq[(Long, String, String, String, Long)] = {
+    var vocab = wc
       .withColumn("syms", initialSyms(col("word"), endOfWord))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
@@ -134,7 +176,105 @@ object Bpe {
         step += 1
       }
     }
-    merges.result().toDF("rank", "left", "right", "merged", "pair_count")
+    merges.result()
+  }
+
+  /** Code-point symbols of a word (driver-side mirror of `initialSyms` —
+    * UTF8String.substring is code-point-addressed, so the fast path must
+    * split by code point, not UTF-16 char, for the two paths to agree on
+    * non-BMP text).
+    */
+  private def initialSymsLocal(word: String, endOfWord: Boolean): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    if (endOfWord && out.nonEmpty) out(out.length - 1) = out.last + "</w>"
+    out.toArray
+  }
+
+  /** Driver-side greedy leftmost non-overlapping merge — the exact
+    * `applyMerge` fold: tail == left && next == right replaces, else
+    * appends.
+    */
+  private def applyMergeLocal(syms: Array[String], left: String, right: String): Array[String] = {
+    val merged = left + right
+    val out    = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out.last == left && syms(i) == right)
+        out(out.length - 1) = merged
+      else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Code-point string comparison — UTF8String's binary (UTF-8 byte)
+    * order equals code-point order, while java.lang.String's compareTo is
+    * UTF-16-unit order; they disagree when a BMP char ≥ U+E000 meets a
+    * supplementary char, so the fast path's tie rule must compare code
+    * points to stay bit-equal with the distributed `orderBy`.
+    */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** The Sennrich merge loop over a COLLECTED dictionary — pure Scala,
+    * zero Spark jobs per merge. Same pair weighting (overlapping adjacent
+    * occurrences, weighted by word count), same deterministic argmax
+    * (count DESC, left ASC code-point order, right ASC — a total order,
+    * so HashMap iteration order cannot leak in), same early stop.
+    */
+  private[operators] def trainDictionary(
+      dict: Array[(String, Long)],
+      numMerges: Int,
+      minPairCount: Long,
+      endOfWord: Boolean): Seq[(Long, String, String, String, Long)] = {
+    var vocab  = dict.map { case (w, c) => (initialSymsLocal(w, endOfWord), c) }
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+
+    def beats(a: ((String, String), Long), b: ((String, String), Long)): Boolean = {
+      if (a._2 != b._2) return a._2 > b._2
+      val cl = cpCompare(a._1._1, b._1._1)
+      if (cl != 0) return cl < 0
+      cpCompare(a._1._2, b._1._2) < 0
+    }
+
+    var step     = 1
+    var finished = false
+    while (step <= numMerges && !finished) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val k = (syms(j), syms(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          j += 1
+        }
+      }
+      var best: ((String, String), Long) = null
+      counts.foreach { kv => if (best == null || beats(kv, best)) best = kv }
+      if (best != null && best._2 >= minPairCount) {
+        val ((l, r), c) = best
+        merges += ((step.toLong, l, r, l + r, c))
+        vocab = vocab.map { case (syms, cnt) => (applyMergeLocal(syms, l, r), cnt) }
+        step += 1
+      } else finished = true
+    }
+    merges.result()
   }
 
   /** Segment a `word` column with a trained merge table: initial symbols,

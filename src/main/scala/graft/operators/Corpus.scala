@@ -1756,7 +1756,12 @@ object Corpus {
     gramTable(docs, idCol, textCol, k)
       .groupBy(col("__gh"))
       .agg(count(lit(1)).as("__occ"))
-      .join(counts.select(col("gh").as("__gh"), lit(1).as("__seen")), Seq("__gh"), "left")
+      // Store side is made gh-UNIQUE before the join: a caller handing in a
+      // raw union of same-k stores (which unionGramCounts sanctions) would
+      // otherwise carry duplicate gh rows, fanning out matched wave rows and
+      // silently UNDERSTATING novelty (wave_grams/wave_occurrences inflate).
+      .join(counts.select(col("gh").as("__gh")).distinct().withColumn("__seen", lit(1)),
+        Seq("__gh"), "left")
       .agg(
         count(lit(1)).as("wave_grams"),
         sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("novel_grams"),
@@ -1772,6 +1777,83 @@ object Corpus {
           expr("(novel_grams * 1000000L) div wave_grams")).as("novelty_x1e6"),
         when(coalesce(col("wave_occurrences"), lit(0L)) > 0,
           expr("(novel_occurrences * 1000000L) div wave_occurrences")).as("novel_mass_x1e6"))
+  }
+
+  /** The novelty alarm wired to the dedup ACTION — the routing loop
+    * `gramNovelty` exists to feed: measure the wave's freshness against
+    * the frozen store, and when it alarms (novelty below
+    * `alarmBelowX1e6`, or unmeasurable — the runNoveltyMonitor rule),
+    * excise every span of the wave covered by store-duplicated k-grams
+    * (`spansAgainstCounts` + `stripSpans`) BEFORE the wave is folded
+    * anywhere; a quiet wave passes through verbatim. This is the
+    * curation-capstone pattern applied to ingest: the monitor's
+    * measurement becomes the gate's decision in one certified operator.
+    *
+    * Routing is a ONE-ROW driver probe (the kmeansCentroids
+    * control-plane posture): the novelty row is collected and only the
+    * chosen branch's plan is ever built — a fresh wave pays exactly the
+    * novelty probe (one wave gram pass on 8-byte hashes + one join
+    * against the gh-unique store) and zero excision cost; an alarmed
+    * wave adds the store-mine + positional anti-join strip, all
+    * hash-keyed (no new shuffle shapes at 100 TB).
+    *
+    * Output: doc_id, n_toks, cut_toks, kept_text, novelty_x1e6 (the
+    * wave-level measurement, constant across rows; NULL when the wave had
+    * no k-grams), alarm. Null-text docs are excluded (the stripSpans
+    * rule). On the quiet branch cut_toks = 0 and kept_text is the RAW
+    * text (pass-through is free — no token-rejoin normalization); on the
+    * alarmed branch kept_text is the excision rebuild (single-space token
+    * rejoin, fully-covered docs survive with empty text).
+    */
+  def noveltyRoutedExcision(
+      wave: DataFrame,
+      idCol: String,
+      textCol: String,
+      counts: DataFrame,
+      alarmBelowX1e6: Long,
+      minCount: Long = 2L): DataFrame = {
+    require(alarmBelowX1e6 > 0L,
+      s"noveltyRoutedExcision: alarmBelowX1e6 must be > 0 (a zero threshold never routes), " +
+        s"got $alarmBelowX1e6")
+    val novRow = gramNovelty(wave, idCol, textCol, counts)
+      .select(col("novelty_x1e6"))
+      .collect()
+    // an EMPTY wave (no non-null-text docs at all) measures as one row of
+    // NULLs upstream; guard headOption anyway so a zero-row future change
+    // routes to the alarm (unmeasurable) branch rather than crashing
+    val novelty: Option[Long] =
+      novRow.headOption.filter(!_.isNullAt(0)).map(_.getLong(0))
+    val alarmed = novelty.forall(_ < alarmBelowX1e6)
+    val base = wave
+      .filter(col(textCol).isNotNull)
+      .select(
+        col(idCol).as("doc_id"),
+        col(textCol).as("__text"),
+        size(split(col(textCol), " ")).cast("long").as("n_toks"))
+    val routed =
+      if (!alarmed)
+        base.select(
+          col("doc_id"), col("n_toks"),
+          lit(0L).as("cut_toks"),
+          col("__text").as("kept_text"))
+      else {
+        val spans = spansAgainstCounts(wave, idCol, textCol, counts, minCount)
+        val cut = spans
+          .groupBy(col("doc_id"))
+          .agg(sum(col("span_toks")).as("__cut"))
+        base
+          .select(col("doc_id"), col("n_toks"))
+          .join(cut, Seq("doc_id"), "left_outer")
+          .join(stripSpans(wave, idCol, textCol, spans), Seq("doc_id"))
+          .select(
+            col("doc_id"), col("n_toks"),
+            coalesce(col("__cut"), lit(0L)).as("cut_toks"),
+            col("kept_text"))
+      }
+    routed
+      .withColumn("novelty_x1e6",
+        novelty.map(lit).getOrElse(lit(null)).cast("long"))
+      .withColumn("alarm", lit(alarmed))
   }
 
   /** One wave's gram-count delta in the store schema (k, gh, c) — the

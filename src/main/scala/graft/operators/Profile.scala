@@ -388,6 +388,38 @@ object Profile {
           .otherwise(lit(0L)).as("f1_x1e6"))
   }
 
+  /** The continuous-score guard shared by `aucExact` / `thresholdSweep` /
+    * `averagePrecision`: when `maxScoreSupport > 0`, replace `__s` with
+    * the LOWER EDGE of its fixed-width bin over [min, max] — at most
+    * `maxScoreSupport` distinct values, order-preserving (edge is
+    * monotone in score), so the downstream per-score shuffle and the one
+    * serial window are bounded at `maxScoreSupport` rows no matter how
+    * continuous the caller's score is. One extra min/max probe broadcast
+    * back (the established bounded 1-row bnlj pattern). A constant score
+    * collapses to a single bin; `maxScoreSupport <= 0` is a no-op (the
+    * exact path — types and values untouched).
+    */
+  private def quantizeScore(base: DataFrame, maxScoreSupport: Int): DataFrame =
+    if (maxScoreSupport <= 0) base
+    else {
+      val m  = maxScoreSupport
+      val mm = base.agg(
+        min(col("__s").cast("double")).as("__lo"),
+        max(col("__s").cast("double")).as("__hi"))
+      base
+        .crossJoin(broadcast(mm))
+        .withColumn("__s",
+          when(col("__hi") <= col("__lo"), col("__lo"))
+            .otherwise(
+              col("__lo") + (col("__hi") - col("__lo")) / m *
+                least(
+                  lit(m - 1).cast("long"),
+                  floor(
+                    (col("__s").cast("double") - col("__lo")) * m /
+                      (col("__hi") - col("__lo"))).cast("long"))))
+        .drop("__lo", "__hi")
+    }
+
   /** Exact ROC-AUC of a score against a boolean label — the
     * THRESHOLD-FREE companion of `classifierMetrics`: precision/recall
     * grade one chosen cut; AUC grades the score's whole ranking (the
@@ -412,13 +444,29 @@ object Profile {
     * are excluded. Output: one row (n_pos, n_neg, auc_x1e6; auc null
     * when either class is empty — an unmeasurable ranking, the
     * tClosenessAudit unscoreable rule).
+    *
+    * Continuous-score guard: the serial window's cardinality is |distinct
+    * scores| — bounded for the engine's own quantized micro-unit scores,
+    * but CORPUS-SIZED for a raw float score a caller might feed. Pass
+    * `maxScoreSupport > 0` to pre-bucket the score into at most that many
+    * fixed-width bins (order-preserving, one broadcast min/max probe), so
+    * the single-partition window can never exceed `maxScoreSupport` rows.
+    * AUC then treats within-bin pairs as ties at half credit (the
+    * Mann-Whitney tie rule — the exact value as bin width → 0). Default 0
+    * = exact, plan unchanged.
     */
-  def aucExact(scored: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
-    val base = scored
-      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
-      .select(
-        col(scoreCol).as("__s"),
-        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+  def aucExact(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      maxScoreSupport: Int = 0): DataFrame = {
+    val base = quantizeScore(
+      scored
+        .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+        .select(
+          col(scoreCol).as("__s"),
+          when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y")),
+      maxScoreSupport)
     val perScore = base
       .groupBy(col("__s"))
       .agg(sum(col("__y")).as("__pos"), (count(lit(1)) - sum(col("__y"))).as("__neg"))
@@ -501,13 +549,29 @@ object Profile {
     * Output: threshold, tp, fp, fn, tn, precision_x1e6, recall_x1e6,
     * f1_x1e6 — sorted consumers pick argmax F1 (or the recall at a
     * precision floor) downstream.
+    *
+    * Continuous-score guard (`maxScoreSupport > 0`): pre-buckets the
+    * score into at most that many fixed-width bins, each represented by
+    * its LOWER EDGE — and since every row in a bin scores >= its edge,
+    * the confusion counts at each surviving threshold stay EXACT; the
+    * bucketing subsamples the candidate thresholds, it does not
+    * approximate the counts. Bounds the serial window at
+    * `maxScoreSupport` rows for raw float scores. Default 0 = every
+    * distinct score, plan unchanged.
     */
-  def thresholdSweep(scored: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
-    val base = scored
-      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
-      .select(
-        col(scoreCol).as("threshold"),
-        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+  def thresholdSweep(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      maxScoreSupport: Int = 0): DataFrame = {
+    val base = quantizeScore(
+      scored
+        .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+        .select(
+          col(scoreCol).as("__s"),
+          when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y")),
+      maxScoreSupport)
+      .withColumnRenamed("__s", "threshold")
     val perScore = base
       .groupBy(col("threshold"))
       .agg(sum(col("__y")).as("__pos"), (count(lit(1)) - sum(col("__y"))).as("__neg"))
@@ -549,16 +613,26 @@ object Profile {
     * second (documented two-div form — each replayed identically by the
     * oracle). Scale shape: the aucExact plan — one partial-agg shuffle,
     * one serial window over |distinct scores| rows. NULL when no
-    * positives exist (unmeasurable).
+    * positives exist (unmeasurable). `maxScoreSupport > 0` applies the
+    * aucExact continuous-score guard (order-preserving fixed-width
+    * pre-bucketing bounding the serial window; within-bin rows then share
+    * a threshold group — the tie-aware step formula absorbs them at the
+    * bin boundary).
     *
     * Output: one row — n_pos, n, ap_x1e6.
     */
-  def averagePrecision(scored: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
-    val base = scored
-      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
-      .select(
-        col(scoreCol).as("__s"),
-        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+  def averagePrecision(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      maxScoreSupport: Int = 0): DataFrame = {
+    val base = quantizeScore(
+      scored
+        .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+        .select(
+          col(scoreCol).as("__s"),
+          when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y")),
+      maxScoreSupport)
     val perScore = base
       .groupBy(col("__s"))
       .agg(sum(col("__y")).as("__pos"), count(lit(1)).as("__n"))
@@ -595,6 +669,13 @@ object Profile {
     * agreement, so the sign-split form is the cross-engine-stable one).
     * NULL when n² == S (a degenerate marginal — e.g. either column
     * constant — makes chance agreement total and kappa undefined).
+    *
+    * Integer envelope: the chance terms square n in Long arithmetic, so
+    * exactness holds to n ≤ ~3.04e9 rows (√Long.MaxValue) — TIGHTER than
+    * the n ≤ 9.2e12 envelope the single-multiply micro-unit ops document.
+    * Past it, non-ANSI Spark wraps silently where DuckDB errors; shard
+    * the frame (kappa over a uniform sample is the production posture at
+    * that scale) rather than trusting the wrapped value.
     *
     * Scale shape: one partial-agg shuffle to the |classes|² confusion
     * matrix, then marginal folds over that tiny frame. Null rows in

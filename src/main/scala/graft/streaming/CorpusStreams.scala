@@ -586,6 +586,67 @@ object CorpusStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** The novelty monitor's alarm ACTING on ingest — the closed routing
+    * loop (`runNoveltyMonitor` measures and flags; this routes): each
+    * drained batch is put through `Corpus.noveltyRoutedExcision` against
+    * the FROZEN reference gram-count store, so a sludge batch (novelty
+    * below `alarmBelowX1e6`, or unmeasurable) lands with its
+    * store-duplicated spans already excised while a fresh batch lands
+    * verbatim — the "route re-crawl sludge to dedup before it costs
+    * storage" decision, automated. One audit row per drain (batch_id,
+    * novelty_x1e6, alarm, docs/toks in, cut_toks) lands beside the
+    * corpus so the routing history stays inspectable.
+    *
+    * The store is frozen by design (the runNoveltyMonitor rule): routing
+    * against a live accumulating store would make a REPLAYED batch score
+    * differently and break idempotence. Both sinks ride MergeSink.upsert
+    * — corpus rows keyed by (doc_id) in the batch's own partition, audit
+    * keyed by batch_id — so an at-least-once redelivery re-measures
+    * identically (frozen store, integer novelty) and REPLACES its own
+    * rows (exactly-once effect).
+    */
+  def runNoveltyRoutedIngest(
+      spark: SparkSession,
+      rawDir: String,
+      corpusDir: String,
+      monitorDir: String,
+      storeDir: String,
+      checkpointDir: String,
+      alarmBelowX1e6: Long,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    docStream(spark, rawDir, maxFilesPerTrigger).writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss     = batch.sparkSession
+        val cached = batch.cache()
+        try if (!cached.isEmpty) {
+          val routed = graft.operators.Corpus
+            .noveltyRoutedExcision(
+              cached, "doc_id", "text",
+              ss.read.parquet(storeDir), alarmBelowX1e6)
+            .withColumn("batch_id", lit(batchId))
+            .cache()
+          try {
+            MergeSink.upsert(
+              ss, routed.drop("novelty_x1e6", "alarm"), corpusDir,
+              keyCols = Seq("doc_id"), partitionCols = Seq("batch_id"))
+            val audit = routed.groupBy(col("batch_id")).agg(
+              first(col("novelty_x1e6")).as("novelty_x1e6"),
+              first(col("alarm")).as("alarm"),
+              count(lit(1)).as("n_docs"),
+              sum(col("n_toks")).as("n_toks"),
+              sum(col("cut_toks")).as("cut_toks"))
+            MergeSink.upsert(
+              ss, audit, monitorDir,
+              keyCols = Seq("batch_id"), partitionCols = Seq("batch_id"))
+          } finally { routed.unpersist(); () }
+        } finally { cached.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Runnable ingest job: raw JSON docs -> curated, exact-deduped,
     * date-partitioned parquet corpus, merged idempotently on the digest
     * (a replayed batch converges instead of duplicating — MergeSink's

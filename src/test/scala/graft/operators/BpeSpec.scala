@@ -129,4 +129,50 @@ class BpeSpec extends AnyFunSuite {
       "g1" -> ((3L, 4L, 1333333L)),
       "g2" -> ((1L, 2L, 2000000L))))
   }
+
+  test("train: collected-dictionary fast path == distributed loop (the spec law), across the threshold") {
+    import spark.implicits._
+    // A corpus rich enough to exercise multi-merge chains, count ties,
+    // the minPairCount stop, AND a supplementary-plane code point (U+1D11E
+    // — the fast path must split by code point, not UTF-16 unit, to agree
+    // with UTF8String.substring on the distributed side).
+    val docs = (
+      Seq.fill(5)("lower") ++ Seq.fill(4)("lowest") ++ Seq.fill(3)("newer") ++
+        Seq.fill(2)("wider") ++ Seq.fill(6)("low") ++ Seq.fill(2)("newest") ++
+        Seq.fill(2)("a𝄞a𝄞") ++ Seq("singleton")).toDF("text")
+    def table(threshold: Long, minPair: Long = 2L) =
+      Bpe.train(docs, "text", numMerges = 8, minPairCount = minPair,
+          endOfWord = true, collectDictThreshold = threshold)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toSeq
+    val fast = table(Long.MaxValue) // dictionary far under: fast path
+    val dist = table(0L)            // 0 forces the distributed loop
+    assert(fast === dist)
+    assert(fast.size === 8) // this corpus sustains all 8 merges
+    // the routing cut is the dictionary row count (8 distinct words):
+    // both sides of the threshold produce the same table
+    assert(table(8L) === fast && table(7L) === fast)
+    // early stop agrees across paths too: floor 6 cuts the table short at
+    // the same rank with the same merges (steps with pair_count < 6 gone)
+    val fastStop = table(Long.MaxValue, minPair = 6L)
+    assert(fastStop === table(0L, minPair = 6L))
+    assert(fastStop.nonEmpty && fastStop.size < 8)
+    assert(fastStop === fast.take(fastStop.size))
+  }
+
+  test("train: fast path reproduces every hand-computed table (default threshold routes small dicts driver-side)") {
+    import spark.implicits._
+    // fixtureDocs ran the fast path in the tests above (default
+    // threshold); force the distributed loop once to pin the equality on
+    // the ORIGINAL hand-computed fixture too.
+    val dist = Bpe.train(fixtureDocs, "text", numMerges = 10, minPairCount = 2,
+        endOfWord = true, collectDictThreshold = 0L)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(dist === Seq(
+      (1L, "a", "b</w>", "ab</w>", 5L),
+      (2L, "a", "b", "ab", 3L),
+      (3L, "ab", "ab</w>", "abab</w>", 3L)))
+  }
 }

@@ -347,4 +347,66 @@ class DuplicatedSpansSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("mixed k"))
   }
+
+  test("gramNovelty: a raw union of same-k stores sharing grams cannot fan the wave out") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("gramnovel-union").toString
+    // two stores that BOTH hold gram "a b": a raw unionByName carries the
+    // gh twice; the join must still count each wave gram once (store side
+    // gh-unique), else wave_grams inflates and novelty understates
+    Corpus.writeGramCounts(Seq((1L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 2, s"$root/s1")
+    Corpus.writeGramCounts(Seq((2L, "a b z")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 2, s"$root/s2")
+    val rawUnion = spark.read.parquet(s"$root/s1")
+      .unionByName(spark.read.parquet(s"$root/s2"))
+    // wave "a b q": grams {"a b" seen, "b q" novel} -> 2 grams, 1 novel
+    val r = Corpus.gramNovelty(Seq((9L, "a b q")).toDF("doc_id", "text"),
+      "doc_id", "text", rawUnion).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+      ((2L, 1L, 2L, 1L, 500000L)))
+  }
+
+  test("noveltyRoutedExcision: alarmed wave excised, quiet wave verbatim, unmeasurable wave alarms") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("novroute").toString
+    val path = s"$root/counts"
+    // store corpus: 2-gram counts {"a b":2, "b c":2, "c d":1, "c e":1}
+    Corpus.writeGramCounts(
+      Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 2, path)
+    val store = spark.read.parquet(path)
+    def route(wave: org.apache.spark.sql.DataFrame) =
+      Corpus.noveltyRoutedExcision(wave, "doc_id", "text", store, alarmBelowX1e6 = 500000L)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5))))
+        .toMap
+
+    // ALARMED replay: "a b c d" grams {a b, b c, c d} all seen -> novelty 0
+    // -> excise spans of store-dup (c>=2) grams {a b@0, b c@1} -> span
+    // [0,2] -> kept "d", 3 of 4 tokens cut
+    val alarmed = route(Seq((10L, "a b c d")).toDF("doc_id", "text"))
+    assert(alarmed === Map(10L -> ((4L, 3L, "d", Some(0L), true))))
+
+    // QUIET wave: {p q, q r, r s, a b, b x} -> 4/5 novel = 800000 >= bar
+    // -> verbatim pass-through; doc 21 keeps "a b x" UNTOUCHED even
+    // though "a b" is store-duplicated — routing, not unconditional strip
+    val quiet = route(Seq((20L, "p q r s"), (21L, "a b x")).toDF("doc_id", "text"))
+    assert(quiet === Map(
+      20L -> ((4L, 0L, "p q r s", Some(800000L), false)),
+      21L -> ((3L, 0L, "a b x", Some(800000L), false))))
+
+    // UNMEASURABLE wave (no 2-grams): NULL novelty -> alarm branch, but
+    // nothing to excise — the doc survives intact with the alarm raised
+    val unmeasurable = route(Seq((30L, "z")).toDF("doc_id", "text"))
+    assert(unmeasurable === Map(30L -> ((1L, 0L, "z", None, true))))
+
+    // a zero threshold can never route — refused by name
+    val e = intercept[IllegalArgumentException] {
+      Corpus.noveltyRoutedExcision(
+        Seq((40L, "a b")).toDF("doc_id", "text"), "doc_id", "text", store, 0L)
+    }
+    assert(e.getMessage.contains("alarmBelowX1e6"))
+  }
 }

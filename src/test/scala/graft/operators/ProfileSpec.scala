@@ -391,4 +391,51 @@ class ProfileSpec extends AnyFunSuite {
       .toDF("a", "b")
     assert(Profile.cohenKappa(withNulls, "a", "b").collect().head.getLong(0) === 2L)
   }
+
+  test("continuous-score guard: maxScoreSupport bounds the serial window; sweep counts stay EXACT at surviving thresholds") {
+    import spark.implicits._
+    // 600 distinct raw float scores — the corpus-sized-window shape the
+    // guard exists for (every score unique, so the exact path's window
+    // input is 600 rows; the guarded path must cap it).
+    val rows = (0 until 600).map { i =>
+      (if (i % 7 < 3) 1 else 0, math.sin(i * 1.7) * 100.0 + i * 0.01)
+    }
+    val df = rows.toDF("y", "s")
+
+    // exact path: one sweep row per distinct score (the unguarded shape)
+    assert(Profile.thresholdSweep(df, "y", "s").count() === 600L)
+
+    // guarded sweep: at most 16 candidate thresholds survive...
+    val sweep = Profile.thresholdSweep(df, "y", "s", maxScoreSupport = 16).collect()
+    assert(sweep.length <= 16 && sweep.length > 1)
+    // ...and the confusion counts at EACH surviving threshold are exact
+    // (bin lower edge => every bin member scores >= it): brute force.
+    sweep.foreach { r =>
+      val t  = r.getDouble(0)
+      val tp = rows.count { case (y, s) => s >= t && y == 1 }.toLong
+      val fp = rows.count { case (y, s) => s >= t && y == 0 }.toLong
+      assert(r.getLong(1) === tp, s"tp at threshold $t")
+      assert(r.getLong(2) === fp, s"fp at threshold $t")
+    }
+
+    // guarded AUC: within-bin pairs become half-credit ties — lands near
+    // the exact value and converges as bins grow
+    val exact = Profile.aucExact(df, "y", "s").collect().head.getLong(2)
+    val a64   = Profile.aucExact(df, "y", "s", maxScoreSupport = 64).collect().head.getLong(2)
+    val a256  = Profile.aucExact(df, "y", "s", maxScoreSupport = 256).collect().head.getLong(2)
+    assert(math.abs(exact - a64) < 30000L)
+    assert(math.abs(exact - a256) < 30000L)
+
+    // guarded AP: same shape
+    val apE = Profile.averagePrecision(df, "y", "s").collect().head.getLong(2)
+    val apA = Profile.averagePrecision(df, "y", "s", maxScoreSupport = 64).collect().head.getLong(2)
+    assert(math.abs(apE - apA) < 40000L)
+
+    // degenerate: constant score collapses to one bin, nothing divides by zero
+    val const = Seq((1, 5.0), (0, 5.0), (1, 5.0)).toDF("y", "s")
+    val cs = Profile.thresholdSweep(const, "y", "s", maxScoreSupport = 8).collect()
+    assert(cs.length === 1 && cs.head.getLong(1) === 2L && cs.head.getLong(2) === 1L)
+    assert(Profile.aucExact(const, "y", "s", maxScoreSupport = 8)
+      .collect().head.getLong(2) === 500000L) // all ties at half credit
+  }
 }

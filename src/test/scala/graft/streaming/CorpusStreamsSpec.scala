@@ -369,6 +369,62 @@ class CorpusStreamsSpec extends AnyFunSuite {
     assert(spark.read.parquet(monitor).count() === 3L)
   }
 
+  test("novelty-ROUTED ingest: sludge batch lands excised, fresh batch lands verbatim; " +
+    "audit carries the routing; idempotent re-drain") {
+    import spark.implicits._
+    val raw     = tmp("nroute-raw")
+    val corpus  = tmp("nroute-out") + "/corpus"
+    val monitor = tmp("nroute-out") + "/monitor"
+    val store   = tmp("nroute-model") + "/store"
+    val ckpt    = tmp("nroute-ckpt")
+
+    // frozen store: 2-gram counts {"a b":2, "b c":2, "c d":1, "c e":1}
+    graft.operators.Corpus.writeGramCounts(
+      Seq((100L, "a b c d"), (101L, "a b c e")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 2, store)
+
+    def drain(): Unit =
+      CorpusStreams
+        .runNoveltyRoutedIngest(spark, raw, corpus, monitor, store, ckpt,
+          alarmBelowX1e6 = 500000L)
+        .awaitTermination()
+
+    // batch 0 is SLUDGE (all grams seen -> novelty 0 -> alarm): both docs
+    // land with their store-duplicated (c >= 2) spans already excised
+    writeDocs(raw, "b0.json", Seq(1L -> "a b c d", 2L -> "a b c e"))
+    drain()
+    // batch 1 is FRESH (all grams novel): lands verbatim, dup-gram-free
+    writeDocs(raw, "b1.json", Seq(3L -> "p q r s"))
+    drain()
+
+    val corpusGot = spark.read.parquet(corpus)
+      .select(col("doc_id"), col("n_toks"), col("cut_toks"), col("kept_text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(corpusGot === Map(
+      // "a b c d": dup grams {a b@0, b c@1} -> span [0,2] -> keeps "d"
+      1L -> ((4L, 3L, "d")),
+      2L -> ((4L, 3L, "e")),
+      3L -> ((4L, 0L, "p q r s"))), s"unexpected corpus: $corpusGot")
+
+    val auditGot = spark.read.parquet(monitor)
+      .select(col("batch_id").cast("long"), col("novelty_x1e6"), col("alarm"),
+        col("n_docs"), col("n_toks"), col("cut_toks"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(auditGot === Map(
+      0L -> ((0L, true, 2L, 8L, 6L)),
+      1L -> ((1000000L, false, 1L, 4L, 0L))), s"unexpected audit: $auditGot")
+
+    // re-drain with no new files: nothing fires, both sinks unchanged
+    drain()
+    assert(spark.read.parquet(corpus).count() === 3L)
+    assert(spark.read.parquet(monitor).count() === 2L)
+  }
+
   test("token CMS: drain folds sum to the one-shot sketch; idempotent re-drain") {
     import graft.operators.CountMin
     val raw    = tmp("cms-raw")
