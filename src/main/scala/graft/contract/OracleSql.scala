@@ -2445,6 +2445,115 @@ object OracleSql {
        |UNION ALL
        |SELECT 'fresh' AS wave, * FROM f_out""".stripMargin
 
+  /** Bucketed threshold sweep (q202): the continuous-score guard replayed
+    * — min/max probe, the order-preserving fixed-width bin LOWER EDGE in
+    * the same double arithmetic order Spark evaluates (lo + ((hi−lo)/m)·
+    * idx; IEEE ops are correctly rounded in both engines, so edges are
+    * bit-equal), then the q193 descending cumulative confusion over the
+    * ≤ 32 surviving thresholds. Counts at each edge are EXACT (every bin
+    * member scores >= its edge) — what the guard promises.
+    */
+  val q202: String =
+    s"""WITH b AS (
+       |  SELECT ((doc_id % 1000000007 + 1000000007) % 1000000007)
+       |           * 2654435761 % 1000000007 AS s,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents WHERE lang IS NOT NULL),
+       |mm AS (SELECT MIN(s::DOUBLE) AS lo, MAX(s::DOUBLE) AS hi FROM b),
+       |q AS (
+       |  SELECT CASE WHEN mm.hi <= mm.lo THEN mm.lo
+       |         ELSE mm.lo + ((mm.hi - mm.lo) / 32) *
+       |           LEAST(31, FLOOR((s::DOUBLE - mm.lo) * 32 / (mm.hi - mm.lo))::BIGINT)
+       |         END AS threshold, y
+       |  FROM b CROSS JOIN mm),
+       |p AS (
+       |  SELECT threshold, SUM(y)::BIGINT AS pos,
+       |    (COUNT(*) - SUM(y))::BIGINT AS neg
+       |  FROM q GROUP BY threshold),
+       |t AS (
+       |  SELECT threshold,
+       |    SUM(pos) OVER (ORDER BY threshold DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS tp,
+       |    SUM(neg) OVER (ORDER BY threshold DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS fp,
+       |    SUM(pos) OVER ()::BIGINT AS totp,
+       |    SUM(neg) OVER ()::BIGINT AS totn
+       |  FROM p)
+       |SELECT threshold, tp, fp,
+       |  (totp - tp)::BIGINT AS fn, (totn - fp)::BIGINT AS tn,
+       |  (CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) ELSE 0 END)::BIGINT
+       |    AS precision_x1e6,
+       |  (CASE WHEN totp > 0 THEN (tp * 1000000) // totp ELSE 0 END)::BIGINT
+       |    AS recall_x1e6,
+       |  (CASE WHEN 2 * tp + fp + (totp - tp) > 0
+       |        THEN (2 * tp * 1000000) // (2 * tp + fp + (totp - tp))
+       |        ELSE 0 END)::BIGINT AS f1_x1e6
+       |FROM t""".stripMargin
+
+  /** Shared calibration prep (q203/q204): the stopword-density
+    * pseudo-probability in micro-units (an honest "confidence the doc is
+    * English" a heuristic gate might ship), the en label, the fixed-edge
+    * decile bin.
+    */
+  private val calibCtes: String =
+    s"""b AS (
+       |  SELECT (len(list_filter(string_split(text, ' '),
+       |            t -> list_contains(['the','a'], t))) * 1000000
+       |          // len(string_split(text, ' ')))::BIGINT AS s,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+       |c AS (
+       |  SELECT LEAST(9, (s * 10) // 1000000)::BIGINT AS bin, s, y FROM b),
+       |g AS (
+       |  SELECT bin, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS n_pos,
+       |    SUM(s)::BIGINT AS cs
+       |  FROM c GROUP BY bin)""".stripMargin
+
+  /** Reliability diagram (q203): per fixed decile bin of the micro-unit
+    * confidence, population / positives / truncated mean confidence /
+    * empirical accuracy / gap.
+    */
+  val q203: String =
+    s"""WITH $calibCtes
+       |SELECT bin, n, n_pos,
+       |  (cs // n)::BIGINT AS conf_x1e6,
+       |  ((n_pos * 1000000) // n)::BIGINT AS acc_x1e6,
+       |  ABS((n_pos * 1000000) // n - cs // n)::BIGINT AS gap_x1e6
+       |FROM g""".stripMargin
+
+  /** Expected calibration error (q204): the exact fold — Σ_b |pos_b·1e6 −
+    * Σ_b s| over the corpus count, ONE truncating division (never through
+    * the per-bin truncated readouts).
+    */
+  val q204: String =
+    s"""WITH $calibCtes
+       |SELECT SUM(n)::BIGINT AS n, COUNT(*)::BIGINT AS n_bins_used,
+       |  (SUM(ABS(n_pos * 1000000 - cs)) // SUM(n))::BIGINT AS ece_x1e6
+       |FROM g""".stripMargin
+
+  /** Sqrt-temperature mixture budgets (q205): per-lang counts, the
+    * corrected exact ⌊√n⌋ (floor(sqrt(double)) ± 1 — replaying the
+    * operator's IEEE-correction form verbatim), window totals, the three
+    * truncating divisions.
+    */
+  val q205: String =
+    s"""WITH g AS (
+       |  SELECT lang AS "group", COUNT(*)::BIGINT AS n
+       |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+       |w AS (
+       |  SELECT *,
+       |    (CASE WHEN (s0 + 1) * (s0 + 1) <= n THEN s0 + 1
+       |          WHEN s0 * s0 > n THEN s0 - 1
+       |          ELSE s0 END)::BIGINT AS weight
+       |  FROM (SELECT *, FLOOR(SQRT(n::DOUBLE))::BIGINT AS s0 FROM g)),
+       |t AS (SELECT *, SUM(n) OVER ()::BIGINT AS nn,
+       |             SUM(weight) OVER ()::BIGINT AS ww FROM w)
+       |SELECT "group", n, weight,
+       |  ((n * 1000000) // nn)::BIGINT AS raw_share_x1e6,
+       |  ((weight * 1000000) // ww)::BIGINT AS temp_share_x1e6,
+       |  ((100000 * weight) // ww)::BIGINT AS budget
+       |FROM t""".stripMargin
+
   /** Capstone curation mirror, LSH edition (q164): q87's exact chain with
     * the all-pairs near-dedup stage replaced by the banded-LSH miner
     * (q52's banding + verify + greedy drop over the quality-gated,

@@ -708,6 +708,101 @@ object Profile {
           .as("kappa_x1e6"))
   }
 
+  /** Reliability diagram (calibration bins) — the eval-tier step AFTER
+    * ranking quality: q191 (AUC) says whether the score ORDERS documents
+    * usefully and q193 where to cut it; this asks whether the score's
+    * VALUE means what it claims — among docs scored "~0.8 probability",
+    * do ~80% actually carry the label? A gate that consumes the score as
+    * a probability (expected-cost thresholds, mixture weighting by
+    * confidence, abstention rules) is only sound if this table is near
+    * the diagonal; a miscalibrated-but-well-ranked score needs q193's
+    * empirical cut instead of its face value.
+    *
+    * The score is a pseudo-probability in MICRO-UNITS [0, 1e6] (the
+    * engine's probability convention); values outside clamp to the edge
+    * bins. Bins are `nBins` equal-width slices of that range: bin =
+    * min(nBins−1, score·nBins div 1e6) — fixed edges (never data-sized),
+    * so bins are comparable across corpora and releases. Per bin:
+    * population, positives, mean confidence (integer sum of micro-unit
+    * scores, one truncating div), empirical accuracy (pos·1e6 div n), and
+    * the |acc − conf| gap on those truncated values. Null labels/scores
+    * excluded (the classifierMetrics rule).
+    *
+    * Scale shape: one partial-agg shuffle to nBins rows — sums collapse
+    * map-side; no window anywhere. Envelope: Σ scores per bin ≤ 9.2e18
+    * needs n_bin ≤ 9.2e12 (each score ≤ 1e6).
+    *
+    * Output: bin, n, n_pos, conf_x1e6, acc_x1e6, gap_x1e6.
+    */
+  def calibrationBins(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"calibrationBins: nBins must be >= 2, got $nBins")
+    calibrationBase(scored, labelCol, scoreCol, nBins)
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__y")).as("n_pos"),
+        sum(col("__s")).as("__conf_sum"))
+      .select(
+        col("bin"), col("n"), col("n_pos"),
+        expr("__conf_sum div n").as("conf_x1e6"),
+        expr("(n_pos * 1000000L) div n").as("acc_x1e6"),
+        abs(expr("(n_pos * 1000000L) div n") - expr("__conf_sum div n")).as("gap_x1e6"))
+  }
+
+  /** Expected calibration error — `calibrationBins` folded to the one
+    * number a release gate thresholds: ECE = Σ_b (n_b/n)·|acc_b − conf_b|.
+    * Computed EXACTLY from the raw per-bin sums, not the truncated
+    * per-bin readouts: n_b·|acc_b − conf_b| = |pos_b·1e6 − Σ_b scores| /
+    * 1e6 identically (both terms over the same n_b denominator), so
+    * ece_x1e6 = (Σ_b |pos_b·1e6 − conf_sum_b|) div n — integer end to
+    * end, ONE truncating division total (the per-bin table truncates for
+    * display; the fold must not inherit nBins rounding errors). NULL when
+    * no rows survive the null filter (unmeasurable). Same plan shape as
+    * calibrationBins plus a one-row fold.
+    *
+    * Output: one row — n, n_bins_used, ece_x1e6.
+    */
+  def expectedCalibrationError(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"expectedCalibrationError: nBins must be >= 2, got $nBins")
+    calibrationBase(scored, labelCol, scoreCol, nBins)
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("__y")).as("__pos"),
+        sum(col("__s")).as("__conf_sum"))
+      .agg(
+        coalesce(sum(col("__n")), lit(0L)).as("n"),
+        count(lit(1)).as("n_bins_used"),
+        sum(abs(col("__pos") * lit(1000000L) - col("__conf_sum"))).as("__gap"))
+      .select(
+        col("n"), col("n_bins_used"),
+        when(col("n") > 0, expr("__gap div n")).as("ece_x1e6"))
+  }
+
+  /** Shared prep for the calibration pair: null exclusion, micro-unit
+    * clamp to [0, 1e6], the fixed-edge bin index.
+    */
+  private def calibrationBase(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      nBins: Int): DataFrame =
+    scored
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(
+        greatest(lit(0L), least(lit(1000000L), col(scoreCol).cast("long"))).as("__s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+      .withColumn("bin",
+        least(lit(nBins - 1).cast("long"), expr(s"(__s * $nBins) div 1000000L")))
+
   /** Lift/gains table — the population view of a score's usefulness, the
     * one a budgeted pipeline reads: "if the gate can only afford the top
     * 10% / 20% / … of the corpus, what share of the positives does each

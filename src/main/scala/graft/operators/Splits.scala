@@ -909,4 +909,56 @@ object Splits {
       .withColumn(epochName, explode(expr("sequence(0L, __euc - 1)")))
       .drop("__eug", "__eur", "__euc")
   }
+
+  /** Temperature-smoothed mixture budgets at α = 1/2 — the multilingual
+    * sampling rule (XLM-R / mT5 lineage): raw proportional sampling lets
+    * the head language drown the tail, uniform sampling overfits the tail;
+    * p_g ∝ n_g^α with α ∈ (0,1) interpolates. α = 1/2 is the one exponent
+    * with an EXACT integer form (w_g = ⌊√n_g⌋, corrected below), so budgets
+    * are bit-stable cross-engine — a generic-α variant would ride double
+    * `pow`, whose libm rounding no oracle can replay; quantize upstream
+    * if another α is required.
+    *
+    * ⌊√n⌋ is computed as floor(sqrt(double)) plus ONE ±1 integer
+    * correction (`(s+1)² ≤ n → s+1`, `s² > n → s−1`): IEEE sqrt is
+    * correctly rounded, so its floor is off by at most one — but it IS off
+    * for n near perfect squares once n exceeds ~2^51, and group counts at
+    * 100 TB live past that; the corrected form is exact for ALL Long
+    * counts and replays verbatim in SQL.
+    *
+    * Output: one row per group — group, n, weight (⌊√n⌋),
+    * raw_share_x1e6 (n·1e6 div N — what proportional sampling gives),
+    * temp_share_x1e6 (w·1e6 div Σw — the smoothed share),
+    * budget (totalBudget·w div Σw, the per-group allocation to hand to
+    * `Corpus.mixtureToBudget` / `epochUpsample`; a budget above n is the
+    * intended tail UPSAMPLING signal). Scale shape: one partial-agg
+    * shuffle to |groups| rows, then two window folds over that tiny frame
+    * (unpartitioned windows are safe at |groups| cardinality — the
+    * liftGains rule). Envelope: totalBudget·max(weight) ≤ 9.2e18 — with
+    * weight = ⌊√n⌋ ≤ ~3e9, any budget to ~3e9 units is safe at any corpus
+    * size.
+    */
+  def sqrtTemperatureBudgets(
+      df: DataFrame,
+      groupCol: String,
+      totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, s"sqrtTemperatureBudgets: totalBudget must be > 0, got $totalBudget")
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__s0", floor(sqrt(col("n").cast("double"))).cast("long"))
+      .withColumn("weight",
+        when((col("__s0") + 1) * (col("__s0") + 1) <= col("n"), col("__s0") + 1)
+          .when(col("__s0") * col("__s0") > col("n"), col("__s0") - 1)
+          .otherwise(col("__s0")))
+      .withColumn("__N", sum(col("n")).over(all))
+      .withColumn("__W", sum(col("weight")).over(all))
+      .select(
+        col("group"), col("n"), col("weight"),
+        expr("(n * 1000000L) div __N").as("raw_share_x1e6"),
+        expr("(weight * 1000000L) div __W").as("temp_share_x1e6"),
+        expr(s"($totalBudget * weight) div __W").as("budget"))
+  }
 }

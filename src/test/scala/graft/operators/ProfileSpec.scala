@@ -438,4 +438,55 @@ class ProfileSpec extends AnyFunSuite {
     assert(Profile.aucExact(const, "y", "s", maxScoreSupport = 8)
       .collect().head.getLong(2) === 500000L) // all ties at half credit
   }
+
+  test("calibrationBins: hand-computed bins, clamping, fixed edges, null exclusion") {
+    import spark.implicits._
+    // micro-unit confidences against boolean labels, nBins = 4 (edges at
+    // 250k/500k/750k):
+    //  bin 0: (100000, true) (200000, false)  -> conf (300000/2)=150000, acc 500000, gap 350000
+    //  bin 3: (900000, true) (800000, true)   -> conf 850000, acc 1000000, gap 150000
+    //  clamps: (-50, false) -> bin 0 at 0; (2000000, true) -> bin 3 at 1e6
+    //  exact edge: 250000 lands in bin 1 (250000*4 div 1e6 = 1)
+    //  score 1e6 exactly: bin = min(3, 4) = 3
+    val rows = Seq(
+      (Some(true), Some(100000L)), (Some(false), Some(200000L)),
+      (Some(true), Some(900000L)), (Some(true), Some(800000L)),
+      (Some(false), Some(-50L)), (Some(true), Some(2000000L)),
+      (Some(false), Some(250000L)), (Some(true), Some(1000000L)),
+      (None, Some(500000L)), (Some(true), None)) // nulls excluded
+      .toDF("y", "s")
+    val got = Profile.calibrationBins(rows, "y", "s", nBins = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got === Map(
+      0L -> ((3L, 1L, 100000L, 333333L, 233333L)), // {1e5 T, 2e5 F, clamp-0 F}
+      1L -> ((1L, 0L, 250000L, 0L, 250000L)),      // the exact-edge row
+      // {9e5, 8e5, clamp->1e6, 1e6}: conf (3.7e6/4)=925000, acc 1e6, gap 75000
+      3L -> ((4L, 4L, 925000L, 1000000L, 75000L))
+    ), s"unexpected bins: $got")
+    val e = intercept[IllegalArgumentException] {
+      Profile.calibrationBins(rows, "y", "s", nBins = 1)
+    }
+    assert(e.getMessage.contains("nBins"))
+  }
+
+  test("expectedCalibrationError: exact fold from raw sums; perfect calibration scores 0; NULL on empty") {
+    import spark.implicits._
+    // one bin (nBins=2, all scores < 500000): scores {200000 x5}, 1 of 5
+    // positive -> |pos*1e6 - conf_sum| = |1e6 - 1e6| = 0 -> ECE 0: a score
+    // that says 20% and delivers 20% is perfectly calibrated
+    val perfect = (Seq((true, 200000L)) ++ Seq.fill(4)((false, 200000L))).toDF("y", "s")
+    val p = Profile.expectedCalibrationError(perfect, "y", "s", nBins = 2).collect().head
+    assert((p.getLong(0), p.getLong(1), p.getLong(2)) === ((5L, 1L, 0L)))
+    // overconfident: {900000 x4}, 1 positive -> |1e6 - 3.6e6| = 2.6e6 over
+    // n=4 -> 650000 (the fold is exact even though acc=250000/conf=900000
+    // per-bin readouts would give the same here)
+    val over = (Seq((true, 900000L)) ++ Seq.fill(3)((false, 900000L))).toDF("y", "s")
+    assert(Profile.expectedCalibrationError(over, "y", "s").collect().head.getLong(2) === 650000L)
+    // all rows null -> unmeasurable (0 rows in 0 bins, NULL ece)
+    val empty = Seq((Option.empty[Boolean], Option.empty[Long])).toDF("y", "s")
+    val r = Profile.expectedCalibrationError(empty, "y", "s").collect().head
+    assert(r.getLong(0) === 0L && r.isNullAt(2))
+  }
 }

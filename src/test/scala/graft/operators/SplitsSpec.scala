@@ -562,4 +562,34 @@ class SplitsSpec extends AnyFunSuite {
       assert(up.getOrElse(i, 0L) === want, s"id $i g $g bucket ${bks(i)._2}")
     }
   }
+
+  test("sqrtTemperatureBudgets: exact isqrt weights flatten the mixture; tail upsamples; null group excluded") {
+    import spark.implicits._
+    // groups a:100 (w=10), b:9 (w=3), c:2 (w=1); N=111, W=14
+    val df = (Seq.fill(100)("a") ++ Seq.fill(9)("b") ++ Seq.fill(2)("c") ++
+      Seq(null.asInstanceOf[String])).toDF("g")
+    val got = Splits.sqrtTemperatureBudgets(df, "g", totalBudget = 1400L)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got === Map(
+      "a" -> ((100L, 10L, 900900L, 714285L, 1000L)),
+      "b" -> ((9L, 3L, 81081L, 214285L, 300L)),
+      "c" -> ((2L, 1L, 18018L, 71428L, 100L))), s"unexpected: $got")
+    // the smoothing direction is the POINT: head share falls, tail rises,
+    // and the tail's budget EXCEEDS its population (the upsampling signal)
+    assert(got("a")._4 < got("a")._3 && got("c")._4 > got("c")._3)
+    assert(got("c")._5 > got("c")._1)
+    // isqrt exactness at non-squares: 99 -> 9, 101 -> 10 (floor, corrected)
+    val w = Splits
+      .sqrtTemperatureBudgets(
+        (Seq.fill(99)("x") ++ Seq.fill(101)("y")).toDF("g"), "g", 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(w === Map("x" -> 9L, "y" -> 10L))
+    val e = intercept[IllegalArgumentException] {
+      Splits.sqrtTemperatureBudgets(df, "g", 0L)
+    }
+    assert(e.getMessage.contains("totalBudget"))
+  }
 }
