@@ -4953,6 +4953,118 @@ object Contract {
         graft.operators.Splits
           .sqrtTemperatureBudgets(Tables.documents(s, d), "lang", totalBudget = 100000L),
       Some(OracleSql.q205)
+    ),
+    Q(
+      "q206_mcnemar",
+      // McNemar's paired test (round 14) — the gate-SWAP decision number:
+      // q196's kappa says whether two filters agree; this says whether
+      // the replacement is actually BETTER on the rows where they
+      // disagree (concordant rows carry no evidence). Heuristic A =
+      // q203's stopword-density cut, heuristic B = a token-length cut,
+      // truth = lang='en'; one partial-agg shuffle to a single row.
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        val toks = TextAnalysis.tokens(col("text"))
+        val scored = Tables.documents(s, d)
+          .filter(col("text").isNotNull && col("lang").isNotNull)
+          .select(
+            TextAnalysis.stopwordCount(toks).cast("long").as("__stop"),
+            size(toks).cast("long").as("__ntok"),
+            when(col("lang") === "en", 1).otherwise(0).as("y"))
+          .select(
+            col("y"),
+            when(expr("(__stop * 1000000L) div __ntok") >= 300000L, 1)
+              .otherwise(0).as("pa"),
+            when(col("__ntok") >= 30L, 1).otherwise(0).as("pb"))
+        graft.operators.Profile.mcnemar(scored, "y", "pa", "pb")
+      },
+      Some(OracleSql.q206)
+    ),
+    Q(
+      "q207_fleiss_kappa",
+      // Fleiss' kappa (round 14) — panel agreement BEFORE training on the
+      // panel's labels: three keep/drop heuristic raters (stopword
+      // density / token length / char length) vote per document; kappa
+      // says whether the panel agrees enough for its majority label to
+      // mean anything. Votes via an in-row stack (no joins to build the
+      // panel), then the operator's (item, cat) partial-agg pipeline.
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        val toks = TextAnalysis.tokens(col("text"))
+        val votes = Tables.documents(s, d)
+          .filter(col("text").isNotNull)
+          .select(
+            col("doc_id"),
+            TextAnalysis.stopwordCount(toks).cast("long").as("__stop"),
+            size(toks).cast("long").as("__ntok"),
+            length(col("text")).cast("long").as("__nchr"))
+          .select(
+            col("doc_id"),
+            expr("""stack(3,
+                   |  'r1', CASE WHEN (__stop * 1000000L) div __ntok >= 300000L
+                   |             THEN 'keep' ELSE 'drop' END,
+                   |  'r2', CASE WHEN __ntok >= 30L THEN 'keep' ELSE 'drop' END,
+                   |  'r3', CASE WHEN __nchr >= 200L THEN 'keep' ELSE 'drop' END
+                   |) AS (rater, cat)""".stripMargin))
+        graft.operators.Profile.fleissKappa(votes, "doc_id", "rater", "cat", nRaters = 3)
+      },
+      Some(OracleSql.q207)
+    ),
+    Q(
+      "q208_label_propagation",
+      // Synchronous label propagation (round 14) — community detection
+      // over q106's co-purchase chain graph: 3 deterministic rounds
+      // (most-frequent neighbor label, min-label ties), all-integer so
+      // the unrolled oracle replays every round bit for bit. The finer
+      // companion to q136's connected components for link-farm excision.
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        val edges = l.as("a").join(l.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("b.l_linenumber") === col("a.l_linenumber") + 1)
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        graft.operators.LinkGraph.labelPropagation(edges, "src", "dst", iters = 3)
+      },
+      Some(OracleSql.q208)
+    ),
+    Q(
+      "q209_embed_contamination",
+      // Embedding-space decontamination (round 14) — the semantic twin of
+      // the n-gram contamination tier: eval = every 37th vector, train =
+      // the rest; flag train vectors within cosine 0.95 of ANY eval
+      // vector. Eval side broadcast, train scanned once, per-train max
+      // collapses map-side — the one honest plan at 100 TB.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.operators.Similarity.embedContamination(
+          emb.filter(col("vec_id") % 37 =!= 0),
+          emb.filter(col("vec_id") % 37 === 0),
+          "vec_id", "embedding", tauX1e6 = 950000L)
+      },
+      Some(OracleSql.q209)
+    ),
+    Q(
+      "q210_zipf_slope",
+      // Zipf rank–frequency fit (round 14) — corpus-composition drift in
+      // one number: exact-integer OLS over floored micro-nat ln points of
+      // the top-200 census (census partial-agg + TakeOrdered; the window
+      // runs over 200 rows). Healthy text reads slope ≈ −1e6.
+      (s, d) =>
+        graft.operators.Corpus.zipfFit(Tables.documents(s, d), "text", topN = 200),
+      Some(OracleSql.q210)
+    ),
+    Q(
+      "q211_heaps_growth",
+      // Heaps'-law vocabulary growth (round 14) — "is the corpus still
+      // buying new vocabulary?": 16 cumulative id-range prefixes, exact
+      // cum types via each term's FIRST bucket (no prefix rescans),
+      // all-integer counts. The accretion-order twin of q200's
+      // wave-novelty monitor.
+      (s, d) =>
+        graft.operators.Corpus
+          .heapsGrowth(Tables.documents(s, d), "doc_id", "text", buckets = 16),
+      Some(OracleSql.q211)
     )
   )
 

@@ -2660,4 +2660,193 @@ object OracleSql {
       |SELECT source, ((3 * (rn - 1)) // n)::BIGINT AS bucket,
       |  count(*)::BIGINT AS n_docs, sum(nll_x1e6)::BIGINT AS sum_nll_x1e6
       |FROM scored GROUP BY 1, 2""".stripMargin
+
+  /** McNemar paired classifier test (q206): the q203 stopword-density
+    * heuristic vs a token-length heuristic, both against lang='en';
+    * discordant counts + the (b−c)²/(b+c) statistic in micro-units,
+    * continuity-corrected twin alongside. All counts, all non-negative
+    * divisions — replayed verbatim.
+    */
+  val q206: String =
+    s"""WITH base AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    CASE WHEN (len(list_filter(string_split(text, ' '),
+       |                 t -> list_contains(['the','a'], t))) * 1000000
+       |               // len(string_split(text, ' '))) >= 300000
+       |         THEN 1 ELSE 0 END AS pa,
+       |    CASE WHEN len(string_split(text, ' ')) >= 30 THEN 1 ELSE 0 END AS pb
+       |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+       |t AS (
+       |  SELECT COUNT(*)::BIGINT AS n,
+       |    SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)::BIGINT AS b,
+       |    SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)::BIGINT AS c
+       |  FROM base)
+       |SELECT n, b, c,
+       |  (CASE WHEN b + c > 0
+       |     THEN ((b - c) * (b - c) * 1000000) // (b + c) END)::BIGINT AS chi2_x1e6,
+       |  (CASE WHEN b + c > 0
+       |     THEN (GREATEST(ABS(b - c) - 1, 0) * GREATEST(ABS(b - c) - 1, 0)
+       |           * 1000000) // (b + c) END)::BIGINT AS chi2cc_x1e6
+       |FROM t""".stripMargin
+
+  /** Fleiss' kappa (q207): a 3-heuristic keep/drop panel over documents
+    * (stopword density / token length / char length), the exact integer
+    * kappa in HUGEINT — A=Σn_ic(n_ic−1), B=Nn(n−1), C=Σ_c marginal²,
+    * D=(Nn)², kappa=(AD−CB)/(B(D−C)), sign-split ×1e6 division.
+    */
+  val q207: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, len(string_split(text, ' ')) AS ntok,
+       |    (len(list_filter(string_split(text, ' '),
+       |       t -> list_contains(['the','a'], t))) * 1000000
+       |     // len(string_split(text, ' '))) AS sd
+       |  FROM documents WHERE text IS NOT NULL),
+       |v AS (
+       |  SELECT doc_id, 'r1' AS rater,
+       |    CASE WHEN sd >= 300000 THEN 'keep' ELSE 'drop' END AS cat FROM d
+       |  UNION ALL SELECT doc_id, 'r2',
+       |    CASE WHEN ntok >= 30 THEN 'keep' ELSE 'drop' END FROM d
+       |  UNION ALL SELECT doc_id, 'r3',
+       |    CASE WHEN length(text) >= 200 THEN 'keep' ELSE 'drop' END FROM d),
+       |cells AS (SELECT doc_id, cat, COUNT(*)::HUGEINT AS c FROM v GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, SUM(c) AS t FROM cells GROUP BY 1),
+       |kept AS (SELECT cells.* FROM cells JOIN tot USING (doc_id) WHERE t = 3),
+       |an AS (SELECT COALESCE(SUM(c * (c - 1)), 0)::HUGEINT AS a,
+       |              COUNT(DISTINCT doc_id)::HUGEINT AS ni FROM kept),
+       |cm AS (SELECT COALESCE(SUM(ct * ct), 0)::HUGEINT AS csq
+       |       FROM (SELECT SUM(c)::HUGEINT AS ct FROM kept GROUP BY cat)),
+       |dr AS (SELECT COALESCE(SUM(CASE WHEN t <> 3 THEN 1 ELSE 0 END), 0)::BIGINT
+       |         AS nd FROM tot)
+       |SELECT ni::BIGINT AS n_items, 3::BIGINT AS n_raters, nd AS n_items_dropped,
+       |  (CASE WHEN ni * 6 > 0 THEN (a * 1000000) // (ni * 6) END)::BIGINT
+       |    AS pbar_x1e6,
+       |  (CASE WHEN ni * 3 > 0
+       |     THEN (csq * 1000000) // ((ni * 3) * (ni * 3)) END)::BIGINT AS pe_x1e6,
+       |  (CASE WHEN (ni * 3) * (ni * 3) <> csq AND ni * 6 > 0 THEN
+       |     CASE WHEN a * ((ni * 3) * (ni * 3)) >= csq * (ni * 6)
+       |       THEN ((a * ((ni * 3) * (ni * 3)) - csq * (ni * 6)) * 1000000)
+       |              // ((ni * 6) * ((ni * 3) * (ni * 3) - csq))
+       |       ELSE -(((csq * (ni * 6) - a * ((ni * 3) * (ni * 3))) * 1000000)
+       |              // ((ni * 6) * ((ni * 3) * (ni * 3) - csq)))
+       |     END END)::BIGINT AS kappa_x1e6
+       |FROM an, cm, dr""".stripMargin
+
+  /** Synchronous label propagation (q208): q106's co-purchase chain
+    * edges, symmetrized, 3 unrolled rounds — each round votes by
+    * neighbor label, argmax by (votes DESC, label ASC). All-integer
+    * recurrence, replayed round by round like q106/q128.
+    */
+  val q208: String = {
+    def round(i: Int): String =
+      s"""v$i AS (
+         |  SELECT e.dst AS id, l${i - 1}.lab, COUNT(*) AS c
+         |  FROM e JOIN l${i - 1} ON l${i - 1}.id = e.src GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT id, lab FROM (
+         |    SELECT id, lab,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+         |    FROM v$i) t WHERE rn = 1)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey::BIGINT AS pk FROM lineitem),
+       |e0 AS (
+       |  SELECT a.pk AS src, b.pk AS dst
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+       |  WHERE a.pk <> b.pk),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |l0 AS (SELECT DISTINCT src AS id, src AS lab FROM e),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT id::BIGINT AS id, lab::BIGINT AS label FROM l3""".stripMargin
+  }
+
+  /** Embedding-space decontamination (q209): eval = vec_id % 37 == 0,
+    * train = the rest; per-train max cosine against the whole eval set
+    * (q25's list_reduce dot spelling — the identical left fold), floored
+    * micro-units, τ = 0.95.
+    */
+  val q209: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    list_reduce(list_transform(embedding,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS n2
+       |  FROM embeddings),
+       |ev AS (SELECT * FROM n WHERE vec_id % 37 = 0 AND n2 > 0),
+       |tr AS (SELECT * FROM n WHERE vec_id % 37 <> 0),
+       |mx AS (
+       |  SELECT t.vec_id,
+       |    MAX(CASE WHEN t.n2 > 0 THEN
+       |      list_reduce(list_transform(range(1, len(t.embedding) + 1),
+       |          i -> CAST(t.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+       |        (a, b) -> a + b) / (sqrt(t.n2) * sqrt(e.n2)) END) AS mc
+       |  FROM tr t CROSS JOIN ev e GROUP BY 1)
+       |SELECT vec_id, FLOOR(mc * 1000000)::BIGINT AS max_cos_x1e6,
+       |  COALESCE(FLOOR(mc * 1000000) >= 950000, FALSE) AS contaminated
+       |FROM mx""".stripMargin
+
+  /** Zipf rank–frequency fit (q210): top-200 census by (cnt DESC, token),
+    * per-row floored micro-nat ln points, exact HUGEINT OLS, sign-split
+    * ×1e6 slope/intercept divisions. DuckDB ln() == natural log (its
+    * log() is log10 — the one spelling trap this oracle exists to pin).
+    */
+  val q210: String =
+    s"""WITH census AS (
+       |  SELECT term AS token, COUNT(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+       |        FROM documents WHERE text IS NOT NULL) GROUP BY 1),
+       |top AS (SELECT token, cnt FROM census ORDER BY cnt DESC, token LIMIT 200),
+       |pts AS (
+       |  SELECT
+       |    FLOOR(ln((ROW_NUMBER() OVER (ORDER BY cnt DESC, token))::DOUBLE)
+       |          * 1000000)::HUGEINT AS x,
+       |    FLOOR(ln(cnt::DOUBLE) * 1000000)::HUGEINT AS y
+       |  FROM top),
+       |s AS (SELECT COUNT(*)::HUGEINT AS n, SUM(x) AS sx, SUM(y) AS sy,
+       |             SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM pts),
+       |f AS (SELECT n, sx, sy, (n * sxy - sx * sy) AS num,
+       |             (n * sxx - sx * sx) AS den FROM s)
+       |SELECT n::BIGINT AS n_terms,
+       |  (CASE WHEN den <> 0 THEN
+       |     CASE WHEN num >= 0 THEN (num * 1000000) // den
+       |          ELSE -((-num * 1000000) // den) END END)::BIGINT AS slope_x1e6,
+       |  (CASE WHEN den <> 0 THEN
+       |     CASE WHEN sy * den - num * sx >= 0
+       |       THEN ((sy * den - num * sx) * 1000000) // (n * den)
+       |       ELSE -((-(sy * den - num * sx) * 1000000) // (n * den))
+       |     END END)::BIGINT AS intercept_x1e6
+       |FROM f""".stripMargin
+
+  /** Heaps' vocabulary growth (q211): 16 id-range prefixes, per-bucket
+    * doc/token sums, each term's FIRST bucket, cumulative windows over
+    * the dense generate_series spine.
+    */
+  val q211: String =
+    s"""WITH b AS (
+       |  SELECT MIN(doc_id)::BIGINT AS lo, MAX(doc_id)::BIGINT AS hi
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |d AS (
+       |  SELECT ((doc_id::BIGINT - lo) * 16) // (hi - lo + 1) AS bucket, text
+       |  FROM documents, b WHERE doc_id IS NOT NULL),
+       |pb AS (
+       |  SELECT bucket, COUNT(*)::BIGINT AS n_docs,
+       |    COALESCE(SUM(len(string_split(text, ' '))), 0)::BIGINT AS toks
+       |  FROM d GROUP BY 1),
+       |fb AS (
+       |  SELECT bucket, COUNT(*)::BIGINT AS new_types FROM (
+       |    SELECT tok, MIN(bucket) AS bucket
+       |    FROM (SELECT bucket, unnest(string_split(text, ' ')) AS tok FROM d)
+       |    GROUP BY tok) GROUP BY 1),
+       |spine AS (SELECT g.generate_series::BIGINT AS bucket
+       |          FROM generate_series(0, 15) g)
+       |SELECT s.bucket,
+       |  COALESCE(pb.n_docs, 0)::BIGINT AS n_docs,
+       |  (SUM(COALESCE(pb.n_docs, 0)) OVER w)::BIGINT AS cum_docs,
+       |  (SUM(COALESCE(pb.toks, 0)) OVER w)::BIGINT AS cum_tokens,
+       |  (SUM(COALESCE(fb.new_types, 0)) OVER w)::BIGINT AS cum_types
+       |FROM spine s
+       |LEFT JOIN pb ON pb.bucket = s.bucket
+       |LEFT JOIN fb ON fb.bucket = s.bucket
+       |WINDOW w AS (ORDER BY s.bucket ROWS BETWEEN UNBOUNDED PRECEDING
+       |             AND CURRENT ROW)""".stripMargin
 }

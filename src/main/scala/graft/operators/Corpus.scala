@@ -1994,4 +1994,156 @@ object Corpus {
       .join(kept, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
+
+  /** Zipf rank–frequency fit — the corpus-health number next to
+    * `vocabCoverage`: natural-language corpora follow freq ∝ rank^(−s)
+    * with s ≈ 1; template spam, boilerplate floods, and synthetic filler
+    * bend the log-log line (|slope| ≪ 1 = suspiciously flat head, ≫ 1 =
+    * a few templates own the corpus). Tracked per release, the slope is
+    * a one-number drift alarm on corpus composition.
+    *
+    * Exact-integer OLS over the log-log points: the top `topN` terms by
+    * (count DESC, term ASC) get x = floor(ln(rank)·1e6),
+    * y = floor(ln(count)·1e6) — micro-nats PER ROW (ln of an integer is
+    * the same double on any engine in practice — the tokenEntropy
+    * posture — and floor is exact), then the OLS sums fold those
+    * integers in DECIMAL(38,0) exactly (the groupedTrend carrier; the
+    * sums square micro-nat values, so Long is gone immediately). The two
+    * closing divisions are sign-split ×1e6 integer divisions (the slope
+    * is legitimately negative — that's the point).
+    *
+    * Scale shape: one partial-agg shuffle to the vocab census, a
+    * TakeOrdered top-`topN` (heap per partition + driver merge of topN
+    * rows — no global sort), and rank/OLS over the topN-row frame (one
+    * bounded window over ≤ topN rows). `topN` is capped at 1024 — the
+    * DECIMAL(38,0) envelope for Σy·den·1e6 (ln(1e18)·1e6 ≈ 4.1e7 values,
+    * squared and summed over topN then cross-multiplied) holds to ~10³
+    * points, and a Zipf fit past the first thousand ranks measures the
+    * tail's hapax plateau, not the law.
+    *
+    * Output: one row — n_terms, slope_x1e6, intercept_x1e6 (the fit of
+    * y on x in micro-nats; slope ≈ −1e6 for healthy text).
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topN: Int = 256): DataFrame = {
+    require(topN >= 3 && topN <= 1024, s"topN must be in [3,1024], got $topN")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val top = graft.operators.Dedup
+      .spread(docs)
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topN)
+    // rank over the already-cut topN rows: a bounded single-partition
+    // window over <= 1024 rows, not a corpus-sized sort
+    val pts = top
+      .withColumn("__rnk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)))
+      .select(
+        floor(log(col("__rnk").cast("double")) * lit(1000000.0)).cast("long").as("__x"),
+        floor(log(col("cnt").cast("double")) * lit(1000000.0)).cast("long").as("__y"))
+    pts
+      .agg(
+        count(lit(1)).cast(dec).as("__n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum((col("__x").cast(dec) * col("__y").cast(dec))).as("__sxy"),
+        sum((col("__x").cast(dec) * col("__x").cast(dec))).as("__sxx"))
+      .select(
+        col("__n").cast("long").as("n_terms"),
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")).as("__num"),
+        (col("__n") * col("__sxx") - col("__sx") * col("__sx")).as("__den"),
+        col("__sy"), col("__sx"), col("__n"))
+      .select(
+        col("n_terms"),
+        when(col("__den") =!= 0,
+          expr("""CASE WHEN __num >= 0
+                 |  THEN (__num * 1000000L) div __den
+                 |  ELSE -((-__num * 1000000L) div __den)
+                 |END""".stripMargin)).as("slope_x1e6"),
+        // intercept = (Σy·den − num·Σx) / (n·den), exact cross-multiply
+        when(col("__den") =!= 0,
+          expr("""CASE WHEN __sy * __den - __num * __sx >= 0
+                 |  THEN ((__sy * __den - __num * __sx) * 1000000L) div (__n * __den)
+                 |  ELSE -((-(__sy * __den - __num * __sx) * 1000000L) div (__n * __den))
+                 |END""".stripMargin)).as("intercept_x1e6"))
+  }
+
+  /** Heaps'-law vocabulary growth — "how fast does the vocab still grow
+    * as the corpus grows?", THE saturation question behind every vocab /
+    * tokenizer / dedup budget: a corpus whose type count still grows at
+    * full Heaps slope keeps paying for new vocabulary; one whose curve
+    * has flattened is re-ingesting what it already has (the batch
+    * companion to q200's wave-novelty monitor, over document accretion
+    * order instead of waves).
+    *
+    * The corpus is cut into `buckets` cumulative prefixes BY ID RANGE —
+    * bucket = ((id − min_id)·buckets) div (max_id − min_id + 1), a pure
+    * projection off a broadcast 1-row min/max probe (ids are ingestion-
+    * ordered in this engine's tables; any monotone ingest key works).
+    * Exact cumulative types per prefix WITHOUT rescanning prefixes:
+    * each term carries its FIRST bucket (min over one (term) partial
+    * agg), and cum_types(b) = #\{terms: first_bucket ≤ b\} — a bucket-sized
+    * cumulative window. Everything is integer counts — exact on any
+    * engine.
+    *
+    * Scale shape: one map-side token-count pass for per-bucket token
+    * sums, one (term) partial-agg shuffle for first buckets, then all
+    * windows run over ≤ `buckets` rows. No prefix is ever re-scanned —
+    * the O(buckets · corpus) trap this formulation exists to avoid.
+    *
+    * Output: bucket, n_docs, cum_docs, cum_tokens, cum_types — one row
+    * per non-empty id range slice (empty slices surface with n_docs = 0
+    * via the dense spine so the curve has no silent gaps).
+    */
+  def heapsGrowth(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 16): DataFrame = {
+    require(buckets >= 2 && buckets <= 10000,
+      s"buckets must be in [2,10000], got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val ss = docs.sparkSession
+    val base = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"), col(textCol).as("__text"))
+    val bounds = base.agg(min(col("__id")).as("__lo"), max(col("__id")).as("__hi"))
+    val bucketed = base
+      .crossJoin(broadcast(bounds))
+      .select(
+        expr(s"((__id - __lo) * $buckets) div (__hi - __lo + 1)").as("bucket"),
+        col("__text"))
+      .localCheckpoint(true) // two consumers: token sums + term firsts
+    val perBucket = bucketed
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("__text"), " ")).cast("long")).as("__toks"))
+    val firstBucket = bucketed
+      .select(col("bucket"), explode(split(col("__text"), " ")).as("__tok"))
+      .groupBy(col("__tok"))
+      .agg(min(col("bucket")).as("__fb"))
+      .groupBy(col("__fb").as("bucket"))
+      .agg(count(lit(1)).as("__new_types"))
+    val spine = ss.range(0, buckets).select(col("id").cast("long").as("bucket"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(perBucket, Seq("bucket"), "left")
+      .join(firstBucket, Seq("bucket"), "left")
+      .select(
+        col("bucket"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("__toks"), lit(0L)).as("__toks"),
+        coalesce(col("__new_types"), lit(0L)).as("__new_types"))
+      .select(
+        col("bucket"),
+        col("n_docs"),
+        sum(col("n_docs")).over(cum).as("cum_docs"),
+        sum(col("__toks")).over(cum).as("cum_tokens"),
+        sum(col("__new_types")).over(cum).as("cum_types"))
+  }
 }

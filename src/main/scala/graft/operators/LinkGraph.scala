@@ -299,4 +299,74 @@ object LinkGraph {
           expr(s"(2 * coalesce(tri, 0L) * ${scale}L) div (deg * (deg - 1L))"))
           .otherwise(lit(0L)).as("clust_x1e6"))
   }
+
+  /** Synchronous label propagation — community detection for corpus
+    * curation: connected components (q136) answer "which pages are
+    * REACHABLE from each other", LPA answers the finer "which pages vote
+    * each other into the same neighborhood" — the clusters a link-farm /
+    * mirror-network excision acts on, where CC would fuse everything one
+    * stray hyperlink touches.
+    *
+    * Deterministic variant (the only kind an oracle can replay): labels
+    * start as node ids; each round every node adopts the MOST FREQUENT
+    * label among its neighbors, ties broken by SMALLEST label. Multi-edges
+    * count as multiple votes (the `propagate` rule); the graph is
+    * symmetrized internally so "neighbor" means either endpoint. Fixed
+    * `iters` rounds, synchronous (all nodes update from the previous
+    * round's labels) — convergence detection would cost a per-round
+    * driver probe and makes the result load-order-dependent in the
+    * asynchronous form every textbook warns about.
+    *
+    * All-integer (labels are ids, votes are counts) — every engine
+    * replays the recurrence bit for bit. The per-round argmax is
+    * `min(struct(-votes, label))` — a partial-aggregable struct-min, NOT
+    * a per-node row_number window: the vote table collapses map-side and
+    * no per-node sort materializes.
+    *
+    * Scale shape per round: one shuffle join (edges × labels on src — the
+    * label frame is node-sized, the edge frame is checkpointed once up
+    * front) + one (node, label) partial agg + one node partial agg.
+    * iters·3 bounded shuffles total, the inherent cost of any synchronous
+    * graph recurrence (the `propagate` posture). `prePartition` = the
+    * 1000-executor trade: persist the edge frame pre-hashed on src so
+    * each round shuffles only the node-sized label frame.
+    *
+    * Output: id, label (the community representative after `iters`
+    * rounds).
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      prePartition: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val dir = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val symProj = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+    val e =
+      if (prePartition)
+        symProj.repartition(col("src"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else symProj.localCheckpoint(true) // reused every round
+    // after symmetrization every node appears as a src
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    while (iter < iters) {
+      labels = e
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("__v"))
+        .groupBy(col("id"))
+        .agg(min(struct((-col("__v")).as("nv"), col("label").as("l"))).as("__w"))
+        .select(col("id"), col("__w.l").as("label"))
+        .localCheckpoint(true)
+      iter += 1
+    }
+    if (prePartition) e.unpersist(false)
+    labels
+  }
 }

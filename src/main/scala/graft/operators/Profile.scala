@@ -861,4 +861,145 @@ object Profile {
                  |  div ((__cumn * 1000000L) div __totn)""".stripMargin))
           .as("lift_x1e6"))
   }
+
+  /** McNemar's test — PAIRED comparison of two binary classifiers over the
+    * same rows: does model A beat model B, or do they just disagree
+    * randomly? Accuracy deltas (even kappa) ignore the pairing; McNemar
+    * looks only at the DISCORDANT cells — b = rows A got right and B got
+    * wrong, c = the reverse — because concordant rows carry no evidence
+    * either way. The statistic (b−c)²/(b+c) is the gate-swap decision
+    * number: "replace the shipped heuristic with the trained filter" is
+    * only defensible when it clears a χ²₁ cut (3.84 at p=0.05 — the
+    * caller compares against micro-units of that).
+    *
+    * Exact integer form: correctness is a boolean equality per row
+    * (pred == label), b and c are plain counts, and both reported
+    * statistics are single truncating divisions of non-negative integers
+    * (Spark `div` == DuckDB `//` on non-negatives):
+    * chi2_x1e6 = (b−c)²·1e6 div (b+c), and the continuity-corrected
+    * chi2cc_x1e6 = max(|b−c|−1, 0)²·1e6 div (b+c). Both NULL when
+    * b + c == 0 (no discordant rows — the test is undefined, not "zero").
+    *
+    * Integer envelope: (b−c)² squares a count, so exactness holds to
+    * b+c ≤ ~3.04e9 discordant rows (the cohenKappa envelope); past it
+    * non-ANSI Spark wraps silently where DuckDB errors — sample, don't
+    * trust the wrapped value.
+    *
+    * Scale shape: one partial-agg shuffle collapsing to a single row —
+    * the 2×2 discordance table folds map-side. Rows with a null label or
+    * either null prediction are excluded (the classifierMetrics rule).
+    *
+    * Output: one row — n, b, c, chi2_x1e6, chi2cc_x1e6.
+    */
+  def mcnemar(
+      frame: DataFrame,
+      labelCol: String,
+      predACol: String,
+      predBCol: String): DataFrame = {
+    val aOk = col(predACol) === col(labelCol)
+    val bOk = col(predBCol) === col(labelCol)
+    frame
+      .filter(col(labelCol).isNotNull && col(predACol).isNotNull && col(predBCol).isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(aOk && !bOk, 1L).otherwise(0L)).as("b"),
+        sum(when(!aOk && bOk, 1L).otherwise(0L)).as("c"))
+      .select(
+        col("n"), col("b"), col("c"),
+        when(col("b") + col("c") > 0,
+          expr("((b - c) * (b - c) * 1000000L) div (b + c)")).as("chi2_x1e6"),
+        when(col("b") + col("c") > 0,
+          expr("""(greatest(abs(b - c) - 1, 0L) * greatest(abs(b - c) - 1, 0L)
+                 |   * 1000000L) div (b + c)""".stripMargin)).as("chi2cc_x1e6"))
+  }
+
+  /** Fleiss' kappa — chance-corrected agreement for a PANEL of raters
+    * (cohenKappa generalized past two): `frame` holds one vote per row
+    * (item, rater, category), the shape of every labeling campaign —
+    * n human annotators per document, or n heuristic gates voting on the
+    * same corpus slice. This is the number that says whether a label set
+    * is trustworthy enough to train the filter on, BEFORE aucExact/q185
+    * ask whether the trained filter learned anything.
+    *
+    * Fleiss assumes a FIXED panel size: items with a vote count other
+    * than `nRaters` (partial panels, duplicate raters) are EXCLUDED and
+    * reported in n_items_dropped — silently folding a 2-vote item into a
+    * 3-rater formula shifts P̄ with no warning. Votes are counted per
+    * (item, category): a rater voting twice for one item is two votes
+    * (the standard count-table form — de-dup upstream if raters can
+    * resubmit).
+    *
+    * Exact integer form (micro-units): with N kept items, n raters,
+    * n_ic the per-item-category counts, A = Σ_i Σ_c n_ic(n_ic−1),
+    * B = N·n(n−1), C = Σ_c (Σ_i n_ic)², D = (Nn)²:
+    * P̄ = A/B, P̄ₑ = C/D, kappa = (A·D − C·B) / (B·(D − C)). All four
+    * terms are exact integers carried in DECIMAL(38,0) (D alone squares
+    * the total vote count, past Long immediately at scale); the single
+    * ×1e6 division is sign-split (kappa is legitimately negative below
+    * chance; Spark `div` truncates, DuckDB `//` floors — they disagree
+    * on negatives). NULL when D == C (every kept vote in one category —
+    * chance agreement is total, kappa undefined).
+    *
+    * Integer envelope: A·D·1e6 must fit DECIMAL(38,0), which holds to
+    * ~1e9 total kept votes (N·n ≤ 1e9 → D ≤ 1e18, A < N·n² small side,
+    * product ≤ ~1e35) — an annotation-panel-sized envelope, not a
+    * web-corpus one; shard by label campaign past it.
+    *
+    * Scale shape: one (item, category) partial-agg shuffle, one
+    * item-sized total for the panel filter, then category-count folds on
+    * vote-table-sized frames; nothing driver-side. Null item/rater/
+    * category rows are excluded.
+    *
+    * Output: one row — n_items, n_raters, n_items_dropped, pbar_x1e6,
+    * pe_x1e6, kappa_x1e6.
+    */
+  def fleissKappa(
+      frame: DataFrame,
+      itemCol: String,
+      raterCol: String,
+      catCol: String,
+      nRaters: Int): DataFrame = {
+    require(nRaters >= 2, s"fleissKappa needs a panel of >= 2 raters, got $nRaters")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val votes = frame
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull && col(catCol).isNotNull)
+      .select(col(itemCol).as("__i"), col(catCol).as("__cat"))
+    val cells = votes.groupBy(col("__i"), col("__cat")).agg(count(lit(1)).as("__c"))
+    val itemTot = cells.groupBy(col("__i")).agg(sum(col("__c")).as("__tot"))
+    val dropped = itemTot.agg(
+      sum(when(col("__tot") =!= nRaters, 1L).otherwise(0L)).as("n_items_dropped"))
+    val kept = cells
+      .join(itemTot.filter(col("__tot") === nRaters).select(col("__i")), Seq("__i"))
+    // A (within-item agreement numerator) and N fold in one pass; the
+    // category marginals C fold over the same kept cell frame
+    val an = kept.agg(
+      sum((col("__c") * (col("__c") - 1)).cast(dec)).as("__a"),
+      countDistinct(col("__i")).cast(dec).as("__nitems"))
+    val cm = kept
+      .groupBy(col("__cat"))
+      .agg(sum(col("__c")).cast(dec).as("__ct"))
+      .agg(sum(col("__ct") * col("__ct")).as("__csq"))
+    an.crossJoin(broadcast(cm))
+      .crossJoin(broadcast(dropped))
+      .select(
+        col("__nitems").cast("long").as("n_items"),
+        lit(nRaters.toLong).as("n_raters"),
+        coalesce(col("n_items_dropped"), lit(0L)).as("n_items_dropped"),
+        (col("__nitems") * lit(nRaters)).as("__nn"),
+        (col("__nitems") * lit(nRaters) * lit(nRaters - 1)).as("__b"),
+        coalesce(col("__a"), lit(0L).cast(dec)).as("__a"),
+        coalesce(col("__csq"), lit(0L).cast(dec)).as("__csq"))
+      .select(
+        col("n_items"), col("n_raters"), col("n_items_dropped"),
+        when(col("__b") > 0, expr("(__a * 1000000L) div __b")).as("pbar_x1e6"),
+        when(col("__nn") > 0, expr("(__csq * 1000000L) div (__nn * __nn)")).as("pe_x1e6"),
+        when(col("__nn") * col("__nn") - col("__csq") =!= 0 && col("__b") > 0,
+          expr("""CASE WHEN __a * (__nn * __nn) >= __csq * __b
+                 |  THEN ((__a * (__nn * __nn) - __csq * __b) * 1000000L)
+                 |         div (__b * (__nn * __nn - __csq))
+                 |  ELSE -(((__csq * __b - __a * (__nn * __nn)) * 1000000L)
+                 |         div (__b * (__nn * __nn - __csq)))
+                 |END""".stripMargin)).as("kappa_x1e6"))
+  }
 }

@@ -1387,4 +1387,60 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"))
     exactRerank(short, emb, probePred, k)
   }
+
+  /** Embedding-space decontamination — the semantic companion to the
+    * n-gram tiers (`Corpus.contamination*`): an eval item paraphrased into
+    * the training set shares almost no 8-gram with its source, but its
+    * embedding still sits within cosine τ of the eval embedding. This op
+    * flags every training vector whose max cosine against ANY eval vector
+    * reaches the threshold — the last decontamination gate a pipeline
+    * runs before a corpus ships as training data.
+    *
+    * Scale shape — the one honest plan at 100 TB: the eval side is
+    * BROADCAST (eval benchmarks are small by construction — 10³–10⁵
+    * rows; `require`d non-empty, zero-norm eval rows dropped up front),
+    * the training side is scanned ONCE with the per-pair cosine computed
+    * against the broadcast copy (no shuffle of train data, no ANN index
+    * needed — brute force against a broadcast eval IS the exact answer at
+    * eval-set sizes), and the per-train max collapses map-side into one
+    * partial-agg shuffle of (id, max) rows. An IVF index would only
+    * approximate the same result while paying an index build.
+    *
+    * max over doubles is order-independent and the per-pair cosine folds
+    * in a fixed component order (`dot` is the native loop; DuckDB's
+    * list_reduce replays it bit for bit), so the floored micro-unit
+    * max_cos is engine-stable. Train rows with a zero-norm embedding get
+    * a NULL max_cos and count as clean (no direction to match on).
+    *
+    * Output: idCol, max_cos_x1e6 (floor(max cos · 1e6); floor, not
+    * round — Spark and DuckDB disagree on negative half-cases),
+    * contaminated (max_cos_x1e6 ≥ tauX1e6).
+    */
+  def embedContamination(
+      train: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tauX1e6: Long): DataFrame = {
+    val ev = evalSet
+      .select(col(vecCol).as("__e_emb"), dot(col(vecCol), col(vecCol)).as("__e_n2"))
+      .filter(col("__e_n2") > 0.0)
+    require(!ev.isEmpty,
+      "embedContamination: the eval set is EMPTY (or all zero-norm) — " +
+        "nothing to decontaminate against; an empty gate passing every row " +
+        "as clean would be a silent no-op, not a decision")
+    train
+      .select(col(idCol), col(vecCol).as("__t_emb"),
+        dot(col(vecCol), col(vecCol)).as("__t_n2"))
+      .crossJoin(broadcast(ev))
+      .groupBy(col(idCol))
+      .agg(max(when(col("__t_n2") > 0.0,
+        cosine(dot(col("__t_emb"), col("__e_emb")), col("__t_n2"), col("__e_n2"))))
+        .as("__mc"))
+      .select(
+        col(idCol),
+        floor(col("__mc") * lit(1000000.0)).cast("long").as("max_cos_x1e6"),
+        coalesce(floor(col("__mc") * lit(1000000.0)).cast("long") >= tauX1e6,
+          lit(false)).as("contaminated"))
+  }
 }

@@ -664,4 +664,69 @@ class CorpusSpec extends AnyFunSuite {
     }
     assert(waste < idOrderWaste, s"bucketed waste $waste !< id-order waste $idOrderWaste")
   }
+
+  test("zipfFit: hand-pinned micro-nat points, exact BigInt OLS replay, topN cut + tie rule") {
+    import spark.implicits._
+    // census a:4 b:2 c:1 -> ranks 1,2,3
+    val docs = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val r = Corpus.zipfFit(docs, "text", topN = 3).collect().head
+    assert(r.getLong(0) === 3L)
+    // per-point micro-nats (floored ln), then the exact integer OLS the
+    // operator promises, replayed in BigInt with the same sign-split
+    val x = Seq(1L, 2L, 3L).map(v => BigInt(math.floor(math.log(v.toDouble) * 1e6).toLong))
+    val y = Seq(4L, 2L, 1L).map(v => BigInt(math.floor(math.log(v.toDouble) * 1e6).toLong))
+    assert(x === Seq(BigInt(0), BigInt(693147), BigInt(1098612)))
+    assert(y === Seq(BigInt(1386294), BigInt(693147), BigInt(0)))
+    val n   = BigInt(3)
+    val sx  = x.sum; val sy = y.sum
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+    val sxx = x.map(a => a * a).sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    def divSigned(a: BigInt, b: BigInt): Long =
+      (if (a >= 0) (a * 1000000) / b else -((-a * 1000000) / b)).toLong
+    assert(r.getLong(1) === divSigned(num, den))
+    assert(r.getLong(1) < 0L, "freq falls with rank — the slope must be negative")
+    assert(r.getLong(2) === divSigned(sy * den - num * sx, n * den))
+    // topN cuts by (cnt DESC, token ASC): with topN=3 over 4 terms tied at
+    // the tail, 'c' (not 'd') survives the cut
+    val tied = Seq((1L, "a a a a b b c d")).toDF("doc_id", "text")
+    val t = Corpus.zipfFit(tied, "text", topN = 3).collect().head
+    assert(t.getLong(0) === 3L)
+    // identical inputs except the cut tie -> same points as above ('c' kept)
+    assert(t.getLong(1) === r.getLong(1) && t.getLong(2) === r.getLong(2))
+  }
+
+  test("heapsGrowth: hand buckets, null text/id handling, dense spine over empty slices") {
+    import spark.implicits._
+    val docs = Seq(
+      (Some(0L), Some("x y")), (Some(1L), Some("x")),
+      (Some(2L), Some("y z")), (Some(3L), Option.empty[String]),
+      (Some(4L), Some("z")), (Some(5L), Some("w")),
+      (Some(6L), Some("")), (Some(7L), Some("x")),
+      (Option.empty[Long], Some("dropped row"))).toDF("doc_id", "text")
+    val got = Corpus.heapsGrowth(docs, "doc_id", "text", buckets = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // bucket = id div 2; "" is one (empty) token; null text: doc counted,
+    // zero tokens
+    assert(got === Map(
+      0L -> ((2L, 2L, 3L, 2L)),  // docs {0,1}: toks 3, new {x,y}
+      1L -> ((2L, 4L, 5L, 3L)),  // docs {2,3}: +2 toks, new {z}
+      2L -> ((2L, 6L, 7L, 4L)),  // docs {4,5}: +2, new {w}
+      3L -> ((2L, 8L, 9L, 5L))   // docs {6,7}: +2 ("" + x), new {""}
+    ))
+    // sparse ids: empty middle slices surface with n_docs = 0, cums carried
+    val sparse = Seq((0L, "a"), (15L, "b")).toDF("doc_id", "text")
+    val sp = Corpus.heapsGrowth(sparse, "doc_id", "text", buckets = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(sp === Map(
+      0L -> ((1L, 1L, 1L, 1L)),
+      1L -> ((0L, 1L, 1L, 1L)),
+      2L -> ((0L, 1L, 1L, 1L)),
+      3L -> ((1L, 2L, 2L, 2L))))
+  }
 }

@@ -187,4 +187,40 @@ class LinkGraphSpec extends AnyFunSuite {
       big.unpersist()
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("labelPropagation: two bridged triangles split into two communities (hand-traced rounds)") {
+    import spark.implicits._
+    // triangle {1,2,3}, triangle {10,11,12}, bridge 3-10; traced by hand:
+    // r1: 1->2 2->1 3->1 10->3 11->10 12->10
+    // r2: 1->1 2->1 3->1 10->10 11->3 12->3
+    // r3: 1->1 2->1 3->1 10->3 11->3 12->3
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (3L, 10L)).toDF("src", "dst")
+    val got = LinkGraph.labelPropagation(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 3L, 11L -> 3L, 12L -> 3L))
+    // prePartition (the 1000-executor edge-cache posture) computes the
+    // identical recurrence
+    val pp = LinkGraph.labelPropagation(edges, "src", "dst", iters = 3, prePartition = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pp === got)
+  }
+
+  test("labelPropagation: multi-edges vote multiply, ties break to min label, self-loops dropped") {
+    import spark.implicits._
+    // node 2 hears label 1 twice (duplicated edge) vs label 3 once -> 1;
+    // node 1 hears {2} only; node 3 hears {2} only; 5's self-loop vanishes
+    val edges = Seq((1L, 2L), (1L, 2L), (3L, 2L), (5L, 5L)).toDF("src", "dst")
+    val got = LinkGraph.labelPropagation(edges, "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    assert(!got.contains(5L))
+    // tie case: node 2 hears 1 and 3 once each -> min label 1
+    val tie = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val t = LinkGraph.labelPropagation(tie, "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t(2L) === 1L)
+  }
 }

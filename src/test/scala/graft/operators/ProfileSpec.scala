@@ -489,4 +489,71 @@ class ProfileSpec extends AnyFunSuite {
     val r = Profile.expectedCalibrationError(empty, "y", "s").collect().head
     assert(r.getLong(0) === 0L && r.isNullAt(2))
   }
+
+  test("mcnemar: hand-computed discordance, continuity correction, null exclusion, undefined case") {
+    import spark.implicits._
+    // y, predA, predB: 4 concordant-right, 1 concordant-wrong,
+    // b = 3 (A right, B wrong), c = 1 (A wrong, B right), + null rows
+    val rows: Seq[(Option[Int], Option[Int], Option[Int])] =
+      Seq.fill(4)((Some(1), Some(1), Some(1))) ++
+        Seq((Some(1), Some(0), Some(0))) ++
+        Seq.fill(3)((Some(1), Some(1), Some(0))) ++
+        Seq((Some(0), Some(1), Some(0))) ++
+        Seq((None, Some(1), Some(1)), (Some(1), None, Some(1)), (Some(1), Some(1), None))
+    val df = rows.toDF("y", "pa", "pb")
+    val r = Profile.mcnemar(df, "y", "pa", "pb").collect().head
+    assert(r.getLong(0) === 9L) // nulls excluded
+    assert(r.getLong(1) === 3L && r.getLong(2) === 1L)
+    // chi2 = (3-1)^2/(3+1) = 1.0 ; corrected = (|3-1|-1)^2/4 = 0.25
+    assert(r.getLong(3) === 1000000L)
+    assert(r.getLong(4) === 250000L)
+    // no discordant rows -> both statistics NULL, not zero
+    val conc = Seq((1, 1, 1), (0, 0, 0)).toDF("y", "pa", "pb")
+    val u = Profile.mcnemar(conc, "y", "pa", "pb").collect().head
+    assert(u.getLong(1) === 0L && u.getLong(2) === 0L)
+    assert(u.isNullAt(3) && u.isNullAt(4))
+  }
+
+  test("fleissKappa: textbook table, partial panels dropped, degenerate marginal NULL") {
+    import spark.implicits._
+    // 4 items x 3 raters, 2 categories; n_ic tables:
+    //  i1: a=3        -> P_i contribution 3*2       = 6
+    //  i2: a=2, b=1   ->                  2*1 + 0   = 2
+    //  i3: a=1, b=2   ->                  0   + 2*1 = 2
+    //  i4: b=3        ->                  3*2       = 6
+    // A = 16, N = 4, n = 3 -> B = N*n*(n-1) = 24, Pbar = 16/24
+    // marginals: a = 6, b = 6 -> C = 72, D = (12)^2 = 144, Pe = 1/2
+    // kappa = (A*D - C*B)/(B*(D - C)) = (2304-1728)/(24*72) = 576/1728 = 1/3
+    val votes = Seq(
+      (1, "r1", "a"), (1, "r2", "a"), (1, "r3", "a"),
+      (2, "r1", "a"), (2, "r2", "a"), (2, "r3", "b"),
+      (3, "r1", "a"), (3, "r2", "b"), (3, "r3", "b"),
+      (4, "r1", "b"), (4, "r2", "b"), (4, "r3", "b"),
+      (5, "r1", "a"), (5, "r2", "a") // partial panel -> dropped
+    ).toDF("item", "rater", "cat")
+    val r = Profile.fleissKappa(votes, "item", "rater", "cat", nRaters = 3).collect().head
+    assert(r.getLong(0) === 4L) // kept items
+    assert(r.getLong(1) === 3L)
+    assert(r.getLong(2) === 1L) // item 5 dropped
+    assert(r.getLong(3) === 666666L) // Pbar = 2/3 truncated
+    assert(r.getLong(4) === 500000L) // Pe = 1/2
+    assert(r.getLong(5) === 333333L) // kappa = 1/3 truncated
+    // every vote one category -> D == C -> kappa undefined (NULL), Pbar = 1
+    val mono = Seq(
+      (1, "r1", "a"), (1, "r2", "a"), (1, "r3", "a"),
+      (2, "r1", "a"), (2, "r2", "a"), (2, "r3", "a")).toDF("item", "rater", "cat")
+    val m = Profile.fleissKappa(mono, "item", "rater", "cat", nRaters = 3).collect().head
+    assert(m.getLong(3) === 1000000L && m.isNullAt(5))
+    // worse-than-chance panel goes NEGATIVE (the sign-split division path):
+    // 2 items, 2 raters... nRaters=3 with perfect disagreement impossible at
+    // 2 cats; use 3 raters, cats a/b/c all distinct per item -> Pbar = 0
+    val dis = Seq(
+      (1, "r1", "a"), (1, "r2", "b"), (1, "r3", "c"),
+      (2, "r1", "a"), (2, "r2", "b"), (2, "r3", "c")).toDF("item", "rater", "cat")
+    val dv = Profile.fleissKappa(dis, "item", "rater", "cat", nRaters = 3).collect().head
+    // Pbar = 0, Pe = 3*(2/6)^2 = 1/3, kappa = (0 - 1/3)/(2/3) = -1/2
+    assert(dv.getLong(3) === 0L)
+    assert(dv.getLong(4) === 333333L)
+    assert(dv.getLong(5) === -500000L)
+  }
 }

@@ -379,4 +379,37 @@ class SimilaritySpec extends AnyFunSuite {
       }, s"planted twin $i not recalled under auto banding")
     }
   }
+
+  test("embedContamination: colinear flagged, orthogonal clean, zero-norm train NULL, empty eval refused") {
+    import spark.implicits._
+    val eval = Seq(
+      (100L, Array(1.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Array(2.0f, 0.0f)),   // cos 1.0 vs eval 100 -> 1000000, flagged
+      (2L, Array(-1.0f, 0.0f)),  // max cos = 0.0 (vs eval 101) -> clean
+      (3L, Array(1.0f, 1.0f)),   // max cos = 1/sqrt(2) -> 707106, clean at tau
+      (4L, Array(0.0f, 0.0f))    // zero norm: NULL max_cos, clean
+    ).toDF("vec_id", "embedding")
+    val got = Similarity
+      .embedContamination(train, eval, "vec_id", "embedding", tauX1e6 = 950000L)
+      .collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getBoolean(2)))
+      .toMap
+    assert(got(1L) === ((Some(1000000L), true)))
+    assert(got(2L) === ((Some(0L), false)))
+    assert(got(3L) === ((Some(707106L), false)))
+    assert(got(4L) === ((None, false)))
+    // an empty eval gate would silently pass everything as clean — refused
+    val emptyEval = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.embedContamination(train, emptyEval, "vec_id", "embedding", 950000L)
+    }
+    assert(ex.getMessage.contains("EMPTY"))
+    // all-zero-norm eval is the same refusal (no direction to match on)
+    val zeroEval = Seq((200L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.embedContamination(train, zeroEval, "vec_id", "embedding", 950000L)
+    }
+  }
 }
