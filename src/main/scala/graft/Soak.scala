@@ -97,7 +97,14 @@ object Soak {
     // novelty probe + (alarmed branch) span excision; under the replica
     // construction the replay wave is maximal-duplication sludge, so the
     // curve measures the alarm path's mine+strip at volume
-    "q201_novelty_routed")
+    "q201_novelty_routed",
+    // round-14 additions that ride the replicated tables: embedding
+    // decontamination (train×broadcast-eval cosine pass — the pair count
+    // grows linearly in replicas on the train side, quadratically via the
+    // eval side staying a fixed FRACTION: 10x = 19.5k×540 ≈ 10.5M pairs),
+    // and the two corpus-statistics passes (census + TakeOrdered; token
+    // sums + term-first-bucket) whose cost should track corpus tokens
+    "q209_embed_contamination", "q210_zipf_slope", "q211_heaps_growth")
 
   def main(args: Array[String]): Unit = {
     val src      = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")

@@ -5065,6 +5065,74 @@ object Contract {
         graft.operators.Corpus
           .heapsGrowth(Tables.documents(s, d), "doc_id", "text", buckets = 16),
       Some(OracleSql.q211)
+    ),
+    Q(
+      "q212_nb_mcnemar",
+      // the eval arc CLOSED with significance (round 14): q185 trained the
+      // NB replacement and showed it collapsing to 'en' held-out; q192
+      // quantified the ranking (AUC≈0.5 — labels near-independent of
+      // text); this runs the gate-swap decision itself — trained NB vs
+      // the shipped stopword heuristic, PAIRED on the same held-out rows,
+      // McNemar over the discordant cells. The expected verdict on this
+      // corpus ("no significant winner — don't swap") is exactly what the
+      // tier exists to prove before a pipeline replaces a filter.
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        import graft.operators.{NaiveBayes, Profile, Splits}
+        val docs = Tables.documents(s, d)
+        val split = Splits.splitLabel(
+          col("doc_id"), Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        val modelDir = s"$scratchRoot/nb_model_q212"
+        NaiveBayes.writeModel(docs.filter(split === "train"), "lang", "text", modelDir)
+        val test = docs
+          .filter(split === "test" && col("text").isNotNull && col("lang").isNotNull)
+        val toks = TextAnalysis.tokens(col("text"))
+        val heur = test.select(
+          col("doc_id"),
+          TextAnalysis.stopwordCount(toks).cast("long").as("__stop"),
+          size(toks).cast("long").as("__ntok"))
+          .select(col("doc_id"),
+            when(expr("(__stop * 1000000L) div __ntok") >= 300000L, 1)
+              .otherwise(0).as("pb"))
+        val nb = NaiveBayes
+          .score(test, "doc_id", "text", NaiveBayes.readModel(s, modelDir))
+          .select(col("doc_id"), when(col("pred") === "en", 1).otherwise(0).as("pa"))
+        val frame = test
+          .select(col("doc_id"), when(col("lang") === "en", 1).otherwise(0).as("y"))
+          .join(nb, Seq("doc_id"))
+          .join(heur, Seq("doc_id"))
+        Profile.mcnemar(frame, "y", "pa", "pb")
+      },
+      Some(OracleSql.q212)
+    ),
+    Q(
+      "q213_bootstrap_ci",
+      // Poisson-bootstrap CI (round 14) — the uncertainty bar on q206's
+      // paired delta: same two heuristics, same truth, but now the
+      // accuracy delta carries an empirical [2.5%, 97.5%] interval from
+      // 64 one-pass Poisson(1) resamples (Chamandy et al. — the
+      // resampling method that works at stream scale because it never
+      // re-shuffles the corpus). Deterministic hash weights, integer
+      // micro-unit deltas, fixed integer rank rule — the oracle replays
+      // every resample.
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        val toks = TextAnalysis.tokens(col("text"))
+        val scored = Tables.documents(s, d)
+          .filter(col("text").isNotNull && col("lang").isNotNull)
+          .select(
+            col("doc_id"),
+            TextAnalysis.stopwordCount(toks).cast("long").as("__stop"),
+            size(toks).cast("long").as("__ntok"),
+            when(col("lang") === "en", 1).otherwise(0).as("y"))
+          .select(
+            col("doc_id"), col("y"),
+            when(expr("(__stop * 1000000L) div __ntok") >= 300000L, 1)
+              .otherwise(0).as("pa"),
+            when(col("__ntok") >= 30L, 1).otherwise(0).as("pb"))
+        graft.operators.Profile.bootstrapDeltaCI(scored, "doc_id", "y", "pa", "pb", b = 64)
+      },
+      Some(OracleSql.q213)
     )
   )
 

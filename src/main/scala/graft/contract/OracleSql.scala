@@ -2817,6 +2817,86 @@ object OracleSql {
        |     END END)::BIGINT AS intercept_x1e6
        |FROM f""".stripMargin
 
+  /** NB-vs-heuristic McNemar (q212): the q185 NB chain's held-out
+    * argmax prediction (en / not-en) against the q206 stopword-density
+    * heuristic, PAIRED per doc, the discordant-cell fold. Labels come
+    * from `te` (text already non-null); lang-null rows excluded like the
+    * Spark side.
+    */
+  val q212: String =
+    s"""WITH $nbScoreCtes,
+       |prd AS (
+       |  SELECT doc_id, class AS pred FROM (
+       |    SELECT doc_id, class,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, class) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |fr AS (
+       |  SELECT CASE WHEN te.label = 'en' THEN 1 ELSE 0 END AS y,
+       |    CASE WHEN prd.pred = 'en' THEN 1 ELSE 0 END AS pa,
+       |    CASE WHEN (len(list_filter(te.tk, t -> list_contains(['the','a'], t)))
+       |               * 1000000 // len(te.tk)) >= 300000 THEN 1 ELSE 0 END AS pb
+       |  FROM te JOIN prd USING (doc_id) WHERE te.label IS NOT NULL),
+       |t AS (
+       |  SELECT COUNT(*)::BIGINT AS n,
+       |    SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)::BIGINT AS b,
+       |    SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)::BIGINT AS c
+       |  FROM fr)
+       |SELECT n, b, c,
+       |  (CASE WHEN b + c > 0
+       |     THEN ((b - c) * (b - c) * 1000000) // (b + c) END)::BIGINT AS chi2_x1e6,
+       |  (CASE WHEN b + c > 0
+       |     THEN (GREATEST(ABS(b - c) - 1, 0) * GREATEST(ABS(b - c) - 1, 0)
+       |           * 1000000) // (b + c) END)::BIGINT AS chi2cc_x1e6
+       |FROM t""".stripMargin
+
+  /** Poisson-bootstrap CI (q213): q206's paired frame, 64 deterministic
+    * hash-weighted resamples (quantized Poisson(1) pmf in 1e-4 steps),
+    * per-resample micro-unit accuracy delta, the fixed rank-2 / rank-63
+    * empirical interval. Every step integer; the hash reduces ids mod
+    * 1e9+7 before the multiply so BIGINT never overflows.
+    */
+  val q213: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    CASE WHEN (len(list_filter(string_split(text, ' '),
+       |                 t -> list_contains(['the','a'], t))) * 1000000
+       |               // len(string_split(text, ' '))) >= 300000
+       |         THEN 1 ELSE 0 END AS pa,
+       |    CASE WHEN len(string_split(text, ' ')) >= 30 THEN 1 ELSE 0 END AS pb
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND lang IS NOT NULL AND doc_id IS NOT NULL),
+       |ab AS (
+       |  SELECT doc_id,
+       |    CASE WHEN pa = y THEN 1 ELSE 0 END AS a,
+       |    CASE WHEN pb = y THEN 1 ELSE 0 END AS b2
+       |  FROM base),
+       |pt AS (
+       |  SELECT COUNT(*)::BIGINT AS n,
+       |    ((SUM(a) * 1000000) // COUNT(*)
+       |     - (SUM(b2) * 1000000) // COUNT(*))::BIGINT AS delta
+       |  FROM ab),
+       |wt AS (
+       |  SELECT r, a, b2,
+       |    CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1 WHEN u < 9197 THEN 2
+       |         WHEN u < 9810 THEN 3 ELSE 4 END AS w
+       |  FROM (SELECT r.generate_series AS r, ab.a, ab.b2,
+       |          ((((ab.doc_id % 1000000007) + 1000000007) % 1000000007)
+       |            * 2654435761 + r.generate_series * 40503)
+       |            % 1000000007 % 10000 AS u
+       |        FROM ab CROSS JOIN generate_series(0, 63) r) s),
+       |d AS (
+       |  SELECT r, SUM(w)::BIGINT AS nw, SUM(w * a)::BIGINT AS wa,
+       |         SUM(w * b2)::BIGINT AS wb
+       |  FROM wt GROUP BY r HAVING SUM(w) > 0),
+       |dd AS (SELECT ((wa * 1000000) // nw - (wb * 1000000) // nw) AS dv FROM d),
+       |rk AS (SELECT dv, ROW_NUMBER() OVER (ORDER BY dv) AS rn,
+       |              COUNT(*) OVER () AS cnt FROM dd)
+       |SELECT pt.n, MAX(rk.cnt)::BIGINT AS b_resamples, pt.delta AS delta_x1e6,
+       |  MAX(CASE WHEN rk.rn = 2 THEN rk.dv END)::BIGINT AS ci_lo_x1e6,
+       |  MAX(CASE WHEN rk.rn = rk.cnt - 1 THEN rk.dv END)::BIGINT AS ci_hi_x1e6
+       |FROM rk CROSS JOIN pt GROUP BY pt.n, pt.delta""".stripMargin
+
   /** Heaps' vocabulary growth (q211): 16 id-range prefixes, per-bucket
     * doc/token sums, each term's FIRST bucket, cumulative windows over
     * the dense generate_series spine.

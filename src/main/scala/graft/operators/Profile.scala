@@ -913,6 +913,98 @@ object Profile {
                  |   * 1000000L) div (b + c)""".stripMargin)).as("chi2cc_x1e6"))
   }
 
+  /** Poisson-bootstrap confidence interval for a PAIRED accuracy delta —
+    * the uncertainty bar on "filter A beats filter B by X points":
+    * mcnemar answers IS there a difference, this answers HOW BIG with
+    * what spread. The Poisson bootstrap (Chamandy et al., Google — the
+    * streaming-scale resampling method) replaces "draw n rows with
+    * replacement" with an independent per-row Poisson(1) weight, so ALL
+    * `b` resamples fold in ONE corpus pass with B-bounded state — the
+    * only bootstrap shape that survives 100 TB (a classic resample would
+    * re-shuffle the corpus B times).
+    *
+    * Deterministic and oracle-replayable: the per-(row, resample) weight
+    * derives from a multiplicative hash of (idCol, resample), quantized
+    * to the Poisson(1) pmf in 1e-4 steps (P(0)=P(1)=.3679, P(2)=.1839,
+    * P(3)=.0613, tail mass at 4) — hash arithmetic stays under 2^63 for
+    * any Long id by reducing mod 1e9+7 first. Per resample: weighted
+    * accuracy of each predictor (micro-units, one truncating division
+    * each), delta = accA − accB. CI = the empirical [2.5%, 97.5%]
+    * interval via fixed integer ranks over the B sorted deltas
+    * (rank_lo = ⌈B·25/1000⌉, rank_hi = B+1−rank_lo) — the rank rule is
+    * part of the contract, replayed verbatim by the oracle.
+    *
+    * Scale shape: one corpus pass with an in-row explode to B weighted
+    * copies, partial-aggregated map-side to B rows; every later step
+    * (point estimate, rank window) runs over ≤ B rows. A resample with
+    * zero total weight (vanishing probability past a few rows) is
+    * dropped from the CI rather than read as delta 0.
+    *
+    * Output: one row — n, b_resamples, delta_x1e6 (full-sample point
+    * estimate), ci_lo_x1e6, ci_hi_x1e6.
+    */
+  def bootstrapDeltaCI(
+      frame: DataFrame,
+      idCol: String,
+      labelCol: String,
+      predACol: String,
+      predBCol: String,
+      b: Int = 64): DataFrame = {
+    require(b >= 8 && b <= 1024, s"b must be in [8,1024], got $b")
+    import org.apache.spark.sql.expressions.Window
+    val base = frame
+      .filter(col(labelCol).isNotNull && col(predACol).isNotNull &&
+        col(predBCol).isNotNull && col(idCol).isNotNull)
+      .select(
+        col(idCol).cast("long").as("__id"),
+        when(col(predACol) === col(labelCol), 1L).otherwise(0L).as("__a"),
+        when(col(predBCol) === col(labelCol), 1L).otherwise(0L).as("__b2"))
+    val point = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("__a")).as("__sa"),
+      sum(col("__b2")).as("__sb"))
+      .select(
+        col("n"),
+        when(col("n") > 0,
+          expr("(__sa * 1000000L) div n - (__sb * 1000000L) div n"))
+          .as("delta_x1e6"))
+    val deltas = base
+      .select(col("__id"), col("__a"), col("__b2"),
+        explode(sequence(lit(0), lit(b - 1))).as("__r"))
+      // quantized Poisson(1) weight from the (id, resample) hash
+      .withColumn("__u",
+        expr("""((((__id % 1000000007L) + 1000000007L) % 1000000007L)
+               |  * 2654435761L + __r * 40503L) % 1000000007L % 10000L""".stripMargin))
+      .withColumn("__w",
+        when(col("__u") < 3679, 0L)
+          .when(col("__u") < 7358, 1L)
+          .when(col("__u") < 9197, 2L)
+          .when(col("__u") < 9810, 3L)
+          .otherwise(4L))
+      .groupBy(col("__r"))
+      .agg(
+        sum(col("__w")).as("__nw"),
+        sum(col("__w") * col("__a")).as("__wa"),
+        sum(col("__w") * col("__b2")).as("__wb"))
+      .filter(col("__nw") > 0)
+      .select(expr("(__wa * 1000000L) div __nw - (__wb * 1000000L) div __nw")
+        .as("__d"))
+    val rankLo = (b * 25 + 999) / 1000
+    val ranked = deltas
+      // both windows run over the <= B delta rows — bounded by contract
+      .withColumn("__rn", row_number().over(Window.orderBy(col("__d"))))
+      .withColumn("__cnt", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .agg(
+        max(col("__cnt")).as("b_resamples"),
+        max(when(col("__rn") === rankLo, col("__d"))).as("ci_lo_x1e6"),
+        max(when(col("__rn") === col("__cnt") + 1 - rankLo, col("__d")))
+          .as("ci_hi_x1e6"))
+    point.crossJoin(broadcast(ranked))
+      .select(col("n"), col("b_resamples"), col("delta_x1e6"),
+        col("ci_lo_x1e6"), col("ci_hi_x1e6"))
+  }
+
   /** Fleiss' kappa — chance-corrected agreement for a PANEL of raters
     * (cohenKappa generalized past two): `frame` holds one vote per row
     * (item, rater, category), the shape of every labeling campaign —

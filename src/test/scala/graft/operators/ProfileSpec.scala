@@ -514,6 +514,31 @@ class ProfileSpec extends AnyFunSuite {
     assert(u.isNullAt(3) && u.isNullAt(4))
   }
 
+  test("bootstrapDeltaCI: point estimate bracketed, significant gap excludes zero, degenerate tie collapses") {
+    import spark.implicits._
+    // pa perfect, pb right on even ids only: point delta = 1e6 - 5e5
+    val rows = (1L to 200L).map(i => (i, 1, 1, if (i % 2 == 0) 1 else 0))
+    val df = rows.toDF("id", "y", "pa", "pb")
+    val r = Profile.bootstrapDeltaCI(df, "id", "y", "pa", "pb", b = 64).collect().head
+    assert(r.getLong(0) === 200L)
+    assert(r.getLong(1) === 64L)
+    assert(r.getLong(2) === 500000L)
+    val (lo, hi) = (r.getLong(3), r.getLong(4))
+    assert(lo <= 500000L && 500000L <= hi, s"CI [$lo,$hi] must bracket the point estimate")
+    assert(lo > 0L, s"a 50-point accuracy gap at n=200 must exclude zero, got lo=$lo")
+    assert(hi < 1000000L)
+    // identical predictors: every resample delta is exactly 0 -> CI [0,0]
+    val same = (1L to 50L).map(i => (i, 1, 1, 1)).toDF("id", "y", "pa", "pb")
+    val s0 = Profile.bootstrapDeltaCI(same, "id", "y", "pa", "pb", b = 64).collect().head
+    assert(s0.getLong(2) === 0L && s0.getLong(3) === 0L && s0.getLong(4) === 0L)
+    // null id/label/pred rows are excluded from n and from every resample
+    val withNulls = ((1L to 50L).map(i => (Some(i), Some(1), Some(1), Some(1))) ++
+      Seq((None, Some(1), Some(1), Some(1)), (Some(99L), None, Some(1), Some(1))))
+      .toDF("id", "y", "pa", "pb")
+    assert(Profile.bootstrapDeltaCI(withNulls, "id", "y", "pa", "pb", b = 8)
+      .collect().head.getLong(0) === 50L)
+  }
+
   test("fleissKappa: textbook table, partial panels dropped, degenerate marginal NULL") {
     import spark.implicits._
     // 4 items x 3 raters, 2 categories; n_ic tables:
