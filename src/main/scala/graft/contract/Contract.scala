@@ -5133,6 +5133,41 @@ object Contract {
         graft.operators.Profile.bootstrapDeltaCI(scored, "doc_id", "y", "pa", "pb", b = 64)
       },
       Some(OracleSql.q213)
+    ),
+    Q(
+      "q214_krippendorff",
+      // Krippendorff's alpha (round 14) — agreement over the RAGGED panel
+      // Fleiss refuses: q207's three keep/drop raters plus a fourth that
+      // only votes on long documents (n_chars >= 400), so panel sizes mix
+      // 3 and 4 per item. Fleiss at nRaters=3 would DROP every 4-vote
+      // item; alpha keeps them, weighted by their own panel size — the
+      // real shape of labeling campaigns with overlapping rater pools.
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        val toks = TextAnalysis.tokens(col("text"))
+        val base = Tables.documents(s, d)
+          .filter(col("text").isNotNull)
+          .select(
+            col("doc_id"),
+            TextAnalysis.stopwordCount(toks).cast("long").as("__stop"),
+            size(toks).cast("long").as("__ntok"),
+            length(col("text")).cast("long").as("__nchr"))
+        val panel3 = base.select(
+          col("doc_id"),
+          expr("""stack(3,
+                 |  'r1', CASE WHEN (__stop * 1000000L) div __ntok >= 300000L
+                 |             THEN 'keep' ELSE 'drop' END,
+                 |  'r2', CASE WHEN __ntok >= 30L THEN 'keep' ELSE 'drop' END,
+                 |  'r3', CASE WHEN __nchr >= 200L THEN 'keep' ELSE 'drop' END
+                 |) AS (rater, cat)""".stripMargin))
+        val rater4 = base
+          .filter(col("__nchr") >= 400L)
+          .select(col("doc_id"), lit("r4").as("rater"),
+            when(col("__ntok") >= 60L, "keep").otherwise("drop").as("cat"))
+        graft.operators.Profile.krippendorffAlpha(
+          panel3.unionByName(rater4), "doc_id", "rater", "cat", maxRaters = 16)
+      },
+      Some(OracleSql.q214)
     )
   )
 

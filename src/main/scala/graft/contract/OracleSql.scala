@@ -2849,6 +2849,53 @@ object OracleSql {
        |           * 1000000) // (b + c) END)::BIGINT AS chi2cc_x1e6
        |FROM t""".stripMargin
 
+  /** Krippendorff's alpha (q214): the q207 panel + a conditional fourth
+    * rater (docs with length ≥ 400), ragged panels kept — the exact
+    * integer form with L = lcm(1..15) = 720720 making every per-item
+    * coincidence contribution L·(m²−Σn_c²)/(m−1) an even division;
+    * HUGEINT throughout, sign-split ×1e6 alpha.
+    */
+  val q214: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, len(string_split(text, ' ')) AS ntok,
+       |    (len(list_filter(string_split(text, ' '),
+       |       t -> list_contains(['the','a'], t))) * 1000000
+       |     // len(string_split(text, ' '))) AS sd
+       |  FROM documents WHERE text IS NOT NULL),
+       |v AS (
+       |  SELECT doc_id, 'r1' AS rater,
+       |    CASE WHEN sd >= 300000 THEN 'keep' ELSE 'drop' END AS cat FROM d
+       |  UNION ALL SELECT doc_id, 'r2',
+       |    CASE WHEN ntok >= 30 THEN 'keep' ELSE 'drop' END FROM d
+       |  UNION ALL SELECT doc_id, 'r3',
+       |    CASE WHEN length(text) >= 200 THEN 'keep' ELSE 'drop' END FROM d
+       |  UNION ALL SELECT doc_id, 'r4',
+       |    CASE WHEN ntok >= 60 THEN 'keep' ELSE 'drop' END FROM d
+       |    WHERE length(text) >= 400),
+       |cells AS (SELECT doc_id, cat, COUNT(*)::HUGEINT AS c FROM v GROUP BY 1, 2),
+       |it AS (SELECT doc_id, SUM(c) AS m, SUM(c * c) AS sq FROM cells GROUP BY 1),
+       |dr AS (SELECT COALESCE(SUM(CASE WHEN m < 2 OR m > 16 THEN 1 ELSE 0 END), 0)::BIGINT
+       |         AS ndrop FROM it),
+       |ki AS (SELECT * FROM it WHERE m >= 2 AND m <= 16),
+       |onn AS (
+       |  SELECT COUNT(*)::BIGINT AS ni,
+       |    COALESCE(SUM((720720 * (m * m - sq)) // (m - 1)), 0)::HUGEINT AS o,
+       |    COALESCE(SUM(m), 0)::HUGEINT AS n
+       |  FROM ki),
+       |mg AS (SELECT COALESCE(SUM(nc * nc), 0)::HUGEINT AS ncsq
+       |       FROM (SELECT SUM(c)::HUGEINT AS nc
+       |             FROM cells JOIN ki USING (doc_id) GROUP BY cat)),
+       |f AS (SELECT ni, o, n, n * n - ncsq AS e, ndrop FROM onn, mg, dr)
+       |SELECT ni AS n_items, n::BIGINT AS n_votes, ndrop AS n_items_dropped,
+       |  (CASE WHEN n > 0 THEN (o * 1000000) // (720720 * n) END)::BIGINT AS do_x1e6,
+       |  (CASE WHEN n > 1 THEN (e * 1000000) // (n * (n - 1)) END)::BIGINT AS de_x1e6,
+       |  (CASE WHEN e > 0 AND n > 1 THEN
+       |     CASE WHEN 720720 * e >= o * (n - 1)
+       |       THEN ((720720 * e - o * (n - 1)) * 1000000) // (720720 * e)
+       |       ELSE -(((o * (n - 1) - 720720 * e) * 1000000) // (720720 * e))
+       |     END END)::BIGINT AS alpha_x1e6
+       |FROM f""".stripMargin
+
   /** Poisson-bootstrap CI (q213): q206's paired frame, 64 deterministic
     * hash-weighted resamples (quantized Poisson(1) pmf in 1e-4 steps),
     * per-resample micro-unit accuracy delta, the fixed rank-2 / rank-63

@@ -1005,6 +1005,97 @@ object Profile {
         col("ci_lo_x1e6"), col("ci_hi_x1e6"))
   }
 
+  /** Krippendorff's alpha (nominal) — agreement for the panels Fleiss
+    * REFUSES: fleissKappa requires a fixed panel size and drops partial
+    * panels, but real labeling campaigns are ragged (raters time out,
+    * overlap sets differ). Alpha keeps every item with ≥ 2 votes, weighs
+    * each by its own panel size, and reduces to the chance-corrected
+    * disagreement ratio 1 − D_o/D_e over the coincidence matrix.
+    *
+    * EXACT integer form — the trick is that the per-item denominator
+    * (m_u − 1) is bounded by the panel cap: with L = lcm(1 .. maxRaters−1)
+    * every item's coincidence contribution
+    * L·(m_u² − Σ_c n_uc²)/(m_u − 1) is an exact integer (the division is
+    * always even), so O = Σ_u of that is exact, the margins n_c and
+    * E = n² − Σ_c n_c² are plain counts, and
+    * alpha = 1 − O·(n−1)/(L·E) needs one sign-split ×1e6 division in
+    * DECIMAL(38,0). NULL when E == 0 (every vote one category) or
+    * n < 2. Items with fewer than 2 votes — or more than `maxRaters`
+    * (a data error under a declared panel cap; folding it in would
+    * change L) — are EXCLUDED and counted in n_items_dropped.
+    *
+    * Integer envelope: O·(n−1)·1e6 stays inside DECIMAL(38,0) to ~1e9
+    * total votes at the default cap (L = 720720) — the fleissKappa
+    * envelope; shard by campaign past it.
+    *
+    * Scale shape: one (item, cat) partial-agg shuffle, item-sized panel
+    * stats, category-margin folds — the fleissKappa pipeline with the
+    * per-item scaled division replacing the fixed-n filter.
+    *
+    * Output: one row — n_items, n_votes, n_items_dropped, do_x1e6,
+    * de_x1e6, alpha_x1e6.
+    */
+  def krippendorffAlpha(
+      frame: DataFrame,
+      itemCol: String,
+      raterCol: String,
+      catCol: String,
+      maxRaters: Int = 16): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 17,
+      s"maxRaters must be in [2,17] (L = lcm(1..maxRaters-1) must stay small), got $maxRaters")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val lcm: Long = (1 until maxRaters).foldLeft(1L) { (a, b) =>
+      @annotation.tailrec
+      def gcd(x: Long, y: Long): Long = if (y == 0) x else gcd(y, x % y)
+      a / gcd(a, b) * b
+    }
+    val votes = frame
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull && col(catCol).isNotNull)
+      .select(col(itemCol).as("__i"), col(catCol).as("__cat"))
+    val cells = votes.groupBy(col("__i"), col("__cat")).agg(count(lit(1)).as("__c"))
+    val items = cells
+      .groupBy(col("__i"))
+      .agg(sum(col("__c")).as("__m"), sum(col("__c") * col("__c")).as("__sq"))
+    val dropped = items.agg(
+      sum(when(col("__m") < 2 || col("__m") > maxRaters, 1L).otherwise(0L))
+        .as("n_items_dropped"))
+    val keptItems = items.filter(col("__m") >= 2 && col("__m") <= maxRaters)
+    val oAndN = keptItems.agg(
+      count(lit(1)).as("n_items"),
+      sum(expr(s"($lcm * (__m * __m - __sq)) div (__m - 1)").cast(dec)).as("__o"),
+      sum(col("__m")).cast(dec).as("__n"))
+    val margins = cells
+      .join(keptItems.select(col("__i")), Seq("__i"))
+      .groupBy(col("__cat"))
+      .agg(sum(col("__c")).cast(dec).as("__nc"))
+      .agg(sum(col("__nc") * col("__nc")).as("__ncsq"))
+    oAndN
+      .crossJoin(broadcast(margins))
+      .crossJoin(broadcast(dropped))
+      .select(
+        col("n_items"),
+        coalesce(col("__n"), lit(0L).cast(dec)).cast("long").as("n_votes"),
+        coalesce(col("n_items_dropped"), lit(0L)).as("n_items_dropped"),
+        coalesce(col("__o"), lit(0L).cast(dec)).as("__o"),
+        (coalesce(col("__n"), lit(0L).cast(dec)) * coalesce(col("__n"), lit(0L).cast(dec))
+          - coalesce(col("__ncsq"), lit(0L).cast(dec))).as("__e"),
+        coalesce(col("__n"), lit(0L).cast(dec)).as("__nd"))
+      .select(
+        col("n_items"), col("n_votes"), col("n_items_dropped"),
+        when(col("__nd") > 0, expr(s"(__o * 1000000L) div (${lcm}L * __nd)"))
+          .as("do_x1e6"),
+        when(col("__nd") > 1, expr("(__e * 1000000L) div (__nd * (__nd - 1))"))
+          .as("de_x1e6"),
+        when(col("__e") > 0 && col("__nd") > 1,
+          expr(s"""CASE WHEN ${lcm}L * __e >= __o * (__nd - 1)
+                 |  THEN ((${lcm}L * __e - __o * (__nd - 1)) * 1000000L)
+                 |         div (${lcm}L * __e)
+                 |  ELSE -(((__o * (__nd - 1) - ${lcm}L * __e) * 1000000L)
+                 |         div (${lcm}L * __e))
+                 |END""".stripMargin)).as("alpha_x1e6"))
+  }
+
   /** Fleiss' kappa — chance-corrected agreement for a PANEL of raters
     * (cohenKappa generalized past two): `frame` holds one vote per row
     * (item, rater, category), the shape of every labeling campaign —

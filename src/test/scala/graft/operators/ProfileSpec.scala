@@ -539,6 +539,44 @@ class ProfileSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 50L)
   }
 
+  test("krippendorffAlpha: ragged panels hand-computed, drops, perfect/worse-than-chance/degenerate") {
+    import spark.implicits._
+    // i1 {a,a} (m=2, contributes 0 disagreement), i2 {a,b,b} (m=3,
+    // m²−Σn² = 4 → O = L·4/2 = 2L), i3 {c} (m=1 → dropped), i5 has 18
+    // votes (> maxRaters → dropped, a data error under the panel cap).
+    // Kept: n=5 votes, margins a:3 b:2 → E = 25 − 13 = 12.
+    // D_o = 2L·... = 2/5, D_e = 12/20 = 0.6, alpha = 1 − (2L·4)/(L·12) = 1/3.
+    val votes = (Seq(
+      (1, "r1", "a"), (1, "r2", "a"),
+      (2, "r1", "a"), (2, "r2", "b"), (2, "r3", "b"),
+      (3, "r1", "c")) ++ (1 to 18).map(k => (5, s"r$k", "a")))
+      .toDF("item", "rater", "cat")
+    val r = Profile.krippendorffAlpha(votes, "item", "rater", "cat").collect().head
+    assert(r.getLong(0) === 2L) // kept items
+    assert(r.getLong(1) === 5L) // kept votes
+    assert(r.getLong(2) === 2L) // i3 (m=1) and i5 (m>16)
+    assert(r.getLong(3) === 400000L) // D_o = 2/5
+    assert(r.getLong(4) === 600000L) // D_e = 12/20
+    assert(r.getLong(5) === 333333L) // alpha = 1/3 truncated
+    // perfect agreement across two categories -> alpha exactly 1
+    val perfect = Seq(
+      (1, "r1", "a"), (1, "r2", "a"),
+      (2, "r1", "b"), (2, "r2", "b")).toDF("item", "rater", "cat")
+    assert(Profile.krippendorffAlpha(perfect, "item", "rater", "cat")
+      .collect().head.getLong(5) === 1000000L)
+    // systematic disagreement -> negative (the sign-split path):
+    // two items each {a,b}: O = 4L, E = 8, alpha = 1 − 12/8 = −1/2
+    val worse = Seq(
+      (1, "r1", "a"), (1, "r2", "b"),
+      (2, "r1", "a"), (2, "r2", "b")).toDF("item", "rater", "cat")
+    assert(Profile.krippendorffAlpha(worse, "item", "rater", "cat")
+      .collect().head.getLong(5) === -500000L)
+    // every vote one category -> E = 0 -> alpha undefined (NULL)
+    val mono = Seq((1, "r1", "a"), (1, "r2", "a")).toDF("item", "rater", "cat")
+    assert(Profile.krippendorffAlpha(mono, "item", "rater", "cat")
+      .collect().head.isNullAt(5))
+  }
+
   test("fleissKappa: textbook table, partial panels dropped, degenerate marginal NULL") {
     import spark.implicits._
     // 4 items x 3 raters, 2 categories; n_ic tables:
