@@ -97,4 +97,58 @@ object EmbedStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Decontamination-gated embedding ingest — the streaming twin of
+    * `Similarity.embedContamination`, run as a GATE: each drained batch
+    * scores against the FROZEN eval set at `evalDir` (a decontamination
+    * gate is defined by a pinned benchmark release — a moving eval set
+    * would change past admission decisions) and only clean rows land at
+    * `cleanDir`. The batch op's rule verbatim: max cosine ≥ τ drops the
+    * row; zero-norm and below-τ rows are clean.
+    *
+    * The eval set is re-read per drain (the runEnrich refresh posture —
+    * but because admission must be REPRODUCIBLE, point `evalDir` at a
+    * versioned release path; swapping it mid-stream changes the gate for
+    * future batches only, never retroactively). Per batch: one broadcast
+    * of the eval side + the map-side max fold — the batch op's exact
+    * plan, no new shuffle shapes.
+    *
+    * Exactly-once: MergeSink.upsert on vec_id over 8 hash shards — a
+    * replayed batch re-scores against the same frozen eval set and
+    * rewrites the same rows (integer τ compare, deterministic), so the
+    * landing converges. Stream == batch law: the drained `cleanDir`
+    * equals the batch filter over the union of batches (spec-certified).
+    */
+  def runContaminationGatedIngest(
+      spark: SparkSession,
+      rawDir: String,
+      evalDir: String,
+      cleanDir: String,
+      checkpointDir: String,
+      tauX1e6: Long,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    embStream(spark, rawDir, maxFilesPerTrigger).writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss     = batch.sparkSession
+        val cached = batch.cache()
+        try if (!cached.isEmpty) {
+          val eval = ss.read.parquet(evalDir)
+          val clean = cached
+            .join(
+              Similarity
+                .embedContamination(cached, eval, "vec_id", "embedding", tauX1e6)
+                .filter(!col("contaminated"))
+                .select(col("vec_id")),
+              Seq("vec_id"), "left_semi")
+            .withColumn("shard", pmod(col("vec_id"), lit(8)))
+          MergeSink.upsert(
+            ss, clean, cleanDir,
+            keyCols = Seq("vec_id"), partitionCols = Seq("shard"))
+        } finally { cached.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

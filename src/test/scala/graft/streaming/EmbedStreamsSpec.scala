@@ -57,4 +57,50 @@ class EmbedStreamsSpec extends AnyFunSuite {
     emb.unpersist()
     ()
   }
+
+  test("contamination-gated ingest: drained landing == batch filter; replay converges") {
+    import spark.implicits._
+    val raw   = tmp("gate-raw")
+    val evalD = tmp("gate-eval")
+    val clean = tmp("gate-out") + "/clean"
+    val ckpt  = tmp("gate-ckpt")
+    // frozen eval release: two directions
+    Seq((100L, Array(1.0f, 0.0f)), (101L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding").write.parquet(evalD + "/r1")
+    // batch 1: a colinear vector (dropped), an oblique one (kept)
+    Seq((1L, Array(3.0f, 0.0f)), (2L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding").write.parquet(raw + "/b1")
+    EmbedStreams
+      .runContaminationGatedIngest(spark, raw, evalD + "/r1", clean, ckpt, tauX1e6 = 950000L)
+      .awaitTermination()
+    // batch 2: a zero-norm vector (clean by rule), another colinear (dropped)
+    Seq((3L, Array(0.0f, 0.0f)), (4L, Array(0.0f, 2.5f)))
+      .toDF("vec_id", "embedding").write.parquet(raw + "/b2")
+    EmbedStreams
+      .runContaminationGatedIngest(spark, raw, evalD + "/r1", clean, ckpt, tauX1e6 = 950000L)
+      .awaitTermination()
+    val landed = spark.read.parquet(clean).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    // stream == batch: the batch op over the union of batches
+    val union = Seq(
+      (1L, Array(3.0f, 0.0f)), (2L, Array(1.0f, 1.0f)),
+      (3L, Array(0.0f, 0.0f)), (4L, Array(0.0f, 2.5f)))
+      .toDF("vec_id", "embedding")
+    val eval = spark.read.parquet(evalD + "/r1")
+    val want = Similarity
+      .embedContamination(union, eval, "vec_id", "embedding", 950000L)
+      .filter(!col("contaminated")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(landed === want)
+    assert(landed === Set(2L, 3L))
+    // replay from a fresh checkpoint: same frozen eval, same integer rule,
+    // upsert on vec_id -> the landing converges (no dup rows, no flips)
+    EmbedStreams
+      .runContaminationGatedIngest(spark, raw, evalD + "/r1", clean, tmp("gate-ckpt2"), 950000L)
+      .awaitTermination()
+    val replayed = spark.read.parquet(clean)
+    assert(replayed.count() === 2L)
+    assert(replayed.select("vec_id").collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+    ()
+  }
 }
