@@ -5168,8 +5168,74 @@ object Contract {
           panel3.unionByName(rater4), "doc_id", "rater", "cat", maxRaters = 16)
       },
       Some(OracleSql.q214)
+    ),
+    Q(
+      "q215_pii_census",
+      // structured-PII census (round 14) — emails / dotted-quad IPs /
+      // E.164 phones, the C4/Dolma masking staple the digit-run (q58)
+      // and Luhn (q149) tiers don't cover. The corpus text carries no
+      // structured PII, so the query PLANTS it deterministically from
+      // doc_id (one class per doc by id mod 3, plus an email whose local
+      // part embeds a dotted quad on id mod 7 — the case the masking
+      // order exists for) and both engines count the SAME synthesized
+      // strings: a genuine cross-dialect regex-semantics certification
+      // (Java leftmost-first vs RE2 leftmost-longest), not a zero-count
+      // tautology. Census semantics: raw per-class occurrences on the
+      // unmasked text (the embedded quad counts as an IP hit too).
+      (s, d) => {
+        import graft.functions.Privacy
+        piiText(Tables.documents(s, d))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(Privacy.emailCount(col("ptext")).cast("long")).as("n_emails"),
+            sum(Privacy.ipv4Count(col("ptext")).cast("long")).as("n_ipv4"),
+            sum(Privacy.phoneCount(col("ptext")).cast("long")).as("n_phones"),
+            sum(when(
+              Privacy.emailCount(col("ptext")) +
+                Privacy.ipv4Count(col("ptext")) +
+                Privacy.phoneCount(col("ptext")) > 0, 1L).otherwise(0L))
+              .as("n_flagged"))
+      },
+      Some(OracleSql.q215)
+    ),
+    Q(
+      "q216_pii_mask",
+      // the masking ACTION certified byte-exact (round 14): every match
+      // replaced by its class sentinel in the fixed email → IP → phone
+      // order (email first is load-bearing — see Privacy.maskPii), and
+      // the oracle hashes the MASKED TEXT itself, so any cross-dialect
+      // divergence in match extents would fail the compare on the
+      // planted adversarial case (the email with an embedded dotted
+      // quad must vanish WHOLE, not tear into 'a.<IP>@...').
+      (s, d) =>
+        piiText(Tables.documents(s, d))
+          .select(col("doc_id"), graft.functions.Privacy.maskPii(col("ptext")).as("masked")),
+      Some(OracleSql.q216)
     )
   )
+
+  /** Deterministic PII-planted text for q215/q216: first 64 chars of the
+    * document + one planted PII string per doc (class by doc_id mod 3)
+    * + the order-adversarial email on doc_id mod 7. Mirrored verbatim by
+    * the oracle's `p` CTE.
+    */
+  private def piiText(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .filter(col("text").isNotNull && col("lang").isNotNull)
+      .select(
+        col("doc_id"), col("lang"),
+        concat(
+          substring(col("text"), 1, 64),
+          when(col("doc_id") % 7 === 0, lit(" a.1.2.3.4@ex.com")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" user"), col("doc_id").cast("string"), lit("@example.com")))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit(" 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+            .otherwise(
+              concat(lit(" +1415555"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0"))))
+          .as("ptext"))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

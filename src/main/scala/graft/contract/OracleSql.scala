@@ -2849,6 +2849,57 @@ object OracleSql {
        |           * 1000000) // (b + c) END)::BIGINT AS chi2cc_x1e6
        |FROM t""".stripMargin
 
+  /** Shared PII-planted text (q215/q216): the Contract.piiText
+    * construction verbatim — first 64 chars + one planted class per doc
+    * by id mod 3 + the order-adversarial embedded-quad email on id mod 7.
+    */
+  private val piiCte: String =
+    s"""p AS (
+       |  SELECT doc_id, lang,
+       |    concat(substring(text, 1, 64),
+       |      CASE WHEN doc_id % 7 = 0 THEN ' a.1.2.3.4@ex.com' ELSE '' END,
+       |      CASE WHEN doc_id % 3 = 0
+       |             THEN concat(' user', doc_id::VARCHAR, '@example.com')
+       |           WHEN doc_id % 3 = 1
+       |             THEN concat(' 10.0.', (doc_id % 256)::VARCHAR, '.7')
+       |           ELSE concat(' +1415555', lpad((doc_id % 10000)::VARCHAR, 4, '0'))
+       |      END) AS ptext
+       |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL)""".stripMargin
+
+  private val piiEmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val piiIpv4Re  = """([0-9]{1,3}\.){3}[0-9]{1,3}"""
+  private val piiPhoneRe = """\+[0-9]{7,15}"""
+
+  /** Structured-PII census (q215): per-lang raw occurrence counts of the
+    * three classes over the planted text (RE2 side of the cross-dialect
+    * certification).
+    */
+  val q215: String =
+    s"""WITH $piiCte
+       |SELECT lang, COUNT(*)::BIGINT AS n_docs,
+       |  SUM(len(regexp_extract_all(ptext, '$piiEmailRe')))::BIGINT AS n_emails,
+       |  SUM(len(regexp_extract_all(ptext, '$piiIpv4Re')))::BIGINT AS n_ipv4,
+       |  SUM(len(regexp_extract_all(ptext, '$piiPhoneRe')))::BIGINT AS n_phones,
+       |  SUM(CASE WHEN len(regexp_extract_all(ptext, '$piiEmailRe'))
+       |           + len(regexp_extract_all(ptext, '$piiIpv4Re'))
+       |           + len(regexp_extract_all(ptext, '$piiPhoneRe')) > 0
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_flagged
+       |FROM p GROUP BY lang""".stripMargin
+
+  /** PII masking action (q216): the same three regexp_replace calls in
+    * the same order with the 'g' flag; the compare hashes the masked
+    * text byte for byte.
+    */
+  val q216: String =
+    s"""WITH $piiCte
+       |SELECT doc_id,
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(ptext, '$piiEmailRe', '<EMAIL>', 'g'),
+       |      '$piiIpv4Re', '<IP>', 'g'),
+       |    '$piiPhoneRe', '<PHONE>', 'g') AS masked
+       |FROM p""".stripMargin
+
   /** Krippendorff's alpha (q214): the q207 panel + a conditional fourth
     * rater (docs with length ≥ 400), ragged panels kept — the exact
     * integer form with L = lcm(1..15) = 720720 making every per-item

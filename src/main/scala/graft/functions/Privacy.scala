@@ -85,6 +85,44 @@ object Privacy {
     * One partial-agg shuffle keyed on the quasi-id tuple; the flag is a
     * pure projection. Output: quasiCols + n_rows + at_risk.
     */
+  /** Structured-PII patterns — the C4/Dolma masking staple the digit-run
+    * and Luhn tiers don't cover: emails, dotted-quad IPs, E.164 phones.
+    * The patterns are deliberately restricted to the regex dialect
+    * INTERSECTION of Java (Spark) and RE2 (DuckDB/production scanners):
+    * no lookaround, no backrefs, no \\d shorthands, greedy quantifiers
+    * over disjoint character classes only — constructions where
+    * leftmost-first (Java) and leftmost-longest (RE2) provably pick the
+    * same match, so the census and the masked TEXT are byte-identical
+    * cross-engine (the q216 oracle hashes the masked text itself).
+    */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String  = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe: String = "\\+[0-9]{7,15}"
+
+  /** Per-text counts of each structured-PII class. */
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
+  def ipv4Count(text: Column): Column  = regexp_count(text, lit(Ipv4Re))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
+
+  /** The masking ACTION: every match replaced by its class sentinel, in
+    * the fixed order email → IPv4 → phone. Email first is load-bearing:
+    * an address's local part may embed a dotted quad ("a.1.2.3.4@x.com")
+    * — masking the email removes it whole, where IP-first would tear it
+    * into "a.<IP>@x.com" and leave a half-masked address. Pure codegen'd
+    * projection, zero shuffle at any scale; the DuckDB mirror is the
+    * same three regexp_replace calls with the 'g' flag.
+    */
+  def maskPii(
+      text: Column,
+      emailMask: String = "<EMAIL>",
+      ipMask: String = "<IP>",
+      phoneMask: String = "<PHONE>"): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, emailMask),
+        Ipv4Re, ipMask),
+      PhoneRe, phoneMask)
+
   def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "kAnonymityAudit needs at least one quasi-identifier column")
     require(k >= 2, s"k must be >= 2, got $k")

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Structured-PII pattern semantics: per-class counts, the email→IP→phone
+  * masking order (the embedded-quad email must vanish WHOLE), sentinel
+  * stability, and null passthrough.
+  */
+class PrivacyPiiSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def one(text: String): org.apache.spark.sql.Row = {
+    import spark.implicits._
+    Seq(text).toDF("t")
+      .select(
+        Privacy.emailCount(col("t")).as("e"),
+        Privacy.ipv4Count(col("t")).as("i"),
+        Privacy.phoneCount(col("t")).as("p"),
+        Privacy.maskPii(col("t")).as("m"))
+      .collect().head
+  }
+
+  test("counts: one hit per planted class, none on clean text") {
+    val r = one("reach me at bob.smith+x@corp.example.org or 192.168.0.1 or +14155551234 ok")
+    assert(r.getInt(0) === 1 && r.getInt(1) === 1 && r.getInt(2) === 1)
+    assert(r.getString(3) === "reach me at <EMAIL> or <IP> or <PHONE> ok")
+    val clean = one("no pii here just words and numbers 12345")
+    assert(clean.getInt(0) === 0 && clean.getInt(1) === 0 && clean.getInt(2) === 0)
+    assert(clean.getString(3) === "no pii here just words and numbers 12345")
+  }
+
+  test("masking order: an email with an embedded dotted quad vanishes whole, never tears") {
+    val r = one("ping a.1.2.3.4@ex.com now")
+    // census counts BOTH classes on the raw text (the quad is inside the
+    // local part), but the mask removes the email first, so no <IP>
+    // fragment survives
+    assert(r.getInt(0) === 1 && r.getInt(1) === 1)
+    assert(r.getString(3) === "ping <EMAIL> now")
+  }
+
+  test("sentinels are fixed points: masking already-masked text changes nothing") {
+    val masked = "reach <EMAIL> at <IP> or <PHONE>"
+    assert(one(masked).getString(3) === masked)
+  }
+
+  test("null text passes through null") {
+    import spark.implicits._
+    val r = Seq(Option.empty[String]).toDF("t")
+      .select(Privacy.emailCount(col("t")), Privacy.maskPii(col("t")))
+      .collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+}
