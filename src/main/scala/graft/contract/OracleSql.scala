@@ -2665,7 +2665,9 @@ object OracleSql {
     * heuristic vs a token-length heuristic, both against lang='en';
     * discordant counts + the (b−c)²/(b+c) statistic in micro-units,
     * continuity-corrected twin alongside. All counts, all non-negative
-    * divisions — replayed verbatim.
+    * divisions — replayed verbatim; the squared-discordance carry rides
+    * in HUGEINT (Spark side DECIMAL(38,0)) so the |b−c| ≤ ~3.1e15
+    * envelope matches across engines.
     */
   val q206: String =
     s"""WITH base AS (
@@ -2683,9 +2685,11 @@ object OracleSql {
        |  FROM base)
        |SELECT n, b, c,
        |  (CASE WHEN b + c > 0
-       |     THEN ((b - c) * (b - c) * 1000000) // (b + c) END)::BIGINT AS chi2_x1e6,
+       |     THEN ((b - c)::HUGEINT * (b - c) * 1000000) // (b + c) END)::BIGINT
+       |    AS chi2_x1e6,
        |  (CASE WHEN b + c > 0
-       |     THEN (GREATEST(ABS(b - c) - 1, 0) * GREATEST(ABS(b - c) - 1, 0)
+       |     THEN (GREATEST(ABS(b - c) - 1, 0)::HUGEINT
+       |           * GREATEST(ABS(b - c) - 1, 0)
        |           * 1000000) // (b + c) END)::BIGINT AS chi2cc_x1e6
        |FROM t""".stripMargin
 
@@ -2843,9 +2847,11 @@ object OracleSql {
        |  FROM fr)
        |SELECT n, b, c,
        |  (CASE WHEN b + c > 0
-       |     THEN ((b - c) * (b - c) * 1000000) // (b + c) END)::BIGINT AS chi2_x1e6,
+       |     THEN ((b - c)::HUGEINT * (b - c) * 1000000) // (b + c) END)::BIGINT
+       |    AS chi2_x1e6,
        |  (CASE WHEN b + c > 0
-       |     THEN (GREATEST(ABS(b - c) - 1, 0) * GREATEST(ABS(b - c) - 1, 0)
+       |     THEN (GREATEST(ABS(b - c) - 1, 0)::HUGEINT
+       |           * GREATEST(ABS(b - c) - 1, 0)
        |           * 1000000) // (b + c) END)::BIGINT AS chi2cc_x1e6
        |FROM t""".stripMargin
 
@@ -2902,9 +2908,14 @@ object OracleSql {
 
   /** Krippendorff's alpha (q214): the q207 panel + a conditional fourth
     * rater (docs with length ≥ 400), ragged panels kept — the exact
-    * integer form with L = lcm(1..15) = 720720 making every per-item
-    * coincidence contribution L·(m²−Σn_c²)/(m−1) an even division;
-    * HUGEINT throughout, sign-split ×1e6 alpha.
+    * integer form with L = lcm(1..15) = 360360 making every per-item
+    * coincidence contribution L·(m²−Σn_c²)/(m−1) an even division
+    * (Profile.krippendorffAlpha at the default maxRaters = 16 computes
+    * the same L; any common multiple of 1..15 yields identical floors —
+    * every term scales uniformly and the per-item division stays even —
+    * but the oracle uses THE value the Spark side derives so neither
+    * side can drift if maxRaters changes); HUGEINT throughout,
+    * sign-split ×1e6 alpha.
     */
   val q214: String =
     s"""WITH d AS (
@@ -2930,7 +2941,7 @@ object OracleSql {
        |ki AS (SELECT * FROM it WHERE m >= 2 AND m <= 16),
        |onn AS (
        |  SELECT COUNT(*)::BIGINT AS ni,
-       |    COALESCE(SUM((720720 * (m * m - sq)) // (m - 1)), 0)::HUGEINT AS o,
+       |    COALESCE(SUM((360360 * (m * m - sq)) // (m - 1)), 0)::HUGEINT AS o,
        |    COALESCE(SUM(m), 0)::HUGEINT AS n
        |  FROM ki),
        |mg AS (SELECT COALESCE(SUM(nc * nc), 0)::HUGEINT AS ncsq
@@ -2938,20 +2949,23 @@ object OracleSql {
        |             FROM cells JOIN ki USING (doc_id) GROUP BY cat)),
        |f AS (SELECT ni, o, n, n * n - ncsq AS e, ndrop FROM onn, mg, dr)
        |SELECT ni AS n_items, n::BIGINT AS n_votes, ndrop AS n_items_dropped,
-       |  (CASE WHEN n > 0 THEN (o * 1000000) // (720720 * n) END)::BIGINT AS do_x1e6,
+       |  (CASE WHEN n > 0 THEN (o * 1000000) // (360360 * n) END)::BIGINT AS do_x1e6,
        |  (CASE WHEN n > 1 THEN (e * 1000000) // (n * (n - 1)) END)::BIGINT AS de_x1e6,
        |  (CASE WHEN e > 0 AND n > 1 THEN
-       |     CASE WHEN 720720 * e >= o * (n - 1)
-       |       THEN ((720720 * e - o * (n - 1)) * 1000000) // (720720 * e)
-       |       ELSE -(((o * (n - 1) - 720720 * e) * 1000000) // (720720 * e))
+       |     CASE WHEN 360360 * e >= o * (n - 1)
+       |       THEN ((360360 * e - o * (n - 1)) * 1000000) // (360360 * e)
+       |       ELSE -(((o * (n - 1) - 360360 * e) * 1000000) // (360360 * e))
        |     END END)::BIGINT AS alpha_x1e6
        |FROM f""".stripMargin
 
   /** Poisson-bootstrap CI (q213): q206's paired frame, 64 deterministic
     * hash-weighted resamples (quantized Poisson(1) pmf in 1e-4 steps),
-    * per-resample micro-unit accuracy delta, the fixed rank-2 / rank-63
-    * empirical interval. Every step integer; the hash reduces ids mod
-    * 1e9+7 before the multiply so BIGINT never overflows.
+    * per-resample micro-unit accuracy delta, the empirical interval at
+    * ranks ⌈cnt·25/1000⌉ and cnt+1−⌈cnt·25/1000⌉ over the RETAINED
+    * resample count — the Spark side's exact rule (both ranks from the
+    * same base; at cnt = 64 that is ranks 2 and 63). Every step integer;
+    * the hash reduces ids mod 1e9+7 before the multiply so BIGINT never
+    * overflows.
     */
   val q213: String =
     s"""WITH base AS (
@@ -2991,8 +3005,10 @@ object OracleSql {
        |rk AS (SELECT dv, ROW_NUMBER() OVER (ORDER BY dv) AS rn,
        |              COUNT(*) OVER () AS cnt FROM dd)
        |SELECT pt.n, MAX(rk.cnt)::BIGINT AS b_resamples, pt.delta AS delta_x1e6,
-       |  MAX(CASE WHEN rk.rn = 2 THEN rk.dv END)::BIGINT AS ci_lo_x1e6,
-       |  MAX(CASE WHEN rk.rn = rk.cnt - 1 THEN rk.dv END)::BIGINT AS ci_hi_x1e6
+       |  MAX(CASE WHEN rk.rn = (rk.cnt * 25 + 999) // 1000 THEN rk.dv END)::BIGINT
+       |    AS ci_lo_x1e6,
+       |  MAX(CASE WHEN rk.rn = rk.cnt + 1 - (rk.cnt * 25 + 999) // 1000
+       |      THEN rk.dv END)::BIGINT AS ci_hi_x1e6
        |FROM rk CROSS JOIN pt GROUP BY pt.n, pt.delta""".stripMargin
 
   /** Heaps' vocabulary growth (q211): 16 id-range prefixes, per-bucket
@@ -3001,10 +3017,11 @@ object OracleSql {
     */
   val q211: String =
     s"""WITH b AS (
-       |  SELECT MIN(doc_id)::BIGINT AS lo, MAX(doc_id)::BIGINT AS hi
+       |  SELECT MIN(doc_id)::HUGEINT AS lo, MAX(doc_id)::HUGEINT AS hi
        |  FROM documents WHERE doc_id IS NOT NULL),
        |d AS (
-       |  SELECT ((doc_id::BIGINT - lo) * 16) // (hi - lo + 1) AS bucket, text
+       |  SELECT (((doc_id::HUGEINT - lo) * 16) // (hi - lo + 1))::BIGINT
+       |      AS bucket, text
        |  FROM documents, b WHERE doc_id IS NOT NULL),
        |pb AS (
        |  SELECT bucket, COUNT(*)::BIGINT AS n_docs,

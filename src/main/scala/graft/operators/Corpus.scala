@@ -2083,6 +2083,11 @@ object Corpus {
     * bucket = ((id − min_id)·buckets) div (max_id − min_id + 1), a pure
     * projection off a broadcast 1-row min/max probe (ids are ingestion-
     * ordered in this engine's tables; any monotone ingest key works).
+    * The bucket arithmetic is carried in DECIMAL(38,0): "any monotone
+    * ingest key" includes sparse 64-bit domains (hash- or snowflake-style
+    * ids near ±2^63) whose span × buckets would silently wrap a Long and
+    * scramble the assignment — the decimal carry keeps the projection
+    * exact over the full Long id range (oracle side: HUGEINT).
     * Exact cumulative types per prefix WITHOUT rescanning prefixes:
     * each term carries its FIRST bucket (min over one (term) partial
     * agg), and cum_types(b) = #\{terms: first_bucket ≤ b\} — a bucket-sized
@@ -2114,7 +2119,10 @@ object Corpus {
     val bucketed = base
       .crossJoin(broadcast(bounds))
       .select(
-        expr(s"((__id - __lo) * $buckets) div (__hi - __lo + 1)").as("bucket"),
+        expr(s"""((cast(__id as decimal(38,0)) - cast(__lo as decimal(38,0)))
+                |   * $buckets)
+                | div (cast(__hi as decimal(38,0)) - cast(__lo as decimal(38,0)) + 1)"""
+          .stripMargin).as("bucket"),
         col("__text"))
       .localCheckpoint(true) // two consumers: token sums + term firsts
     val perBucket = bucketed

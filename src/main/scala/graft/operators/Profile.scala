@@ -880,10 +880,13 @@ object Profile {
     * chi2cc_x1e6 = max(|b−c|−1, 0)²·1e6 div (b+c). Both NULL when
     * b + c == 0 (no discordant rows — the test is undefined, not "zero").
     *
-    * Integer envelope: (b−c)² squares a count, so exactness holds to
-    * b+c ≤ ~3.04e9 discordant rows (the cohenKappa envelope); past it
-    * non-ANSI Spark wraps silently where DuckDB errors — sample, don't
-    * trust the wrapped value.
+    * Integer envelope: the ×1e6 carry rides ON TOP of the square, so an
+    * all-Long form would wrap once |b−c| exceeds ~3.0e6 (√(Long.Max/1e6)) —
+    * a few million asymmetric discordant rows, realistic at corpus scale.
+    * The squared term is therefore carried in DECIMAL(38,0) (the
+    * fleissKappa/krippendorffAlpha posture; oracle side HUGEINT):
+    * (b−c)²·1e6 fits 38 digits to |b−c| ≤ ~3.1e15 with b+c any Long
+    * count — effectively unbounded for a paired eval frame.
     *
     * Scale shape: one partial-agg shuffle collapsing to a single row —
     * the 2×2 discordance table folds map-side. Rows with a null label or
@@ -907,10 +910,12 @@ object Profile {
       .select(
         col("n"), col("b"), col("c"),
         when(col("b") + col("c") > 0,
-          expr("((b - c) * (b - c) * 1000000L) div (b + c)")).as("chi2_x1e6"),
+          expr("""(cast(b - c as decimal(38,0)) * (b - c) * 1000000L)
+                 |   div (b + c)""".stripMargin)).as("chi2_x1e6"),
         when(col("b") + col("c") > 0,
-          expr("""(greatest(abs(b - c) - 1, 0L) * greatest(abs(b - c) - 1, 0L)
-                 |   * 1000000L) div (b + c)""".stripMargin)).as("chi2cc_x1e6"))
+          expr("""(cast(greatest(abs(b - c) - 1, 0L) as decimal(38,0))
+                 |   * greatest(abs(b - c) - 1, 0L) * 1000000L) div (b + c)""".stripMargin))
+          .as("chi2cc_x1e6"))
   }
 
   /** Poisson-bootstrap confidence interval for a PAIRED accuracy delta —
@@ -930,9 +935,13 @@ object Profile {
     * any Long id by reducing mod 1e9+7 first. Per resample: weighted
     * accuracy of each predictor (micro-units, one truncating division
     * each), delta = accA − accB. CI = the empirical [2.5%, 97.5%]
-    * interval via fixed integer ranks over the B sorted deltas
-    * (rank_lo = ⌈B·25/1000⌉, rank_hi = B+1−rank_lo) — the rank rule is
-    * part of the contract, replayed verbatim by the oracle.
+    * interval via fixed integer ranks over the cnt sorted RETAINED
+    * deltas: rank_lo = ⌈cnt·25/1000⌉, rank_hi = cnt+1−rank_lo, where
+    * cnt ≤ b is the count of resamples that survive the zero-weight
+    * drop — BOTH ranks derive from the same base, so the interval stays
+    * symmetric even when resamples are dropped (cnt == b in practice
+    * past a handful of rows; at b = 64, ranks 2 and 63). The rank rule
+    * is part of the contract, replayed verbatim by the oracle.
     *
     * Scale shape: one corpus pass with an in-row explode to B weighted
     * copies, partial-aggregated map-side to B rows; every later step
@@ -989,16 +998,19 @@ object Profile {
       .filter(col("__nw") > 0)
       .select(expr("(__wa * 1000000L) div __nw - (__wb * 1000000L) div __nw")
         .as("__d"))
-    val rankLo = (b * 25 + 999) / 1000
     val ranked = deltas
-      // both windows run over the <= B delta rows — bounded by contract
+      // both windows run over the <= B delta rows — bounded by contract;
+      // both CI ranks derive from the RETAINED count __cnt (not the
+      // requested b), so a dropped zero-weight resample shifts lo and hi
+      // symmetrically instead of mixing a b-based lo with a cnt-based hi
       .withColumn("__rn", row_number().over(Window.orderBy(col("__d"))))
       .withColumn("__cnt", count(lit(1)).over(
         Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__rlo", expr("(__cnt * 25 + 999) div 1000"))
       .agg(
         max(col("__cnt")).as("b_resamples"),
-        max(when(col("__rn") === rankLo, col("__d"))).as("ci_lo_x1e6"),
-        max(when(col("__rn") === col("__cnt") + 1 - rankLo, col("__d")))
+        max(when(col("__rn") === col("__rlo"), col("__d"))).as("ci_lo_x1e6"),
+        max(when(col("__rn") === col("__cnt") + 1 - col("__rlo"), col("__d")))
           .as("ci_hi_x1e6"))
     point.crossJoin(broadcast(ranked))
       .select(col("n"), col("b_resamples"), col("delta_x1e6"),
@@ -1025,8 +1037,8 @@ object Profile {
     * change L) — are EXCLUDED and counted in n_items_dropped.
     *
     * Integer envelope: O·(n−1)·1e6 stays inside DECIMAL(38,0) to ~1e9
-    * total votes at the default cap (L = 720720) — the fleissKappa
-    * envelope; shard by campaign past it.
+    * total votes at the default cap (maxRaters = 16 → L = lcm(1..15) =
+    * 360360) — the fleissKappa envelope; shard by campaign past it.
     *
     * Scale shape: one (item, cat) partial-agg shuffle, item-sized panel
     * stats, category-margin folds — the fleissKappa pipeline with the

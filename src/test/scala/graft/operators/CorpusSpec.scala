@@ -729,4 +729,18 @@ class CorpusSpec extends AnyFunSuite {
       2L -> ((0L, 1L, 1L, 1L)),
       3L -> ((1L, 2L, 2L, 2L))))
   }
+
+  test("heapsGrowth: sparse 64-bit id domain — span x buckets past Long stays exact") {
+    import spark.implicits._
+    // hi = 4e18: an all-Long (id - lo) * buckets carry wraps at the top
+    // id (4e18 * 4 = 1.6e19 > Long.Max) and scrambles the assignment;
+    // the DECIMAL(38,0) carry lands each id in its exact slice.
+    val hi = 4000000000000000000L
+    val docs = Seq((0L, "alpha beta"), (hi / 2, "beta gamma"), (hi, "gamma delta"))
+      .toDF("doc_id", "text")
+    val got = Corpus.heapsGrowth(docs, "doc_id", "text", buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact: 0 -> bucket 0; hi/2 -> (2e18*4) div (4e18+1) = 1; hi -> 3
+    assert(got === Map(0L -> 1L, 1L -> 1L, 2L -> 0L, 3L -> 1L))
+  }
 }

@@ -514,6 +514,20 @@ class ProfileSpec extends AnyFunSuite {
     assert(u.isNullAt(3) && u.isNullAt(4))
   }
 
+  test("mcnemar: |b-c| past the all-Long x1e6 envelope stays exact (DECIMAL carry)") {
+    // 4M rows all discordant in A's favor: b = 4e6, c = 0. An all-Long
+    // (b-c)^2 * 1e6 = 1.6e19 wraps past Long.Max (~9.2e18) and would
+    // report a garbage statistic; the DECIMAL(38,0) carry yields the
+    // exact chi2 = n^2 * 1e6 div n = n * 1e6.
+    val n  = 4000000L
+    val df = spark.range(n).select(lit(1).as("y"), lit(1).as("pa"), lit(0).as("pb"))
+    val r  = Profile.mcnemar(df, "y", "pa", "pb").collect().head
+    assert(r.getLong(1) === n && r.getLong(2) === 0L)
+    assert(r.getLong(3) === n * 1000000L)
+    assert(r.getLong(4) ===
+      ((BigInt(n - 1) * BigInt(n - 1) * BigInt(1000000)) / BigInt(n)).toLong)
+  }
+
   test("bootstrapDeltaCI: point estimate bracketed, significant gap excludes zero, degenerate tie collapses") {
     import spark.implicits._
     // pa perfect, pb right on even ids only: point delta = 1e6 - 5e5
@@ -537,6 +551,38 @@ class ProfileSpec extends AnyFunSuite {
       .toDF("id", "y", "pa", "pb")
     assert(Profile.bootstrapDeltaCI(withNulls, "id", "y", "pa", "pb", b = 8)
       .collect().head.getLong(0) === 50L)
+  }
+
+  test("bootstrapDeltaCI: rank rule replayed — BOTH ranks derive from the retained count") {
+    import spark.implicits._
+    // A 2-row frame makes zero-total-weight resamples certain (for ids
+    // {5, 9} at b = 64, exactly 4 of the 64 drop — cnt = 60), exercising
+    // the documented contract on a frame WITH drops: over the cnt sorted
+    // retained deltas, rank_lo = ceil(cnt*25/1000) and
+    // rank_hi = cnt + 1 - rank_lo — the rule is replayed independently
+    // here (same hash, same pmf quantization, same truncating divisions)
+    // and must match the operator output element for element.
+    def w(id: Long, r: Long): Long = {
+      val u = ((((id % 1000000007L) + 1000000007L) % 1000000007L) * 2654435761L +
+        r * 40503L) % 1000000007L % 10000L
+      if (u < 3679) 0L else if (u < 7358) 1L else if (u < 9197) 2L
+      else if (u < 9810) 3L else 4L
+    }
+    // a = (id 5 right, id 9 wrong) for predictor A; reversed for B
+    val deltas = (0L until 64L).flatMap { r =>
+      val (w5, w9) = (w(5L, r), w(9L, r))
+      val nw = w5 + w9
+      if (nw == 0L) None
+      else Some(w5 * 1000000L / nw - w9 * 1000000L / nw)
+    }.sorted
+    val cnt = deltas.size
+    assert(cnt < 64, "construction must drop at least one zero-weight resample")
+    val rlo = (cnt * 25 + 999) / 1000
+    val df = Seq((5L, 1L, 1L, 0L), (9L, 1L, 0L, 1L)).toDF("id", "y", "pa", "pb")
+    val r = Profile.bootstrapDeltaCI(df, "id", "y", "pa", "pb", b = 64).collect().head
+    assert(r.getLong(1) === cnt.toLong)
+    assert(r.getLong(3) === deltas(rlo - 1))
+    assert(r.getLong(4) === deltas(cnt - rlo))
   }
 
   test("krippendorffAlpha: ragged panels hand-computed, drops, perfect/worse-than-chance/degenerate") {
