@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** >= 10x scale soak (round-7 verdict item 6): build an sf1-equivalent
@@ -106,21 +107,12 @@ object Soak {
     // sums + term-first-bucket) whose cost should track corpus tokens
     "q209_embed_contamination", "q210_zipf_slope", "q211_heaps_growth")
 
-  def main(args: Array[String]): Unit = {
-    val src      = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")
-    val dir      = args.headOption.getOrElse("/tmp/graft_sf1")
-    val replicas = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPLICAS", "10").toInt.max(2)
-    // scaling-curve mode: SPARK_GRAFT_SOAK_ONLY=q87,q164 (prefix match)
-    // subsets the query list and SPARK_GRAFT_SOAK_OUT redirects the record
-    // so curve points at replicas 2/5/10 don't clobber the committed
-    // soak_sf1.json the bench folds into the round artifact
-    val only = sys.env
-      .get("SPARK_GRAFT_SOAK_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val out  = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "soak_sf1.json")
-    val spark    = graft.core.GraftSession.local()
-    Bench.quietBenignNoise()
-
+  /** Build (once) the perturbed replica volume at `dir` from `src` — see
+    * the object doc for the construction. Shared with `graft.Repeat` so
+    * curve points and isolated-repeat cells measure the SAME adversarial
+    * replica construction. Idempotent via the version marker.
+    */
+  def ensureBuilt(spark: SparkSession, src: String, dir: String, replicas: Int): Unit = {
     // v2: round-9 rebuild marker — the layout changed (events is now
     // replicated, n_chars delta corrected), so a round-8 build must not
     // satisfy the probe
@@ -184,8 +176,80 @@ object Soak {
             Files.copy(from, Paths.get(s"$dir/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
         }
       Files.createFile(marker)
+      ()
     }
+  }
 
+  /** The pinned-calibration median (Bench's rule): q02 at sf0.01, median
+    * of 3, measured in THIS JVM.
+    */
+  def calibMedian(spark: SparkSession): Double = {
+    val calibDir = sys.env.getOrElse("SPARK_GRAFT_CALIB_DIR", "/root/testdata/sf0.01")
+    val fn = SparkEntry.queries("q02_tpch_q1")
+    val ts = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, calibDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    ts.sorted.apply(1)
+  }
+
+  /** The calibration-WAIT gate shared by the sweep and `graft.Repeat`:
+    * a measurement whose start calibration exceeds `gate` WAITS for the
+    * host to settle (up to 5 x 60 s) instead of measuring contention.
+    * Returns (calibStart, waits).
+    */
+  def calibrateOrWait(spark: SparkSession, gate: Double, tag: String): (Double, Int) = {
+    var calibStart = calibMedian(spark)
+    var calibWaits = 0
+    while (calibStart > gate && calibWaits < 5) {
+      calibWaits += 1
+      System.err.println(f"[$tag] calibration $calibStart%.3f s > gate $gate%.2f s — " +
+        f"host loaded; waiting 60 s ($calibWaits/5) before measuring")
+      Thread.sleep(60000)
+      calibStart = calibMedian(spark)
+    }
+    if (calibStart > gate)
+      System.err.println(f"[$tag] WARNING: measuring on a loaded host " +
+        f"(calibration $calibStart%.3f s after $calibWaits waits) — point is suspect")
+    (calibStart, calibWaits)
+  }
+
+  /** Merge `line` as the point for `replicas` into the multi-point curve
+    * artifact at `curvePath` (one JSON line per replica count, replacing
+    * any previous point at the same count, sorted by count).
+    */
+  def mergeCurve(curvePath: String, line: String, replicas: Int): Unit = {
+    val p = Paths.get(curvePath)
+    val existing =
+      if (Files.exists(p))
+        Files.readAllLines(p).toArray(Array.empty[String]).toSeq
+          .filter(_.trim.nonEmpty)
+          .filterNot(_.contains(s""""replicas":$replicas,"""))
+      else Seq.empty
+    val merged = (existing :+ line).sortBy { l =>
+      """"replicas":(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toInt).getOrElse(0)
+    }
+    Files.writeString(p, merged.mkString("", "\n", "\n"))
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src      = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")
+    val dir      = args.headOption.getOrElse("/tmp/graft_sf1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPLICAS", "10").toInt.max(2)
+    // scaling-curve mode: SPARK_GRAFT_SOAK_ONLY=q87,q164 (prefix match)
+    // subsets the query list and SPARK_GRAFT_SOAK_OUT redirects the record
+    // so curve points at replicas 2/5/10 don't clobber the committed
+    // soak_sf1.json the bench folds into the round artifact
+    val only = sys.env
+      .get("SPARK_GRAFT_SOAK_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val out  = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "soak_sf1.json")
+    val spark    = graft.core.GraftSession.local()
+    Bench.quietBenignNoise()
+
+    ensureBuilt(spark, src, dir, replicas)
     val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
     val nEmb  = spark.read.parquet(s"$dir/embeddings.parquet").count()
     System.err.println(s"[soak] $dir ready: $nDocs docs, $nEmb embeddings (x$replicas)")
@@ -200,29 +264,8 @@ object Soak {
     // host to settle (up to 5 x 60 s) instead of measuring contention,
     // and both calibration medians land in the artifact line so a reader
     // can tell a plan effect from a loaded host without re-running.
-    def calibMedian(): Double = {
-      val calibDir = sys.env.getOrElse("SPARK_GRAFT_CALIB_DIR", "/root/testdata/sf0.01")
-      val fn = SparkEntry.queries("q02_tpch_q1")
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, calibDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      ts.sorted.apply(1)
-    }
-    val calibGate  = sys.env.getOrElse("SPARK_GRAFT_SOAK_CALIB_GATE", "0.7").toDouble
-    var calibStart = calibMedian()
-    var calibWaits = 0
-    while (calibStart > calibGate && calibWaits < 5) {
-      calibWaits += 1
-      System.err.println(f"[soak] calibration $calibStart%.3f s > gate $calibGate%.2f s — " +
-        f"host loaded; waiting 60 s ($calibWaits/5) before measuring the curve point")
-      Thread.sleep(60000)
-      calibStart = calibMedian()
-    }
-    if (calibStart > calibGate)
-      System.err.println(f"[soak] WARNING: measuring on a loaded host " +
-        f"(calibration $calibStart%.3f s after $calibWaits waits) — point is suspect")
+    val calibGate = sys.env.getOrElse("SPARK_GRAFT_SOAK_CALIB_GATE", "0.7").toDouble
+    val (calibStart, calibWaits) = calibrateOrWait(spark, calibGate, "soak")
 
     var failed = List.empty[String]
     val picked = soakQueries.filter(n => only.forall(_.exists(n.startsWith)))
@@ -255,7 +298,7 @@ object Soak {
       name -> t
     }
 
-    val calibEnd = calibMedian()
+    val calibEnd = calibMedian(spark)
     def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
     val qs = times.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val loadavg =
@@ -271,17 +314,7 @@ object Soak {
     // per replica count, replacing any previous point at the same count —
     // so the 2x/5x/10x/20x table is machine-checkable, not README prose.
     sys.env.get("SPARK_GRAFT_SOAK_CURVE").foreach { curvePath =>
-      val p = Paths.get(curvePath)
-      val existing =
-        if (Files.exists(p))
-          Files.readAllLines(p).toArray(Array.empty[String]).toSeq
-            .filter(_.trim.nonEmpty)
-            .filterNot(_.contains(s""""replicas":$replicas,"""))
-        else Seq.empty
-      val merged = (existing :+ line).sortBy { l =>
-        """"replicas":(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toInt).getOrElse(0)
-      }
-      Files.writeString(p, merged.mkString("", "\n", "\n"))
+      mergeCurve(curvePath, line, replicas)
       System.err.println(s"[soak] curve point x$replicas merged into $curvePath")
     }
     spark.stop()
