@@ -105,7 +105,14 @@ object Soak {
     // eval side staying a fixed FRACTION: 10x = 19.5k×540 ≈ 10.5M pairs),
     // and the two corpus-statistics passes (census + TakeOrdered; token
     // sums + term-first-bucket) whose cost should track corpus tokens
-    "q209_embed_contamination", "q210_zipf_slope", "q211_heaps_growth")
+    "q209_embed_contamination", "q210_zipf_slope", "q211_heaps_growth",
+    // round-15 additions: the Poisson bootstrap's x64 in-row explode and
+    // the two agreement folds are corpus-token/vote shaped — soaked so
+    // the "every window over <= B rows / <= category rows" claim is
+    // measured at 10x, not asserted; q217 rides the replicated
+    // embeddings like q209 (gate + shard projection)
+    "q213_bootstrap_ci", "q214_krippendorff", "q217_contamination_gated_ingest",
+    "q218_krippendorff_interval")
 
   /** Build (once) the perturbed replica volume at `dir` from `src` — see
     * the object doc for the construction. Shared with `graft.Repeat` so

@@ -5212,6 +5212,68 @@ object Contract {
         piiText(Tables.documents(s, d))
           .select(col("doc_id"), graft.functions.Privacy.maskPii(col("ptext")).as("masked")),
       Some(OracleSql.q216)
+    ),
+    Q(
+      "q217_contamination_gated_ingest",
+      // the measurement→action loop closed for EMBEDDINGS (round 15, the
+      // q201/runIngestNbGated pattern applied to the semantic tier): q209
+      // MEASURES contamination; this is the shipping path that ACTS on
+      // it — the batch form of EmbedStreams.runContaminationGatedIngest:
+      // raw vectors gated against the frozen eval release (every 37th
+      // vector, the q209 split), only clean rows admitted, landed by the
+      // ingest's 8-way hash shard (the stream's MergeSink partitioning).
+      // Plan: the q209 broadcast-eval pass + a pure shard projection —
+      // no new shuffle shapes; the streaming twin is spec-certified
+      // batch ≡ stream (EmbedStreamsSpec).
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val gate = Similarity.embedContamination(
+          emb.filter(col("vec_id") % 37 =!= 0),
+          emb.filter(col("vec_id") % 37 === 0),
+          "vec_id", "embedding", tauX1e6 = 950000L)
+        gate
+          .filter(!col("contaminated"))
+          .select(
+            col("vec_id"), col("max_cos_x1e6"),
+            pmod(col("vec_id"), lit(8L)).as("shard"))
+      },
+      Some(OracleSql.q217)
+    ),
+    Q(
+      "q218_krippendorff_interval",
+      // Krippendorff's alpha with INTERVAL distance (round 15) — the
+      // rating-panel form the nominal q214 is deliberately wrong for:
+      // three heuristic raters score each document 0–3 (stopword-density
+      // / token-length / char-length buckets) + a fourth voting only on
+      // long documents (ragged 3/4 panels kept), and disagreement is
+      // weighed by the SQUARED rating difference, so a 2-vs-3 near-miss
+      // costs 1 while a 0-vs-3 split costs 9. Exact integer lcm form,
+      // DECIMAL(38,0)/HUGEINT carry.
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        val toks = TextAnalysis.tokens(col("text"))
+        val base = Tables.documents(s, d)
+          .filter(col("text").isNotNull)
+          .select(
+            col("doc_id"),
+            TextAnalysis.stopwordCount(toks).cast("long").as("__stop"),
+            size(toks).cast("long").as("__ntok"),
+            length(col("text")).cast("long").as("__nchr"))
+        val panel3 = base.select(
+          col("doc_id"),
+          expr("""stack(3,
+                 |  'r1', least(((__stop * 1000000L) div __ntok) div 250000L, 3L),
+                 |  'r2', least(__ntok div 30L, 3L),
+                 |  'r3', least(__nchr div 200L, 3L)
+                 |) AS (rater, rating)""".stripMargin))
+        val rater4 = base
+          .filter(col("__nchr") >= 400L)
+          .select(col("doc_id"), lit("r4").as("rater"),
+            expr("least(__ntok div 60L, 3L)").as("rating"))
+        graft.operators.Profile.krippendorffAlphaInterval(
+          panel3.unionByName(rater4), "doc_id", "rater", "rating", maxRaters = 16)
+      },
+      Some(OracleSql.q218)
     )
   )
 

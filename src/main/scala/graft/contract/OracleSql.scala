@@ -3011,6 +3011,81 @@ object OracleSql {
        |      THEN rk.dv END)::BIGINT AS ci_hi_x1e6
        |FROM rk CROSS JOIN pt GROUP BY pt.n, pt.delta""".stripMargin
 
+  /** Contamination-gated embedding ingest (q217): the q209 CTE chain
+    * (identical max-cosine rule, eval = every 37th vector) with the
+    * GATE applied — only below-τ and zero-norm (NULL max_cos) rows
+    * admitted — plus the ingest's 8-way hash shard. vec_id is
+    * non-negative so `%` matches Spark's pmod.
+    */
+  val q217: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    list_reduce(list_transform(embedding,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS n2
+       |  FROM embeddings),
+       |ev AS (SELECT * FROM n WHERE vec_id % 37 = 0 AND n2 > 0),
+       |tr AS (SELECT * FROM n WHERE vec_id % 37 <> 0),
+       |mx AS (
+       |  SELECT t.vec_id,
+       |    MAX(CASE WHEN t.n2 > 0 THEN
+       |      list_reduce(list_transform(range(1, len(t.embedding) + 1),
+       |          i -> CAST(t.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+       |        (a, b) -> a + b) / (sqrt(t.n2) * sqrt(e.n2)) END) AS mc
+       |  FROM tr t CROSS JOIN ev e GROUP BY 1)
+       |SELECT vec_id, FLOOR(mc * 1000000)::BIGINT AS max_cos_x1e6,
+       |  (vec_id % 8)::BIGINT AS shard
+       |FROM mx
+       |WHERE NOT COALESCE(FLOOR(mc * 1000000) >= 950000, FALSE)""".stripMargin
+
+  /** Krippendorff's alpha, interval distance (q218): a 0–3 rating panel
+    * (stopword-density / token-length / char-length buckets + the
+    * conditional long-doc rater), ragged panels kept, disagreement
+    * weighted by the squared rating difference. The lcm trick holds —
+    * 360360 // (m − 1) is exactly integral — and everything rides in
+    * HUGEINT; sign-split ×1e6 alpha. All bucket divisions are on
+    * non-negative values (Spark div == DuckDB //).
+    */
+  val q218: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, len(string_split(text, ' ')) AS ntok,
+       |    (len(list_filter(string_split(text, ' '),
+       |       t -> list_contains(['the','a'], t))) * 1000000
+       |     // len(string_split(text, ' '))) AS sd
+       |  FROM documents WHERE text IS NOT NULL),
+       |v AS (
+       |  SELECT doc_id, 'r1' AS rater, LEAST(sd // 250000, 3)::BIGINT AS cat FROM d
+       |  UNION ALL SELECT doc_id, 'r2', LEAST(ntok // 30, 3)::BIGINT FROM d
+       |  UNION ALL SELECT doc_id, 'r3', LEAST(length(text) // 200, 3)::BIGINT FROM d
+       |  UNION ALL SELECT doc_id, 'r4', LEAST(ntok // 60, 3)::BIGINT FROM d
+       |    WHERE length(text) >= 400),
+       |cells AS (SELECT doc_id, cat, COUNT(*)::HUGEINT AS c FROM v GROUP BY 1, 2),
+       |it AS (SELECT doc_id, SUM(c) AS m FROM cells GROUP BY 1),
+       |dr AS (SELECT COALESCE(SUM(CASE WHEN m < 2 OR m > 16 THEN 1 ELSE 0 END), 0)::BIGINT
+       |         AS ndrop FROM it),
+       |ki AS (SELECT * FROM it WHERE m >= 2 AND m <= 16),
+       |kc AS (SELECT cells.doc_id, cells.cat, cells.c, ki.m
+       |       FROM cells JOIN ki USING (doc_id)),
+       |pr AS (
+       |  SELECT a.doc_id, a.m,
+       |    SUM(a.c * b.c * ((a.cat - b.cat) * (a.cat - b.cat))::HUGEINT) AS p
+       |  FROM kc a JOIN kc b ON a.doc_id = b.doc_id AND a.cat < b.cat
+       |  GROUP BY 1, 2),
+       |o AS (SELECT COALESCE(SUM((360360 // (m - 1)) * 2 * p), 0)::HUGEINT AS o FROM pr),
+       |cn AS (SELECT COUNT(*)::BIGINT AS ni, COALESCE(SUM(m), 0)::HUGEINT AS n FROM ki),
+       |mg AS (SELECT cat, SUM(c)::HUGEINT AS nc FROM kc GROUP BY 1),
+       |ee AS (SELECT COALESCE(SUM(x.nc * y.nc * 2
+       |                * ((x.cat - y.cat) * (x.cat - y.cat))::HUGEINT), 0)::HUGEINT AS e
+       |       FROM mg x JOIN mg y ON x.cat < y.cat)
+       |SELECT ni AS n_items, n::BIGINT AS n_votes, ndrop AS n_items_dropped,
+       |  (CASE WHEN n > 0 THEN (o * 1000000) // (360360 * n) END)::BIGINT AS do_x1e6,
+       |  (CASE WHEN n > 1 THEN (e * 1000000) // (n * (n - 1)) END)::BIGINT AS de_x1e6,
+       |  (CASE WHEN e > 0 AND n > 1 THEN
+       |     CASE WHEN 360360 * e >= o * (n - 1)
+       |       THEN ((360360 * e - o * (n - 1)) * 1000000) // (360360 * e)
+       |       ELSE -(((o * (n - 1) - 360360 * e) * 1000000) // (360360 * e))
+       |     END END)::BIGINT AS alpha_x1e6
+       |FROM cn, o, ee, dr""".stripMargin
+
   /** Heaps' vocabulary growth (q211): 16 id-range prefixes, per-bucket
     * doc/token sums, each term's FIRST bucket, cumulative windows over
     * the dense generate_series spine.

@@ -396,12 +396,32 @@ object Profile {
     * serial window are bounded at `maxScoreSupport` rows no matter how
     * continuous the caller's score is. One extra min/max probe broadcast
     * back (the established bounded 1-row bnlj pattern). A constant score
-    * collapses to a single bin; `maxScoreSupport <= 0` is a no-op (the
-    * exact path — types and values untouched).
+    * collapses to a single bin.
+    *
+    * `maxScoreSupport <= 0` is the EXACT path (types and values
+    * untouched) — but no longer a blind one (round 15, closing the last
+    * eval-tier footgun): one cheap HLL probe (`approx_count_distinct`,
+    * partial-agg only — never a shuffle of the frame) estimates the
+    * score support and REFUSES past ~1e6 distinct values (1.1e6 with
+    * the sketch's ~2–5% slack priced in), because the exact path's one
+    * serial window runs over |distinct scores| rows — bounded by
+    * construction for the engine's own micro-unit scores, CORPUS-SIZED
+    * for a raw float score a caller might feed. The refusal message
+    * names the fix; the probe is one extra scan of the projected
+    * 2-column frame — the price of exact-by-default staying safe.
     */
+  private val ExactScoreSupportBound = 1100000L
   private def quantizeScore(base: DataFrame, maxScoreSupport: Int): DataFrame =
-    if (maxScoreSupport <= 0) base
-    else {
+    if (maxScoreSupport <= 0) {
+      val est = base.agg(approx_count_distinct(col("__s")).as("__d")).head().getLong(0)
+      require(est <= ExactScoreSupportBound,
+        s"exact eval path: ~$est distinct score values (HLL estimate) exceed " +
+          "the 1e6 serial-window bound — the exact path builds ONE " +
+          "single-partition window over |distinct scores| rows; pass " +
+          "maxScoreSupport > 0 (order-preserving fixed-width pre-bucketing, " +
+          "counts stay exact per surviving threshold) or pre-quantize the score")
+      base
+    } else {
       val m  = maxScoreSupport
       val mm = base.agg(
         min(col("__s").cast("double")).as("__lo"),
@@ -453,7 +473,9 @@ object Profile {
     * the single-partition window can never exceed `maxScoreSupport` rows.
     * AUC then treats within-bin pairs as ties at half credit (the
     * Mann-Whitney tie rule — the exact value as bin width → 0). Default 0
-    * = exact, plan unchanged.
+    * = exact — guarded: a cheap HLL support probe refuses past ~1e6
+    * distinct scores instead of silently serializing the corpus (see
+    * quantizeScore).
     */
   def aucExact(
       scored: DataFrame,
@@ -557,7 +579,8 @@ object Profile {
     * bucketing subsamples the candidate thresholds, it does not
     * approximate the counts. Bounds the serial window at
     * `maxScoreSupport` rows for raw float scores. Default 0 = every
-    * distinct score, plan unchanged.
+    * distinct score — guarded by the quantizeScore HLL support probe
+    * (refuses past ~1e6 distinct scores).
     */
   def thresholdSweep(
       scored: DataFrame,
@@ -617,7 +640,8 @@ object Profile {
     * aucExact continuous-score guard (order-preserving fixed-width
     * pre-bucketing bounding the serial window; within-bin rows then share
     * a threshold group — the tie-aware step formula absorbs them at the
-    * bin boundary).
+    * bin boundary); the default exact path carries the quantizeScore HLL
+    * support probe (refuses past ~1e6 distinct scores).
     *
     * Output: one row — n_pos, n, ap_x1e6.
     */
@@ -1093,6 +1117,121 @@ object Profile {
         (coalesce(col("__n"), lit(0L).cast(dec)) * coalesce(col("__n"), lit(0L).cast(dec))
           - coalesce(col("__ncsq"), lit(0L).cast(dec))).as("__e"),
         coalesce(col("__n"), lit(0L).cast(dec)).as("__nd"))
+      .select(
+        col("n_items"), col("n_votes"), col("n_items_dropped"),
+        when(col("__nd") > 0, expr(s"(__o * 1000000L) div (${lcm}L * __nd)"))
+          .as("do_x1e6"),
+        when(col("__nd") > 1, expr("(__e * 1000000L) div (__nd * (__nd - 1))"))
+          .as("de_x1e6"),
+        when(col("__e") > 0 && col("__nd") > 1,
+          expr(s"""CASE WHEN ${lcm}L * __e >= __o * (__nd - 1)
+                 |  THEN ((${lcm}L * __e - __o * (__nd - 1)) * 1000000L)
+                 |         div (${lcm}L * __e)
+                 |  ELSE -(((__o * (__nd - 1) - ${lcm}L * __e) * 1000000L)
+                 |         div (${lcm}L * __e))
+                 |END""".stripMargin)).as("alpha_x1e6"))
+  }
+
+  /** Krippendorff's alpha, INTERVAL distance — the agreement number for
+    * RATING panels (the common labeling-campaign shape: "score this
+    * document 0–3 for quality"), where nominal alpha is wrong on
+    * purpose: it charges a 2-vs-3 disagreement the same as 0-vs-3.
+    * Interval alpha weighs each disagreeing vote pair by the SQUARED
+    * value difference δ²(c,k) = (c−k)², so near-misses cost little and
+    * opposite-end votes dominate — the standard metric-data form of the
+    * coefficient. Panels stay ragged (the krippendorffAlpha rule: every
+    * item with 2..maxRaters votes kept, weighted by its own size).
+    *
+    * EXACT integer form — the nominal lcm trick generalizes because the
+    * per-item division is still by (m_u − 1): with
+    * L = lcm(1 .. maxRaters−1), L div (m_u−1) is EXACTLY integral, so
+    * each item's observed-disagreement contribution
+    * (L div (m_u−1)) · 2 · Σ_{c<k} n_uc·n_uk·δ²(c,k) is an exact
+    * integer (nominal alpha is the δ² = 1 special case — there
+    * 2·Σ_{c<k} n_uc·n_uk = m_u² − Σ_c n_uc², the q214 spelling).
+    * O = Σ_u of that; E = 2·Σ_{c<k} n_c·n_k·δ²(c,k) over kept-item
+    * margins; alpha = 1 − O·(n−1)/(L·E), one sign-split ×1e6 division —
+    * all carried in DECIMAL(38,0) (oracle: HUGEINT).
+    *
+    * Category values must be INTEGERS on a rating scale (cast to long);
+    * δ² is then exact on both engines. Integer envelope: L·E·1e6 must
+    * fit 38 digits — with value span s, E ≤ n²·s², so span ≤ ~100 keeps
+    * the nominal tier's ~1e9-vote envelope (span ≤ 1e3 still allows
+    * ~1e8 votes); rating scales are single digits in practice. Shard by
+    * campaign past it.
+    *
+    * Scale shape: the krippendorffAlpha pipeline plus ONE within-item
+    * self-join of the (item, value) cell frame — fan-out bounded by
+    * C(maxRaters, 2) ≤ 120 pairs per item (an item has ≤ maxRaters
+    * distinct values), hash-keyed on item; the category-margin pair fold
+    * runs on the value-support-sized frame (broadcast — rating scales
+    * are tiny). Items with < 2 or > maxRaters votes are EXCLUDED and
+    * counted (the nominal rule).
+    *
+    * Output: one row — n_items, n_votes, n_items_dropped, do_x1e6,
+    * de_x1e6, alpha_x1e6.
+    */
+  def krippendorffAlphaInterval(
+      frame: DataFrame,
+      itemCol: String,
+      raterCol: String,
+      catCol: String,
+      maxRaters: Int = 16): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 17,
+      s"maxRaters must be in [2,17] (L = lcm(1..maxRaters-1) must stay small), got $maxRaters")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val lcm: Long = (1 until maxRaters).foldLeft(1L) { (a, b) =>
+      @annotation.tailrec
+      def gcd(x: Long, y: Long): Long = if (y == 0) x else gcd(y, x % y)
+      a / gcd(a, b) * b
+    }
+    val votes = frame
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull && col(catCol).isNotNull)
+      .select(col(itemCol).as("__i"), col(catCol).cast("long").as("__v"))
+    val cells = votes.groupBy(col("__i"), col("__v")).agg(count(lit(1)).as("__c"))
+    val items = cells.groupBy(col("__i")).agg(sum(col("__c")).as("__m"))
+    val dropped = items.agg(
+      sum(when(col("__m") < 2 || col("__m") > maxRaters, 1L).otherwise(0L))
+        .as("n_items_dropped"))
+    val keptItems = items.filter(col("__m") >= 2 && col("__m") <= maxRaters)
+    val counts = keptItems.agg(
+      count(lit(1)).as("n_items"),
+      coalesce(sum(col("__m")), lit(0L)).cast(dec).as("__n"))
+    val keptCells = cells.join(keptItems, Seq("__i"))
+    // within-item disagreement pairs: value-ordered self-join, <= C(16,2)
+    // rows per item, hash-keyed on __i
+    val right = keptCells.select(
+      col("__i"), col("__v").as("__v2"), col("__c").as("__c2"))
+    val perItem = keptCells
+      .join(right, Seq("__i"))
+      .filter(col("__v") < col("__v2"))
+      .groupBy(col("__i"), col("__m"))
+      .agg(sum(
+        col("__c").cast(dec) * col("__c2") *
+          ((col("__v") - col("__v2")).cast(dec) * (col("__v") - col("__v2"))))
+        .as("__p"))
+    val oAgg = perItem
+      .agg(coalesce(
+        sum(expr(s"cast((${lcm}L div (__m - 1)) as decimal(38,0)) * 2 * __p")),
+        lit(0).cast(dec)).as("__o"))
+    val margins = keptCells.groupBy(col("__v")).agg(sum(col("__c")).as("__nc"))
+    val margins2 = margins.select(col("__v").as("__w2"), col("__nc").as("__nc2"))
+    val eAgg = margins
+      .join(broadcast(margins2), col("__v") < col("__w2"))
+      .agg(coalesce(
+        sum(col("__nc").cast(dec) * col("__nc2") * lit(2) *
+          ((col("__v") - col("__w2")).cast(dec) * (col("__v") - col("__w2")))),
+        lit(0).cast(dec)).as("__e"))
+    counts
+      .crossJoin(broadcast(oAgg))
+      .crossJoin(broadcast(eAgg))
+      .crossJoin(broadcast(dropped))
+      .select(
+        col("n_items"),
+        col("__n").cast("long").as("n_votes"),
+        coalesce(col("n_items_dropped"), lit(0L)).as("n_items_dropped"),
+        col("__o"), col("__e"), col("__n").as("__nd"))
       .select(
         col("n_items"), col("n_votes"), col("n_items_dropped"),
         when(col("__nd") > 0, expr(s"(__o * 1000000L) div (${lcm}L * __nd)"))

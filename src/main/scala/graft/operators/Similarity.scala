@@ -1398,7 +1398,12 @@ object Similarity {
     *
     * Scale shape — the one honest plan at 100 TB: the eval side is
     * BROADCAST (eval benchmarks are small by construction — 10³–10⁵
-    * rows; `require`d non-empty, zero-norm eval rows dropped up front),
+    * rows; `require`d non-empty AND within `maxEval` rows, zero-norm
+    * eval rows dropped up front — the documented envelope is ENFORCED,
+    * not trusted: a caller accidentally feeding a corpus as the eval
+    * side would otherwise OOM the broadcast, and the refusal message
+    * names the fix the way kmeansCentroids' does; raise `maxEval`
+    * deliberately if a genuinely bigger benchmark release must gate),
     * the training side is scanned ONCE with the per-pair cosine computed
     * against the broadcast copy (no shuffle of train data, no ANN index
     * needed — brute force against a broadcast eval IS the exact answer at
@@ -1421,14 +1426,25 @@ object Similarity {
       evalSet: DataFrame,
       idCol: String,
       vecCol: String,
-      tauX1e6: Long): DataFrame = {
+      tauX1e6: Long,
+      maxEval: Long = 100000L): DataFrame = {
+    require(maxEval >= 1, s"maxEval must be >= 1, got $maxEval")
     val ev = evalSet
       .select(col(vecCol).as("__e_emb"), dot(col(vecCol), col(vecCol)).as("__e_n2"))
       .filter(col("__e_n2") > 0.0)
-    require(!ev.isEmpty,
+    // one bounded count probe replaces the old isEmpty probe (same single
+    // extra job) and enforces the broadcast envelope instead of trusting it
+    val nEval = ev.limit((maxEval + 1).min(Int.MaxValue.toLong).toInt).count()
+    require(nEval > 0,
       "embedContamination: the eval set is EMPTY (or all zero-norm) — " +
         "nothing to decontaminate against; an empty gate passing every row " +
         "as clean would be a silent no-op, not a decision")
+    require(nEval <= maxEval,
+      s"embedContamination: eval set exceeds maxEval=$maxEval non-zero-norm " +
+        "rows — the eval side is BROADCAST (the honest exact plan at " +
+        "benchmark sizes) and a corpus-sized eval frame would OOM it; gate " +
+        "against the pinned benchmark release, or raise maxEval deliberately " +
+        "if this eval set is genuinely that large")
     train
       .select(col(idCol), col(vecCol).as("__t_emb"),
         dot(col(vecCol), col(vecCol)).as("__t_n2"))

@@ -553,6 +553,27 @@ class ProfileSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 50L)
   }
 
+  test("eval exact path refuses a corpus-sized float score support; bucketed path stays bounded") {
+    // 1.5M distinct raw doubles: the exact path's one serial window would
+    // be corpus-sized — the HLL support probe must refuse with the fix in
+    // the message; passing maxScoreSupport bounds the window and succeeds.
+    val big = spark.range(1500000L).select(
+      (col("id") % 2 === 0).as("y"),
+      (col("id").cast("double") / 7.0).as("s"))
+    val e = intercept[IllegalArgumentException](Profile.aucExact(big, "y", "s"))
+    assert(e.getMessage.contains("maxScoreSupport"))
+    intercept[IllegalArgumentException](Profile.thresholdSweep(big, "y", "s"))
+    intercept[IllegalArgumentException](Profile.averagePrecision(big, "y", "s"))
+    val r = Profile.aucExact(big, "y", "s", maxScoreSupport = 1000).collect().head
+    assert(r.getLong(0) === 750000L && r.getLong(1) === 750000L)
+    assert(!r.isNullAt(2))
+    // micro-unit scores (the engine's own convention) stay under the
+    // bound — the exact path still serves them unguarded
+    val micro = spark.range(10000L).select(
+      (col("id") % 2 === 0).as("y"), (col("id") % 100L).as("s"))
+    assert(Profile.aucExact(micro, "y", "s").collect().head.getLong(0) === 5000L)
+  }
+
   test("bootstrapDeltaCI: rank rule replayed — BOTH ranks derive from the retained count") {
     import spark.implicits._
     // A 2-row frame makes zero-total-weight resamples certain (for ids
@@ -620,6 +641,43 @@ class ProfileSpec extends AnyFunSuite {
     // every vote one category -> E = 0 -> alpha undefined (NULL)
     val mono = Seq((1, "r1", "a"), (1, "r2", "a")).toDF("item", "rater", "cat")
     assert(Profile.krippendorffAlpha(mono, "item", "rater", "cat")
+      .collect().head.isNullAt(5))
+  }
+
+  test("krippendorffAlphaInterval: squared-distance weighting hand-computed, differs from nominal") {
+    import spark.implicits._
+    // i1 {0,3}: P = 1·1·(3−0)² = 9 → term (L div 1)·2·9 = 18L; i2 {1,1}:
+    // P = 0; i3 single vote dropped; i4 has 18 votes (> cap) dropped.
+    // Kept n = 4. D_o = O/(L·n) = 18/4. Margins 0:1, 1:2, 3:1 →
+    // E = 2·(1·2·1 + 1·1·9 + 2·1·4) = 38, D_e = 38/12.
+    // alpha = 1 − 18·3·L/(38L) = −16/38 → −421052 (sign-split truncation).
+    val votes = (Seq(
+      (1, "r1", 0L), (1, "r2", 3L),
+      (2, "r1", 1L), (2, "r2", 1L),
+      (3, "r1", 0L)) ++ (1 to 18).map(k => (4, s"r$k", 2L)))
+      .toDF("item", "rater", "rating")
+    val r = Profile.krippendorffAlphaInterval(votes, "item", "rater", "rating")
+      .collect().head
+    assert(r.getLong(0) === 2L)
+    assert(r.getLong(1) === 4L)
+    assert(r.getLong(2) === 2L)
+    assert(r.getLong(3) === 4500000L)
+    assert(r.getLong(4) === 3166666L)
+    assert(r.getLong(5) === -421052L)
+    // the NOMINAL coefficient on the same table reads +400000: the
+    // distance weighting is a genuinely different statistic (a 0-vs-3
+    // split is 9x a 1-step near-miss, not "one disagreement")
+    assert(Profile.krippendorffAlpha(votes, "item", "rater", "rating")
+      .collect().head.getLong(5) === 400000L)
+    // perfect agreement with two rating levels present: alpha = 1e6 exact
+    val perfect = Seq((1, "a", 0L), (1, "b", 0L), (2, "a", 3L), (2, "b", 3L))
+      .toDF("item", "rater", "rating")
+    assert(Profile.krippendorffAlphaInterval(perfect, "item", "rater", "rating")
+      .collect().head.getLong(5) === 1000000L)
+    // every vote the same value -> E = 0 -> alpha undefined (NULL)
+    val mono = Seq((1, "a", 1L), (1, "b", 1L), (2, "a", 1L), (2, "b", 1L))
+      .toDF("item", "rater", "rating")
+    assert(Profile.krippendorffAlphaInterval(mono, "item", "rater", "rating")
       .collect().head.isNullAt(5))
   }
 

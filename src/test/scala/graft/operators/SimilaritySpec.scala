@@ -412,4 +412,22 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.embedContamination(train, zeroEval, "vec_id", "embedding", 950000L)
     }
   }
+
+  test("embedContamination: broadcast envelope ENFORCED — over-limit eval refused, bound raisable") {
+    import spark.implicits._
+    val train = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // 8 non-zero-norm eval rows against maxEval = 4: the eval side is
+    // broadcast, so a corpus-sized eval frame must refuse, not OOM
+    val bigEval = (100L to 107L).map(i => (i, Array(1.0f, i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.embedContamination(train, bigEval, "vec_id", "embedding",
+        tauX1e6 = 950000L, maxEval = 4L)
+    }
+    assert(ex.getMessage.contains("maxEval"))
+    // raising the bound deliberately admits the same eval set
+    val ok = Similarity.embedContamination(train, bigEval, "vec_id", "embedding",
+      tauX1e6 = 950000L, maxEval = 8L).collect()
+    assert(ok.length === 1)
+  }
 }
