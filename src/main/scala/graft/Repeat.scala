@@ -36,7 +36,8 @@ import java.nio.file.{Files, Paths}
   *   SPARK_GRAFT_SOAK_CALIB_GATE  calibration WAIT gate (default 0.7 s)
   *
   * Output: one JSON line —
-  *   {"replicas":R,"dir":...,"reps":N,"calib":...,"calib_end":...,
+  *   {"replicas":R,"dir":...,"docs":...,"embeddings":...,"reps":N,
+  *    "calib":...,"calib_end":...,
   *    "calib_waits":W,"queries":{"qNN":{"times":[...],"min":m,"med":d,
   *    "max":x}},"total_min":...,"total_med":...,"failed":[...],
   *    "loadavg":[...]}
@@ -68,6 +69,10 @@ object Repeat {
         d
       case None => sys.env.getOrElse("SPARK_GRAFT_REPEAT_DIR", "/root/testdata/sf0.1")
     }
+
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    val nEmb  = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    System.err.println(s"[repeat] $dir ready: $nDocs docs, $nEmb embeddings")
 
     val gate = sys.env.getOrElse("SPARK_GRAFT_SOAK_CALIB_GATE", "0.7").toDouble
     val (calibStart, calibWaits) = Soak.calibrateOrWait(spark, gate, "repeat")
@@ -114,7 +119,7 @@ object Repeat {
       try Files.readString(Paths.get("/proc/loadavg")).trim.split("\\s+").take(3).mkString("[", ",", "]")
       catch { case _: Exception => "[]" }
     val line =
-      s"""{"replicas":${replicas.getOrElse(1)},"dir":"$dir","reps":$n,""" +
+      s"""{"replicas":${replicas.getOrElse(1)},"dir":"$dir","docs":$nDocs,"embeddings":$nEmb,"reps":$n,""" +
         s""""calib":${fmt(calibStart)},"calib_end":${fmt(calibEnd)},"calib_waits":$calibWaits,""" +
         s""""queries":$qs,"total_min":${fmt(totalMin)},"total_med":${fmt(totalMed)},""" +
         s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"loadavg":$loadavg}"""

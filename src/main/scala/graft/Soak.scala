@@ -112,7 +112,7 @@ object Soak {
     // measured at 10x, not asserted; q217 rides the replicated
     // embeddings like q209 (gate + shard projection)
     "q213_bootstrap_ci", "q214_krippendorff", "q217_contamination_gated_ingest",
-    "q218_krippendorff_interval")
+    "q218_krippendorff_interval", "q219_krippendorff_ordinal")
 
   /** Build (once) the perturbed replica volume at `dir` from `src` — see
     * the object doc for the construction. Shared with `graft.Repeat` so

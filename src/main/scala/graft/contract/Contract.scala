@@ -5274,6 +5274,42 @@ object Contract {
           panel3.unionByName(rater4), "doc_id", "rater", "rating", maxRaters = 16)
       },
       Some(OracleSql.q218)
+    ),
+    Q(
+      "q219_krippendorff_ordinal",
+      // Krippendorff's alpha with ORDINAL distance (round 15) — the q218
+      // panel re-read as a RANKED scale with unequal steps: disagreement
+      // between two ratings is weighed by the panel MASS sitting between
+      // them (δ = Σ_{g=c..k} n_g − (n_c+n_k)/2 over kept margins), so
+      // crossing the heavily-populated middle buckets costs more than
+      // skipping a rare extreme. Exact via the (2δ)² carry (alpha is
+      // scale-invariant; do/de report in ×4 units), HUGEINT oracle
+      // replaying the cumulative margin fold and the distance table.
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        val toks = TextAnalysis.tokens(col("text"))
+        val base = Tables.documents(s, d)
+          .filter(col("text").isNotNull)
+          .select(
+            col("doc_id"),
+            TextAnalysis.stopwordCount(toks).cast("long").as("__stop"),
+            size(toks).cast("long").as("__ntok"),
+            length(col("text")).cast("long").as("__nchr"))
+        val panel3 = base.select(
+          col("doc_id"),
+          expr("""stack(3,
+                 |  'r1', least(((__stop * 1000000L) div __ntok) div 250000L, 3L),
+                 |  'r2', least(__ntok div 30L, 3L),
+                 |  'r3', least(__nchr div 200L, 3L)
+                 |) AS (rater, rating)""".stripMargin))
+        val rater4 = base
+          .filter(col("__nchr") >= 400L)
+          .select(col("doc_id"), lit("r4").as("rater"),
+            expr("least(__ntok div 60L, 3L)").as("rating"))
+        graft.operators.Profile.krippendorffAlphaOrdinal(
+          panel3.unionByName(rater4), "doc_id", "rater", "rating", maxRaters = 16)
+      },
+      Some(OracleSql.q219)
     )
   )
 

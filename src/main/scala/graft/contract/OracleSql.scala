@@ -3086,6 +3086,61 @@ object OracleSql {
        |     END END)::BIGINT AS alpha_x1e6
        |FROM cn, o, ee, dr""".stripMargin
 
+  /** Krippendorff's alpha, ordinal distance (q219): the q218 panel with
+    * the mass-between-ranks metric — margins get a cumulative fold
+    * (window over the tiny value support), the distance table carries
+    * (2δ)² = (2·(cum_k − cum_c) + n_c − n_k)² exactly in HUGEINT, and
+    * both pair folds join it; alpha is invariant to the ×4 carry, do/de
+    * report in the ×4 units (the Spark side's documented convention).
+    */
+  val q219: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, len(string_split(text, ' ')) AS ntok,
+       |    (len(list_filter(string_split(text, ' '),
+       |       t -> list_contains(['the','a'], t))) * 1000000
+       |     // len(string_split(text, ' '))) AS sd
+       |  FROM documents WHERE text IS NOT NULL),
+       |v AS (
+       |  SELECT doc_id, 'r1' AS rater, LEAST(sd // 250000, 3)::BIGINT AS cat FROM d
+       |  UNION ALL SELECT doc_id, 'r2', LEAST(ntok // 30, 3)::BIGINT FROM d
+       |  UNION ALL SELECT doc_id, 'r3', LEAST(length(text) // 200, 3)::BIGINT FROM d
+       |  UNION ALL SELECT doc_id, 'r4', LEAST(ntok // 60, 3)::BIGINT FROM d
+       |    WHERE length(text) >= 400),
+       |cells AS (SELECT doc_id, cat, COUNT(*)::HUGEINT AS c FROM v GROUP BY 1, 2),
+       |it AS (SELECT doc_id, SUM(c) AS m FROM cells GROUP BY 1),
+       |dr AS (SELECT COALESCE(SUM(CASE WHEN m < 2 OR m > 16 THEN 1 ELSE 0 END), 0)::BIGINT
+       |         AS ndrop FROM it),
+       |ki AS (SELECT * FROM it WHERE m >= 2 AND m <= 16),
+       |kc AS (SELECT cells.doc_id, cells.cat, cells.c, ki.m
+       |       FROM cells JOIN ki USING (doc_id)),
+       |mg AS (
+       |  SELECT cat, SUM(c)::HUGEINT AS nc,
+       |    (SUM(SUM(c)) OVER (ORDER BY cat
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::HUGEINT AS cum
+       |  FROM kc GROUP BY cat),
+       |dist AS (
+       |  SELECT x.cat AS v1, y.cat AS v2, x.nc AS nc1, y.nc AS nc2,
+       |    ((2 * (y.cum - x.cum) + x.nc - y.nc)
+       |     * (2 * (y.cum - x.cum) + x.nc - y.nc))::HUGEINT AS d2
+       |  FROM mg x JOIN mg y ON x.cat < y.cat),
+       |pr AS (
+       |  SELECT a.doc_id, a.m, SUM(a.c * b.c * dist.d2) AS p
+       |  FROM kc a JOIN kc b ON a.doc_id = b.doc_id AND a.cat < b.cat
+       |  JOIN dist ON dist.v1 = a.cat AND dist.v2 = b.cat
+       |  GROUP BY 1, 2),
+       |o AS (SELECT COALESCE(SUM((360360 // (m - 1)) * 2 * p), 0)::HUGEINT AS o FROM pr),
+       |cn AS (SELECT COUNT(*)::BIGINT AS ni, COALESCE(SUM(m), 0)::HUGEINT AS n FROM ki),
+       |ee AS (SELECT COALESCE(SUM(nc1 * nc2 * 2 * d2), 0)::HUGEINT AS e FROM dist)
+       |SELECT ni AS n_items, n::BIGINT AS n_votes, ndrop AS n_items_dropped,
+       |  (CASE WHEN n > 0 THEN (o * 1000000) // (360360 * n) END)::BIGINT AS do_x4x1e6,
+       |  (CASE WHEN n > 1 THEN (e * 1000000) // (n * (n - 1)) END)::BIGINT AS de_x4x1e6,
+       |  (CASE WHEN e > 0 AND n > 1 THEN
+       |     CASE WHEN 360360 * e >= o * (n - 1)
+       |       THEN ((360360 * e - o * (n - 1)) * 1000000) // (360360 * e)
+       |       ELSE -(((o * (n - 1) - 360360 * e) * 1000000) // (360360 * e))
+       |     END END)::BIGINT AS alpha_x1e6
+       |FROM cn, o, ee, dr""".stripMargin
+
   /** Heaps' vocabulary growth (q211): 16 id-range prefixes, per-bucket
     * doc/token sums, each term's FIRST bucket, cumulative windows over
     * the dense generate_series spine.

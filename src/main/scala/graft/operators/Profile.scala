@@ -1247,6 +1247,123 @@ object Profile {
                  |END""".stripMargin)).as("alpha_x1e6"))
   }
 
+  /** Krippendorff's alpha, ORDINAL distance — the third standard form,
+    * for RANKED scales whose steps are not equal intervals ("poor <
+    * fair < good < excellent"): interval alpha assumes a 1-vs-3 gap is
+    * exactly 4× a 1-vs-2 gap, which is only defensible for genuinely
+    * metric ratings; ordinal distance instead weighs a (c,k) disagreement
+    * by how much of the PANEL MASS sits between the two ranks —
+    * δ_ck = Σ_{g=c..k} n_g − (n_c + n_k)/2 over the kept-vote margins —
+    * so crossing a heavily-populated middle rank costs more than skipping
+    * a rare one. The standard Krippendorff ordinal metric.
+    *
+    * EXACT integer form: the halves clear by carrying (2δ)² = integer
+    * (2δ_ck = 2·cum(k) − 2·cum(c) + n_c − n_k from one cumulative margin
+    * fold); the uniform ×4 scales O and E identically, so ALPHA is
+    * unchanged while do/de are reported in (2δ)² units (documented).
+    * The lcm trick is untouched (the per-item division is still by
+    * m_u − 1); one sign-split ×1e6 division, DECIMAL(38,0)/HUGEINT.
+    *
+    * Integer envelope: δ grows with margin counts (unlike interval's
+    * fixed scale), so E ≤ 4·n⁴ — L·E·1e6 fits 38 digits to ~1e6–1e7
+    * total votes: an ANNOTATION-CAMPAIGN envelope (the op's actual
+    * domain), not a corpus one; shard by campaign past it.
+    *
+    * Scale shape: the interval pipeline + one value-support-sized
+    * cumulative margin window (the zipfFit bounded-window posture) and a
+    * broadcast distance table joined into both pair folds. Ragged
+    * panels kept; < 2 or > maxRaters votes dropped + counted.
+    *
+    * Output: one row — n_items, n_votes, n_items_dropped, do_x4x1e6,
+    * de_x4x1e6, alpha_x1e6.
+    */
+  def krippendorffAlphaOrdinal(
+      frame: DataFrame,
+      itemCol: String,
+      raterCol: String,
+      catCol: String,
+      maxRaters: Int = 16): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 17,
+      s"maxRaters must be in [2,17] (L = lcm(1..maxRaters-1) must stay small), got $maxRaters")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val lcm: Long = (1 until maxRaters).foldLeft(1L) { (a, b) =>
+      @annotation.tailrec
+      def gcd(x: Long, y: Long): Long = if (y == 0) x else gcd(y, x % y)
+      a / gcd(a, b) * b
+    }
+    val votes = frame
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull && col(catCol).isNotNull)
+      .select(col(itemCol).as("__i"), col(catCol).cast("long").as("__v"))
+    val cells = votes.groupBy(col("__i"), col("__v")).agg(count(lit(1)).as("__c"))
+    val items = cells.groupBy(col("__i")).agg(sum(col("__c")).as("__m"))
+    val dropped = items.agg(
+      sum(when(col("__m") < 2 || col("__m") > maxRaters, 1L).otherwise(0L))
+        .as("n_items_dropped"))
+    val keptItems = items.filter(col("__m") >= 2 && col("__m") <= maxRaters)
+    val counts = keptItems.agg(
+      count(lit(1)).as("n_items"),
+      coalesce(sum(col("__m")), lit(0L)).cast(dec).as("__n"))
+    val keptCells = cells.join(keptItems, Seq("__i"))
+    // kept-vote margins + the cumulative fold the ordinal metric reads;
+    // the window runs over |distinct values| rows (rating scales — tiny)
+    val margins = keptCells.groupBy(col("__v")).agg(sum(col("__c")).as("__nc"))
+      .withColumn("__cum",
+        sum(col("__nc")).over(Window.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // distance table per value pair: (2 delta)^2, exact integer
+    val mRight = margins.select(
+      col("__v").as("__w2"), col("__nc").as("__nc2"), col("__cum").as("__cum2"))
+    val dist = margins
+      .join(broadcast(mRight), col("__v") < col("__w2"))
+      .select(
+        col("__v"), col("__w2"), col("__nc"), col("__nc2"),
+        ((lit(2) * (col("__cum2") - col("__cum")) + col("__nc") - col("__nc2")).cast(dec) *
+          (lit(2) * (col("__cum2") - col("__cum")) + col("__nc") - col("__nc2")))
+          .as("__d2"))
+    // NB: 2*delta = 2*cum(k) - 2*cum(c) + n_c - n_k and cum(k) - cum(c)
+    // = (cum2 - cum) for c < k — the spelling above
+    val right = keptCells.select(
+      col("__i"), col("__v").as("__v2"), col("__c").as("__c2"))
+    val perItem = keptCells
+      .join(right, Seq("__i"))
+      .filter(col("__v") < col("__v2"))
+      .join(broadcast(dist.select(col("__v"), col("__w2").as("__v2"), col("__d2"))),
+        Seq("__v", "__v2"))
+      .groupBy(col("__i"), col("__m"))
+      .agg(sum(col("__c").cast(dec) * col("__c2") * col("__d2")).as("__p"))
+    val oAgg = perItem
+      .agg(coalesce(
+        sum(expr(s"cast((${lcm}L div (__m - 1)) as decimal(38,0)) * 2 * __p")),
+        lit(0).cast(dec)).as("__o"))
+    val eAgg = dist
+      .agg(coalesce(
+        sum(col("__nc").cast(dec) * col("__nc2") * lit(2) * col("__d2")),
+        lit(0).cast(dec)).as("__e"))
+    counts
+      .crossJoin(broadcast(oAgg))
+      .crossJoin(broadcast(eAgg))
+      .crossJoin(broadcast(dropped))
+      .select(
+        col("n_items"),
+        col("__n").cast("long").as("n_votes"),
+        coalesce(col("n_items_dropped"), lit(0L)).as("n_items_dropped"),
+        col("__o"), col("__e"), col("__n").as("__nd"))
+      .select(
+        col("n_items"), col("n_votes"), col("n_items_dropped"),
+        when(col("__nd") > 0, expr(s"(__o * 1000000L) div (${lcm}L * __nd)"))
+          .as("do_x4x1e6"),
+        when(col("__nd") > 1, expr("(__e * 1000000L) div (__nd * (__nd - 1))"))
+          .as("de_x4x1e6"),
+        when(col("__e") > 0 && col("__nd") > 1,
+          expr(s"""CASE WHEN ${lcm}L * __e >= __o * (__nd - 1)
+                 |  THEN ((${lcm}L * __e - __o * (__nd - 1)) * 1000000L)
+                 |         div (${lcm}L * __e)
+                 |  ELSE -(((__o * (__nd - 1) - ${lcm}L * __e) * 1000000L)
+                 |         div (${lcm}L * __e))
+                 |END""".stripMargin)).as("alpha_x1e6"))
+  }
+
   /** Fleiss' kappa — chance-corrected agreement for a PANEL of raters
     * (cohenKappa generalized past two): `frame` holds one vote per row
     * (item, rater, category), the shape of every labeling campaign —

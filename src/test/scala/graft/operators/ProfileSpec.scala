@@ -681,6 +681,45 @@ class ProfileSpec extends AnyFunSuite {
       .collect().head.isNullAt(5))
   }
 
+  test("krippendorffAlphaOrdinal: mass-between-ranks distance hand-computed, differs from interval") {
+    import spark.implicits._
+    // i1 {0,2}, i2 {1,1}, i3 {1,2} (+ dropped single-vote i4 and
+    // oversized i5). Kept margins 0:1, 1:3, 2:2 (n=6), cum 1/4/6 →
+    // (2δ)²: (0,1)=16, (0,2)=81, (1,2)=25.
+    // O = 2L·81 (i1) + 2L·25 (i3) = 212L → do = 212e6 div 6 = 35333333.
+    // E = 2·(3·16 + 2·81 + 6·25) = 720 → de = 720e6 div 30 = 24000000.
+    // alpha = (720 − 212·5)/720 = −340/720 → −472222 (sign-split).
+    val votes = (Seq(
+      (1, "r1", 0L), (1, "r2", 2L),
+      (2, "r1", 1L), (2, "r2", 1L),
+      (3, "r1", 1L), (3, "r2", 2L),
+      (4, "r1", 0L)) ++ (1 to 18).map(k => (5, s"r$k", 2L)))
+      .toDF("item", "rater", "rating")
+    val r = Profile.krippendorffAlphaOrdinal(votes, "item", "rater", "rating")
+      .collect().head
+    assert(r.getLong(0) === 3L)
+    assert(r.getLong(1) === 6L)
+    assert(r.getLong(2) === 2L)
+    assert(r.getLong(3) === 35333333L)
+    assert(r.getLong(4) === 24000000L)
+    assert(r.getLong(5) === -472222L)
+    // the INTERVAL coefficient on the same table reads −470588
+    // (−16/34): ordinal charges crossing the populated middle rank
+    // more, so the two metrics genuinely diverge on mixed-mass panels
+    assert(Profile.krippendorffAlphaInterval(votes, "item", "rater", "rating")
+      .collect().head.getLong(5) === -470588L)
+    // perfect agreement across two ranks: alpha = 1e6 exact
+    val perfect = Seq((1, "a", 0L), (1, "b", 0L), (2, "a", 3L), (2, "b", 3L))
+      .toDF("item", "rater", "rating")
+    assert(Profile.krippendorffAlphaOrdinal(perfect, "item", "rater", "rating")
+      .collect().head.getLong(5) === 1000000L)
+    // every vote one rank -> E = 0 -> NULL
+    val mono = Seq((1, "a", 1L), (1, "b", 1L), (2, "a", 1L), (2, "b", 1L))
+      .toDF("item", "rater", "rating")
+    assert(Profile.krippendorffAlphaOrdinal(mono, "item", "rater", "rating")
+      .collect().head.isNullAt(5))
+  }
+
   test("fleissKappa: textbook table, partial panels dropped, degenerate marginal NULL") {
     import spark.implicits._
     // 4 items x 3 raters, 2 categories; n_ic tables:

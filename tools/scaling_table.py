@@ -1,14 +1,30 @@
 #!/usr/bin/env python3
-"""Render the README scaling-curve table from soak_scaling.json.
+"""Render the README scaling-curve table from a curve artifact.
 
-The artifact is one JSON line per replica count (graft.Soak with
-SPARK_GRAFT_SOAK_CURVE); this script is the single source of the README's
-markdown table, so the prose can never drift from the measurement.
+The artifact is one JSON line per replica count — written either by
+graft.Soak with SPARK_GRAFT_SOAK_CURVE (one number per query cell) or by
+graft.Repeat with SPARK_GRAFT_REPEAT_CURVE (round 15: a repeat record per
+cell: {"times":[...],"min":m,"med":d,"max":x}). This script is the single
+source of the README's markdown table, so the prose can never drift from
+the measurement. Repeat cells render as "min (med)" — the min is the
+least-contended observable the noise-envelope finding argues from, the
+median shows the spread cheaply.
 
 Usage: python3 tools/scaling_table.py [soak_scaling.json]
 """
 import json
 import sys
+
+
+def cell_str(v) -> str:
+    if isinstance(v, dict):
+        mn, md = v.get("min", -1), v.get("med", -1)
+        if mn is None or mn < 0:
+            return "—"
+        return f"{mn:.1f} ({md:.1f}) s"
+    if isinstance(v, (int, float)) and v >= 0:
+        return f"{v:.1f} s"
+    return "—"
 
 
 def main() -> None:
@@ -47,16 +63,31 @@ def main() -> None:
         # round-13: learned-tokenizer fertility — one corpus word-count
         # pass + vocab-sized merge loop, so the curve should stay flat
         ("q198_bpe_fertility", "q198 BPE fertility"),
+        # round-15 repeats-curve members (the r14 tier + the heavy movers)
+        ("q80_bm25", "q80 BM25"),
+        ("q179_curation_v6", "q179 eval-gated mix"),
+        ("q201_novelty_routed", "q201 novelty route"),
+        ("q209_embed_contamination", "q209 embed decontam"),
+        ("q213_bootstrap_ci", "q213 bootstrap CI"),
+        ("q214_krippendorff", "q214 Krippendorff"),
+        ("q210_zipf_slope", "q210 Zipf"),
     ]
     present = [(k, label) for k, label in cols if any(k in p["queries"] for p in points)]
     print("| replicas (docs) | " + " | ".join(label for _, label in present) + " |")
     print("|---|" + "|".join("---" for _ in present) + "|")
     for p in points:
-        cells = []
-        for k, _ in present:
-            v = p["queries"].get(k)
-            cells.append(f"{v:.1f} s" if isinstance(v, (int, float)) and v >= 0 else "—")
-        print(f"| {p['replicas']}x ({p['docs'] // 1000}k) | " + " | ".join(cells) + " |")
+        cells = [cell_str(p["queries"].get(k)) for k, _ in present]
+        docs = p.get("docs")
+        tag = f"{p['replicas']}x ({docs // 1000}k)" if docs else f"{p['replicas']}x"
+        print(f"| {tag} | " + " | ".join(cells) + " |")
+    if any("total_min" in p for p in points):
+        print()
+        print("| replicas | total_min | total_med | calib | waits |")
+        print("|---|---|---|---|---|")
+        for p in points:
+            if "total_min" in p:
+                print(f"| {p['replicas']}x | {p['total_min']:.1f} s | "
+                      f"{p['total_med']:.1f} s | {p['calib']:.2f} s | {p['calib_waits']} |")
 
 
 if __name__ == "__main__":
