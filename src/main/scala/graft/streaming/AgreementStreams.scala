@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.Profile
+
+/** Live labeling-campaign health — the streaming twin of the agreement
+  * tier (q207/q214/q218/q219): votes land CONTINUOUSLY from a rater pool,
+  * each (item, rater) keeps its LATEST vote (a rater resubmitting
+  * replaces their previous rating — the campaign-tool reality, and the
+  * reason the store is an upsert, not an append), and per drain the
+  * chance-corrected agreement coefficient is recomputed over the full
+  * upserted store and landed as a (batch_id)-keyed audit row. This is
+  * the monitor that pages BEFORE a drifting rater pool poisons the label
+  * set a filter will train on (the q207→q185→q191 arc's precondition,
+  * watched live).
+  *
+  * Recompute-over-store is the honest shape, not a shortcut: alpha is a
+  * global ratio of disagreement sums — a single new vote changes its
+  * item's panel size AND the global margins, so the coefficient does not
+  * decompose into per-batch deltas. The store is CAMPAIGN-sized
+  * (annotation panels — the operator tier's documented vote envelopes),
+  * so the per-drain cost is one agreement fold over the store, never a
+  * corpus pass.
+  *
+  * Exactly-once: the vote store upsert is keyed (item_id, rater) over 8
+  * item-hash shards; in-batch resubmissions resolve deterministically
+  * BEFORE the upsert (latest ts wins, rating DESC on exact ts ties), so
+  * a replayed batch rewrites identical rows and the audit row (recomputed
+  * over the converged store) rewrites identically too — the monitor
+  * carries the same at-least-once-within-checkpoint contract as every
+  * other twin (AvailableNow offsets advance, so an old batch never
+  * replays over a newer vote).
+  */
+object AgreementStreams {
+
+  /** Landing schema for incoming JSON votes; `ts` is the submission time
+    * that resolves in-batch resubmissions.
+    */
+  val VoteSchema: StructType = StructType(Seq(
+    StructField("item_id", LongType),
+    StructField("rater", StringType),
+    StructField("rating", LongType),
+    StructField("ts", TimestampType)))
+
+  def voteStream(
+      spark: SparkSession,
+      rawDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+      .format("json")
+      .schema(VoteSchema)
+      .option("recursiveFileLookup", "true")
+    maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .load(rawDir)
+  }
+
+  /** The metric dispatch shared by the monitor and its batch-equivalence
+    * spec: "nominal" (q214) | "interval" (q218) | "ordinal" (q219).
+    */
+  def alphaOf(
+      votes: DataFrame,
+      metric: String,
+      maxRaters: Int): DataFrame = metric match {
+    case "nominal"  => Profile.krippendorffAlpha(votes, "item_id", "rater", "rating", maxRaters)
+    case "interval" => Profile.krippendorffAlphaInterval(votes, "item_id", "rater", "rating", maxRaters)
+    case "ordinal"  => Profile.krippendorffAlphaOrdinal(votes, "item_id", "rater", "rating", maxRaters)
+    case other =>
+      throw new IllegalArgumentException(
+        s"metric must be nominal | interval | ordinal, got '$other'")
+  }
+
+  /** Deterministic latest-vote resolution (shared with the spec): one row
+    * per (item_id, rater) — max ts wins, rating DESC breaks exact-ts ties.
+    */
+  def latestVotes(votes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("item_id"), col("rater"))
+      .orderBy(col("ts").desc, col("rating").desc)
+    votes
+      .filter(col("item_id").isNotNull && col("rater").isNotNull && col("rating").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  def runAgreementMonitor(
+      spark: SparkSession,
+      rawDir: String,
+      storeDir: String,
+      monitorDir: String,
+      checkpointDir: String,
+      alarmBelowX1e6: Long,
+      metric: String = "nominal",
+      maxRaters: Int = 16,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    // fail fast on a typo'd metric BEFORE the stream starts — inside
+    // foreachBatch it would only surface on the first non-empty drain
+    require(Set("nominal", "interval", "ordinal")(metric),
+      s"metric must be nominal | interval | ordinal, got '$metric'")
+    voteStream(spark, rawDir, maxFilesPerTrigger).writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss     = batch.sparkSession
+        val cached = batch.cache()
+        try if (!cached.isEmpty) {
+          val latest = latestVotes(cached)
+            .withColumn("shard", pmod(col("item_id"), lit(8L)))
+          MergeSink.upsert(
+            ss, latest, storeDir,
+            keyCols = Seq("item_id", "rater"), partitionCols = Seq("shard"))
+          val reading = alphaOf(ss.read.parquet(storeDir), metric, maxRaters)
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("metric", lit(metric))
+            .withColumn("alarm",
+              col("alpha_x1e6").isNull || col("alpha_x1e6") < alarmBelowX1e6)
+          MergeSink.upsert(
+            ss, reading, monitorDir,
+            keyCols = Seq("batch_id"), partitionCols = Seq.empty)
+        } finally { cached.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

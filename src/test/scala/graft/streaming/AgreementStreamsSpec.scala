@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Live agreement-monitor semantics: the vote store keeps exactly the
+  * latest vote per (item, rater) across drains AND inside one drain, the
+  * per-drain reading equals the batch coefficient over those latest
+  * votes (stream ≡ batch), and a replay converges.
+  */
+class AgreementStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmp(pfx: String): String = Files.createTempDirectory(pfx).toString
+
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+
+  test("latest-vote store, stream == batch alpha per drain, resubmission, replay converges") {
+    import spark.implicits._
+    val raw     = tmp("votes-raw")
+    val store   = tmp("votes-store") + "/store"
+    val monitor = tmp("votes-mon") + "/monitor"
+    val ckpt    = tmp("votes-ckpt")
+
+    // drain 1: three items, two raters, mixed 0-3 ratings; (2, r2) is an
+    // IN-BATCH resubmission — the later ts (rating 1) must win
+    val b1 = Seq(
+      (1L, "r1", 3L, ts(1)), (1L, "r2", 3L, ts(1)),
+      (2L, "r1", 0L, ts(1)), (2L, "r2", 3L, ts(1)), (2L, "r2", 1L, ts(5)),
+      (3L, "r1", 2L, ts(1)), (3L, "r2", 1L, ts(1)))
+      .toDF("item_id", "rater", "rating", "ts")
+    b1.write.json(raw + "/b1")
+    AgreementStreams.runAgreementMonitor(
+      spark, raw, store, monitor, ckpt,
+      alarmBelowX1e6 = 400000L, metric = "interval").awaitTermination()
+
+    val stored1 = spark.read.parquet(store)
+      .select("item_id", "rater", "rating")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(stored1((2L, "r2", 1L)) && !stored1((2L, "r2", 3L)),
+      "in-batch resubmission must resolve to the later ts")
+    assert(stored1.size === 6)
+
+    // the drain-1 reading == the batch coefficient over the same votes
+    val want1 = AgreementStreams
+      .alphaOf(AgreementStreams.latestVotes(b1), "interval", 16)
+      .collect().head
+    val read1 = spark.read.parquet(monitor).filter(col("batch_id") === 0)
+      .select("n_items", "n_votes", "n_items_dropped",
+        "do_x1e6", "de_x1e6", "alpha_x1e6", "alarm", "metric")
+      .collect().head
+    assert(read1.getLong(0) === want1.getLong(0))
+    assert(read1.getLong(1) === want1.getLong(1))
+    assert(read1.getLong(5) === want1.getLong(5))
+    assert(read1.getString(7) === "interval")
+
+    // drain 2: a CROSS-DRAIN resubmission (r1 flips item 1 to 0) + a new
+    // ragged item with a single vote (dropped by the coefficient)
+    val b2 = Seq(
+      (1L, "r1", 0L, ts(10)),
+      (4L, "r1", 2L, ts(10)))
+      .toDF("item_id", "rater", "rating", "ts")
+    b2.write.json(raw + "/b2")
+    AgreementStreams.runAgreementMonitor(
+      spark, raw, store, monitor, ckpt,
+      alarmBelowX1e6 = 400000L, metric = "interval").awaitTermination()
+
+    val all = AgreementStreams.latestVotes(b1.unionByName(b2))
+    val stored2 = spark.read.parquet(store)
+      .select("item_id", "rater", "rating")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(stored2((1L, "r1", 0L)) && !stored2((1L, "r1", 3L)),
+      "cross-drain resubmission must replace the stored vote")
+    assert(stored2.size === 7)
+
+    // stream == batch over the union's latest votes; the dropped
+    // single-vote item surfaces in n_items_dropped
+    val want2 = AgreementStreams.alphaOf(all, "interval", 16).collect().head
+    val read2 = spark.read.parquet(monitor).filter(col("batch_id") === 1)
+      .select("n_items", "n_votes", "n_items_dropped",
+        "do_x1e6", "de_x1e6", "alpha_x1e6", "alarm")
+      .collect().head
+    assert(read2.getLong(0) === want2.getLong(0))
+    assert(read2.getLong(1) === want2.getLong(1))
+    assert(read2.getLong(2) === want2.getLong(2) && read2.getLong(2) >= 1L)
+    assert(read2.getLong(3) === want2.getLong(3))
+    assert(read2.getLong(4) === want2.getLong(4))
+    assert(read2.getLong(5) === want2.getLong(5))
+    // the alarm rule is the reading vs the threshold, verifiable directly
+    assert(read2.getBoolean(6) === (want2.isNullAt(5) || want2.getLong(5) < 400000L))
+
+    // replay from a fresh checkpoint: store and readings converge
+    AgreementStreams.runAgreementMonitor(
+      spark, raw, store, monitor, tmp("votes-ckpt2"),
+      alarmBelowX1e6 = 400000L, metric = "interval").awaitTermination()
+    val stored3 = spark.read.parquet(store)
+      .select("item_id", "rater", "rating")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(stored3 === stored2, "replay must converge to the same store")
+
+    // all three metrics dispatch; a typo'd metric is refused up front
+    val nominal = AgreementStreams.alphaOf(all, "nominal", 16).collect().head
+    val ordinal = AgreementStreams.alphaOf(all, "ordinal", 16).collect().head
+    assert(!nominal.isNullAt(5) && !ordinal.isNullAt(5))
+    val ex = intercept[IllegalArgumentException] {
+      AgreementStreams.runAgreementMonitor(
+        spark, raw, store, monitor, tmp("votes-ckpt3"),
+        alarmBelowX1e6 = 0L, metric = "cosine")
+    }
+    assert(ex.getMessage.contains("nominal"))
+    ()
+  }
+}
