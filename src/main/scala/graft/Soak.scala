@@ -112,7 +112,14 @@ object Soak {
     // measured at 10x, not asserted; q217 rides the replicated
     // embeddings like q209 (gate + shard projection)
     "q213_bootstrap_ci", "q214_krippendorff", "q217_contamination_gated_ingest",
-    "q218_krippendorff_interval", "q219_krippendorff_ordinal")
+    "q218_krippendorff_interval", "q219_krippendorff_ordinal",
+    // round-15 additions: the LOO reliability explode (votes ×R — the
+    // claim that the bounded explode stays vote-table-shaped), AC1 (one
+    // more agreement fold), the two corpus-statistics passes (census +
+    // census-with-side), and the secret census/mask projections whose
+    // cost must track corpus bytes
+    "q220_rater_reliability", "q221_gwet_ac1", "q222_vocab_richness",
+    "q223_js_divergence", "q224_secret_census", "q225_secret_mask")
 
   /** Build (once) the perturbed replica volume at `dir` from `src` — see
     * the object doc for the construction. Shared with `graft.Repeat` so

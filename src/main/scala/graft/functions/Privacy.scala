@@ -123,6 +123,62 @@ object Privacy {
         Ipv4Re, ipMask),
       PhoneRe, phoneMask)
 
+  /** Credential/secret patterns — the scrubbing pass a training corpus
+    * needs BEYOND personal PII: leaked keys in scraped code and pasted
+    * configs are (a) a disclosure liability and (b) memorization bait a
+    * code-capable model will happily regurgitate. Same dialect-
+    * intersection discipline as the PII tier (no lookaround, no
+    * backrefs, character classes + bounded/greedy quantifiers only), so
+    * Java (Spark) and RE2 (DuckDB/production scanners) pick identical
+    * match extents and the masked text is byte-identical cross-engine:
+    *  - AWS access-key id: the fixed `AKIA` prefix + 16 uppercase
+    *    alphanumerics (the publicly documented format);
+    *  - JWT: three dot-joined base64url segments, first starting `eyJ`
+    *    (base64 of `{"`) — header.payload.signature;
+    *  - long lowercase-hex runs (>= 32): API tokens, session secrets,
+    *    private-key material in hex dumps;
+    *  - PEM private-key headers: the BEGIN line is the certain marker
+    *    (the body is unbounded base64 across lines — flag/strip at the
+    *    document level once the header is seen).
+    */
+  val AwsKeyRe: String    = "AKIA[0-9A-Z]{16}"
+  val JwtRe: String       = "eyJ[A-Za-z0-9_-]{5,}\\.[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}"
+  val HexSecretRe: String = "[0-9a-f]{32,}"
+  val PemKeyRe: String    = "-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----"
+
+  /** Per-text counts of each secret class (raw occurrences on the
+    * unmasked text — an AKIA id or hex run embedded INSIDE a JWT segment
+    * counts for its own class too, the q215 census rule).
+    */
+  def awsKeyCount(text: Column): Column = regexp_count(text, lit(AwsKeyRe))
+  def jwtCount(text: Column): Column    = regexp_count(text, lit(JwtRe))
+  def hexSecretCount(text: Column): Column = regexp_count(text, lit(HexSecretRe))
+  def pemKeyCount(text: Column): Column = regexp_count(text, lit(PemKeyRe))
+
+  /** The secret-masking ACTION, fixed order pem → JWT → AWS → hex. JWT
+    * before AWS/hex is load-bearing (the maskPii email-before-IP rule):
+    * a JWT's base64url payload can embed an AKIA-shaped run and its
+    * signature can be pure lowercase hex — masking the JWT first removes
+    * them whole, where AWS- or hex-first would tear the token into
+    * `eyJ..<AWSKEY>..mid.<HEX>` and leave a half-masked credential that
+    * no longer matches the JWT pattern. Pure codegen'd projection, zero
+    * shuffle; the DuckDB mirror is the same four regexp_replace calls
+    * with the 'g' flag.
+    */
+  def maskSecrets(
+      text: Column,
+      pemMask: String = "<PEMKEY>",
+      jwtMask: String = "<JWT>",
+      awsMask: String = "<AWSKEY>",
+      hexMask: String = "<HEXSECRET>"): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, PemKeyRe, pemMask),
+          JwtRe, jwtMask),
+        AwsKeyRe, awsMask),
+      HexSecretRe, hexMask)
+
   def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "kAnonymityAudit needs at least one quasi-identifier column")
     require(k >= 2, s"k must be >= 2, got $k")

@@ -2154,4 +2154,129 @@ object Corpus {
         sum(col("__toks")).over(cum).as("cum_tokens"),
         sum(col("__new_types")).over(cum).as("cum_types"))
   }
+
+  /** Vocabulary-richness estimators — "how much vocabulary have we NOT
+    * seen yet?", the question behind crawl-more-vs-dedup-more budget
+    * calls that zipfFit (shape of what you have) and heapsGrowth (growth
+    * so far) don't answer:
+    *  - Chao1 richness (bias-corrected, Chao 1984): total type count the
+    *    corpus is heading toward, V + V1(V1−1)/(2(V2+1)) off the hapax/
+    *    dis-legomena counts — defined even when V2 = 0;
+    *  - Good–Turing unseen mass V1/N: the probability the NEXT token is
+    *    a new type (Gale & Sampson 1995's first step), and its
+    *    complement, the coverage of the current vocabulary.
+    * A corpus whose chao1 ≈ V and unseen mass → 0 has bought its
+    * vocabulary; keep-crawling adds duplicates, not types.
+    *
+    * All integer: one token-census pass (partial-agg shuffle, vocab-
+    * sized result), then a single fold for (N, V, V1, V2) and micro-unit
+    * divisions — the Chao1 correction term is carried in DECIMAL(38,0)
+    * (V1²·1e6 passes Long at ~3e6 hapaxes, far below any web corpus).
+    *
+    * Output: one row — n_tokens, n_types, v1, v2, chao1_x1e6,
+    * unseen_mass_x1e6, coverage_x1e6.
+    */
+  def vocabRichness(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    graft.operators.Dedup
+      .spread(docs.filter(col(textCol).isNotNull))
+      .select(explode(split(col(textCol), " ")).as("__tok"))
+      .groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .agg(
+        sum(col("__c")).as("__n"),
+        count(lit(1)).as("__v"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("__v1"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("__v2"))
+      .select(
+        col("__n").as("n_tokens"),
+        col("__v").as("n_types"),
+        col("__v1").as("v1"),
+        col("__v2").as("v2"),
+        (col("__v").cast(dec) * lit(1000000L)
+          + expr("(CAST(__v1 AS DECIMAL(38,0)) * (__v1 - 1) * 1000000L) div (2 * (__v2 + 1))"))
+          .cast("long").as("chao1_x1e6"),
+        when(col("__n") > 0, expr("(__v1 * 1000000L) div __n")).as("unseen_mass_x1e6"),
+        when(col("__n") > 0, lit(1000000L) - expr("(__v1 * 1000000L) div __n"))
+          .as("coverage_x1e6"))
+  }
+
+  /** Jensen–Shannon divergence between two sub-corpora's token
+    * distributions — composition drift in ONE bounded number (JSD ∈
+    * [0, ln 2], symmetric, finite even on disjoint vocabularies — the
+    * reason it, and not KL, is the corpus-drift staple): did this
+    * ingest wave / source / language slice shift the unigram mix enough
+    * to re-balance the training mixture? The distributional companion
+    * to q200's novelty monitor (which counts NEW grams but is blind to
+    * re-weighting of known ones).
+    *
+    * Cross-engine-exact by per-term DIGITIZATION (the q210 zipfFit
+    * pattern): for each term with counts (a, b) against totals (NA, NB),
+    * the log-ratio factors ln(2aNB/(aNB+bNA)) and ln(2bNA/(aNB+bNA))
+    * are floored to micro-nats FIRST (one IEEE ln + floor per term —
+    * identical in both engines on the same int64-derived doubles), then
+    *   JSD_x1e6 = (NB·Σ_t a·X_t + NA·Σ_t b·Y_t) div (2·NA·NB)
+    * is exact integer arithmetic in DECIMAL(38,0) (oracle: HUGEINT).
+    * Per-term flooring can push the digitized sum a hair negative at
+    * JSD ≈ 0, so the final division is sign-split like every micro-unit
+    * division in this engine.
+    *
+    * Scale shape: ONE token-census shuffle keyed on term with both
+    * sides' counts as conditional partial aggs (no join of two census
+    * frames), then a vocab-sized projection and one fold. The ×1e6
+    * digitization bounds |X_t| by ~21e6 (ln of the smallest ratio at
+    * 1e9 tokens), so Σa·X_t ≤ NA·21e6 — DECIMAL-safe past web scale.
+    *
+    * Output: one row — n_terms, n_terms_a, n_terms_b, na_tokens,
+    * nb_tokens, jsd_x1e6.
+    */
+  def jsDivergence(
+      docs: DataFrame,
+      textCol: String,
+      sideExpr: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val census = graft.operators.Dedup
+      .spread(docs.filter(col(textCol).isNotNull))
+      .select(sideExpr.as("__sideA"), explode(split(col(textCol), " ")).as("__tok"))
+      .groupBy(col("__tok"))
+      .agg(
+        sum(when(col("__sideA"), 1L).otherwise(0L)).as("__a"),
+        sum(when(col("__sideA"), 0L).otherwise(1L)).as("__b"))
+    val totals = census.agg(
+      sum(col("__a")).as("__na"), sum(col("__b")).as("__nb"))
+    census
+      .crossJoin(broadcast(totals))
+      .select(
+        col("__a"), col("__b"),
+        // digitized per-term log factors (micro-nats, floored — floor is
+        // toward −∞ in both engines, and the argument is a ratio of
+        // exact int64 products so both engines feed ln the same double)
+        when(col("__a") > 0,
+          floor(log((lit(2.0) * (col("__a") * col("__nb")).cast("double"))
+            / (col("__a") * col("__nb") + col("__b") * col("__na")).cast("double"))
+            * lit(1000000.0)).cast("long")).otherwise(lit(0L)).as("__x"),
+        when(col("__b") > 0,
+          floor(log((lit(2.0) * (col("__b") * col("__na")).cast("double"))
+            / (col("__a") * col("__nb") + col("__b") * col("__na")).cast("double"))
+            * lit(1000000.0)).cast("long")).otherwise(lit(0L)).as("__y"),
+        col("__na"), col("__nb"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(when(col("__a") > 0, 1L).otherwise(0L)).as("n_terms_a"),
+        sum(when(col("__b") > 0, 1L).otherwise(0L)).as("n_terms_b"),
+        max(col("__na")).as("__na"),
+        max(col("__nb")).as("__nb"),
+        sum((col("__a") * col("__x")).cast(dec)).as("__sa"),
+        sum((col("__b") * col("__y")).cast(dec)).as("__sb"))
+      .select(
+        col("n_terms"), col("n_terms_a"), col("n_terms_b"),
+        col("__na").as("na_tokens"), col("__nb").as("nb_tokens"),
+        when(col("__na") > 0 && col("__nb") > 0,
+          expr("""CASE WHEN __nb * __sa + __na * __sb >= 0
+                 |  THEN (__nb * __sa + __na * __sb) div (2 * __na * __nb)
+                 |  ELSE -((-(__nb * __sa + __na * __sb)) div (2 * __na * __nb))
+                 |END""".stripMargin)).as("jsd_x1e6"))
+  }
 }

@@ -1453,4 +1453,228 @@ object Profile {
                  |         div (__b * (__nn * __nn - __csq)))
                  |END""".stripMargin)).as("kappa_x1e6"))
   }
+
+  /** Gwet's AC1 — the agreement coefficient that survives the kappa
+    * PREVALENCE PARADOX: when one category dominates (the common corpus-
+    * labeling shape — 95% of documents are "keep"), kappa and alpha read
+    * near-zero for panels that agree on almost everything, because their
+    * chance term is built from the skewed margins themselves. AC1's
+    * chance term uses the probability that a rater votes a category AND
+    * the vote was random — pe = (1/(K−1))·Σ_k π_k(1−π_k), which SHRINKS
+    * as prevalence skews — so a high-prevalence high-agreement panel
+    * reads high, matching rater-quality intuition (Gwet 2008, "Computing
+    * inter-rater reliability and its variance in the presence of high
+    * agreement"). Run next to krippendorffAlpha: alpha ≈ AC1 on balanced
+    * panels; alpha ≪ AC1 flags prevalence skew, not rater noise.
+    *
+    * Ragged panels kept (the alpha rule, not the Fleiss rule): every
+    * item with 2..maxRaters votes contributes, weighted by its own panel
+    * size; items outside that band are dropped and counted.
+    *
+    * EXACT integer form: with L = lcm(1..maxRaters), both per-item
+    * denominators divide L exactly — r_i | L and r_i(r_i−1) | L (r_i and
+    * r_i−1 are coprime, both ≤ maxRaters) — so
+    *   A   = Σ_i (L·Σ_k r_ik(r_ik−1)) div (r_i(r_i−1))   (pa = A/(nL))
+    *   S_k = Σ_i (L·r_ik) div r_i                        (π_k = S_k/(nL))
+    *   E   = Σ_k S_k·(nL − S_k)            (pe = E/((K−1)·n²·L²))
+    * are exact integers, and
+    *   AC1 = (A·(K−1)·n·L − E) / ((K−1)·n²·L² − E)
+    * needs one sign-split ×1e6 division in DECIMAL(38,0) (oracle:
+    * HUGEINT). K = categories observed among kept votes. NULL when the
+    * denominator is 0 (single observed category — chance is total).
+    *
+    * Integer envelope: (K−1)·n²·L²·1e6 within 38 digits — at the default
+    * cap (L = lcm(1..16) = 720720, L² ≈ 5.2e11) that holds to ~1e9 kept
+    * items at double-digit K; shard by campaign past it (the kappa/alpha
+    * envelope).
+    *
+    * Scale shape: the krippendorffAlpha pipeline — one (item, category)
+    * partial-agg shuffle, item-sized folds, category-margin folds on a
+    * category-sized frame; nothing driver-side.
+    *
+    * Output: one row — n_items, n_votes, n_items_dropped, n_categories,
+    * pa_x1e6, pe_x1e6, ac1_x1e6.
+    */
+  def gwetAC1(
+      frame: DataFrame,
+      itemCol: String,
+      raterCol: String,
+      catCol: String,
+      maxRaters: Int = 16): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 16,
+      s"maxRaters must be in [2,16] (L = lcm(1..maxRaters) must stay small), got $maxRaters")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val lcm: Long = (1 to maxRaters).foldLeft(1L) { (a, b) =>
+      @annotation.tailrec
+      def gcd(x: Long, y: Long): Long = if (y == 0) x else gcd(y, x % y)
+      a / gcd(a, b) * b
+    }
+    val votes = frame
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull && col(catCol).isNotNull)
+      .select(col(itemCol).as("__i"), col(catCol).as("__cat"))
+    val cells = votes.groupBy(col("__i"), col("__cat")).agg(count(lit(1)).as("__c"))
+    val items = cells
+      .groupBy(col("__i"))
+      .agg(
+        sum(col("__c")).as("__m"),
+        sum(col("__c") * (col("__c") - 1)).as("__aa"))
+    val dropped = items.agg(
+      sum(when(col("__m") < 2 || col("__m") > maxRaters, 1L).otherwise(0L))
+        .as("n_items_dropped"))
+    val keptItems = items.filter(col("__m") >= 2 && col("__m") <= maxRaters)
+    // A and n fold over kept items; the per-item division is exact by
+    // construction (r_i(r_i−1) | L), so the sum is the exact rational
+    // numerator of pa over denominator n·L
+    val aAndN = keptItems.agg(
+      count(lit(1)).as("n_items"),
+      sum(expr(s"($lcm * __aa) div (__m * (__m - 1))").cast(dec)).as("__a"),
+      sum(col("__m")).cast(dec).as("__n"))
+    // per-category S_k = Σ_i L·r_ik/r_i (exact: r_i | L), then E and K
+    val margins = cells
+      .join(keptItems.select(col("__i"), col("__m")), Seq("__i"))
+      .groupBy(col("__cat"))
+      .agg(sum(expr(s"($lcm * __c) div __m").cast(dec)).as("__s"))
+    aAndN
+      .crossJoin(broadcast(
+        margins.agg(
+          count(lit(1)).as("n_categories"),
+          sum(col("__s") * col("__s")).as("__ssq"))))
+      .crossJoin(broadcast(dropped))
+      .select(
+        col("n_items").as("__ni"),
+        coalesce(col("__n"), lit(0L).cast(dec)).as("__nv"),
+        coalesce(col("n_items_dropped"), lit(0L)).as("n_items_dropped"),
+        coalesce(col("n_categories"), lit(0L)).as("n_categories"),
+        coalesce(col("__a"), lit(0L).cast(dec)).as("__a"),
+        // E = Σ S_k(nL − S_k) = nL·ΣS_k − ΣS_k² — and ΣS_k = n·L exactly
+        // (every kept vote contributes L/r_i to exactly one category and
+        // Σ_k r_ik = r_i), so E = (nL)² − ΣS_k²
+        (col("n_items").cast(dec) * lit(lcm) * col("n_items").cast(dec) * lit(lcm)
+          - coalesce(col("__ssq"), lit(0L).cast(dec))).as("__e"),
+        col("n_items").cast(dec).as("__nd"))
+      .select(
+        col("__ni").as("n_items"),
+        col("__nv").cast("long").as("n_votes"),
+        col("n_items_dropped"),
+        col("n_categories"),
+        when(col("__nd") > 0, expr(s"(__a * 1000000L) div (__nd * ${lcm}L)"))
+          .as("pa_x1e6"),
+        when(col("__nd") > 0 && col("n_categories") > 1,
+          expr(s"""(__e * 1000000L)
+                 |  div ((n_categories - 1) * __nd * __nd * ${lcm}L * ${lcm}L)"""
+            .stripMargin)).as("pe_x1e6"),
+        when(col("__nd") > 0 && col("n_categories") > 1
+          && expr(s"(n_categories - 1) * __nd * __nd * ${lcm}L * ${lcm}L - __e") =!= 0,
+          expr(s"""CASE WHEN __a * (n_categories - 1) * __nd * ${lcm}L >= __e
+                 |  THEN ((__a * (n_categories - 1) * __nd * ${lcm}L - __e) * 1000000L)
+                 |    div ((n_categories - 1) * __nd * __nd * ${lcm}L * ${lcm}L - __e)
+                 |  ELSE -(((__e - __a * (n_categories - 1) * __nd * ${lcm}L) * 1000000L)
+                 |    div ((n_categories - 1) * __nd * __nd * ${lcm}L * ${lcm}L - __e))
+                 |END""".stripMargin)).as("ac1_x1e6"))
+  }
+
+  /** Leave-one-out rater reliability — the agreement tier's
+    * measurement→ACTION diagnostic: per rater, Krippendorff's alpha
+    * (nominal) recomputed WITHOUT that rater's votes, next to the full-
+    * panel alpha. A rater whose removal RAISES alpha by ≥
+    * `flagDeltaX1e6` micro-units is flagged — they are adding noise, not
+    * signal, and the campaign should retrain or drop them (the q201 /
+    * contamination-gate pattern applied to the labeling pipeline: q214
+    * measures the panel, this names the rater to act on).
+    *
+    * Exact integer form throughout — each leave-one-out alpha is the
+    * krippendorffAlpha computation verbatim (same L = lcm(1..maxRaters−1)
+    * carry, same 2..maxRaters panel band, same sign-split ×1e6
+    * division), grouped by the excluded rater; delta subtracts the two
+    * already-floored micro-unit values (so it is exact in the reported
+    * units, documented rather than re-derived from rationals). NULL
+    * alphas (degenerate remainder) yield NULL delta and flagged = false.
+    *
+    * Scale shape: the vote table is exploded ×R (one copy per excluded
+    * rater) through a broadcast of the panel-sized rater list — the
+    * bounded in-row-explode posture of bootstrapDeltaCI's ×B, here
+    * bounded by the panel cap since R ≤ distinct raters of a campaign —
+    * then the alpha pipeline runs keyed by excluded rater: (ex, item,
+    * cat) partial-agg shuffle, (ex, item) folds, (ex, cat) margin folds,
+    * one R-sized join. Nothing driver-side; no window wider than the
+    * R-row result.
+    *
+    * Output: one row per rater — rater, n_votes_rater, n_items, n_votes,
+    * alpha_loo_x1e6, alpha_full_x1e6, delta_x1e6, flagged.
+    */
+  def krippendorffAlphaLeaveOneOut(
+      frame: DataFrame,
+      itemCol: String,
+      raterCol: String,
+      catCol: String,
+      maxRaters: Int = 16,
+      flagDeltaX1e6: Long = 20000L): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 17,
+      s"maxRaters must be in [2,17] (L = lcm(1..maxRaters-1) must stay small), got $maxRaters")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val lcm: Long = (1 until maxRaters).foldLeft(1L) { (a, b) =>
+      @annotation.tailrec
+      def gcd(x: Long, y: Long): Long = if (y == 0) x else gcd(y, x % y)
+      a / gcd(a, b) * b
+    }
+    val votes = frame
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull && col(catCol).isNotNull)
+      .select(col(itemCol).as("__i"), col(raterCol).as("__r"), col(catCol).as("__cat"))
+    val raters = votes.select(col("__r").as("__ex")).distinct()
+    val loo = votes.crossJoin(broadcast(raters)).filter(col("__r") =!= col("__ex"))
+    val cells = loo
+      .groupBy(col("__ex"), col("__i"), col("__cat"))
+      .agg(count(lit(1)).as("__c"))
+    val items = cells
+      .groupBy(col("__ex"), col("__i"))
+      .agg(sum(col("__c")).as("__m"), sum(col("__c") * col("__c")).as("__sq"))
+    val keptItems = items.filter(col("__m") >= 2 && col("__m") <= maxRaters)
+    val oAndN = keptItems
+      .groupBy(col("__ex"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(expr(s"($lcm * (__m * __m - __sq)) div (__m - 1)").cast(dec)).as("__o"),
+        sum(col("__m")).cast(dec).as("__n"))
+    val margins = cells
+      .join(keptItems.select(col("__ex"), col("__i")), Seq("__ex", "__i"))
+      .groupBy(col("__ex"), col("__cat"))
+      .agg(sum(col("__c")).cast(dec).as("__nc"))
+      .groupBy(col("__ex"))
+      .agg(sum(col("__nc") * col("__nc")).as("__ncsq"))
+    val perRater = oAndN
+      .join(margins, Seq("__ex"), "left")
+      .select(
+        col("__ex"), col("n_items"),
+        col("__n").cast("long").as("n_votes"),
+        col("__o"),
+        (col("__n") * col("__n") - coalesce(col("__ncsq"), lit(0L).cast(dec))).as("__e"),
+        col("__n").as("__nd"))
+      .select(
+        col("__ex"), col("n_items"), col("n_votes"),
+        when(col("__e") > 0 && col("__nd") > 1,
+          expr(s"""CASE WHEN ${lcm}L * __e >= __o * (__nd - 1)
+                 |  THEN ((${lcm}L * __e - __o * (__nd - 1)) * 1000000L)
+                 |         div (${lcm}L * __e)
+                 |  ELSE -(((__o * (__nd - 1) - ${lcm}L * __e) * 1000000L)
+                 |         div (${lcm}L * __e))
+                 |END""".stripMargin)).as("alpha_loo_x1e6"))
+    val full = krippendorffAlpha(frame, itemCol, raterCol, catCol, maxRaters)
+      .select(col("alpha_x1e6").as("alpha_full_x1e6"))
+    val raterCounts = votes
+      .groupBy(col("__r").as("__ex"))
+      .agg(count(lit(1)).as("n_votes_rater"))
+    perRater
+      .join(raterCounts, Seq("__ex"))
+      .crossJoin(broadcast(full))
+      .select(
+        col("__ex").as("rater"),
+        col("n_votes_rater"), col("n_items"), col("n_votes"),
+        col("alpha_loo_x1e6"), col("alpha_full_x1e6"),
+        (col("alpha_loo_x1e6") - col("alpha_full_x1e6")).as("delta_x1e6"),
+        coalesce(
+          col("alpha_loo_x1e6") - col("alpha_full_x1e6") >= flagDeltaX1e6,
+          lit(false)).as("flagged"))
+  }
 }

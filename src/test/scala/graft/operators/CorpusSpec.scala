@@ -743,4 +743,53 @@ class CorpusSpec extends AnyFunSuite {
     // exact: 0 -> bucket 0; hi/2 -> (2e18*4) div (4e18+1) = 1; hi -> 3
     assert(got === Map(0L -> 1L, 1L -> 1L, 2L -> 0L, 3L -> 1L))
   }
+
+  test("vocabRichness: hand-computed Chao1 and Good-Turing off hapax/dis-legomena counts") {
+    import spark.implicits._
+    // census: a:2 b:1 c:1 -> N=4, V=3, V1=2, V2=1.
+    // chao1 = 3 + 2·1/(2·(1+1)) = 3.5; unseen = 2/4 = 0.5; coverage 0.5.
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val r = Corpus.vocabRichness(docs, "text").collect().head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 3L)
+    assert(r.getLong(2) === 2L && r.getLong(3) === 1L)
+    assert(r.getLong(4) === 3500000L)
+    assert(r.getLong(5) === 500000L)
+    assert(r.getLong(6) === 500000L)
+    // saturated corpus: no hapaxes -> chao1 = V exactly, unseen mass 0
+    val sat = Seq((1L, "x y"), (2L, "x y")).toDF("doc_id", "text")
+    val s = Corpus.vocabRichness(sat, "text").collect().head
+    assert(s.getLong(4) === 2000000L && s.getLong(5) === 0L && s.getLong(6) === 1000000L)
+    // all-hapax corpus: V2 = 0 must stay defined (the bias-corrected
+    // form): V=2, V1=2 -> chao1 = 2 + 2·1/2 = 3
+    val hap = Seq((1L, "p q")).toDF("doc_id", "text")
+    assert(Corpus.vocabRichness(hap, "text").collect().head.getLong(4) === 3000000L)
+  }
+
+  test("jsDivergence: identical sides read 0, disjoint vocabularies read ln 2") {
+    import spark.implicits._
+    // identical distributions: every term has a·NB = b·NA -> both ratios
+    // are exactly 1.0 -> ln = 0 before flooring -> jsd exactly 0
+    val same = Seq((0L, "a a b"), (1L, "a a b")).toDF("doc_id", "text")
+    val s = Corpus.jsDivergence(same, "text", col("doc_id") % 2 === 0)
+      .collect().head
+    assert(s.getLong(0) === 2L)                       // n_terms
+    assert(s.getLong(3) === 3L && s.getLong(4) === 3L)
+    assert(s.getLong(5) === 0L)
+    // disjoint vocabularies: every term one-sided, ratio = 2 exactly ->
+    // per-term factor floor(ln 2 · 1e6) = 693147 -> jsd = 693147 (ln 2)
+    val disj = Seq((0L, "a b c"), (1L, "x y z")).toDF("doc_id", "text")
+    val d = Corpus.jsDivergence(disj, "text", col("doc_id") % 2 === 0)
+      .collect().head
+    assert(d.getLong(0) === 6L && d.getLong(1) === 3L && d.getLong(2) === 3L)
+    assert(d.getLong(5) === 693147L)
+    // a mixed shift sits strictly between, and the statistic is symmetric
+    // in the side label
+    val mix = Seq((0L, "a a a b"), (1L, "a b b b")).toDF("doc_id", "text")
+    val m1 = Corpus.jsDivergence(mix, "text", col("doc_id") % 2 === 0)
+      .collect().head.getLong(5)
+    val m2 = Corpus.jsDivergence(mix, "text", col("doc_id") % 2 =!= 0)
+      .collect().head.getLong(5)
+    assert(m1 > 0L && m1 < 693147L)
+    assert(m1 === m2)
+  }
 }

@@ -762,4 +762,100 @@ class ProfileSpec extends AnyFunSuite {
     assert(dv.getLong(4) === 333333L)
     assert(dv.getLong(5) === -500000L)
   }
+
+  test("gwetAC1: ragged panels hand-computed, sign-split, prevalence resistance vs alpha") {
+    import spark.implicits._
+    // i1 {a,a} (pa term = 1), i2 {a,b,b} (pa term = 2/6 = 1/3), i3 single
+    // vote dropped, i4 oversized dropped. n = 2, K = 2.
+    // pa = (1 + 1/3)/2 = 2/3; π_a = (1 + 1/3)/2 = 2/3, π_b = 1/3;
+    // pe = π_a(1−π_a) + π_b(1−π_b) = 4/9; AC1 = (2/3 − 4/9)/(1 − 4/9) = 2/5.
+    val votes = (Seq(
+      (1, "r1", "a"), (1, "r2", "a"),
+      (2, "r1", "a"), (2, "r2", "b"), (2, "r3", "b"),
+      (3, "r1", "c")) ++ (1 to 18).map(k => (4, s"r$k", "a")))
+      .toDF("item", "rater", "cat")
+    val r = Profile.gwetAC1(votes, "item", "rater", "cat").collect().head
+    assert(r.getLong(0) === 2L)  // kept items
+    assert(r.getLong(1) === 5L)  // kept votes
+    assert(r.getLong(2) === 2L)  // i3 (m=1) and i4 (m>16)
+    assert(r.getLong(3) === 2L)  // categories among kept votes
+    assert(r.getLong(4) === 666666L)
+    assert(r.getLong(5) === 444444L)
+    assert(r.getLong(6) === 400000L) // 2/5 exact
+    // systematic disagreement -> AC1 = −1 (sign-split path):
+    // two items each {a,b}: pa = 0, π = 1/2 each, pe = 1/2
+    val worse = Seq(
+      (1, "r1", "a"), (1, "r2", "b"),
+      (2, "r1", "a"), (2, "r2", "b")).toDF("item", "rater", "cat")
+    assert(Profile.gwetAC1(worse, "item", "rater", "cat")
+      .collect().head.getLong(6) === -1000000L)
+    // perfect agreement, two categories -> exactly 1
+    val perfect = Seq(
+      (1, "r1", "a"), (1, "r2", "a"),
+      (2, "r1", "b"), (2, "r2", "b")).toDF("item", "rater", "cat")
+    assert(Profile.gwetAC1(perfect, "item", "rater", "cat")
+      .collect().head.getLong(6) === 1000000L)
+    // single observed category -> chance is total -> NULL
+    val mono = Seq((1, "r1", "a"), (1, "r2", "a")).toDF("item", "rater", "cat")
+    assert(Profile.gwetAC1(mono, "item", "rater", "cat")
+      .collect().head.isNullAt(6))
+    // THE PARADOX CASE the coefficient exists for: 99 unanimous-"keep"
+    // items + 1 split item. Agreement is near-total, but alpha's chance
+    // term is built from the 99.5% "keep" margin and reads ~0 — AC1 stays
+    // high. (alpha = 1 − do·(n−1)/de: do = 1/200·2 per the split item.)
+    val skew = ((1 to 99).flatMap(i => Seq((i, "r1", "keep"), (i, "r2", "keep")))
+      :+ ((100, "r1", "keep")) :+ ((100, "r2", "drop")))
+      .toDF("item", "rater", "cat")
+    val a  = Profile.krippendorffAlpha(skew, "item", "rater", "cat")
+      .collect().head.getLong(5)
+    val g  = Profile.gwetAC1(skew, "item", "rater", "cat")
+      .collect().head.getLong(6)
+    assert(a < 100000L, s"alpha collapses under prevalence skew, got $a")
+    assert(g > 950000L, s"AC1 resists prevalence skew, got $g")
+  }
+
+  test("krippendorffAlphaLeaveOneOut: per-rater rows obey the law vs direct filtered alpha") {
+    import spark.implicits._
+    // three clean raters + one contrarian (r4 inverts every vote) over 8
+    // items; removing r4 must RAISE alpha enough to flag it, removing a
+    // clean rater must not.
+    val votes = (1 to 8).flatMap { i =>
+      val cat = if (i % 2 == 0) "keep" else "drop"
+      val inv = if (i % 2 == 0) "drop" else "keep"
+      Seq((i, "r1", cat), (i, "r2", cat), (i, "r3", cat), (i, "r4", inv))
+    }.toDF("item", "rater", "cat")
+    val out = Profile
+      .krippendorffAlphaLeaveOneOut(votes, "item", "rater", "cat",
+        maxRaters = 16, flagDeltaX1e6 = 20000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size === 4)
+    val full = Profile.krippendorffAlpha(votes, "item", "rater", "cat")
+      .collect().head.getLong(5)
+    // law: every LOO row equals the scalar alpha on the filtered frame
+    for (ex <- Seq("r1", "r2", "r3", "r4")) {
+      val direct = Profile
+        .krippendorffAlpha(
+          votes.filter(col("rater") =!= ex), "item", "rater", "cat")
+        .collect().head
+      val row = out(ex)
+      assert(row.getLong(2) === direct.getLong(0), s"$ex n_items")
+      assert(row.getLong(3) === direct.getLong(1), s"$ex n_votes")
+      assert(row.getLong(4) === direct.getLong(5), s"$ex alpha_loo")
+      assert(row.getLong(5) === full, s"$ex alpha_full")
+      assert(row.getLong(6) === direct.getLong(5) - full, s"$ex delta")
+      assert(row.getBoolean(7) === (direct.getLong(5) - full >= 20000L), s"$ex flag")
+    }
+    // the contrarian is the one flagged rater (its removal yields perfect
+    // agreement), and every clean rater's removal lowers alpha
+    assert(out("r4").getBoolean(7) && out("r4").getLong(4) === 1000000L)
+    for (ex <- Seq("r1", "r2", "r3")) assert(!out(ex).getBoolean(7))
+    // degenerate remainder: two raters only — excluding either leaves
+    // single-vote items everywhere, alpha NULL, flagged false
+    val two = Seq((1, "a", "x"), (1, "b", "y"), (2, "a", "x"), (2, "b", "x"))
+      .toDF("item", "rater", "cat")
+    val t = Profile
+      .krippendorffAlphaLeaveOneOut(two, "item", "rater", "cat")
+      .collect()
+    assert(t.length === 0, "no kept items after either exclusion -> no rows")
+  }
 }

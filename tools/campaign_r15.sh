@@ -1,0 +1,50 @@
+#!/bin/bash
+# Round-15 measurement campaign — the repeats-based scale protocol the
+# round-14 noise census implies (VERDICT r14, next-round item 1+2):
+#  1. adjudicate the r14 bench movers (q60/q176/q167) with N=7 isolated
+#     calibrated repeats at sf0.1 → repeat_movers_r15.json
+#  2. refresh the 5-point scaling curve (replicas 2/5/10/20/40 of the
+#     perturbed-replica construction) with N=5 repeats per heavy cell →
+#     per-point repeat_x{R}_r15.json, merged into soak_scaling_r15.json
+# Points run most-cited first (10, 20, 40) so an interrupted campaign
+# still leaves the load-bearing evidence. Keep the host otherwise idle:
+# the calibration gate waits, it cannot subtract contention.
+set -u
+cd /root/repo
+LOG=tools/campaign_r15.log
+: > "$LOG"
+
+MOVERS=q60_incremental_neardup,q176_projection_quality,q167_ccnet_buckets
+
+# Heavy-family + headline cells: the exact-vs-sublinear pairs (q87/q164,
+# q123/q189), the adversarial exact miners (q32, q91), retrieval (q80),
+# the span family, NB, BPE fertility, the round-14 tier the verdict named
+# (q201, q209, q210, q211, q213, q214, q217–q219), and the round-15 ops
+# with real scale claims (q220 votes×R explode, q222/q223 census passes).
+SUBSET=q87_curation_v2,q164_curation_v2_lsh,q123_leakfree_split,q189_leakfree_split_lsh,q32_ngram_jaccard,q91_embed_dedup_rows,q80_bm25,q180_duplicated_spans,q186_span_strip,q179_curation_v6,q181_span_census,q183_span_incremental,q184_curation_v7,q185_naive_bayes,q198_bpe_fertility,q201_novelty_routed,q209_embed_contamination,q210_zipf_slope,q211_heaps_growth,q213_bootstrap_ci,q214_krippendorff,q217_contamination_gated_ingest,q218_krippendorff_interval,q219_krippendorff_ordinal,q220_rater_reliability,q222_vocab_richness,q223_js_divergence
+
+echo "== movers adjudication (sf0.1, N=7) ==" >> "$LOG"
+SPARK_GRAFT_REPEAT_QUERIES=$MOVERS SPARK_GRAFT_REPEAT_N=7 \
+  SPARK_GRAFT_REPEAT_OUT=repeat_movers_r15.json \
+  sbt -batch "runMain graft.Repeat" >> "$LOG" 2>&1
+echo "movers rc=$?" >> "$LOG"
+
+for R in 10 20 40 5 2; do
+  echo "== curve point x$R (N=5) ==" >> "$LOG"
+  SPARK_GRAFT_REPEAT_QUERIES=$SUBSET SPARK_GRAFT_REPEAT_N=5 \
+    SPARK_GRAFT_REPEAT_REPLICAS=$R \
+    SPARK_GRAFT_REPEAT_OUT=repeat_x${R}_r15.json \
+    SPARK_GRAFT_REPEAT_CURVE=soak_scaling_r15.json \
+    sbt -batch "runMain graft.Repeat" >> "$LOG" 2>&1
+  echo "x$R rc=$?" >> "$LOG"
+  if [ "$R" = 10 ]; then
+    # refresh the committed sf1 soak (now 54 queries incl. q220–q225) on
+    # the just-built x10 volume — same ensureBuilt construction, so the
+    # single-rep soak line and the x10 repeat cells measure the same data
+    echo "== sf1 soak refresh (x10 volume) ==" >> "$LOG"
+    SPARK_GRAFT_SOAK_REPLICAS=10 \
+      sbt -batch "runMain graft.Soak /tmp/graft_sf10" >> "$LOG" 2>&1
+    echo "soak rc=$?" >> "$LOG"
+  fi
+done
+echo CAMPAIGN_DONE >> "$LOG"
