@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+/** Phase breakdown profiler for optimization rounds: for each named contract
+  * query, measures per-rep (1) DataFrame construction + analysis, (2)
+  * catalyst planning (force executedPlan), (3) execution via noop sink, and
+  * counts jobs/stages/tasks plus summed task time — separating driver
+  * orchestration cost from executor compute. Usage:
+  *
+  *   sbt "runMain graft.Profilex <sfDir> <reps> <queryName...>"
+  */
+object Profilex {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: Profilex <sfDir> <reps> <queryName...>")
+    val sfDir = args(0)
+    val reps  = args(1).toInt
+    val names = args.drop(2).toSeq
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession.local(cpus, cpus.toInt)
+    Bench.quietBenignNoise()
+
+    val jobs      = new AtomicInteger(0)
+    val stages    = new AtomicInteger(0)
+    val tasks     = new AtomicInteger(0)
+    val taskNanos = new AtomicLong(0L)
+    val stageLog  = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        val si = s.stageInfo
+        val tt = Option(si.taskMetrics).map(_.executorRunTime).getOrElse(0L)
+        val cpu = Option(si.taskMetrics).map(_.executorCpuTime / 1000000L).getOrElse(0L)
+        val wall = (for (a <- si.completionTime; b <- si.submissionTime) yield a - b).getOrElse(-1L)
+        stageLog.add(f"    stage ${si.stageId}%4d tasks=${si.numTasks}%4d " +
+          f"taskTime=${tt}%6dms cpu=${cpu}%6dms wall=${wall}%5dms  ${si.name.take(110)}")
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (t.taskMetrics != null) taskNanos.addAndGet(t.taskMetrics.executorRunTime * 1000000L)
+      }
+    })
+    val dumpStages = sys.env.get("PROFILEX_STAGES").contains("1")
+
+    // warmup
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+
+    names.foreach { n =>
+      val q = contract.Contract.byName.getOrElse(n, sys.error(s"unknown query: $n"))
+      (1 to reps).foreach { rep =>
+        jobs.set(0); stages.set(0); tasks.set(0); taskNanos.set(0L); stageLog.clear()
+        val t0 = System.nanoTime()
+        val df = q.run(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan // force planning
+        val t2 = System.nanoTime()
+        if (sys.env.get("PROFILEX_METRICS").contains("1"))
+          // drive the df's OWN QueryExecution so its plan metrics populate
+          // (a noop write wraps the query in a fresh QueryExecution)
+          df.queryExecution.toRdd.foreachPartition { it => while (it.hasNext) it.next(); () }
+        else df.write.format("noop").mode("overwrite").save()
+        val t3 = System.nanoTime()
+        Thread.sleep(200) // let listener events drain
+        val ph = df.queryExecution.tracker.phases
+          .map { case (k, v) => s"$k=${v.endTimeMs - v.startTimeMs}ms" }.mkString(" ")
+        println(f"[prof] $n rep$rep construct=${(t1 - t0) / 1e6}%.0fms plan=${(t2 - t1) / 1e6}%.0fms " +
+          f"exec=${(t3 - t2) / 1e6}%.0fms jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get} " +
+          f"taskTime=${taskNanos.get / 1e6}%.0fms  phases: $ph")
+        if (dumpStages && rep == reps) {
+          val it = stageLog.iterator()
+          while (it.hasNext) println(it.next())
+        }
+        if (sys.env.get("PROFILEX_METRICS").contains("1") && rep == reps) {
+          import org.apache.spark.sql.execution.SparkPlan
+          import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+          def walk(p: SparkPlan, depth: Int): Unit = {
+            val interesting = p.metrics.toSeq
+              .filter { case (k, m) =>
+                m.value > 50 && (k.contains("time") || k.contains("Time") ||
+                  k == "duration" || k.contains("numOutputRows"))
+              }
+              .map { case (k, m) => s"$k=${m.value}" }
+            if (interesting.nonEmpty)
+              println(s"[mx] ${"  " * depth}${p.nodeName}: ${interesting.mkString(" ")}")
+            val next = p match {
+              case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+              case _ => p.children
+            }
+            next.foreach(walk(_, depth + 1))
+            p.subqueries.foreach(walk(_, depth + 1))
+          }
+          walk(df.queryExecution.executedPlan, 0)
+        }
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        System.gc()
+      }
+    }
+    spark.stop()
+  }
+}

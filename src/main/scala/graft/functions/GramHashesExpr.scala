@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native positional k-gram XXHASH64 table of a text: element i is
+  * `xxhash64(concat_ws(" ", tokens[i .. i+k-1]))` over the single-space
+  * token split (empties kept), i.e. EXACTLY the values of the composed
+  * chain `posexplode(transform(sequence(0, n-k), i -> xxhash64(concat_ws(
+  * " ", slice(split(text, " "), i+1, k)))))` that `Corpus.gramTable` used
+  * to build — certified value-identical by GramHashesExprSpec. Fewer than
+  * k tokens yields an empty array (posexplode then emits no rows,
+  * matching the old `filter(size(__tk) >= k)` + Generate).
+  *
+  * Why it is fast: a token is a slice of the original string (the split
+  * delimiter is one literal space), so the k-gram joined with " " is a
+  * contiguous BYTE RANGE of the input. One byte scan finds the token
+  * starts; each gram hashes its range via a zero-copy UTF8String view —
+  * no token array, no per-gram slice/concat allocations, no interpreted
+  * higher-order lambda. (0x20 never occurs inside a UTF-8 multi-byte
+  * sequence, so the byte scan is exact for any Unicode text.)
+  */
+case class GramHashesExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType      = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gram_hashes requires STRING and k >= 1, got ${child.dataType}, k=$k")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramHashesExpr.gramHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramHashesExpr.gramHashes($c, $k)")
+}
+
+object GramHashesExpr {
+
+  private val SEED = 42L // Spark's xxhash64 default seed
+
+  def gramHashes(text: UTF8String, k: Int): ArrayData = {
+    val base   = text.getBaseObject
+    val offset = text.getBaseOffset
+    val nBytes = text.numBytes()
+    // pass 1: token count = spaces + 1
+    var spaces = 0
+    var p      = 0
+    while (p < nBytes) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, offset + p) == 0x20) spaces += 1
+      p += 1
+    }
+    val nTokens = spaces + 1
+    if (nTokens < k) return new GenericArrayData(Array.emptyLongArray)
+    // pass 2: token start byte offsets
+    val starts = new Array[Int](nTokens)
+    var t      = 1
+    p = 0
+    while (p < nBytes) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, offset + p) == 0x20) {
+        starts(t) = p + 1; t += 1
+      }
+      p += 1
+    }
+    val m   = nTokens - k + 1
+    val out = new Array[Long](m)
+    var i   = 0
+    while (i < m) {
+      val s   = starts(i)
+      val e   = if (i + k == nTokens) nBytes else starts(i + k) - 1
+      val v   = UTF8String.fromAddress(base, offset + s, e - s)
+      out(i) = XxHash64Function.hash(v, StringType, SEED)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -1495,16 +1495,24 @@ object Corpus {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int): DataFrame =
+      k: Int): DataFrame = {
+    // native one-pass positional gram hashing (r15 optimization): same
+    // xxhash64 values as the composed split/transform/slice/concat_ws
+    // chain (GramHashesExprSpec certifies bit-equality), but zero per-gram
+    // allocation and no interpreted lambda — the gram projection is the
+    // span family's dominant map-side cost. Docs shorter than k grams
+    // yield an empty array, which posexplode drops (the old
+    // `filter(size(__tk) >= k)` row semantics).
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val gh = ColumnBridge.column(
+      graft.functions.GramHashesExpr(ColumnBridge.expression(col(textCol)), k))
     docs
       .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__tk"))
-      .filter(size(col("__tk")) >= k)
       .select(
-        col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("__tk")) - k),
-          i => concat_ws(" ", slice(col("__tk"), i + 1, lit(k))))).as(Seq("pos", "__gram")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), xxhash64(col("__gram")).as("__gh"))
+        col(idCol).as("doc_id"),
+        posexplode(gh).as(Seq("pos", "__gh")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("__gh"))
+  }
 
   /** Shared miner: 0-based start positions of k-grams whose corpus-wide
     * occurrence count reaches `minCount`, as (doc_id, pos).

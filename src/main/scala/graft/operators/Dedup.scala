@@ -1005,19 +1005,35 @@ object Dedup {
     bands.groupBy(col("band"), col("key")).count().filter(col("count") > maxBucket)
 
   /** (id, band, bucket) rows from a signature table — the band's minhash
-    * slots joined into one string bucket key.
+    * slots combined into one bucket key.
+    *
+    * r15 optimization: for rowsPerBand <= 2 the key is a PACKED LONG
+    * (slot1 << 30 | slot2 — injective because every minhash value is
+    * `(a*h+b) mod P` with P = 1e9+7 < 2^30), replacing the former
+    * `concat_ws(":", cast, cast)` STRING key. Same bucket equivalence
+    * classes, so candidates — and therefore every verified result — are
+    * bit-identical; the band table's join/group key drops from ~20 string
+    * bytes (plus two per-band long→string conversions per row) to 8
+    * fixed-width bytes, which is what the candidate self-join, the
+    * hot-bucket aggregate and its broadcast all hash and shuffle (guide
+    * §2.3 "narrower types"). Wider bands keep the injective string form.
     */
   private def bandBuckets(sigs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
+    def bucket(b: Int) =
+      if (rowsPerBand == 1) element_at(col("sig"), b + 1)
+      else if (rowsPerBand == 2)
+        shiftleft(element_at(col("sig"), b * 2 + 1), 30)
+          .bitwiseOR(element_at(col("sig"), b * 2 + 2))
+      else
+        concat_ws(
+          ":",
+          (0 until rowsPerBand)
+            .map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
     sigs.select(
       col("id"),
       explode(array((0 until nBands).map { b =>
-        struct(
-          lit(b).as("band"),
-          concat_ws(
-            ":",
-            (0 until rowsPerBand)
-              .map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bucket"))
+        struct(lit(b).as("band"), bucket(b).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }

@@ -87,12 +87,24 @@ object LinkGraph {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else eProj.localCheckpoint(true) // reused every round: materialize once
     // derived from e: under prePartition the groupBy is shuffle-free and
-    // deg comes out co-partitioned on src for the loop joins
+    // deg comes out co-partitioned on src for the fold-in join below
     val deg0 = e.groupBy("src").agg(count(lit(1)).as("__deg"))
-    val deg =
+    // r15 optimization: fold the loop-INVARIANT degree onto the edge frame
+    // ONCE (one co-partitioned/hash-keyed join at setup) instead of
+    // re-joining deg every round — each iteration drops from two joins to
+    // one, same integers (every src in e has exactly one deg row, so
+    // e⋈deg is a row-preserving widening). Cost: +8 bytes per edge in the
+    // materialized frame; the former separate deg materialization goes
+    // away, so setup job count is unchanged.
+    val eDeg =
       if (prePartition)
-        deg0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else deg0.localCheckpoint(true)
+        e.join(deg0, Seq("src"))
+          .select(col("src"), col("dst"), col("__deg"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else
+        e.join(deg0, Seq("src"))
+          .select(col("src"), col("dst"), col("__deg"))
+          .localCheckpoint(true)
     val base = (100L - dampingPct) * scale / 100L
     // per-node restart mass / initial charge: uniform, or seed-gated
     val baseCol  = seed.map(p => when(p, lit(base)).otherwise(lit(0L))).getOrElse(lit(base))
@@ -104,9 +116,8 @@ object LinkGraph {
       .localCheckpoint(true)
     var iter = 0
     while (iter < iters) {
-      val inMass = e
+      val inMass = eDeg
         .join(scores.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("id"), expr("score div __deg").as("__c"))
         .groupBy("id")
         .agg(sum(col("__c")).as("__m"))
@@ -121,7 +132,7 @@ object LinkGraph {
     }
     // scores is materialized (eager checkpoint) — the cached edge frame is
     // no longer reachable from the returned plan
-    if (prePartition) { deg.unpersist(false); e.unpersist(false) }
+    if (prePartition) { eDeg.unpersist(false); e.unpersist(false) }
     scores
   }
 
@@ -178,16 +189,25 @@ object LinkGraph {
       .union(eSrc.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint(true)
-    def norm(raw: DataFrame, valCol: String, outCol: String): DataFrame = {
-      val filled = nodes
+    // r15 optimization (half the eager jobs per half-round): checkpoint the
+    // RAW edge-join aggregate once — the only edge-sized work — and leave
+    // the node-sized fill + normalize LAZY, absorbed into the consumer's
+    // job. max over the filled frame equals max over raw clamped at 1:
+    // missing nodes fill with 0, and raw values are sums of non-negative
+    // scores, so greatest(max(raw), 1) is identical (LinkGraphSpec + the
+    // q128 oracle certify the integers bit for bit). The former spelling
+    // eagerly checkpointed both the filled frame and the normalized result
+    // — two extra materialization jobs per half-round that bench as pure
+    // driver latency and buy nothing at scale (the recomputed fill is one
+    // node-sized broadcast join per consumer).
+    def norm(raw0: DataFrame, valCol: String, outCol: String): DataFrame = {
+      val raw = raw0.localCheckpoint(true)
+      val mx  = raw.agg(greatest(max(col(valCol)), lit(1L)).as("__m"))
+      nodes
         .join(raw, Seq("id"), "left")
         .select(col("id"), coalesce(col(valCol), lit(0L)).as("__v"))
-        .localCheckpoint(true)
-      val mx = filled.agg(greatest(max(col("__v")), lit(1L)).as("__m"))
-      filled
         .crossJoin(broadcast(mx))
         .select(col("id"), expr(s"__v * ${scale}L div __m").as(outCol))
-        .localCheckpoint(true)
     }
     var hub  = nodes.select(col("id"), lit(scale).as("hub"))
     var auth = nodes.select(col("id"), lit(scale).as("auth"))

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.SparkTestSession
+
+/** The native GramHashesExpr must equal the composed chain
+  * `transform(sequence(0, n-k), i -> xxhash64(concat_ws(" ",
+  * slice(split(text, " "), i+1, k))))` element-for-element — positions AND
+  * hash values — including the regex-space-split empty-token edge cases
+  * (leading/trailing/multiple spaces), non-ASCII (0x20 never occurs inside
+  * a UTF-8 multi-byte sequence), and the < k-token empty result.
+  */
+class GramHashesExprSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def native(c: org.apache.spark.sql.Column, k: Int) =
+    ColumnBridge.column(GramHashesExpr(ColumnBridge.expression(c), k))
+
+  private def composed(c: org.apache.spark.sql.Column, k: Int) = {
+    val tk = split(c, " ")
+    when(size(tk) >= k,
+      transform(sequence(lit(0), size(tk) - k),
+        i => xxhash64(concat_ws(" ", slice(tk, i + 1, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  private def check(texts: Seq[String], k: Int): Unit = {
+    import spark.implicits._
+    val rows = texts
+      .toDF("t")
+      .select(native(col("t"), k).as("native"), composed(col("t"), k).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      assert(
+        r.getAs[scala.collection.Seq[Long]]("native") ===
+          r.getAs[scala.collection.Seq[Long]]("composed"),
+        s"for k=$k")
+    }
+  }
+
+  test("random word texts match the composed form (values and positions)") {
+    val rnd   = new scala.util.Random(41)
+    val words = Vector("the", "quick", "brown", "fox", "dog", "a", "of", "x1", "naïve", "日本")
+    val texts = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(40))(words(rnd.nextInt(words.size))).mkString(" "))
+    check(texts, 8)
+    check(texts, 2)
+  }
+
+  test("edge cases: empty, short, spaces, unicode") {
+    val texts = Seq(
+      "", " ", "  ", "a", "a b", "a  b", " a b ", "a b c d e f g h",
+      "a b c d e f g h i", "tök tök tök tök tök tök tök tök tök",
+      "日 本 語 テ ス ト 文 字 列", "x " * 20 + "x", "  double  spaced  text  here  ok  now  yes  end")
+    for (k <- Seq(2, 3, 8)) check(texts, k)
+  }
+
+  test("fewer than k tokens yields an empty array, null text stays null") {
+    import spark.implicits._
+    val r = Seq(("a b c", 1L), (null.asInstanceOf[String], 2L))
+      .toDF("t", "id")
+      .select(col("id"), native(col("t"), 8).as("g"))
+      .collect()
+      .sortBy(_.getLong(0))
+    assert(r(0).getAs[scala.collection.Seq[Long]]("g") === Seq.empty[Long])
+    assert(r(1).isNullAt(1))
+  }
+}
