@@ -27,6 +27,17 @@ object GraftSession {
       .appName("graft")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // r15: force the SORT-based shuffle writer even for small partition
+      // counts. The default bypass writer (numPartitions <= 200) opens one
+      // file PER REDUCE PARTITION per map task — 32 creates/opens/commits
+      // per task here, and jstack sampling showed executor time dominated
+      // by FileOutputStream.open0/DiskBlockObjectWriter under it on this
+      // host class (the round-14 "3-6x per-cell noise" was largely this
+      // metadata I/O contending). The sort-based writer emits ONE data
+      // file + index per map task — which is also the only code path a
+      // production shuffle (R >> 200) ever takes, so local runs now
+      // exercise the at-scale writer instead of a small-R special case.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
