@@ -48,6 +48,24 @@ object Contract {
   /** Exact, order-independent double sum (see parity rules above). */
   private def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
 
+  /** Co-purchase chain edges shared by the graph family
+    * (q106/q128/q129/q136/q208): consecutive lineitem lines within an
+    * order, part -> next part. The self-join is LOAD-BEARING: the test
+    * fixture deliberately duplicates (l_orderkey, l_linenumber) pairs, so
+    * a duplicated line number contributes m x k edges (multi-edges count
+    * multiply downstream) — a window `lead` rewrite (tried r16, one
+    * exchange cheaper) is NOT row-identical on this data and was
+    * reverted after failing the oracle.
+    */
+  private def chainEdges(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    l.as("a").join(l.as("b"),
+      col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("b.l_linenumber") === col("a.l_linenumber") + 1)
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+  }
+
   private def li(s: SparkSession, d: String)   = Tables.lineitem(s, d)
   private def ord(s: SparkSession, d: String)  = Tables.orders(s, d)
   private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
@@ -2479,12 +2497,7 @@ object Contract {
       // 3 rounds, d=0.85, scores in 1e-9 units. Integer arithmetic end to
       // end, so the DuckDB unrolled recurrence hash-matches every score.
       (s, d) => {
-        val l = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-        val edges = l.as("a").join(l.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("b.l_linenumber") === col("a.l_linenumber") + 1)
-          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        val edges = chainEdges(s, d)
         graft.operators.LinkGraph.propagate(edges, "src", "dst", iters = 3)
       },
       Some(OracleSql.q106)
@@ -2677,12 +2690,16 @@ object Contract {
         import graft.operators.{Corpus, Splits}
         val deduped = Corpus.lineDedup(
           Tables.documents(s, d), "doc_id", "text", lineTokens = 10)
+        // r16: alphaMixture scans its input TWICE (source census + the
+        // rate join) — without a barrier the whole lineDedup -> gate
+        // pipeline above runs twice (the q167/q87 shared-frame pattern).
         val clean = deduped
           .join(Tables.documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
           .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
           .withColumn("tok_diversity",
             TextAnalysis.simpsonDiversity(TextAnalysis.tokens(col("text"))))
           .filter(col("n_tokens") >= 10 && col("tok_diversity") >= 0.5)
+          .localCheckpoint(true)
         Splits.alphaMixture(clean, "doc_id", "source", targetRows = 200)
           .select(col("doc_id"), col("source"), col("n_tokens"), col("n_lines_kept"))
       },
@@ -3003,16 +3020,7 @@ object Contract {
       // (LinkGraph.hits): 2 rounds of mutual reinforcement with integer
       // max-normalization — the oracle replays the recurrence unrolled.
       (s, d) => {
-        val l = Tables
-          .lineitem(s, d)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-        val edges = l
-          .as("a")
-          .join(
-            l.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("b.l_linenumber") === col("a.l_linenumber") + 1)
-          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        val edges = chainEdges(s, d)
         graft.operators.LinkGraph.hits(edges, "src", "dst", iters = 2)
       },
       Some(OracleSql.q128)
@@ -3025,16 +3033,7 @@ object Contract {
       // id-ordered 3-join; both count each triangle once, so every cell
       // is an exact integer.
       (s, d) => {
-        val l = Tables
-          .lineitem(s, d)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-        val edges = l
-          .as("a")
-          .join(
-            l.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("b.l_linenumber") === col("a.l_linenumber") + 1)
-          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        val edges = chainEdges(s, d)
         graft.operators.LinkGraph.triangles(edges, "src", "dst")
       },
       Some(OracleSql.q129)
@@ -3165,16 +3164,7 @@ object Contract {
       // seed restart set, id % 97 == 0): proximity to trusted seeds over
       // the q106 graph — same exact integer recurrence, unrolled oracle.
       (s, d) => {
-        val l = Tables
-          .lineitem(s, d)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-        val edges = l
-          .as("a")
-          .join(
-            l.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("b.l_linenumber") === col("a.l_linenumber") + 1)
-          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        val edges = chainEdges(s, d)
         graft.operators.LinkGraph.propagate(
           edges, "src", "dst", iters = 3,
           seed = Some(col("id") % 97 === 0))
@@ -3994,8 +3984,22 @@ object Contract {
         val pa  = s"$scratchRoot/ivf_merge_base_q168_$tok"
         val pb  = s"$scratchRoot/ivf_merge_other_q168_$tok"
         val pm  = s"$scratchRoot/ivf_merge_out_q168_$tok"
-        Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), pa, ncells = 8)
-        Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 =!= 0), pb, ncells = 5)
+        // r16 (guide §2.6 — overlap independent jobs): the two shard
+        // builds are independent write pipelines to disjoint paths; run
+        // them concurrently so the second build's stages back-fill the
+        // cores the first one's sequential write/commit steps leave idle.
+        // Results are unaffected — the merge below starts after both.
+        locally {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val wa = Future(
+            Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), pa, ncells = 8))
+          val wb = Future(
+            Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 =!= 0), pb, ncells = 5))
+          Await.result(wa, Duration.Inf)
+          Await.result(wb, Duration.Inf)
+        }
         Similarity.mergeIvfIndexes(s, pa, pb, pm)
         Similarity
           .searchIvfIndex(s, pm, emb.filter(col("vec_id") < 10), k = 5, nprobe = 8)
@@ -5018,12 +5022,7 @@ object Contract {
       // the unrolled oracle replays every round bit for bit. The finer
       // companion to q136's connected components for link-farm excision.
       (s, d) => {
-        val l = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-        val edges = l.as("a").join(l.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("b.l_linenumber") === col("a.l_linenumber") + 1)
-          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        val edges = chainEdges(s, d)
         graft.operators.LinkGraph.labelPropagation(edges, "src", "dst", iters = 3)
       },
       Some(OracleSql.q208)

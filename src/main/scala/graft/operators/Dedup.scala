@@ -266,9 +266,13 @@ object Dedup {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val hashes = ColumnBridge.column(
       graft.functions.PosShingleHashesExpr(ColumnBridge.expression(col(textCol)), k))
-    val ph = docs
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), posexplode(hashes).as(Seq("pos", "h")))
+    // r16: spread the narrow (id, text) projection before the positional-
+    // hash explode (the winnowPairs posture) — on a one-file corpus the
+    // hash projection, the checkpoint, and the hot census off it otherwise
+    // all run on a single partition
+    val ph = spread(docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), posexplode(hashes).as(Seq("pos", "h")))
       .localCheckpoint(true) // two legs + the hot census read this once
     val hot = ph
       .groupBy(col("h"))
@@ -542,12 +546,28 @@ object Dedup {
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25,
+      smallGraphThreshold: Long = 1L << 17): DataFrame = {
     val edges = pairs
       .select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .localCheckpoint(true) // reused every round: materialize once
+    // Size-gated driver fallback (r16 — the connectedComponentsStar posture
+    // extended to the propagation variant): a mined near-dup pair graph is
+    // tiny relative to its corpus, and below the threshold the iterative
+    // rounds (each an eager checkpoint + a convergence probe job) are pure
+    // per-job overhead. Union-find with path compression over the collected
+    // SYMMETRIC edge list (<= threshold rows of bounded driver memory)
+    // produces the identical min-label components; after symmetrization
+    // every node — including self-pair nodes — appears as an edge source,
+    // so labels cover exactly the node set the loop would emit.
+    if (edges.count() <= smallGraphThreshold) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val ss = pairs.sparkSession
+      import ss.implicits._
+      return driverUnionFind(es).toSeq.toDF("id", "label")
+    }
     var labels = edges
       .select(col("src").as("id"))
       .distinct()
@@ -579,6 +599,27 @@ object Dedup {
         s"connectedComponents did not converge in $maxIters rounds — a component's " +
           s"diameter exceeds maxIters; raise maxIters (rounds needed = max component diameter)")
     labels
+  }
+
+  /** Driver-side union-find (path compression, min-id roots) over a
+    * collected edge list — the size-gated small-graph fallback shared by
+    * both connected-components variants. Returns (id -> component min)
+    * for every endpoint id appearing in `es`.
+    */
+  private def driverUnionFind(es: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) x = parent.getOrElse(x, x)
+      var y = x0
+      while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = x; y = n }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    es.flatMap { case (a, b) => Seq(a, b) }.distinct.map(id => (id, find(id))).toSeq
   }
 
   /** Minimum-label connected components by LARGE-STAR / SMALL-STAR
@@ -665,27 +706,10 @@ object Dedup {
     // log-round convergence tests force) the O(log n) star rounds run.
     if (last._1 <= smallGraphThreshold) {
       val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x0: Long): Long = {
-        var x = x0
-        while (parent.getOrElse(x, x) != x) x = parent.getOrElse(x, x)
-        var y = x0
-        while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = x; y = n }
-        x
-      }
-      es.foreach { case (a, b) =>
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
       val ss = pairs.sparkSession
       import ss.implicits._
-      val labels = es
-        .flatMap { case (a, b) => Seq(a, b) }
-        .distinct
-        .map(id => (id, find(id)))
-        .toSeq
       return nodes
-        .join(labels.toDF("id", "label"), Seq("id"), "left")
+        .join(driverUnionFind(es).toDF("id", "label"), Seq("id"), "left")
         .select(col("id"), coalesce(col("label"), col("id")).as("label"))
     }
     var iter      = 0

@@ -50,11 +50,14 @@ object EditSimilarity {
     val prefixLen = q * d + 1
     val minLen    = q * d + q // fewer grams than prefixLen below this length
 
-    val s = df.select(
+    // r16: spread the narrow (id, str) projection (the winnowPairs
+    // posture) — on a one-file input the in-row O(n²) gram/occ build
+    // below otherwise runs on a single partition
+    val s = Dedup.spread(df.select(
       col(idCol).cast("long").as("id"),
       col(strCol).as("str"),
       length(col(strCol)).as("len"))
-      .filter(col("str").isNotNull)
+      .filter(col("str").isNotNull))
 
     val long_  = s.filter(col("len") >= minLen)
     val short_ = s.filter(col("len") < minLen)
@@ -118,6 +121,12 @@ object EditSimilarity {
       .distinct()
 
     val strs = s.select(col("id"), col("str"))
+    // NOTE (r16, measured and rejected): an explicit repartition of the
+    // candidate frame before the verify — to defeat AQE's byte-proxy
+    // coalescing serializing the Levenshtein stage — read back WORSE
+    // (isolated med 2.6 -> 3.7 s at sf0.1): the extra exchange plus 32
+    // near-empty tasks cost more than the 1-task verify it replaced. At
+    // scale the candidate frame is wide on its own.
     candLong.union(candShort).distinct()
       .join(strs.select(col("id").as("id_a"), col("str").as("__sa")), Seq("id_a"))
       .join(strs.select(col("id").as("id_b"), col("str").as("__sb")), Seq("id_b"))

@@ -30,8 +30,16 @@ import org.apache.spark.sql.functions._
   * Scale posture: each round is one join of edges to the score table on the
   * EDGE SOURCE (shuffle ∝ |edges|) and one partial-agg shuffle on the edge
   * destination — the same O(iters × |edges|) posture as `Dedup`'s label
-  * propagation, and like it every round is eagerly localCheckpoint'd so the
-  * iterated plan stays flat. Node count never materializes on the driver.
+  * propagation. r16: rounds compose LAZILY — the recurrence references the
+  * previous round's frame exactly ONCE (the node list is a loop-invariant
+  * checkpointed frame, not a re-projection of the score frame), so the plan
+  * grows linearly and the whole loop executes as ONE job; lineage is
+  * truncated by an eager localCheckpoint every `ckptEvery` rounds (and at
+  * loop end). The former per-round eager checkpoint cost one driver job
+  * barrier + block materialization per round and bought nothing at any
+  * scale (measured: the barrier latency, not the compute, dominated the
+  * iterative family's bench cells). Node count never materializes on the
+  * driver.
   */
 object LinkGraph {
 
@@ -73,8 +81,10 @@ object LinkGraph {
       dampingPct: Int = 85,
       scale: Long = 1000000000L,
       seed: Option[Column] = None,
-      prePartition: Boolean = false): DataFrame = {
+      prePartition: Boolean = false,
+      ckptEvery: Int = 8): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(ckptEvery >= 1, s"ckptEvery must be >= 1, got $ckptEvery")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
     // long-sum headroom: total mass is ~|nodes|*scale and a single hub can
@@ -109,27 +119,37 @@ object LinkGraph {
     // per-node restart mass / initial charge: uniform, or seed-gated
     val baseCol  = seed.map(p => when(p, lit(base)).otherwise(lit(0L))).getOrElse(lit(base))
     val scoreCol = seed.map(p => when(p, lit(scale)).otherwise(lit(0L))).getOrElse(lit(scale))
-    var scores = e.select(col("src").as("id"))
+    // loop-invariant node list, checkpointed once: every round's result
+    // frame left-joins inMass onto THIS frame (identical to the former
+    // re-projection of the previous score frame — scores always carries
+    // exactly the node set), so the previous round is referenced exactly
+    // once and lazy rounds never recompute each other
+    val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
-      .select(col("id"), scoreCol.as("score"))
       .localCheckpoint(true)
-    var iter = 0
+    var scores    = nodes.select(col("id"), scoreCol.as("score"))
+    var iter      = 0
+    var sinceCkpt = 0
     while (iter < iters) {
       val inMass = eDeg
         .join(scores.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), expr("score div __deg").as("__c"))
         .groupBy("id")
         .agg(sum(col("__c")).as("__m"))
-      scores = scores
-        .select(col("id"))
+      scores = nodes
         .join(inMass, Seq("id"), "left")
         .select(col("id"),
           (baseCol + expr(s"$dampingPct * coalesce(__m, 0L) div 100"))
             .as("score"))
-        .localCheckpoint(true)
       iter += 1
+      sinceCkpt += 1
+      if (sinceCkpt >= ckptEvery && iter < iters) {
+        scores = scores.localCheckpoint(true) // truncate lineage, keep going
+        sinceCkpt = 0
+      }
     }
+    scores = scores.localCheckpoint(true) // materialize the final round
     // scores is materialized (eager checkpoint) — the cached edge frame is
     // no longer reachable from the returned plan
     if (prePartition) { eDeg.unpersist(false); e.unpersist(false) }
@@ -243,8 +263,10 @@ object LinkGraph {
     * LOWEST-degree corner and the wedge count is bounded by O(m^1.5)
     * regardless of hubs — a 10^6-degree hub generates no wedges unless its
     * neighbors are equally hot, where an id-ordered or naive enumeration
-    * would emit deg^2 ≈ 10^12 from that one node. Three equi-join shuffles
-    * on edge keys, no driver state; each triangle found exactly once, so
+    * would emit deg^2 ≈ 10^12 from that one node. The wedge self-join runs
+    * EXCHANGE-FREE over one cached hash-partitioned copy of the oriented
+    * edges (r16); the closure probe and the aggregations are bounded
+    * equi-join shuffles, no driver state; each triangle found exactly once, so
     * per-node counts are exact integers and the id-ordered DuckDB oracle
     * (same once-per-triangle invariant, different traversal order)
     * hash-matches without any float tolerance.
@@ -265,9 +287,10 @@ object LinkGraph {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true) // reused: degrees, orientation, closure probe
+    // r16: one scan of und (explode both endpoints) instead of a two-scan
+    // self-union — same multiset of ids, half the checkpoint reads
     val deg = und
-      .select(col("u").as("id"))
-      .union(und.select(col("v").as("id")))
+      .select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id")
       .agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
@@ -285,7 +308,24 @@ object LinkGraph {
           (col("__du") === col("__dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("b"),
         greatest(col("__du"), col("__dv")).as("__db"))
-      .localCheckpoint(true)
+      // r16 (guide §2.4): hash-partition on the wedge corner `a` and CACHE
+      // (a cached plan keeps its HashPartitioning visible to
+      // EnsureRequirements; a checkpointed LogicalRDD reports
+      // UnknownPartitioning) — both legs of the wedge self-join below then
+      // read the SAME cached partitioning and join with ZERO exchanges.
+      // Explicit partition count (the session's configured shuffle
+      // parallelism — cluster-sized in production, core count locally)
+      // because AQE would coalesce a byte-small frame to a handful of
+      // partitions and serialize the wedge explosion, the operator's
+      // dominant CPU: partition count here must track the JOIN's output,
+      // which AQE cannot see from the input bytes.
+      .repartition(
+        edges.sparkSession.sessionState.conf.numShufflePartitions, col("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the cache eagerly (one job — replaces the former eager
+    // checkpoint job) so the three concurrent consumers below never race
+    // to compute the same partition
+    oriented.count()
     // wedges at the lowest-rank corner: (a->b, a->c) with rank(b) < rank(c);
     // closed iff the oriented edge b->c exists (it is oriented b->c by
     // transitivity of the rank order). Distinct column names per leg — the
@@ -303,10 +343,12 @@ object LinkGraph {
     val tris = wedges
       .join(oriented.select(col("a").as("tb"), col("b").as("tc")), Seq("tb", "tc"))
       .select(col("ta"), col("tb"), col("tc"))
+    // r16: count all three corners in ONE pass over tris (explode of the
+    // corner array) — the former three-branch self-union re-ran the
+    // closure-join probe once per branch (the exchanges below it were
+    // reused, the join itself was not)
     val perNode = tris
-      .select(col("ta").as("id"))
-      .union(tris.select(col("tb").as("id")))
-      .union(tris.select(col("tc").as("id")))
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("id"))
       .groupBy("id")
       .agg(count(lit(1)).as("tri"))
     deg
@@ -359,8 +401,10 @@ object LinkGraph {
       srcCol: String,
       dstCol: String,
       iters: Int,
-      prePartition: Boolean = false): DataFrame = {
+      prePartition: Boolean = false,
+      ckptEvery: Int = 8): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(ckptEvery >= 1, s"ckptEvery must be >= 1, got $ckptEvery")
     val dir = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -370,11 +414,15 @@ object LinkGraph {
         symProj.repartition(col("src"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else symProj.localCheckpoint(true) // reused every round
-    // after symmetrization every node appears as a src
+    // after symmetrization every node appears as a src. r16: each round
+    // references the previous round's frame exactly once (the e-join), so
+    // rounds compose LAZILY and the loop executes as one job; lineage is
+    // truncated every `ckptEvery` rounds (the `propagate` posture — the
+    // former per-round eager checkpoint was pure driver-barrier latency).
     var labels = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
-    var iter = 0
+    var iter      = 0
+    var sinceCkpt = 0
     while (iter < iters) {
       labels = e
         .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
@@ -383,9 +431,14 @@ object LinkGraph {
         .groupBy(col("id"))
         .agg(min(struct((-col("__v")).as("nv"), col("label").as("l"))).as("__w"))
         .select(col("id"), col("__w.l").as("label"))
-        .localCheckpoint(true)
       iter += 1
+      sinceCkpt += 1
+      if (sinceCkpt >= ckptEvery && iter < iters) {
+        labels = labels.localCheckpoint(true)
+        sinceCkpt = 0
+      }
     }
+    labels = labels.localCheckpoint(true) // materialize the final round
     if (prePartition) e.unpersist(false)
     labels
   }

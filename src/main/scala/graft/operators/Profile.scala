@@ -1622,6 +1622,12 @@ object Profile {
     val votes = frame
       .filter(col(itemCol).isNotNull && col(raterCol).isNotNull && col(catCol).isNotNull)
       .select(col(itemCol).as("__i"), col(raterCol).as("__r"), col(catCol).as("__cat"))
+      // r16: materialize ONCE — the narrow vote table feeds FOUR consumers
+      // (rater list, the LOO pipeline, per-rater counts, and the full-panel
+      // alpha below); without the cut each re-executes the caller's whole
+      // panel derivation (q220's document tokenization ran 4x here). Same
+      // eager-checkpoint sharing discipline as jaccardPairs.
+      .localCheckpoint(true)
     val raters = votes.select(col("__r").as("__ex")).distinct()
     val loo = votes.crossJoin(broadcast(raters)).filter(col("__r") =!= col("__ex"))
     val cells = loo
@@ -1660,7 +1666,9 @@ object Profile {
                  |  ELSE -(((__o * (__nd - 1) - ${lcm}L * __e) * 1000000L)
                  |         div (${lcm}L * __e))
                  |END""".stripMargin)).as("alpha_loo_x1e6"))
-    val full = krippendorffAlpha(frame, itemCol, raterCol, catCol, maxRaters)
+    // full-panel alpha off the SAME checkpointed votes (not the raw frame:
+    // that would re-run the caller's panel derivation a fifth time)
+    val full = krippendorffAlpha(votes, "__i", "__r", "__cat", maxRaters)
       .select(col("alpha_x1e6").as("alpha_full_x1e6"))
     val raterCounts = votes
       .groupBy(col("__r").as("__ex"))

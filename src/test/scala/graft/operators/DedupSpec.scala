@@ -206,18 +206,24 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === (1L to 64L).map(_ -> 1L).toMap)
 
-    // random graph: propagation, distributed star, and the size-gated
-    // driver union-find all produce identical labels
+    // random graph: DISTRIBUTED propagation (threshold 0 forces the loop —
+    // r16 gave connectedComponents the star variant's size-gated driver
+    // fallback, so the default path below the threshold is union-find),
+    // the driver fallback of each variant, and the distributed star all
+    // produce identical labels
     val rnd = new scala.util.Random(13)
     val edges = (1 to 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
       .filter { case (a, b) => a != b }
     val df   = edges.toDF("id_a", "id_b")
-    val prop = Dedup.connectedComponents(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.connectedComponents(df, smallGraphThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val propDrv = Dedup.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dist = Dedup.connectedComponentsStar(df, smallGraphThreshold = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val drv = Dedup.connectedComponentsStar(df)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(dist === prop && drv === prop)
+    assert(dist === prop && drv === prop && propDrv === prop)
   }
 
   test("simHashWidePairs: 62-bit pigeonhole mining == brute force; buckets finer than 16-bit") {

@@ -54,6 +54,27 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(run(edges, 0).values.toSet === Set(1000000000L))
   }
 
+  test("ckptEvery cadence does not change the recurrence (propagate + LPA)") {
+    // r16 made loop rounds compose lazily with lineage truncation every
+    // ckptEvery rounds; every cadence must compute identical integers
+    val edges = (1L to 200L).map(i => (i, i * 7 % 97 + 1))
+    val df    = edges.toDF("src", "dst")
+    val base = LinkGraph.propagate(df, "src", "dst", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(1, 2, 3).foreach { k =>
+      val got = LinkGraph.propagate(df, "src", "dst", 5, ckptEvery = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === base, s"ckptEvery=$k")
+    }
+    val lpaBase = LinkGraph.labelPropagation(df, "src", "dst", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(1, 2).foreach { k =>
+      val got = LinkGraph.labelPropagation(df, "src", "dst", 4, ckptEvery = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === lpaBase, s"lpa ckptEvery=$k")
+    }
+  }
+
   test("damping=100 on a 2-cycle conserves each node's mass exactly") {
     val scores = LinkGraph
       .propagate(Seq[(Long, Long)]((1, 2), (2, 1)).toDF("src", "dst"),
